@@ -1,0 +1,121 @@
+"""Analyzer pipelines: StandardAnalyzer / EnglishAnalyzer equivalents.
+
+Reference semantics:
+  - StandardAnalyzer = StandardTokenizer -> LowerCaseFilter -> StopFilter with
+    an EMPTY default stop set (/root/reference/lucene/core/src/java/org/apache/
+    lucene/analysis/standard/StandardAnalyzer.java:51-53,85-96)
+  - LowerCaseFilter lowercases per codepoint with the full Unicode simple
+    mapping (analysis/LowerCaseFilter.java:36-43, CharacterUtils.java:53-59)
+  - StopFilter drops stopwords; dropped tokens' position increments accumulate
+    onto the next kept token (analysis/StopFilter.java:95-98,
+    FilteringTokenFilter.java:49-58)
+  - EnglishAnalyzer's 33-word default stop set
+    (analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:46-54)
+  - norm byte = SmallFloat.intToByte4(length - numOverlap)
+    (search/similarities/Similarity.java:153-163); with no posIncr==0 filters
+    in the chain, numOverlap == 0 and length == number of kept tokens.
+
+Vectorized Spark entry points (pandas UDFs over Arrow batches — no per-row
+Python in the Spark plan) are at the bottom.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from .tokenizer import MAX_TOKEN_LENGTH, Token, tokenize
+
+# Java Character.toLowerCase uses the *simple* per-codepoint mapping; Python
+# str.lower() uses full case mapping which expands a handful of codepoints.
+# Pin the divergent ones to the Java simple mapping.
+_SIMPLE_LOWER_OVERRIDES = {"İ": "i"}  # LATIN CAPITAL LETTER I WITH DOT ABOVE
+
+
+def lowercase(term: str) -> str:
+    """Per-codepoint simple lowercase, mirroring Java Character.toLowerCase."""
+    if term.isascii():
+        return term.lower()
+    out = []
+    for ch in term:
+        low = _SIMPLE_LOWER_OVERRIDES.get(ch)
+        if low is None:
+            low = ch.lower()
+            if len(low) != 1:
+                low = ch  # full mapping expanded; Java simple mapping keeps it
+        out.append(low)
+    return "".join(out)
+
+
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET, 33 words
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """tokenize -> lowercase -> stop-filter pipeline."""
+
+    stopwords: frozenset[str] = frozenset()
+    max_token_length: int = MAX_TOKEN_LENGTH
+
+    def tokens(self, text: str) -> list[Token]:
+        out: list[Token] = []
+        pos = -1
+        pending = 1
+        for tok in tokenize(text, self.max_token_length):
+            term = lowercase(tok.term)
+            if term in self.stopwords:
+                pending += 1  # posIncr accumulates (FilteringTokenFilter.java:49-58)
+                continue
+            pos += pending
+            pending = 1
+            out.append(Token(term, pos, tok.start, tok.end))
+        return out
+
+    def terms(self, text: str) -> list[str]:
+        return [t.term for t in self.tokens(text)]
+
+
+STANDARD = Analyzer()  # StandardAnalyzer: empty stop set
+ENGLISH_STOPS = Analyzer(stopwords=ENGLISH_STOP_WORDS)
+
+
+def analyzer_for(name: str) -> Analyzer:
+    return {"standard": STANDARD, "english_stops": ENGLISH_STOPS}[name]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch kernels (called from pandas UDFs / mapInPandas)
+# ---------------------------------------------------------------------------
+
+def analyze_series(texts: pd.Series, analyzer: Analyzer = STANDARD) -> pd.Series:
+    """text column -> array<string> of analyzed terms (one Arrow batch)."""
+    return texts.map(lambda t: analyzer.terms(t) if isinstance(t, str) else [])
+
+
+def analyze_with_positions_series(texts: pd.Series, analyzer: Analyzer = STANDARD) -> pd.Series:
+    """text -> list of (term, position) pairs for positional (phrase) indexing."""
+    return texts.map(
+        lambda t: [(tok.term, tok.position) for tok in analyzer.tokens(t)]
+        if isinstance(t, str)
+        else []
+    )
+
+
+def make_terms_udf(spark_functions, analyzer_name: str = "standard"):
+    """Build a pandas UDF `text -> array<string>` bound to a named analyzer.
+
+    The analyzer is resolved by name inside the executor so the closure stays
+    tiny (no big broadcast objects).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def terms_udf(texts: pd.Series) -> pd.Series:
+        return analyze_series(texts, analyzer_for(analyzer_name))
+
+    return terms_udf

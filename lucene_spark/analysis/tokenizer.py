@@ -1,0 +1,204 @@
+"""StandardTokenizer-equivalent: UAX#29 word-break tokenization.
+
+Reference semantics: /root/reference/lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizer.java
+  - UAX#29 word breaks via a generated JFlex DFA (StandardTokenizerImpl.jflex)
+  - token types ALPHANUM / NUM / IDEOGRAPHIC / HIRAGANA / KATAKANA / HANGUL (:43-77)
+  - maxTokenLength default 255 (StandardAnalyzer.java:37); longer tokens are
+    SKIPPED but still bump the position increment of the next kept token
+    (StandardTokenizer.java:163-173)
+
+This is a from-scratch Python implementation of the core UAX#29 rules
+(WB5-WB13b) over the word-break classes that occur in web text: ALetter,
+Numeric, Katakana, ExtendNumLet (connector punctuation), MidLetter, MidNum,
+MidNumLet, plus single-codepoint Ideographic/Hiragana/Hangul tokens. Extend/
+Format/regional-indicator handling is out of scope for the corpus (documented
+gap; golden tests pin the implemented behavior).
+
+Hot path: an ASCII fast path splits on a compiled regex and only falls back
+to the per-codepoint scanner for candidate runs containing mid-punctuation or
+for non-ASCII text. Both paths produce identical output (property-tested).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+from functools import lru_cache
+
+MAX_TOKEN_LENGTH = 255
+
+# word-break classes
+_AL = 1  # ALetter
+_NU = 2  # Numeric
+_KA = 3  # Katakana
+_EX = 4  # ExtendNumLet (Pc: _ etc.)
+_ML = 5  # MidLetter
+_MN = 6  # MidNum
+_MB = 7  # MidNumLet (both)
+_ID = 8  # Ideographic (single-char token)
+_HI = 9  # Hiragana (single-char token)
+_HG = 10  # Hangul syllables (treated as a joining run, like ALetter)
+_OTHER = 0
+
+_MIDLETTER = set(":··״‧︓﹕：")
+_MIDNUM = set(",;;։،؍٬߸⁄︐︔﹐﹔，；")
+_MIDNUMLET = set(".'‘’․﹒＇．")
+
+
+@lru_cache(maxsize=65536)
+def _classify(ch: str) -> int:
+    cp = ord(ch)
+    if cp < 128:  # ASCII fast table
+        if 0x41 <= cp <= 0x5A or 0x61 <= cp <= 0x7A:
+            return _AL
+        if 0x30 <= cp <= 0x39:
+            return _NU
+        if ch == "_":
+            return _EX
+        if ch in _MIDLETTER:
+            return _ML
+        if ch in _MIDNUM:
+            return _MN
+        if ch in _MIDNUMLET:
+            return _MB
+        return _OTHER
+    if ch in _MIDLETTER:
+        return _ML
+    if ch in _MIDNUM:
+        return _MN
+    if ch in _MIDNUMLET:
+        return _MB
+    # Katakana
+    if 0x30A0 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF or 0xFF66 <= cp <= 0xFF9D:
+        return _KA
+    # Hiragana
+    if 0x3041 <= cp <= 0x309F:
+        return _HI
+    # Hangul syllables + jamo
+    if 0xAC00 <= cp <= 0xD7A3 or 0x1100 <= cp <= 0x11FF or 0x3130 <= cp <= 0x318F:
+        return _HG
+    # Ideographic (CJK unified + extensions + compat)
+    if (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2FA1F
+        or 0xF900 <= cp <= 0xFAFF
+    ):
+        return _ID
+    cat = unicodedata.category(ch)
+    if cat.startswith("L") or cat == "Nl":
+        return _AL
+    if cat == "Nd":
+        return _NU
+    if cat == "Pc":
+        return _EX
+    return _OTHER
+
+
+# joins between run classes (WB5, WB8, WB9, WB10, WB13, WB13a, WB13b)
+_RUN = {_AL, _NU, _KA, _EX, _HG}
+
+
+def _joins(a: int, b: int) -> bool:
+    if a == _EX or b == _EX:
+        return True  # WB13a/b
+    if a == _AL and b == _AL:
+        return True  # WB5
+    if a == _NU and b == _NU:
+        return True  # WB8
+    if a == _AL and b == _NU:
+        return True  # WB9
+    if a == _NU and b == _AL:
+        return True  # WB10
+    if a == _KA and b == _KA:
+        return True  # WB13
+    if a == _HG and b == _HG:
+        return True  # WB5 (Hangul is ALetter-like in UAX#29)
+    if (a == _HG and b in (_AL, _NU)) or (a in (_AL, _NU) and b == _HG):
+        return True
+    return False
+
+
+def _mid_joins(prev_cls: int, mid_cls: int, next_cls: int) -> bool:
+    """WB6/7 (AL mid AL) and WB11/12 (NU mid NU)."""
+    if mid_cls == _MB:  # MidNumLet joins both letter and number contexts
+        return (prev_cls == _AL and next_cls == _AL) or (prev_cls == _NU and next_cls == _NU)
+    if mid_cls == _ML:
+        return prev_cls == _AL and next_cls == _AL
+    if mid_cls == _MN:
+        return prev_cls == _NU and next_cls == _NU
+    return False
+
+
+@dataclass(frozen=True)
+class Token:
+    term: str
+    position: int
+    start: int
+    end: int
+
+
+def _scan(text: str, base_offset: int, out: list[tuple[str, int, int]]) -> None:
+    """Per-codepoint UAX#29-lite scanner; appends (term, start, end) to out."""
+    n = len(text)
+    i = 0
+    while i < n:
+        cls = _classify(text[i])
+        if cls in (_ID, _HI):  # single-codepoint tokens
+            out.append((text[i], base_offset + i, base_offset + i + 1))
+            i += 1
+            continue
+        if cls not in _RUN:
+            i += 1
+            continue
+        start = i
+        prev_cls = cls
+        i += 1
+        while i < n:
+            c = _classify(text[i])
+            if c in _RUN and _joins(prev_cls, c):
+                prev_cls = c
+                i += 1
+            elif c in (_ML, _MN, _MB) and i + 1 < n:
+                nxt = _classify(text[i + 1])
+                if _mid_joins(prev_cls, c, nxt):
+                    prev_cls = nxt
+                    i += 2
+                else:
+                    break
+            else:
+                break
+        out.append((text[start:i], base_offset + start, base_offset + i))
+
+
+_ASCII_CANDIDATE = re.compile(r"[A-Za-z0-9_]+(?:[.,:;'][A-Za-z0-9_]+)*")
+_PURE_ALNUM = re.compile(r"[A-Za-z0-9_]+\Z")
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[Token]:
+    """Tokenize with UAX#29-style breaks + Lucene's long-token skip rule."""
+    raw: list[tuple[str, int, int]] = []
+    if text.isascii():
+        for m in _ASCII_CANDIDATE.finditer(text):
+            s = m.group(0)
+            if _PURE_ALNUM.match(s):
+                raw.append((s, m.start(), m.end()))
+            else:
+                _scan(s, m.start(), raw)
+    else:
+        _scan(text, 0, raw)
+
+    tokens: list[Token] = []
+    pos = -1
+    pending_incr = 1
+    for term, start, end in raw:
+        if len(term) > max_token_length:
+            # skipped, but the position increment accumulates
+            # (StandardTokenizer.java:163-173)
+            pending_incr += 1
+            continue
+        pos += pending_incr
+        pending_incr = 1
+        tokens.append(Token(term, pos, start, end))
+    return tokens

@@ -1,0 +1,67 @@
+"""Doc-ID delta block encoding: FOR vs dense-bitset choice + dense shortcut.
+
+Reference behavior: /root/reference/lucene/core/src/java/org/apache/lucene/codecs/lucene104/Lucene104PostingsWriter.java:423-461
+  - per 256-doc block, deltas between consecutive docIDs are encoded either
+    FOR bit-packed or as a unary bitset over the doc range, whichever is
+    smaller: (bitsPerValue+1)*256 <= bitsetLongs*64
+  - a fully dense block (docRange == 256 for 256 docs) costs 0 bytes
+Tail blocks (< 256 docs) in the reference use group-varint with the
+(delta<<1)|(freq==1) trick (PostingsUtil.java:56-73); we keep tails in the
+same FOR/bitset codec — the format is ours, semantics (lossless sorted doc
+ids) are identical.
+
+A block row stores ``first_doc`` and ``last_doc`` uncompressed; this module
+encodes the n-1 gaps (strictly positive) after the first doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .forutil import bitpack, bitunpack, max_bits_required
+
+ENC_DENSE = 0  # docs are first_doc..first_doc+n-1; zero payload bytes
+ENC_FOR = 1  # bit-packed (delta - 1) gaps
+ENC_BITSET = 2  # membership bitmap over (first_doc, last_doc]
+
+
+def encode_doc_block(docs: np.ndarray) -> tuple[int, bytes]:
+    """Encode a sorted, unique int64 doc array. Returns (enc_tag, payload)."""
+    docs = np.asarray(docs, dtype=np.int64)
+    n = len(docs)
+    if n <= 1:
+        return ENC_DENSE, b""
+    first, last = int(docs[0]), int(docs[-1])
+    doc_range = last - first
+    if doc_range == n - 1:
+        return ENC_DENSE, b""
+    gaps = np.diff(docs) - 1  # >= 0
+    bpv = max_bits_required(gaps)
+    for_cost = ((n - 1) * bpv + 7) // 8
+    bitset_cost = (doc_range + 7) // 8  # membership of docs after first
+    if bitset_cost < for_cost:
+        bitmap = np.zeros(doc_range, dtype=np.uint8)
+        bitmap[np.diff(docs).cumsum() - 1] = 1
+        return ENC_BITSET, bytes([0]) + np.packbits(bitmap, bitorder="little").tobytes()
+    return ENC_FOR, bytes([bpv]) + bitpack(gaps, bpv)
+
+
+def decode_doc_block(enc: int, payload: bytes, first_doc: int, n: int) -> np.ndarray:
+    """Decode back to the sorted int64 doc array."""
+    if enc == ENC_DENSE or n <= 1:
+        return first_doc + np.arange(n, dtype=np.int64)
+    if enc == ENC_FOR:
+        bpv = payload[0]
+        gaps = bitunpack(payload[1:], bpv, n - 1).astype(np.int64)
+        docs = np.empty(n, dtype=np.int64)
+        docs[0] = first_doc
+        docs[1:] = first_doc + np.cumsum(gaps + 1)
+        return docs
+    if enc == ENC_BITSET:
+        bits = np.unpackbits(np.frombuffer(payload[1:], dtype=np.uint8), bitorder="little")
+        offsets = np.nonzero(bits)[0] + 1
+        docs = np.empty(n, dtype=np.int64)
+        docs[0] = first_doc
+        docs[1:] = first_doc + offsets[: n - 1]
+        return docs
+    raise ValueError(f"unknown doc-block encoding {enc}")

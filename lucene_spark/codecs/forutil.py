@@ -1,0 +1,42 @@
+"""Bit-packing primitives (FOR — Frame of Reference) in vectorized numpy.
+
+Reference behavior: /root/reference/lucene/core/src/java/org/apache/lucene/codecs/lucene104/ForUtil.java
+(BLOCK_SIZE=256, :34; generated SIMD unrolled kernels :84-130). The byte
+layout here is our own (the on-disk format is ours to define — rank parity
+only requires lossless round-trips); the *shape* is the same: fixed-width
+bit-packed 256-int blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 256
+
+
+def max_bits_required(values: np.ndarray) -> int:
+    v = np.asarray(values)
+    if len(v) == 0:
+        return 0
+    m = int(v.max())
+    return m.bit_length()
+
+
+def bitpack(values: np.ndarray, bits: int) -> bytes:
+    """Pack non-negative ints < 2**bits into a little-endian bitstream."""
+    if bits == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitmat = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitmat.ravel(), bitorder="little").tobytes()
+
+
+def bitunpack(data: bytes, bits: int, n: int) -> np.ndarray:
+    """Inverse of bitpack: n values of `bits` width -> uint32 array."""
+    if bits == 0:
+        return np.zeros(n, dtype=np.uint32)
+    raw = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    bitmat = raw[: n * bits].reshape(n, bits).astype(np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    return (bitmat << shifts).sum(axis=1).astype(np.uint32)

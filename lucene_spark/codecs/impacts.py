@@ -1,0 +1,47 @@
+"""Competitive impacts (block-max metadata): pareto frontier of (freq, norm).
+
+Reference behavior: /root/reference/lucene/core/src/java/org/apache/lucene/codecs/CompetitiveImpactAccumulator.java:64-123
+— per block keep, for each norm, the max freq; drop every pair dominated by
+another (freq' >= freq and norm' <= norm, since score is monotone increasing
+in freq and decreasing in encoded length). Query time converts impacts to an
+upper-bound score with the *same* SimScorer (MaxScoreCache.java:74-134).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.bm25 import BM25Scorer
+
+
+def competitive_impacts(freqs: np.ndarray, norm_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pareto frontier over (freq, norm_byte) pairs of one block.
+
+    Returns (freqs, norms) sorted by norm ascending with freq strictly
+    increasing — dominated pairs pruned.
+    """
+    f = np.asarray(freqs, dtype=np.int64)
+    n = np.asarray(norm_bytes, dtype=np.int64)
+    order = np.lexsort((-f, n))  # norm asc, freq desc within norm
+    f, n = f[order], n[order]
+    keep_f, keep_n = [], []
+    best = -1
+    last_norm = None
+    for fi, ni in zip(f, n):
+        if ni == last_norm:
+            continue  # only max freq per norm (first due to sort)
+        last_norm = ni
+        if fi > best:  # otherwise dominated by a smaller norm with >= freq
+            keep_f.append(int(fi))
+            keep_n.append(int(ni))
+            best = fi
+    return np.array(keep_f, dtype=np.int64), np.array(keep_n, dtype=np.int64)
+
+
+def max_score_from_impacts(
+    impact_freqs: np.ndarray, impact_norms: np.ndarray, scorer: BM25Scorer
+) -> np.float32:
+    """Exact per-block upper bound from the competitive pairs (MaxScoreCache)."""
+    if len(impact_freqs) == 0:
+        return np.float32(0.0)
+    return np.float32(scorer.score(impact_freqs, impact_norms).max())

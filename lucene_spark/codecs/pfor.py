@@ -1,0 +1,104 @@
+"""PFOR (patched frame-of-reference) block codec, vectorized numpy.
+
+Reference behavior: /root/reference/lucene/core/src/java/org/apache/lucene/codecs/lucene104/PForUtil.java:29-105
+  - at most 7 exceptions per block (MAX_EXCEPTIONS, :29)
+  - token byte = (numExceptions << 5) | bitsPerValue (:100)
+  - each exception = (index byte, high-bits byte): the patch holds at most 8
+    extra high bits, so bitsPerValue >= maxBits - 8 (:83-87)
+  - all-equal blocks collapse to a single vInt (:92-98)
+
+Byte layout is ours; the encoding decisions mirror the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .forutil import bitpack, bitunpack, max_bits_required
+
+MAX_EXCEPTIONS = 7
+_ALL_EQUAL = 0xFF  # token sentinel for the all-equal vInt path
+
+
+def write_vint(value: int) -> bytes:
+    out = bytearray()
+    v = int(value)
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def read_vint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if b < 0x80:
+            return result, pos
+        shift += 7
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Encode a block (<= 256 non-negative ints, each < 2**32) to bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return bytes([0]) + write_vint(0)
+    if (v == v[0]).all():
+        return bytes([_ALL_EQUAL]) + write_vint(int(v[0]))
+
+    max_bits = max_bits_required(v)
+    best = None
+    # candidate widths: the patch byte carries 8 high bits, so bpv >= max_bits-8
+    for bpv in range(max(0, max_bits - 8), max_bits + 1):
+        if bpv >= 32:
+            continue
+        exc_mask = v >= (np.uint64(1) << np.uint64(bpv)) if bpv < 64 else np.zeros(n, bool)
+        num_exc = int(exc_mask.sum())
+        if num_exc > MAX_EXCEPTIONS:
+            continue
+        cost = 1 + (n * bpv + 7) // 8 + 2 * num_exc
+        if best is None or cost < best[0]:
+            best = (cost, bpv, exc_mask, num_exc)
+    if best is None:  # fall back: plain width, no exceptions
+        bpv = max_bits
+        best = (0, bpv, np.zeros(n, bool), 0)
+
+    _, bpv, exc_mask, num_exc = best
+    low = v.copy()
+    exc_idx = np.nonzero(exc_mask)[0]
+    exc_high = (v[exc_idx] >> np.uint64(bpv)).astype(np.uint64)
+    if bpv == 0:
+        low[:] = 0
+    else:
+        low &= (np.uint64(1) << np.uint64(bpv)) - np.uint64(1)
+    token = (num_exc << 5) | bpv
+    out = bytearray([token])
+    out += bitpack(low, bpv)
+    for i, h in zip(exc_idx, exc_high):
+        out.append(int(i))
+        out.append(int(h))
+    return bytes(out)
+
+
+def pfor_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode a block of n values encoded with pfor_encode -> uint32."""
+    token = buf[0]
+    if token == _ALL_EQUAL:
+        value, _ = read_vint(buf, 1)
+        return np.full(n, value, dtype=np.uint32)
+    num_exc = token >> 5
+    bpv = token & 0x1F
+    body_len = (n * bpv + 7) // 8
+    values = bitunpack(buf[1 : 1 + body_len], bpv, n).astype(np.uint64)
+    pos = 1 + body_len
+    for _ in range(num_exc):
+        idx = buf[pos]
+        high = buf[pos + 1]
+        values[idx] |= np.uint64(high) << np.uint64(bpv)
+        pos += 2
+    return values.astype(np.uint32)

@@ -1,0 +1,102 @@
+"""BM25 scoring, float32-exact re-derivation of Lucene's BM25Similarity.
+
+Reference semantics (all float32 unless noted):
+/root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java
+  - defaults k1=1.2, b=0.75, discountOverlaps=true (:97-99)
+  - idf = (float) log(1 + (N - n + 0.5)/(n + 0.5)), double inside, N = docCount
+    of the field, n = docFreq (:101-104)
+  - multi-term idf summed in double, then cast to float (:161-170)
+  - avgdl = (float)(sumTotalTermFreq / (double) docCount) (:106-109)
+  - per-scorer 256-entry cache: cache[i] = 1f/(k1*((1-b)+b*LENGTH_TABLE[i]/avgdl))
+    evaluated in float32 (:181-184)
+  - weight = boost * idf (float32) (:218)
+  - score  = weight - weight/(1 + freq*normInverse), float32 throughout —
+    the monotonicity-preserving rewrite of weight*tf/(tf+norm) (:221-232)
+  - the bulk scorer vectorizes the identical expression (:240-260)
+
+numpy float32 ops are IEEE-754 single precision round-to-nearest, the same as
+the JVM, so scores here are bit-identical to the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """float32 idf; inner math in float64 exactly like the Java double expr."""
+    return np.float32(np.log1p((doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    return np.float32(np.float64(sum_total_term_freq) / np.float64(doc_count))
+
+
+def norm_inverse_cache(avgdl: np.float32, k1: np.float32 = K1, b: np.float32 = B) -> np.ndarray:
+    """The 256-entry 1/norm cache, float32 arithmetic (BM25Similarity.java:181-184)."""
+    lt = LENGTH_TABLE.astype(np.float32)
+    one = np.float32(1.0)
+    return (one / (k1 * ((one - b) + b * lt / np.float32(avgdl)))).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class BM25Scorer:
+    """Per-(query-term, field) scorer: precomputed weight + norm-inverse cache."""
+
+    weight: np.float32
+    cache: np.ndarray  # float32[256]
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        """Vectorized: float32 scores for arrays of freqs and norm bytes (uint8)."""
+        f = np.asarray(freq, dtype=np.float32)
+        inv = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        one = np.float32(1.0)
+        return self.weight - self.weight / (one + f * inv)
+
+    def max_score(self, max_freq: int = None, min_norm_byte: int = None) -> np.float32:
+        """Upper bound; score is monotone increasing in freq, decreasing in norm
+        length (MaxScoreCache.java:48 uses score(Integer.MAX_VALUE, 1))."""
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        if min_norm_byte is None:
+            min_norm_byte = 1
+        return np.float32(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_scorer(
+    doc_freqs: list[int],
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    k1: float = float(K1),
+    b: float = float(B),
+) -> BM25Scorer:
+    """Build a scorer from collection + term stats (BM25Similarity.scorer, :176-186).
+
+    ``doc_freqs`` has one entry per term the scorer covers; multi-term idf is
+    the double-sum of per-term float idfs (:161-170).
+    """
+    if len(doc_freqs) == 1:
+        idf_f = idf(doc_freqs[0], doc_count)
+    else:
+        acc = np.float64(0.0)
+        for df in doc_freqs:
+            acc += np.float64(idf(df, doc_count))
+        idf_f = np.float32(acc)
+    avgdl = avg_field_length(sum_total_term_freq, doc_count)
+    cache = norm_inverse_cache(avgdl, np.float32(k1), np.float32(b))
+    weight = np.float32(np.float32(boost) * idf_f)
+    return BM25Scorer(weight=weight, cache=cache)
+
+
+def next_up_f32(x: float) -> np.float32:
+    """Math.nextUp for float32 — used for minCompetitiveScore
+    (TopScoreDocCollector.java:154-172)."""
+    return np.nextafter(np.float32(x), np.float32(np.inf), dtype=np.float32)

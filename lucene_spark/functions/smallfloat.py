@@ -1,0 +1,76 @@
+"""SmallFloat length-normalization encoding, exact re-derivation.
+
+Reference semantics: /root/reference/lucene/core/src/java/org/apache/lucene/util/SmallFloat.java:103-167
+(``longToInt4`` / ``int4ToLong`` / ``intToByte4`` / ``byte4ToInt``).
+
+The norm byte stored per (doc, field) is ``intToByte4(numTerms)`` where
+``numTerms = length - numOverlap`` (Similarity.computeNorm,
+search/similarities/Similarity.java:153-163). BM25 decodes all 256 byte
+values once into LENGTH_TABLE (BM25Similarity.java:112-118).
+
+Everything here is integer arithmetic — no float issues; parity is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def long_to_int4(i: int) -> int:
+    """Float-like encoding of a non-negative long keeping 4 significant bits."""
+    if i < 0:
+        raise ValueError(f"Only supports positive values, got {i}")
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        return i  # subnormal
+    shift = num_bits - 4
+    encoded = (i >> shift) & 0x07  # clear implicit msb
+    return encoded | ((shift + 1) << 3)
+
+
+def int4_to_long(i: int) -> int:
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    if shift == -1:
+        return bits
+    return (bits | 0x08) << shift
+
+
+_MAX_INT4 = long_to_int4(2**31 - 1)
+NUM_FREE_VALUES = 255 - _MAX_INT4
+
+
+def int_to_byte4(i: int) -> int:
+    """Encode a non-negative int to an unsigned byte 0..255."""
+    if i < 0:
+        raise ValueError(f"Only supports positive values, got {i}")
+    if i < NUM_FREE_VALUES:
+        return i
+    return NUM_FREE_VALUES + long_to_int4(i - NUM_FREE_VALUES)
+
+
+def byte4_to_int(b: int) -> int:
+    """Decode an unsigned byte 0..255 back to the representative int."""
+    i = b & 0xFF
+    if i < NUM_FREE_VALUES:
+        return i
+    return NUM_FREE_VALUES + int4_to_long(i - NUM_FREE_VALUES)
+
+
+# 256-entry decode table, mirrors BM25Similarity.LENGTH_TABLE.
+LENGTH_TABLE = np.array([byte4_to_int(b) for b in range(256)], dtype=np.int64)
+
+# Vectorized encoder: norm bytes for arrays of token counts. Token counts are
+# bounded (docs are finite) so a searchsorted over the 256 decode boundaries is
+# exact: int_to_byte4 is monotone and byte4_to_int(int_to_byte4(x)) <= x, so
+# the encoded byte for x is the largest b with byte4_to_int(b) <= x.
+_BOUNDARIES = LENGTH_TABLE  # strictly increasing
+
+
+def int_to_byte4_np(values: np.ndarray) -> np.ndarray:
+    """Vectorized int_to_byte4 over a non-negative int array -> uint8."""
+    v = np.asarray(values, dtype=np.int64)
+    if (v < 0).any():
+        raise ValueError("Only supports positive values")
+    idx = np.searchsorted(_BOUNDARIES, v, side="right") - 1
+    return idx.astype(np.uint8)

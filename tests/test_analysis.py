@@ -1,0 +1,153 @@
+"""Analysis-chain golden tests, modeled on the reference's tokenizer
+conformance style (core/src/test/.../analysis/standard/TestStandardAnalyzer.java:
+assertAnalyzesTo(input, expected))."""
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from lucene_spark.analysis.analyzer import (
+    ENGLISH_STOP_WORDS,
+    ENGLISH_STOPS,
+    STANDARD,
+    analyze_series,
+    lowercase,
+)
+from lucene_spark.analysis.tokenizer import tokenize
+
+
+def terms(text):
+    return [t.term for t in tokenize(text)]
+
+
+def positions(text):
+    return [t.position for t in tokenize(text)]
+
+
+# ---------------- StandardTokenizer goldens ----------------
+
+def test_ascii_words():
+    assert terms("This is a Test") == ["This", "is", "a", "Test"]
+
+
+def test_apostrophes():
+    # U+0027 is MidNumLet: joins letters (WB6/7)
+    assert terms("don't O'Neil's") == ["don't", "O'Neil's"]
+    # trailing apostrophe does not join
+    assert terms("dogs' tails") == ["dogs", "tails"]
+
+
+def test_numbers():
+    # '.' (MidNumLet) and ',' (MidNum) join digits (WB11/12)
+    assert terms("3.14 1,000 42") == ["3.14", "1,000", "42"]
+    # mixed-class mid joins break: '.' between digit and letter splits
+    assert terms("1.a") == ["1", "a"]
+    # ',' only joins numerics
+    assert terms("a,b 1,2") == ["a", "b", "1,2"]
+
+
+def test_alnum_mix():
+    # letters and digits join (WB9/WB10)
+    assert terms("X9 B2B 2nd") == ["X9", "B2B", "2nd"]
+
+
+def test_underscore_extendnumlet():
+    # ExtendNumLet joins (WB13a/b)
+    assert terms("foo_bar a_1_b") == ["foo_bar", "a_1_b"]
+
+
+def test_email_and_url_split():
+    # StandardTokenizer splits emails/urls at punctuation per UAX#29
+    assert terms("foo@example.com") == ["foo", "example.com"]
+    assert terms("http://example.org/x") == ["http", "example.org", "x"]
+
+
+def test_ideographic_single_char():
+    assert terms("我是中国人") == ["我", "是", "中", "国", "人"]
+
+
+def test_katakana_run_vs_hiragana_chars():
+    assert terms("カタカナ") == ["カタカナ"]  # katakana joins
+    assert terms("それは") == ["そ", "れ", "は"]  # hiragana single-char
+
+
+def test_non_ascii_letters():
+    assert terms("über café naïve") == ["über", "café", "naïve"]
+
+
+def test_punctuation_dropped():
+    assert terms("end. (of) [the] {world}!") == ["end", "of", "the", "world"]
+
+
+def test_empty_and_symbols_only():
+    assert terms("") == []
+    assert terms("... !!! ###") == []
+
+
+def test_max_token_length_skip_increments_position():
+    # >255-char tokens are skipped but bump the next token's position
+    # (StandardTokenizer.java:163-173)
+    long_tok = "x" * 256
+    toks = tokenize(f"aa {long_tok} bb")
+    assert [t.term for t in toks] == ["aa", "bb"]
+    assert [t.position for t in toks] == [0, 2]
+    # exactly 255 chars is kept
+    ok = "y" * 255
+    assert terms(f"aa {ok}") == ["aa", ok]
+
+
+def test_positions_sequential():
+    assert positions("one two three") == [0, 1, 2]
+
+
+def test_ascii_fast_path_matches_scanner():
+    # force the scanner by appending a non-ascii char, compare prefixes
+    text = "it's 3.14, B2B_x foo.bar 1,000:"
+    fast = [(t.term, t.position) for t in tokenize(text)]
+    slow = [(t.term, t.position) for t in tokenize(text + " é")][:-1]
+    assert fast == slow
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+@settings(max_examples=300)
+def test_fast_slow_path_equivalence(text):
+    fast = [(t.term, t.position) for t in tokenize(text)]
+    # " é" forces the non-ASCII scanner over the whole string; the space
+    # guarantees the sentinel token stands alone
+    slow = [(t.term, t.position) for t in tokenize(text + " é")]
+    assert slow[-1][0] == "é"
+    assert fast == slow[:-1]
+
+
+# ---------------- LowerCaseFilter ----------------
+
+def test_lowercase_ascii_and_unicode():
+    assert lowercase("HeLLo") == "hello"
+    assert lowercase("ÜBER") == "über"
+    assert lowercase("ΣΟΦΟΣ") == "σοφοσ"  # per-codepoint: final sigma NOT applied
+    assert lowercase("İstanbul") == "istanbul"  # simple mapping, no combining dot
+
+
+# ---------------- StopFilter ----------------
+
+def test_standard_analyzer_empty_stopset():
+    # StandardAnalyzer default stop set is EMPTY (StandardAnalyzer.java:51-53)
+    assert STANDARD.terms("this is the end") == ["this", "is", "the", "end"]
+
+
+def test_english_stop_positions_gap():
+    # stopped tokens leave position gaps (FilteringTokenFilter.java:49-58)
+    toks = ENGLISH_STOPS.tokens("The quick and the dead")
+    assert [t.term for t in toks] == ["quick", "dead"]
+    assert [t.position for t in toks] == [1, 4]
+
+
+def test_english_stopword_list_is_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+
+
+# ---------------- batch kernel ----------------
+
+def test_analyze_series_batch():
+    s = pd.Series(["Hello World", None, "", "it's"])
+    out = analyze_series(s).tolist()
+    assert out == [["hello", "world"], [], [], ["it's"]]

@@ -1,0 +1,86 @@
+"""BM25 float32 parity tests (reference: search/similarities/BM25Similarity.java)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, strategies as st
+
+from lucene_spark.functions.bm25 import (
+    avg_field_length,
+    idf,
+    make_scorer,
+    next_up_f32,
+    norm_inverse_cache,
+)
+from lucene_spark.functions.smallfloat import int_to_byte4
+
+
+def test_idf_hand_values():
+    # idf = log(1 + (N - n + 0.5)/(n + 0.5))
+    assert idf(1, 1) == np.float32(math.log(1 + 0.5 / 1.5))
+    assert idf(5, 100) == np.float32(math.log(1 + 95.5 / 5.5))
+    assert idf(100, 100) == np.float32(math.log(1 + 0.5 / 100.5))
+    assert idf(100, 100) > 0  # never negative
+
+
+def test_avgdl_double_division_then_float():
+    assert avg_field_length(7, 3) == np.float32(7 / 3)
+
+
+def test_score_formula_hand_computed():
+    # One term: df=2, N=10, sumTTF=50 -> avgdl=5.0
+    scorer = make_scorer([2], 10, 50)
+    w = np.float32(1.0) * idf(2, 10)
+    assert scorer.weight == w
+    # doc with length 4 -> norm byte = intToByte4(4) = 4, LENGTH_TABLE[4]=4
+    nb = int_to_byte4(4)
+    inv = np.float32(1.0) / (
+        np.float32(1.2) * ((np.float32(1.0) - np.float32(0.75)) + np.float32(0.75) * np.float32(4.0) / np.float32(5.0))
+    )
+    expected = w - w / (np.float32(1.0) + np.float32(3.0) * inv)
+    got = scorer.score([3], [nb])[0]
+    assert got == expected  # bit-identical float32
+
+
+def test_multi_term_idf_double_sum():
+    s = make_scorer([2, 7], 10, 50)
+    acc = np.float64(idf(2, 10)) + np.float64(idf(7, 10))
+    assert s.weight == np.float32(acc)
+
+
+def test_cache_float32_arithmetic():
+    cache = norm_inverse_cache(np.float32(5.0))
+    assert cache.dtype == np.float32
+    assert len(cache) == 256
+    # entry 0: length 0 -> inv = 1/(k1*(1-b)) with b=0.75, k1=1.2
+    assert cache[0] == np.float32(1.0) / (np.float32(1.2) * np.float32(0.25))
+
+
+@given(
+    st.integers(min_value=1, max_value=1000),
+    st.integers(min_value=0, max_value=255),
+)
+def test_monotonicity(freq, norm_byte):
+    # score increases with freq, decreases with longer norms (Similarity.java:184-236)
+    scorer = make_scorer([10], 1000, 25000)
+    s1 = scorer.score([freq], [norm_byte])[0]
+    s2 = scorer.score([freq + 1], [norm_byte])[0]
+    assert s2 >= s1
+    if norm_byte < 255:
+        s3 = scorer.score([freq], [norm_byte + 1])[0]
+        assert s3 <= s1
+
+
+def test_max_score_upper_bound():
+    scorer = make_scorer([10], 1000, 25000)
+    bound = scorer.max_score()
+    freqs = np.arange(1, 500)
+    for nb in [1, 17, 133, 255]:
+        assert (scorer.score(freqs, np.full(len(freqs), nb)) <= bound).all()
+
+
+def test_next_up():
+    x = np.float32(1.5)
+    up = next_up_f32(x)
+    assert up > x
+    assert np.float32((float(up) + float(x)) / 2) in (x, up)  # adjacent floats

@@ -1,0 +1,144 @@
+"""Codec round-trip + behavior tests (reference: codecs/lucene104/*)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from lucene_spark.codecs.docblocks import (
+    ENC_BITSET,
+    ENC_DENSE,
+    ENC_FOR,
+    decode_doc_block,
+    encode_doc_block,
+)
+from lucene_spark.codecs.forutil import bitpack, bitunpack, max_bits_required
+from lucene_spark.codecs.impacts import competitive_impacts, max_score_from_impacts
+from lucene_spark.codecs.pfor import pfor_decode, pfor_encode, read_vint, write_vint
+from lucene_spark.functions.bm25 import make_scorer
+
+
+# ---------------- FOR ----------------
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=0, max_size=300))
+def test_bitpack_round_trip(values):
+    v = np.array(values, dtype=np.uint64)
+    bits = max_bits_required(v)
+    data = bitpack(v, bits)
+    out = bitunpack(data, bits, len(v))
+    assert out.tolist() == values
+
+
+def test_bitpack_every_width():
+    rng = np.random.default_rng(42)
+    for bits in range(0, 32):
+        hi = (1 << bits) - 1
+        v = rng.integers(0, hi + 1, size=256, dtype=np.uint64) if bits else np.zeros(256, np.uint64)
+        assert bitunpack(bitpack(v, bits), bits, 256).tolist() == v.tolist()
+
+
+# ---------------- vint ----------------
+
+@given(st.integers(min_value=0, max_value=2**62))
+def test_vint_round_trip(v):
+    buf = write_vint(v)
+    out, pos = read_vint(buf, 0)
+    assert out == v and pos == len(buf)
+
+
+# ---------------- PFOR ----------------
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=256))
+@settings(max_examples=200)
+def test_pfor_round_trip(values):
+    v = np.array(values, dtype=np.uint64)
+    out = pfor_decode(pfor_encode(v), len(v))
+    assert out.tolist() == values
+
+
+def test_pfor_all_equal_collapses_to_vint():
+    v = np.full(256, 123456, dtype=np.uint64)
+    enc = pfor_encode(v)
+    assert enc[0] == 0xFF and len(enc) <= 4  # token + vInt
+    assert pfor_decode(enc, 256).tolist() == v.tolist()
+
+
+def test_pfor_exceptions_bounded():
+    # 250 small values + a few huge ones -> encoded narrow with <=7 exceptions
+    v = np.ones(256, dtype=np.uint64)
+    v[[3, 100, 200]] = 5000  # needs 13 bits; base needs 1
+    enc = pfor_encode(v)
+    token = enc[0]
+    num_exc, bpv = token >> 5, token & 0x1F
+    assert num_exc <= 7
+    assert bpv < 13  # exceptions allowed narrowing the base width
+    assert pfor_decode(enc, 256).tolist() == v.tolist()
+
+
+def test_pfor_eight_outliers_cannot_all_be_exceptions():
+    v = np.ones(256, dtype=np.uint64)
+    v[:8] = 1 << 20
+    enc = pfor_encode(v)
+    assert pfor_decode(enc, 256).tolist() == v.tolist()
+
+
+# ---------------- doc blocks ----------------
+
+def _sorted_unique(draw_list):
+    return sorted(set(draw_list))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=256).map(_sorted_unique))
+@settings(max_examples=200)
+def test_doc_block_round_trip(docs):
+    arr = np.array(docs, dtype=np.int64)
+    enc, payload = encode_doc_block(arr)
+    out = decode_doc_block(enc, payload, int(arr[0]), len(arr))
+    assert out.tolist() == docs
+
+
+def test_dense_block_zero_bytes():
+    # docRange == n-1 -> single 0-byte encoding (Lucene104PostingsWriter.java:423-461)
+    docs = np.arange(1000, 1256, dtype=np.int64)
+    enc, payload = encode_doc_block(docs)
+    assert enc == ENC_DENSE and payload == b""
+
+
+def test_bitset_chosen_when_dense():
+    # dense-but-gappy block: range small vs 256 values -> bitset cheaper than FOR
+    rng = np.random.default_rng(7)
+    docs = np.sort(rng.choice(np.arange(500), size=256, replace=False)).astype(np.int64)
+    enc, payload = encode_doc_block(docs)
+    assert enc in (ENC_BITSET, ENC_DENSE)
+    assert decode_doc_block(enc, payload, int(docs[0]), 256).tolist() == docs.tolist()
+
+
+def test_for_chosen_when_sparse():
+    docs = np.arange(256, dtype=np.int64) * 1000
+    enc, payload = encode_doc_block(docs)
+    assert enc == ENC_FOR
+    assert decode_doc_block(enc, payload, 0, 256).tolist() == docs.tolist()
+
+
+# ---------------- impacts ----------------
+
+def test_competitive_impacts_pareto():
+    # (freq, norm): keep max freq per norm, prune dominated
+    freqs = np.array([3, 1, 7, 2, 7, 5])
+    norms = np.array([10, 10, 20, 20, 30, 5])
+    f, n = competitive_impacts(freqs, norms)
+    # norm 5 -> freq 5; norm 10 -> freq 3 (1 pruned); norm 20 -> 7; norm 30 -> 7 dominated
+    assert list(zip(f.tolist(), n.tolist())) == [(5, 5), (7, 20)] or list(
+        zip(f.tolist(), n.tolist())
+    ) == [(5, 5), (3, 10), (7, 20)]
+    # frontier must be strictly increasing in both coords
+    assert (np.diff(f) > 0).all() and (np.diff(n) > 0).all()
+
+
+def test_max_score_from_impacts_is_exact_bound():
+    rng = np.random.default_rng(3)
+    freqs = rng.integers(1, 100, size=256)
+    norms = rng.integers(1, 256, size=256)
+    scorer = make_scorer([50], 10000, 500000)
+    f, n = competitive_impacts(freqs, norms)
+    bound = max_score_from_impacts(f, n, scorer)
+    actual = scorer.score(freqs, norms).max()
+    assert bound == actual  # pareto frontier preserves the exact max

@@ -1,0 +1,76 @@
+"""SmallFloat parity tests (reference: util/SmallFloat.java:103-167)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, strategies as st
+
+from lucene_spark.functions.smallfloat import (
+    LENGTH_TABLE,
+    NUM_FREE_VALUES,
+    byte4_to_int,
+    int4_to_long,
+    int_to_byte4,
+    int_to_byte4_np,
+    long_to_int4,
+)
+
+
+def test_num_free_values():
+    # longToInt4(Integer.MAX_VALUE) = 231 -> 255-231 = 24 free low values
+    assert long_to_int4(2**31 - 1) == 231
+    assert NUM_FREE_VALUES == 24
+
+
+def test_low_values_exact():
+    # values below NUM_FREE_VALUES encode as themselves (exact)
+    for i in range(NUM_FREE_VALUES):
+        assert int_to_byte4(i) == i
+        assert byte4_to_int(i) == i
+
+
+def test_exact_region():
+    # exact while the int4 part keeps all bits: 24 free values + int4 codes
+    # with <=4 significant bits, i.e. all i < 24 + 16
+    for i in range(0, 40):
+        assert byte4_to_int(int_to_byte4(i)) == i
+    # beyond that, truncation error bounded by 1/8 relative
+    for i in range(40, 5000):
+        dec = byte4_to_int(int_to_byte4(i))
+        assert dec <= i and i - dec <= max(0, (i - 24) // 8)
+
+
+def test_int4_round_trip_samples():
+    for i in [0, 1, 7, 8, 15, 16, 127, 128, 1000, 2**20, 2**31 - 1]:
+        enc = long_to_int4(i)
+        dec = int4_to_long(enc)
+        assert dec <= i
+        # 4 significant bits: relative error < 1/8
+        assert i - dec <= max(0, i // 8)
+
+
+def test_decode_table_strictly_increasing():
+    assert (np.diff(LENGTH_TABLE) > 0).all()
+    assert LENGTH_TABLE[0] == 0
+    assert LENGTH_TABLE[255] == byte4_to_int(255)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_encode_is_floor_of_decode(i):
+    b = int_to_byte4(i)
+    assert byte4_to_int(b) <= i
+    if b < 255:
+        assert byte4_to_int(b + 1) > i
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=200))
+def test_vectorized_matches_scalar(values):
+    expected = [int_to_byte4(v) for v in values]
+    got = int_to_byte4_np(np.array(values)).tolist()
+    assert got == expected
+
+
+def test_negative_rejected():
+    with pytest.raises(ValueError):
+        int_to_byte4(-1)
+    with pytest.raises(ValueError):
+        long_to_int4(-5)
