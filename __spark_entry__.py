@@ -1,38 +1,273 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine under test is ``lucene_spark`` — a PySpark-native inverted-index
+build + BM25 top-k search engine (see SURVEY.md). Queries here build a real
+segmented index from the driver's ``documents`` parquet (reshaped into the
+mandated Common-Crawl-style ``pages`` schema by ``lucene_spark.pages``) and
+run the engine's search paths. The DuckDB oracles recompute BM25 from first
+principles in SQL over the same parquet — including Lucene's SmallFloat
+length quantization — so value-hashes match when the engine is correct.
+
+Precision note: the pytest suite proves float32 bit-parity with Lucene's
+BM25Similarity against a brute-force oracle. For the DuckDB comparison the
+engine runs its float64 mode (identical formulas, double precision — what
+SQL computes) and both sides round scores to 4 decimals.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+K = 10
+_INDEX_VERSION = "v1"
+_INDEXES: dict[str, str] = {}
+
+
+def _index_root(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/lucene_spark_idx_{_INDEX_VERSION}_{tag}"
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the segmented index for one sf dir; resumable —
+    a completed build with the same build_id is skipped."""
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import pages_from_documents
+
+    root = _index_root(sf_dir)
+    if sf_dir not in _INDEXES:
+        pages = pages_from_documents(spark, sf_dir)
+        build_index(
+            spark,
+            pages,
+            root,
+            build_id="b0000",
+            num_segments=4,
+            num_buckets=4,
+            stored_cols=("lang", "text"),
+        )
+        _INDEXES[sf_dir] = root
+    return IndexReader(spark, root)
+
+
+def _searcher(spark: SparkSession, sf_dir: str, dtype=None):
+    import numpy as np
+
+    from lucene_spark.search import IndexSearcher
+
+    return IndexSearcher(_get_index(spark, sf_dir), dtype=dtype or np.float64)
+
+
+def _hits_df(searcher, qstr: str, k: int = K, mode: str = "auto") -> DataFrame:
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+
+    hits = searcher.search(parse(qstr), k=k, mode=mode)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — disjunctive BM25 top-k through the block-max MAXSCORE path
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    return _hits_df(s, "merge OR window OR spark", mode="maxscore")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q(qstr: str, mode: str = "auto", k: int = K):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _hits_df(_searcher(spark, sf_dir), qstr, k=k, mode=mode)
+
+    return run
+
+
+def _count_q(qstr: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import parse
+
+        s = _searcher(spark, sf_dir)
+        n = s.count(parse(qstr))
+        return spark.createDataFrame([(n,)], "n_hits long")
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # -- index/search engine (SURVEY §2c/d/f) --
+    q["bm25_term_topk"] = _q("table", mode="maxscore")
+    q["bm25_term_head"] = _q("the", mode="maxscore")
+    q["bm25_bool_or"] = _q("merge OR window OR spark", mode="maxscore")
+    q["bm25_bool_and"] = _q("table AND scan", mode="maxscore")
+    q["bm25_bool_and_not"] = _q("+table +scan -merge", mode="exhaustive")
+    q["bm25_term_boost"] = _q("table^2 OR scan", mode="maxscore")
+    q["bm25_phrase"] = _q('"table scan"', mode="exhaustive")
+    q["prefix_constant"] = _q("tab*", mode="exhaustive")
+    q["term_range"] = _q("[table TO tap]", mode="exhaustive")
+    q["hit_count_term"] = _count_q("table")
+    q["hit_count_bool"] = _count_q("table AND scan")
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — BM25 from first principles over the documents view
+# ---------------------------------------------------------------------------
+
+# SmallFloat intToByte4 -> byte4ToInt roundtrip (length quantization), for
+# non-negative x: values < 24 exact; else 24 + top-4-bits of (x - 24).
+# (reference util/SmallFloat.java:103-156; NUM_FREE_VALUES = 255 - 231 = 24)
+def _qlen(col: str) -> str:
+    x = f"({col} - 24)"
+    sh = f"(CAST(floor(log2({x})) AS INT) - 3)"
+    return (
+        f"CASE WHEN {col} < 24 THEN {col} "
+        f"WHEN {x} < 16 THEN {col} "
+        f"ELSE 24 + (({x} >> {sh}) << {sh}) END"
+    )
+
+
+_TOK = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+_TOKP = (
+    "SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)"
+)
+
+_BASE = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({{qlen}}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+)
+"""
+
+
+def _bm25_term_sql(terms_scores: list[tuple[str, float]], k: int = K) -> str:
+    """Disjunctive (sum-of-scores) BM25 over explicit (term, boost) pairs."""
+    per_term = []
+    for i, (t, boost) in enumerate(terms_scores):
+        per_term.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id, w.w - w.w / (1.0 + tf.freq * inv.norm_inv) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN inv ON inv.doc_id = tf.doc_id
+  CROSS JOIN (SELECT {boost} * ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+              FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}') n) w
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms_scores)))
+    qlen = _qlen("dl.len")
+    return (
+        _BASE.format(qlen=qlen)
+        + ", "
+        + ", ".join(per_term)
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _bm25_conj_sql(must: list[str], must_not: list[str] | None = None, k: int = K) -> str:
+    """Conjunctive BM25: docs matching all ``must`` terms (minus must_not),
+    scored by the sum of the must terms' BM25 scores."""
+    base = _bm25_term_sql([(t, 1.0) for t in must], k)
+    # rebuild with a HAVING on the match count and optional anti-join
+    per = base.split(",\nu AS")[0]
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(must)))
+    notf = ""
+    if must_not:
+        conds = " OR ".join(f"term = '{t}'" for t in must_not)
+        notf = (
+            f" AND agg.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE {conds})"
+        )
+    return (
+        per
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score, count(*) AS nhit FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg WHERE nhit = {len(must)}{notf}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _phrase_sql(t1: str, t2: str, k: int = K) -> str:
+    qlen = _qlen("dl.len")
+    return f"""
+WITH tokp AS ({_TOKP}),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+pf AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id
+),
+w AS (
+  SELECT (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t1}') n)
+       + (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t2}') n) AS w
+  FROM stats
+)
+SELECT pf.doc_id, round(w.w - w.w / (1.0 + pf.freq * inv.norm_inv), 4) AS score_r
+FROM pf JOIN inv ON inv.doc_id = pf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT {k}
+"""
+
+
+def _constant_match_sql(pred: str, k: int = K) -> str:
+    return f"""
+WITH tok AS ({_TOK})
+SELECT doc_id, 1.0 AS score_r
+FROM (SELECT DISTINCT doc_id FROM tok WHERE {pred})
+ORDER BY doc_id ASC LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["bm25_term_topk"] = _bm25_term_sql([("table", 1.0)])
+    o["bm25_term_head"] = _bm25_term_sql([("the", 1.0)])
+    o["bm25_bool_or"] = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)])
+    o["bm25_bool_and"] = _bm25_conj_sql(["table", "scan"])
+    o["bm25_bool_and_not"] = _bm25_conj_sql(["table", "scan"], ["merge"])
+    o["bm25_term_boost"] = _bm25_term_sql([("table", 2.0), ("scan", 1.0)])
+    o["bm25_phrase"] = _phrase_sql("table", "scan")
+    o["prefix_constant"] = _constant_match_sql("term LIKE 'tab%'")
+    o["term_range"] = _constant_match_sql("term >= 'table' AND term <= 'tap'")
+    o["hit_count_term"] = (
+        f"WITH tok AS ({_TOK}) SELECT count(DISTINCT doc_id) AS n_hits FROM tok WHERE term = 'table'"
+    )
+    o["hit_count_bool"] = f"""
+WITH tok AS ({_TOK})
+SELECT count(*) AS n_hits FROM (
+  SELECT doc_id FROM tok WHERE term IN ('table','scan')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+"""
+    return o

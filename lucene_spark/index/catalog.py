@@ -1,0 +1,131 @@
+"""Snapshot catalog for the segmented inverted index.
+
+Plays the role of Lucene's ``segments_N`` commit point
+(/root/reference/lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:54-133):
+an atomic, monotonically-numbered list of live segments. On a production
+deployment this is exactly an Iceberg table commit (snapshot + manifest
+list); this module is a minimal file-based equivalent so the engine runs
+against plain parquet in any environment. The commit protocol is the same
+two-phase shape as Lucene's prepareCommit/finishCommit: write a temp
+catalog file, fsync, atomic rename.
+
+It also records per-partition build lineage + metrics (the north rule's
+"resumable from checkpoint with per-partition lineage"): each build job
+writes a ``manifest.json`` under its build directory before the segments
+are committed; a re-run of the same logical build id is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+CATALOG_FILE = "catalog.json"
+
+
+class Catalog:
+    """File-based snapshot catalog rooted at an index directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "builds"), exist_ok=True)
+        self._path = os.path.join(root, CATALOG_FILE)
+        if not os.path.exists(self._path):
+            self._write({"format_version": 1, "current": 0, "snapshots": [
+                {"id": 0, "ts": time.time(), "segments": [], "note": "init"}
+            ]})
+
+    # -- snapshot I/O ------------------------------------------------------
+
+    def _write(self, data: dict) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path)  # atomic publish, like segments_N rename
+
+    def load(self) -> dict:
+        with open(self._path) as f:
+            return json.load(f)
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        data = self.load()
+        sid = data["current"] if snapshot_id is None else snapshot_id
+        for snap in data["snapshots"]:
+            if snap["id"] == sid:
+                return snap
+        raise KeyError(f"no snapshot {sid}")
+
+    def commit(
+        self,
+        add_segments: list[dict],
+        remove_segments: list[str] = (),
+        note: str = "",
+    ) -> int:
+        """Atomically publish a new snapshot (add + remove segment sets)."""
+        data = self.load()
+        cur = self.snapshot()
+        removed = set(remove_segments)
+        segments = [s for s in cur["segments"] if s["name"] not in removed]
+        segments.extend(add_segments)
+        segments.sort(key=lambda s: s["name"])
+        new_id = data["current"] + 1
+        data["snapshots"].append(
+            {"id": new_id, "ts": time.time(), "segments": segments, "note": note}
+        )
+        data["current"] = new_id
+        self._write(data)
+        return new_id
+
+    # -- derived views -----------------------------------------------------
+
+    def live_segments(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live segments in name order; name order defines docBase order."""
+        return self.snapshot(snapshot_id)["segments"]
+
+    def field_stats(self, field: str, snapshot_id: int | None = None) -> tuple[int, int]:
+        """(doc_count, sum_total_term_freq) aggregated index-wide — the
+        CollectionStatistics of IndexSearcher (TermQuery.java:62-82)."""
+        doc_count = 0
+        sum_ttf = 0
+        for seg in self.live_segments(snapshot_id):
+            fs = seg.get("fields", {}).get(field)
+            if fs:
+                doc_count += fs["doc_count"]
+                sum_ttf += fs["sum_total_term_freq"]
+        return doc_count, sum_ttf
+
+    def doc_bases(self, snapshot_id: int | None = None) -> dict[str, int]:
+        """segment name -> docBase (global docID = docBase + local doc)."""
+        bases = {}
+        base = 0
+        for seg in self.live_segments(snapshot_id):
+            bases[seg["name"]] = base
+            base += seg["max_doc"]
+        return bases
+
+    # -- build lineage / resume -------------------------------------------
+
+    def build_dir(self, build_id: str) -> str:
+        return os.path.join(self.root, "builds", build_id)
+
+    def manifest_path(self, build_id: str) -> str:
+        return os.path.join(self.build_dir(build_id), "manifest.json")
+
+    def build_completed(self, build_id: str) -> bool:
+        return os.path.exists(self.manifest_path(build_id))
+
+    def write_manifest(self, build_id: str, manifest: dict) -> None:
+        path = self.manifest_path(build_id)
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, path)
+
+    def read_manifest(self, build_id: str) -> dict:
+        with open(self.manifest_path(build_id)) as f:
+            return json.load(f)

@@ -1,0 +1,112 @@
+"""Point-in-time index reader over a catalog snapshot.
+
+The Spark analogue of ``DirectoryReader.open`` (reference:
+/root/reference/lucene/core/src/java/org/apache/lucene/index/DirectoryReader.java):
+pins one catalog snapshot (immutable segment list) and exposes the segment
+tables as DataFrames with segment/bucket pruning pushed into the parquet
+scan. Reopening after a commit (NRT) is just constructing a new reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .builder import term_bucket
+from .catalog import Catalog
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_root: str, snapshot_id: int | None = None):
+        self.spark = spark
+        self.root = index_root
+        self.catalog = Catalog(index_root)
+        snap = self.catalog.snapshot(snapshot_id)
+        self.snapshot_id = snap["id"]
+        self.segments = snap["segments"]
+        self.seg_names = [s["name"] for s in self.segments]
+        self._builds = sorted({s["build"] for s in self.segments})
+        self._manifests = {b: self.catalog.read_manifest(b) for b in self._builds}
+        self.num_buckets = (
+            self._manifests[self._builds[0]]["num_buckets"] if self._builds else 8
+        )
+
+    # -- raw tables --------------------------------------------------------
+
+    def _read(self, table: str) -> DataFrame:
+        paths = [os.path.join(self.root, "builds", b, table) for b in self._builds]
+        df = self.spark.read.parquet(*paths)
+        return df.filter(F.col("seg").isin(self.seg_names))
+
+    def docs(self, columns: list[str] | None = None) -> DataFrame:
+        """Per-document table; default projection excludes the heavy
+        staging ``terms``/``freqs`` arrays (parquet prunes them)."""
+        df = self._read("docs")
+        if columns is None:
+            columns = [c for c in df.columns if c not in ("terms", "freqs")]
+        return df.select(*columns)
+
+    def postings(self, terms: list[str] | None = None, field: str = "text") -> DataFrame:
+        """Postings blocks, pruned to the buckets + terms requested.
+
+        The bucket predicate prunes partition directories; the term
+        predicate is pushed to parquet row groups (blocks are written
+        sorted by term).
+        """
+        df = self._read("postings").filter(F.col("field") == field)
+        if terms is not None:
+            buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
+            df = df.filter(F.col("bucket").isin(buckets)).filter(
+                F.col("term").isin(list(terms))
+            )
+        return df
+
+    def term_dict(self, terms: list[str] | None = None, field: str = "text") -> DataFrame:
+        df = self._read("term_dict").filter(F.col("field") == field)
+        if terms is not None:
+            buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
+            df = df.filter(F.col("bucket").isin(buckets)).filter(
+                F.col("term").isin(list(terms))
+            )
+        return df
+
+    # -- statistics (resolved once per query, like TermStates.build) -------
+
+    def collection_stats(self, field: str = "text") -> tuple[int, int]:
+        """(doc_count, sum_total_term_freq) index-wide, from the catalog."""
+        return self.catalog.field_stats(field, self.snapshot_id)
+
+    def term_stats(self, terms: list[str], field: str = "text") -> dict[str, tuple[int, int]]:
+        """term -> (doc_freq, total_term_freq) aggregated across segments."""
+        rows = (
+            self.term_dict(terms, field)
+            .groupBy("term")
+            .agg(
+                F.sum("doc_freq").alias("df"),
+                F.sum("total_term_freq").alias("ttf"),
+            )
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def expand_terms(self, pattern_filter, field: str = "text") -> list[str]:
+        """MultiTermQuery support: scan the term dict with a Column
+        predicate (prefix/wildcard/regexp/range) and collect matching terms
+        (MultiTermQuery.java:86-119 rewrite)."""
+        rows = (
+            self._read("term_dict")
+            .filter(F.col("field") == field)
+            .filter(pattern_filter)
+            .select("term")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def doc_bases(self) -> dict[str, int]:
+        return self.catalog.doc_bases(self.snapshot_id)
+
+    def max_doc(self) -> int:
+        return sum(s["max_doc"] for s in self.segments)

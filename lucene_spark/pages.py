@@ -1,0 +1,60 @@
+"""Common-Crawl-style ``pages`` input table (BASELINE.json input_hint).
+
+Schema: (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+
+``pages_from_documents`` derives the table deterministically from the
+driver-provided synthetic ``documents`` parquet (no external data): the url
+is the zero-padded doc_id (so lexicographic url order == doc_id order —
+deterministic segment doc IDs and tie-breaks), the html wraps the text in a
+fixed template, and ``extract_text`` strips that template back off so the
+per-row invariant ``extract_text(html) == text`` holds byte-identically for
+every url (the north rule's extraction invariant).
+
+All transforms are JVM-side column expressions — no Python in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+URL_PREFIX = "https://example.com/doc/"
+_HTML_PRE = "<html><head><title>d</title></head><body><p>"
+_HTML_POST = "</p></body></html>"
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit(URL_PREFIX), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("url"),
+        (F.to_timestamp(F.lit("2025-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.encode(F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html binary -> extracted text column; byte-identical to ``text``.
+
+    The fixed wrap template makes extraction a pure prefix/suffix strip —
+    a stand-in for a real boilerplate-removal UDF with the same contract
+    (deterministic bytes per url)."""
+    decoded = F.decode(F.col("html"), "UTF-8")
+    return pages.withColumn(
+        "extracted_text",
+        F.substring(
+            decoded,
+            len(_HTML_PRE) + 1,
+            F.length(decoded) - F.lit(len(_HTML_PRE) + len(_HTML_POST)),
+        ),
+    )
+
+
+def url_for_doc_id(doc_id: int) -> str:
+    return f"{URL_PREFIX}{doc_id:012d}"
+
+
+def doc_id_for_url_col():
+    """Column expr recovering doc_id from url (for oracle comparisons)."""
+    return F.substring(F.col("url"), len(URL_PREFIX) + 1, 12).cast("long")

@@ -1,0 +1,6 @@
+from . import query
+from .parser import parse
+from .searcher import IndexSearcher
+from .topk import merge_topk
+
+__all__ = ["query", "parse", "IndexSearcher", "merge_topk"]

@@ -1,0 +1,232 @@
+"""Classic query-string parser (subset of Lucene's QueryParser grammar).
+
+Reference: /root/reference/lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/
+(QueryParserBase.java:133, grammar QueryParser.jj). Supported syntax:
+
+    term                      TermQuery (query text is analyzed with the
+                              same analyzer as the index — term parity)
+    field:term                field override
+    "a b c"  /  "a b"~2       PhraseQuery (optional slop)
+    a AND b / a && b          both MUST
+    a OR b  / a || b          SHOULD (default operator)
+    NOT a / !a / -a           MUST_NOT
+    +a                        MUST
+    a*  a?b                   WildcardQuery; trailing-* only -> PrefixQuery
+    /regex/                   RegexpQuery
+    term~  term~1             FuzzyQuery (default max edits 2)
+    [a TO b] / {a TO b}       TermRangeQuery (inclusive / exclusive)
+    term^2.5                  boost
+    ( ... )                   grouping
+
+Like the reference, AND binds the two adjacent clauses into MUST; the
+default operator for bare juxtaposition is OR (SHOULD).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..analysis.analyzer import analyzer_for
+from . import query as Q
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<space>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<phrase>"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?)
+  | (?P<regex>/(?P<regex_body>[^/]+)/)
+  | (?P<range>[\[{][^\]}]+\s+TO\s+[^\]}]+[\]}])
+  | (?P<atom>[^\s()^]+)
+    """,
+    re.VERBOSE,
+)
+
+_BOOST_RE = re.compile(r"\^(\d+(\.\d+)?)$")
+
+
+def parse(query_string: str, default_field: str = "text", analyzer: str = "standard") -> Q.Query:
+    tokens = _lex(query_string)
+    parser = _Parser(tokens, default_field, analyzer_for(analyzer))
+    q = parser.parse_or()
+    return q if q is not None else Q.MatchNoDocsQuery()
+
+
+def _lex(s: str) -> list[tuple[str, str | dict]]:
+    out = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            pos += 1
+            continue
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "space":
+            continue
+        if kind == "phrase_body" or kind == "slop":
+            continue
+        if kind == "phrase":
+            out.append(("phrase", {"body": m.group("phrase_body"), "slop": int(m.group("slop") or 0)}))
+        elif kind == "regex":
+            out.append(("regex", m.group("regex_body")))
+        elif kind in ("regex_body",):
+            continue
+        else:
+            out.append((kind, m.group(0)))
+        # optional boost suffix directly after phrase/range/paren handled in parser
+        if pos < len(s) and s[pos] == "^":
+            bm = re.match(r"\^(\d+(\.\d+)?)", s[pos:])
+            if bm:
+                out.append(("boost", bm.group(1)))
+                pos += bm.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens, default_field, analyzer):
+        self.toks = tokens
+        self.i = 0
+        self.field = default_field
+        self.analyzer = analyzer
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # OR level (lowest precedence)
+    def parse_or(self):
+        left = self.parse_and()
+        clauses = [left] if left is not None else []
+        while self.peek()[0] == "or":
+            self.next()
+            right = self.parse_and()
+            if right is not None:
+                clauses.append(right)
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0]
+        flat = []
+        for c in clauses:
+            flat.append((Q.SHOULD, c))
+        return Q.BooleanQuery.build(*flat)
+
+    # AND level
+    def parse_and(self):
+        left = self.parse_clause_seq()
+        if self.peek()[0] != "and":
+            return left
+        clauses = [left]
+        while self.peek()[0] == "and":
+            self.next()
+            right = self.parse_clause_seq()
+            if right is not None:
+                clauses.append(right)
+        return Q.BooleanQuery.build(*[(Q.MUST, c) for c in clauses if c is not None])
+
+    # juxtaposed clauses with +/-/NOT prefixes (default SHOULD)
+    def parse_clause_seq(self):
+        clauses = []
+        while True:
+            kind, _ = self.peek()
+            if kind in (None, "rparen", "and", "or"):
+                break
+            occur = Q.SHOULD
+            if kind == "plus":
+                self.next()
+                occur = Q.MUST
+            elif kind in ("minus", "not"):
+                self.next()
+                occur = Q.MUST_NOT
+            atom = self.parse_atom()
+            if atom is not None:
+                clauses.append((occur, atom))
+            else:
+                break
+        if not clauses:
+            return None
+        if len(clauses) == 1 and clauses[0][0] == Q.SHOULD:
+            return clauses[0][1]
+        return Q.BooleanQuery.build(*clauses)
+
+    def parse_atom(self):
+        kind, val = self.peek()
+        if kind is None:
+            return None
+        if kind == "lparen":
+            self.next()
+            inner = self.parse_or()
+            if self.peek()[0] == "rparen":
+                self.next()
+            inner = self._maybe_boost(inner)
+            return inner
+        if kind == "phrase":
+            self.next()
+            terms = tuple(self.analyzer.terms(val["body"]))
+            if not terms:
+                return self._maybe_boost(Q.MatchNoDocsQuery())
+            if len(terms) == 1:
+                return self._maybe_boost(Q.TermQuery(self.field, terms[0]))
+            return self._maybe_boost(Q.PhraseQuery(self.field, terms, val["slop"]))
+        if kind == "regex":
+            self.next()
+            return self._maybe_boost(Q.RegexpQuery(self.field, val))
+        if kind == "range":
+            self.next()
+            m = re.match(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])", val)
+            lo = None if m.group(2) == "*" else m.group(2)
+            hi = None if m.group(3) == "*" else m.group(3)
+            return self._maybe_boost(
+                Q.TermRangeQuery(
+                    self.field, lo, hi, m.group(1) == "[", m.group(4) == "]"
+                )
+            )
+        if kind == "atom":
+            self.next()
+            return self._maybe_boost(self._atom_query(val))
+        # unexpected token: skip it
+        self.next()
+        return None
+
+    def _maybe_boost(self, q):
+        if q is not None and self.peek()[0] == "boost":
+            _, b = self.next()
+            q = Q._apply_boost(q, float(b))
+        return q
+
+    def _atom_query(self, text: str):
+        field = self.field
+        if ":" in text:
+            fld, rest = text.split(":", 1)
+            if fld and rest:
+                field, text = fld, rest
+        m = re.search(r"~(\d*)$", text)
+        if m and not text.startswith("/"):
+            base = text[: m.start()]
+            edits = int(m.group(1)) if m.group(1) else 2
+            terms = self.analyzer.terms(base)
+            if terms:
+                return Q.FuzzyQuery(field, terms[0], max_edits=edits)
+            return Q.MatchNoDocsQuery()
+        if "*" in text or "?" in text:
+            lowered = text.lower()
+            if lowered.endswith("*") and "*" not in lowered[:-1] and "?" not in lowered:
+                return Q.PrefixQuery(field, lowered[:-1])
+            return Q.WildcardQuery(field, lowered)
+        terms = self.analyzer.terms(text)
+        if not terms:
+            return Q.MatchNoDocsQuery()
+        if len(terms) == 1:
+            return Q.TermQuery(field, terms[0])
+        # analyzer split one atom into several terms -> implicit phrase-less OR
+        return Q.BooleanQuery.build(*[(Q.SHOULD, Q.TermQuery(field, t)) for t in terms])

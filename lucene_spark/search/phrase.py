@@ -1,0 +1,156 @@
+"""PhraseQuery: exact and sloppy position matching.
+
+Reference semantics
+(/root/reference/lucene/core/src/java/org/apache/lucene/search/PhraseQuery.java,
+ExactPhraseMatcher.java, SloppyPhraseMatcher.java): docs must contain the
+phrase terms at compatible positions; the *phrase frequency* (number of
+phrase occurrences, or the sloppy-weighted count) feeds the same
+BM25 SimScorer, with idf summed over the phrase's terms in double
+(BM25Similarity.java:161-170).
+
+Spark strategy: two-phase, like a candidate-verify join.
+1. candidate docs = conjunction of the phrase terms (cheap — decoded
+   postings joined on doc, the sort-merge-intersection analogue).
+2. verify positions with a vectorized re-analysis of the stored text
+   (the index stores text as a stored field; positions are recomputed by
+   the same analyzer, so position semantics — stopword gaps, >255-char
+   token skips — are identical to what an indexed-positions variant would
+   store).
+
+This trades postings-file positions (Lucene's .pos) for a re-analysis of
+only the candidate docs — at web scale the candidate set after the
+conjunction is tiny relative to the corpus, no positions storage is paid
+on the write path, and the verify step is an Arrow-batched narrow map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.bm25 import make_scorer
+
+
+def _phrase_freq_exact(positions: list[list[int]]) -> int:
+    """Count exact-phrase occurrences given per-term sorted position lists
+    (term i must appear at p+i)."""
+    base = np.asarray(positions[0], dtype=np.int64)
+    ok = np.ones(len(base), dtype=bool)
+    for i, plist in enumerate(positions[1:], 1):
+        arr = np.asarray(plist, dtype=np.int64)
+        want = base + i
+        idx = np.searchsorted(arr, want)
+        idx = np.clip(idx, 0, len(arr) - 1)
+        ok &= arr[idx] == want
+    return int(ok.sum())
+
+
+def _phrase_freq_sloppy(positions: list[list[int]], slop: int) -> float:
+    """Sloppy phrase freq: sum over matches of 1/(distance+1)
+    (SloppyPhraseMatcher sloppyWeight). A simplified alignment search:
+    for each occurrence of the first term, greedily align the rest."""
+    total = 0.0
+    arrays = [np.asarray(p, dtype=np.int64) for p in positions]
+    for p0 in arrays[0]:
+        dist = 0
+        ok = True
+        for i, arr in enumerate(arrays[1:], 1):
+            want = p0 + i
+            j = np.searchsorted(arr, want)
+            best = None
+            for cand in (j - 1, j, j + 1):
+                if 0 <= cand < len(arr):
+                    d = abs(int(arr[cand]) - want)
+                    if best is None or d < best:
+                        best = d
+            if best is None or dist + best > slop:
+                ok = False
+                break
+            dist += best
+        if ok:
+            total += 1.0 / (dist + 1)
+    return total
+
+
+def scored_phrase(searcher, q, field: str):
+    """(seg, doc, score) for a PhraseQuery — see module docstring."""
+    reader = searcher.reader
+    terms = list(dict.fromkeys(q.terms))  # unique, order-preserving
+    doc_count, sum_ttf = reader.collection_stats(field)
+    stats = reader.term_stats(terms, field)
+    if any(t not in stats for t in terms):
+        return None
+    scorer = make_scorer(
+        [stats[t][0] for t in q.terms],  # idf summed over all phrase slots
+        doc_count,
+        sum_ttf,
+        boost=q.boost,
+        dtype=searcher.dtype,
+    )
+    # phase 1: conjunction of terms -> candidate docs
+    scorers = searcher._scorers(terms, {}, field)
+    dec = searcher._decoded(terms, scorers, field)
+    cand = (
+        dec.groupBy("seg", "doc")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= len(terms))
+        .select("seg", "doc")
+    )
+    # phase 2: verify positions by re-analysis of stored text
+    docs = reader.docs()
+    if "text" not in docs.columns:
+        raise ValueError("PhraseQuery needs the text stored (stored_cols=('text',...))")
+    joined = cand.join(docs.select("seg", "doc", "norm", "text"), ["seg", "doc"])
+    phrase_terms = list(q.terms)
+    slop = q.slop
+    analyzer_name = reader._manifests[reader._builds[0]].get("analyzer", "standard")
+    cache = scorer.cache
+    w = scorer.weight
+
+    def verify(iterator):
+        from ..analysis.analyzer import analyzer_for
+
+        analyzer = analyzer_for(analyzer_name)
+        for pdf in iterator:
+            segs, docs_, scores = [], [], []
+            for row in pdf.itertuples(index=False):
+                toks = analyzer.tokens(row.text or "")
+                pos_lists = {t: [] for t in set(phrase_terms)}
+                for tok in toks:
+                    if tok.term in pos_lists:
+                        pos_lists[tok.term].append(tok.position)
+                plists = [pos_lists[t] for t in phrase_terms]
+                if any(len(p) == 0 for p in plists):
+                    continue
+                if slop == 0:
+                    freq = _phrase_freq_exact(plists)
+                else:
+                    freq = _phrase_freq_sloppy(plists, slop)
+                if freq <= 0:
+                    continue
+                dt = cache.dtype.type
+                inv = cache[int(row.norm) & 0xFF]
+                s = float(w - w / (dt(1.0) + dt(freq) * inv))
+                segs.append(row.seg)
+                docs_.append(row.doc)
+                scores.append(s)
+            yield pd.DataFrame(
+                {
+                    "seg": pd.Series(segs, dtype=object),
+                    "doc": pd.Series(docs_, dtype=np.int64),
+                    "score": pd.Series(scores, dtype=np.float64),
+                }
+            )
+
+    return joined.mapInPandas(
+        verify,
+        T.StructType(
+            [
+                T.StructField("seg", T.StringType()),
+                T.StructField("doc", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )

@@ -1,0 +1,293 @@
+"""Query AST + logical rewrite, mirroring Lucene's Query tree semantics.
+
+Reference surface:
+- occurs MUST / FILTER / SHOULD / MUST_NOT
+  (/root/reference/lucene/core/src/java/org/apache/lucene/search/BooleanClause.java:25-62)
+- rewrite loop to fixpoint (IndexSearcher.java:860-869) with BooleanQuery
+  simplifications (BooleanQuery.java:269-647): single-clause unwrap, nested
+  flatten, pure-negative -> MatchNoDocs, duplicate SHOULD merge
+- multi-term queries (prefix/wildcard/regexp/fuzzy/range) expand against the
+  term dictionary and rewrite to a disjunction (MultiTermQuery.java:86-119);
+  we use the CONSTANT_SCORE rewrite (each expanded term matches with score
+  boost * 1.0).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+MUST = "MUST"
+FILTER = "FILTER"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    field: str
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    field: str
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    field: str
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    field: str
+    pattern: str  # * = any run, ? = single char
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    field: str
+    regexp: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    field: str
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    field: str
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: str
+    query: Query
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    minimum_should_match: int = 0
+    boost: float = 1.0
+
+    @staticmethod
+    def build(*occur_query_pairs, minimum_should_match: int = 0) -> "BooleanQuery":
+        return BooleanQuery(
+            tuple(BooleanClause(o, q) for o, q in occur_query_pairs),
+            minimum_should_match,
+        )
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Multiple terms scored as one pseudo-term: freqs summed, idf from the
+    max doc_freq (SynonymQuery.java blended stats)."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    disjuncts: tuple[Query, ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# rewrite (logical optimizer) — BooleanQuery.java:269-647 equivalents
+# ---------------------------------------------------------------------------
+
+
+def rewrite(q: Query, reader=None, field: str = "text") -> Query:
+    """Rewrite to fixpoint. ``reader`` (IndexReader) is needed to expand
+    multi-term queries against the term dictionary; without it they are left
+    in place."""
+    for _ in range(16):
+        q2 = _rewrite_once(q, reader, field)
+        if q2 == q:
+            return q2
+        q = q2
+    return q
+
+
+def _rewrite_once(q: Query, reader, field: str) -> Query:
+    if isinstance(q, BoostQuery):
+        inner = _rewrite_once(q.query, reader, field)
+        return _apply_boost(inner, q.boost)
+    if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
+        if reader is None:
+            return q
+        terms = _expand_multi_term(q, reader)
+        if not terms:
+            return MatchNoDocsQuery()
+        # CONSTANT_SCORE rewrite: matching docs score boost * 1.0
+        return ConstantScoreQuery(
+            BooleanQuery.build(*[(SHOULD, TermQuery(q.field, t)) for t in terms]),
+            boost=q.boost,
+        )
+    if isinstance(q, BooleanQuery):
+        return _rewrite_boolean(q, reader, field)
+    return q
+
+
+def _apply_boost(q: Query, boost: float) -> Query:
+    if boost == 1.0:
+        return q
+    if isinstance(q, TermQuery):
+        return TermQuery(q.field, q.term, q.boost * boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(q.query, q.boost * boost)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(q.clauses, q.minimum_should_match, q.boost * boost)
+    if isinstance(q, (PhraseQuery, SynonymQuery)):
+        return type(q)(**{**q.__dict__, "boost": q.boost * boost})
+    return BoostQuery(q, boost)
+
+
+def _rewrite_boolean(q: BooleanQuery, reader, field: str) -> Query:
+    clauses: list[BooleanClause] = []
+    for c in q.clauses:
+        cq = _rewrite_once(c.query, reader, field)
+        if isinstance(cq, MatchNoDocsQuery):
+            if c.occur in (MUST, FILTER):
+                return MatchNoDocsQuery()  # AND with empty set
+            continue  # drop no-op SHOULD / MUST_NOT
+        # flatten nested SHOULD-only booleans into a SHOULD parent
+        if (
+            isinstance(cq, BooleanQuery)
+            and c.occur == SHOULD
+            and cq.minimum_should_match <= 1
+            and cq.boost == 1.0
+            and all(cc.occur == SHOULD for cc in cq.clauses)
+        ):
+            clauses.extend(cq.clauses)
+            continue
+        clauses.append(BooleanClause(c.occur, cq))
+
+    # dedupe SHOULD TermQuery clauses (duplicate merge)
+    seen = set()
+    out: list[BooleanClause] = []
+    for c in clauses:
+        key = (c.occur, c.query)
+        if c.occur == SHOULD and key in seen:
+            continue
+        seen.add(key)
+        out.append(c)
+    clauses = out
+
+    positives = [c for c in clauses if c.occur != MUST_NOT]
+    if not positives:
+        return MatchNoDocsQuery()  # pure negation matches nothing
+    if (
+        len(clauses) == 1
+        and clauses[0].occur in (MUST, SHOULD)
+        and q.minimum_should_match <= 1
+    ):
+        return _apply_boost(clauses[0].query, q.boost)
+    return BooleanQuery(tuple(clauses), q.minimum_should_match, q.boost)
+
+
+def _expand_multi_term(q: Query, reader) -> list[str]:
+    from pyspark.sql import functions as F
+
+    col = F.col("term")
+    if isinstance(q, PrefixQuery):
+        pred = col.startswith(q.prefix)
+    elif isinstance(q, WildcardQuery):
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch) for ch in q.pattern
+        ) + "$"
+        pred = col.rlike(rx)
+    elif isinstance(q, RegexpQuery):
+        pred = col.rlike("^" + q.regexp + "$")
+    elif isinstance(q, TermRangeQuery):
+        pred = F.lit(True)
+        if q.lower is not None:
+            pred = pred & (col >= q.lower if q.include_lower else col > q.lower)
+        if q.upper is not None:
+            pred = pred & (col <= q.upper if q.include_upper else col < q.upper)
+    elif isinstance(q, FuzzyQuery):
+        # dictionary scan with edit-distance post-filter (the automaton
+        # intersection of FuzzyQuery rewritten as scan+filter)
+        terms = reader.expand_terms(
+            F.length(F.col("term")).between(
+                max(0, len(q.term) - q.max_edits), len(q.term) + q.max_edits
+            )
+            & F.col("term").startswith(q.term[: q.prefix_length]),
+            field=q.field,
+        )
+        return [t for t in terms if _edit_distance_le(q.term, t, q.max_edits)]
+    else:  # pragma: no cover
+        raise TypeError(type(q))
+    return reader.expand_terms(pred, field=q.field)
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein: True iff edit distance <= k."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo, hi = max(1, i - k), min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cb = b[j - 1]
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1 if j - 1 >= lo - 1 else k + 1,
+                prev[j - 1] + (ca != cb),
+            )
+        if min(cur[lo : hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[len(b)] <= k

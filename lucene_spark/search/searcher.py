@@ -1,0 +1,412 @@
+"""Distributed BM25 top-k search over the segment tables.
+
+Two physical strategies, chosen like Lucene's BooleanScorerSupplier
+(/root/reference/lucene/core/src/java/org/apache/lucene/search/BooleanScorerSupplier.java:301-414):
+
+- ``exhaustive``: decode every posting block of the query's terms, score
+  vectorized, combine clause-wise with DataFrame algebra (sum / presence
+  counts / anti-join), then ``orderBy(score desc, gdoc asc).limit(k)``
+  (Catalyst TakeOrderedAndProject). This is the CheckHits-style oracle path
+  and the fallback for clause shapes the pruned kernel doesn't handle.
+
+- ``maxscore``: per-segment block-max MAXSCORE/WAND kernel (wand.py) via
+  ``applyInPandas`` — skips blocks whose impact-derived upper bound can't
+  beat the running top-k floor, exactly Lucene's ImpactsDISI +
+  MaxScoreBulkScorer behavior, with the threshold feedback loop kept
+  partition-local (SURVEY §7: no cheap cross-executor channel).
+
+Statistics (docFreq, totalTermFreq, docCount, sumTotalTermFreq) are resolved
+once per query, index-wide, before scoring — TermStates.build
+(search/TermQuery.java:62-82,303) — by an aggregated term_dict lookup that
+prunes to the query terms' buckets.
+
+Scores: per-term float32 (bit-identical to BM25Similarity), summed across
+clauses in double and cast back to float, matching DisjunctionSumScorer /
+WANDScorer double accumulation. Ties break by global docID ascending
+(HitQueue.java:76-82); global docID = docBase(segment) + doc with docBase
+assigned in segment-name order (= url-range order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codecs.docblocks import decode_doc_block
+from ..codecs.pfor import pfor_decode
+from ..functions.bm25 import make_scorer
+from ..index.reader import IndexReader
+from . import query as Q
+from .wand import maxscore_kernel
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.StringType()),
+        T.StructField("doc", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("freq", T.IntegerType()),
+    ]
+)
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.StringType()),
+        T.StructField("doc", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+class IndexSearcher:
+    def __init__(self, reader: IndexReader, dtype=np.float32):
+        self.reader = reader
+        self.dtype = dtype
+
+    # ------------------------------------------------------------------ API
+
+    def search(
+        self,
+        q: Q.Query,
+        k: int = 10,
+        field: str = "text",
+        mode: str = "auto",
+        doc_filter: DataFrame | None = None,
+    ) -> DataFrame:
+        """Top-k hits as a DataFrame (url, score, seg, doc, gdoc [+stored]).
+
+        ``doc_filter``: optional DataFrame of (seg, doc) — a structured
+        FILTER clause (e.g. from a predicate on the docs table).
+        """
+        q = Q.rewrite(q, self.reader, field)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return self._empty_hits()
+        info = _classify(q)
+        if mode == "auto":
+            mode = (
+                "maxscore"
+                if info is not None and not info["must_not"] and doc_filter is None
+                and not info["filters"] and info["msm"] <= 1
+                else "exhaustive"
+            )
+        if mode == "maxscore" and info is not None:
+            return self._search_maxscore(info, k, field)
+        return self._search_exhaustive(q, k, field, doc_filter)
+
+    def count(self, q: Q.Query, field: str = "text") -> int:
+        """TotalHitCountCollector: matching-doc count. Single-term queries
+        short-circuit to the term_dict doc_freq sum (Weight#count)."""
+        q = Q.rewrite(q, self.reader, field)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return 0
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return self.reader.max_doc()
+        if isinstance(q, Q.TermQuery):
+            stats = self.reader.term_stats([q.term], field)
+            return stats.get(q.term, (0, 0))[0]
+        matches = self._match_docs(q, field)
+        return matches.count()
+
+    # --------------------------------------------------------- score plumbing
+
+    def _scorers(self, terms: list[str], boosts: dict[str, float], field: str):
+        doc_count, sum_ttf = self.reader.collection_stats(field)
+        stats = self.reader.term_stats(terms, field)
+        scorers = {}
+        for t in terms:
+            if t not in stats:
+                continue
+            df_t, _ = stats[t]
+            scorers[t] = make_scorer(
+                [df_t], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+            )
+        return scorers
+
+    def _decoded(self, terms: list[str], scorers, field: str,
+                 constant_terms: dict[str, float] | None = None) -> DataFrame:
+        """Decode + score posting blocks for ``terms`` ->
+        (seg, doc, term, score, freq) rows. Constant-score terms get
+        score = boost instead of BM25."""
+        present = [t for t in terms if t in scorers or (constant_terms and t in constant_terms)]
+        if not present:
+            return self.reader.spark.createDataFrame([], DECODED_SCHEMA)
+        blocks = self.reader.postings(present, field)
+        weights = {t: s.weight for t, s in scorers.items()}
+        caches = {t: s.cache for t, s in scorers.items()}
+        const = dict(constant_terms or {})
+
+        def decode(iterator):
+            for pdf in iterator:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    docs = decode_doc_block(
+                        row.enc, bytes(row.doc_payload or b""), row.first_doc, row.num_docs
+                    )
+                    freqs = pfor_decode(bytes(row.freq_payload), row.num_docs)
+                    if row.term in const:
+                        scores = np.full(row.num_docs, const[row.term], dtype=np.float64)
+                    else:
+                        norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
+                        w = weights[row.term]
+                        cache = caches[row.term]
+                        inv = cache[norms.astype(np.int64)]
+                        dt = cache.dtype.type
+                        scores = (w - w / (dt(1.0) + freqs.astype(cache.dtype) * inv)).astype(
+                            np.float64
+                        )
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "seg": row.seg,
+                                "doc": docs,
+                                "term": row.term,
+                                "score": scores,
+                                "freq": freqs.astype(np.int32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return blocks.mapInPandas(decode, DECODED_SCHEMA)
+
+    # ------------------------------------------------------------ exhaustive
+
+    def _search_exhaustive(
+        self, q: Q.Query, k: int, field: str, doc_filter: DataFrame | None
+    ) -> DataFrame:
+        scored = self._scored_docs(q, field)
+        if scored is None:
+            return self._empty_hits()
+        if doc_filter is not None:
+            scored = scored.join(doc_filter, ["seg", "doc"], "left_semi")
+        return self._finalize(scored, k)
+
+    def _scored_docs(self, q: Q.Query, field: str) -> DataFrame | None:
+        """(seg, doc, score) for every matching doc — the exhaustive scorer."""
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return None
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return self.reader.docs(["seg", "doc"]).withColumn(
+                "score", F.lit(float(q.boost))
+            )
+        if isinstance(q, Q.TermQuery):
+            scorers = self._scorers([q.term], {q.term: q.boost}, field)
+            dec = self._decoded([q.term], scorers, field)
+            return dec.select("seg", "doc", "score")
+        if isinstance(q, Q.SynonymQuery):
+            return self._scored_synonym(q, field)
+        if isinstance(q, Q.ConstantScoreQuery):
+            inner = self._match_docs(q.query, field)
+            return inner.withColumn("score", F.lit(float(q.boost)))
+        if isinstance(q, Q.DisjunctionMaxQuery):
+            parts = [self._scored_docs(d, field) for d in q.disjuncts]
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                return None
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            tb = float(q.tie_breaker)
+            agg = union.groupBy("seg", "doc").agg(
+                F.max("score").alias("mx"), F.sum("score").alias("sm")
+            )
+            return agg.select(
+                "seg",
+                "doc",
+                (
+                    (F.col("mx") + F.lit(tb) * (F.col("sm") - F.col("mx"))) * F.lit(float(q.boost))
+                ).alias("score"),
+            )
+        if isinstance(q, Q.PhraseQuery):
+            from .phrase import scored_phrase
+
+            return scored_phrase(self, q, field)
+        if isinstance(q, Q.BooleanQuery):
+            return self._scored_boolean(q, field)
+        raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    def _scored_synonym(self, q: Q.SynonymQuery, field: str) -> DataFrame:
+        """SynonymQuery: per-doc freqs summed, one idf from max docFreq."""
+        doc_count, sum_ttf = self.reader.collection_stats(field)
+        stats = self.reader.term_stats(list(q.terms), field)
+        if not stats:
+            return None
+        max_df = max(df for df, _ in stats.values())
+        scorer = make_scorer([max_df], doc_count, sum_ttf, boost=q.boost, dtype=self.dtype)
+        scorers = {t: scorer for t in stats}
+        dec = self._decoded(list(stats), scorers, field)
+        freqs = dec.groupBy("seg", "doc").agg(F.sum("freq").alias("freq"))
+        # rescore summed freq through the same scorer: join norms from docs
+        norms = self.reader.docs(["seg", "doc", "norm"])
+        joined = freqs.join(norms, ["seg", "doc"])
+        cache = scorer.cache
+        w = scorer.weight
+
+        def rescore(iterator):
+            for pdf in iterator:
+                inv = cache[pdf["norm"].to_numpy(dtype=np.int64) & 0xFF]
+                f = pdf["freq"].to_numpy(dtype=cache.dtype)
+                dt = cache.dtype.type
+                s = (w - w / (dt(1.0) + f * inv)).astype(np.float64)
+                yield pd.DataFrame(
+                    {"seg": pdf["seg"], "doc": pdf["doc"], "score": s}
+                )
+
+        return joined.mapInPandas(
+            rescore,
+            T.StructType(
+                [
+                    T.StructField("seg", T.StringType()),
+                    T.StructField("doc", T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            ),
+        )
+
+    def _scored_boolean(self, q: Q.BooleanQuery, field: str) -> DataFrame | None:
+        groups: dict[str, list[Q.Query]] = {o: [] for o in (Q.MUST, Q.FILTER, Q.SHOULD, Q.MUST_NOT)}
+        for c in q.clauses:
+            groups[c.occur].append(c.query)
+
+        scoring = groups[Q.MUST] + groups[Q.SHOULD]
+        parts = []
+        for i, sub in enumerate(scoring):
+            p = self._scored_docs(sub, field)
+            if p is None:
+                if sub in groups[Q.MUST]:
+                    return None
+                continue
+            parts.append(p.withColumn("cid", F.lit(i)))
+        if not parts:
+            return None
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        n_must = len(groups[Q.MUST])
+        must_ids = list(range(n_must))  # MUST clauses listed first
+        agg = union.groupBy("seg", "doc").agg(
+            F.sum("score").alias("raw"),
+            F.sum(F.when(F.col("cid").isin(must_ids), 1).otherwise(0)).alias("n_must_hit"),
+            F.sum(F.when(~F.col("cid").isin(must_ids), 1).otherwise(0)).alias("n_should_hit"),
+        )
+        cond = F.col("n_must_hit") >= n_must
+        msm = max(q.minimum_should_match, 0 if n_must else 1) if groups[Q.SHOULD] else 0
+        if groups[Q.SHOULD] and msm:
+            cond = cond & (F.col("n_should_hit") >= msm)
+        scored = agg.filter(cond).select(
+            "seg", "doc", (F.col("raw") * F.lit(float(q.boost))).alias("score")
+        )
+        for sub in groups[Q.FILTER]:
+            m = self._match_docs(sub, field)
+            scored = scored.join(m, ["seg", "doc"], "left_semi")
+        for sub in groups[Q.MUST_NOT]:
+            m = self._match_docs(sub, field)
+            scored = scored.join(m, ["seg", "doc"], "left_anti")
+        return scored
+
+    def _match_docs(self, q: Q.Query, field: str) -> DataFrame:
+        """Unscored matching (seg, doc) set — FILTER / MUST_NOT operand."""
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return self.reader.docs(["seg", "doc"])
+        if isinstance(q, Q.ConstantScoreQuery):
+            return self._match_docs(q.query, field)
+        scored = self._scored_docs(q, field)
+        if scored is None:
+            return self.reader.spark.createDataFrame(
+                [], T.StructType([T.StructField("seg", T.StringType()), T.StructField("doc", T.LongType())])
+            )
+        return scored.select("seg", "doc").distinct()
+
+    # -------------------------------------------------------------- maxscore
+
+    def _search_maxscore(self, info: dict, k: int, field: str) -> DataFrame:
+        terms = info["should"] + info["must"]
+        boosts = info["boosts"]
+        scorers = self._scorers(list(terms), boosts, field)
+        live = [t for t in terms if t in scorers]
+        if not live:
+            return self._empty_hits()
+        if info["must"] and any(t not in scorers for t in info["must"]):
+            return self._empty_hits()
+        blocks = self.reader.postings(live, field)
+        kernel = maxscore_kernel(
+            {t: scorers[t] for t in live},
+            must_terms=[t for t in info["must"] if t in scorers],
+            k=k,
+            boost=info["boost"],
+        )
+        per_seg = blocks.groupBy("seg").applyInPandas(kernel, TOPK_SCHEMA)
+        return self._finalize(per_seg, k)
+
+    # -------------------------------------------------------------- finalize
+
+    def _finalize(self, scored: DataFrame, k: int) -> DataFrame:
+        bases = self.reader.doc_bases()
+        spark = self.reader.spark
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                [(s, b) for s, b in bases.items()], "seg string, doc_base long"
+            )
+        )
+        with_g = scored.join(base_df, "seg").withColumn(
+            "gdoc", F.col("doc_base") + F.col("doc")
+        )
+        top = with_g.orderBy(F.desc("score"), F.asc("gdoc")).limit(k)
+        docs = self.reader.docs()
+        return (
+            top.join(docs, ["seg", "doc"])
+            .select("url", "score", "seg", "doc", "gdoc",
+                    *[c for c in docs.columns if c not in ("seg", "doc", "url", "norm", "length")])
+            .orderBy(F.desc("score"), F.asc("gdoc"))
+        )
+
+    def _empty_hits(self) -> DataFrame:
+        return self.reader.spark.createDataFrame(
+            [],
+            "url string, score double, seg string, doc long, gdoc long",
+        )
+
+
+def _classify(q: Q.Query) -> dict | None:
+    """If q is a flat term disjunction/conjunction the pruned kernel can run,
+    return its shape; else None."""
+    if isinstance(q, Q.TermQuery):
+        return {
+            "should": [q.term],
+            "must": [],
+            "must_not": [],
+            "filters": [],
+            "boosts": {q.term: q.boost},
+            "msm": 0,
+            "boost": 1.0,
+        }
+    if isinstance(q, Q.BooleanQuery):
+        should, must, must_not, filters = [], [], [], []
+        boosts = {}
+        for c in q.clauses:
+            if not isinstance(c.query, Q.TermQuery):
+                return None
+            t = c.query.term
+            if c.occur == Q.SHOULD:
+                should.append(t)
+            elif c.occur == Q.MUST:
+                must.append(t)
+            elif c.occur == Q.MUST_NOT:
+                must_not.append(t)
+            else:
+                filters.append(t)
+            boosts[t] = c.query.boost
+        return {
+            "should": should,
+            "must": must,
+            "must_not": must_not,
+            "filters": filters,
+            "boosts": boosts,
+            "msm": q.minimum_should_match,
+            "boost": q.boost,
+        }
+    return None

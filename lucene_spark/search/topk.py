@@ -1,0 +1,26 @@
+"""TopDocs merge: combine per-partition top-k arrays.
+
+Reference: /root/reference/lucene/core/src/java/org/apache/lucene/search/TopDocs.java:75-90,203-217
+— k-way merge by (score desc, docID asc). In Spark the per-segment top-k
+sets are tiny (k rows each), so the merge is the Catalyst
+``orderBy(score desc, gdoc asc).limit(k)`` over their union
+(TakeOrderedAndProject); this helper exists for driver-side (collected)
+merges used by tests and the bench harness.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+
+def merge_topk(per_partition: list[list[tuple[float, int]]], k: int) -> list[tuple[float, int]]:
+    """Merge lists of (score, global_doc) -> top-k by score desc, doc asc."""
+    heap: list[tuple[float, int]] = []
+    for part in per_partition:
+        for score, doc in part:
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    return [(s, -nd) for s, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))]

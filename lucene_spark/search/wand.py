@@ -1,0 +1,215 @@
+"""Per-segment block-max MAXSCORE / WAND kernel (applyInPandas).
+
+Re-expression of Lucene's dynamic pruning stack:
+- impacts -> per-block score upper bounds via the same SimScorer
+  (/root/reference/lucene/core/src/java/org/apache/lucene/search/MaxScoreCache.java:74-134)
+- block skipping when the bound can't beat the current floor
+  (search/ImpactsDISI.java:67-108)
+- essential / non-essential list split per scoring window
+  (search/MaxScoreBulkScorer.java:31-140, inner windows of 4096 docs)
+- bounded top-k heap with floor feedback; ties break toward the smaller
+  docID, which is automatic here because candidates are generated in
+  increasing doc order (search/HitQueue.java:76-82,
+  TopScoreDocCollector.java:154-172)
+- MUST clauses make their lists permanently essential and candidates are
+  required to match all of them (BlockMaxConjunctionBulkScorer behavior).
+
+The kernel runs once per (segment) group: all posting blocks of the query's
+terms in that segment arrive as one pandas DataFrame (a few KB per term —
+block metadata + payloads only for this segment). The threshold feedback
+loop stays partition-local (SURVEY §7): cross-segment no shared floor, the
+driver-side merge of per-segment top-k is lossless.
+
+Scores: per-term float32 (bit-identical BM25), accumulated in float64 —
+exact for any realistic clause count, so rank order is identical to the
+exhaustive oracle path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+WINDOW = 4096  # MaxScoreBulkScorer.INNER_WINDOW_SIZE (:28)
+
+
+def _decode_block(term_state, bi):
+    """Decode + score block ``bi`` of a term, memoized."""
+    cached = term_state["cache"].get(bi)
+    if cached is not None:
+        return cached
+    from ..codecs.docblocks import decode_doc_block
+    from ..codecs.pfor import pfor_decode
+
+    docs = decode_doc_block(
+        term_state["enc"][bi],
+        term_state["dpay"][bi] or b"",
+        int(term_state["first"][bi]),
+        int(term_state["num"][bi]),
+    )
+    freqs = pfor_decode(term_state["fpay"][bi], int(term_state["num"][bi]))
+    norms = np.frombuffer(term_state["npay"][bi], dtype=np.uint8)
+    scorer = term_state["scorer"]
+    scores = scorer.score(freqs, norms).astype(np.float64)
+    out = (docs, scores)
+    term_state["cache"][bi] = out
+    return out
+
+
+def maxscore_kernel(scorers: dict, must_terms: list[str], k: int, boost: float = 1.0):
+    """Build the applyInPandas kernel: (key, pdf of postings blocks) ->
+    pdf(seg, doc, score) with at most k rows."""
+    must_set = set(must_terms)
+
+    def kernel(key, pdf):
+        seg = key[0]
+        states = {}
+        for term, g in pdf.groupby("term", sort=False):
+            g = g.sort_values("block_id")
+            sc = scorers[term]
+            bmax = np.array(
+                [
+                    float(sc.score(np.asarray(imf), np.asarray(imn)).max()) if len(imf) else 0.0
+                    for imf, imn in zip(g["imp_freqs"], g["imp_norms"])
+                ],
+                dtype=np.float64,
+            )
+            states[term] = {
+                "first": g["first_doc"].to_numpy(np.int64),
+                "last": g["last_doc"].to_numpy(np.int64),
+                "num": g["num_docs"].to_numpy(np.int64),
+                "enc": g["enc"].to_numpy(np.int64),
+                "dpay": [bytes(x) if x is not None else b"" for x in g["doc_payload"]],
+                "fpay": [bytes(x) for x in g["freq_payload"]],
+                "npay": [bytes(x) for x in g["norm_payload"]],
+                "bmax": bmax,
+                "scorer": sc,
+                "ptr": 0,
+                "cache": {},
+            }
+        empty = pd.DataFrame({"seg": pd.Series([], dtype=object),
+                              "doc": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float64)})
+        if must_set and any(t not in states for t in must_set):
+            return empty
+        if not states:
+            return empty
+
+        max_last = max(int(s["last"][-1]) for s in states.values())
+        top_scores = np.empty(0, dtype=np.float64)
+        top_docs = np.empty(0, dtype=np.int64)
+        theta = -np.inf  # k-th best so far; ties always lose (doc order)
+
+        term_list = list(states)
+        for wstart in range(0, max_last + 1, WINDOW):
+            wend = wstart + WINDOW - 1
+            # per-term overlapping block range + window upper bound
+            infos = []
+            ub_sum = 0.0
+            for t in term_list:
+                st = states[t]
+                first, last, bmax = st["first"], st["last"], st["bmax"]
+                n = len(first)
+                i = st["ptr"]
+                while i < n and last[i] < wstart:
+                    i += 1
+                st["ptr"] = i
+                j = i
+                ub = 0.0
+                while j < n and first[j] <= wend:
+                    if bmax[j] > ub:
+                        ub = bmax[j]
+                    j += 1
+                if j > i:
+                    infos.append([t, i, j, ub])
+                    ub_sum += ub
+                elif t in must_set:
+                    ub_sum = -np.inf  # a MUST term has no docs here
+                    break
+            if not infos or ub_sum <= theta:
+                continue  # skip the whole window (block-max skip)
+
+            full = len(top_scores) >= k
+            # essential split: cheapest-bound lists become non-essential while
+            # their cumulative bound stays <= theta (MaxScoreBulkScorer.java:31-44)
+            infos.sort(key=lambda x: x[3])
+            non_essential = []
+            cum = 0.0
+            if full:
+                for rec in infos:
+                    t = rec[0]
+                    if t in must_set:
+                        continue
+                    if cum + rec[3] <= theta:
+                        cum += rec[3]
+                        non_essential.append(rec)
+                    else:
+                        break
+            ne_names = {rec[0] for rec in non_essential}
+            essential = [rec for rec in infos if rec[0] not in ne_names]
+
+            acc = np.zeros(WINDOW, dtype=np.float64)
+            seen = np.zeros(WINDOW, dtype=bool)
+            must_hits = np.zeros(WINDOW, dtype=np.int32) if must_set else None
+            for t, i, j, _ub in essential:
+                st = states[t]
+                for bi in range(i, j):
+                    docs, scores = _decode_block(st, bi)
+                    lo = np.searchsorted(docs, wstart)
+                    hi = np.searchsorted(docs, wend, side="right")
+                    if lo == hi:
+                        continue
+                    idx = docs[lo:hi] - wstart
+                    acc[idx] += scores[lo:hi]
+                    seen[idx] = True
+                    if must_hits is not None and t in must_set:
+                        must_hits[idx] += 1
+
+            cand = np.nonzero(seen)[0]
+            if must_set:
+                cand = cand[must_hits[cand] == len(must_set)]
+            if len(cand) == 0:
+                continue
+            cscores = acc[cand]
+            remaining = sum(rec[3] for rec in non_essential)
+            if full:
+                keep = cscores + remaining > theta
+                cand, cscores = cand[keep], cscores[keep]
+            # probe non-essential lists for surviving candidates, richest first
+            for rec in sorted(non_essential, key=lambda x: -x[3]):
+                if len(cand) == 0:
+                    break
+                t, i, j, ub = rec
+                st = states[t]
+                docs_parts, score_parts = [], []
+                for bi in range(i, j):
+                    d, s = _decode_block(st, bi)
+                    docs_parts.append(d)
+                    score_parts.append(s)
+                tdocs = np.concatenate(docs_parts)
+                tscores = np.concatenate(score_parts)
+                gdocs = cand + wstart
+                pos = np.searchsorted(tdocs, gdocs)
+                pos = np.clip(pos, 0, len(tdocs) - 1)
+                hit = tdocs[pos] == gdocs
+                cscores = cscores + np.where(hit, tscores[pos], 0.0)
+                remaining -= ub
+                if full:
+                    keep = cscores + remaining > theta
+                    cand, cscores = cand[keep], cscores[keep]
+            if len(cand) == 0:
+                continue
+            # merge into the bounded top-k (vectorized heap replacement);
+            # stable preference for smaller doc on ties via lexsort keys
+            new_docs = np.concatenate((top_docs, cand + wstart))
+            new_scores = np.concatenate((top_scores, cscores))
+            order = np.lexsort((new_docs, -new_scores))[:k]
+            top_docs, top_scores = new_docs[order], new_scores[order]
+            if len(top_scores) >= k:
+                theta = top_scores[-1]  # worst retained score = floor
+
+        if boost != 1.0:
+            top_scores = top_scores * boost
+        return pd.DataFrame({"seg": seg, "doc": top_docs, "score": top_scores})
+
+    return kernel

@@ -1,0 +1,57 @@
+import os
+import shutil
+
+import pytest
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from lucene_spark.session import get_spark
+
+    s = get_spark(app_name="lucene_spark_tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def index_root(spark, tmp_path_factory):
+    """A built index over the sf0.001 pages table, shared by the session."""
+    from lucene_spark.index import build_index
+    from lucene_spark.pages import pages_from_documents
+
+    root = str(tmp_path_factory.mktemp("idx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(
+        spark,
+        pages,
+        root,
+        num_segments=3,
+        num_buckets=4,
+        stored_cols=("lang", "text"),
+    )
+    return root
+
+
+@pytest.fixture(scope="session")
+def reader(spark, index_root):
+    from lucene_spark.index import IndexReader
+
+    return IndexReader(spark, index_root)
+
+
+@pytest.fixture(scope="session")
+def corpus(spark):
+    """The raw corpus as (url, text) pandas frame, url-sorted — oracle input."""
+    from lucene_spark.pages import pages_from_documents
+
+    pdf = (
+        pages_from_documents(spark, TESTDATA)
+        .select("url", "text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    return pdf

@@ -1,0 +1,150 @@
+"""Brute-force scoring oracle in pure pandas/numpy (no Spark) — the
+CheckHits analogue (reference: lucene/test-framework/.../search/CheckHits.java):
+every engine path is validated against exhaustive scoring of the whole
+corpus with the same float32 BM25 and the same analysis chain."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.functions.bm25 import make_scorer
+from lucene_spark.functions.smallfloat import int_to_byte4_np
+from lucene_spark.search import query as Q
+
+
+class BruteForceIndex:
+    def __init__(self, corpus_pdf, analyzer="standard"):
+        an = analyzer_for(analyzer)
+        self.urls = corpus_pdf["url"].tolist()
+        self.texts = corpus_pdf["text"].tolist()
+        self.tfs: list[Counter] = []
+        lengths = []
+        for text in corpus_pdf["text"]:
+            toks = an.terms(text if isinstance(text, str) else "")
+            self.tfs.append(Counter(toks))
+            lengths.append(len(toks))
+        self.lengths = np.array(lengths, dtype=np.int64)
+        self.norms = int_to_byte4_np(self.lengths)
+        self.doc_count = int((self.lengths > 0).sum())
+        self.sum_ttf = int(self.lengths.sum())
+        self.df: Counter = Counter()
+        for tf in self.tfs:
+            self.df.update(tf.keys())
+        self.n = len(self.urls)
+
+    def term_scores(self, term: str, boost: float = 1.0) -> np.ndarray:
+        """float32 BM25 score per doc (0 where absent)."""
+        out = np.zeros(self.n, dtype=np.float64)
+        if term not in self.df:
+            return out
+        scorer = make_scorer([self.df[term]], self.doc_count, self.sum_ttf, boost=boost)
+        freqs = np.array([tf.get(term, 0) for tf in self.tfs], dtype=np.int64)
+        mask = freqs > 0
+        out[mask] = scorer.score(freqs[mask], self.norms[mask]).astype(np.float64)
+        return out
+
+    def term_mask(self, term: str) -> np.ndarray:
+        return np.array([tf.get(term, 0) > 0 for tf in self.tfs], dtype=bool)
+
+    def eval(self, q: Q.Query) -> tuple[np.ndarray, np.ndarray]:
+        """(match_mask, scores) for a query AST (already rewritten —
+        multi-term queries must have been expanded)."""
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return np.zeros(self.n, bool), np.zeros(self.n)
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return np.ones(self.n, bool), np.full(self.n, float(q.boost))
+        if isinstance(q, Q.TermQuery):
+            s = self.term_scores(q.term, q.boost)
+            return self.term_mask(q.term), s
+        if isinstance(q, Q.ConstantScoreQuery):
+            m, _ = self.eval(q.query)
+            return m, np.where(m, float(q.boost), 0.0)
+        if isinstance(q, Q.SynonymQuery):
+            present = [t for t in q.terms if t in self.df]
+            if not present:
+                return np.zeros(self.n, bool), np.zeros(self.n)
+            max_df = max(self.df[t] for t in present)
+            scorer = make_scorer([max_df], self.doc_count, self.sum_ttf, boost=q.boost)
+            freqs = np.zeros(self.n, dtype=np.int64)
+            for t in present:
+                freqs += np.array([tf.get(t, 0) for tf in self.tfs], dtype=np.int64)
+            mask = freqs > 0
+            out = np.zeros(self.n)
+            out[mask] = scorer.score(freqs[mask], self.norms[mask]).astype(np.float64)
+            return mask, out
+        if isinstance(q, Q.DisjunctionMaxQuery):
+            masks, scores = zip(*(self.eval(d) for d in q.disjuncts))
+            mask = np.logical_or.reduce(masks)
+            stack = np.stack(scores)
+            mx = stack.max(axis=0)
+            sm = stack.sum(axis=0)
+            return mask, np.where(mask, (mx + q.tie_breaker * (sm - mx)) * q.boost, 0.0)
+        if isinstance(q, Q.BooleanQuery):
+            return self._eval_bool(q)
+        if isinstance(q, Q.PhraseQuery):
+            return self._eval_phrase(q)
+        raise NotImplementedError(type(q).__name__)
+
+    def _eval_phrase(self, q: Q.PhraseQuery):
+        from lucene_spark.search.phrase import _phrase_freq_exact, _phrase_freq_sloppy
+
+        an = analyzer_for("standard")
+        if any(t not in self.df for t in q.terms):
+            return np.zeros(self.n, bool), np.zeros(self.n)
+        scorer = make_scorer(
+            [self.df[t] for t in q.terms], self.doc_count, self.sum_ttf, boost=q.boost
+        )
+        mask = np.zeros(self.n, bool)
+        out = np.zeros(self.n)
+        for i, text in enumerate(self.texts):
+            toks = an.tokens(text if isinstance(text, str) else "")
+            plists = {t: [] for t in set(q.terms)}
+            for tok in toks:
+                if tok.term in plists:
+                    plists[tok.term].append(tok.position)
+            lists = [plists[t] for t in q.terms]
+            if any(not p for p in lists):
+                continue
+            freq = (
+                _phrase_freq_exact(lists) if q.slop == 0 else _phrase_freq_sloppy(lists, q.slop)
+            )
+            if freq > 0:
+                mask[i] = True
+                out[i] = float(scorer.score(np.array([freq]), np.array([self.norms[i]]))[0])
+        return mask, out
+
+    def _eval_bool(self, q: Q.BooleanQuery):
+        must = [c.query for c in q.clauses if c.occur == Q.MUST]
+        should = [c.query for c in q.clauses if c.occur == Q.SHOULD]
+        filters = [c.query for c in q.clauses if c.occur == Q.FILTER]
+        must_not = [c.query for c in q.clauses if c.occur == Q.MUST_NOT]
+        mask = np.ones(self.n, bool)
+        score = np.zeros(self.n)
+        for sub in must:
+            m, s = self.eval(sub)
+            mask &= m
+            score += s
+        should_hits = np.zeros(self.n, dtype=np.int64)
+        for sub in should:
+            m, s = self.eval(sub)
+            should_hits += m
+            score += np.where(m, s, 0.0)
+        msm = max(q.minimum_should_match, 0 if must else 1) if should else 0
+        if msm:
+            mask &= should_hits >= msm
+        for sub in filters:
+            m, _ = self.eval(sub)
+            mask &= m
+        for sub in must_not:
+            m, _ = self.eval(sub)
+            mask &= ~m
+        return mask, np.where(mask, score * q.boost, 0.0)
+
+    def topk(self, q: Q.Query, k: int) -> list[tuple[str, float]]:
+        mask, scores = self.eval(q)
+        idx = np.nonzero(mask)[0]
+        order = sorted(idx, key=lambda i: (-scores[i], i))[:k]
+        return [(self.urls[i], float(scores[i])) for i in order]

@@ -1,0 +1,139 @@
+"""End-to-end rank parity: engine paths vs the brute-force oracle
+(CheckHits-style), over the sf0.001 corpus."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+from oracle import BruteForceIndex
+
+K = 10
+
+QUERIES = [
+    "table",
+    "scan",
+    "the",  # head term
+    "nosuchterm",
+    "table AND scan",
+    "merge OR window OR spark",
+    "table scan merge",  # default OR
+    "+table -scan",
+    "+table +scan -merge",
+    "table AND (scan OR merge)",
+    '"table scan"',
+    '"key order"',
+    "tab*",
+    "sc?n",
+    "table~1",
+    "[table TO window]",
+    "table^2 OR scan",
+    "the AND table",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+def _engine_topk(searcher, q, k, mode):
+    rows = searcher.search(q, k=k, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(r["score"])) for r in rows]
+
+
+def _assert_rank_identical(got, want):
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        # engine sums float32 term scores in double — compare at float32
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (gu, gs, ws)
+
+
+@pytest.mark.parametrize("qs", QUERIES)
+def test_exhaustive_matches_oracle(searcher, reader, oracle, qs):
+    q = Q.rewrite(parse(qs), reader)
+    want = oracle.topk(q, K)
+    got = _engine_topk(searcher, q, K, "exhaustive")
+    _assert_rank_identical(got, want)
+
+
+@pytest.mark.parametrize(
+    "qs",
+    ["table", "the", "merge OR window OR spark", "table scan merge", "table^2 OR scan",
+     "table AND scan", "the AND table"],
+)
+def test_maxscore_matches_oracle(searcher, reader, oracle, qs):
+    q = Q.rewrite(parse(qs), reader)
+    want = oracle.topk(q, K)
+    got = _engine_topk(searcher, q, K, "maxscore")
+    _assert_rank_identical(got, want)
+
+
+def test_maxscore_deep_k(searcher, reader, oracle):
+    q = Q.rewrite(parse("the OR a OR table"), reader)
+    want = oracle.topk(q, 100)
+    got = _engine_topk(searcher, q, 100, "maxscore")
+    _assert_rank_identical(got, want)
+
+
+def test_count_shortcuts(searcher, reader, oracle):
+    q = Q.TermQuery("text", "table")
+    mask, _ = oracle.eval(q)
+    assert searcher.count(q) == int(mask.sum())
+    assert searcher.count(Q.MatchAllDocsQuery()) == oracle.n
+    bq = Q.rewrite(parse("table AND scan"), reader)
+    mask2, _ = oracle.eval(bq)
+    assert searcher.count(bq) == int(mask2.sum())
+
+
+def test_synonym_query(searcher, reader, oracle):
+    q = Q.SynonymQuery("text", ("table", "scan"))
+    want = oracle.topk(q, K)
+    got = _engine_topk(searcher, q, K, "exhaustive")
+    _assert_rank_identical(got, want)
+
+
+def test_dismax_query(searcher, reader, oracle):
+    q = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("text", "table"), Q.TermQuery("text", "scan")), tie_breaker=0.3
+    )
+    want = oracle.topk(q, K)
+    got = _engine_topk(searcher, q, K, "exhaustive")
+    _assert_rank_identical(got, want)
+
+
+def test_phrase_scores_match_freq_oracle(searcher, reader, corpus):
+    """Phrase freq oracle: count adjacent pairs in the raw token stream."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+    from lucene_spark.functions.bm25 import make_scorer
+    from lucene_spark.functions.smallfloat import int_to_byte4_np
+
+    an = analyzer_for("standard")
+    t1, t2 = "table", "scan"
+    freqs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text)
+        lengths.append(len(toks))
+        freqs.append(sum(1 for i in range(len(toks) - 1) if toks[i] == t1 and toks[i + 1] == t2))
+    freqs = np.array(freqs)
+    lengths = np.array(lengths)
+    df1 = sum(1 for text in corpus["text"] if t1 in an.terms(text))
+    df2 = sum(1 for text in corpus["text"] if t2 in an.terms(text))
+    doc_count = int((lengths > 0).sum())
+    scorer = make_scorer([df1, df2], doc_count, int(lengths.sum()))
+    norms = int_to_byte4_np(lengths)
+    mask = freqs > 0
+    scores = np.zeros(len(freqs))
+    scores[mask] = scorer.score(freqs[mask], norms[mask])
+    order = sorted(np.nonzero(mask)[0], key=lambda i: (-scores[i], i))[:K]
+    want = [(corpus["url"][i], float(np.float32(scores[i]))) for i in order]
+
+    q = Q.PhraseQuery("text", (t1, t2))
+    got = _engine_topk(searcher, q, K, "exhaustive")
+    _assert_rank_identical(got, want)
