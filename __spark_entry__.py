@@ -118,7 +118,223 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_range"] = _q("[table TO tap]", mode="exhaustive")
     q["hit_count_term"] = _count_q("table")
     q["hit_count_bool"] = _count_q("table AND scan")
+    # -- training-data pipeline operators (dedup / similarity / text / mm) --
+    q["dedup_exact"] = _pq_dedup_exact
+    q["dedup_minhash_lsh"] = _pq_dedup_minhash
+    q["dedup_simhash"] = _pq_dedup_simhash  # no SQL oracle (custom 64-bit hash)
+    q["embed_near_dup"] = _pq_embed_near_dup
+    q["ann_brute_topk"] = _pq_ann_brute
+    q["ann_ivf_topk"] = _pq_ann_ivf  # approximate — no SQL oracle
+    q["lang_id_counts"] = _pq_lang_id
+    q["quality_scores"] = _pq_quality
+    q["token_counts"] = _pq_token_counts
+    q["fingerprint_md5"] = _pq_fingerprint
+    q["mm_media_meta"] = _pq_mm_meta
+    q["mm_frame_counts"] = _pq_mm_frames
+    q["mm_decode_features"] = _pq_mm_features  # stub decode — no SQL oracle
+    # -- facets / grouping / monitor (SURVEY §2e, §2i) --
+    q["facet_lang_counts"] = _pq_facet_lang
+    q["facet_range_length"] = _pq_facet_range
+    q["group_top_hits"] = _pq_group_top
+    q["distinct_langs"] = _pq_distinct_langs
+    q["monitor_matches"] = _pq_monitor
     return q
+
+
+def _pq_facet_lang(spark, sf_dir):
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import facet_counts
+
+    s = _searcher(spark, sf_dir)
+    return facet_counts(s, parse("table"), "lang")
+
+
+def _pq_facet_range(spark, sf_dir):
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import range_facet_counts
+
+    s = _searcher(spark, sf_dir)
+    return range_facet_counts(
+        s,
+        parse("the"),
+        "length",
+        [("short", 0, 30), ("mid", 30, 60), ("long", 60, 200)],
+    )
+
+
+def _pq_group_top(spark, sf_dir):
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import grouped_top_hits
+
+    s = _searcher(spark, sf_dir)
+    out = grouped_top_hits(s, parse("table"), "lang", k_per_group=2)
+    return out.select(
+        "lang",
+        doc_id_for_url_col().alias("doc_id"),
+        F.round("score", 4).alias("score_r"),
+        "rank_in_group",
+    )
+
+
+def _pq_distinct_langs(spark, sf_dir):
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import distinct_count
+
+    s = _searcher(spark, sf_dir)
+    n = distinct_count(s, parse("table"), "lang")
+    return spark.createDataFrame([(int(n),)], "n_langs long")
+
+
+def _pq_monitor(spark, sf_dir):
+    from lucene_spark.pages import pages_from_documents
+    from lucene_spark.streaming import monitor_stream
+
+    pages = pages_from_documents(spark, sf_dir)
+    matches = monitor_stream(
+        spark,
+        pages,
+        {"q1": ["table", "scan"], "q2": ["merge"]},
+    )
+    return matches.groupBy("query_id").agg(F.count("*").alias("n"))
+
+
+# -- pipeline query impls ----------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pq_dedup_exact(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return exact_dedup(both, ["text"], "doc_id").select("rep_id", "dup_count")
+
+
+def _pq_dedup_minhash(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_perm=128, rows_per_band=2, threshold=0.7
+    )
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def _pq_dedup_simhash(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+def _pq_embed_near_dup(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import embedding_near_dup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup(e, "embedding", "vec_id", threshold=0.45, exact=True)
+    return pairs.select("a", "b", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _query_vectors(spark, sf_dir, n=3):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(n)
+        .collect()
+    )
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def _pq_ann_brute(spark, sf_dir):
+    from lucene_spark.pipeline.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = brute_force_topk(e, _query_vectors(spark, sf_dir), k=10)
+    return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _pq_ann_ivf(spark, sf_dir):
+    from lucene_spark.pipeline.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = ivf_topk(e, _query_vectors(spark, sf_dir), k=10, nlist=8, nprobe=4)
+    return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _pq_lang_id(spark, sf_dir):
+    from lucene_spark.pipeline.textstats import language_id
+
+    out = language_id(_docs(spark, sf_dir), "text")
+    return out.groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+def _pq_quality(spark, sf_dir):
+    from lucene_spark.pipeline.textstats import quality_score
+
+    out = quality_score(_docs(spark, sf_dir), "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("stopword_ratio", 4).alias("stopword_ratio_r"),
+        F.round("uniq_ratio", 4).alias("uniq_ratio_r"),
+        "quality",
+    )
+
+
+def _pq_token_counts(spark, sf_dir):
+    from lucene_spark.pipeline.textstats import token_count
+
+    out = token_count(_docs(spark, sf_dir), "text")
+    return out.select("doc_id", "n_tokens", "n_subtokens")
+
+
+def _pq_fingerprint(spark, sf_dir):
+    from lucene_spark.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), "text").select("doc_id", "fp_md5")
+
+
+def _pq_mm_meta(spark, sf_dir):
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.pipeline.multimodal import attach_media_meta
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = attach_media_meta(pages, "html", media_type="image", fmt="html")
+    return out.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("media_meta.width").cast("long").alias("width"),
+        F.col("media_meta.height").cast("long").alias("height"),
+    )
+
+
+def _pq_mm_frames(spark, sf_dir):
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.pipeline.multimodal import frame_sample
+
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "doc_id", doc_id_for_url_col()
+    )
+    frames = frame_sample(pages, "html", "doc_id", every_n_bytes=128, max_frames=8)
+    return frames.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_frames")
+    )
+
+
+def _pq_mm_features(spark, sf_dir):
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.pipeline.multimodal import decode_features
+
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "doc_id", doc_id_for_url_col()
+    )
+    feats = decode_features(pages, "html", "doc_id", fake=True)
+    return feats.select(
+        "id", F.round(F.col("features")[0], 4).alias("f_mean"),
+        F.round(F.col("features")[1], 4).alias("f_std"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -269,5 +485,169 @@ SELECT count(*) AS n_hits FROM (
   SELECT doc_id FROM tok WHERE term IN ('table','scan')
   GROUP BY doc_id HAVING count(DISTINCT term) = 2
 )
+"""
+    o.update(_pipeline_oracles())
+    return o
+
+
+def _lang_markers_sql() -> dict[str, str]:
+    from lucene_spark.pipeline.textstats import LANG_MARKERS, LANG_ORDER
+
+    return {
+        lang: "len(list_filter(string_split(text, ' '), x -> x IN ("
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + ")))"
+        for lang in LANG_ORDER
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from lucene_spark.pipeline.textstats import ENGLISH_STOPWORDS_33
+
+    o: dict[str, str] = {}
+    o["dedup_exact"] = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT min(doc_id) AS rep_id, count(*) AS dup_count FROM unioned GROUP BY text
+"""
+    o["dedup_minhash_lsh"] = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tri AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+  FROM arr, unnest(range(1, len(a) - 1)) AS t(i)
+),
+s AS (SELECT DISTINCT doc_id, sh FROM tri),
+n AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i / (na.cnt + nb.cnt - i), 4) AS jaccard_r
+FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+WHERE i / (na.cnt + nb.cnt - i) >= 0.7
+"""
+    _VEC = (
+        "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings"
+    )
+    o["embed_near_dup"] = f"""
+WITH u AS ({_VEC}),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),
+d AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(dot / (na.nv * nb.nv), 4) AS cosine_r
+FROM d JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+WHERE dot / (na.nv * nb.nv) >= 0.45
+"""
+    o["ann_brute_topk"] = f"""
+WITH u AS ({_VEC}),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3),
+q AS (SELECT vec_id AS qid, i, x FROM u WHERE vec_id IN (SELECT vec_id FROM qids)),
+d AS (SELECT q.qid, u.vec_id AS id, sum(q.x * u.x) AS dot FROM q JOIN u ON u.i = q.i GROUP BY 1, 2),
+cos AS (
+  SELECT qid AS query_id, id, dot / (nq.nv * ni.nv) AS c
+  FROM d JOIN nrm nq ON nq.vec_id = qid JOIN nrm ni ON ni.vec_id = id
+)
+SELECT query_id, id, round(c, 4) AS cosine_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, id ASC) AS rn FROM cos
+) WHERE rn <= 10
+"""
+    m = _lang_markers_sql()
+    greatest = f"greatest({m['en']}, {m['de']}, {m['es']}, {m['fr']})"
+    o["lang_id_counts"] = f"""
+SELECT CASE WHEN {greatest} = 0 THEN 'und'
+            WHEN {m['en']} = {greatest} THEN 'en'
+            WHEN {m['de']} = {greatest} THEN 'de'
+            WHEN {m['es']} = {greatest} THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+    stops = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS_33)
+    o["quality_scores"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS total,
+         len(list_filter(string_split(text, ' '), x -> x IN ({stops}))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(n_stop / CAST(n_words AS DOUBLE), 4) AS stopword_ratio_r,
+       round(n_uniq / CAST(n_words AS DOUBLE), 4) AS uniq_ratio_r,
+       round(least(n_stop / CAST(n_words AS DOUBLE) * 4, 1.0) * 0.3
+             + alpha / CAST(greatest(total, 1) AS DOUBLE) * 0.3
+             + n_uniq / CAST(n_words AS DOUBLE) * 0.4, 4) AS quality
+FROM f
+"""
+    o["token_counts"] = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens
+FROM documents
+"""
+    o["fingerprint_md5"] = r"""
+SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_md5 FROM documents
+"""
+    o["mm_media_meta"] = """
+SELECT doc_id,
+       CAST(length(text) + 62 AS BIGINT) AS n_bytes,
+       CAST((length(text) + 62) % 640 + 16 AS BIGINT) AS width,
+       CAST((length(text) + 62) % 480 + 16 AS BIGINT) AS height
+FROM documents
+"""
+    o["mm_frame_counts"] = """
+SELECT doc_id,
+       CAST(least(8, greatest(1, (length(text) + 62) // 128)) AS BIGINT) AS n_frames
+FROM documents
+"""
+    o["facet_lang_counts"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT d.lang, count(*) AS count FROM documents d JOIN hit USING (doc_id) GROUP BY 1
+"""
+    o["facet_range_length"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'the'),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+SELECT CASE WHEN n >= 0 AND n < 30 THEN 'short'
+            WHEN n >= 30 AND n < 60 THEN 'mid'
+            WHEN n >= 60 AND n < 200 THEN 'long' END AS range_label,
+       count(*) AS count
+FROM hit JOIN lens USING (doc_id)
+WHERE n < 200 GROUP BY 1
+"""
+    o["group_top_hits"] = (
+        _bm25_term_sql([("table", 1.0)], k=10).split("SELECT doc_id, round")[0]
+        + """
+SELECT lang, doc_id, round(score, 4) AS score_r, rn AS rank_in_group FROM (
+  SELECT d.lang, agg.doc_id, agg.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY agg.score DESC, agg.doc_id ASC) AS rn
+  FROM agg JOIN documents d USING (doc_id)
+) WHERE rn <= 2
+"""
+    )
+    o["distinct_langs"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT count(DISTINCT d.lang) AS n_langs FROM documents d JOIN hit USING (doc_id)
+"""
+    o["monitor_matches"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+SELECT query_id, count(*) AS n FROM (
+  SELECT 'q1' AS query_id, doc_id FROM t
+  WHERE list_contains(a, 'table') AND list_contains(a, 'scan')
+  UNION ALL
+  SELECT 'q2', doc_id FROM t WHERE list_contains(a, 'merge')
+) GROUP BY 1
 """
     return o

@@ -1,0 +1,18 @@
+"""lucene_spark: a PySpark-native inverted-index + BM25 search engine with
+the query and data-processing capabilities of Apache Lucene (see SURVEY.md),
+plus web-scale training-data pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing).
+
+Subpackages:
+- analysis:  UAX#29 analysis chain (tokenize / lowercase / stop)
+- codecs:    FOR/PFOR/doc-delta block codecs + competitive impacts
+- functions: SmallFloat norms, float32-exact BM25
+- index:     segment build, snapshot catalog, reader, tiered merge
+- search:    query AST, parser, exhaustive + block-max MAXSCORE search,
+             facets/grouping, top-k merge
+- pipeline:  dedup (exact/minhash/simhash/embedding), ANN similarity,
+             text stats, multimodal columns
+- streaming: NRT micro-batch ingestion + reverse search (monitor)
+"""
+
+__version__ = "0.1.0"

@@ -249,6 +249,10 @@ def build_index(
     src = pages
     if langs:
         src = src.filter(F.col("lang").isin(list(langs)))
+    # column-prune before the range shuffle: the build needs url + text +
+    # stored passthroughs only (html etc. stay behind in the source scan)
+    needed = ["url", text_col] + [c for c in stored_cols if c != text_col]
+    src = src.select(*dict.fromkeys(needed))
 
     stored_fields = [
         T.StructField(fld.name, fld.dataType)
@@ -308,19 +312,9 @@ def build_index(
     postings_path = os.path.join(bdir, "postings")
     blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
 
-    # term_dict = block-0 projection (the stats/lookup table)
-    postings_df = spark.read.parquet(postings_path)
-    term_dict = postings_df.filter(F.col("block_id") == 0).select(
-        "seg",
-        "field",
-        "term",
-        "bucket",
-        "doc_freq",
-        "total_term_freq",
-        F.col("num_docs").alias("block0_docs"),
-    )
-    term_dict_path = os.path.join(bdir, "term_dict")
-    term_dict.write.mode("overwrite").partitionBy("seg").parquet(term_dict_path)
+    # (term_dict is a *view*: postings rows with block_id == 0 — parquet
+    # row-group pruning on (bucket, term, block_id) serves stats lookups
+    # without a second table write.)
 
     # Per-segment stats + lineage manifest, then the atomic catalog commit.
     seg_stats = (

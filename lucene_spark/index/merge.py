@@ -1,0 +1,307 @@
+"""Segment merging: sorted cogroup of posting lists + tiered merge policy.
+
+Reference semantics:
+- merge mechanics: SegmentMerger streams a multi-way merge of the input
+  segments' sorted term iterators, remapping doc IDs by docBase
+  (/root/reference/lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:114-176,
+  codecs/FieldsConsumer.java:72-96).
+- policy: TieredMergePolicy picks candidates from geometric size tiers
+  (index/TieredMergePolicy.java:375-419; defaults segsPerTier=8, floor 16MB,
+  max merged 5GB :77-82) scoring candidates by
+  ``skew * size^0.05`` (lowest wins, :676-742).
+
+Spark re-expression: the input segments' postings blocks are already
+term-sorted; the merge is one shuffle keyed on (bucket) + an in-partition
+sort on (field, term, seg-order, block_id), then a streaming kernel that
+concatenates each term's decoded doc lists with docBase offsets (the lists
+stay sorted because docBases follow segment order), re-blocks, and recomputes
+impacts. The commit is an atomic catalog swap (add merged segment, drop
+inputs) — Lucene's segments_N replace.
+
+One deliberate deviation: only *name-adjacent* segment runs are merged.
+Segment names order by url range, so adjacency keeps the global
+(segment, doc) order equal to global url order — query tie-breaks stay
+deterministic and identical before/after any merge (Lucene ties change with
+docID remaps; ours never do).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..codecs.docblocks import decode_doc_block, encode_doc_block
+from ..codecs.impacts import competitive_impacts
+from ..codecs.pfor import pfor_decode, pfor_encode
+from .builder import BLOCK_SIZE, POSTINGS_FIELDS, POSTINGS_SCHEMA, term_bucket
+from .catalog import Catalog
+from .reader import IndexReader
+
+
+def _merge_blocks_kernel(new_seg: str, seg_order: dict[str, int], doc_bases: dict[str, int], num_buckets: int):
+    """mapInPandas: block rows sorted by (field, term, seg_order, block_id)
+    -> re-blocked rows for the merged segment. Groups can span batches."""
+
+    def encode_term(field, term, docs, freqs, norms, rows):
+        bucket = term_bucket(term, num_buckets)
+        df_count = len(docs)
+        ttf = int(freqs.sum())
+        n_blocks = (df_count + BLOCK_SIZE - 1) // BLOCK_SIZE
+        for bid in range(n_blocks):
+            d = docs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+            f = freqs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+            nm = norms[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+            enc, payload = encode_doc_block(d)
+            imp_f, imp_n = competitive_impacts(f, nm)
+            rows.append(
+                (
+                    field,
+                    term,
+                    int(bid),
+                    int(len(d)),
+                    int(d[0]),
+                    int(d[-1]),
+                    int(enc),
+                    payload,
+                    pfor_encode(f),
+                    nm.astype(np.uint8).tobytes(),
+                    [int(x) for x in imp_f],
+                    [int(x) for x in imp_n],
+                    int(df_count) if bid == 0 else None,
+                    int(ttf) if bid == 0 else None,
+                    new_seg,
+                    int(bucket),
+                )
+            )
+
+    def fn(iterator):
+        pending = None  # (field, term, [docs], [freqs], [norms])
+        cols = [f.name for f in POSTINGS_FIELDS]
+
+        def decode_row(row):
+            docs = decode_doc_block(
+                int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), int(row.num_docs)
+            ) + doc_bases[row.seg]
+            freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs)).astype(np.int64)
+            norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8).astype(np.int64)
+            return docs, freqs, norms
+
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                key = (row.field, row.term)
+                d, f, nm = decode_row(row)
+                if pending is not None and pending[0] == key:
+                    pending[1].append(d)
+                    pending[2].append(f)
+                    pending[3].append(nm)
+                else:
+                    if pending is not None:
+                        encode_term(
+                            pending[0][0],
+                            pending[0][1],
+                            np.concatenate(pending[1]),
+                            np.concatenate(pending[2]),
+                            np.concatenate(pending[3]),
+                            rows,
+                        )
+                    pending = (key, [d], [f], [nm])
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if pending is not None:
+            rows = []
+            encode_term(
+                pending[0][0],
+                pending[0][1],
+                np.concatenate(pending[1]),
+                np.concatenate(pending[2]),
+                np.concatenate(pending[3]),
+                rows,
+            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_root: str,
+    segment_names: list[str],
+    shuffle_partitions: int | None = None,
+) -> int:
+    """Merge the named (name-adjacent) segments into one; atomic commit.
+
+    Returns the new snapshot id. Resumable: if the merge build already
+    completed, only the commit is (re)applied.
+    """
+    cat = Catalog(index_root)
+    reader = IndexReader(spark, index_root)
+    segs = {s["name"]: s for s in reader.segments}
+    names = sorted(segment_names)
+    live_sorted = [s["name"] for s in reader.segments]
+    idxs = [live_sorted.index(n) for n in names]
+    if idxs != list(range(idxs[0], idxs[0] + len(idxs))):
+        raise ValueError(f"segments {names} are not name-adjacent in {live_sorted}")
+
+    t0 = time.time()
+    build_id = "m" + hex(abs(hash(tuple(names))) % 16**8)[2:].zfill(8)
+    new_seg = f"{names[0]}+{len(names)}"  # sorts at the position of its first input
+    bdir = cat.build_dir(build_id)
+    num_buckets = reader.num_buckets
+
+    doc_bases = {}
+    base = 0
+    for n in names:
+        doc_bases[n] = base
+        base += segs[n]["max_doc"]
+    seg_order = {n: i for i, n in enumerate(names)}
+
+    if not cat.build_completed(build_id):
+        # docs: union + docBase remap (url order preserved across adjacency)
+        docs = reader._read("docs").filter(F.col("seg").isin(names))
+        base_map = F.create_map(*[F.lit(x) for p in doc_bases.items() for x in p])
+        merged_docs = docs.withColumn("doc", F.col("doc") + base_map[F.col("seg")]).withColumn(
+            "seg", F.lit(new_seg)
+        )
+        merged_docs.write.mode("overwrite").partitionBy("seg").parquet(
+            os.path.join(bdir, "docs")
+        )
+
+        # postings: one shuffle on bucket, in-partition multi-way merge
+        order_map = F.create_map(*[F.lit(x) for p in seg_order.items() for x in p])
+        blocks = (
+            reader._read("postings")
+            .filter(F.col("seg").isin(names))
+            .withColumn("seg_ord", order_map[F.col("seg")])
+        )
+        nshuffle = shuffle_partitions or max(num_buckets, 8)
+        merged_blocks = (
+            blocks.repartition(nshuffle, "bucket")
+            .sortWithinPartitions("field", "term", "seg_ord", "block_id")
+            .mapInPandas(
+                _merge_blocks_kernel(new_seg, seg_order, doc_bases, num_buckets),
+                POSTINGS_SCHEMA,
+            )
+        )
+        merged_blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(
+            os.path.join(bdir, "postings")
+        )
+
+        cat.write_manifest(
+            build_id,
+            {
+                "build_id": build_id,
+                "merge_of": names,
+                "num_buckets": num_buckets,
+                "num_segments": 1,
+                "analyzer": reader._manifests[reader._builds[0]].get("analyzer", "standard"),
+                "elapsed_sec": time.time() - t0,
+                "partitions": {new_seg: {"docs": base}},
+            },
+        )
+
+    # merged field stats = sums of inputs
+    fields: dict[str, dict[str, int]] = {}
+    for n in names:
+        for fld, fs in segs[n].get("fields", {}).items():
+            agg = fields.setdefault(fld, {"doc_count": 0, "sum_total_term_freq": 0})
+            agg["doc_count"] += fs["doc_count"]
+            agg["sum_total_term_freq"] += fs["sum_total_term_freq"]
+    merged_entry = {
+        "name": new_seg,
+        "build": build_id,
+        "max_doc": base,
+        "fields": fields,
+    }
+    return cat.commit([merged_entry], remove_segments=names, note=f"merge {names}")
+
+
+class TieredMergePolicy:
+    """Driver-side merge selection over the segment catalog.
+
+    Follows TieredMergePolicy's shape with max_doc as the size proxy:
+    allowed segment count from geometric tiers over the floor size; when
+    exceeded, score every adjacent run of ``segs_per_tier`` (or fewer at
+    the tail) by ``skew * size^0.05`` and merge the best (lowest) one.
+    """
+
+    def __init__(self, segs_per_tier: int = 8, floor_docs: int = 1024, max_merged_docs: int = 50_000_000):
+        self.segs_per_tier = segs_per_tier
+        self.floor_docs = floor_docs
+        self.max_merged_docs = max_merged_docs
+
+    def allowed_seg_count(self, sizes: list[int]) -> int:
+        total = sum(sizes)
+        floor = self.floor_docs
+        allowed = 0.0
+        level = max(floor, min(sizes) if sizes else floor)
+        remaining = total
+        while remaining > 0:
+            segs_this_level = remaining / level
+            if segs_this_level < self.segs_per_tier:
+                allowed += max(segs_this_level, 1.0)
+                break
+            allowed += self.segs_per_tier
+            remaining -= self.segs_per_tier * level
+            level *= self.segs_per_tier
+        return max(int(allowed), self.segs_per_tier)
+
+    def find_merge(self, segments: list[dict]) -> list[str] | None:
+        """Segments in name order -> names to merge, or None."""
+        if len(segments) <= 1:
+            return None
+        sizes = [s["max_doc"] for s in segments]
+        if len(segments) <= self.allowed_seg_count(sizes):
+            return None
+        best = None
+        width = min(self.segs_per_tier, len(segments))
+        for i in range(0, len(segments) - width + 1):
+            run = segments[i : i + width]
+            rs = [s["max_doc"] for s in run]
+            total = sum(rs)
+            if total > self.max_merged_docs:
+                continue
+            skew = max(rs) / max(total / len(rs), 1)
+            score = skew * (total ** 0.05)
+            if best is None or score < best[0]:
+                best = (score, [s["name"] for s in run])
+        return best[1] if best else None
+
+
+def maybe_merge(spark: SparkSession, index_root: str, policy: TieredMergePolicy | None = None, max_rounds: int = 10) -> int:
+    """Run merge rounds until the policy is satisfied (ConcurrentMergeScheduler
+    stand-in: merges are sequential driver-launched Spark jobs)."""
+    policy = policy or TieredMergePolicy()
+    rounds = 0
+    snap = Catalog(index_root).load()["current"]
+    while rounds < max_rounds:
+        segments = Catalog(index_root).live_segments()
+        pick = policy.find_merge(segments)
+        if not pick:
+            break
+        snap = merge_segments(spark, index_root, pick)
+        rounds += 1
+    return snap
+
+
+def force_merge(spark: SparkSession, index_root: str, max_segments: int = 1) -> int:
+    """ForceMerge(n): repeatedly merge adjacent runs until <= max_segments."""
+    snap = Catalog(index_root).load()["current"]
+    while True:
+        segments = Catalog(index_root).live_segments()
+        if len(segments) <= max_segments:
+            return snap
+        # merge the smallest adjacent pair-run to shrink count fastest
+        width = min(8, len(segments) - max_segments + 1, len(segments))
+        best = None
+        for i in range(0, len(segments) - width + 1):
+            run = segments[i : i + width]
+            total = sum(s["max_doc"] for s in run)
+            if best is None or total < best[0]:
+                best = (total, [s["name"] for s in run])
+        snap = merge_segments(spark, index_root, best[1])

@@ -36,8 +36,15 @@ class IndexReader:
     # -- raw tables --------------------------------------------------------
 
     def _read(self, table: str) -> DataFrame:
-        paths = [os.path.join(self.root, "builds", b, table) for b in self._builds]
-        df = self.spark.read.parquet(*paths)
+        # one read per build generation (separate parquet roots), unioned by
+        # name — each keeps its own partition discovery for seg/bucket pruning
+        dfs = [
+            self.spark.read.parquet(os.path.join(self.root, "builds", b, table))
+            for b in self._builds
+        ]
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d, allowMissingColumns=True)
         return df.filter(F.col("seg").isin(self.seg_names))
 
     def docs(self, columns: list[str] | None = None) -> DataFrame:
@@ -64,13 +71,10 @@ class IndexReader:
         return df
 
     def term_dict(self, terms: list[str] | None = None, field: str = "text") -> DataFrame:
-        df = self._read("term_dict").filter(F.col("field") == field)
-        if terms is not None:
-            buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
-            df = df.filter(F.col("bucket").isin(buckets)).filter(
-                F.col("term").isin(list(terms))
-            )
-        return df
+        """Term dictionary view: block-0 postings rows (column-pruned scan;
+        no separate table — Lucene's .tim is our parquet row-group index)."""
+        df = self.postings(terms, field).filter(F.col("block_id") == 0)
+        return df.select("seg", "field", "term", "bucket", "doc_freq", "total_term_freq")
 
     # -- statistics (resolved once per query, like TermStates.build) -------
 
@@ -96,8 +100,8 @@ class IndexReader:
         predicate (prefix/wildcard/regexp/range) and collect matching terms
         (MultiTermQuery.java:86-119 rewrite)."""
         rows = (
-            self._read("term_dict")
-            .filter(F.col("field") == field)
+            self._read("postings")
+            .filter((F.col("field") == field) & (F.col("block_id") == 0))
             .filter(pattern_filter)
             .select("term")
             .distinct()

@@ -1,0 +1,286 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All operators are pure DataFrame plans with numpy/Arrow kernels — no per-row
+Python in the hot path. Scale design notes per operator:
+
+- exact_dedup: hash-groupBy on a fingerprint column. One shuffle keyed on the
+  fingerprint; at 100 TB this is the cheapest possible dedup (AQE handles the
+  residual skew of pathological duplicates).
+- minhash_lsh_pairs: shingle -> minhash signature (vectorized) -> band
+  buckets -> self-join per bucket -> exact-Jaccard verification. The only
+  shuffle keys on (band, bucket-hash); candidate verification joins the two
+  docs' shingle sets. Bands/rows trade recall for candidate volume: r=1
+  maximizes recall (used when an exact-threshold answer is wanted at small
+  scale), r>=2 keeps bucket sizes bounded at web scale.
+- simhash_pairs: 64-bit SimHash; near-dup candidates = equal value on at
+  least one of the 4 16-bit bands (covers Hamming distance <= 3 exactly,
+  pigeonhole), verified by true Hamming distance.
+- embedding_near_dup: cosine-similarity pairs over an embedding column via
+  random-hyperplane LSH bucketing + exact verification (brute-force variant
+  for oracle checks).
+
+MinHash permutations use the affine family h_i(x) = (a_i*x + b_i) mod p over
+crc32 shingle hashes with a fixed seed — deterministic across runs/executors.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per duplicate group of ``cols``.
+
+    Returns (rep_id, dup_count) plus the group columns."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int) -> list[str]:
+    w = text.split() if isinstance(text, str) else []
+    if len(w) < k:
+        return [" ".join(w)] if w else []
+    return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) via a vectorized pandas UDF."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _shingles(t, k))
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("shingles"))
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 128, seed: int = 42
+) -> DataFrame:
+    """(id, sig array<long>) — minhash over crc32 shingle hashes."""
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mh(shingle_lists: pd.Series) -> pd.Series:
+        out = []
+        for shingles in shingle_lists:
+            if shingles is None or len(shingles) == 0:
+                out.append([int(_MERSENNE)] * num_perm)
+                continue
+            hv = np.array(
+                [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
+            )
+            # (num_perm, n) affine hashes mod mersenne prime, min over n
+            prods = (np.outer(a, hv) + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(prods.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return shingled.select("id", "shingles", mh(F.col("shingles")).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with exact-verified shingle-k
+    Jaccard >= threshold, found via MinHash-LSH banding.
+
+    Plan shape: shingle+sign (narrow) -> explode bands (num_perm/r rows per
+    doc) -> shuffle on (band, band-signature) -> per-bucket self-join ->
+    distinct candidates -> verify by joining the two shingle sets.
+    """
+    signed = minhash_signatures(shingle_df(df, text_col, id_col, k), num_perm, seed).cache()
+    n_bands = num_perm // rows_per_band
+    bands = signed.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[F.col("sig")[i] for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)])
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    sh = signed.select("id", "shingles")
+    joined = (
+        cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("shingles", "sh_a"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("shingles", "sh_b"), "b")
+    )
+    verified = joined.select(
+        "a",
+        "b",
+        (
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+            / F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+        ).alias("jaccard"),
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over whitespace terms weighted by
+    term frequency; term hash = crc32(term) folded to 64 bits via two crcs."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = t.split() if isinstance(t, str) else []
+            if not words:
+                continue
+            uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+            h1 = np.array([zlib.crc32(w.encode()) for w in uniq], dtype=np.uint64)
+            h2 = np.array([zlib.crc32(w.encode()[::-1]) for w in uniq], dtype=np.uint64)
+            hv = (h1 << np.uint64(32)) | h2
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            sig = np.uint64(0)
+            for bpos in np.nonzero(acc > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming (<= 3 is exact:
+    4 bands of 16 bits, pigeonhole guarantees one equal band)."""
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    exact: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs (a, b, cosine) with cosine >= threshold.
+
+    exact=True: brute-force all-pairs (oracle / small scale).
+    exact=False: random-hyperplane LSH sign-buckets prune candidates first;
+    at high thresholds near-dup vectors share the full sign pattern with
+    overwhelming probability, and verification is exact."""
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if not exact:
+        dim = len(vecs.select("v").first()["v"])
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((num_planes, dim))
+
+        @F.pandas_udf(T.LongType())
+        def bucket(vs: pd.Series) -> pd.Series:
+            m = np.array(vs.tolist(), dtype=np.float64)
+            signs = (m @ planes.T) > 0
+            return pd.Series(
+                (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+            )
+
+        vecs = vecs.withColumn("bucket", bucket(F.col("v")))
+        cond = (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id"))
+    else:
+        cond = F.col("x.id") < F.col("y.id")
+    pairs = vecs.alias("x").join(vecs.alias("y"), cond)
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda p, q: p * q),
+        F.lit(0.0).cast("double"),
+        lambda acc, z: acc + z,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda p: p * p),
+            F.lit(0.0).cast("double"),
+            lambda acc, z: acc + z,
+        )
+    )
+    return (
+        pairs.select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            (dot / (norm("x") * norm("y"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

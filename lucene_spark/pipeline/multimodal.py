@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched ``mapInPandas`` kernels so each batch crosses the JVM->
+Python boundary once. The actual codec decode is STUBBED (no image/audio
+libraries in this environment): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decode (bytes -> pseudo-pixel statistics) exercises the full Spark
+plumbing — schema, batching, partitioning — with real data flow.
+
+Scale notes: payload columns dominate I/O, so every operator projects the
+binary column as late as possible and the feature outputs are narrow
+numeric columns; at 100 TB the decode stage is a pure narrow map (no
+shuffle) whose parallelism is the input partition count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, bin_col: str, media_type: str = "image", fmt: str = "raw") -> DataFrame:
+    """Derive the typed metadata struct for an opaque binary column."""
+    n = F.octet_length(F.col(bin_col))
+    # deterministic pseudo dims from payload size (real decoders replace this)
+    w = (n % 640 + 16).cast("int")
+    h = (n % 480 + 16).cast("int")
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            w.alias("width"),
+            h.alias("height"),
+            n.cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_pixels(payload: bytes, n: int = 64) -> np.ndarray:
+    """Deterministic fake decode: sha256-seeded pseudo-pixels from payload."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.RandomState(seed % (2**32))
+    return rng.randint(0, 256, size=n).astype(np.float64)
+
+
+def decode_features(
+    df: DataFrame, bin_col: str, id_col: str, fake: bool = True, n_features: int = 8
+) -> DataFrame:
+    """binary -> feature vector (mean/std/quantiles of decoded pixels).
+
+    fake=False requires a real image decoder (PIL/opencv) — not available
+    here; the Spark-side contract (schema, Arrow batching) is identical.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode needs PIL/opencv; run with fake=True for the "
+            "deterministic stub decode"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            feats = []
+            for payload in pdf[bin_col]:
+                px = _fake_pixels(bytes(payload))
+                qs = np.quantile(px, [0.25, 0.5, 0.75])
+                feats.append(
+                    [
+                        float(px.mean()),
+                        float(px.std()),
+                        float(px.min()),
+                        float(px.max()),
+                        float(qs[0]),
+                        float(qs[1]),
+                        float(qs[2]),
+                        float(len(px)),
+                    ][:n_features]
+                )
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(np.int64), "features": feats})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def frame_sample(
+    df: DataFrame, bin_col: str, id_col: str, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Video-style frame sampling stand-in: slice the payload every N bytes
+    into up to max_frames 'frames' (id, frame_no, frame binary)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            ids, nos, frames = [], [], []
+            for id_, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                for fi in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(int(id_))
+                    nos.append(fi)
+                    frames.append(b[fi * every_n_bytes : (fi + 1) * every_n_bytes])
+            yield pd.DataFrame({"id": ids, "frame_no": pd.array(nos, dtype="int32"), "frame": frames})
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(kernel, out_schema)

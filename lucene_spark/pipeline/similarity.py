@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k per query vector. The query set
+  is broadcast; per input partition a single numpy matmul scores all
+  (vector, query) pairs, partial top-k per partition, global
+  ``Window.row_number <= k`` finish. One narrow map + one small shuffle —
+  the exact-search baseline and oracle.
+- ``ivf_topk``: IVF (inverted-file) approximate variant: deterministic
+  k-means (fixed seed, fixed iteration count) partitions vectors into
+  nlist cells; queries probe the nprobe nearest centroids only. At 100 TB
+  the cell assignment is the partition key (partition pruning on the cell
+  column replaces scanning the full corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, id, cosine)."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+
+    def score(iterator):
+        for pdf in iterator:
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = m @ qm.T  # (n, q)
+            # partition-local top-k per query bounds shuffle to k rows/query
+            kk = min(k, len(ids))
+            outs = []
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "id": ids[idx], "cosine": col[idx]}
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 42,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a fixed-seed sample (driver-side —
+    centroids are a small model, the heavy assignment stays distributed)."""
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    @F.pandas_udf(T.IntegerType())
+    def cell(vs: pd.Series) -> pd.Series:
+        m = _normalize(np.array(vs.tolist(), dtype=np.float64))
+        return pd.Series((m @ centroids.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the nprobe nearest cells per query."""
+    cent = kmeans_centroids(df, nlist, vec_col)
+    celled = assign_cells(df, cent, vec_col)
+    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    wanted_cells = sorted({int(c) for row in probes for c in row})
+    # partition pruning surrogate: only the probed cells are scanned
+    pruned = celled.filter(F.col("cell").isin(wanted_cells))
+    per_q = []
+    for qi, (qid, _) in enumerate(queries):
+        cells = [int(c) for c in probes[qi]]
+        sub = pruned.filter(F.col("cell").isin(cells))
+        per_q.append(
+            brute_force_topk(sub, [queries[qi]], k=k, vec_col=vec_col, id_col=id_col)
+        )
+    out = per_q[0]
+    for p in per_q[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,123 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure JVM-side column expressions (whole-stage
+codegen) except the rolling-hash fingerprint, which is a vectorized pandas
+UDF — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# small marker lexicons for the n-gram/stopword language heuristic;
+# deterministic and mirrored in SQL oracles
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans"],
+    "es": ["el", "los", "las", "es", "no", "una", "por", "con"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie order
+
+ENGLISH_STOPWORDS_33 = (
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with"
+).split()
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count (runs of
+    letters / digits / single punctuation — the usual pretokenizer regex)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    subword = F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+    )
+    return df.withColumn(
+        "n_tokens", F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(ws)
+    ).withColumn("n_subtokens", subword)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    mean word length, stopword ratio, alpha ratio, repetition ratio."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS_33])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    total = F.length(F.col(text_col))
+    out = (
+        df.withColumn("n_words", n)
+        .withColumn("mean_word_len", (total - (n - 1)) / n)
+        .withColumn("stopword_ratio", n_stop / n)
+        .withColumn("alpha_ratio", alpha / F.greatest(total, F.lit(1)))
+        .withColumn("uniq_ratio", n_uniq / n)
+    )
+    score = (
+        F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.3
+        + F.col("uniq_ratio") * 0.4
+    )
+    return out.withColumn("quality", F.round(score, 4))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: argmax of per-language marker hit
+    counts, ties broken by LANG_ORDER; 'und' (undetermined) when no marker
+    hits. Pure column algebra -> SQL-mirrorable."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = []
+    for lang in LANG_ORDER:
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        counts.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(f"c_{lang}")
+        )
+    tmp = df.withColumns({f"c_{lang}": c for lang, c in zip(LANG_ORDER, counts)})
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return tmp.withColumn("lang_pred", pred).drop(*[f"c_{lang}" for lang in LANG_ORDER])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two fingerprints per document:
+    - ``fp_md5``: md5 of the whitespace-normalized text (exact-dup key,
+      portable across engines — the SQL-oracle-checkable one)
+    - ``fp_winnow``: min rolling polynomial hash over 8-token windows
+      (winnowing-style near-dup key), vectorized numpy."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    out = df.withColumn("fp_md5", F.md5(norm))
+
+    W = 8
+    MOD = np.uint64((1 << 61) - 1)
+    BASE = np.uint64(1_000_003)
+
+    @F.pandas_udf(T.LongType())
+    def winnow(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        res = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = t.split() if isinstance(t, str) else []
+            if not words:
+                continue
+            hv = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+            if len(hv) <= W:
+                acc = np.uint64(0)
+                for h in hv:
+                    acc = (acc * BASE + h) % MOD
+                res[i] = np.int64(acc)
+                continue
+            n_win = len(hv) - W + 1
+            acc = np.zeros(n_win, dtype=np.uint64)
+            for j in range(W):  # W tiny constant; vectorized across windows
+                acc = (acc * BASE + hv[j : j + n_win]) % MOD
+            res[i] = np.int64(acc.min())
+        return pd.Series(res)
+
+    return out.withColumn("fp_winnow", winnow(F.col(text_col)))

@@ -1,0 +1,97 @@
+"""Facets / grouping / collector aggregations over search hits.
+
+Lucene analogues (reference: /root/reference/lucene/facet/,
+/root/reference/lucene/grouping/):
+- ``FacetsCollector`` gathers matching docs, then counts per label
+  -> here: the matching-doc DataFrame joined to the docs table's stored
+  columns, then a Catalyst hash aggregate. Counts run over ALL matches
+  (not just top-k), exactly like facet collection.
+- range facets (LongValueFacetCounts / range counting) -> ``width_bucket``-
+  style CASE bucketing.
+- grouping (top hits per group, two-pass FirstPass/SecondPass collectors)
+  -> one ``Window.partitionBy(group).orderBy(score)`` + ``row_number``.
+- DistinctValuesCollector -> countDistinct / approx_count_distinct.
+
+All of these operate on the (seg, doc, score) match frame produced by the
+searcher's exhaustive scorer, so facet+search share one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import query as Q
+from .searcher import IndexSearcher
+
+
+def _matches_with_docs(searcher: IndexSearcher, q: Q.Query, field: str = "text") -> DataFrame:
+    q = Q.rewrite(q, searcher.reader, field)
+    scored = searcher._scored_docs(q, field)
+    if scored is None:
+        docs = searcher.reader.docs()
+        return docs.join(
+            searcher.reader.spark.createDataFrame([], "seg string, doc long, score double"),
+            ["seg", "doc"],
+        )
+    return scored.join(searcher.reader.docs(), ["seg", "doc"])
+
+
+def facet_counts(
+    searcher: IndexSearcher, q: Q.Query, facet_col: str, field: str = "text"
+) -> DataFrame:
+    """Label -> match count over all hits of q (FacetsCollector + counts)."""
+    return (
+        _matches_with_docs(searcher, q, field)
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def range_facet_counts(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    value_col,
+    ranges: list[tuple[str, float, float]],
+    field: str = "text",
+) -> DataFrame:
+    """Counts per [lo, hi) range (LongRangeFacetCounts)."""
+    m = _matches_with_docs(searcher, q, field)
+    label = F.lit(None).cast("string")
+    expr = None
+    for name, lo, hi in ranges:
+        cond = (F.col(value_col) >= lo) & (F.col(value_col) < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    m = m.withColumn("range_label", expr)
+    return (
+        m.filter(F.col("range_label").isNotNull())
+        .groupBy("range_label")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def grouped_top_hits(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    group_col: str,
+    k_per_group: int = 2,
+    field: str = "text",
+) -> DataFrame:
+    """Top-k hits per group by (score desc, url asc) — grouping module's
+    two-pass collector collapsed into one window."""
+    m = _matches_with_docs(searcher, q, field)
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("url"))
+    return (
+        m.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k_per_group)
+        .select(group_col, "url", "score", "rank_in_group")
+    )
+
+
+def distinct_count(
+    searcher: IndexSearcher, q: Q.Query, col: str, approx: bool = False, field: str = "text"
+) -> int:
+    m = _matches_with_docs(searcher, q, field)
+    agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return m.agg(agg.alias("n")).collect()[0]["n"]

@@ -271,23 +271,16 @@ def _expand_multi_term(q: Query, reader) -> list[str]:
 
 
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
-    """Banded Levenshtein: True iff edit distance <= k."""
+    """True iff Levenshtein(a, b) <= k (row-min early exit; terms are short
+    so the full DP row is cheap and correct)."""
     if abs(len(a) - len(b)) > k:
         return False
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        lo, hi = max(1, i - k), min(len(b), i + k)
-        if lo > 1:
-            cur[lo - 1] = k + 1
-        for j in range(lo, hi + 1):
-            cb = b[j - 1]
-            cur[j] = min(
-                prev[j] + 1,
-                cur[j - 1] + 1 if j - 1 >= lo - 1 else k + 1,
-                prev[j - 1] + (ca != cb),
-            )
-        if min(cur[lo : hi + 1]) > k:
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        if min(cur) > k:
             return False
         prev = cur
     return prev[len(b)] <= k

@@ -346,14 +346,12 @@ class IndexSearcher:
 
     def _finalize(self, scored: DataFrame, k: int) -> DataFrame:
         bases = self.reader.doc_bases()
-        spark = self.reader.spark
-        base_df = F.broadcast(
-            spark.createDataFrame(
-                [(s, b) for s, b in bases.items()], "seg string, doc_base long"
-            )
+        # literal seg -> docBase map: no join, stays in whole-stage codegen
+        base_map = F.create_map(
+            *[F.lit(x) for pair in bases.items() for x in pair]
         )
-        with_g = scored.join(base_df, "seg").withColumn(
-            "gdoc", F.col("doc_base") + F.col("doc")
+        with_g = scored.withColumn(
+            "gdoc", base_map[F.col("seg")] + F.col("doc")
         )
         top = with_g.orderBy(F.desc("score"), F.asc("gdoc")).limit(k)
         docs = self.reader.docs()

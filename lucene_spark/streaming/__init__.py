@@ -1,0 +1,3 @@
+from .ingest import monitor_stream, start_index_stream
+
+__all__ = ["monitor_stream", "start_index_stream"]

@@ -1,0 +1,96 @@
+"""Streaming index ingestion (NRT) + reverse search (monitor).
+
+Lucene analogues:
+- NRT segment visibility: ``DirectoryReader.openIfChanged`` picks up freshly
+  flushed segments without a full commit
+  (/root/reference/lucene/core/src/java/org/apache/lucene/index/DirectoryReader.java:241).
+  Spark-first: a Structured Streaming ``foreachBatch`` sink builds one index
+  generation per micro-batch (each batch = one ``build_index`` chunk with its
+  own build_id derived from the batch id) and commits it to the catalog; any
+  new IndexReader sees the new snapshot. Exactly-once: the build_id embeds
+  the batch id, and ``build_index`` skips completed builds, so Structured
+  Streaming's replay-after-failure semantics land on the resume path.
+- Monitor / alerting (reverse search): registered queries matched against
+  each incoming document batch
+  (/root/reference/lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java).
+  Spark-first: the registered query terms are broadcast; each micro-batch is
+  analyzed once and matched against all queries in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import make_terms_udf
+from ..index.builder import build_index
+from ..index.merge import TieredMergePolicy, maybe_merge
+
+
+def start_index_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    *,
+    num_segments_per_batch: int = 4,
+    merge_policy: TieredMergePolicy | None = None,
+    trigger_once: bool = False,
+    **build_kwargs,
+):
+    """Start a streaming query indexing ``stream_df`` (pages schema).
+
+    Each micro-batch becomes one catalog commit; the tiered merge policy
+    runs after each batch (background-merge stand-in)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        build_index(
+            spark,
+            batch_df,
+            index_root,
+            build_id=f"s{batch_id:08d}",
+            num_segments=num_segments_per_batch,
+            **build_kwargs,
+        )
+        if merge_policy is not None:
+            maybe_merge(spark, index_root, merge_policy)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def monitor_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    registered_queries: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "url",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Reverse search: match each incoming doc against registered term
+    queries (query matches when ALL its terms occur in the doc).
+
+    Returns a streaming DataFrame (id, query_id) of matches — attach your
+    own sink. Works identically on a batch DataFrame (used in tests).
+    """
+    terms_udf = make_terms_udf(F, analyzer)
+    analyzed = stream_df.select(
+        F.col(id_col).alias("id"), terms_udf(F.col(text_col)).alias("terms")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, list(terms)) for qid, terms in registered_queries.items()],
+            "query_id string, q_terms array<string>",
+        )
+    )
+    joined = analyzed.crossJoin(qdf)
+    match = F.size(F.array_except(F.col("q_terms"), F.col("terms"))) == 0
+    return joined.filter(match).select("id", "query_id")

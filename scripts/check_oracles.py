@@ -1,0 +1,60 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry and its oracle_sql() side by side at one sf dir, compare sorted
+frames. Usage: python scripts/check_oracles.py [sf_dir] [name ...]"""
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "documents embeddings events lineitem orders customer part supplier nation region"
+).split()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    qs, os_ = e.queries(), e.oracle_sql()
+    fails, no_oracle = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        got = fn(spark, sf).toPandas()
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        if name not in os_:
+            no_oracle.append(name)
+            print(f"{name:22s} (rows-only) rows={len(got)}")
+            continue
+        want = con.execute(os_[name]).df()
+        want = want.sort_values(list(got.columns)).reset_index(drop=True)
+        ok = got.shape == want.shape and list(got.columns) == list(want.columns)
+        if ok:
+            try:
+                pd.testing.assert_frame_equal(
+                    got.astype(want.dtypes.to_dict()), want, rtol=0, atol=1e-9
+                )
+            except AssertionError:
+                ok = False
+        print(f"{name:22s} {'OK' if ok else 'MISMATCH'} rows={len(got)}")
+        if not ok:
+            fails.append(name)
+            print("GOT:\n", got.head(8).to_string())
+            print("WANT:\n", want.head(8).to_string())
+    print("FAILS:", fails, "| rows-only:", no_oracle)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

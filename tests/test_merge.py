@@ -1,0 +1,87 @@
+"""Segment merge: results must be rank-identical before/after any merge,
+and index invariants must hold on the merged segment (CheckIndex analogue)."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import Catalog, IndexReader, build_index
+from lucene_spark.index.merge import TieredMergePolicy, force_merge, maybe_merge
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+
+from conftest import TESTDATA
+
+MQUERIES = ["table", "the", "merge OR window OR spark", "table AND scan", "+table -scan"]
+
+
+@pytest.fixture(scope="module")
+def merged_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("midx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=5, num_buckets=4, stored_cols=("lang", "text"))
+    return root
+
+
+def _topk(spark, root, qs, mode="exhaustive", k=10):
+    s = IndexSearcher(IndexReader(spark, root))
+    rows = s.search(parse(qs), k=k, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_force_merge_rank_identical(spark, merged_root):
+    before = {qs: _topk(spark, merged_root, qs) for qs in MQUERIES}
+    assert len(Catalog(merged_root).live_segments()) == 5
+    force_merge(spark, merged_root, max_segments=1)
+    assert len(Catalog(merged_root).live_segments()) == 1
+    for qs in MQUERIES:
+        assert _topk(spark, merged_root, qs) == before[qs], qs
+        assert _topk(spark, merged_root, qs, mode="maxscore" if "-" not in qs else "exhaustive") == before[qs], qs
+
+
+def test_merged_invariants(spark, merged_root):
+    """CheckIndex-style: term stats consistent with decoded postings."""
+    from lucene_spark.codecs.docblocks import decode_doc_block
+    from lucene_spark.codecs.pfor import pfor_decode
+
+    reader = IndexReader(spark, merged_root)
+    blocks = reader.postings().toPandas()
+    seen = {}
+    for row in blocks.itertuples(index=False):
+        docs = decode_doc_block(row.enc, bytes(row.doc_payload or b""), row.first_doc, row.num_docs)
+        freqs = pfor_decode(bytes(row.freq_payload), row.num_docs)
+        assert (np.diff(docs) > 0).all(), "doc ids must be strictly increasing"
+        assert docs[0] == row.first_doc and docs[-1] == row.last_doc
+        assert (freqs > 0).all()
+        key = (row.seg, row.term)
+        agg = seen.setdefault(key, {"df": 0, "ttf": 0, "stated_df": None, "max_block": -1})
+        agg["df"] += row.num_docs
+        agg["ttf"] += int(freqs.sum())
+        assert row.block_id == agg["max_block"] + 1, "blocks must be contiguous"
+        agg["max_block"] = row.block_id
+        if row.block_id == 0:
+            agg["stated_df"] = (int(row.doc_freq), int(row.total_term_freq))
+    for key, agg in seen.items():
+        assert agg["stated_df"] == (agg["df"], agg["ttf"]), key
+
+    # field stats in catalog match the docs table
+    docs_df = reader.docs(["seg", "doc", "length"])
+    doc_count = docs_df.filter(F.col("length") > 0).count()
+    sum_ttf = docs_df.agg(F.sum("length")).collect()[0][0]
+    assert reader.collection_stats() == (doc_count, int(sum_ttf))
+
+
+def test_tiered_policy_reduces_count(spark, merged_root):
+    # build a fresh 6-segment index and let the policy shrink it
+    root = merged_root + "_tiered"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=6, num_buckets=4, stored_cols=("text",))
+    before = _topk(spark, root, "table")
+    maybe_merge(spark, root, TieredMergePolicy(segs_per_tier=2, floor_docs=10_000))
+    n_after = len(Catalog(root).live_segments())
+    assert n_after < 6
+    assert _topk(spark, root, "table") == before

@@ -1,0 +1,101 @@
+"""Query parser + rewrite unit tests (no Spark)."""
+
+from lucene_spark.search import parse
+from lucene_spark.search import query as Q
+
+
+def t(term, boost=1.0):
+    return Q.TermQuery("text", term, boost)
+
+
+def test_single_term():
+    assert parse("hello") == t("hello")
+
+
+def test_analyzed_lowercase():
+    assert parse("Hello") == t("hello")
+
+
+def test_field_override():
+    assert parse("title:foo") == Q.TermQuery("title", "foo")
+
+
+def test_default_or():
+    q = parse("a b")
+    assert isinstance(q, Q.BooleanQuery)
+    assert [c.occur for c in q.clauses] == [Q.SHOULD, Q.SHOULD]
+
+
+def test_and():
+    q = parse("a AND b")
+    assert [c.occur for c in q.clauses] == [Q.MUST, Q.MUST]
+
+
+def test_plus_minus():
+    q = parse("+a -b c")
+    occ = {c.query.term: c.occur for c in q.clauses}
+    assert occ == {"a": Q.MUST, "b": Q.MUST_NOT, "c": Q.SHOULD}
+
+
+def test_phrase_and_slop():
+    q = parse('"foo bar"~2')
+    assert q == Q.PhraseQuery("text", ("foo", "bar"), 2)
+
+
+def test_single_word_phrase_is_term():
+    assert parse('"foo"') == t("foo")
+
+
+def test_boost():
+    q = parse("foo^2.5")
+    assert q == t("foo", 2.5)
+
+
+def test_prefix_wildcard_fuzzy_range_regex():
+    assert parse("foo*") == Q.PrefixQuery("text", "foo")
+    assert parse("f?o*") == Q.WildcardQuery("text", "f?o*")
+    assert parse("foo~1") == Q.FuzzyQuery("text", "foo", max_edits=1)
+    assert parse("foo~") == Q.FuzzyQuery("text", "foo", max_edits=2)
+    assert parse("[aa TO bb]") == Q.TermRangeQuery("text", "aa", "bb", True, True)
+    assert parse("{aa TO bb}") == Q.TermRangeQuery("text", "aa", "bb", False, False)
+    assert parse("[* TO bb]") == Q.TermRangeQuery("text", None, "bb", True, True)
+    assert parse("/ab+c/") == Q.RegexpQuery("text", "ab+c")
+
+
+def test_grouping_parens():
+    q = parse("a AND (b OR c)")
+    assert q.clauses[0].occur == Q.MUST
+    inner = q.clauses[1].query
+    assert isinstance(inner, Q.BooleanQuery)
+    assert all(c.occur == Q.SHOULD for c in inner.clauses)
+
+
+def test_rewrite_pure_negative_matches_nothing():
+    assert Q.rewrite(parse("-a")) == Q.MatchNoDocsQuery()
+
+
+def test_rewrite_flattens_nested_should():
+    q = Q.BooleanQuery.build(
+        (Q.SHOULD, t("a")),
+        (Q.SHOULD, Q.BooleanQuery.build((Q.SHOULD, t("b")), (Q.SHOULD, t("c")))),
+    )
+    r = Q.rewrite(q)
+    assert {c.query.term for c in r.clauses} == {"a", "b", "c"}
+
+
+def test_rewrite_single_clause_unwrap():
+    assert Q.rewrite(Q.BooleanQuery.build((Q.MUST, t("a")))) == t("a")
+
+
+def test_rewrite_dedupes_should():
+    r = Q.rewrite(Q.BooleanQuery.build((Q.SHOULD, t("a")), (Q.SHOULD, t("a"))))
+    assert r == t("a")
+
+
+def test_edit_distance():
+    from lucene_spark.search.query import _edit_distance_le
+
+    assert _edit_distance_le("kitten", "sitten", 1)
+    assert not _edit_distance_le("kitten", "sitting", 2)  # distance 3
+    assert _edit_distance_le("abc", "abc", 0)
+    assert not _edit_distance_le("abc", "abcd", 0)

@@ -1,0 +1,241 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — engine vs independent numpy/pandas oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    return pdf["vec_id"].to_numpy(), m
+
+
+def _sh3(text):
+    w = text.split()
+    return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 0))} or ({" ".join(w)} if w else set())
+
+
+def test_exact_dedup(spark, docs):
+    from lucene_spark.pipeline.dedup import exact_dedup
+
+    dup = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    out = exact_dedup(dup, ["text"], "doc_id")
+    rows = out.collect()
+    assert all(r["dup_count"] >= 2 for r in rows)
+    assert sum(r["dup_count"] for r in rows) == 2 * docs.count()
+    assert all(r["rep_id"] < 10_000 for r in rows)
+
+
+def test_minhash_lsh_matches_bruteforce(spark, docs, docs_pdf):
+    from lucene_spark.pipeline.dedup import minhash_lsh_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", k=3, num_perm=128, rows_per_band=2, threshold=0.5
+        ).collect()
+    }
+    sets = {r.doc_id: _sh3(r.text) for r in docs_pdf.itertuples(index=False)}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if inter:
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert got[k_] == pytest.approx(v, abs=1e-9)
+
+
+def test_simhash_finds_near_dups(spark, docs, docs_pdf):
+    from lucene_spark.pipeline.dedup import simhash_pairs, simhash_signatures
+
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    sigs = {
+        r["id"]: r["simhash"] for r in simhash_signatures(docs, "text", "doc_id").collect()
+    }
+    # verify reported hamming distances and the exactness guarantee (<= 3)
+    for r in pairs:
+        d = bin((sigs[r["a"]] ^ sigs[r["b"]]) & ((1 << 64) - 1)).count("1")
+        assert d == r["hamming"] and d <= 3
+    # exhaustive check: no qualifying pair missed (pigeonhole guarantee)
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((a, b))
+    assert {(r["a"], r["b"]) for r in pairs} == want
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark, emb, emb_np):
+    from lucene_spark.pipeline.dedup import embedding_near_dup
+
+    ids, m = emb_np
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    thr = 0.45
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= thr:
+                want.add((int(ids[i]), int(ids[j])))
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup(emb, "embedding", "vec_id", thr, exact=True).collect()
+    }
+    assert exact == want
+    lsh = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup(
+            emb, "embedding", "vec_id", thr, num_planes=8, exact=False
+        ).collect()
+    }
+    assert lsh <= exact  # LSH candidates are verified, so no false positives
+
+
+def test_ann_brute_force(spark, emb, emb_np):
+    from lucene_spark.pipeline.similarity import brute_force_topk
+
+    ids, m = emb_np
+    queries = [(int(ids[i]), m[i].tolist()) for i in range(3)]
+    got = brute_force_topk(emb, queries, k=10).collect()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid, qv in queries:
+        qn = np.asarray(qv) / np.linalg.norm(qv)
+        sims = mn @ qn
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:10]
+        want = [int(ids[i]) for i in order]
+        got_q = [r["id"] for r in got if r["query_id"] == qid]
+        assert got_q == want
+
+
+def test_ann_ivf_recall(spark, emb, emb_np):
+    from lucene_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    ids, m = emb_np
+    queries = [(int(ids[i]), m[i].tolist()) for i in range(3)]
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, nlist=8, nprobe=4).collect()
+    for qid, _ in queries:
+        e = {r["id"] for r in exact if r["query_id"] == qid}
+        a = {r["id"] for r in approx if r["query_id"] == qid}
+        assert len(e & a) >= 5  # recall@10 >= 0.5 with half the cells probed
+
+
+def test_token_count_and_quality(spark, docs, docs_pdf):
+    from lucene_spark.pipeline.textstats import quality_score, token_count
+
+    out = token_count(docs, "text").select("doc_id", "n_tokens").collect()
+    want = {r.doc_id: len(r.text.split()) for r in docs_pdf.itertuples(index=False)}
+    for r in out:
+        assert r["n_tokens"] == want[r["doc_id"]]
+    q = quality_score(docs, "text").select("doc_id", "quality", "uniq_ratio").collect()
+    for r in q:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 < r["uniq_ratio"] <= 1.0
+
+
+def test_fingerprints(spark, docs):
+    from lucene_spark.pipeline.textstats import fingerprint
+
+    out = fingerprint(docs, "text").collect()
+    # md5 fingerprint equals a reference computation
+    import hashlib
+    import re
+
+    for r in out[:20]:
+        pass
+    rows = docs.select("doc_id", "text").collect()
+    md5s = {
+        r["doc_id"]: hashlib.md5(re.sub(r"\s+", " ", r["text"].strip()).encode()).hexdigest()
+        for r in rows
+    }
+    win = {}
+    for r in out:
+        assert r["fp_md5"] == md5s[r["doc_id"]]
+        win[r["doc_id"]] = r["fp_winnow"]
+    # winnow fingerprint: identical docs -> identical fp (determinism)
+    out2 = {r["doc_id"]: r["fp_winnow"] for r in fingerprint(docs, "text").collect()}
+    assert win == out2
+
+
+def test_language_id(spark, docs):
+    from lucene_spark.pipeline.textstats import language_id
+
+    out = language_id(docs, "text").select("doc_id", "lang_pred").collect()
+    assert {r["lang_pred"] for r in out} <= {"en", "de", "es", "fr", "und"}
+    # deterministic
+    out2 = language_id(docs, "text").select("doc_id", "lang_pred").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_multimodal_plumbing(spark):
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.pipeline.multimodal import (
+        attach_media_meta,
+        decode_features,
+        frame_sample,
+    )
+
+    pages = pages_from_documents(spark, TESTDATA).withColumn("doc_id", doc_id_for_url_col())
+    meta = attach_media_meta(pages, "html").select("doc_id", "media_meta.*").collect()
+    for r in meta:
+        assert r["n_bytes"] > 0 and r["media_type"] == "image"
+    feats = decode_features(pages, "html", "doc_id", fake=True).collect()
+    assert len(feats) == pages.count()
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic fake decode
+    feats2 = decode_features(pages, "html", "doc_id", fake=True).collect()
+    assert sorted((r["id"], tuple(r["features"])) for r in feats) == sorted(
+        (r["id"], tuple(r["features"])) for r in feats2
+    )
+    with pytest.raises(NotImplementedError):
+        decode_features(pages, "html", "doc_id", fake=False)
+    frames = frame_sample(pages.limit(5), "html", "doc_id", every_n_bytes=64, max_frames=4)
+    rows = frames.collect()
+    assert all(0 <= r["frame_no"] < 4 for r in rows)
+
+
+def test_monitor_reverse_search(spark, docs):
+    from lucene_spark.pages import pages_from_documents
+    from lucene_spark.streaming import monitor_stream
+
+    pages = pages_from_documents(spark, TESTDATA)
+    got = monitor_stream(spark, pages, {"q1": ["table", "scan"], "q2": ["merge"]}).collect()
+    texts = {r["doc_id"]: set(r["text"].split()) for r in docs.select("doc_id", "text").collect()}
+    from lucene_spark.pages import url_for_doc_id
+
+    want = set()
+    for did, terms in texts.items():
+        if {"table", "scan"} <= terms:
+            want.add((url_for_doc_id(did), "q1"))
+        if "merge" in terms:
+            want.add((url_for_doc_id(did), "q2"))
+    assert {(r["id"], r["query_id"]) for r in got} == want
