@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 K = 10
-_INDEX_VERSION = "v1"
+_INDEX_VERSION = "v2"
 _INDEXES: dict[str, str] = {}
 
 

@@ -117,12 +117,15 @@ def main():
     result["build_sec"] = round(t_build_hi, 2)
     result["build_docs_per_sec"] = round(thr_hi, 1)
 
-    # query latencies (warm reader; p50 of 3 runs each)
+    # query latencies (fresh session — query-service latency, not contended
+    # with the build job's JVM residue; p50 of 3 runs each after warmup)
     import numpy as np
 
     from lucene_spark.index import IndexReader
     from lucene_spark.search import IndexSearcher, parse
 
+    spark.stop()
+    spark = _session(CPUS)
     reader = IndexReader(spark, root_hi)
     searcher = IndexSearcher(reader)
     searcher.search(parse("table"), k=K).collect()  # warm up JVM + py workers

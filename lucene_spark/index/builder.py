@@ -131,89 +131,91 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
     return fn
 
 
-def _encode_groups(field, num_buckets):
-    """mapInPandas factory for the postings encoder.
+def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: int = 0,
+                stats: tuple[int, int] | None = None):
+    """Append encoded 256-posting block tuples for one (seg, term) posting
+    list (sorted by doc). ``stats`` overrides (doc_freq, ttf) on block 0 —
+    used when a list is encoded in salted sub-ranges."""
+    df_count, ttf = stats if stats else (len(docs), int(freqs.sum()))
+    n_blocks = (len(docs) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    for bid in range(n_blocks):
+        d = docs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+        f = freqs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+        nm = norms[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
+        enc, payload = encode_doc_block(d)
+        imp_f, imp_n = competitive_impacts(f, nm)
+        gbid = base_block + bid
+        rows.append(
+            (
+                field,
+                term,
+                int(gbid),
+                int(len(d)),
+                int(d[0]),
+                int(d[-1]),
+                int(enc),
+                payload,
+                pfor_encode(f),
+                nm.astype(np.uint8).tobytes(),
+                [int(x) for x in imp_f],
+                [int(x) for x in imp_n],
+                int(df_count) if gbid == 0 else None,
+                int(ttf) if gbid == 0 else None,
+                seg,
+                int(bucket),
+            )
+        )
 
-    Input: rows (seg, term, doc, freq, norm) hash-partitioned by
-    (seg, bucket) and sorted by (seg, term, doc). Groups may span Arrow
-    batches, so a partial trailing group is carried across batches.
-    Output: encoded block rows (POSTINGS_SCHEMA).
+
+def _invert_segment(field, num_buckets):
+    """applyInPandas factory: one whole segment's doc rows -> its postings
+    block rows. This is the Lucene DWPT flush re-expressed: the per-segment
+    in-RAM terms hash becomes one vectorized factorize+argsort.
+
+    Input pdf columns: doc, norm, terms (array<string>), freqs (array<int>).
+    Everything per-posting is numpy; the only Python-level loop is per
+    unique term of the segment.
     """
 
-    def fn(iterator):
-        pending = None  # (seg, term, docs, freqs, norms) carried across batches
+    def fn(key, pdf):
+        seg = key[0]
+        cols = [f.name for f in POSTINGS_FIELDS]
+        lens = pdf["terms"].map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(columns=cols)
+        terms_all = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
+        freqs_all = np.concatenate(
+            [np.asarray(f_, dtype=np.int64) for f_ in pdf["freqs"]]
+        )
+        docs_rep = np.repeat(pdf["doc"].to_numpy(dtype=np.int64), lens)
+        norms_rep = np.repeat(pdf["norm"].to_numpy(dtype=np.int64), lens)
 
-        for pdf in iterator:
-            segs = pdf["seg"].to_numpy()
-            terms = pdf["term"].to_numpy()
-            docs = pdf["doc"].to_numpy(dtype=np.int64)
-            freqs = pdf["freq"].to_numpy(dtype=np.int64)
-            norms = pdf["norm"].to_numpy(dtype=np.int64)
-            n = len(pdf)
-            if n == 0:
-                continue
-            # group boundaries where (seg, term) changes
-            change = np.nonzero((segs[1:] != segs[:-1]) | (terms[1:] != terms[:-1]))[0] + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [n]))
-            rows: list[tuple] = []
-            for s, e in zip(starts, ends):
-                seg_k, term_k = segs[s], terms[s]
-                d, f, nm = docs[s:e], freqs[s:e], norms[s:e]
-                if pending is not None:
-                    pseg, pterm, pd_, pf, pn = pending
-                    if pseg == seg_k and pterm == term_k:
-                        d = np.concatenate((pd_, d))
-                        f = np.concatenate((pf, f))
-                        nm = np.concatenate((pn, nm))
-                    else:
-                        _emit(pseg, pterm, pd_, pf, pn, rows)
-                    pending = None
-                if e == n:  # last group of batch: may continue in next batch
-                    pending = (seg_k, term_k, d, f, nm)
-                else:
-                    _emit(seg_k, term_k, d, f, nm, rows)
-            if rows:
-                yield _rows_df(rows)
-        if pending is not None:
-            rows = []
-            _emit(*pending, rows)
-            yield _rows_df(rows)
+        codes, uniques = pd.factorize(terms_all, sort=False)
+        order = np.argsort(codes, kind="stable")  # doc order preserved per term
+        codes_s = codes[order]
+        docs_s = docs_rep[order]
+        freqs_s = freqs_all[order]
+        norms_s = norms_rep[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(codes_s))[0] + 1, [len(codes_s)]))
 
-    def _emit(seg, term, docs, freqs, norms, rows):
-        bucket = term_bucket(term, num_buckets)
-        df_count = len(docs)
-        ttf = int(freqs.sum())
-        n_blocks = (df_count + BLOCK_SIZE - 1) // BLOCK_SIZE
-        for bid in range(n_blocks):
-            d = docs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
-            f = freqs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
-            nm = norms[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
-            enc, payload = encode_doc_block(d)
-            imp_f, imp_n = competitive_impacts(f, nm)
-            rows.append(
-                (
-                    field,
-                    term,
-                    int(bid),
-                    int(len(d)),
-                    int(d[0]),
-                    int(d[-1]),
-                    int(enc),
-                    payload,
-                    pfor_encode(f),
-                    nm.astype(np.uint8).tobytes(),
-                    [int(x) for x in imp_f],
-                    [int(x) for x in imp_n],
-                    int(df_count) if bid == 0 else None,
-                    int(ttf) if bid == 0 else None,
-                    seg,
-                    int(bucket),
-                )
+        # emit in sorted term order: parquet row-group min/max stats on the
+        # term column then prune point lookups (the .tim sorted-blocks analogue)
+        group_terms = np.asarray([uniques[codes_s[s]] for s in starts[:-1]], dtype=object)
+        rows: list[tuple] = []
+        for gi in np.argsort(group_terms, kind="stable"):
+            s, e = starts[gi], starts[gi + 1]
+            term = uniques[codes_s[s]]
+            emit_blocks(
+                field,
+                seg,
+                term,
+                term_bucket(term, num_buckets),
+                docs_s[s:e],
+                freqs_s[s:e],
+                norms_s[s:e],
+                rows,
             )
-
-    def _rows_df(rows):
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_FIELDS])
+        return pd.DataFrame(rows, columns=cols)
 
     return fn
 
@@ -281,36 +283,23 @@ def build_index(
     )
     docs_path = os.path.join(bdir, "docs")
     inverted.write.mode("overwrite").partitionBy("seg").parquet(docs_path)
+    t_analysis = time.time() - t0
 
-    # Stage 2: inversion shuffle keyed on (seg, term-bucket) + in-partition
-    # sort — Lucene's sortTerms + codec write (FreqProxTermsWriter.java:97).
+    # Stage 2: per-segment inversion — the DWPT flush. One shuffle groups a
+    # segment's packed doc rows (terms/freqs stay Arrow arrays end to end);
+    # the kernel inverts the whole segment with factorize+argsort and emits
+    # encoded block rows. Skewed head terms are bounded by segment size
+    # (pick num_segments so a segment's postings fit one worker — Lucene's
+    # RAM-buffer flush threshold playing the same role).
     docs_df = spark.read.parquet(docs_path)
-    exploded = (
-        docs_df.select(
-            "seg",
-            "doc",
-            "norm",
-            F.explode(F.arrays_zip("terms", "freqs")).alias("tf"),
-        )
-        .select(
-            "seg",
-            "doc",
-            "norm",
-            F.col("tf.terms").alias("term"),
-            F.col("tf.freqs").alias("freq"),
-        )
-        .withColumn(
-            "bucket", F.crc32(F.encode(F.col("term"), "UTF-8")) % F.lit(num_buckets)
-        )
-    )
-    nshuffle = shuffle_partitions or max(num_segments * 2, 8)
     blocks = (
-        exploded.repartition(nshuffle, "seg", "bucket")
-        .sortWithinPartitions("seg", "term", "doc")
-        .mapInPandas(_encode_groups(field, num_buckets), POSTINGS_SCHEMA)
+        docs_df.select("seg", "doc", "norm", "terms", "freqs")
+        .groupBy("seg")
+        .applyInPandas(_invert_segment(field, num_buckets), POSTINGS_SCHEMA)
     )
     postings_path = os.path.join(bdir, "postings")
     blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
+    t_postings = time.time() - t0 - t_analysis
 
     # (term_dict is a *view*: postings rows with block_id == 0 — parquet
     # row-group pruning on (bucket, term, block_id) serves stats lookups
@@ -358,6 +347,11 @@ def build_index(
             "num_buckets": num_buckets,
             "analyzer": analyzer,
             "elapsed_sec": time.time() - t0,
+            "phase_sec": {
+                "analysis": round(t_analysis, 2),
+                "postings": round(t_postings, 2),
+                "stats_commit": round(time.time() - t0 - t_analysis - t_postings, 2),
+            },
             "partitions": manifest_parts,
         },
     )

@@ -141,6 +141,20 @@ class DisjunctionMaxQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class DocValuesQuery(Query):
+    """Structured predicate over stored doc columns (the PointRangeQuery /
+    IndexOrDocValuesQuery analogue — in Spark, doc values ARE columns, so
+    the 'index vs doc-values' access-path choice collapses into Catalyst's
+    scan planning with predicate pushdown). Matches with constant score.
+
+    ``predicate`` is a SQL boolean expression over docs-table columns,
+    e.g. "lang = 'en'" or "length between 30 and 60"."""
+
+    predicate: str
+    boost: float = 1.0
+
+
 # ---------------------------------------------------------------------------
 # rewrite (logical optimizer) — BooleanQuery.java:269-647 equivalents
 # ---------------------------------------------------------------------------

@@ -75,11 +75,15 @@ class IndexSearcher:
         field: str = "text",
         mode: str = "auto",
         doc_filter: DataFrame | None = None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Top-k hits as a DataFrame (url, score, seg, doc, gdoc [+stored]).
 
         ``doc_filter``: optional DataFrame of (seg, doc) — a structured
         FILTER clause (e.g. from a predicate on the docs table).
+        ``after``: (score, gdoc) cursor for deep paging — returns the next
+        k hits strictly after that sort position (IndexSearcher.searchAfter,
+        reference search/IndexSearcher.java:576-592).
         """
         q = Q.rewrite(q, self.reader, field)
         if isinstance(q, Q.MatchNoDocsQuery):
@@ -92,9 +96,9 @@ class IndexSearcher:
                 and not info["filters"] and info["msm"] <= 1
                 else "exhaustive"
             )
-        if mode == "maxscore" and info is not None:
-            return self._search_maxscore(info, k, field)
-        return self._search_exhaustive(q, k, field, doc_filter)
+        if mode == "maxscore" and info is not None and doc_filter is None:
+            return self._search_maxscore(info, k, field, after)
+        return self._search_exhaustive(q, k, field, doc_filter, after)
 
     def count(self, q: Q.Query, field: str = "text") -> int:
         """TotalHitCountCollector: matching-doc count. Single-term queries
@@ -176,14 +180,15 @@ class IndexSearcher:
     # ------------------------------------------------------------ exhaustive
 
     def _search_exhaustive(
-        self, q: Q.Query, k: int, field: str, doc_filter: DataFrame | None
+        self, q: Q.Query, k: int, field: str, doc_filter: DataFrame | None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         scored = self._scored_docs(q, field)
         if scored is None:
             return self._empty_hits()
         if doc_filter is not None:
             scored = scored.join(doc_filter, ["seg", "doc"], "left_semi")
-        return self._finalize(scored, k)
+        return self._finalize(scored, k, after)
 
     def _scored_docs(self, q: Q.Query, field: str) -> DataFrame | None:
         """(seg, doc, score) for every matching doc — the exhaustive scorer."""
@@ -225,6 +230,13 @@ class IndexSearcher:
             from .phrase import scored_phrase
 
             return scored_phrase(self, q, field)
+        if isinstance(q, Q.DocValuesQuery):
+            return (
+                self.reader.docs()
+                .filter(F.expr(q.predicate))
+                .select("seg", "doc")
+                .withColumn("score", F.lit(float(q.boost)))
+            )
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, field)
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
@@ -323,9 +335,13 @@ class IndexSearcher:
 
     # -------------------------------------------------------------- maxscore
 
-    def _search_maxscore(self, info: dict, k: int, field: str) -> DataFrame:
+    def _search_maxscore(
+        self, info: dict, k: int, field: str, after: tuple[float, int] | None = None
+    ) -> DataFrame:
         terms = info["should"] + info["must"]
-        boosts = info["boosts"]
+        # the boolean-level boost propagates into leaf weights, exactly like
+        # Lucene's createWeight(query, scoreMode, boost) chain
+        boosts = {t: b * info["boost"] for t, b in info["boosts"].items()}
         scorers = self._scorers(list(terms), boosts, field)
         live = [t for t in terms if t in scorers]
         if not live:
@@ -337,14 +353,17 @@ class IndexSearcher:
             {t: scorers[t] for t in live},
             must_terms=[t for t in info["must"] if t in scorers],
             k=k,
-            boost=info["boost"],
+            after=after,
+            doc_bases=self.reader.doc_bases() if after else None,
         )
         per_seg = blocks.groupBy("seg").applyInPandas(kernel, TOPK_SCHEMA)
-        return self._finalize(per_seg, k)
+        return self._finalize(per_seg, k, after)
 
     # -------------------------------------------------------------- finalize
 
-    def _finalize(self, scored: DataFrame, k: int) -> DataFrame:
+    def _finalize(
+        self, scored: DataFrame, k: int, after: tuple[float, int] | None = None
+    ) -> DataFrame:
         bases = self.reader.doc_bases()
         # literal seg -> docBase map: no join, stays in whole-stage codegen
         base_map = F.create_map(
@@ -353,6 +372,15 @@ class IndexSearcher:
         with_g = scored.withColumn(
             "gdoc", base_map[F.col("seg")] + F.col("doc")
         )
+        if after is not None:
+            a_score, a_gdoc = after
+            with_g = with_g.filter(
+                (F.col("score") < F.lit(float(a_score)))
+                | (
+                    (F.col("score") == F.lit(float(a_score)))
+                    & (F.col("gdoc") > F.lit(int(a_gdoc)))
+                )
+            )
         top = with_g.orderBy(F.desc("score"), F.asc("gdoc")).limit(k)
         docs = self.reader.docs()
         return (

@@ -56,9 +56,19 @@ def _decode_block(term_state, bi):
     return out
 
 
-def maxscore_kernel(scorers: dict, must_terms: list[str], k: int, boost: float = 1.0):
+def maxscore_kernel(
+    scorers: dict,
+    must_terms: list[str],
+    k: int,
+    after: tuple[float, int] | None = None,
+    doc_bases: dict[str, int] | None = None,
+):
     """Build the applyInPandas kernel: (key, pdf of postings blocks) ->
-    pdf(seg, doc, score) with at most k rows."""
+    pdf(seg, doc, score) with at most k rows.
+
+    ``after``: (score, gdoc) searchAfter cursor — only hits strictly after
+    that (score desc, gdoc asc) position are collected; the pruning floor
+    then works on the post-cursor candidate set."""
     must_set = set(must_terms)
 
     def kernel(key, pdf):
@@ -199,6 +209,14 @@ def maxscore_kernel(scorers: dict, must_terms: list[str], k: int, boost: float =
                     cand, cscores = cand[keep], cscores[keep]
             if len(cand) == 0:
                 continue
+            if after is not None:
+                a_s, a_g = after
+                base = doc_bases.get(seg, 0) if doc_bases else 0
+                gd = cand.astype(np.int64) + wstart + base
+                keep = (cscores < a_s) | ((cscores == a_s) & (gd > a_g))
+                cand, cscores = cand[keep], cscores[keep]
+                if len(cand) == 0:
+                    continue
             # merge into the bounded top-k (vectorized heap replacement);
             # stable preference for smaller doc on ties via lexsort keys
             new_docs = np.concatenate((top_docs, cand + wstart))
@@ -208,8 +226,6 @@ def maxscore_kernel(scorers: dict, must_terms: list[str], k: int, boost: float =
             if len(top_scores) >= k:
                 theta = top_scores[-1]  # worst retained score = floor
 
-        if boost != 1.0:
-            top_scores = top_scores * boost
         return pd.DataFrame({"seg": seg, "doc": top_docs, "score": top_scores})
 
     return kernel

@@ -108,6 +108,46 @@ def test_dismax_query(searcher, reader, oracle):
     _assert_rank_identical(got, want)
 
 
+def test_search_after_pagination(searcher, reader, oracle):
+    """Two searchAfter pages == one top-2k slice, on both physical paths."""
+    q = Q.rewrite(parse("merge OR window OR spark"), reader)
+    want = oracle.topk(q, 20)
+    for mode in ("exhaustive", "maxscore"):
+        page1 = searcher.search(q, k=10, mode=mode).collect()
+        cursor = (float(page1[-1]["score"]), int(page1[-1]["gdoc"]))
+        page2 = searcher.search(q, k=10, mode=mode, after=cursor).collect()
+        got = [(r["url"], float(r["score"])) for r in page1 + page2]
+        _assert_rank_identical(got, want)
+
+
+def test_doc_values_filter_clause(searcher, reader, oracle, corpus, spark):
+    """BM25 query + structured FILTER on a stored column (lang = 'en')."""
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.DocValuesQuery("lang = 'en'")),
+    )
+    got = _engine_topk(searcher, q, K, "exhaustive")
+    langs = dict(
+        spark.read.parquet(f"{__import__('conftest').TESTDATA}/documents.parquet")
+        .selectExpr("doc_id", "lang")
+        .collect()
+    )
+    from lucene_spark.pages import url_for_doc_id
+
+    base = Q.TermQuery("text", "table")
+    mask, scores = oracle.eval(base)
+    import numpy as np
+
+    idx = [
+        i
+        for i in np.nonzero(mask)[0]
+        if langs[int(oracle.urls[i].rsplit("/", 1)[1])] == "en"
+    ]
+    order = sorted(idx, key=lambda i: (-scores[i], i))[:K]
+    want = [(oracle.urls[i], float(scores[i])) for i in order]
+    _assert_rank_identical(got, want)
+
+
 def test_phrase_scores_match_freq_oracle(searcher, reader, corpus):
     """Phrase freq oracle: count adjacent pairs in the raw token stream."""
     from lucene_spark.analysis.analyzer import analyzer_for

@@ -1,0 +1,83 @@
+"""Streaming NRT ingestion: micro-batches become catalog commits; readers
+pin snapshots; replayed batches are idempotent (resume path)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import Catalog, IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+
+from conftest import TESTDATA
+
+
+def test_incremental_batches_and_nrt_reader(spark, tmp_path):
+    root = str(tmp_path / "sidx")
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA).cache()
+    b0 = pages.filter(F.col("url") < "https://example.com/doc/000000000250")
+    b1 = pages.filter(F.col("url") >= "https://example.com/doc/000000000250")
+
+    # micro-batch 0 (foreachBatch body = build_index with batch build id)
+    build_index(spark, b0, root, build_id="s00000000", num_segments=2,
+                stored_cols=("lang", "text"))
+    r0 = IndexReader(spark, root)
+    n0 = r0.max_doc()
+    assert n0 == b0.count()
+
+    # micro-batch 1 appends a new generation; old reader still pinned
+    build_index(spark, b1, root, build_id="s00000001", num_segments=2,
+                stored_cols=("lang", "text"))
+    r1 = IndexReader(spark, root)
+    assert r1.max_doc() == pages.count()
+    assert r0.max_doc() == n0  # snapshot isolation (point-in-time reader)
+    assert r1.snapshot_id == r0.snapshot_id + 1
+
+    # replayed batch (failure recovery) is a no-op: same snapshot, same docs
+    snap_before = Catalog(root).load()["current"]
+    build_index(spark, b1, root, build_id="s00000001", num_segments=2,
+                stored_cols=("lang", "text"))
+    assert Catalog(root).load()["current"] == snap_before
+
+    # search over the merged view matches a fresh full build
+    full_root = str(tmp_path / "full")
+    build_index(spark, pages, full_root, num_segments=4, stored_cols=("lang", "text"))
+    q = parse("table AND scan")
+    a = [
+        (r["url"], round(float(r["score"]), 5))
+        for r in IndexSearcher(IndexReader(spark, root)).search(q, k=10).collect()
+    ]
+    b = [
+        (r["url"], round(float(r["score"]), 5))
+        for r in IndexSearcher(IndexReader(spark, full_root)).search(q, k=10).collect()
+    ]
+    assert a == b
+
+
+def test_streaming_query_end_to_end(spark, tmp_path):
+    """Drive start_index_stream with an availableNow file stream."""
+    import time
+
+    from lucene_spark.streaming import start_index_stream
+
+    src_dir = str(tmp_path / "src")
+    pages = pages_from_documents(spark, TESTDATA).limit(200)
+    pages.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(pages.schema).parquet(src_dir)
+    root = str(tmp_path / "stream_idx")
+    q = start_index_stream(
+        spark,
+        stream,
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_segments_per_batch=2,
+        trigger_once=True,
+        stored_cols=("lang", "text"),
+    )
+    q.awaitTermination(300)
+    reader = IndexReader(spark, root)
+    assert reader.max_doc() == 200
+    hits = IndexSearcher(reader).search(parse("table"), k=5).collect()
+    assert len(hits) > 0
