@@ -131,12 +131,12 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
     return fn
 
 
-def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: int = 0,
-                stats: tuple[int, int] | None = None):
+def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: int = 0):
     """Append encoded 256-posting block tuples for one (seg, term) posting
-    list (sorted by doc). ``stats`` overrides (doc_freq, ttf) on block 0 —
-    used when a list is encoded in salted sub-ranges."""
-    df_count, ttf = stats if stats else (len(docs), int(freqs.sum()))
+    list slice (sorted by doc). The slice's (doc_freq, ttf) ride on its
+    first block; readers SUM the non-null stats rows per term, which makes
+    salted sub-range emission (base_block > 0) aggregate correctly."""
+    df_count, ttf = len(docs), int(freqs.sum())
     n_blocks = (len(docs) + BLOCK_SIZE - 1) // BLOCK_SIZE
     for bid in range(n_blocks):
         d = docs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
@@ -159,15 +159,15 @@ def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: 
                 nm.astype(np.uint8).tobytes(),
                 [int(x) for x in imp_f],
                 [int(x) for x in imp_n],
-                int(df_count) if gbid == 0 else None,
-                int(ttf) if gbid == 0 else None,
+                int(df_count) if bid == 0 else None,
+                int(ttf) if bid == 0 else None,
                 seg,
                 int(bucket),
             )
         )
 
 
-def _invert_segment(field, num_buckets):
+def _invert_segment(field, num_buckets, salted=False):
     """applyInPandas factory: one whole segment's doc rows -> its postings
     block rows. This is the Lucene DWPT flush re-expressed: the per-segment
     in-RAM terms hash becomes one vectorized factorize+argsort.
@@ -179,6 +179,9 @@ def _invert_segment(field, num_buckets):
 
     def fn(key, pdf):
         seg = key[0]
+        # salted: key = (seg, salt); block ids offset so each doc sub-range
+        # emits independently (first_doc keeps global block order)
+        base_block = int(key[1]) << 20 if salted else 0
         cols = [f.name for f in POSTINGS_FIELDS]
         lens = pdf["terms"].map(len).to_numpy(dtype=np.int64)
         if lens.sum() == 0:
@@ -214,6 +217,7 @@ def _invert_segment(field, num_buckets):
                 freqs_s[s:e],
                 norms_s[s:e],
                 rows,
+                base_block=base_block,
             )
         return pd.DataFrame(rows, columns=cols)
 
@@ -234,11 +238,18 @@ def build_index(
     stored_cols: tuple[str, ...] = (),
     langs: tuple[str, ...] | None = None,
     shuffle_partitions: int | None = None,
+    docs_per_inversion_task: int | None = None,
 ) -> int:
     """Build one generation of segments from a pages DataFrame and commit.
 
     Returns the committed snapshot id. If a completed build with the same
     ``build_id`` already exists, the build is skipped (resume semantics).
+
+    ``docs_per_inversion_task``: explicit skew salting — when set, each
+    segment's inversion is split into doc sub-ranges of this size that run
+    as independent tasks (head terms like stopwords then never concentrate
+    one segment's postings in a single worker). Per-range stats rows are
+    summed by readers, so results are identical to the unsalted build.
     """
     cat = Catalog(index_root)
     if build_id is None:
@@ -292,11 +303,15 @@ def build_index(
     # (pick num_segments so a segment's postings fit one worker — Lucene's
     # RAM-buffer flush threshold playing the same role).
     docs_df = spark.read.parquet(docs_path)
-    blocks = (
-        docs_df.select("seg", "doc", "norm", "terms", "freqs")
-        .groupBy("seg")
-        .applyInPandas(_invert_segment(field, num_buckets), POSTINGS_SCHEMA)
-    )
+    inv_src = docs_df.select("seg", "doc", "norm", "terms", "freqs")
+    if docs_per_inversion_task:
+        blocks = inv_src.groupBy(
+            "seg", (F.col("doc") / F.lit(int(docs_per_inversion_task))).cast("int").alias("salt")
+        ).applyInPandas(_invert_segment(field, num_buckets, salted=True), POSTINGS_SCHEMA)
+    else:
+        blocks = inv_src.groupBy("seg").applyInPandas(
+            _invert_segment(field, num_buckets), POSTINGS_SCHEMA
+        )
     postings_path = os.path.join(bdir, "postings")
     blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
     t_postings = time.time() - t0 - t_analysis

@@ -1,0 +1,112 @@
+"""Document deletes: per-segment tombstones + delete-aware search + compaction.
+
+Lucene semantics reproduced
+(/root/reference/lucene/core/src/java/org/apache/lucene/index/):
+- deletes are soft: a live-docs bitset per segment (``LiveDocs``); postings
+  and **statistics stay stale** until merge (docFreq/sumTotalTermFreq still
+  count deleted docs — BM25 scores of surviving docs are unchanged by a
+  delete, exactly like Lucene).
+- ``Weight#count`` shortcuts are disabled when a segment has deletes (the
+  count must be computed live).
+- merges expunge: deleted docs are dropped and doc IDs compact (url order
+  preserved), after which stats are fresh.
+
+Spark shape: tombstones are tiny per-segment parquet files versioned by
+generation (``tombstones/<seg>/gen-K.parquet``); the catalog snapshot pins
+``del_gen`` per segment, so readers get point-in-time delete visibility the
+same way they get segment visibility. The doc-ID compaction formula is
+``new_doc = doc - searchsorted(tombstones, doc)`` — O(log d) per doc,
+vectorized, no shuffle beyond the merge's own.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .reader import IndexReader
+
+
+def _tomb_dir(root: str, seg: str) -> str:
+    return os.path.join(root, "tombstones", seg)
+
+
+def _tomb_path(root: str, seg: str, gen: int) -> str:
+    return os.path.join(_tomb_dir(root, seg), f"gen-{gen}.parquet")
+
+
+def load_tombstones(root: str, seg_entry: dict) -> np.ndarray:
+    """Sorted int64 deleted-doc array for one segment (empty if none)."""
+    gen = seg_entry.get("del_gen", 0)
+    if not gen:
+        return np.empty(0, dtype=np.int64)
+    path = _tomb_path(root, seg_entry["name"], gen)
+    return np.sort(pd.read_parquet(path)["doc"].to_numpy(dtype=np.int64))
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_root: str,
+    matches: DataFrame,
+    note: str = "delete",
+) -> int:
+    """Apply deletes given a (seg, doc) DataFrame of victims; atomic commit.
+
+    ``matches`` typically comes from ``IndexSearcher._match_docs`` (delete-
+    by-query) or a join on urls (delete-by-key)."""
+    reader = IndexReader(spark, index_root)
+    cat = Catalog(index_root)
+    victims = matches.select("seg", "doc").distinct().collect()
+    by_seg: dict[str, set] = {}
+    for r in victims:
+        by_seg.setdefault(r["seg"], set()).add(int(r["doc"]))
+    if not by_seg:
+        return reader.snapshot_id
+
+    new_entries = []
+    for entry in reader.segments:
+        seg = entry["name"]
+        entry = dict(entry)
+        if seg in by_seg:
+            old = set(load_tombstones(index_root, entry).tolist())
+            merged = np.array(sorted(old | by_seg[seg]), dtype=np.int64)
+            gen = entry.get("del_gen", 0) + 1
+            os.makedirs(_tomb_dir(index_root, seg), exist_ok=True)
+            pd.DataFrame({"doc": merged}).to_parquet(_tomb_path(index_root, seg, gen))
+            entry["del_gen"] = gen
+            entry["del_count"] = int(len(merged))
+        new_entries.append(entry)
+    # replace all segment entries in one atomic snapshot
+    return cat.commit(new_entries, remove_segments=[e["name"] for e in new_entries], note=note)
+
+
+def delete_by_query(spark: SparkSession, index_root: str, q, field: str = "text") -> int:
+    """Lucene's deleteDocuments(Query): mark all matching docs deleted."""
+    from ..search.searcher import IndexSearcher
+
+    searcher = IndexSearcher(IndexReader(spark, index_root))
+    matches = searcher._match_docs(_rewritten(searcher, q, field), field)
+    return delete_docs(spark, index_root, matches, note=f"delete_by_query")
+
+
+def _rewritten(searcher, q, field):
+    from ..search import query as Q
+
+    return Q.rewrite(q, searcher.reader, field)
+
+
+def tombstones_df(spark: SparkSession, reader: IndexReader) -> DataFrame | None:
+    """All live segments' tombstones as a (seg, doc) DataFrame, or None."""
+    frames = []
+    for entry in reader.segments:
+        t = load_tombstones(reader.root, entry)
+        if len(t):
+            frames.append(pd.DataFrame({"seg": entry["name"], "doc": t}))
+    if not frames:
+        return None
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))

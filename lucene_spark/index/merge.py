@@ -43,11 +43,23 @@ from .catalog import Catalog
 from .reader import IndexReader
 
 
-def _merge_blocks_kernel(new_seg: str, seg_order: dict[str, int], doc_bases: dict[str, int], num_buckets: int):
-    """mapInPandas: block rows sorted by (field, term, seg_order, block_id)
-    -> re-blocked rows for the merged segment. Groups can span batches."""
+def _merge_blocks_kernel(
+    new_seg: str,
+    seg_order: dict[str, int],
+    doc_bases: dict[str, int],
+    num_buckets: int,
+    tombstones: dict | None = None,
+):
+    """mapInPandas: block rows sorted by (field, term, seg_order, first_doc)
+    -> re-blocked rows for the merged segment. Groups can span batches.
+
+    ``tombstones``: seg -> sorted deleted-doc array. Deleted docs are
+    expunged and survivors compact: new_doc = doc - #deleted_before(doc)
+    + live docBase (Lucene's merge-time liveDocs squeeze)."""
 
     def encode_term(field, term, docs, freqs, norms, rows):
+        if len(docs) == 0:
+            return  # every posting of this term was deleted
         bucket = term_bucket(term, num_buckets)
         df_count = len(docs)
         ttf = int(freqs.sum())
@@ -86,10 +98,16 @@ def _merge_blocks_kernel(new_seg: str, seg_order: dict[str, int], doc_bases: dic
         def decode_row(row):
             docs = decode_doc_block(
                 int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), int(row.num_docs)
-            ) + doc_bases[row.seg]
+            )
             freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs)).astype(np.int64)
             norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8).astype(np.int64)
-            return docs, freqs, norms
+            t = tombstones.get(row.seg) if tombstones else None
+            if t is not None and len(t):
+                pos = np.searchsorted(t, docs)
+                dead = (pos < len(t)) & (t[np.clip(pos, 0, len(t) - 1)] == docs)
+                docs, freqs, norms = docs[~dead], freqs[~dead], norms[~dead]
+                docs = docs - np.searchsorted(t, docs)  # compact survivor ids
+            return docs + doc_bases[row.seg], freqs, norms
 
         for pdf in iterator:
             rows: list[tuple] = []
@@ -154,16 +172,55 @@ def merge_segments(
     bdir = cat.build_dir(build_id)
     num_buckets = reader.num_buckets
 
+    from .deletes import load_tombstones
+
+    tombstones = {n: load_tombstones(index_root, segs[n]) for n in names}
+    has_deletes = any(len(t) for t in tombstones.values())
+    live_counts = {n: segs[n]["max_doc"] - len(tombstones[n]) for n in names}
     doc_bases = {}
     base = 0
     for n in names:
         doc_bases[n] = base
-        base += segs[n]["max_doc"]
+        base += live_counts[n]
     seg_order = {n: i for i, n in enumerate(names)}
 
     if not cat.build_completed(build_id):
-        # docs: union + docBase remap (url order preserved across adjacency)
+        # docs: drop tombstoned rows, compact + rebase doc ids (url order
+        # is preserved across adjacency, so ids stay url-ordered)
         docs = reader._read("docs").filter(F.col("seg").isin(names))
+        if has_deletes:
+            import pandas as pd_
+            from pyspark.sql import types as T_
+
+            tombs_local = tombstones
+
+            @F.pandas_udf("long")
+            def compact(seg_s, doc_s):
+                out = doc_s.to_numpy(dtype=np.int64).copy()
+                segs_np = seg_s.to_numpy()
+                for sname, t in tombs_local.items():
+                    if not len(t):
+                        continue
+                    m = segs_np == sname
+                    out[m] = out[m] - np.searchsorted(t, out[m])
+                return pd_.Series(out)
+
+            frames = []
+            for n in names:
+                t = tombstones[n]
+                sub = docs.filter(F.col("seg") == n)
+                if len(t):
+                    dead = F.broadcast(
+                        reader.spark.createDataFrame(
+                            [(int(d),) for d in t], "doc long"
+                        )
+                    )
+                    sub = sub.join(dead, "doc", "left_anti")
+                frames.append(sub)
+            docs = frames[0]
+            for fdf in frames[1:]:
+                docs = docs.unionByName(fdf)
+            docs = docs.withColumn("doc", compact(F.col("seg"), F.col("doc")))
         base_map = F.create_map(*[F.lit(x) for p in doc_bases.items() for x in p])
         merged_docs = docs.withColumn("doc", F.col("doc") + base_map[F.col("seg")]).withColumn(
             "seg", F.lit(new_seg)
@@ -182,9 +239,12 @@ def merge_segments(
         nshuffle = shuffle_partitions or max(num_buckets, 8)
         merged_blocks = (
             blocks.repartition(nshuffle, "bucket")
-            .sortWithinPartitions("field", "term", "seg_ord", "block_id")
+            .sortWithinPartitions("field", "term", "seg_ord", "first_doc")
             .mapInPandas(
-                _merge_blocks_kernel(new_seg, seg_order, doc_bases, num_buckets),
+                _merge_blocks_kernel(
+                    new_seg, seg_order, doc_bases, num_buckets,
+                    tombstones if has_deletes else None,
+                ),
                 POSTINGS_SCHEMA,
             )
         )
@@ -197,6 +257,7 @@ def merge_segments(
             {
                 "build_id": build_id,
                 "merge_of": names,
+                "field": reader._manifests[reader._builds[0]].get("field", "text"),
                 "num_buckets": num_buckets,
                 "num_segments": 1,
                 "analyzer": reader._manifests[reader._builds[0]].get("analyzer", "standard"),
@@ -205,13 +266,30 @@ def merge_segments(
             },
         )
 
-    # merged field stats = sums of inputs
+    # merged field stats: plain sum of inputs when nothing was deleted;
+    # with deletes, recompute fresh from the compacted docs (Lucene: merge
+    # expunges deletes, after which stats reflect live docs only)
     fields: dict[str, dict[str, int]] = {}
-    for n in names:
-        for fld, fs in segs[n].get("fields", {}).items():
-            agg = fields.setdefault(fld, {"doc_count": 0, "sum_total_term_freq": 0})
-            agg["doc_count"] += fs["doc_count"]
-            agg["sum_total_term_freq"] += fs["sum_total_term_freq"]
+    if has_deletes:
+        fld = reader._manifests[reader._builds[0]].get("field", "text")
+        row = (
+            spark.read.parquet(os.path.join(bdir, "docs"))
+            .agg(
+                F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("dc"),
+                F.sum("length").alias("ttf"),
+            )
+            .collect()[0]
+        )
+        fields["text" if fld is None else fld] = {
+            "doc_count": int(row["dc"] or 0),
+            "sum_total_term_freq": int(row["ttf"] or 0),
+        }
+    else:
+        for n in names:
+            for fld, fs in segs[n].get("fields", {}).items():
+                agg = fields.setdefault(fld, {"doc_count": 0, "sum_total_term_freq": 0})
+                agg["doc_count"] += fs["doc_count"]
+                agg["sum_total_term_freq"] += fs["sum_total_term_freq"]
     merged_entry = {
         "name": new_seg,
         "build": build_id,

@@ -73,7 +73,7 @@ class IndexReader:
     def term_dict(self, terms: list[str] | None = None, field: str = "text") -> DataFrame:
         """Term dictionary view: block-0 postings rows (column-pruned scan;
         no separate table — Lucene's .tim is our parquet row-group index)."""
-        df = self.postings(terms, field).filter(F.col("block_id") == 0)
+        df = self.postings(terms, field).filter(F.col("doc_freq").isNotNull())
         return df.select("seg", "field", "term", "bucket", "doc_freq", "total_term_freq")
 
     # -- statistics (resolved once per query, like TermStates.build) -------
@@ -101,7 +101,7 @@ class IndexReader:
         (MultiTermQuery.java:86-119 rewrite)."""
         rows = (
             self._read("postings")
-            .filter((F.col("field") == field) & (F.col("block_id") == 0))
+            .filter((F.col("field") == field) & F.col("doc_freq").isNotNull())
             .filter(pattern_filter)
             .select("term")
             .distinct()
@@ -114,3 +114,21 @@ class IndexReader:
 
     def max_doc(self) -> int:
         return sum(s["max_doc"] for s in self.segments)
+
+    def num_deleted(self) -> int:
+        return sum(s.get("del_count", 0) for s in self.segments)
+
+    def has_deletes(self) -> bool:
+        return self.num_deleted() > 0
+
+    def deletes(self) -> dict:
+        """seg -> sorted np.int64 tombstone array (cached; empty omitted)."""
+        if not hasattr(self, "_deletes"):
+            from .deletes import load_tombstones
+
+            self._deletes = {
+                s["name"]: t
+                for s in self.segments
+                if len(t := load_tombstones(self.root, s))
+            }
+        return self._deletes

@@ -29,6 +29,8 @@ from .searcher import IndexSearcher
 def _matches_with_docs(searcher: IndexSearcher, q: Q.Query, field: str = "text") -> DataFrame:
     q = Q.rewrite(q, searcher.reader, field)
     scored = searcher._scored_docs(q, field)
+    if scored is not None:
+        scored = searcher._drop_deleted(scored)
     if scored is None:
         docs = searcher.reader.docs()
         return docs.join(

@@ -107,8 +107,10 @@ class IndexSearcher:
         if isinstance(q, Q.MatchNoDocsQuery):
             return 0
         if isinstance(q, Q.MatchAllDocsQuery):
-            return self.reader.max_doc()
-        if isinstance(q, Q.TermQuery):
+            return self.reader.max_doc() - self.reader.num_deleted()
+        if isinstance(q, Q.TermQuery) and not self.reader.has_deletes():
+            # Weight#count shortcut — disabled when deletes exist (stats are
+            # stale until merge, like Lucene)
             stats = self.reader.term_stats([q.term], field)
             return stats.get(q.term, (0, 0))[0]
         matches = self._match_docs(q, field)
@@ -186,6 +188,7 @@ class IndexSearcher:
         scored = self._scored_docs(q, field)
         if scored is None:
             return self._empty_hits()
+        scored = self._drop_deleted(scored)
         if doc_filter is not None:
             scored = scored.join(doc_filter, ["seg", "doc"], "left_semi")
         return self._finalize(scored, k, after)
@@ -331,7 +334,18 @@ class IndexSearcher:
             return self.reader.spark.createDataFrame(
                 [], T.StructType([T.StructField("seg", T.StringType()), T.StructField("doc", T.LongType())])
             )
-        return scored.select("seg", "doc").distinct()
+        return self._drop_deleted(scored.select("seg", "doc").distinct())
+
+    def _drop_deleted(self, df: DataFrame) -> DataFrame:
+        """Anti-join against live tombstones (Lucene liveDocs check)."""
+        if not self.reader.has_deletes():
+            return df
+        from ..index.deletes import tombstones_df
+
+        tombs = tombstones_df(self.reader.spark, self.reader)
+        if tombs is None:
+            return df
+        return df.join(F.broadcast(tombs), ["seg", "doc"], "left_anti")
 
     # -------------------------------------------------------------- maxscore
 
@@ -355,6 +369,7 @@ class IndexSearcher:
             k=k,
             after=after,
             doc_bases=self.reader.doc_bases() if after else None,
+            deletes=self.reader.deletes() if self.reader.has_deletes() else None,
         )
         per_seg = blocks.groupBy("seg").applyInPandas(kernel, TOPK_SCHEMA)
         return self._finalize(per_seg, k, after)

@@ -62,20 +62,22 @@ def maxscore_kernel(
     k: int,
     after: tuple[float, int] | None = None,
     doc_bases: dict[str, int] | None = None,
+    deletes: dict | None = None,
 ):
     """Build the applyInPandas kernel: (key, pdf of postings blocks) ->
     pdf(seg, doc, score) with at most k rows.
 
     ``after``: (score, gdoc) searchAfter cursor — only hits strictly after
     that (score desc, gdoc asc) position are collected; the pruning floor
-    then works on the post-cursor candidate set."""
+    then works on the post-cursor candidate set.
+    ``deletes``: seg -> sorted tombstone doc array (liveDocs filter)."""
     must_set = set(must_terms)
 
     def kernel(key, pdf):
         seg = key[0]
         states = {}
         for term, g in pdf.groupby("term", sort=False):
-            g = g.sort_values("block_id")
+            g = g.sort_values("first_doc")
             sc = scorers[term]
             bmax = np.array(
                 [
@@ -105,6 +107,7 @@ def maxscore_kernel(
         if not states:
             return empty
 
+        tombs = deletes.get(seg) if deletes else None
         max_last = max(int(s["last"][-1]) for s in states.values())
         top_scores = np.empty(0, dtype=np.float64)
         top_docs = np.empty(0, dtype=np.int64)
@@ -178,6 +181,11 @@ def maxscore_kernel(
             cand = np.nonzero(seen)[0]
             if must_set:
                 cand = cand[must_hits[cand] == len(must_set)]
+            if tombs is not None and len(cand):
+                gd = cand + wstart
+                pos = np.searchsorted(tombs, gd)
+                pos = np.clip(pos, 0, len(tombs) - 1)
+                cand = cand[tombs[pos] != gd]
             if len(cand) == 0:
                 continue
             cscores = acc[cand]

@@ -1,0 +1,36 @@
+"""Print the physical plans documented in PLANS.md against a built index.
+
+Usage: python scripts/explain_plans.py [index_root]
+(defaults to the check_oracles cache for sf0.01; builds it if missing)
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from lucene_spark.index import IndexReader
+    from lucene_spark.search import IndexSearcher, parse
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    if len(sys.argv) > 1:
+        root = sys.argv[1]
+    else:
+        import __spark_entry__ as e
+
+        root = e._get_index(spark, "/root/testdata/sf0.01").root
+    reader = IndexReader(spark, root)
+    print("=" * 70, "\npostings scan for term 'table':")
+    reader.postings(["table"]).explain("formatted")
+    s = IndexSearcher(reader)
+    print("=" * 70, "\nmaxscore search plan:")
+    s.search(parse("merge OR window"), k=10, mode="maxscore").explain("formatted")
+    print("=" * 70, "\nexhaustive search plan:")
+    s.search(parse("merge OR window"), k=10, mode="exhaustive").explain("formatted")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Deletes: liveDocs filtering with stale stats, count fallbacks, and
+merge-time expunge + compaction (Lucene delete semantics)."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import Catalog, IndexReader, build_index
+from lucene_spark.index.deletes import delete_by_query, delete_docs
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+from conftest import TESTDATA
+from oracle import BruteForceIndex
+
+
+@pytest.fixture()
+def droot(spark, tmp_path):
+    root = str(tmp_path / "didx")
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"))
+    return root
+
+
+def _topk(spark, root, qs, mode="auto", k=10):
+    s = IndexSearcher(IndexReader(spark, root))
+    rows = s.search(parse(qs), k=k, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_delete_excludes_docs_keeps_scores(spark, droot):
+    before = _topk(spark, droot, "table", k=20)
+    victims = {u for u, _ in before[:3]}
+
+    searcher = IndexSearcher(IndexReader(spark, droot))
+    matches = searcher.reader.docs(["seg", "doc", "url"]).filter(
+        F.col("url").isin(list(victims))
+    )
+    delete_docs(spark, droot, matches)
+
+    after = {
+        mode: _topk(spark, droot, "table", mode=mode, k=20)
+        for mode in ("exhaustive", "maxscore")
+    }
+    # stale-stats semantics: surviving docs keep their exact scores, the
+    # deleted docs just disappear
+    want = [(u, s) for u, s in before if u not in victims]
+    for mode, got in after.items():
+        assert got[: len(want[:20])] == want[:20], mode
+
+
+def test_delete_by_query_and_counts(spark, droot):
+    s0 = IndexSearcher(IndexReader(spark, droot))
+    n_scan = s0.count(parse("scan"))
+    n_all = s0.count(Q.MatchAllDocsQuery())
+    both = s0.count(parse("scan AND table"))
+
+    delete_by_query(spark, droot, parse("table"))
+
+    s1 = IndexSearcher(IndexReader(spark, droot))
+    assert s1.count(parse("table")) == 0
+    assert s1.count(parse("scan")) == n_scan - both  # live count, not stale df
+    n_table = s0.count(parse("table"))
+    assert s1.count(Q.MatchAllDocsQuery()) == n_all - n_table
+    assert _topk(spark, droot, "table") == []
+
+
+def test_merge_expunges_and_refreshes_stats(spark, droot, corpus):
+    searcher = IndexSearcher(IndexReader(spark, droot))
+    victims_df = searcher.reader.docs(["seg", "doc", "url"]).orderBy("url").limit(50)
+    victim_urls = {r["url"] for r in victims_df.collect()}
+    delete_docs(spark, droot, victims_df)
+
+    force_merge(spark, droot, max_segments=1)
+    reader = IndexReader(spark, droot)
+    assert len(Catalog(droot).live_segments()) == 1
+    assert not reader.has_deletes()
+    assert reader.max_doc() == len(corpus) - 50
+
+    # after expunge, results == brute-force oracle over the surviving corpus
+    survivors = corpus[~corpus["url"].isin(victim_urls)].reset_index(drop=True)
+    oracle = BruteForceIndex(survivors)
+    for qs in ("table", "the", "merge OR window OR spark"):
+        q = parse(qs)
+        want = oracle.topk(q, 10)
+        got = _topk(spark, droot, qs)
+        assert [u for u, _ in got] == [u for u, _ in want], qs
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-6)

@@ -1,0 +1,50 @@
+"""Explicit skew salting: a build whose segment inversions are split into
+doc sub-ranges must be query-identical to the unsalted build, and merging
+salted segments must normalize them."""
+
+import shutil
+
+import numpy as np
+
+from lucene_spark.index import Catalog, IndexReader, build_index
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+
+from conftest import TESTDATA
+
+QS = ["table", "the", "merge OR window OR spark", "table AND scan", "tab*"]
+
+
+def _topk(spark, root, qs, mode="auto"):
+    s = IndexSearcher(IndexReader(spark, root))
+    rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_salted_build_identical(spark, tmp_path):
+    pages = pages_from_documents(spark, TESTDATA)
+    plain, salted = str(tmp_path / "plain"), str(tmp_path / "salted")
+    for root, extra in ((plain, {}), (salted, {"docs_per_inversion_task": 64})):
+        shutil.rmtree(root, ignore_errors=True)
+        build_index(
+            spark, pages, root, num_segments=3, num_buckets=4,
+            stored_cols=("lang", "text"), **extra,
+        )
+    # salted build produced multiple stats rows per (seg, term)
+    r = IndexReader(spark, salted)
+    td = r.term_dict(["the"]).groupBy("seg", "term").count().collect()
+    assert any(row["count"] > 1 for row in td), "expected salted sub-range stats rows"
+    # identical stats and identical results on both physical paths
+    rp = IndexReader(spark, plain)
+    assert r.term_stats(["the", "table"]) == rp.term_stats(["the", "table"])
+    for qs in QS:
+        assert _topk(spark, salted, qs) == _topk(spark, plain, qs), qs
+        assert _topk(spark, salted, qs, "exhaustive") == _topk(spark, plain, qs, "exhaustive"), qs
+
+    # merge normalizes the salted segments and preserves results
+    before = {qs: _topk(spark, salted, qs) for qs in QS}
+    force_merge(spark, salted, max_segments=1)
+    assert len(Catalog(salted).live_segments()) == 1
+    for qs in QS:
+        assert _topk(spark, salted, qs) == before[qs], qs
