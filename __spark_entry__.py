@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 K = 10
-_INDEX_VERSION = "v2"
+_INDEX_VERSION = "v3"
 _INDEXES: dict[str, str] = {}
 
 
@@ -49,6 +49,7 @@ def _get_index(spark: SparkSession, sf_dir: str):
             num_segments=4,
             num_buckets=4,
             stored_cols=("lang", "text"),
+            positions=True,
         )
         _INDEXES[sf_dir] = root
     return IndexReader(spark, root)

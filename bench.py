@@ -149,6 +149,24 @@ def main():
         queries[name] = round(float(np.median(times)), 3)
     result["queries"] = queries
 
+    # serving-path latency: same index + kernels, driver-local pyarrow
+    # (no Spark jobs) — the Lucene-IndexSearcher-class profile
+    from lucene_spark.serve import LocalSearcher
+
+    ls = LocalSearcher(root_hi)
+    serve = {}
+    for name, qs, mode in QUERY_SET:
+        if mode != "maxscore":
+            continue
+        ls.search(qs, k=K)  # warm
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            ls.search(qs, k=K)
+            times.append(time.time() - t0)
+        serve[name] = round(float(np.median(times)), 4)
+    result["serve_queries_sec"] = serve
+
     # scaling evidence: identical build at N=4 and 4N=16 worker threads.
     # 4/16 (not 8/32) keeps both levels within the machine's 16 physical
     # cores — local[32] rides SMT siblings, which caps even perfect code at

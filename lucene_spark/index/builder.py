@@ -79,8 +79,41 @@ POSTINGS_FIELDS = [
     T.StructField("total_term_freq", T.LongType()),
     T.StructField("seg", T.StringType()),
     T.StructField("bucket", T.IntegerType()),
+    T.StructField("pos_payload", T.BinaryType()),  # optional positions (.pos)
 ]
 POSTINGS_SCHEMA = T.StructType(POSTINGS_FIELDS)
+
+
+def encode_positions(pos_lists) -> bytes:
+    """Per-block positions payload: for each posting, its sorted positions
+    delta-encoded as vints, concatenated (freqs give the split points —
+    the Lucene .pos layout shape, format ours)."""
+    from ..codecs.pfor import write_vint
+
+    out = bytearray()
+    for plist in pos_lists:
+        prev = 0
+        for p in plist:
+            out += write_vint(int(p) - prev)
+            prev = int(p)
+    return bytes(out)
+
+
+def decode_positions(payload: bytes, freqs) -> list:
+    """Inverse of encode_positions -> list of np.int64 arrays."""
+    from ..codecs.pfor import read_vint
+
+    pos = 0
+    out = []
+    for f in freqs:
+        deltas = np.empty(int(f), dtype=np.int64)
+        prev = 0
+        for i in range(int(f)):
+            v, pos = read_vint(payload, pos)
+            prev += v
+            deltas[i] = prev
+        out.append(deltas)
+    return out
 
 
 def term_bucket(term: str, num_buckets: int) -> int:
@@ -88,7 +121,8 @@ def term_bucket(term: str, num_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
-def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols, out_schema):
+def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols, out_schema,
+                        positions=False):
     """mapInPandas factory: per input partition, assign dense url-ordered doc
     IDs and run the analysis chain (tokenize -> lowercase -> stop) producing
     per-doc term/freq arrays + the SmallFloat norm byte."""
@@ -104,14 +138,27 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
             n = len(pdf)
             terms_col: list[list[str]] = []
             freqs_col: list[list[int]] = []
+            pos_col: list[list[list[int]]] = []
             lengths = np.zeros(n, dtype=np.int64)
             texts = pdf[text_field].tolist()
             for i, txt in enumerate(texts):
-                toks = analyzer.terms(txt if isinstance(txt, str) else "")
-                c = Counter(toks)
-                terms_col.append(list(c.keys()))
-                freqs_col.append([int(v) for v in c.values()])
-                lengths[i] = len(toks)
+                txt = txt if isinstance(txt, str) else ""
+                if positions:
+                    by_term: dict[str, list[int]] = {}
+                    count = 0
+                    for tok in analyzer.tokens(txt):
+                        by_term.setdefault(tok.term, []).append(tok.position)
+                        count += 1
+                    terms_col.append(list(by_term.keys()))
+                    freqs_col.append([len(v) for v in by_term.values()])
+                    pos_col.append(list(by_term.values()))
+                    lengths[i] = count
+                else:
+                    toks = analyzer.terms(txt)
+                    c = Counter(toks)
+                    terms_col.append(list(c.keys()))
+                    freqs_col.append([int(v) for v in c.values()])
+                    lengths[i] = len(toks)
             out = pd.DataFrame(
                 {
                     "seg": seg,
@@ -123,6 +170,8 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
                     "freqs": freqs_col,
                 }
             )
+            if positions:
+                out["positions"] = pos_col
             for c in stored_cols:
                 out[c] = pdf[c].to_numpy()
             next_doc += n
@@ -131,7 +180,8 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
     return fn
 
 
-def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: int = 0):
+def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: int = 0,
+                pos_lists=None):
     """Append encoded 256-posting block tuples for one (seg, term) posting
     list slice (sorted by doc). The slice's (doc_freq, ttf) ride on its
     first block; readers SUM the non-null stats rows per term, which makes
@@ -145,6 +195,11 @@ def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: 
         enc, payload = encode_doc_block(d)
         imp_f, imp_n = competitive_impacts(f, nm)
         gbid = base_block + bid
+        pp = (
+            encode_positions(pos_lists[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE])
+            if pos_lists is not None
+            else None
+        )
         rows.append(
             (
                 field,
@@ -163,11 +218,12 @@ def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: 
                 int(ttf) if bid == 0 else None,
                 seg,
                 int(bucket),
+                pp,
             )
         )
 
 
-def _invert_segment(field, num_buckets, salted=False):
+def _invert_segment(field, num_buckets, salted=False, positions=False):
     """applyInPandas factory: one whole segment's doc rows -> its postings
     block rows. This is the Lucene DWPT flush re-expressed: the per-segment
     in-RAM terms hash becomes one vectorized factorize+argsort.
@@ -192,6 +248,14 @@ def _invert_segment(field, num_buckets, salted=False):
         )
         docs_rep = np.repeat(pdf["doc"].to_numpy(dtype=np.int64), lens)
         norms_rep = np.repeat(pdf["norm"].to_numpy(dtype=np.int64), lens)
+        pos_all = None
+        if positions:
+            def _obj(lst):
+                a = np.empty(len(lst), dtype=object)
+                a[:] = list(lst)
+                return a
+
+            pos_all = np.concatenate([_obj(pl) for pl in pdf["positions"]])
 
         codes, uniques = pd.factorize(terms_all, sort=False)
         order = np.argsort(codes, kind="stable")  # doc order preserved per term
@@ -199,6 +263,7 @@ def _invert_segment(field, num_buckets, salted=False):
         docs_s = docs_rep[order]
         freqs_s = freqs_all[order]
         norms_s = norms_rep[order]
+        pos_s = pos_all[order] if pos_all is not None else None
         starts = np.concatenate(([0], np.nonzero(np.diff(codes_s))[0] + 1, [len(codes_s)]))
 
         # emit in sorted term order: parquet row-group min/max stats on the
@@ -218,6 +283,7 @@ def _invert_segment(field, num_buckets, salted=False):
                 norms_s[s:e],
                 rows,
                 base_block=base_block,
+                pos_lists=pos_s[s:e] if pos_s is not None else None,
             )
         return pd.DataFrame(rows, columns=cols)
 
@@ -239,6 +305,7 @@ def build_index(
     langs: tuple[str, ...] | None = None,
     shuffle_partitions: int | None = None,
     docs_per_inversion_task: int | None = None,
+    positions: bool = False,
 ) -> int:
     """Build one generation of segments from a pages DataFrame and commit.
 
@@ -282,6 +349,7 @@ def build_index(
             T.StructField("terms", T.ArrayType(T.StringType())),
             T.StructField("freqs", T.ArrayType(T.IntegerType())),
         ]
+        + ([T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType())))] if positions else [])
         + stored_fields
     )
 
@@ -289,7 +357,8 @@ def build_index(
     # segments; dense doc IDs in url order (deterministic tie-breaks).
     part = src.repartitionByRange(num_segments, "url").sortWithinPartitions("url")
     inverted = part.mapInPandas(
-        _analyze_partitions(build_id, text_col, field, analyzer, stored_cols, doc_schema),
+        _analyze_partitions(build_id, text_col, field, analyzer, stored_cols, doc_schema,
+                            positions=positions),
         doc_schema,
     )
     docs_path = os.path.join(bdir, "docs")
@@ -303,14 +372,18 @@ def build_index(
     # (pick num_segments so a segment's postings fit one worker — Lucene's
     # RAM-buffer flush threshold playing the same role).
     docs_df = spark.read.parquet(docs_path)
-    inv_src = docs_df.select("seg", "doc", "norm", "terms", "freqs")
+    inv_cols = ["seg", "doc", "norm", "terms", "freqs"] + (["positions"] if positions else [])
+    inv_src = docs_df.select(*inv_cols)
     if docs_per_inversion_task:
         blocks = inv_src.groupBy(
             "seg", (F.col("doc") / F.lit(int(docs_per_inversion_task))).cast("int").alias("salt")
-        ).applyInPandas(_invert_segment(field, num_buckets, salted=True), POSTINGS_SCHEMA)
+        ).applyInPandas(
+            _invert_segment(field, num_buckets, salted=True, positions=positions),
+            POSTINGS_SCHEMA,
+        )
     else:
         blocks = inv_src.groupBy("seg").applyInPandas(
-            _invert_segment(field, num_buckets), POSTINGS_SCHEMA
+            _invert_segment(field, num_buckets, positions=positions), POSTINGS_SCHEMA
         )
     postings_path = os.path.join(bdir, "postings")
     blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
@@ -361,6 +434,7 @@ def build_index(
             "num_segments": num_segments,
             "num_buckets": num_buckets,
             "analyzer": analyzer,
+            "positions": positions,
             "elapsed_sec": time.time() - t0,
             "phase_sec": {
                 "analysis": round(t_analysis, 2),

@@ -38,7 +38,14 @@ from pyspark.sql import functions as F
 from ..codecs.docblocks import decode_doc_block, encode_doc_block
 from ..codecs.impacts import competitive_impacts
 from ..codecs.pfor import pfor_decode, pfor_encode
-from .builder import BLOCK_SIZE, POSTINGS_FIELDS, POSTINGS_SCHEMA, term_bucket
+from .builder import (
+    BLOCK_SIZE,
+    POSTINGS_FIELDS,
+    POSTINGS_SCHEMA,
+    decode_positions,
+    emit_blocks,
+    term_bucket,
+)
 from .catalog import Catalog
 from .reader import IndexReader
 
@@ -57,39 +64,13 @@ def _merge_blocks_kernel(
     expunged and survivors compact: new_doc = doc - #deleted_before(doc)
     + live docBase (Lucene's merge-time liveDocs squeeze)."""
 
-    def encode_term(field, term, docs, freqs, norms, rows):
+    def encode_term(field, term, docs, freqs, norms, pos_lists, rows):
         if len(docs) == 0:
             return  # every posting of this term was deleted
-        bucket = term_bucket(term, num_buckets)
-        df_count = len(docs)
-        ttf = int(freqs.sum())
-        n_blocks = (df_count + BLOCK_SIZE - 1) // BLOCK_SIZE
-        for bid in range(n_blocks):
-            d = docs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
-            f = freqs[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
-            nm = norms[bid * BLOCK_SIZE : (bid + 1) * BLOCK_SIZE]
-            enc, payload = encode_doc_block(d)
-            imp_f, imp_n = competitive_impacts(f, nm)
-            rows.append(
-                (
-                    field,
-                    term,
-                    int(bid),
-                    int(len(d)),
-                    int(d[0]),
-                    int(d[-1]),
-                    int(enc),
-                    payload,
-                    pfor_encode(f),
-                    nm.astype(np.uint8).tobytes(),
-                    [int(x) for x in imp_f],
-                    [int(x) for x in imp_n],
-                    int(df_count) if bid == 0 else None,
-                    int(ttf) if bid == 0 else None,
-                    new_seg,
-                    int(bucket),
-                )
-            )
+        emit_blocks(
+            field, new_seg, term, term_bucket(term, num_buckets),
+            docs, freqs, norms, rows, pos_lists=pos_lists,
+        )
 
     def fn(iterator):
         pending = None  # (field, term, [docs], [freqs], [norms])
@@ -101,46 +82,54 @@ def _merge_blocks_kernel(
             )
             freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs)).astype(np.int64)
             norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8).astype(np.int64)
+            plists = None
+            if getattr(row, "pos_payload", None) is not None:
+                decoded = decode_positions(bytes(row.pos_payload), freqs)
+                plists = np.empty(len(decoded), dtype=object)
+                plists[:] = decoded
             t = tombstones.get(row.seg) if tombstones else None
             if t is not None and len(t):
                 pos = np.searchsorted(t, docs)
                 dead = (pos < len(t)) & (t[np.clip(pos, 0, len(t) - 1)] == docs)
                 docs, freqs, norms = docs[~dead], freqs[~dead], norms[~dead]
+                if plists is not None:
+                    plists = plists[~dead]
                 docs = docs - np.searchsorted(t, docs)  # compact survivor ids
-            return docs + doc_bases[row.seg], freqs, norms
+            return docs + doc_bases[row.seg], freqs, norms, plists
 
-        for pdf in iterator:
-            rows: list[tuple] = []
-            for row in pdf.itertuples(index=False):
-                key = (row.field, row.term)
-                d, f, nm = decode_row(row)
-                if pending is not None and pending[0] == key:
-                    pending[1].append(d)
-                    pending[2].append(f)
-                    pending[3].append(nm)
-                else:
-                    if pending is not None:
-                        encode_term(
-                            pending[0][0],
-                            pending[0][1],
-                            np.concatenate(pending[1]),
-                            np.concatenate(pending[2]),
-                            np.concatenate(pending[3]),
-                            rows,
-                        )
-                    pending = (key, [d], [f], [nm])
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-        if pending is not None:
-            rows = []
+        def flush(pending, rows):
+            plists = None
+            if pending[4][0] is not None:
+                plists = np.concatenate(pending[4])
             encode_term(
                 pending[0][0],
                 pending[0][1],
                 np.concatenate(pending[1]),
                 np.concatenate(pending[2]),
                 np.concatenate(pending[3]),
+                plists,
                 rows,
             )
+
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                key = (row.field, row.term)
+                d, f, nm, pl = decode_row(row)
+                if pending is not None and pending[0] == key:
+                    pending[1].append(d)
+                    pending[2].append(f)
+                    pending[3].append(nm)
+                    pending[4].append(pl)
+                else:
+                    if pending is not None:
+                        flush(pending, rows)
+                    pending = (key, [d], [f], [nm], [pl])
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if pending is not None:
+            rows = []
+            flush(pending, rows)
             yield pd.DataFrame(rows, columns=cols)
 
     return fn

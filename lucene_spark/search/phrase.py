@@ -75,6 +75,125 @@ def _phrase_freq_sloppy(positions: list[list[int]], slop: int) -> float:
 
 
 def scored_phrase(searcher, q, field: str):
+    """(seg, doc, score) for a PhraseQuery: uses indexed positions when the
+    index stores them (builder ``positions=True`` — the .pos path), else the
+    stored-text re-analysis verify (module docstring)."""
+    reader = searcher.reader
+    if reader._manifests[reader._builds[0]].get("positions"):
+        return _scored_phrase_positions(searcher, q, field)
+    return _scored_phrase_reanalysis(searcher, q, field)
+
+
+def _scored_phrase_positions(searcher, q, field: str):
+    """Positions-from-index phrase matching (ExactPhraseMatcher /
+    SloppyPhraseMatcher over .pos): decode phrase terms' position payloads,
+    one shuffle groups candidates by doc, matching + scoring vectorized in
+    a batch kernel."""
+    from ..codecs.docblocks import decode_doc_block
+    from ..codecs.pfor import pfor_decode
+    from ..index.builder import decode_positions
+
+    reader = searcher.reader
+    uniq_terms = list(dict.fromkeys(q.terms))
+    doc_count, sum_ttf = reader.collection_stats(field)
+    stats = reader.term_stats(uniq_terms, field)
+    if any(t not in stats for t in uniq_terms):
+        return None
+    scorer = make_scorer(
+        [stats[t][0] for t in q.terms], doc_count, sum_ttf,
+        boost=q.boost, dtype=searcher.dtype,
+    )
+    blocks = reader.postings(uniq_terms, field)
+
+    dec_schema = T.StructType(
+        [
+            T.StructField("seg", T.StringType()),
+            T.StructField("doc", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("norm", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def decode(iterator):
+        for pdf in iterator:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                docs = decode_doc_block(
+                    int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), int(row.num_docs)
+                )
+                freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs))
+                norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
+                plists = decode_positions(bytes(row.pos_payload), freqs)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "seg": row.seg,
+                            "doc": docs,
+                            "term": row.term,
+                            "norm": norms.astype(np.int32),
+                            "positions": [p.astype(np.int32).tolist() for p in plists],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    dec = blocks.mapInPandas(decode, dec_schema)
+    n_uniq = len(uniq_terms)
+    agg = (
+        dec.groupBy("seg", "doc")
+        .agg(
+            F.first("norm").alias("norm"),
+            F.collect_list(F.struct("term", "positions")).alias("tps"),
+        )
+        .filter(F.size("tps") >= n_uniq)
+    )
+
+    phrase_terms = list(q.terms)
+    slop = q.slop
+    cache = scorer.cache
+    w = scorer.weight
+
+    def verify(iterator):
+        dt = cache.dtype.type
+        for pdf in iterator:
+            segs, docs_, scores = [], [], []
+            for row in pdf.itertuples(index=False):
+                by_term = {e["term"]: e["positions"] for e in row.tps}
+                plists = [by_term.get(t) for t in phrase_terms]
+                if any(p is None or len(p) == 0 for p in plists):
+                    continue
+                freq = (
+                    _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
+                )
+                if freq <= 0:
+                    continue
+                inv = cache[int(row.norm) & 0xFF]
+                segs.append(row.seg)
+                docs_.append(row.doc)
+                scores.append(float(w - w / (dt(1.0) + dt(freq) * inv)))
+            yield pd.DataFrame(
+                {
+                    "seg": pd.Series(segs, dtype=object),
+                    "doc": pd.Series(docs_, dtype=np.int64),
+                    "score": pd.Series(scores, dtype=np.float64),
+                }
+            )
+
+    return agg.mapInPandas(
+        verify,
+        T.StructType(
+            [
+                T.StructField("seg", T.StringType()),
+                T.StructField("doc", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+
+
+def _scored_phrase_reanalysis(searcher, q, field: str):
     """(seg, doc, score) for a PhraseQuery — see module docstring."""
     reader = searcher.reader
     terms = list(dict.fromkeys(q.terms))  # unique, order-preserving

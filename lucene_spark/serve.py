@@ -1,0 +1,189 @@
+"""LocalSearcher: low-latency single-node serving over the same index.
+
+The Spark path is built for thousand-executor scans; its per-query floor is
+Spark job scheduling (~seconds). Serving, like Lucene's IndexSearcher, wants
+milliseconds. This module reads the SAME segment tables (partitioned
+parquet + snapshot catalog) directly through pyarrow — bucket/segment
+directory pruning and parquet row-group term filters included — and runs
+the SAME numpy kernels (block-max MAXSCORE, float32 BM25, bounded heap) in
+process. One index format, two execution profiles:
+
+- build/refresh/merge/analytics: Spark (distributed)
+- point queries: LocalSearcher (this file) on any single node
+
+Scale note: a serving node only ever touches the query's (bucket, term) file
+slices + k doc rows, so this works against the full 100 TB index over
+object storage too — reads are O(posting lists touched), not O(index).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+
+from .functions.bm25 import make_scorer
+from .index.builder import term_bucket
+from .index.catalog import Catalog
+from .index.deletes import load_tombstones
+from .search import query as Q
+from .search.parser import parse
+from .search.topk import merge_topk
+from .search.wand import maxscore_kernel
+
+_POSTING_COLS = [
+    "term", "first_doc", "last_doc", "num_docs", "enc",
+    "doc_payload", "freq_payload", "norm_payload", "imp_freqs", "imp_norms",
+]
+
+
+class LocalSearcher:
+    def __init__(self, index_root: str, snapshot_id: int | None = None, dtype=np.float32):
+        self.root = index_root
+        self.dtype = dtype
+        self.catalog = Catalog(index_root)
+        snap = self.catalog.snapshot(snapshot_id)
+        self.snapshot_id = snap["id"]
+        self.segments = snap["segments"]
+        self.seg_names = [s["name"] for s in self.segments]
+        self._builds = sorted({s["build"] for s in self.segments})
+        self._manifests = {b: self.catalog.read_manifest(b) for b in self._builds}
+        self.num_buckets = self._manifests[self._builds[0]]["num_buckets"]
+        self._datasets = [
+            ds.dataset(
+                os.path.join(index_root, "builds", b, "postings"),
+                format="parquet",
+                partitioning="hive",
+            )
+            for b in self._builds
+        ]
+        self._doc_datasets = [
+            ds.dataset(
+                os.path.join(index_root, "builds", b, "docs"),
+                format="parquet",
+                partitioning="hive",
+            )
+            for b in self._builds
+        ]
+        self.doc_bases = self.catalog.doc_bases(self.snapshot_id)
+        self.deletes = {
+            s["name"]: t for s in self.segments
+            if len(t := load_tombstones(index_root, s))
+        }
+
+    # ---------------------------------------------------------------- reads
+
+    def _blocks(self, terms: list[str], field: str = "text", columns=None) -> pd.DataFrame:
+        buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
+        filt = (
+            pc.field("bucket").isin(buckets)
+            & pc.field("seg").isin(self.seg_names)
+            & pc.field("field").__eq__(field)
+            & pc.field("term").isin(terms)
+        )
+        cols = (columns or _POSTING_COLS) + ["seg"]
+        parts = [d.to_table(columns=cols, filter=filt) for d in self._datasets]
+        import pyarrow as pa
+
+        return pa.concat_tables(parts).to_pandas()
+
+    def collection_stats(self, field: str = "text") -> tuple[int, int]:
+        return self.catalog.field_stats(field, self.snapshot_id)
+
+    def term_stats(self, terms: list[str], field: str = "text") -> dict:
+        pdf = self._blocks(
+            terms, field, columns=["term", "doc_freq", "total_term_freq"]
+        )
+        pdf = pdf[pdf["doc_freq"].notna()]
+        agg = pdf.groupby("term")[["doc_freq", "total_term_freq"]].sum()
+        return {t: (int(r["doc_freq"]), int(r["total_term_freq"])) for t, r in agg.iterrows()}
+
+    def _urls(self, hits: list[tuple[str, int]]) -> dict:
+        """(seg, doc) -> url via filtered parquet reads (k rows)."""
+        by_seg: dict[str, list[int]] = {}
+        for seg, doc in hits:
+            by_seg.setdefault(seg, []).append(doc)
+        out = {}
+        for dset in self._doc_datasets:
+            for seg, docs in by_seg.items():
+                filt = pc.field("seg").__eq__(seg) & pc.field("doc").isin(docs)
+                t = dset.to_table(columns=["seg", "doc", "url"], filter=filt)
+                for r in t.to_pylist():
+                    out[(r["seg"], r["doc"])] = r["url"]
+        return out
+
+    # --------------------------------------------------------------- search
+
+    def search(self, q, k: int = 10, field: str = "text"):
+        """Top-k [(url, score, gdoc)] for a query string or flat term
+        boolean (the shapes the block-max kernel serves; other shapes
+        belong on the Spark path)."""
+        if isinstance(q, str):
+            q = parse(q)
+        q = Q.rewrite(q, None, field)
+        info = self._classify(q)
+        if info is None:
+            raise NotImplementedError(
+                "LocalSearcher serves term/boolean queries; use the Spark "
+                "IndexSearcher for phrase/multi-term/filter shapes"
+            )
+        terms = info["should"] + info["must"]
+        boosts = {t: b * info["boost"] for t, b in info["boosts"].items()}
+        doc_count, sum_ttf = self.collection_stats(field)
+        stats = self.term_stats(terms, field)
+        scorers = {
+            t: make_scorer([stats[t][0]], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype)
+            for t in terms
+            if t in stats
+        }
+        if not scorers or any(t not in scorers for t in info["must"]):
+            return []
+        # MUST_NOT: decode excluded terms into per-seg doc sets, merge with
+        # tombstones, and hand them to the kernel as extra "deletes"
+        exclude = {s: t.copy() for s, t in self.deletes.items()}
+        if info["must_not"]:
+            nblocks = self._blocks([t for t in info["must_not"]], field)
+            from .codecs.docblocks import decode_doc_block
+
+            for row in nblocks.itertuples(index=False):
+                docs = decode_doc_block(
+                    int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), int(row.num_docs)
+                )
+                prev = exclude.get(row.seg)
+                exclude[row.seg] = (
+                    np.union1d(prev, docs) if prev is not None else docs.astype(np.int64)
+                )
+
+        live = [t for t in terms if t in scorers]
+        pdf = self._blocks(live, field)
+        kernel = maxscore_kernel(
+            scorers,
+            must_terms=[t for t in info["must"] if t in scorers],
+            k=k,
+            deletes=exclude or None,
+        )
+        per_seg = []
+        for seg, g in pdf.groupby("seg", sort=True):
+            out = kernel((seg,), g)
+            base = self.doc_bases[seg]
+            per_seg.append(
+                [(float(s), int(d) + base, seg, int(d)) for s, d in zip(out["score"], out["doc"])]
+            )
+        merged = merge_topk(
+            [[(s, g) for s, g, _, _ in part] for part in per_seg], k
+        )
+        gdoc_to_segdoc = {g: (seg, d) for part in per_seg for s, g, seg, d in part}
+        urls = self._urls([gdoc_to_segdoc[g] for _, g in merged])
+        return [
+            (urls[gdoc_to_segdoc[g]], s, g) for s, g in merged
+        ]
+
+    @staticmethod
+    def _classify(q):
+        from .search.searcher import _classify
+
+        return _classify(q)

@@ -1,0 +1,63 @@
+"""Positional index (.pos path): phrase queries over indexed positions must
+match the stored-text re-analysis path and survive merges."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from lucene_spark.index import Catalog, IndexReader, build_index
+from lucene_spark.index.builder import decode_positions, encode_positions
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+
+from conftest import TESTDATA
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.RandomState(7)
+    lists = [np.sort(rng.choice(5000, size=rng.randint(1, 40), replace=False)) for _ in range(300)]
+    payload = encode_positions(lists)
+    back = decode_positions(payload, [len(p) for p in lists])
+    for a, b in zip(lists, back):
+        assert (np.asarray(a) == b).all()
+
+
+@pytest.fixture(scope="module")
+def pos_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True)
+    return root
+
+
+def _topk(spark, root, qs, k=10):
+    s = IndexSearcher(IndexReader(spark, root))
+    rows = s.search(parse(qs), k=k, mode="exhaustive").select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+PHRASES = ['"table scan"', '"key order"', '"table scan"~2']
+
+
+def test_positional_phrase_matches_reanalysis(spark, pos_root, index_root):
+    for qs in PHRASES:
+        got = _topk(spark, pos_root, qs)
+        want = _topk(spark, index_root, qs)  # re-analysis path (no positions)
+        assert got == want, qs
+
+
+def test_nonphrase_results_unaffected(spark, pos_root, index_root):
+    for qs in ("table", "merge OR window OR spark", "table AND scan"):
+        assert _topk(spark, pos_root, qs) == _topk(spark, index_root, qs), qs
+
+
+def test_merge_preserves_positions(spark, pos_root):
+    before = {qs: _topk(spark, pos_root, qs) for qs in PHRASES}
+    force_merge(spark, pos_root, max_segments=1)
+    assert len(Catalog(pos_root).live_segments()) == 1
+    for qs in PHRASES:
+        assert _topk(spark, pos_root, qs) == before[qs], qs

@@ -1,0 +1,56 @@
+"""LocalSearcher (driver-local pyarrow serving path): identical results to
+the Spark searcher on the same index, at millisecond-class latency."""
+
+import time
+
+import numpy as np
+import pytest
+
+from lucene_spark.index import IndexReader
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.serve import LocalSearcher
+
+QUERIES = [
+    "table",
+    "the",
+    "merge OR window OR spark",
+    "table AND scan",
+    "+table -scan",
+    "table^2 OR scan",
+]
+
+
+@pytest.fixture(scope="module")
+def local(index_root):
+    return LocalSearcher(index_root)
+
+
+@pytest.fixture(scope="module")
+def spark_searcher(reader):
+    return IndexSearcher(reader)
+
+
+@pytest.mark.parametrize("qs", QUERIES)
+def test_matches_spark_path(spark, local, spark_searcher, qs):
+    want = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in spark_searcher.search(parse(qs), k=10).collect()
+    ]
+    got = [(u, float(np.float32(s))) for u, s, _ in local.search(qs, k=10)]
+    assert got == want
+
+
+def test_latency_is_subsecond(local):
+    local.search("table", k=10)  # warm the datasets
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        local.search("merge OR window OR spark", k=10)
+    per_query = (time.time() - t0) / n
+    assert per_query < 0.5, f"serve latency {per_query:.3f}s"
+
+
+def test_term_stats_match(local, reader):
+    terms = ["table", "the", "scan"]
+    assert local.term_stats(terms) == reader.term_stats(terms)
+    assert local.collection_stats() == reader.collection_stats()
