@@ -55,22 +55,41 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
+_APOSTROPHES = ("'", "’", "＇")  # EnglishPossessiveFilter.java variants
+
+
+def strip_possessive(term: str) -> str:
+    """EnglishPossessiveFilter: strip trailing <apostrophe>s / S."""
+    if len(term) >= 2 and term[-1] in ("s", "S") and term[-2] in _APOSTROPHES:
+        return term[:-2]
+    return term
+
+
 @dataclass(frozen=True)
 class Analyzer:
-    """tokenize -> lowercase -> stop-filter pipeline."""
+    """tokenize [-> possessive strip] -> lowercase -> stop-filter
+    [-> stem] pipeline (Lucene StandardAnalyzer / EnglishAnalyzer order:
+    EnglishAnalyzer.java:103-111)."""
 
     stopwords: frozenset[str] = frozenset()
     max_token_length: int = MAX_TOKEN_LENGTH
+    possessive: bool = False
+    stemmer: object = None  # callable term -> term
 
     def tokens(self, text: str) -> list[Token]:
         out: list[Token] = []
         pos = -1
         pending = 1
         for tok in tokenize(text, self.max_token_length):
-            term = lowercase(tok.term)
+            term = tok.term
+            if self.possessive:
+                term = strip_possessive(term)
+            term = lowercase(term)
             if term in self.stopwords:
                 pending += 1  # posIncr accumulates (FilteringTokenFilter.java:49-58)
                 continue
+            if self.stemmer is not None:
+                term = self.stemmer(term)
             pos += pending
             pending = 1
             out.append(Token(term, pos, tok.start, tok.end))
@@ -80,12 +99,21 @@ class Analyzer:
         return [t.term for t in self.tokens(text)]
 
 
+def _porter(term: str) -> str:
+    from .porter import stem
+
+    return stem(term)
+
+
 STANDARD = Analyzer()  # StandardAnalyzer: empty stop set
 ENGLISH_STOPS = Analyzer(stopwords=ENGLISH_STOP_WORDS)
+ENGLISH = Analyzer(
+    stopwords=ENGLISH_STOP_WORDS, possessive=True, stemmer=_porter
+)  # EnglishAnalyzer: possessive strip + 33-word stops + Porter
 
 
 def analyzer_for(name: str) -> Analyzer:
-    return {"standard": STANDARD, "english_stops": ENGLISH_STOPS}[name]
+    return {"standard": STANDARD, "english_stops": ENGLISH_STOPS, "english": ENGLISH}[name]
 
 
 # ---------------------------------------------------------------------------

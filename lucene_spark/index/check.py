@@ -1,0 +1,132 @@
+"""Index invariant checker — the CheckIndex analogue (reference:
+/root/reference/lucene/core/src/java/org/apache/lucene/index/CheckIndex.java).
+
+Validates, distributed (one pass over the postings + one over docs):
+- doc ids strictly increasing within every block; first/last match payloads
+- freqs positive; norm payload length == num_docs
+- per-term stats rows (doc_freq/total_term_freq) equal the decoded sums
+- impacts dominate their block: every (freq, norm) pair in a block is
+  covered by an impact pair with freq' >= freq and norm' <= norm
+- position payloads (when present) decode to freq-length ascending lists
+- catalog field stats equal the docs table aggregates
+- tombstones (if any) reference valid doc ids
+
+Returns a dict report; raises AssertionError on the first violation when
+``strict`` (the pytest mode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .reader import IndexReader
+
+
+def check_index(spark: SparkSession, index_root: str, strict: bool = True) -> dict:
+    reader = IndexReader(spark, index_root)
+    errors: list[str] = []
+
+    def block_check(iterator):
+        from ..codecs.docblocks import decode_doc_block
+        from ..codecs.pfor import pfor_decode
+        from .builder import decode_positions
+
+        for pdf in iterator:
+            stats: dict = {}
+            errs: list[str] = []
+            for row in pdf.itertuples(index=False):
+                docs = decode_doc_block(
+                    int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), int(row.num_docs)
+                )
+                freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs))
+                norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
+                key = (row.seg, row.field, row.term)
+                where = f"{key} block {row.block_id}"
+                if len(docs) != row.num_docs or (np.diff(docs) <= 0).any():
+                    errs.append(f"{where}: doc ids not strictly increasing")
+                if docs[0] != row.first_doc or docs[-1] != row.last_doc:
+                    errs.append(f"{where}: first/last_doc mismatch")
+                if (freqs <= 0).any():
+                    errs.append(f"{where}: non-positive freq")
+                if len(norms) != row.num_docs:
+                    errs.append(f"{where}: norm payload length mismatch")
+                imp_f = np.asarray(row.imp_freqs, dtype=np.int64)
+                imp_n = np.asarray(row.imp_norms, dtype=np.int64)
+                for fr, nm in zip(freqs, norms):
+                    if not ((imp_f >= fr) & (imp_n <= nm)).any():
+                        errs.append(f"{where}: ({fr},{nm}) not dominated by impacts")
+                        break
+                if getattr(row, "pos_payload", None) is not None:
+                    plists = decode_positions(bytes(row.pos_payload), freqs)
+                    for p, fr in zip(plists, freqs):
+                        if len(p) != fr or (len(p) > 1 and (np.diff(p) < 0).any()):
+                            errs.append(f"{where}: bad positions list")
+                            break
+                agg = stats.setdefault(key, [0, 0, None])
+                agg[0] += int(row.num_docs)
+                agg[1] += int(freqs.sum())
+                if row.doc_freq is not None and not pd.isna(row.doc_freq):
+                    prev = agg[2] or (0, 0)
+                    agg[2] = (prev[0] + int(row.doc_freq), prev[1] + int(row.total_term_freq))
+            out = pd.DataFrame(
+                {
+                    "seg": [k[0] for k in stats],
+                    "term": [k[2] for k in stats],
+                    "df_dec": [v[0] for v in stats.values()],
+                    "ttf_dec": [v[1] for v in stats.values()],
+                    "df_stated": [v[2][0] if v[2] else -1 for v in stats.values()],
+                    "ttf_stated": [v[2][1] if v[2] else -1 for v in stats.values()],
+                    "errors": ["; ".join(errs) if errs else None] + [None] * (len(stats) - 1)
+                    if stats
+                    else [],
+                }
+            )
+            yield out
+
+    schema = (
+        "seg string, term string, df_dec long, ttf_dec long, "
+        "df_stated long, ttf_stated long, errors string"
+    )
+    res = reader.postings().mapInPandas(block_check, schema)
+    # a (seg, term) can span salted sub-groups across partitions: re-aggregate
+    agg = res.groupBy("seg", "term").agg(
+        F.sum("df_dec").alias("df_dec"),
+        F.sum("ttf_dec").alias("ttf_dec"),
+        F.sum(F.when(F.col("df_stated") >= 0, F.col("df_stated"))).alias("df_stated"),
+        F.sum(F.when(F.col("ttf_stated") >= 0, F.col("ttf_stated"))).alias("ttf_stated"),
+    )
+    bad_stats = agg.filter(
+        (F.col("df_dec") != F.col("df_stated")) | (F.col("ttf_dec") != F.col("ttf_stated"))
+    ).count()
+    if bad_stats:
+        errors.append(f"{bad_stats} (seg, term) stats rows disagree with decoded postings")
+    kernel_errs = [r["errors"] for r in res.select("errors").filter(F.col("errors").isNotNull()).collect()]
+    errors.extend(kernel_errs)
+
+    # field stats vs docs table
+    docs = reader.docs(["seg", "doc", "length"])
+    doc_count = docs.filter(F.col("length") > 0).count()
+    sum_ttf = int(docs.agg(F.sum("length")).collect()[0][0] or 0)
+    if reader.collection_stats() != (doc_count, sum_ttf):
+        errors.append(
+            f"catalog field stats {reader.collection_stats()} != docs table ({doc_count}, {sum_ttf})"
+        )
+    # tombstones reference valid docs
+    for seg, tombs in reader.deletes().items():
+        max_doc = next(s["max_doc"] for s in reader.segments if s["name"] == seg)
+        if len(tombs) and (tombs[0] < 0 or tombs[-1] >= max_doc):
+            errors.append(f"{seg}: tombstone out of range")
+
+    report = {
+        "segments": len(reader.segments),
+        "max_doc": reader.max_doc(),
+        "num_deleted": reader.num_deleted(),
+        "terms_checked": agg.count(),
+        "errors": errors,
+    }
+    if strict and errors:
+        raise AssertionError("; ".join(errors[:10]))
+    return report

@@ -1,0 +1,35 @@
+"""check_index (CheckIndex analogue) over plain, positional, salted,
+merged, and deleted indexes."""
+
+import shutil
+
+from lucene_spark.index import build_index
+from lucene_spark.index.check import check_index
+from lucene_spark.index.deletes import delete_by_query
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import parse
+
+from conftest import TESTDATA
+
+
+def test_check_plain_index(spark, index_root):
+    report = check_index(spark, index_root)
+    assert report["errors"] == []
+    assert report["terms_checked"] > 0
+
+
+def test_check_positional_salted_deleted_merged(spark, tmp_path):
+    root = str(tmp_path / "cidx")
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("text",), positions=True,
+                docs_per_inversion_task=64)
+    assert check_index(spark, root)["errors"] == []
+    delete_by_query(spark, root, parse("table AND scan"))
+    assert check_index(spark, root)["errors"] == []
+    force_merge(spark, root, max_segments=1)
+    rep = check_index(spark, root)
+    assert rep["errors"] == []
+    assert rep["num_deleted"] == 0

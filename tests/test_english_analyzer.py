@@ -1,0 +1,58 @@
+"""EnglishAnalyzer chain: possessive strip + stop filter + Porter stemmer
+(reference analysis/common/.../en/EnglishAnalyzer.java:103-111), and an
+end-to-end build+search with the stemming analyzer."""
+
+import shutil
+
+from lucene_spark.analysis.analyzer import ENGLISH, analyzer_for, strip_possessive
+from lucene_spark.analysis.porter import stem
+
+
+def test_porter_vectors():
+    cases = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "hopping": "hop",
+        "happy": "happi", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "operator": "oper", "feudalism": "feudal",
+        "adjustable": "adjust", "replacement": "replac", "adoption": "adopt",
+        "effective": "effect", "goodness": "good", "sky": "sky", "roll": "roll",
+    }
+    for w, want in cases.items():
+        assert stem(w) == want, (w, stem(w), want)
+
+
+def test_possessive_strip():
+    assert strip_possessive("John's") == "John"
+    assert strip_possessive("JOHN'S") == "JOHN"
+    assert strip_possessive("John’s") == "John"
+    assert strip_possessive("its") == "its"  # no apostrophe -> untouched
+    assert strip_possessive("'s") == ""
+
+
+def test_english_analyzer_pipeline():
+    # stopwords dropped with position gaps, possessives stripped, stems applied
+    toks = ENGLISH.tokens("The programmer's tests were failing quickly")
+    assert [t.term for t in toks] == ["programm", "test", "were", "fail", "quickli"]
+    # "The" dropped -> first kept token at position 1
+    assert toks[0].position == 1
+
+
+def test_english_index_search(spark, tmp_path):
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import pages_from_documents
+    from lucene_spark.search import IndexSearcher, parse
+    from conftest import TESTDATA
+
+    root = str(tmp_path / "eidx")
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=2, num_buckets=4,
+                analyzer="english", stored_cols=("text",))
+    s = IndexSearcher(IndexReader(spark, root))
+    # query text analyzed with the same analyzer: "tables" -> "tabl"
+    hits = s.search(parse("tables", analyzer="english"), k=5).collect()
+    assert len(hits) == 5
+    # stopword-only query matches nothing (33-word stop set active)
+    assert s.search(parse("the", analyzer="english"), k=5).collect() == []
