@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_range"] = _q("[table TO tap]", mode="exhaustive")
     q["hit_count_term"] = _count_q("table")
     q["hit_count_bool"] = _count_q("table AND scan")
+    q["search_after_page2"] = _pq_search_after
+    q["filtered_by_lang"] = _pq_filtered_lang
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
@@ -198,6 +200,39 @@ def _pq_monitor(spark, sf_dir):
         {"q1": ["table", "scan"], "q2": ["merge"]},
     )
     return matches.groupBy("query_id").agg(F.count("*").alias("n"))
+
+
+def _pq_search_after(spark, sf_dir):
+    """Deep paging: page 2 (ranks 11-20) of a disjunction via searchAfter."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+
+    s = _searcher(spark, sf_dir)
+    q = parse("merge OR window OR spark")
+    page1 = s.search(q, k=K, mode="maxscore").collect()
+    cursor = (float(page1[-1]["score"]), int(page1[-1]["gdoc"]))
+    page2 = s.search(q, k=K, mode="maxscore", after=cursor)
+    return page2.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_filtered_lang(spark, sf_dir):
+    """BM25 scoring clause + structured doc-values FILTER (lang = 'en')."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.DocValuesQuery("lang = 'en'")),
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 # -- pipeline query impls ----------------------------------------------------
@@ -487,6 +522,19 @@ SELECT count(*) AS n_hits FROM (
   GROUP BY doc_id HAVING count(DISTINCT term) = 2
 )
 """
+    or3 = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], k=K)
+    o["search_after_page2"] = or3.replace(
+        f"LIMIT {K}\n", f"LIMIT {K} OFFSET {K}\n"
+    )
+    base_t = _bm25_term_sql([("table", 1.0)], k=K)
+    o["filtered_by_lang"] = (
+        base_t.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id, round(score, 4) AS score_r
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+WHERE d.lang = 'en'
+ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
     o.update(_pipeline_oracles())
     return o
 

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) — the BasePostingsFormatTestCase /
+RandomPostingsTester analogue (reference lucene/test-framework): random
+posting lists round-trip through the full block pipeline, and the block-max
+MAXSCORE kernel is rank-identical to brute force on random corpora. All
+in-process (no Spark) so hundreds of examples run in seconds."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_spark.codecs.docblocks import decode_doc_block
+from lucene_spark.codecs.pfor import pfor_decode, pfor_encode
+from lucene_spark.functions.bm25 import make_scorer
+from lucene_spark.functions.smallfloat import int_to_byte4_np
+from lucene_spark.index.builder import (
+    POSTINGS_FIELDS,
+    decode_positions,
+    emit_blocks,
+    encode_positions,
+)
+from lucene_spark.search.wand import maxscore_kernel
+
+COLS = [f.name for f in POSTINGS_FIELDS]
+
+
+@st.composite
+def posting_list(draw, max_doc=5000, max_len=1200):
+    n = draw(st.integers(1, max_len))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    docs = np.sort(rng.choice(max_doc, size=min(n, max_doc), replace=False)).astype(np.int64)
+    freqs = rng.randint(1, 50, size=len(docs)).astype(np.int64)
+    norms = rng.randint(1, 256, size=len(docs)).astype(np.int64)
+    return docs, freqs, norms
+
+
+@settings(max_examples=60, deadline=None)
+@given(posting_list())
+def test_block_pipeline_roundtrip(pl):
+    docs, freqs, norms = pl
+    pos_lists = [np.sort(np.random.RandomState(int(f)).randint(0, 4096, size=int(f))) for f in freqs]
+    rows = []
+    emit_blocks("text", "s0", "t", 0, docs, freqs, norms, rows, pos_lists=np.array(pos_lists, dtype=object))
+    got_docs, got_freqs, got_norms, got_pos = [], [], [], []
+    stated = None
+    for r in rows:
+        rec = dict(zip(COLS, r))
+        d = decode_doc_block(rec["enc"], rec["doc_payload"] or b"", rec["first_doc"], rec["num_docs"])
+        f = pfor_decode(rec["freq_payload"], rec["num_docs"])
+        nm = np.frombuffer(rec["norm_payload"], dtype=np.uint8)
+        got_docs.append(d)
+        got_freqs.append(f)
+        got_norms.append(nm)
+        got_pos.extend(decode_positions(rec["pos_payload"], f))
+        if rec["doc_freq"] is not None:
+            stated = (rec["doc_freq"], rec["total_term_freq"])
+    assert (np.concatenate(got_docs) == docs).all()
+    assert (np.concatenate(got_freqs) == freqs).all()
+    assert (np.concatenate(got_norms) == norms).all()
+    assert stated == (len(docs), int(freqs.sum()))
+    for want, got in zip(pos_lists, got_pos):
+        assert (np.asarray(want) == got).all()
+
+
+@st.composite
+def corpus(draw):
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.RandomState(seed)
+    n_docs = draw(st.integers(50, 2500))
+    n_terms = draw(st.integers(2, 6))
+    zipf = rng.rand(n_terms) * 0.9 + 0.05  # per-term doc probability
+    tf = {}
+    for t in range(n_terms):
+        mask = rng.rand(n_docs) < zipf[t]
+        freqs = np.zeros(n_docs, dtype=np.int64)
+        freqs[mask] = rng.randint(1, 20, size=int(mask.sum()))
+        tf[f"t{t}"] = freqs
+    lengths = sum(tf.values()) + rng.randint(0, 30, size=n_docs)
+    return tf, lengths, draw(st.integers(1, 3)), draw(st.integers(1, 15))
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpus())
+def test_maxscore_kernel_vs_bruteforce(c):
+    tf, lengths, n_must, k = c
+    norms = int_to_byte4_np(np.maximum(lengths, 1)).astype(np.int64)
+    doc_count = len(lengths)
+    sum_ttf = int(lengths.sum())
+    terms = list(tf)
+    must = terms[: min(n_must, len(terms)) - 1]  # conjunction subset (may be empty)
+
+    rows = []
+    scorers = {}
+    for t, freqs in tf.items():
+        docs = np.nonzero(freqs)[0].astype(np.int64)
+        if len(docs) == 0:
+            continue
+        scorers[t] = make_scorer([len(docs)], doc_count, sum_ttf)
+        emit_blocks("text", "s0", t, 0, docs, freqs[docs], norms[docs], rows)
+    live = [t for t in terms if t in scorers]
+    must = [t for t in must if t in scorers]
+    if not live:
+        return
+    pdf = pd.DataFrame(rows, columns=COLS)
+
+    kernel = maxscore_kernel(scorers, must_terms=must, k=k)
+    out = kernel(("s0",), pdf)
+    got = list(zip(out["doc"].astype(int), np.float32(out["score"])))
+
+    # brute force
+    acc = np.zeros(doc_count, dtype=np.float64)
+    match = np.ones(doc_count, dtype=bool) if must else np.zeros(doc_count, dtype=bool)
+    for t in live:
+        freqs = tf[t]
+        m = freqs > 0
+        s = np.zeros(doc_count)
+        s[m] = scorers[t].score(freqs[m], norms[m]).astype(np.float64)
+        acc += s
+        if t in must:
+            match &= m
+        elif not must:
+            match |= m
+    if not must:
+        pass
+    else:
+        # SHOULD terms still contribute score but aren't required
+        pass
+    idx = np.nonzero(match)[0]
+    order = sorted(idx, key=lambda i: (-acc[i], i))[:k]
+    want = [(int(i), np.float32(acc[i])) for i in order]
+    assert got == want
