@@ -141,7 +141,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["group_top_hits"] = _pq_group_top
     q["distinct_langs"] = _pq_distinct_langs
     q["monitor_matches"] = _pq_monitor
+    q["sort_by_field"] = _pq_sort_by_field
     return q
+
+
+def _pq_sort_by_field(spark, sf_dir):
+    """TopFieldCollector: hits of 'table' sorted by (length desc, doc)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import sorted_top_hits
+
+    s = _searcher(spark, sf_dir)
+    out = sorted_top_hits(
+        s, parse("table"), [F.desc("length"), F.asc("url")], k=10
+    )
+    return out.select(
+        doc_id_for_url_col().alias("doc_id"), F.col("length").alias("n_tokens")
+    )
 
 
 def _pq_facet_lang(spark, sf_dir):
@@ -535,6 +551,13 @@ WHERE d.lang = 'en'
 ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
 """
     )
+    o["sort_by_field"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens FROM hit JOIN lens USING (doc_id)
+ORDER BY n_tokens DESC, doc_id ASC LIMIT 10
+"""
     o.update(_pipeline_oracles())
     return o
 

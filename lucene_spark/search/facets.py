@@ -91,6 +91,22 @@ def grouped_top_hits(
     )
 
 
+def sorted_top_hits(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    sort_cols: list,
+    k: int = 10,
+    field: str = "text",
+) -> DataFrame:
+    """TopFieldCollector: top-k matches ordered by stored-field sort keys
+    (Catalyst TakeOrderedAndProject — the index-sort early-termination
+    analogue is parquet row-group min/max pruning when the docs table is
+    written sorted by the field). ``sort_cols`` are Column expressions,
+    e.g. [F.desc("length"), F.asc("url")]."""
+    m = _matches_with_docs(searcher, q, field)
+    return m.orderBy(*sort_cols).limit(k)
+
+
 def distinct_count(
     searcher: IndexSearcher, q: Q.Query, col: str, approx: bool = False, field: str = "text"
 ) -> int:
