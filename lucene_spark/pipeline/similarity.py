@@ -107,6 +107,59 @@ def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding
     return df.withColumn("cell", cell(F.col(vec_col)))
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Persist an IVF index: vectors parquet partitioned by cell + the
+    centroid model. At 100 TB this is THE layout lever — a query probing
+    nprobe cells reads nprobe/nlist of the data via partition pruning;
+    everything else is never listed."""
+    import json
+    import os
+
+    cent = kmeans_centroids(df, nlist, vec_col)
+    celled = assign_cells(df, cent, vec_col)
+    celled.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cent.tolist(), f)
+    return cent
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index; the cell predicate prunes partitions."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cent = np.array(json.load(f))
+    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    out = None
+    for qi, (qid, _) in enumerate(queries):
+        cells = [int(c) for c in probes[qi]]
+        sub = vectors.filter(F.col("cell").isin(cells))  # partition pruning
+        top = brute_force_topk(sub, [queries[qi]], k=k, vec_col=vec_col, id_col=id_col)
+        out = top if out is None else out.unionByName(top)
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     queries: list[tuple[int, list[float]]],

@@ -146,7 +146,9 @@ class IndexSearcher:
 
         def decode(iterator):
             for pdf in iterator:
-                outs = []
+                # decode every block into flat arrays, build ONE frame per
+                # Arrow batch (vectorized; no per-block DataFrame churn)
+                segs_l, docs_l, terms_l, scores_l, freqs_l = [], [], [], [], []
                 for row in pdf.itertuples(index=False):
                     docs = decode_doc_block(
                         row.enc, bytes(row.doc_payload or b""), row.first_doc, row.num_docs
@@ -163,19 +165,22 @@ class IndexSearcher:
                         scores = (w - w / (dt(1.0) + freqs.astype(cache.dtype) * inv)).astype(
                             np.float64
                         )
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "seg": row.seg,
-                                "doc": docs,
-                                "term": row.term,
-                                "score": scores,
-                                "freq": freqs.astype(np.int32),
-                            }
-                        )
+                    n = row.num_docs
+                    segs_l.append(np.full(n, row.seg, dtype=object))
+                    terms_l.append(np.full(n, row.term, dtype=object))
+                    docs_l.append(docs)
+                    scores_l.append(scores)
+                    freqs_l.append(freqs.astype(np.int32))
+                if docs_l:
+                    yield pd.DataFrame(
+                        {
+                            "seg": np.concatenate(segs_l),
+                            "doc": np.concatenate(docs_l),
+                            "term": np.concatenate(terms_l),
+                            "score": np.concatenate(scores_l),
+                            "freq": np.concatenate(freqs_l),
+                        }
                     )
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
 
         return blocks.mapInPandas(decode, DECODED_SCHEMA)
 

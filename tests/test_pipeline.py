@@ -239,3 +239,32 @@ def test_monitor_reverse_search(spark, docs):
         if "merge" in terms:
             want.add((url_for_doc_id(did), "q2"))
     assert {(r["id"], r["query_id"]) for r in got} == want
+
+
+def test_ivf_persisted_index(spark, emb, emb_np, tmp_path):
+    from lucene_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    ids, m = emb_np
+    path = str(tmp_path / "ivf")
+    cent = write_ivf_index(emb, path, nlist=8)
+    assert cent.shape[0] == 8
+    queries = [(int(ids[i]), m[i].tolist()) for i in range(3)]
+    got = ivf_index_topk(spark, path, queries, k=10, nprobe=4).collect()
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    for qid, _ in queries:
+        e = {r["id"] for r in exact if r["query_id"] == qid}
+        a = {r["id"] for r in got if r["query_id"] == qid}
+        assert len(e & a) >= 5
+    # partition pruning is visible in the scan
+    import io, contextlib
+    from pyspark.sql import functions as F
+
+    vectors = spark.read.parquet(path + "/vectors").filter(F.col("cell").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vectors.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
