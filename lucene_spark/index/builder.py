@@ -306,6 +306,7 @@ def build_index(
     shuffle_partitions: int | None = None,
     docs_per_inversion_task: int | None = None,
     positions: bool = False,
+    keyword_fields: tuple[str, ...] = (),
 ) -> int:
     """Build one generation of segments from a pages DataFrame and commit.
 
@@ -317,6 +318,10 @@ def build_index(
     as independent tasks (head terms like stopwords then never concentrate
     one segment's postings in a single worker). Per-range stats rows are
     summed by readers, so results are identical to the unsalted build.
+
+    ``keyword_fields``: StringField/KeywordField analogue — each named
+    column is indexed untokenized as its own field (single term per doc,
+    freq 1, norms omitted = norm byte 1), queryable as field:value.
     """
     cat = Catalog(index_root)
     if build_id is None:
@@ -331,13 +336,13 @@ def build_index(
         src = src.filter(F.col("lang").isin(list(langs)))
     # column-prune before the range shuffle: the build needs url + text +
     # stored passthroughs only (html etc. stay behind in the source scan)
-    needed = ["url", text_col] + [c for c in stored_cols if c != text_col]
+    needed = ["url", text_col] + [c for c in stored_cols if c != text_col] + list(keyword_fields)
     src = src.select(*dict.fromkeys(needed))
 
     stored_fields = [
         T.StructField(fld.name, fld.dataType)
         for fld in src.schema.fields
-        if fld.name in stored_cols
+        if fld.name in set(stored_cols) | set(keyword_fields)
     ]
     doc_schema = T.StructType(
         [
@@ -357,8 +362,9 @@ def build_index(
     # segments; dense doc IDs in url order (deterministic tie-breaks).
     part = src.repartitionByRange(num_segments, "url").sortWithinPartitions("url")
     inverted = part.mapInPandas(
-        _analyze_partitions(build_id, text_col, field, analyzer, stored_cols, doc_schema,
-                            positions=positions),
+        _analyze_partitions(build_id, text_col, field, analyzer,
+                            tuple(dict.fromkeys(tuple(stored_cols) + tuple(keyword_fields))),
+                            doc_schema, positions=positions),
         doc_schema,
     )
     docs_path = os.path.join(bdir, "docs")
@@ -385,6 +391,21 @@ def build_index(
         blocks = inv_src.groupBy("seg").applyInPandas(
             _invert_segment(field, num_buckets, positions=positions), POSTINGS_SCHEMA
         )
+    for kw in keyword_fields:
+        kw_src = (
+            docs_df.filter(F.col(kw).isNotNull())
+            .select(
+                "seg",
+                "doc",
+                F.lit(1).alias("norm"),  # omitNorms: scoring length 1
+                F.array(F.col(kw).cast("string")).alias("terms"),
+                F.array(F.lit(1)).alias("freqs"),
+            )
+        )
+        kw_blocks = kw_src.groupBy("seg").applyInPandas(
+            _invert_segment(kw, num_buckets), POSTINGS_SCHEMA
+        )
+        blocks = blocks.unionByName(kw_blocks)
     postings_path = os.path.join(bdir, "postings")
     blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
     t_postings = time.time() - t0 - t_analysis
@@ -394,6 +415,9 @@ def build_index(
     # without a second table write.)
 
     # Per-segment stats + lineage manifest, then the atomic catalog commit.
+    kw_aggs = []
+    for kw in keyword_fields:
+        kw_aggs.append(F.sum(F.when(F.col(kw).isNotNull(), 1).otherwise(0)).alias(f"kwdc_{kw}"))
     seg_stats = (
         docs_df.groupBy("seg")
         .agg(
@@ -402,6 +426,7 @@ def build_index(
             F.sum("length").alias("sum_ttf"),
             F.min("url").alias("min_url"),
             F.max("url").alias("max_url"),
+            *kw_aggs,
         )
         .collect()
     )
@@ -417,7 +442,14 @@ def build_index(
                     field: {
                         "doc_count": int(r["doc_count"]),
                         "sum_total_term_freq": int(r["sum_ttf"]),
-                    }
+                    },
+                    **{
+                        kw: {
+                            "doc_count": int(r[f"kwdc_{kw}"]),
+                            "sum_total_term_freq": int(r[f"kwdc_{kw}"]),
+                        }
+                        for kw in keyword_fields
+                    },
                 },
             }
         )

@@ -97,7 +97,7 @@ class IndexSearcher:
                 else "exhaustive"
             )
         if mode == "maxscore" and info is not None and doc_filter is None:
-            return self._search_maxscore(info, k, field, after)
+            return self._search_maxscore(info, k, info.get("field") or field, after)
         return self._search_exhaustive(q, k, field, doc_filter, after)
 
     def count(self, q: Q.Query, field: str = "text") -> int:
@@ -111,7 +111,7 @@ class IndexSearcher:
         if isinstance(q, Q.TermQuery) and not self.reader.has_deletes():
             # Weight#count shortcut — disabled when deletes exist (stats are
             # stale until merge, like Lucene)
-            stats = self.reader.term_stats([q.term], field)
+            stats = self.reader.term_stats([q.term], q.field or field)
             return stats.get(q.term, (0, 0))[0]
         matches = self._match_docs(q, field)
         return matches.count()
@@ -207,8 +207,9 @@ class IndexSearcher:
                 "score", F.lit(float(q.boost))
             )
         if isinstance(q, Q.TermQuery):
-            scorers = self._scorers([q.term], {q.term: q.boost}, field)
-            dec = self._decoded([q.term], scorers, field)
+            fld = q.field or field  # per-clause field (multi-field index)
+            scorers = self._scorers([q.term], {q.term: q.boost}, fld)
+            dec = self._decoded([q.term], scorers, fld)
             return dec.select("seg", "doc", "score")
         if isinstance(q, Q.SynonymQuery):
             return self._scored_synonym(q, field)
@@ -418,8 +419,9 @@ class IndexSearcher:
 
 
 def _classify(q: Q.Query) -> dict | None:
-    """If q is a flat term disjunction/conjunction the pruned kernel can run,
-    return its shape; else None."""
+    """If q is a flat single-field term disjunction/conjunction the pruned
+    kernel can run, return its shape; else None (exhaustive handles mixed
+    fields and other shapes)."""
     if isinstance(q, Q.TermQuery):
         return {
             "should": [q.term],
@@ -429,10 +431,14 @@ def _classify(q: Q.Query) -> dict | None:
             "boosts": {q.term: q.boost},
             "msm": 0,
             "boost": 1.0,
+            "field": q.field,
         }
     if isinstance(q, Q.BooleanQuery):
         should, must, must_not, filters = [], [], [], []
         boosts = {}
+        fields = {c.query.field for c in q.clauses if isinstance(c.query, Q.TermQuery)}
+        if len(fields) > 1:
+            return None
         for c in q.clauses:
             if not isinstance(c.query, Q.TermQuery):
                 return None
@@ -454,5 +460,6 @@ def _classify(q: Q.Query) -> dict | None:
             "boosts": boosts,
             "msm": q.minimum_should_match,
             "boost": q.boost,
+            "field": next(iter(fields)) if fields else None,
         }
     return None

@@ -1,0 +1,53 @@
+"""Multi-field index: keyword (StringField) columns indexed untokenized as
+their own fields, queryable as field:value alongside the text field."""
+
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+from conftest import TESTDATA
+
+
+def test_keyword_field_index_and_query(spark, tmp_path):
+    root = str(tmp_path / "kwidx")
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=2, num_buckets=4,
+                stored_cols=("text",), keyword_fields=("lang",))
+    reader = IndexReader(spark, root)
+    searcher = IndexSearcher(reader)
+
+    lang_counts = {
+        r["lang"]: r["n"]
+        for r in pages.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # per-field stats: lang field's docCount == docs with the field
+    assert reader.collection_stats("lang") == (sum(lang_counts.values()), sum(lang_counts.values()))
+    stats = reader.term_stats(list(lang_counts), field="lang")
+    assert {t: df for t, (df, _) in stats.items()} == lang_counts
+
+    # count + search through the keyword field (maxscore path handles it)
+    q = parse("lang:en")
+    assert searcher.count(q, field="lang") == lang_counts["en"]
+    hits = searcher.search(q, k=5).collect()
+    assert len(hits) == 5
+
+    # mixed-field boolean: text term AND keyword filter via the index
+    mixed = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.TermQuery("lang", "en")),
+    )
+    got = [r["url"] for r in searcher.search(mixed, k=10, mode="exhaustive").collect()]
+    # oracle: same as DocValuesQuery filter on the stored column
+    dv = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.DocValuesQuery("lang = 'en'")),
+    )
+    want = [r["url"] for r in searcher.search(dv, k=10, mode="exhaustive").collect()]
+    assert got == want
