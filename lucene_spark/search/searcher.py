@@ -116,6 +116,73 @@ class IndexSearcher:
         matches = self._match_docs(q, field)
         return matches.count()
 
+    def explain(self, q: Q.Query, seg: str, doc: int, field: str = "text") -> dict:
+        """Score explanation for one document — Lucene's explain()
+        (search/Weight#explain): the per-term BM25 decomposition (freq,
+        norm, dl, idf, weight, term score) plus the summed total; total is
+        None when the doc doesn't match."""
+        q = Q.rewrite(q, self.reader, field)
+        info = _classify(q)
+        if info is None:
+            raise NotImplementedError("explain() covers flat term booleans")
+        fld = info.get("field") or field
+        terms = info["should"] + info["must"]
+        boosts = {t: b * info["boost"] for t, b in info["boosts"].items()}
+        doc_count, sum_ttf = self.reader.collection_stats(fld)
+        stats = self.reader.term_stats(terms, fld)
+        avgdl = np.float64(sum_ttf) / np.float64(doc_count) if doc_count else 0.0
+        blocks = (
+            self.reader.postings(terms, fld)
+            .filter((F.col("first_doc") <= doc) & (F.col("last_doc") >= doc))
+            .filter(F.col("seg") == seg)
+            .collect()
+        )
+        details = []
+        total = 0.0
+        matched = set()
+        for row in blocks:
+            docs = decode_doc_block(
+                row["enc"], bytes(row["doc_payload"] or b""), row["first_doc"], row["num_docs"]
+            )
+            i = int(np.searchsorted(docs, doc))
+            if i >= len(docs) or docs[i] != doc:
+                continue
+            freq = int(pfor_decode(bytes(row["freq_payload"]), row["num_docs"])[i])
+            norm = int(np.frombuffer(bytes(row["norm_payload"]), dtype=np.uint8)[i])
+            t = row["term"]
+            scorer = make_scorer(
+                [stats[t][0]], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+            )
+            s = float(scorer.score(np.array([freq]), np.array([norm]))[0])
+            from ..functions.bm25 import idf as idf_fn
+            from ..functions.smallfloat import byte4_to_int
+
+            details.append(
+                {
+                    "term": t,
+                    "score": s,
+                    "freq": freq,
+                    "norm_byte": norm,
+                    "dl": byte4_to_int(norm),
+                    "doc_freq": stats[t][0],
+                    "idf": float(idf_fn(stats[t][0], doc_count)),
+                    "boost": boosts.get(t, 1.0),
+                    "description": f"weight(={boosts.get(t,1.0)}*idf) * tf/(tf+k1*((1-b)+b*dl/avgdl))",
+                }
+            )
+            total += s
+            matched.add(t)
+        must_missing = [t for t in info["must"] if t not in matched]
+        ok = bool(matched) and not must_missing
+        return {
+            "total": total if ok else None,
+            "matched": ok,
+            "avgdl": float(avgdl),
+            "doc_count": doc_count,
+            "details": details,
+            "failure": f"MUST terms missing: {must_missing}" if must_missing else None,
+        }
+
     # --------------------------------------------------------- score plumbing
 
     def _scorers(self, terms: list[str], boosts: dict[str, float], field: str):

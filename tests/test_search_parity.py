@@ -177,3 +177,18 @@ def test_phrase_scores_match_freq_oracle(searcher, reader, corpus):
     q = Q.PhraseQuery("text", (t1, t2))
     got = _engine_topk(searcher, q, K, "exhaustive")
     _assert_rank_identical(got, want)
+
+
+def test_explain_matches_search_scores(searcher, reader):
+    """Lucene-style explain(): per-term decomposition sums to the hit score
+    (CheckHits verifies explain() against the collected score)."""
+    q = Q.rewrite(parse("merge OR window OR spark"), reader)
+    hits = searcher.search(q, k=5).collect()
+    for r in hits:
+        exp = searcher.explain(q, r["seg"], r["doc"])
+        assert exp["matched"]
+        assert np.float32(exp["total"]) == pytest.approx(np.float32(r["score"]), abs=1e-6)
+        assert all(d["score"] > 0 for d in exp["details"])
+    # non-matching doc explains the failure
+    qm = Q.rewrite(parse("nosuchterm AND table"), reader)
+    assert qm == Q.MatchNoDocsQuery() or searcher.explain(qm, hits[0]["seg"], hits[0]["doc"])["matched"] is False
