@@ -142,7 +142,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["distinct_langs"] = _pq_distinct_langs
     q["monitor_matches"] = _pq_monitor
     q["sort_by_field"] = _pq_sort_by_field
+    q["quality_filter_pass"] = _pq_quality_filter
     return q
+
+
+def _pq_quality_filter(spark, sf_dir):
+    """Corpus-cleaning pass: doc ids surviving the quality/language filter."""
+    from lucene_spark.pipeline.textstats import quality_filter
+
+    out = quality_filter(
+        _docs(spark, sf_dir), "text", min_words=30, min_quality=0.5, langs=("en", "de")
+    )
+    return out.select("doc_id")
 
 
 def _pq_sort_by_field(spark, sf_dir):
@@ -557,6 +568,26 @@ hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
 lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
 SELECT doc_id, n_tokens FROM hit JOIN lens USING (doc_id)
 ORDER BY n_tokens DESC, doc_id ASC LIMIT 10
+"""
+    stops33 = ", ".join(
+        f"'{w}'" for w in __import__("lucene_spark.pipeline.textstats", fromlist=["x"]).ENGLISH_STOPWORDS_33
+    )
+    o["quality_filter_pass"] = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS total,
+         len(list_filter(string_split(text, ' '), x -> x IN ({stops33}))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT doc_id FROM f
+WHERE n_words >= 30 AND n_words <= 100000
+  AND round(least(n_stop / CAST(n_words AS DOUBLE) * 4, 1.0) * 0.3
+            + alpha / CAST(greatest(total, 1) AS DOUBLE) * 0.3
+            + n_uniq / CAST(n_words AS DOUBLE) * 0.4, 4) >= 0.5
+  AND lang IN ('en', 'de')
 """
     o.update(_pipeline_oracles())
     return o

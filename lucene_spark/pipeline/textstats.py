@@ -84,6 +84,29 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return tmp.withColumn("lang_pred", pred).drop(*[f"c_{lang}" for lang in LANG_ORDER])
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Corpus-cleaning filter pass: keep docs inside the word-count band,
+    above the composite quality score, and (optionally) in the allowed
+    language set. Pure column predicates — pushes into the scan."""
+    out = quality_score(df, text_col)
+    cond = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("quality") >= min_quality)
+    )
+    if langs is not None:
+        cond = cond & F.col(lang_col).isin(list(langs))
+    return out.filter(cond)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Two fingerprints per document:
     - ``fp_md5``: md5 of the whitespace-normalized text (exact-dup key,
