@@ -143,7 +143,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["monitor_matches"] = _pq_monitor
     q["sort_by_field"] = _pq_sort_by_field
     q["quality_filter_pass"] = _pq_quality_filter
+    q["bool_min_should_match"] = _pq_msm
     return q
+
+
+def _pq_msm(spark, sf_dir):
+    """SHOULD disjunction with minimumNumberShouldMatch = 2 of 3."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.BooleanQuery(
+        tuple(
+            Q.BooleanClause(Q.SHOULD, Q.TermQuery("text", t))
+            for t in ("merge", "window", "spark")
+        ),
+        minimum_should_match=2,
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_quality_filter(spark, sf_dir):
@@ -569,6 +590,14 @@ lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
 SELECT doc_id, n_tokens FROM hit JOIN lens USING (doc_id)
 ORDER BY n_tokens DESC, doc_id ASC LIMIT 10
 """
+    msm_base = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], k=K)
+    o["bool_min_should_match"] = (
+        msm_base.split("agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)")[0]
+        + f"""agg AS (SELECT doc_id, sum(s) AS score, count(*) AS nhit FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg WHERE nhit >= 2 ORDER BY score DESC, doc_id ASC LIMIT {K}
+"""
+    )
     stops33 = ", ".join(
         f"'{w}'" for w in __import__("lucene_spark.pipeline.textstats", fromlist=["x"]).ENGLISH_STOPWORDS_33
     )
