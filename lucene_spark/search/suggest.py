@@ -1,0 +1,73 @@
+"""Term suggestions: spell correction + prefix completion over the term
+dictionary.
+
+Lucene analogues (reference /root/reference/lucene/suggest/src/java/org/
+apache/lucene/search/suggest/, spell/DirectSpellChecker.java): suggestions
+come from the index's own term dictionary, candidates within bounded edit
+distance (spell) or sharing a prefix (complete), ranked by document
+frequency. Here the term dictionary is the block-0 postings view, so both
+operations are one pruned scan + a driver-side rank — at web scale the
+dictionary scan is column-pruned to (term, doc_freq) and the distinct
+vocabulary is orders of magnitude smaller than the postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..index.reader import IndexReader
+from .query import _edit_distance_le
+
+
+def spell_suggest(
+    reader: IndexReader,
+    term: str,
+    k: int = 5,
+    max_edits: int = 2,
+    field: str = "text",
+    min_doc_freq: int = 1,
+) -> list[tuple[str, int]]:
+    """Top-k corrections for ``term``: dictionary terms within
+    ``max_edits``, ranked by (edit distance asc, doc_freq desc, term asc).
+    The exact input term is excluded (DirectSpellChecker behavior)."""
+    cand = (
+        reader._read("postings")
+        .filter((F.col("field") == field) & F.col("doc_freq").isNotNull())
+        .filter(
+            F.length("term").between(
+                max(1, len(term) - max_edits), len(term) + max_edits
+            )
+        )
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .collect()
+    )
+    scored = []
+    for r in cand:
+        t = r["term"]
+        if t == term:
+            continue
+        for d in range(1, max_edits + 1):
+            if _edit_distance_le(term, t, d):
+                scored.append((d, -int(r["df"]), t))
+                break
+    scored.sort()
+    return [(t, -neg_df) for _, neg_df, t in scored[:k]]
+
+
+def complete_prefix(
+    reader: IndexReader, prefix: str, k: int = 5, field: str = "text"
+) -> list[tuple[str, int]]:
+    """Top-k completions for ``prefix`` ranked by doc_freq desc, term asc."""
+    rows = (
+        reader._read("postings")
+        .filter((F.col("field") == field) & F.col("doc_freq").isNotNull())
+        .filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]

@@ -192,3 +192,20 @@ def test_explain_matches_search_scores(searcher, reader):
     # non-matching doc explains the failure
     qm = Q.rewrite(parse("nosuchterm AND table"), reader)
     assert qm == Q.MatchNoDocsQuery() or searcher.explain(qm, hits[0]["seg"], hits[0]["doc"])["matched"] is False
+
+
+def test_spell_suggest_and_complete(reader, oracle):
+    """Suggest module: corrections ranked (distance, df); completions by df."""
+    from lucene_spark.search.suggest import complete_prefix, spell_suggest
+
+    sugg = spell_suggest(reader, "tabel", k=3, max_edits=2)
+    assert sugg and sugg[0][0] == "table"
+    assert sugg[0][1] == oracle.df["table"]
+    # exact term excluded; ranking honors df for equal distance
+    sugg2 = spell_suggest(reader, "table", k=5, max_edits=1)
+    assert all(t != "table" for t, _ in sugg2)
+
+    comp = complete_prefix(reader, "ta", k=5)
+    assert comp and all(t.startswith("ta") for t, _ in comp)
+    dfs = [df for _, df in comp]
+    assert dfs == sorted(dfs, reverse=True)
