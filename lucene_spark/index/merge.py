@@ -156,7 +156,11 @@ def merge_segments(
         raise ValueError(f"segments {names} are not name-adjacent in {live_sorted}")
 
     t0 = time.time()
-    build_id = "m" + hex(abs(hash(tuple(names))) % 16**8)[2:].zfill(8)
+    # stable across driver processes (PYTHONHASHSEED-independent) so a
+    # crashed merge restarted in a new process resumes its build directory
+    import hashlib
+
+    build_id = "m" + hashlib.sha1("|".join(names).encode()).hexdigest()[:8]
     new_seg = f"{names[0]}+{len(names)}"  # sorts at the position of its first input
     bdir = cat.build_dir(build_id)
     num_buckets = reader.num_buckets
@@ -241,6 +245,7 @@ def merge_segments(
             os.path.join(bdir, "postings")
         )
 
+        in_builds = sorted({segs[n]["build"] for n in names})
         cat.write_manifest(
             build_id,
             {
@@ -250,6 +255,11 @@ def merge_segments(
                 "num_buckets": num_buckets,
                 "num_segments": 1,
                 "analyzer": reader._manifests[reader._builds[0]].get("analyzer", "standard"),
+                # a positions=True index keeps its .pos phrase path after a
+                # full merge only if the flag rides on the merge manifest
+                "positions": all(
+                    reader._manifests[b].get("positions", False) for b in in_builds
+                ),
                 "elapsed_sec": time.time() - t0,
                 "partitions": {new_seg: {"docs": base}},
             },
@@ -260,19 +270,29 @@ def merge_segments(
     # expunges deletes, after which stats reflect live docs only)
     fields: dict[str, dict[str, int]] = {}
     if has_deletes:
-        fld = reader._manifests[reader._builds[0]].get("field", "text")
-        row = (
-            spark.read.parquet(os.path.join(bdir, "docs"))
-            .agg(
-                F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("dc"),
-                F.sum("length").alias("ttf"),
-            )
-            .collect()[0]
-        )
-        fields["text" if fld is None else fld] = {
+        fld = reader._manifests[reader._builds[0]].get("field", "text") or "text"
+        # keyword (StringField) fields: doc_count = non-null stored-column
+        # count over the compacted docs, same as build_index's kwdc agg —
+        # without this their stats vanish post-merge and BM25 idf diverges
+        kw_fields = sorted({k for n in names for k in segs[n].get("fields", {})} - {fld})
+        mdocs = spark.read.parquet(os.path.join(bdir, "docs"))
+        aggs = [
+            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("dc"),
+            F.sum("length").alias("ttf"),
+        ] + [
+            F.sum(F.when(F.col(kw).isNotNull(), 1).otherwise(0)).alias(f"kwdc_{kw}")
+            for kw in kw_fields
+            if kw in mdocs.columns
+        ]
+        row = mdocs.agg(*aggs).collect()[0]
+        fields[fld] = {
             "doc_count": int(row["dc"] or 0),
             "sum_total_term_freq": int(row["ttf"] or 0),
         }
+        for kw in kw_fields:
+            if kw in mdocs.columns:
+                c = int(row[f"kwdc_{kw}"] or 0)
+                fields[kw] = {"doc_count": c, "sum_total_term_freq": c}
     else:
         for n in names:
             for fld, fs in segs[n].get("fields", {}).items():

@@ -89,14 +89,21 @@ class IndexSearcher:
         if isinstance(q, Q.MatchNoDocsQuery):
             return self._empty_hits()
         info = _classify(q)
+        # the pruned kernel only understands MUST/SHOULD term lists; clause
+        # shapes it can't honor (MUST_NOT, FILTER, minimum_should_match with
+        # a conjunction — BooleanScorerSupplier.java:155-167 requires msm
+        # SHOULD hits *in addition to* the MUST match) take the exhaustive
+        # path even when the caller asked for mode="maxscore", instead of
+        # silently dropping clauses.
+        kernel_ok = (
+            info is not None
+            and not info["must_not"]
+            and not info["filters"]
+            and (info["msm"] <= 0 or (info["msm"] == 1 and not info["must"]))
+        )
         if mode == "auto":
-            mode = (
-                "maxscore"
-                if info is not None and not info["must_not"] and doc_filter is None
-                and not info["filters"] and info["msm"] <= 1
-                else "exhaustive"
-            )
-        if mode == "maxscore" and info is not None and doc_filter is None:
+            mode = "maxscore" if kernel_ok and doc_filter is None else "exhaustive"
+        if mode == "maxscore" and kernel_ok and doc_filter is None:
             return self._search_maxscore(info, k, info.get("field") or field, after)
         return self._search_exhaustive(q, k, field, doc_filter, after)
 
@@ -361,36 +368,61 @@ class IndexSearcher:
             groups[c.occur].append(c.query)
 
         scoring = groups[Q.MUST] + groups[Q.SHOULD]
+        n_must = len(groups[Q.MUST])
+        # Lucene parity (BooleanWeight): SHOULD clauses are optional when any
+        # mandatory clause (MUST or FILTER) exists and msm == 0; a
+        # SHOULD-only boolean implicitly requires >= 1 hit.
+        msm = q.minimum_should_match
+        if groups[Q.SHOULD] and not n_must and not groups[Q.FILTER]:
+            msm = max(msm, 1)
         parts = []
         for i, sub in enumerate(scoring):
             p = self._scored_docs(sub, field)
             if p is None:
-                if sub in groups[Q.MUST]:
+                if i < n_must:
                     return None
                 continue
             parts.append(p.withColumn("cid", F.lit(i)))
-        if not parts:
-            return None
-        union = parts[0]
-        for p in parts[1:]:
-            union = union.unionByName(p)
-        n_must = len(groups[Q.MUST])
-        must_ids = list(range(n_must))  # MUST clauses listed first
-        agg = union.groupBy("seg", "doc").agg(
-            F.sum("score").alias("raw"),
-            F.sum(F.when(F.col("cid").isin(must_ids), 1).otherwise(0)).alias("n_must_hit"),
-            F.sum(F.when(~F.col("cid").isin(must_ids), 1).otherwise(0)).alias("n_should_hit"),
-        )
-        cond = F.col("n_must_hit") >= n_must
-        msm = max(q.minimum_should_match, 0 if n_must else 1) if groups[Q.SHOULD] else 0
-        if groups[Q.SHOULD] and msm:
-            cond = cond & (F.col("n_should_hit") >= msm)
-        scored = agg.filter(cond).select(
-            "seg", "doc", (F.col("raw") * F.lit(float(q.boost))).alias("score")
-        )
+        fset = None  # intersection of FILTER clause match sets
         for sub in groups[Q.FILTER]:
             m = self._match_docs(sub, field)
-            scored = scored.join(m, ["seg", "doc"], "left_semi")
+            fset = m if fset is None else fset.join(m, ["seg", "doc"], "left_semi")
+        if parts:
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            must_ids = list(range(n_must))  # MUST clauses listed first
+            agg = union.groupBy("seg", "doc").agg(
+                F.sum("score").alias("raw"),
+                F.sum(F.when(F.col("cid").isin(must_ids), 1).otherwise(0)).alias("n_must_hit"),
+                F.sum(F.when(~F.col("cid").isin(must_ids), 1).otherwise(0)).alias("n_should_hit"),
+            )
+            cond = F.col("n_must_hit") >= n_must
+            if groups[Q.SHOULD] and msm > 0:
+                cond = cond & (F.col("n_should_hit") >= msm)
+            scored = agg.filter(cond).select(
+                "seg", "doc", (F.col("raw") * F.lit(float(q.boost))).alias("score")
+            )
+            if fset is not None:
+                if n_must == 0 and msm == 0:
+                    # FILTER is the mandatory candidate set; SHOULD is
+                    # scoring-only — docs matching only the filter still
+                    # match with score 0 (BooleanWeight treats FILTER as a
+                    # mandatory clause, so optional SHOULD can't gate matches)
+                    scored = fset.join(scored, ["seg", "doc"], "left").select(
+                        "seg", "doc",
+                        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+                    )
+                else:
+                    scored = scored.join(fset, ["seg", "doc"], "left_semi")
+        else:
+            # no live scoring clauses: a filter-only boolean matches the
+            # FILTER intersection with score 0 — BooleanWeight.scorerSupplier
+            # only returns null when FILTER, MUST and SHOULD are all empty
+            # (reference search/BooleanWeight.java:300-360)
+            if msm > 0 or fset is None:
+                return None
+            scored = fset.withColumn("score", F.lit(0.0))
         for sub in groups[Q.MUST_NOT]:
             m = self._match_docs(sub, field)
             scored = scored.join(m, ["seg", "doc"], "left_anti")

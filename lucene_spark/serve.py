@@ -131,6 +131,13 @@ class LocalSearcher:
                 "LocalSearcher serves term/boolean queries; use the Spark "
                 "IndexSearcher for phrase/multi-term/filter shapes"
             )
+        # the local kernel honors MUST/SHOULD/MUST_NOT only — reject shapes
+        # it would silently mis-serve rather than dropping clauses
+        if info["filters"] or info["msm"] >= 2 or (info["msm"] == 1 and info["must"]):
+            raise NotImplementedError(
+                "LocalSearcher does not serve FILTER clauses or "
+                "minimum_should_match conjunctions; use the Spark IndexSearcher"
+            )
         terms = info["should"] + info["must"]
         boosts = {t: b * info["boost"] for t, b in info["boosts"].items()}
         doc_count, sum_ttf = self.collection_stats(field)

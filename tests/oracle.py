@@ -132,7 +132,8 @@ class BruteForceIndex:
             m, s = self.eval(sub)
             should_hits += m
             score += np.where(m, s, 0.0)
-        msm = max(q.minimum_should_match, 0 if must else 1) if should else 0
+        # SHOULD optional when any mandatory clause (MUST or FILTER) exists
+        msm = max(q.minimum_should_match, 0 if (must or filters) else 1) if should else 0
         if msm:
             mask &= should_hits >= msm
         for sub in filters:

@@ -71,6 +71,62 @@ def test_delete_by_query_and_counts(spark, droot):
     assert _topk(spark, droot, "table") == []
 
 
+def test_merge_with_deletes_keeps_keyword_stats_and_positions(spark, tmp_path, corpus):
+    """Merging segments that have deletes must (a) recompute keyword-field
+    stats, not drop them, and (b) propagate the positions flag so phrase
+    queries stay on the .pos path after a full merge."""
+    root = str(tmp_path / "kwidx")
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True,
+                keyword_fields=("lang",))
+    searcher = IndexSearcher(IndexReader(spark, root))
+    kw_before = searcher.reader.collection_stats("lang")
+    phrase_before = _topk(spark, root, '"table scan"', mode="exhaustive")
+    assert kw_before[0] > 0 and phrase_before
+
+    victims_df = searcher.reader.docs(["seg", "doc", "url", "lang"]).orderBy("url").limit(20)
+    n_del_kw = victims_df.filter(F.col("lang").isNotNull()).count()
+    delete_docs(spark, root, victims_df)
+    force_merge(spark, root, max_segments=1)
+
+    reader = IndexReader(spark, root)
+    # keyword field stats survive and reflect the expunge
+    assert reader.collection_stats("lang") == (kw_before[0] - n_del_kw,
+                                               kw_before[1] - n_del_kw)
+    # positions flag rode the merge manifest: phrase path still works even
+    # though the only live build is the merge build
+    merged_build = reader._builds[0]
+    assert reader._manifests[merged_build].get("positions") is True
+    got = _topk(spark, root, '"table scan"', mode="exhaustive")
+    deleted_urls = {r["url"] for r in victims_df.collect()}
+    # post-expunge stats are refreshed, so scores re-derive from the
+    # surviving corpus — compare against the brute-force oracle over it
+    survivors = corpus[~corpus["url"].isin(deleted_urls)].reset_index(drop=True)
+    want = BruteForceIndex(survivors).topk(Q.PhraseQuery("text", ("table", "scan")), 10)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-6)
+
+    # keyword term query still scored with correct idf post-merge
+    q = Q.TermQuery("lang", corpus_lang := "en")
+    s2 = IndexSearcher(IndexReader(spark, root))
+    assert s2.count(q, field="lang") > 0
+
+
+def test_merge_build_id_is_process_stable(spark, droot):
+    """Resumable lineage: the merge build_id must not depend on Python's
+    salted hash() (PYTHONHASHSEED), so a restarted driver resumes."""
+    import hashlib
+
+    names = [s["name"] for s in Catalog(droot).live_segments()[:2]]
+    want = "m" + hashlib.sha1("|".join(sorted(names)).encode()).hexdigest()[:8]
+    from lucene_spark.index.merge import merge_segments
+
+    merge_segments(spark, droot, names)
+    assert any(b == want for b in IndexReader(spark, droot)._builds)
+
+
 def test_merge_expunges_and_refreshes_stats(spark, droot, corpus):
     searcher = IndexSearcher(IndexReader(spark, droot))
     victims_df = searcher.reader.docs(["seg", "doc", "url"]).orderBy("url").limit(50)

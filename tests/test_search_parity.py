@@ -148,6 +148,63 @@ def test_doc_values_filter_clause(searcher, reader, oracle, corpus, spark):
     _assert_rank_identical(got, want)
 
 
+def test_msm_with_must_not_routed_to_kernel(searcher, reader, oracle):
+    """minimum_should_match=1 alongside a MUST clause is a conjunction the
+    pruned kernel can't express (BooleanScorerSupplier.java:155-167) — auto
+    mode must take the exhaustive path and match the oracle."""
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.SHOULD, Q.TermQuery("text", "merge")),
+        (Q.SHOULD, Q.TermQuery("text", "window")),
+        minimum_should_match=1,
+    )
+    want = oracle.topk(q, K)
+    got = _engine_topk(searcher, q, K, "auto")
+    _assert_rank_identical(got, want)
+    # and explicitly asking for maxscore must not silently drop the msm
+    got2 = _engine_topk(searcher, q, K, "maxscore")
+    _assert_rank_identical(got2, want)
+
+
+def test_explicit_maxscore_with_must_not_falls_back(searcher, reader, oracle):
+    q = Q.rewrite(parse("+table -scan"), reader)
+    want = oracle.topk(q, K)
+    got = _engine_topk(searcher, q, K, "maxscore")
+    _assert_rank_identical(got, want)
+
+
+def test_filter_only_boolean_matches_filter_set(searcher, reader, oracle):
+    """A boolean with only FILTER clauses matches the filter set with score
+    0 (BooleanWeight returns null only when FILTER+MUST+SHOULD are all
+    empty) — both term filters and doc-values filters."""
+    q = Q.BooleanQuery.build((Q.FILTER, Q.TermQuery("text", "table")))
+    got = _engine_topk(searcher, q, K, "auto")
+    mask = oracle.term_mask("table")
+    import numpy as np
+
+    idx = sorted(np.nonzero(mask)[0])[:K]
+    want = [(oracle.urls[i], 0.0) for i in idx]
+    _assert_rank_identical(got, want)
+    assert searcher.count(q) == int(mask.sum())
+
+    q2 = Q.BooleanQuery.build((Q.FILTER, Q.DocValuesQuery("lang = 'en'")))
+    assert searcher.search(q2, k=3).count() == 3
+
+
+def test_should_optional_when_filter_present(searcher, reader, oracle):
+    """FILTER + SHOULD with msm=0: SHOULD is scoring-only (Lucene counts
+    FILTER as a mandatory clause), so docs matching only the filter match."""
+    q = Q.BooleanQuery.build(
+        (Q.FILTER, Q.TermQuery("text", "table")),
+        (Q.SHOULD, Q.TermQuery("text", "merge")),
+    )
+    want = oracle.topk(q, K)
+    got = _engine_topk(searcher, q, K, "auto")
+    _assert_rank_identical(got, want)
+    mask = oracle.term_mask("table")
+    assert searcher.count(q) == int(mask.sum())
+
+
 def test_phrase_scores_match_freq_oracle(searcher, reader, corpus):
     """Phrase freq oracle: count adjacent pairs in the raw token stream."""
     from lucene_spark.analysis.analyzer import analyzer_for
