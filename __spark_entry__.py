@@ -144,7 +144,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sort_by_field"] = _pq_sort_by_field
     q["quality_filter_pass"] = _pq_quality_filter
     q["bool_min_should_match"] = _pq_msm
+    q["term_in_set"] = _pq_term_in_set
+    q["wildcard_heavy"] = _pq_wildcard_heavy
     return q
+
+
+def _pq_term_in_set(spark, sf_dir):
+    """TermInSetQuery: constant-score doc union of N terms in ONE
+    bucket-pruned postings scan (reference search/TermInSetQuery.java)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.TermInSetQuery("text", ("key", "dup", "vector", "line", "nosuchterm"))
+    hits = s.search(q, k=1000, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_wildcard_heavy(spark, sf_dir):
+    """The >MAX_CLAUSE_COUNT multi-term rewrite target: the term predicate
+    runs distributed in the postings scan (TermPatternQuery) — no driver
+    term list. The driver corpus vocabulary is tiny, so the query constructs
+    the distributed rewrite target directly (the same plan a wildcard
+    expanding to >1024 terms takes)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.TermPatternQuery("text", "term RLIKE '^.*a.*$'")
+    hits = s.search(q, k=1000, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_msm(spark, sf_dir):
@@ -617,6 +652,19 @@ WHERE n_words >= 30 AND n_words <= 100000
             + alpha / CAST(greatest(total, 1) AS DOUBLE) * 0.3
             + n_uniq / CAST(n_words AS DOUBLE) * 0.4, 4) >= 0.5
   AND lang IN ('en', 'de')
+"""
+    o["term_in_set"] = f"""
+WITH tok AS ({_TOK})
+SELECT doc_id, 1.0 AS score_r
+FROM (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ('key', 'dup', 'vector', 'line', 'nosuchterm'))
+ORDER BY doc_id ASC LIMIT 1000
+"""
+    o["wildcard_heavy"] = f"""
+WITH tok AS ({_TOK})
+SELECT doc_id, 1.0 AS score_r
+FROM (SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, '^.*a.*$'))
+ORDER BY doc_id ASC LIMIT 1000
 """
     o.update(_pipeline_oracles())
     return o

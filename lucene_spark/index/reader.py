@@ -95,18 +95,28 @@ class IndexReader:
         )
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
-    def expand_terms(self, pattern_filter, field: str = "text") -> list[str]:
+    def expand_terms(self, pattern_filter, field: str = "text", limit: int | None = None):
         """MultiTermQuery support: scan the term dict with a Column
         predicate (prefix/wildcard/regexp/range) and collect matching terms
-        (MultiTermQuery.java:86-119 rewrite)."""
-        rows = (
+        (MultiTermQuery.java:86-119 rewrite).
+
+        With ``limit`` set, at most ``limit + 1`` terms are ever pulled to
+        the driver and the return is ``(terms, truncated)`` — the rewrite
+        cap (BooleanQuery max clause count parity); callers switch to a
+        distributed doc-set rewrite when ``truncated``. Without a limit the
+        full sorted term list is returned (legacy / test use only)."""
+        df = (
             self._read("postings")
             .filter((F.col("field") == field) & F.col("doc_freq").isNotNull())
             .filter(pattern_filter)
             .select("term")
             .distinct()
-            .collect()
         )
+        if limit is not None:
+            rows = df.limit(limit + 1).collect()
+            terms = sorted(r["term"] for r in rows)
+            return terms[:limit], len(rows) > limit
+        rows = df.collect()
         return sorted(r["term"] for r in rows)
 
     def doc_bases(self) -> dict[str, int]:

@@ -93,6 +93,31 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """``field IN (term, ...)`` over many terms — one bucket-pruned postings
+    scan producing the constant-score doc union, instead of an N-clause
+    SHOULD disjunction walking the scored path
+    (/root/reference/lucene/core/src/java/org/apache/lucene/search/TermInSetQuery.java)."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermPatternQuery(Query):
+    """Internal rewrite target for multi-term queries whose expansion
+    exceeds MAX_CLAUSE_COUNT: the term predicate stays a distributed filter
+    on the postings scan (all buckets, every block row), so no term list is
+    ever materialized on the driver. ``predicate`` is a SQL boolean
+    expression over the ``term`` column."""
+
+    field: str
+    predicate: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     occur: str
     query: Query
@@ -179,14 +204,31 @@ def _rewrite_once(q: Query, reader, field: str) -> Query:
     if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
         if reader is None:
             return q
-        terms = _expand_multi_term(q, reader)
+        if isinstance(q, FuzzyQuery):
+            # dictionary scan + driver-side edit-distance post-filter; the
+            # candidate set is bounded by the length/prefix pre-filter
+            terms = _expand_fuzzy(q, reader)
+            if not terms:
+                return MatchNoDocsQuery()
+            return ConstantScoreQuery(TermInSetQuery(q.field, tuple(terms)), boost=q.boost)
+        # CONSTANT_SCORE rewrite (MultiTermQuery.java:86-119): expansions up
+        # to MAX_CLAUSE_COUNT become a single-scan TermInSetQuery; beyond
+        # the cap the predicate stays distributed (TermPatternQuery) — no
+        # unbounded driver collect on e.g. `a*` over a web vocabulary
+        pred = _pattern_sql(q)
+        from pyspark.sql import functions as F
+
+        terms, truncated = reader.expand_terms(
+            F.expr(pred), field=q.field, limit=MAX_CLAUSE_COUNT
+        )
+        if truncated:
+            return ConstantScoreQuery(TermPatternQuery(q.field, pred), boost=q.boost)
         if not terms:
             return MatchNoDocsQuery()
-        # CONSTANT_SCORE rewrite: matching docs score boost * 1.0
-        return ConstantScoreQuery(
-            BooleanQuery.build(*[(SHOULD, TermQuery(q.field, t)) for t in terms]),
-            boost=q.boost,
-        )
+        return ConstantScoreQuery(TermInSetQuery(q.field, tuple(terms)), boost=q.boost)
+    if isinstance(q, TermInSetQuery):
+        if not q.terms:
+            return MatchNoDocsQuery()
     if isinstance(q, BooleanQuery):
         return _rewrite_boolean(q, reader, field)
     return q
@@ -201,7 +243,7 @@ def _apply_boost(q: Query, boost: float) -> Query:
         return ConstantScoreQuery(q.query, q.boost * boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(q.clauses, q.minimum_should_match, q.boost * boost)
-    if isinstance(q, (PhraseQuery, SynonymQuery)):
+    if isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery, TermPatternQuery)):
         return type(q)(**{**q.__dict__, "boost": q.boost * boost})
     return BoostQuery(q, boost)
 
@@ -249,39 +291,54 @@ def _rewrite_boolean(q: BooleanQuery, reader, field: str) -> Query:
     return BooleanQuery(tuple(clauses), q.minimum_should_match, q.boost)
 
 
-def _expand_multi_term(q: Query, reader) -> list[str]:
-    from pyspark.sql import functions as F
+MAX_CLAUSE_COUNT = 1024  # IndexSearcher max clause count parity
+# (/root/reference/lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:124)
 
-    col = F.col("term")
+
+def _sq(s: str) -> str:
+    """Escape a string for embedding in a Spark SQL single-quoted literal
+    (backslashes are escape chars inside Spark string literals)."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
+def _pattern_sql(q: Query) -> str:
+    """SQL boolean predicate over the ``term`` column, usable both as a
+    driver-side expansion filter and as the distributed TermPatternQuery
+    predicate (same semantics on both paths)."""
     if isinstance(q, PrefixQuery):
-        pred = col.startswith(q.prefix)
-    elif isinstance(q, WildcardQuery):
+        return f"startswith(term, '{_sq(q.prefix)}')"
+    if isinstance(q, WildcardQuery):
         rx = "^" + "".join(
             ".*" if ch == "*" else "." if ch == "?" else re.escape(ch) for ch in q.pattern
         ) + "$"
-        pred = col.rlike(rx)
-    elif isinstance(q, RegexpQuery):
-        pred = col.rlike("^" + q.regexp + "$")
-    elif isinstance(q, TermRangeQuery):
-        pred = F.lit(True)
+        return f"term RLIKE '{_sq(rx)}'"
+    if isinstance(q, RegexpQuery):
+        return f"term RLIKE '{_sq('^' + q.regexp + '$')}'"
+    if isinstance(q, TermRangeQuery):
+        parts = []
         if q.lower is not None:
-            pred = pred & (col >= q.lower if q.include_lower else col > q.lower)
+            parts.append(f"term >{'=' if q.include_lower else ''} '{_sq(q.lower)}'")
         if q.upper is not None:
-            pred = pred & (col <= q.upper if q.include_upper else col < q.upper)
-    elif isinstance(q, FuzzyQuery):
-        # dictionary scan with edit-distance post-filter (the automaton
-        # intersection of FuzzyQuery rewritten as scan+filter)
-        terms = reader.expand_terms(
-            F.length(F.col("term")).between(
-                max(0, len(q.term) - q.max_edits), len(q.term) + q.max_edits
-            )
-            & F.col("term").startswith(q.term[: q.prefix_length]),
-            field=q.field,
+            parts.append(f"term <{'=' if q.include_upper else ''} '{_sq(q.upper)}'")
+        return " AND ".join(parts) if parts else "true"
+    raise TypeError(type(q))  # pragma: no cover
+
+
+def _expand_fuzzy(q: FuzzyQuery, reader) -> list[str]:
+    """Dictionary scan with edit-distance post-filter (the automaton
+    intersection of FuzzyQuery rewritten as scan+filter); bounded by the
+    length window + required prefix, then capped like any rewrite."""
+    from pyspark.sql import functions as F
+
+    terms, _trunc = reader.expand_terms(
+        F.length(F.col("term")).between(
+            max(0, len(q.term) - q.max_edits), len(q.term) + q.max_edits
         )
-        return [t for t in terms if _edit_distance_le(q.term, t, q.max_edits)]
-    else:  # pragma: no cover
-        raise TypeError(type(q))
-    return reader.expand_terms(pred, field=q.field)
+        & F.col("term").startswith(q.term[: q.prefix_length]),
+        field=q.field,
+        limit=MAX_CLAUSE_COUNT * 8,  # pre-filter set; post-filter shrinks it
+    )
+    return [t for t in terms if _edit_distance_le(q.term, t, q.max_edits)][:MAX_CLAUSE_COUNT]
 
 
 def _edit_distance_le(a: str, b: str, k: int) -> bool:

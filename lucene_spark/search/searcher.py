@@ -313,6 +313,17 @@ class IndexSearcher:
             from .phrase import scored_phrase
 
             return scored_phrase(self, q, field)
+        if isinstance(q, Q.TermInSetQuery):
+            fld = q.field or field
+            blocks = self.reader.postings(list(q.terms), fld)
+            return self._doc_union(blocks).withColumn("score", F.lit(float(q.boost)))
+        if isinstance(q, Q.TermPatternQuery):
+            # distributed multi-term doc set: the term predicate filters the
+            # postings scan itself (pushed to parquet row groups); no term
+            # list ever reaches the driver
+            fld = q.field or field
+            blocks = self.reader.postings(None, fld).filter(F.expr(q.predicate))
+            return self._doc_union(blocks).withColumn("score", F.lit(float(q.boost)))
         if isinstance(q, Q.DocValuesQuery):
             return (
                 self.reader.docs()
@@ -323,6 +334,29 @@ class IndexSearcher:
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, field)
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    def _doc_union(self, blocks: DataFrame) -> DataFrame:
+        """Distinct (seg, doc) union of the given postings blocks — the
+        constant-score TermInSet / pattern doc set. Only doc payloads are
+        decoded (freq/norm/impact columns pruned from the parquet scan)."""
+        pruned = blocks.select("seg", "enc", "doc_payload", "first_doc", "num_docs")
+
+        def decode(iterator):
+            for pdf in iterator:
+                segs_l, docs_l = [], []
+                for row in pdf.itertuples(index=False):
+                    d = decode_doc_block(
+                        int(row.enc), bytes(row.doc_payload or b""),
+                        int(row.first_doc), int(row.num_docs),
+                    )
+                    segs_l.append(np.full(len(d), row.seg, dtype=object))
+                    docs_l.append(d)
+                if docs_l:
+                    yield pd.DataFrame(
+                        {"seg": np.concatenate(segs_l), "doc": np.concatenate(docs_l)}
+                    )
+
+        return pruned.mapInPandas(decode, "seg string, doc long").distinct()
 
     def _scored_synonym(self, q: Q.SynonymQuery, field: str) -> DataFrame:
         """SynonymQuery: per-doc freqs summed, one idf from max docFreq."""

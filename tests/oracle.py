@@ -62,6 +62,11 @@ class BruteForceIndex:
         if isinstance(q, Q.ConstantScoreQuery):
             m, _ = self.eval(q.query)
             return m, np.where(m, float(q.boost), 0.0)
+        if isinstance(q, Q.TermInSetQuery):
+            mask = np.zeros(self.n, bool)
+            for t in q.terms:
+                mask |= self.term_mask(t)
+            return mask, np.where(mask, float(q.boost), 0.0)
         if isinstance(q, Q.SynonymQuery):
             present = [t for t in q.terms if t in self.df]
             if not present:

@@ -1,0 +1,109 @@
+"""Multi-term rewrite: TermInSetQuery single-scan path, the 1024-clause
+rewrite cap, and the distributed TermPatternQuery fallback (no driver term
+materialization) — reference MultiTermQuery.java:86-119 + TermInSetQuery."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+from oracle import BruteForceIndex
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+def _topk(searcher, q, k=K, mode="exhaustive"):
+    rows = searcher.search(q, k=k, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(r["score"])) for r in rows]
+
+
+def test_term_in_set_matches_union(searcher, reader, oracle):
+    q = Q.TermInSetQuery("text", ("table", "scan", "merge", "nosuchterm"))
+    got = _topk(searcher, q)
+    mask = np.zeros(oracle.n, bool)
+    for t in q.terms:
+        mask |= oracle.term_mask(t)
+    idx = sorted(np.nonzero(mask)[0])[:K]
+    want = [(oracle.urls[i], 1.0) for i in idx]
+    assert got == want
+    assert searcher.count(q) == int(mask.sum())
+
+
+def test_term_in_set_as_filter_clause(searcher, reader, oracle):
+    """The headline filtering shape: scored MUST + TermInSet FILTER."""
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.TermInSetQuery("text", ("scan", "merge"))),
+    )
+    want = oracle.topk(q, K)
+    got = _topk(searcher, q, mode="auto")
+    assert [u for u, _ in got] == [u for u, _ in want]
+
+
+def test_prefix_rewrites_to_term_in_set(reader):
+    q = Q.rewrite(Q.PrefixQuery("text", "tab"), reader)
+    assert isinstance(q, Q.ConstantScoreQuery)
+    assert isinstance(q.query, Q.TermInSetQuery)
+    assert all(t.startswith("tab") for t in q.query.terms)
+
+
+def test_heavy_expansion_stays_distributed(searcher, reader, oracle, monkeypatch):
+    """Above the clause cap the rewrite must NOT collect a term list —
+    it becomes a TermPatternQuery whose predicate runs in the scan."""
+    monkeypatch.setattr(Q, "MAX_CLAUSE_COUNT", 1)  # tiny synthetic vocab
+    pq = Q.PrefixQuery("text", "t")
+    q = Q.rewrite(pq, reader)
+    assert isinstance(q, Q.ConstantScoreQuery)
+    assert isinstance(q.query, Q.TermPatternQuery), (
+        "expansion beyond the cap must stay distributed"
+    )
+    got = _topk(searcher, q, k=25)
+    mask = np.zeros(oracle.n, bool)
+    for t in oracle.df:
+        if t.startswith("t"):
+            mask |= oracle.term_mask(t)
+    idx = sorted(np.nonzero(mask)[0])[:25]
+    want = [(oracle.urls[i], 1.0) for i in idx]
+    assert got == want
+    assert searcher.count(q) == int(mask.sum())
+
+
+def test_capped_expansion_collects_at_most_limit(reader, monkeypatch):
+    """expand_terms with a limit never pulls more than limit+1 rows."""
+    from pyspark.sql import functions as F
+
+    terms, truncated = reader.expand_terms(
+        F.expr("startswith(term, 't')"), limit=1
+    )
+    assert truncated and len(terms) == 1
+
+    full = reader.expand_terms(F.expr("startswith(term, 't')"))
+    assert len(full) > 1
+    assert full == sorted(full)
+
+
+def test_pattern_sql_escaping():
+    assert Q._pattern_sql(Q.PrefixQuery("text", "o'br")) == "startswith(term, 'o''br')"
+    rx = Q._pattern_sql(Q.WildcardQuery("text", "a.b*"))
+    assert "RLIKE" in rx and "\\\\." in rx
+    rng = Q._pattern_sql(Q.TermRangeQuery("text", "a", "b", True, False))
+    assert rng == "term >= 'a' AND term < 'b'"
+
+
+def test_wildcard_and_range_still_match_oracle(searcher, reader, oracle):
+    for qs in ("sc?n", "[table TO window]"):
+        q = Q.rewrite(parse(qs), reader)
+        want = oracle.topk(q, K)
+        got = _topk(searcher, q)
+        assert [u for u, _ in got] == [u for u, _ in want], qs
