@@ -100,20 +100,32 @@ def encode_positions(pos_lists) -> bytes:
 
 
 def decode_positions(payload: bytes, freqs) -> list:
-    """Inverse of encode_positions -> list of np.int64 arrays."""
-    from ..codecs.pfor import read_vint
+    """Inverse of encode_positions -> list of np.int64 arrays.
 
-    pos = 0
-    out = []
-    for f in freqs:
-        deltas = np.empty(int(f), dtype=np.int64)
-        prev = 0
-        for i in range(int(f)):
-            v, pos = read_vint(payload, pos)
-            prev += v
-            deltas[i] = prev
-        out.append(deltas)
-    return out
+    Vectorized vint decode: one numpy pass over the whole byte stream
+    (LSB-first 7-bit groups, continuation bit on all but the last byte),
+    then a group-wise cumulative sum to undo the per-posting deltas —
+    no per-byte Python in the phrase hot path."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if total == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(len(freqs))]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    ends = (arr & 0x80) == 0  # last byte of each vint
+    vint_id = np.zeros(len(arr), dtype=np.int64)
+    vint_id[1:] = np.cumsum(ends[:-1])
+    firsts = np.nonzero(np.concatenate(([True], ends[:-1])))[0]
+    shifts = (np.arange(len(arr), dtype=np.int64) - firsts[vint_id]) * 7
+    deltas = np.zeros(total, dtype=np.int64)
+    np.add.at(deltas, vint_id, (arr & 0x7F).astype(np.int64) << shifts)
+    # per-posting cumsum: global cumsum minus the running total before
+    # each posting's first delta
+    csum = np.cumsum(deltas)
+    bounds = np.cumsum(freqs)
+    starts = bounds - freqs
+    prev = np.where(starts > 0, csum[np.maximum(starts - 1, 0)], 0)
+    pos = csum - np.repeat(prev, freqs)
+    return np.split(pos, bounds[:-1])
 
 
 def term_bucket(term: str, num_buckets: int) -> int:

@@ -86,9 +86,17 @@ def scored_phrase(searcher, q, field: str):
 
 def _scored_phrase_positions(searcher, q, field: str):
     """Positions-from-index phrase matching (ExactPhraseMatcher /
-    SloppyPhraseMatcher over .pos): decode phrase terms' position payloads,
-    one shuffle groups candidates by doc, matching + scoring vectorized in
-    a batch kernel."""
+    SloppyPhraseMatcher over .pos), one shuffle + per-segment kernel:
+
+    1. group the phrase terms' ENCODED blocks by segment (the only shuffle
+       — block payloads, never exploded per-doc position rows);
+    2. inside the kernel, intersect doc IDs rarest-term-first
+       (ExactPhraseMatcher leads with the min-cost iterator, reference
+       search/ExactPhraseMatcher.java:69-83, PhraseQuery cost ordering);
+    3. decode position payloads ONLY for blocks whose doc range overlaps a
+       surviving candidate — a phrase containing one common word never pays
+       that word's full position decode, and no position data is shuffled.
+    """
     from ..codecs.docblocks import decode_doc_block
     from ..codecs.pfor import pfor_decode
     from ..index.builder import decode_positions
@@ -103,94 +111,114 @@ def _scored_phrase_positions(searcher, q, field: str):
         [stats[t][0] for t in q.terms], doc_count, sum_ttf,
         boost=q.boost, dtype=searcher.dtype,
     )
-    blocks = reader.postings(uniq_terms, field)
-
-    dec_schema = T.StructType(
-        [
-            T.StructField("seg", T.StringType()),
-            T.StructField("doc", T.LongType()),
-            T.StructField("term", T.StringType()),
-            T.StructField("norm", T.IntegerType()),
-            T.StructField("positions", T.ArrayType(T.IntegerType())),
-        ]
+    blocks = reader.postings(uniq_terms, field).select(
+        "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
+        "doc_payload", "freq_payload", "norm_payload", "pos_payload",
     )
-
-    def decode(iterator):
-        for pdf in iterator:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                docs = decode_doc_block(
-                    int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), int(row.num_docs)
-                )
-                freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs))
-                norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
-                plists = decode_positions(bytes(row.pos_payload), freqs)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "seg": row.seg,
-                            "doc": docs,
-                            "term": row.term,
-                            "norm": norms.astype(np.int32),
-                            "positions": [p.astype(np.int32).tolist() for p in plists],
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    dec = blocks.mapInPandas(decode, dec_schema)
-    n_uniq = len(uniq_terms)
-    agg = (
-        dec.groupBy("seg", "doc")
-        .agg(
-            F.first("norm").alias("norm"),
-            F.collect_list(F.struct("term", "positions")).alias("tps"),
-        )
-        .filter(F.size("tps") >= n_uniq)
-    )
-
     phrase_terms = list(q.terms)
     slop = q.slop
     cache = scorer.cache
     w = scorer.weight
+    rarest_order = sorted(uniq_terms, key=lambda t: stats[t][0])
 
-    def verify(iterator):
-        dt = cache.dtype.type
-        for pdf in iterator:
-            segs, docs_, scores = [], [], []
-            for row in pdf.itertuples(index=False):
-                by_term = {e["term"]: e["positions"] for e in row.tps}
-                plists = [by_term.get(t) for t in phrase_terms]
-                if any(p is None or len(p) == 0 for p in plists):
-                    continue
-                freq = (
-                    _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
-                )
-                if freq <= 0:
-                    continue
-                inv = cache[int(row.norm) & 0xFF]
-                segs.append(row.seg)
-                docs_.append(row.doc)
-                scores.append(float(w - w / (dt(1.0) + dt(freq) * inv)))
-            yield pd.DataFrame(
-                {
-                    "seg": pd.Series(segs, dtype=object),
-                    "doc": pd.Series(docs_, dtype=np.int64),
-                    "score": pd.Series(scores, dtype=np.float64),
-                }
-            )
-
-    return agg.mapInPandas(
-        verify,
-        T.StructType(
-            [
-                T.StructField("seg", T.StringType()),
-                T.StructField("doc", T.LongType()),
-                T.StructField("score", T.DoubleType()),
-            ]
-        ),
+    out_schema = T.StructType(
+        [
+            T.StructField("seg", T.StringType()),
+            T.StructField("doc", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
+    empty = pd.DataFrame(
+        {
+            "seg": pd.Series([], dtype=object),
+            "doc": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    def kernel(key, pdf):
+        seg = key[0]
+        per_term = {}
+        for term, g in pdf.groupby("term", sort=False):
+            per_term[term] = g.sort_values("first_doc")
+        if any(t not in per_term for t in uniq_terms):
+            return empty
+
+        # phase 1: doc-id intersection, rarest term first (doc payloads only)
+        doc_cache: dict[tuple[str, int], np.ndarray] = {}
+
+        def block_docs(t, i, row):
+            d = doc_cache.get((t, i))
+            if d is None:
+                d = decode_doc_block(
+                    int(row.enc), bytes(row.doc_payload or b""),
+                    int(row.first_doc), int(row.num_docs),
+                )
+                doc_cache[(t, i)] = d
+            return d
+
+        cand = None
+        for t in rarest_order:
+            rows = list(per_term[t].itertuples(index=False))
+            if cand is None:
+                d = np.concatenate([block_docs(t, i, r) for i, r in enumerate(rows)])
+            else:
+                # decode only blocks overlapping the shrinking candidate set
+                parts = []
+                for i, r in enumerate(rows):
+                    lo = np.searchsorted(cand, int(r.first_doc))
+                    hi = np.searchsorted(cand, int(r.last_doc), side="right")
+                    if lo < hi:
+                        parts.append(block_docs(t, i, r))
+                d = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return empty
+
+        # phase 2: positions + norms only for candidate-overlapping blocks
+        pos_by_term = {t: np.empty(len(cand), dtype=object) for t in uniq_terms}
+        norms_cand = np.zeros(len(cand), dtype=np.int64)
+        for ti, t in enumerate(uniq_terms):
+            out = pos_by_term[t]
+            for i, row in enumerate(per_term[t].itertuples(index=False)):
+                lo = np.searchsorted(cand, int(row.first_doc))
+                hi = np.searchsorted(cand, int(row.last_doc), side="right")
+                if lo == hi:
+                    continue
+                docs = block_docs(t, i, row)
+                freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs))
+                plists = decode_positions(bytes(row.pos_payload), freqs)
+                idx = np.searchsorted(docs, cand[lo:hi])  # all present
+                for ci, pi in zip(range(lo, hi), idx):
+                    out[ci] = plists[pi]
+                if ti == 0:
+                    norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
+                    norms_cand[lo:hi] = norms[idx]
+
+        # phase 3: per-candidate phrase freq + BM25 (same scorer as search)
+        dt = cache.dtype.type
+        docs_out, scores_out = [], []
+        for ci in range(len(cand)):
+            plists = [pos_by_term[t][ci] for t in phrase_terms]
+            freq = (
+                _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
+            )
+            if freq <= 0:
+                continue
+            inv = cache[int(norms_cand[ci]) & 0xFF]
+            docs_out.append(int(cand[ci]))
+            scores_out.append(float(w - w / (dt(1.0) + dt(freq) * inv)))
+        if not docs_out:
+            return empty
+        return pd.DataFrame(
+            {
+                "seg": pd.Series([seg] * len(docs_out), dtype=object),
+                "doc": pd.Series(docs_out, dtype=np.int64),
+                "score": pd.Series(scores_out, dtype=np.float64),
+            }
+        )
+
+    return blocks.groupBy("seg").applyInPandas(kernel, out_schema)
 
 
 def _scored_phrase_reanalysis(searcher, q, field: str):
