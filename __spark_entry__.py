@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_near_dup"] = _pq_embed_near_dup
     q["ann_brute_topk"] = _pq_ann_brute
     q["ann_ivf_topk"] = _pq_ann_ivf  # approximate — no SQL oracle
+    q["ann_filtered"] = _pq_ann_filtered
     q["lang_id_counts"] = _pq_lang_id
     q["quality_scores"] = _pq_quality
     q["token_counts"] = _pq_token_counts
@@ -375,10 +376,28 @@ def _pq_ann_brute(spark, sf_dir):
 
 
 def _pq_ann_ivf(spark, sf_dir):
-    from lucene_spark.pipeline.similarity import ivf_topk
+    """Persisted catalog-backed IVF index; ONE batched job for all queries
+    (query->cell broadcast map + pruned scan), not a per-query plan union."""
+    from lucene_spark.pipeline.similarity import IVFVectorIndex
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_ivf_{_INDEX_VERSION}_{tag}"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    IVFVectorIndex.build(spark, e, root, nlist=8, build_id="v0000")
+    ivf = IVFVectorIndex(spark, root)
+    top = ivf.search(_query_vectors(spark, sf_dir), k=10, nprobe=4)
+    return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _pq_ann_filtered(spark, sf_dir):
+    """Hybrid knn + structured filter (KnnFloatVectorQuery's filter arg):
+    exact top-k over the filter-accepted subset — SQL-oracle checkable."""
+    from lucene_spark.pipeline.similarity import brute_force_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    top = ivf_topk(e, _query_vectors(spark, sf_dir), k=10, nlist=8, nprobe=4)
+    top = brute_force_topk(
+        e, _query_vectors(spark, sf_dir), k=10, where="vec_id % 2 = 0"
+    )
     return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
 
 
@@ -731,6 +750,21 @@ nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),
 qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3),
 q AS (SELECT vec_id AS qid, i, x FROM u WHERE vec_id IN (SELECT vec_id FROM qids)),
 d AS (SELECT q.qid, u.vec_id AS id, sum(q.x * u.x) AS dot FROM q JOIN u ON u.i = q.i GROUP BY 1, 2),
+cos AS (
+  SELECT qid AS query_id, id, dot / (nq.nv * ni.nv) AS c
+  FROM d JOIN nrm nq ON nq.vec_id = qid JOIN nrm ni ON ni.vec_id = id
+)
+SELECT query_id, id, round(c, 4) AS cosine_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, id ASC) AS rn FROM cos
+) WHERE rn <= 10
+"""
+    o["ann_filtered"] = f"""
+WITH u AS ({_VEC}),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3),
+q AS (SELECT vec_id AS qid, i, x FROM u WHERE vec_id IN (SELECT vec_id FROM qids)),
+d AS (SELECT q.qid, u.vec_id AS id, sum(q.x * u.x) AS dot
+      FROM q JOIN u ON u.i = q.i WHERE u.vec_id % 2 = 0 GROUP BY 1, 2),
 cos AS (
   SELECT qid AS query_id, id, dot / (nq.nv * ni.nv) AS c
   FROM d JOIN nrm nq ON nq.vec_id = qid JOIN nrm ni ON ni.vec_id = id

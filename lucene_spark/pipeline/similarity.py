@@ -42,8 +42,16 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where: str | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query: (query_id, id, cosine)."""
+    """Exact cosine top-k per query: (query_id, id, cosine).
+
+    ``where``: optional SQL predicate over the vector table's columns,
+    applied BEFORE scoring — KnnFloatVectorQuery's filter semantics
+    (reference search/KnnFloatVectorQuery.java: exact top-k over the
+    filter-accepted doc set). Catalyst pushes it into the parquet scan."""
+    if where:
+        df = df.filter(F.expr(where))
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
 
@@ -107,57 +115,169 @@ def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding
     return df.withColumn("cell", cell(F.col(vec_col)))
 
 
-def write_ivf_index(
-    df: DataFrame,
-    path: str,
-    nlist: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> np.ndarray:
-    """Persist an IVF index: vectors parquet partitioned by cell + the
-    centroid model. At 100 TB this is THE layout lever — a query probing
-    nprobe cells reads nprobe/nlist of the data via partition pruning;
-    everything else is never listed."""
-    import json
-    import os
-
-    cent = kmeans_centroids(df, nlist, vec_col)
-    celled = assign_cells(df, cent, vec_col)
-    celled.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
-    )
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(cent.tolist(), f)
-    return cent
-
-
-def ivf_index_topk(
-    spark,
-    path: str,
+def _batched_cell_topk(
+    celled: DataFrame,
+    centroids: np.ndarray,
     queries: list[tuple[int, list[float]]],
-    k: int = 10,
-    nprobe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    where: str | None = None,
 ) -> DataFrame:
-    """Query a persisted IVF index; the cell predicate prunes partitions."""
-    import json
-    import os
-
-    import pyspark.sql.functions as F
-
-    with open(os.path.join(path, "centroids.json")) as f:
-        cent = np.array(json.load(f))
+    """ONE job for all queries over a cell-assigned vector table: the scan
+    is pruned to the union of probed cells, a broadcast query->cells map
+    routes each Arrow batch's vectors to only the queries probing that
+    cell, partition-local top-k bounds the shuffle to k rows per query,
+    and a single window finishes. Q queries never means Q scans."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
     qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
-    out = None
-    for qi, (qid, _) in enumerate(queries):
-        cells = [int(c) for c in probes[qi]]
-        sub = vectors.filter(F.col("cell").isin(cells))  # partition pruning
-        top = brute_force_topk(sub, [queries[qi]], k=k, vec_col=vec_col, id_col=id_col)
-        out = top if out is None else out.unionByName(top)
-    return out
+    probes = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for c in row:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    wanted = sorted(cell_to_q)
+    pruned = celled.filter(F.col("cell").isin(wanted))  # partition pruning
+    if where:
+        pruned = pruned.filter(F.expr(where))  # hybrid knn+filter pre-filter
+    pruned = pruned.select(id_col, vec_col, "cell")
+
+    def score(iterator):
+        for pdf in iterator:
+            outs = []
+            for cell_val, g in pdf.groupby("cell", sort=False):
+                qidx = cell_to_q.get(int(cell_val))
+                if not qidx:
+                    continue
+                ids = g[id_col].to_numpy(np.int64)
+                m = _normalize(np.array(g[vec_col].tolist(), dtype=np.float64))
+                sims = m @ qm[qidx].T  # (n, q_probing_this_cell)
+                kk = min(k, len(ids))
+                for j, qi in enumerate(qidx):
+                    col = sims[:, j]
+                    sel = (
+                        np.argpartition(-col, kk - 1)[:kk]
+                        if kk < len(ids)
+                        else np.arange(len(ids))
+                    )
+                    outs.append(
+                        pd.DataFrame(
+                            {"query_id": qids[qi], "id": ids[sel], "cosine": col[sel]}
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = pruned.mapInPandas(score, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+class IVFVectorIndex:
+    """Catalog-backed persisted IVF index — the index-integrated ANN story
+    (what Lucene99HnswVectorsFormat + KnnFloatVectorQuery provide there,
+    re-expressed as a cell-partitioned parquet layout under the same
+    snapshot catalog as the inverted index: atomic rebuild via two-phase
+    commit, point-in-time reads by pinning a snapshot id).
+
+    Layout under ``<root>/builds/<build_id>/``: ``vectors/cell=*/`` parquet
+    (partition pruning = the nprobe/nlist read fraction at any scale) plus
+    ``centroids.json`` in the build manifest dir. Extra metadata columns
+    survive alongside the vectors so hybrid ``knn AND filter`` queries
+    (KnnFloatVectorQuery's filter argument) evaluate in the pruned scan.
+    """
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        df: DataFrame,
+        root: str,
+        *,
+        nlist: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        build_id: str | None = None,
+    ) -> int:
+        """Build + atomically commit one IVF generation; returns the
+        snapshot id. Re-running a completed build_id is a no-op (resume)."""
+        import json
+        import os
+
+        from ..index.catalog import Catalog
+
+        cat = Catalog(root)
+        if build_id is None:
+            build_id = f"v{len(os.listdir(os.path.join(root, 'builds'))):04d}"
+        if cat.build_completed(build_id):
+            return cat.load()["current"]
+        bdir = cat.build_dir(build_id)
+        cent = kmeans_centroids(df, nlist, vec_col)
+        celled = assign_cells(df, cent, vec_col)
+        celled.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(bdir, "vectors")
+        )
+        n = int(celled.count())
+        with open(os.path.join(bdir, "centroids.json"), "w") as f:
+            json.dump(cent.tolist(), f)
+        cat.write_manifest(
+            build_id,
+            {
+                "build_id": build_id,
+                "kind": "ivf",
+                "nlist": int(len(cent)),
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "num_vectors": n,
+            },
+        )
+        old = [s["name"] for s in cat.live_segments()]
+        return cat.commit(
+            [{"name": build_id, "build": build_id, "max_doc": n, "fields": {}}],
+            remove_segments=old,  # atomic rebuild swap
+            note=f"ivf build {build_id}",
+        )
+
+    def __init__(self, spark: SparkSession, root: str, snapshot_id: int | None = None):
+        import json
+        import os
+
+        from ..index.catalog import Catalog
+
+        self.spark = spark
+        self.root = root
+        self.catalog = Catalog(root)
+        snap = self.catalog.snapshot(snapshot_id)
+        self.snapshot_id = snap["id"]
+        if not snap["segments"]:
+            raise ValueError(f"no live IVF build in {root}")
+        self.build_id = snap["segments"][0]["name"]
+        bdir = self.catalog.build_dir(self.build_id)
+        manifest = self.catalog.read_manifest(self.build_id)
+        self.vec_col = manifest["vec_col"]
+        self.id_col = manifest["id_col"]
+        self.nlist = manifest["nlist"]
+        with open(os.path.join(bdir, "centroids.json")) as f:
+            self.centroids = np.array(json.load(f))
+        self._vectors = spark.read.parquet(os.path.join(bdir, "vectors"))
+
+    def search(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        nprobe: int = 4,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Batched ANN top-k (one job for all queries); ``where`` adds the
+        hybrid knn-AND-structured-filter shape."""
+        return _batched_cell_topk(
+            self._vectors, self.centroids, queries, k, nprobe,
+            self.vec_col, self.id_col, where=where,
+        )
 
 
 def ivf_topk(
@@ -168,23 +288,13 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where: str | None = None,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: probe the nprobe nearest cells per query."""
+    """IVF-flat approximate top-k without persistence (ad-hoc): assign
+    cells, then the same single-job batched query path as the persisted
+    index."""
     cent = kmeans_centroids(df, nlist, vec_col)
     celled = assign_cells(df, cent, vec_col)
-    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
-    wanted_cells = sorted({int(c) for row in probes for c in row})
-    # partition pruning surrogate: only the probed cells are scanned
-    pruned = celled.filter(F.col("cell").isin(wanted_cells))
-    per_q = []
-    for qi, (qid, _) in enumerate(queries):
-        cells = [int(c) for c in probes[qi]]
-        sub = pruned.filter(F.col("cell").isin(cells))
-        per_q.append(
-            brute_force_topk(sub, [queries[qi]], k=k, vec_col=vec_col, id_col=id_col)
-        )
-    out = per_q[0]
-    for p in per_q[1:]:
-        out = out.unionByName(p)
-    return out
+    return _batched_cell_topk(
+        celled, cent, queries, k, nprobe, vec_col, id_col, where=where
+    )

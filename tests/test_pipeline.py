@@ -242,29 +242,83 @@ def test_monitor_reverse_search(spark, docs):
 
 
 def test_ivf_persisted_index(spark, emb, emb_np, tmp_path):
-    from lucene_spark.pipeline.similarity import (
-        brute_force_topk,
-        ivf_index_topk,
-        write_ivf_index,
-    )
+    from lucene_spark.pipeline.similarity import IVFVectorIndex, brute_force_topk
 
     ids, m = emb_np
     path = str(tmp_path / "ivf")
-    cent = write_ivf_index(emb, path, nlist=8)
-    assert cent.shape[0] == 8
+    snap1 = IVFVectorIndex.build(spark, emb, path, nlist=8)
+    ivf = IVFVectorIndex(spark, path)
+    assert ivf.centroids.shape[0] == 8
     queries = [(int(ids[i]), m[i].tolist()) for i in range(3)]
-    got = ivf_index_topk(spark, path, queries, k=10, nprobe=4).collect()
+    got = ivf.search(queries, k=10, nprobe=4).collect()
     exact = brute_force_topk(emb, queries, k=10).collect()
     for qid, _ in queries:
         e = {r["id"] for r in exact if r["query_id"] == qid}
         a = {r["id"] for r in got if r["query_id"] == qid}
         assert len(e & a) >= 5
     # partition pruning is visible in the scan
-    import io, contextlib
+    import contextlib
+    import io
+
     from pyspark.sql import functions as F
 
-    vectors = spark.read.parquet(path + "/vectors").filter(F.col("cell").isin([0, 1]))
+    vectors = ivf._vectors.filter(F.col("cell").isin([0, 1]))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         vectors.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+    # atomic rebuild: a second build swaps the live generation; the old
+    # snapshot stays readable point-in-time (segments_N semantics)
+    snap2 = IVFVectorIndex.build(spark, emb.limit(100), path, nlist=4, build_id="vnew")
+    assert snap2 > snap1
+    ivf_new = IVFVectorIndex(spark, path)
+    assert ivf_new.build_id == "vnew" and ivf_new.nlist == 4
+    ivf_old = IVFVectorIndex(spark, path, snapshot_id=snap1)
+    assert ivf_old.build_id != "vnew" and ivf_old.nlist == 8
+
+
+def test_ivf_batched_single_job(spark, emb, emb_np):
+    """The batched query path must plan ONE scan for all queries, not a
+    per-query union of scans."""
+    from lucene_spark.pipeline.similarity import ivf_topk
+
+    ids, m = emb_np
+    queries = [(int(ids[i]), m[i].tolist()) for i in range(8)]
+    top = ivf_topk(emb, queries, k=5, nlist=8, nprobe=4)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top.explain("formatted")
+    plan = buf.getvalue()
+    # one scoring kernel over one (pruned) scan — a per-query plan would
+    # show an 8-way Union of 8 MapInPandas branches
+    assert "Union" not in plan
+    assert plan.count("MapInPandas") == 2  # tree line + detail line, one node
+    rows = top.collect()
+    assert {r["query_id"] for r in rows} == {q[0] for q in queries}
+    for qid, _ in queries:
+        got_q = [r for r in rows if r["query_id"] == qid]
+        assert len(got_q) == 5
+        assert any(r["id"] == qid for r in got_q)  # self is a near-neighbor
+
+
+def test_ivf_hybrid_filter(spark, emb, emb_np):
+    """knn AND structured filter: results come only from the filtered
+    subset and match brute force over that subset (KnnFloatVectorQuery
+    filter semantics)."""
+    from lucene_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    ids, m = emb_np
+    queries = [(int(ids[i]), m[i].tolist()) for i in range(3)]
+    pred = "vec_id % 2 = 0"
+    exact = brute_force_topk(emb, queries, k=10, where=pred).collect()
+    assert all(r["id"] % 2 == 0 for r in exact)
+    approx = ivf_topk(emb, queries, k=10, nlist=8, nprobe=4, where=pred).collect()
+    assert all(r["id"] % 2 == 0 for r in approx)
+    for qid, _ in queries:
+        e = {r["id"] for r in exact if r["query_id"] == qid}
+        a = {r["id"] for r in approx if r["query_id"] == qid}
+        assert len(e & a) >= 5
