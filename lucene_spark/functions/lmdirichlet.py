@@ -1,0 +1,67 @@
+"""LM Dirichlet similarity — the second SimScorer behind the pluggable
+scorer contract (``.score(freqs, norm_bytes)``), proving the engine's
+scoring abstraction isn't BM25-shaped.
+
+Reference semantics
+(/root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/LMDirichletSimilarity.java:77-95,
+LMSimilarity.java computeProbability):
+
+  p(w|C)  = (totalTermFreq + 1) / (sumTotalTermFreq + 1)
+  score   = boost * (log(1 + freq / (mu * p(w|C))) + log(mu / (dl + mu)))
+  clamped at >= 0, computed in double, returned as float
+  default mu = 2000
+
+``dl`` is the quantized document length decoded from the SmallFloat norm
+byte — the same LENGTH_TABLE the BM25 cache uses, so both similarities see
+identical norms (Lucene: one norm per field, similarity-independent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+DEFAULT_MU = 2000.0
+
+
+@dataclass(frozen=True)
+class LMDirichletScorer:
+    """Per-(query-term, field) LM Dirichlet scorer. Same duck-typed surface
+    the kernels use (``.score`` vectorized over freq/norm arrays); monotone
+    increasing in freq and decreasing in doc length, so the (freq, norm)
+    pareto impacts and the block-max pruning machinery apply unchanged."""
+
+    boost: float
+    mu: float
+    p_coll: float  # collection probability of the term
+    dtype: object = np.float32
+    # doc-length table indexed by norm byte (float64 — score math is double)
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        s = self.boost * (
+            np.log1p(f / (self.mu * self.p_coll)) + np.log(self.mu / (dl + self.mu))
+        )
+        return np.maximum(s, 0.0).astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        return float(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_lm_scorer(
+    total_term_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    mu: float = DEFAULT_MU,
+    dtype=np.float32,
+) -> LMDirichletScorer:
+    p = (np.float64(total_term_freq) + 1.0) / (np.float64(sum_total_term_freq) + 1.0)
+    return LMDirichletScorer(boost=float(boost), mu=float(mu), p_coll=float(p), dtype=dtype)

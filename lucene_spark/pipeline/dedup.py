@@ -36,6 +36,29 @@ from pyspark.sql import types as T
 _MERSENNE = (1 << 61) - 1
 
 
+def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before the
+    self-join — a degenerate bucket (thousands of empty/boilerplate docs
+    sharing a signature) otherwise blows up quadratically. Dropped buckets
+    are counted and logged (no silent truncation); true duplicates that
+    bulk-collide belong to exact_dedup, not pairwise LSH."""
+    if not max_bucket_size:
+        return bands
+    import logging
+
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("_bs"))
+    n_dropped = sizes.filter(F.col("_bs") > max_bucket_size).count()
+    if n_dropped:
+        logging.getLogger(__name__).warning(
+            "dedup: dropping %d LSH bucket(s) larger than %d rows before the "
+            "self-join (degenerate signatures; use exact_dedup for bulk dupes)",
+            n_dropped,
+            max_bucket_size,
+        )
+    kept = sizes.filter(F.col("_bs") <= max_bucket_size).drop("_bs")
+    return bands.join(kept, keys, "left_semi")
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative (min id) per duplicate group of ``cols``.
 
@@ -104,6 +127,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with exact-verified shingle-k
     Jaccard >= threshold, found via MinHash-LSH banding.
@@ -111,6 +135,9 @@ def minhash_lsh_pairs(
     Plan shape: shingle+sign (narrow) -> explode bands (num_perm/r rows per
     doc) -> shuffle on (band, band-signature) -> per-bucket self-join ->
     distinct candidates -> verify by joining the two shingle sets.
+
+    ``max_bucket_size`` bounds the per-bucket self-join (see _cap_buckets);
+    None (default) keeps exact recall for oracle-checked runs.
     """
     signed = minhash_signatures(shingle_df(df, text_col, id_col, k), num_perm, seed).cache()
     n_bands = num_perm // rows_per_band
@@ -125,6 +152,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    bands = _cap_buckets(bands, ["band", "bucket"], max_bucket_size)
     cand = (
         bands.alias("x")
         .join(
@@ -185,10 +213,13 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming (<= 3 is exact:
-    4 bands of 16 bits, pigeonhole guarantees one equal band)."""
+    4 bands of 16 bits, pigeonhole guarantees one equal band).
+
+    ``max_bucket_size`` bounds the per-bucket self-join (see _cap_buckets)."""
     sigs = simhash_signatures(df, text_col, id_col).cache()
     bands = sigs.select(
         "id",
@@ -202,6 +233,7 @@ def simhash_pairs(
             )
         ).alias("band", "bucket"),
     )
+    bands = _cap_buckets(bands, ["band", "bucket"], max_bucket_size)
     cand = (
         bands.alias("x")
         .join(

@@ -62,9 +62,14 @@ TOPK_SCHEMA = T.StructType(
 
 
 class IndexSearcher:
-    def __init__(self, reader: IndexReader, dtype=np.float32):
+    def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25"):
+        """``similarity``: "bm25" (default, float32 reference-exact) or
+        "lmd" (LM Dirichlet, mu=2000) — the pluggable SimScorer choice
+        (reference search/similarities/; term/boolean shapes only for lmd,
+        phrase/synonym stay BM25)."""
         self.reader = reader
         self.dtype = dtype
+        self.similarity = similarity
 
     # ------------------------------------------------------------------ API
 
@@ -199,10 +204,17 @@ class IndexSearcher:
         for t in terms:
             if t not in stats:
                 continue
-            df_t, _ = stats[t]
-            scorers[t] = make_scorer(
-                [df_t], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
-            )
+            df_t, ttf_t = stats[t]
+            if self.similarity == "lmd":
+                from ..functions.lmdirichlet import make_lm_scorer
+
+                scorers[t] = make_lm_scorer(
+                    ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+                )
+            else:
+                scorers[t] = make_scorer(
+                    [df_t], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+                )
         return scorers
 
     def _decoded(self, terms: list[str], scorers, field: str,
@@ -214,8 +226,6 @@ class IndexSearcher:
         if not present:
             return self.reader.spark.createDataFrame([], DECODED_SCHEMA)
         blocks = self.reader.postings(present, field)
-        weights = {t: s.weight for t, s in scorers.items()}
-        caches = {t: s.cache for t, s in scorers.items()}
         const = dict(constant_terms or {})
 
         def decode(iterator):
@@ -232,13 +242,9 @@ class IndexSearcher:
                         scores = np.full(row.num_docs, const[row.term], dtype=np.float64)
                     else:
                         norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
-                        w = weights[row.term]
-                        cache = caches[row.term]
-                        inv = cache[norms.astype(np.int64)]
-                        dt = cache.dtype.type
-                        scores = (w - w / (dt(1.0) + freqs.astype(cache.dtype) * inv)).astype(
-                            np.float64
-                        )
+                        # scorer is pluggable (BM25 / LM Dirichlet / ...):
+                        # .score is the vectorized SimScorer contract
+                        scores = scorers[row.term].score(freqs, norms).astype(np.float64)
                     n = row.num_docs
                     segs_l.append(np.full(n, row.seg, dtype=object))
                     terms_l.append(np.full(n, row.term, dtype=object))

@@ -1,0 +1,95 @@
+"""LM Dirichlet similarity: hand-computed vectors + end-to-end rank parity
+on both physical paths (exhaustive + block-max pruned), proving the scorer
+abstraction is similarity-agnostic."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.lmdirichlet import make_lm_scorer
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+
+def test_lmd_hand_computed_vectors():
+    """score = boost*(log(1 + f/(mu*p)) + log(mu/(dl+mu))), p=(ttf+1)/(sttf+1),
+    clamped at 0 (LMDirichletSimilarity.java:77-95)."""
+    mu = 2000.0
+    ttf, sttf = 42, 10_000
+    p = (ttf + 1) / (sttf + 1)
+    sc = make_lm_scorer(ttf, 500, sttf, boost=1.0, mu=mu, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200)]:
+        norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+        qdl = float(LENGTH_TABLE[norm])  # quantized length, like the engine
+        want = math.log(1 + f / (mu * p)) + math.log(mu / (qdl + mu))
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(max(want, 0.0), rel=1e-12), (f, dl)
+    # clamp: a frequent term in a huge doc can go negative -> 0
+    sc2 = make_lm_scorer(9_999, 500, 10_000, mu=10.0, dtype=np.float64)
+    assert float(sc2.score(np.array([1]), np.array([255]))[0]) == 0.0
+
+
+def test_lmd_monotonicity():
+    sc = make_lm_scorer(50, 500, 10_000, dtype=np.float64)
+    freqs = np.array([1, 2, 5, 10, 100])
+    s = sc.score(freqs, np.full(5, 24))
+    assert (np.diff(s) > 0).all()  # increasing in freq
+    # small norm bytes (exact lengths, below the >=0 clamp)
+    s2 = sc.score(np.full(3, 5), np.array([5, 10, 20]))
+    assert (np.diff(s2) < 0).all()  # decreasing in doc length
+
+
+@pytest.fixture(scope="module")
+def lmd_oracle(corpus):
+    """Brute-force LM Dirichlet over the corpus (float64)."""
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tfs.append(Counter(toks))
+        lengths.append(len(toks))
+    lengths = np.array(lengths)
+    norms = int_to_byte4_np(lengths)
+    sttf = int(lengths.sum())
+    ttf = Counter()
+    for tf in tfs:
+        ttf.update(tf)
+
+    def topk(terms, k=10):
+        score = np.zeros(len(tfs))
+        mask = np.zeros(len(tfs), bool)
+        for t in terms:
+            sc = make_lm_scorer(ttf.get(t, 0), int((lengths > 0).sum()), sttf,
+                                dtype=np.float64)
+            f = np.array([tf.get(t, 0) for tf in tfs])
+            m = f > 0
+            s = np.zeros(len(tfs))
+            s[m] = sc.score(f[m], norms[m])
+            score += s
+            mask |= m
+        idx = np.nonzero(mask)[0]
+        order = sorted(idx, key=lambda i: (-score[i], i))[:k]
+        return [(corpus["url"][i], float(score[i])) for i in order]
+
+    return topk
+
+
+@pytest.mark.parametrize("qs,terms", [
+    ("table", ["table"]),
+    ("merge OR window OR spark", ["merge", "window", "spark"]),
+])
+def test_lmd_end_to_end_both_paths(reader, lmd_oracle, qs, terms):
+    s = IndexSearcher(reader, dtype=np.float64, similarity="lmd")
+    want = lmd_oracle(terms)
+    for mode in ("exhaustive", "maxscore"):
+        rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], mode
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), mode

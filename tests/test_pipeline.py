@@ -149,6 +149,38 @@ def test_ann_ivf_recall(spark, emb, emb_np):
         assert len(e & a) >= 5  # recall@10 >= 0.5 with half the cells probed
 
 
+def test_dedup_bucket_cap_degenerate(spark):
+    """10k identical boilerplate docs share every LSH signature — without a
+    bucket cap the self-join materializes ~5e7 candidate pairs. With the
+    cap the job finishes fast, logs the drop, and still finds near-dup
+    pairs among the non-degenerate docs."""
+    import time
+
+    from lucene_spark.pipeline.dedup import minhash_lsh_pairs, simhash_pairs
+
+    base = [(i, "lorem ipsum dolor sit amet boilerplate page text") for i in range(10_000)]
+    extra = [
+        (100001, "spark inverted index engine builds postings blocks fast and scales"),
+        (100002, "spark inverted index engine builds postings blocks fast and scales well"),
+    ]
+    df = spark.createDataFrame(base + extra, "doc_id long, text string")
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", k=3, num_perm=16, rows_per_band=2,
+        threshold=0.6, max_bucket_size=100,
+    ).collect()
+    assert time.time() - t0 < 120, "bucket cap failed to bound the self-join"
+    ids = {(r["a"], r["b"]) for r in pairs}
+    assert (100001, 100002) in ids
+    assert all(a > 100_000 and b > 100_000 for a, b in ids)
+
+    t0 = time.time()
+    spairs = simhash_pairs(df, "text", "doc_id", max_hamming=3, max_bucket_size=100).collect()
+    assert time.time() - t0 < 120
+    sids = {(r["a"], r["b"]) for r in spairs}
+    assert all(a > 100_000 and b > 100_000 for a, b in sids)
+
+
 def test_token_count_and_quality(spark, docs, docs_pdf):
     from lucene_spark.pipeline.textstats import quality_score, token_count
 
