@@ -147,7 +147,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bool_min_should_match"] = _pq_msm
     q["term_in_set"] = _pq_term_in_set
     q["wildcard_heavy"] = _pq_wildcard_heavy
+    q["interval_near"] = _pq_interval_near
     return q
+
+
+def _pq_interval_near(spark, sf_dir):
+    """Ordered interval query 'table ... scan' with maxgaps=2, saturation
+    scoring (lucene/queries intervals: minimal intervals, sloppy freq,
+    boost*(1 - pivot/(pivot+freq)))."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.IntervalQuery("text", ("table", "scan"), ordered=True, max_gaps=2)
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_term_in_set(spark, sf_dir):
@@ -671,6 +688,28 @@ WHERE n_words >= 30 AND n_words <= 100000
             + alpha / CAST(greatest(total, 1) AS DOUBLE) * 0.3
             + n_uniq / CAST(n_words AS DOUBLE) * 0.4, 4) >= 0.5
   AND lang IN ('en', 'de')
+"""
+    # minimal ordered intervals for 2 terms: per end e, maximal start s
+    # (latest 'table' before the nearest 'scan' after it); per start keep
+    # the smallest end; sloppy freq = sum 1/max(len-1, 1); gaps = len-2
+    o["interval_near"] = f"""
+WITH tokp AS ({_TOKP}),
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'table'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'scan'),
+pairs AS (
+  SELECT a.doc_id, a.pos AS s,
+         (SELECT min(b.pos) FROM b WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+  FROM a
+),
+per_end AS (SELECT doc_id, max(s) AS s, e FROM pairs WHERE e IS NOT NULL GROUP BY doc_id, e),
+minimal AS (SELECT doc_id, s, min(e) AS e FROM per_end GROUP BY doc_id, s),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+  FROM minimal WHERE (e - s - 1) <= 2 GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
 """
     o["term_in_set"] = f"""
 WITH tok AS ({_TOK})

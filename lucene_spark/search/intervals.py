@@ -1,0 +1,122 @@
+"""Interval queries: ordered / unordered proximity with maxgaps over the
+indexed positions (.pos) — the lucene/queries intervals module re-expressed
+on the shared positions kernel.
+
+Reference semantics
+(/root/reference/lucene/queries/src/java/org/apache/lucene/queries/intervals/):
+- minimal-interval semantics: the matcher enumerates intervals none of which
+  contains another (OrderedIntervalsSource / UnorderedIntervalsSource);
+- ``maxgaps`` filters intervals whose gap count (length - minExtent) exceeds
+  the bound (Intervals.java:390, FilteredIntervalsSource.maxGaps);
+- sloppy frequency = sum over matching intervals of
+  1 / max(length - minExtent + 1, 1) (IntervalScorer.java:63-67);
+- score = boost * (1 - pivot / (pivot + freq)), the saturation function with
+  default pivot = 1 (IntervalScoreFunction.java:56-75, IntervalQuery.java).
+
+Scoring is norm-independent (the reference passes norm=1), so intervals
+need no BM25 plumbing — only positions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ordered_intervals(plists: list) -> list[tuple[int, int]]:
+    """Minimal ordered intervals over per-term sorted position arrays:
+    term i+1 must appear at a position strictly greater than term i's.
+    For each end position the start is maximized (greedy backwards walk);
+    monotonicity of maximal starts means containment only arises between
+    intervals sharing a start, so keeping the first interval per start
+    yields exactly the minimal set."""
+    arrs = [np.asarray(p, dtype=np.int64) for p in plists]
+    if any(len(a) == 0 for a in arrs):
+        return []
+    out: list[tuple[int, int]] = []
+    last_start = -1
+    for e in arrs[-1]:
+        prev = int(e)
+        ok = True
+        for t in range(len(arrs) - 2, -1, -1):
+            a = arrs[t]
+            j = int(np.searchsorted(a, prev)) - 1  # largest position < prev
+            if j < 0:
+                ok = False
+                break
+            prev = int(a[j])
+        if ok and prev > last_start:
+            out.append((prev, int(e)))
+            last_start = prev
+    return out
+
+
+def unordered_intervals(plists: list) -> list[tuple[int, int]]:
+    """Minimal unordered intervals: windows containing at least one
+    occurrence of every term, none containing another."""
+    arrs = [np.asarray(p, dtype=np.int64) for p in plists]
+    if any(len(a) == 0 for a in arrs):
+        return []
+    all_pos = np.unique(np.concatenate(arrs))
+    cands: list[tuple[int, int]] = []
+    for e in all_pos:
+        s = None
+        ok = True
+        for a in arrs:
+            j = int(np.searchsorted(a, e, side="right")) - 1  # latest <= e
+            if j < 0:
+                ok = False
+                break
+            p = int(a[j])
+            s = p if s is None else min(s, p)
+        if ok:
+            cands.append((s, int(e)))
+    # minimal set: sweep by start descending; keep an interval only if its
+    # end is strictly below every kept interval with a larger start
+    out = []
+    best_end = None
+    for s, e in sorted(set(cands), key=lambda x: (-x[0], x[1])):
+        if best_end is None or e < best_end:
+            out.append((s, e))
+            best_end = e
+    return sorted(out)
+
+
+def interval_freq(plists: list, ordered: bool, max_gaps: int = -1) -> float:
+    """Sloppy interval frequency (IntervalScorer.java:63-67), after the
+    maxgaps filter; minExtent = number of terms."""
+    n = len(plists)
+    ivs = ordered_intervals(plists) if ordered else unordered_intervals(plists)
+    freq = 0.0
+    for s, e in ivs:
+        length = e - s + 1
+        if max_gaps >= 0 and (length - n) > max_gaps:
+            continue
+        freq += 1.0 / max(length - n + 1, 1)
+    return freq
+
+
+def scored_intervals(searcher, q, field: str):
+    """(seg, doc, score) for an IntervalQuery — shared positions kernel +
+    saturation scoring. Requires a positions=True index."""
+    from .phrase import scored_positions_kernel
+
+    reader = searcher.reader
+    if not reader._manifests[reader._builds[0]].get("positions"):
+        raise ValueError("IntervalQuery needs an index built with positions=True")
+    uniq_terms = list(dict.fromkeys(q.terms))
+    stats = reader.term_stats(uniq_terms, field)
+    if any(t not in stats for t in uniq_terms):
+        return None
+    ordered = q.ordered
+    max_gaps = q.max_gaps
+    pivot = float(q.pivot)
+    boost = float(q.boost)
+
+    def score_doc(pos_by_uniq, norm_byte):
+        freq = interval_freq(pos_by_uniq, ordered, max_gaps)
+        if freq <= 0.0:
+            return None
+        return boost * (1.0 - pivot / (pivot + freq))
+
+    rarest_order = sorted(uniq_terms, key=lambda t: stats[t][0])
+    return scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc)

@@ -97,10 +97,6 @@ def _scored_phrase_positions(searcher, q, field: str):
        surviving candidate — a phrase containing one common word never pays
        that word's full position decode, and no position data is shuffled.
     """
-    from ..codecs.docblocks import decode_doc_block
-    from ..codecs.pfor import pfor_decode
-    from ..index.builder import decode_positions
-
     reader = searcher.reader
     uniq_terms = list(dict.fromkeys(q.terms))
     doc_count, sum_ttf = reader.collection_stats(field)
@@ -111,15 +107,41 @@ def _scored_phrase_positions(searcher, q, field: str):
         [stats[t][0] for t in q.terms], doc_count, sum_ttf,
         boost=q.boost, dtype=searcher.dtype,
     )
-    blocks = reader.postings(uniq_terms, field).select(
-        "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
-        "doc_payload", "freq_payload", "norm_payload", "pos_payload",
-    )
     phrase_terms = list(q.terms)
     slop = q.slop
     cache = scorer.cache
     w = scorer.weight
+
+    def score_doc(pos_by_uniq, norm_byte):
+        by_term = dict(zip(uniq_terms, pos_by_uniq))
+        plists = [by_term[t] for t in phrase_terms]
+        freq = (
+            _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
+        )
+        if freq <= 0:
+            return None
+        dt = cache.dtype.type
+        inv = cache[int(norm_byte) & 0xFF]
+        return float(w - w / (dt(1.0) + dt(freq) * inv))
+
     rarest_order = sorted(uniq_terms, key=lambda t: stats[t][0])
+    return scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc)
+
+
+def scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc):
+    """Shared positions-matching plan (phrase / interval queries):
+    one groupBy-segment shuffle of encoded blocks, rarest-first candidate
+    intersection, candidate-pruned position decode, then
+    ``score_doc(pos_lists_by_uniq_term, norm_byte) -> float | None`` per
+    surviving candidate."""
+    reader = searcher.reader
+    blocks = reader.postings(uniq_terms, field).select(
+        "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
+        "doc_payload", "freq_payload", "norm_payload", "pos_payload",
+    )
+    from ..codecs.docblocks import decode_doc_block
+    from ..codecs.pfor import pfor_decode
+    from ..index.builder import decode_positions
 
     out_schema = T.StructType(
         [
@@ -195,19 +217,14 @@ def _scored_phrase_positions(searcher, q, field: str):
                     norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
                     norms_cand[lo:hi] = norms[idx]
 
-        # phase 3: per-candidate phrase freq + BM25 (same scorer as search)
-        dt = cache.dtype.type
+        # phase 3: per-candidate match + score via the caller's score_doc
         docs_out, scores_out = [], []
         for ci in range(len(cand)):
-            plists = [pos_by_term[t][ci] for t in phrase_terms]
-            freq = (
-                _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
-            )
-            if freq <= 0:
+            s = score_doc([pos_by_term[t][ci] for t in uniq_terms], norms_cand[ci])
+            if s is None:
                 continue
-            inv = cache[int(norms_cand[ci]) & 0xFF]
             docs_out.append(int(cand[ci]))
-            scores_out.append(float(w - w / (dt(1.0) + dt(freq) * inv)))
+            scores_out.append(s)
         if not docs_out:
             return empty
         return pd.DataFrame(

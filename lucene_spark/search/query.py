@@ -93,6 +93,21 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Ordered/unordered proximity with maxgaps over indexed positions —
+    the lucene/queries intervals module shapes (Intervals.ordered /
+    unordered / maxgaps), scored by the saturation function
+    boost * (1 - pivot/(pivot + sloppyFreq)). Terms must be distinct."""
+
+    field: str
+    terms: tuple[str, ...]
+    ordered: bool = True
+    max_gaps: int = -1  # -1 = unlimited
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     """``field IN (term, ...)`` over many terms — one bucket-pruned postings
     scan producing the constant-score doc union, instead of an N-clause

@@ -319,6 +319,10 @@ class IndexSearcher:
             from .phrase import scored_phrase
 
             return scored_phrase(self, q, field)
+        if isinstance(q, Q.IntervalQuery):
+            from .intervals import scored_intervals
+
+            return scored_intervals(self, q, q.field or field)
         if isinstance(q, Q.TermInSetQuery):
             fld = q.field or field
             blocks = self.reader.postings(list(q.terms), fld)

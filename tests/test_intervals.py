@@ -1,0 +1,104 @@
+"""Interval queries: minimal-interval semantics unit vectors + end-to-end
+parity against a brute-force position oracle over the corpus."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+from lucene_spark.search.intervals import (
+    interval_freq,
+    ordered_intervals,
+    unordered_intervals,
+)
+
+from conftest import TESTDATA
+
+
+def test_ordered_minimal_intervals():
+    assert ordered_intervals([[1, 5], [3, 7]]) == [(1, 3), (5, 7)]
+    # a containing interval is dropped (minimal semantics)
+    assert ordered_intervals([[1], [2, 10]]) == [(1, 2)]
+    assert ordered_intervals([[2], [1]]) == []  # order violated
+    assert ordered_intervals([[1, 4], [2, 5], [3, 6]]) == [(1, 3), (4, 6)]
+    assert ordered_intervals([[], [1]]) == []
+
+
+def test_unordered_minimal_intervals():
+    assert unordered_intervals([[5], [1, 7]]) == [(1, 5), (5, 7)]
+    assert unordered_intervals([[2], [1]]) == [(1, 2)]  # order-free
+    # (2,10) does not contain (1,2): both are minimal
+    assert unordered_intervals([[1, 10], [2]]) == [(1, 2), (2, 10)]
+    # a true containment is pruned: (1,4) contains (3,4)
+    assert unordered_intervals([[1, 3], [4]]) == [(3, 4)]
+
+
+def test_interval_freq_maxgaps():
+    # two minimal intervals of length 3 (gaps=1 each) for a 2-term query
+    pl = [[1, 5], [3, 7]]
+    assert interval_freq(pl, ordered=True) == pytest.approx(1.0)  # 1/2 + 1/2
+    assert interval_freq(pl, ordered=True, max_gaps=0) == 0.0
+    assert interval_freq([[1], [2]], ordered=True, max_gaps=0) == pytest.approx(1.0)
+
+
+@pytest.fixture(scope="module")
+def ivx_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True)
+    return root
+
+
+@pytest.mark.parametrize("ordered,max_gaps", [(True, -1), (True, 2), (False, 3)])
+def test_interval_query_matches_brute_force(spark, ivx_root, corpus, ordered, max_gaps):
+    """Engine vs per-doc brute force: same analyzer positions -> same
+    minimal intervals -> same saturation scores."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    terms = ("table", "scan")
+    an = analyzer_for("standard")
+    want = []
+    for i, text in enumerate(corpus["text"]):
+        plists = {t: [] for t in terms}
+        for tok in an.tokens(text if isinstance(text, str) else ""):
+            if tok.term in plists:
+                plists[tok.term].append(tok.position)
+        freq = interval_freq([plists[t] for t in terms], ordered, max_gaps)
+        if freq > 0:
+            want.append((corpus["url"][i], 1.0 * (1.0 - 1.0 / (1.0 + freq))))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:10]
+
+    s = IndexSearcher(IndexReader(spark, ivx_root))
+    q = Q.IntervalQuery("text", terms, ordered=ordered, max_gaps=max_gaps)
+    rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+    got = [(r["url"], float(r["score"])) for r in rows]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), (gu, ordered, max_gaps)
+
+
+def test_interval_as_boolean_clause(spark, ivx_root):
+    """Intervals compose as boolean clauses (proximity filter on a scored
+    query) — the common 'rank by BM25, require near' shape."""
+    s = IndexSearcher(IndexReader(spark, ivx_root))
+    bq = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.IntervalQuery("text", ("table", "scan"), ordered=True, max_gaps=2)),
+    )
+    hits = s.search(bq, k=10, mode="exhaustive").collect()
+    assert hits
+    iv_only = {
+        r["url"]
+        for r in s.search(
+            Q.IntervalQuery("text", ("table", "scan"), ordered=True, max_gaps=2),
+            k=1000, mode="exhaustive",
+        ).collect()
+    }
+    assert all(r["url"] in iv_only for r in hits)
