@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 K = 10
-_INDEX_VERSION = "v3"
+_INDEX_VERSION = "v4"  # bumped: index_sort=("length","desc") added to build
 _INDEXES: dict[str, str] = {}
 
 
@@ -50,6 +50,7 @@ def _get_index(spark: SparkSession, sf_dir: str):
             num_buckets=4,
             stored_cols=("lang", "text"),
             positions=True,
+            index_sort=("length", "desc"),
         )
         _INDEXES[sf_dir] = root
     return IndexReader(spark, root)
@@ -231,15 +232,15 @@ def _pq_quality_filter(spark, sf_dir):
 
 
 def _pq_sort_by_field(spark, sf_dir):
-    """TopFieldCollector: hits of 'table' sorted by (length desc, doc)."""
+    """TopFieldCollector: hits of 'table' sorted by (length desc, doc) —
+    index-sort early-termination path (docs files written length-desc, the
+    full-row fetch prunes row groups via a pushed range predicate)."""
     from lucene_spark.pages import doc_id_for_url_col
     from lucene_spark.search import parse
-    from lucene_spark.search.facets import sorted_top_hits
+    from lucene_spark.search.facets import sorted_top_hits_indexed
 
     s = _searcher(spark, sf_dir)
-    out = sorted_top_hits(
-        s, parse("table"), [F.desc("length"), F.asc("url")], k=10
-    )
+    out = sorted_top_hits_indexed(s, parse("table"), "length", ascending=False, k=10)
     return out.select(
         doc_id_for_url_col().alias("doc_id"), F.col("length").alias("n_tokens")
     )

@@ -251,6 +251,9 @@ def _invert_segment(field, num_buckets, salted=False, positions=False):
         # emits independently (first_doc keeps global block order)
         base_block = int(key[1]) << 20 if salted else 0
         cols = [f.name for f in POSTINGS_FIELDS]
+        # posting lists must be doc-ordered; the docs table's ROW order is
+        # the index sort (possibly a stored field), so re-sort by doc id
+        pdf = pdf.sort_values("doc")
         lens = pdf["terms"].map(len).to_numpy(dtype=np.int64)
         if lens.sum() == 0:
             return pd.DataFrame(columns=cols)
@@ -319,6 +322,7 @@ def build_index(
     docs_per_inversion_task: int | None = None,
     positions: bool = False,
     keyword_fields: tuple[str, ...] = (),
+    index_sort: tuple[str, str] | None = None,
 ) -> int:
     """Build one generation of segments from a pages DataFrame and commit.
 
@@ -334,6 +338,14 @@ def build_index(
     ``keyword_fields``: StringField/KeywordField analogue — each named
     column is indexed untokenized as its own field (single term per doc,
     freq 1, norms omitted = norm byte 1), queryable as field:value.
+
+    ``index_sort``: (column, "asc"|"desc") — IndexWriterConfig.setIndexSort
+    (reference index/IndexWriterConfig.java:475). The docs table's ROWS are
+    written in this order within each segment file (doc IDs stay
+    url-ordered; only physical row order changes), which makes parquet
+    row-group min/max stats on the column tight — a sorted top-k query then
+    prunes non-competitive row groups via a pushed range predicate (the
+    early-termination analogue of sort-aware collectors).
     """
     cat = Catalog(index_root)
     if build_id is None:
@@ -380,6 +392,15 @@ def build_index(
         doc_schema,
     )
     docs_path = os.path.join(bdir, "docs")
+    if index_sort is not None:
+        sort_col, sort_dir = index_sort
+        order = F.desc(sort_col) if sort_dir == "desc" else F.asc(sort_col)
+        # in-task sort only (no shuffle): each task's rows are one segment,
+        # so every written file is internally ordered by the sort field.
+        # Leading with the partition column satisfies the partitionBy
+        # writer's required ordering, so it does NOT re-sort (which would
+        # destroy the field order).
+        inverted = inverted.sortWithinPartitions(F.asc("seg"), order)
     inverted.write.mode("overwrite").partitionBy("seg").parquet(docs_path)
     t_analysis = time.time() - t0
 
@@ -479,6 +500,7 @@ def build_index(
             "num_buckets": num_buckets,
             "analyzer": analyzer,
             "positions": positions,
+            "index_sort": list(index_sort) if index_sort else None,
             "elapsed_sec": time.time() - t0,
             "phase_sec": {
                 "analysis": round(t_analysis, 2),

@@ -218,6 +218,15 @@ def merge_segments(
         merged_docs = docs.withColumn("doc", F.col("doc") + base_map[F.col("seg")]).withColumn(
             "seg", F.lit(new_seg)
         )
+        in_builds0 = sorted({segs[n]["build"] for n in names})
+        sorts = {tuple(s) if (s := reader._manifests[b].get("index_sort")) else None
+                 for b in in_builds0}
+        index_sort = next(iter(sorts)) if len(sorts) == 1 else None
+        if index_sort:
+            col, direction = index_sort
+            merged_docs = merged_docs.sortWithinPartitions(
+                F.asc("seg"), F.desc(col) if direction == "desc" else F.asc(col)
+            )
         merged_docs.write.mode("overwrite").partitionBy("seg").parquet(
             os.path.join(bdir, "docs")
         )
@@ -260,6 +269,7 @@ def merge_segments(
                 "positions": all(
                     reader._manifests[b].get("positions", False) for b in in_builds
                 ),
+                "index_sort": list(index_sort) if index_sort else None,
                 "elapsed_sec": time.time() - t0,
                 "partitions": {new_seg: {"docs": base}},
             },

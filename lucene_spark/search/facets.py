@@ -107,6 +107,59 @@ def sorted_top_hits(
     return m.orderBy(*sort_cols).limit(k)
 
 
+def sorted_top_hits_indexed(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    sort_field: str,
+    ascending: bool = False,
+    k: int = 10,
+    field: str = "text",
+) -> DataFrame:
+    """TopFieldCollector with index-sort early termination
+    (IndexWriterConfig.setIndexSort + sort-aware collection,
+    reference index/IndexWriterConfig.java:475, TopFieldCollector):
+    requires the index built with ``index_sort=(sort_field, dir)``.
+
+    Two passes, needsScores=false throughout:
+    1. the k-th sort value among matches is found reading ONLY the sort
+       column (column-pruned scan + TakeOrdered over the match set);
+    2. the full-row fetch carries a pushed range predicate on the sort
+       column — because every docs file is physically ordered by it, the
+       parquet row-group min/max stats are tight and non-competitive row
+       groups are skipped (the segment-skipping early termination).
+    Ties on the boundary value are included; the final TakeOrdered
+    (sort_field, then gdoc via url order) resolves them like
+    TopFieldCollector's docID tie-break.
+    """
+    reader = searcher.reader
+    declared = reader._manifests[reader._builds[0]].get("index_sort")
+    direction = "asc" if ascending else "desc"
+    if not declared or tuple(declared) != (sort_field, direction):
+        # no matching index sort: plain TakeOrderedAndProject fallback
+        order = [F.asc(sort_field) if ascending else F.desc(sort_field), F.asc("url")]
+        return sorted_top_hits(searcher, q, order, k, field)
+    qr = Q.rewrite(q, reader, field)
+    matched = searcher._match_docs(qr, field)
+    order = [F.asc(sort_field) if ascending else F.desc(sort_field), F.asc("url")]
+    # pass 1: threshold from the sort column only
+    skinny = reader.docs(["seg", "doc", sort_field, "url"])
+    top1 = (
+        matched.join(skinny, ["seg", "doc"])
+        .orderBy(*order)
+        .limit(k)
+        .select(sort_field)
+        .collect()
+    )
+    if len(top1) < k:
+        return matched.join(reader.docs(), ["seg", "doc"]).orderBy(*order).limit(k)
+    tau = top1[-1][sort_field]
+    # pass 2: pruned full-row fetch (row groups outside the competitive
+    # range are skipped via the pushed predicate)
+    pred = F.col(sort_field) >= F.lit(tau) if not ascending else F.col(sort_field) <= F.lit(tau)
+    full = reader.docs().filter(pred)
+    return matched.join(full, ["seg", "doc"]).orderBy(*order).limit(k)
+
+
 def distinct_count(
     searcher: IndexSearcher, q: Q.Query, col: str, approx: bool = False, field: str = "text"
 ) -> int:

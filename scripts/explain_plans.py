@@ -30,6 +30,10 @@ def main():
     s.search(parse("merge OR window"), k=10, mode="maxscore").explain("formatted")
     print("=" * 70, "\nexhaustive search plan:")
     s.search(parse("merge OR window"), k=10, mode="exhaustive").explain("formatted")
+    print("=" * 70, "\nindex-sorted top-k plan (pass 2, pushed range predicate):")
+    from lucene_spark.search.facets import sorted_top_hits_indexed
+
+    sorted_top_hits_indexed(s, parse("table"), "length", k=10).explain("formatted")
 
 
 if __name__ == "__main__":

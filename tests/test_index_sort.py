@@ -1,0 +1,94 @@
+"""Index sorting (IndexWriterConfig.setIndexSort analogue): docs files
+written physically ordered by a declared field; sorted top-k uses a pushed
+range predicate for row-group pruning and never computes scores."""
+
+import contextlib
+import io
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search.facets import sorted_top_hits_indexed
+
+from conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def sorted_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), index_sort=("length", "desc"))
+    return root
+
+
+def _want(corpus, term, k=10):
+    """Brute force: docs containing term, by (length desc, url asc)."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    rows = []
+    for i, text in enumerate(corpus["text"]):
+        toks = an.terms(text if isinstance(text, str) else "")
+        if term in toks:
+            rows.append((corpus["url"][i], len(toks)))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return rows[:k]
+
+
+def test_files_physically_sorted(spark, sorted_root):
+    reader = IndexReader(spark, sorted_root)
+    assert reader._manifests[reader._builds[0]]["index_sort"] == ["length", "desc"]
+    pdf = (
+        reader.docs(["seg", "length"])
+        .withColumn("fp", F.col("_metadata.file_path"))
+        .toPandas()
+    )
+    for fp, g in pdf.groupby("fp"):
+        lens = g["length"].to_numpy()
+        assert (np.diff(lens) <= 0).all(), f"{fp} not length-desc ordered"
+
+
+def test_sorted_topk_matches_brute_force(spark, sorted_root, corpus):
+    s = IndexSearcher(IndexReader(spark, sorted_root))
+    out = sorted_top_hits_indexed(s, parse("table"), "length", k=10)
+    got = [(r["url"], r["length"]) for r in out.collect()]
+    assert got == _want(corpus, "table")
+
+
+def test_sorted_topk_plan_prunes_row_groups(spark, sorted_root):
+    """Plan evidence: the pass-2 full-row fetch carries a pushed range
+    predicate on the sort column (row-group min/max skipping)."""
+    s = IndexSearcher(IndexReader(spark, sorted_root))
+    out = sorted_top_hits_indexed(s, parse("table"), "length", k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(length" in plan
+
+
+def test_fallback_without_index_sort(spark, index_root, corpus):
+    """No declared index sort: same results via the TakeOrdered fallback."""
+    s = IndexSearcher(IndexReader(spark, index_root))
+    out = sorted_top_hits_indexed(s, parse("table"), "length", k=10)
+    got = [(r["url"], r["length"]) for r in out.collect()]
+    assert got == _want(corpus, "table")
+
+
+def test_index_sort_survives_merge(spark, sorted_root, corpus):
+    force_merge(spark, sorted_root, max_segments=1)
+    reader = IndexReader(spark, sorted_root)
+    assert reader._manifests[reader._builds[0]].get("index_sort") == ["length", "desc"]
+    s = IndexSearcher(reader)
+    out = sorted_top_hits_indexed(s, parse("table"), "length", k=10)
+    got = [(r["url"], r["length"]) for r in out.collect()]
+    assert got == _want(corpus, "table")
