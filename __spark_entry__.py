@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 K = 10
-_INDEX_VERSION = "v4"  # bumped: index_sort=("length","desc") added to build
+_INDEX_VERSION = "v5"  # bumped: index_sort + second analyzed field "head"
 _INDEXES: dict[str, str] = {}
 
 
@@ -40,7 +40,12 @@ def _get_index(spark: SparkSession, sf_dir: str):
 
     root = _index_root(sf_dir)
     if sf_dir not in _INDEXES:
-        pages = pages_from_documents(spark, sf_dir)
+        pages = pages_from_documents(spark, sf_dir).withColumn(
+            # a short "title-ish" second analyzed field for multi-field
+            # scoring (CombinedFieldQuery): the first 8 whitespace tokens
+            "head",
+            F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')"),
+        )
         build_index(
             spark,
             pages,
@@ -51,6 +56,7 @@ def _get_index(spark: SparkSession, sf_dir: str):
             stored_cols=("lang", "text"),
             positions=True,
             index_sort=("length", "desc"),
+            text_fields={"head": "head"},
         )
         _INDEXES[sf_dir] = root
     return IndexReader(spark, root)
@@ -149,7 +155,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_in_set"] = _pq_term_in_set
     q["wildcard_heavy"] = _pq_wildcard_heavy
     q["interval_near"] = _pq_interval_near
+    q["combined_fields"] = _pq_combined_fields
     return q
+
+
+def _pq_combined_fields(spark, sf_dir):
+    """BM25F multi-field scoring: text (w=1) + head (w=2) combined into one
+    pseudo-field (CombinedFieldQuery semantics: blended stats, weighted
+    freq sum, re-quantized weighted norm sum)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.CombinedFieldQuery(("table", "scan"), (("text", 1.0), ("head", 2.0)))
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_interval_near(spark, sf_dir):
@@ -689,6 +712,53 @@ WHERE n_words >= 30 AND n_words <= 100000
             + alpha / CAST(greatest(total, 1) AS DOUBLE) * 0.3
             + n_uniq / CAST(n_words AS DOUBLE) * 0.4, 4) >= 0.5
   AND lang IN ('en', 'de')
+"""
+    # CombinedFieldQuery: pseudo-term BM25 over blended stats; head = first
+    # 8 tokens (w=2), text w=1; combined dl re-quantized like
+    # MultiNormsLeafSimScorer (intToByte4(round(sum w_f * qlen_f)))
+    qt = _qlen("dlt.len")
+    qh = _qlen("dlh.len")
+    qc = _qlen("qn.comb")
+    o["combined_fields"] = f"""
+WITH tok AS ({_TOK}),
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tokh AS (SELECT doc_id, unnest(a[1:8]) AS term FROM arr),
+dlt AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+dlh AS (SELECT doc_id, count(*) AS len FROM tokh GROUP BY doc_id),
+stats AS (
+  SELECT greatest((SELECT count(*) FROM dlt WHERE len > 0),
+                  (SELECT count(*) FROM dlh WHERE len > 0)) AS doc_count,
+         (SELECT sum(len) FROM dlt) + 2 * (SELECT sum(len) FROM dlh) AS sum_ttf
+),
+dfs AS (
+  SELECT greatest(
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'table'),
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'scan'),
+    (SELECT count(DISTINCT doc_id) FROM tokh WHERE term = 'table'),
+    (SELECT count(DISTINCT doc_id) FROM tokh WHERE term = 'scan')) AS df
+),
+w AS (SELECT ln(1 + (stats.doc_count - dfs.df + 0.5) / (dfs.df + 0.5)) AS w,
+             stats.sum_ttf / CAST(stats.doc_count AS DOUBLE) AS avgdl
+      FROM stats, dfs),
+freqs AS (
+  SELECT doc_id, sum(f) AS freq FROM (
+    SELECT doc_id, 1.0 * count(*) AS f FROM tok WHERE term IN ('table', 'scan') GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 2.0 * count(*) FROM tokh WHERE term IN ('table', 'scan') GROUP BY doc_id
+  ) GROUP BY doc_id
+),
+qn AS (
+  SELECT dlt.doc_id, ({qt}) + 2 * ({qh}) AS comb
+  FROM dlt JOIN dlh USING (doc_id)
+),
+norms AS (SELECT qn.doc_id, ({qc}) AS dl FROM qn),
+scored AS (
+  SELECT f.doc_id,
+         w.w - w.w / (1.0 + f.freq * (1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * n.dl / w.avgdl)))) AS score
+  FROM freqs f JOIN norms n ON n.doc_id = f.doc_id CROSS JOIN w
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     # minimal ordered intervals for 2 terms: per end e, maximal start s
     # (latest 'table' before the nearest 'scan' after it); per start keep

@@ -172,6 +172,57 @@ def _scan(text: str, base_offset: int, out: list[tuple[str, int, int]]) -> None:
         out.append((text[start:i], base_offset + start, base_offset + i))
 
 
+def _scan_vectorized(text: str, base_offset: int, out: list[tuple[str, int, int]]) -> None:
+    """Vectorized UAX#29-lite scanner — numpy boundary logic over the
+    codepoint array, identical output to ``_scan`` (property-tested).
+    Classification stays exact: unique codepoints of the batch go through
+    the cached ``_classify``; everything else is array ops, so multilingual
+    text costs O(n) numpy instead of a per-codepoint Python loop."""
+    import numpy as np
+
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cps)
+    if n == 0:
+        return
+    uniq, inv = np.unique(cps, return_inverse=True)
+    lut = np.array([_classify(chr(int(c))) for c in uniq], dtype=np.int8)
+    cls = lut[inv]
+
+    run = (cls == _AL) | (cls == _NU) | (cls == _KA) | (cls == _EX) | (cls == _HG)
+    single = (cls == _ID) | (cls == _HI)
+
+    connected = np.zeros(n, dtype=bool)
+    if n >= 2:
+        a, b = cls[:-1], cls[1:]
+        joins = (a == _EX) | (b == _EX)
+        joins |= (a == _AL) & ((b == _AL) | (b == _NU))
+        joins |= (a == _NU) & ((b == _NU) | (b == _AL))
+        joins |= (a == _KA) & (b == _KA)
+        joins |= (a == _HG) & ((b == _HG) | (b == _AL) | (b == _NU))
+        joins |= ((a == _AL) | (a == _NU)) & (b == _HG)
+        connected[1:] = joins & run[:-1] & run[1:]
+    if n >= 3:
+        # mid bridges (WB6/7, WB11/12): prev MID next joins prev..next
+        p, m_, x = cls[:-2], cls[1:-1], cls[2:]
+        bridge = ((m_ == _MB) | (m_ == _ML)) & (p == _AL) & (x == _AL)
+        bridge |= ((m_ == _MB) | (m_ == _MN)) & (p == _NU) & (x == _NU)
+        bidx = np.nonzero(bridge)[0] + 1
+        connected[bidx] = True
+        connected[bidx + 1] = True
+
+    in_token = run | single | connected
+    idx = np.nonzero(in_token)[0]
+    if len(idx) == 0:
+        return
+    # group starts: token chars not connected to their predecessor
+    breaks = np.nonzero(~connected[idx])[0]
+    bounds = np.append(breaks, len(idx))
+    for k in range(len(breaks)):
+        s = int(idx[bounds[k]])
+        e = int(idx[bounds[k + 1] - 1]) + 1
+        out.append((text[s:e], base_offset + s, base_offset + e))
+
+
 _ASCII_CANDIDATE = re.compile(r"[A-Za-z0-9_]+(?:[.,:;'][A-Za-z0-9_]+)*")
 _PURE_ALNUM = re.compile(r"[A-Za-z0-9_]+\Z")
 
@@ -187,7 +238,12 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[Token]
             else:
                 _scan(s, m.start(), raw)
     else:
-        _scan(text, 0, raw)
+        # numpy boundary kernel; the per-codepoint scanner remains the
+        # property-test reference (and serves tiny strings cheaper)
+        if len(text) >= 64:
+            _scan_vectorized(text, 0, raw)
+        else:
+            _scan(text, 0, raw)
 
     tokens: list[Token] = []
     pos = -1

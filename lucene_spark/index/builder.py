@@ -134,10 +134,14 @@ def term_bucket(term: str, num_buckets: int) -> int:
 
 
 def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols, out_schema,
-                        positions=False):
+                        positions=False, text_fields=None):
     """mapInPandas factory: per input partition, assign dense url-ordered doc
     IDs and run the analysis chain (tokenize -> lowercase -> stop) producing
-    per-doc term/freq arrays + the SmallFloat norm byte."""
+    per-doc term/freq arrays + the SmallFloat norm byte.
+
+    ``text_fields``: {extra_field_name: source_col} — each analyzed as its
+    own field with its own norms (multi-field scoring / CombinedFieldQuery
+    support); staged as terms_<f>/freqs_<f>/norm_<f>/length_<f> columns."""
 
     def fn(iterator):
         from pyspark import TaskContext
@@ -184,6 +188,19 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
             )
             if positions:
                 out["positions"] = pos_col
+            for fname, src in (text_fields or {}).items():
+                f_terms, f_freqs = [], []
+                f_len = np.zeros(n, dtype=np.int64)
+                for i, txt in enumerate(pdf[src].tolist()):
+                    toks = analyzer.terms(txt if isinstance(txt, str) else "")
+                    c = Counter(toks)
+                    f_terms.append(list(c.keys()))
+                    f_freqs.append([int(v) for v in c.values()])
+                    f_len[i] = len(toks)
+                out[f"terms_{fname}"] = f_terms
+                out[f"freqs_{fname}"] = f_freqs
+                out[f"norm_{fname}"] = int_to_byte4_np(f_len).astype(np.int32)
+                out[f"length_{fname}"] = f_len
             for c in stored_cols:
                 out[c] = pdf[c].to_numpy()
             next_doc += n
@@ -323,6 +340,7 @@ def build_index(
     positions: bool = False,
     keyword_fields: tuple[str, ...] = (),
     index_sort: tuple[str, str] | None = None,
+    text_fields: dict[str, str] | None = None,
 ) -> int:
     """Build one generation of segments from a pages DataFrame and commit.
 
@@ -338,6 +356,11 @@ def build_index(
     ``keyword_fields``: StringField/KeywordField analogue — each named
     column is indexed untokenized as its own field (single term per doc,
     freq 1, norms omitted = norm byte 1), queryable as field:value.
+
+    ``text_fields``: {field_name: source_column} — additional ANALYZED
+    fields (TextField analogue), each with its own postings, norms and
+    stats; queryable per-field and combinable via CombinedFieldQuery
+    (BM25F-style multi-field scoring).
 
     ``index_sort``: (column, "asc"|"desc") — IndexWriterConfig.setIndexSort
     (reference index/IndexWriterConfig.java:475). The docs table's ROWS are
@@ -360,7 +383,12 @@ def build_index(
         src = src.filter(F.col("lang").isin(list(langs)))
     # column-prune before the range shuffle: the build needs url + text +
     # stored passthroughs only (html etc. stay behind in the source scan)
-    needed = ["url", text_col] + [c for c in stored_cols if c != text_col] + list(keyword_fields)
+    needed = (
+        ["url", text_col]
+        + [c for c in stored_cols if c != text_col]
+        + list(keyword_fields)
+        + list((text_fields or {}).values())
+    )
     src = src.select(*dict.fromkeys(needed))
 
     stored_fields = [
@@ -379,6 +407,16 @@ def build_index(
             T.StructField("freqs", T.ArrayType(T.IntegerType())),
         ]
         + ([T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType())))] if positions else [])
+        + [
+            fld
+            for fname in (text_fields or {})
+            for fld in (
+                T.StructField(f"terms_{fname}", T.ArrayType(T.StringType())),
+                T.StructField(f"freqs_{fname}", T.ArrayType(T.IntegerType())),
+                T.StructField(f"norm_{fname}", T.IntegerType()),
+                T.StructField(f"length_{fname}", T.LongType()),
+            )
+        ]
         + stored_fields
     )
 
@@ -388,7 +426,7 @@ def build_index(
     inverted = part.mapInPandas(
         _analyze_partitions(build_id, text_col, field, analyzer,
                             tuple(dict.fromkeys(tuple(stored_cols) + tuple(keyword_fields))),
-                            doc_schema, positions=positions),
+                            doc_schema, positions=positions, text_fields=text_fields),
         doc_schema,
     )
     docs_path = os.path.join(bdir, "docs")
@@ -424,6 +462,18 @@ def build_index(
         blocks = inv_src.groupBy("seg").applyInPandas(
             _invert_segment(field, num_buckets, positions=positions), POSTINGS_SCHEMA
         )
+    for fname in text_fields or {}:
+        tf_src = docs_df.select(
+            "seg",
+            "doc",
+            F.col(f"norm_{fname}").alias("norm"),
+            F.col(f"terms_{fname}").alias("terms"),
+            F.col(f"freqs_{fname}").alias("freqs"),
+        )
+        tf_blocks = tf_src.groupBy("seg").applyInPandas(
+            _invert_segment(fname, num_buckets), POSTINGS_SCHEMA
+        )
+        blocks = blocks.unionByName(tf_blocks)
     for kw in keyword_fields:
         kw_src = (
             docs_df.filter(F.col(kw).isNotNull())
@@ -451,6 +501,11 @@ def build_index(
     kw_aggs = []
     for kw in keyword_fields:
         kw_aggs.append(F.sum(F.when(F.col(kw).isNotNull(), 1).otherwise(0)).alias(f"kwdc_{kw}"))
+    for fname in text_fields or {}:
+        kw_aggs.append(
+            F.sum(F.when(F.col(f"length_{fname}") > 0, 1).otherwise(0)).alias(f"tfdc_{fname}")
+        )
+        kw_aggs.append(F.sum(f"length_{fname}").alias(f"tfttf_{fname}"))
     seg_stats = (
         docs_df.groupBy("seg")
         .agg(
@@ -483,6 +538,13 @@ def build_index(
                         }
                         for kw in keyword_fields
                     },
+                    **{
+                        fname: {
+                            "doc_count": int(r[f"tfdc_{fname}"]),
+                            "sum_total_term_freq": int(r[f"tfttf_{fname}"] or 0),
+                        }
+                        for fname in (text_fields or {})
+                    },
                 },
             }
         )
@@ -501,6 +563,7 @@ def build_index(
             "analyzer": analyzer,
             "positions": positions,
             "index_sort": list(index_sort) if index_sort else None,
+            "text_fields": sorted(text_fields) if text_fields else [],
             "elapsed_sec": time.time() - t0,
             "phase_sec": {
                 "analysis": round(t_analysis, 2),

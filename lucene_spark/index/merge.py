@@ -146,6 +146,22 @@ def merge_segments(
     Returns the new snapshot id. Resumable: if the merge build already
     completed, only the commit is (re)applied.
     """
+    merged_entry, names = prepare_merge(spark, index_root, segment_names, shuffle_partitions)
+    return Catalog(index_root).commit(
+        [merged_entry], remove_segments=names, note=f"merge {names}"
+    )
+
+
+def prepare_merge(
+    spark: SparkSession,
+    index_root: str,
+    segment_names: list[str],
+    shuffle_partitions: int | None = None,
+) -> tuple[dict, list[str]]:
+    """Build (but do not commit) a merged segment; returns the catalog
+    entry + input names. Thread-safe against other prepare_merge calls on
+    DISJOINT segment sets — the concurrent scheduler runs builds in
+    parallel and serializes only the commits."""
     cat = Catalog(index_root)
     reader = IndexReader(spark, index_root)
     segs = {s["name"]: s for s in reader.segments}
@@ -270,6 +286,7 @@ def merge_segments(
                     reader._manifests[b].get("positions", False) for b in in_builds
                 ),
                 "index_sort": list(index_sort) if index_sort else None,
+                "text_fields": reader._manifests[reader._builds[0]].get("text_fields", []),
                 "elapsed_sec": time.time() - t0,
                 "partitions": {new_seg: {"docs": base}},
             },
@@ -289,18 +306,29 @@ def merge_segments(
         aggs = [
             F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("dc"),
             F.sum("length").alias("ttf"),
-        ] + [
-            F.sum(F.when(F.col(kw).isNotNull(), 1).otherwise(0)).alias(f"kwdc_{kw}")
-            for kw in kw_fields
-            if kw in mdocs.columns
         ]
+        for kw in kw_fields:
+            if f"length_{kw}" in mdocs.columns:  # analyzed extra text field
+                aggs.append(
+                    F.sum(F.when(F.col(f"length_{kw}") > 0, 1).otherwise(0)).alias(f"kwdc_{kw}")
+                )
+                aggs.append(F.sum(f"length_{kw}").alias(f"kwttf_{kw}"))
+            elif kw in mdocs.columns:  # keyword field: non-null stored count
+                aggs.append(
+                    F.sum(F.when(F.col(kw).isNotNull(), 1).otherwise(0)).alias(f"kwdc_{kw}")
+                )
         row = mdocs.agg(*aggs).collect()[0]
         fields[fld] = {
             "doc_count": int(row["dc"] or 0),
             "sum_total_term_freq": int(row["ttf"] or 0),
         }
         for kw in kw_fields:
-            if kw in mdocs.columns:
+            if f"length_{kw}" in mdocs.columns:
+                fields[kw] = {
+                    "doc_count": int(row[f"kwdc_{kw}"] or 0),
+                    "sum_total_term_freq": int(row[f"kwttf_{kw}"] or 0),
+                }
+            elif kw in mdocs.columns:
                 c = int(row[f"kwdc_{kw}"] or 0)
                 fields[kw] = {"doc_count": c, "sum_total_term_freq": c}
     else:
@@ -315,7 +343,7 @@ def merge_segments(
         "max_doc": base,
         "fields": fields,
     }
-    return cat.commit([merged_entry], remove_segments=names, note=f"merge {names}")
+    return merged_entry, names
 
 
 class TieredMergePolicy:
@@ -369,19 +397,61 @@ class TieredMergePolicy:
                 best = (score, [s["name"] for s in run])
         return best[1] if best else None
 
+    def find_merges(self, segments: list[dict], max_merges: int = 4) -> list[list[str]]:
+        """Up to ``max_merges`` DISJOINT adjacent runs to merge this round
+        (ConcurrentMergeScheduler feeds several merges at once,
+        reference index/ConcurrentMergeScheduler.java maxMergeCount)."""
+        out: list[list[str]] = []
+        remaining = list(segments)
+        while len(out) < max_merges:
+            sizes = [s["max_doc"] for s in remaining]
+            if len(remaining) <= self.allowed_seg_count(sizes):
+                break
+            pick = self.find_merge(remaining)
+            if not pick:
+                break
+            out.append(pick)
+            picked = set(pick)
+            remaining = [s for s in remaining if s["name"] not in picked]
+        return out
 
-def maybe_merge(spark: SparkSession, index_root: str, policy: TieredMergePolicy | None = None, max_rounds: int = 10) -> int:
-    """Run merge rounds until the policy is satisfied (ConcurrentMergeScheduler
-    stand-in: merges are sequential driver-launched Spark jobs)."""
+
+def maybe_merge(
+    spark: SparkSession,
+    index_root: str,
+    policy: TieredMergePolicy | None = None,
+    max_rounds: int = 10,
+    concurrency: int = 1,
+) -> int:
+    """Run merge rounds until the policy is satisfied.
+
+    ``concurrency`` > 1 is the ConcurrentMergeScheduler re-expression:
+    disjoint merges of one round BUILD in parallel (threads submitting
+    independent Spark jobs — the scheduler interleaves their stages), then
+    their commits apply sequentially (the catalog swap stays atomic).
+    Name-adjacency of each pick is checked against the same snapshot, so
+    concurrent picks never overlap."""
     policy = policy or TieredMergePolicy()
     rounds = 0
     snap = Catalog(index_root).load()["current"]
     while rounds < max_rounds:
         segments = Catalog(index_root).live_segments()
-        pick = policy.find_merge(segments)
-        if not pick:
+        picks = policy.find_merges(segments, max_merges=max(concurrency, 1))
+        if not picks:
             break
-        snap = merge_segments(spark, index_root, pick)
+        if concurrency > 1 and len(picks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                built = list(
+                    ex.map(lambda p: prepare_merge(spark, index_root, p), picks)
+                )
+            for entry, names in built:
+                snap = Catalog(index_root).commit(
+                    [entry], remove_segments=names, note=f"merge {names}"
+                )
+        else:
+            snap = merge_segments(spark, index_root, picks[0])
         rounds += 1
     return snap
 

@@ -52,7 +52,13 @@ class IndexReader:
         staging ``terms``/``freqs`` arrays (parquet prunes them)."""
         df = self._read("docs")
         if columns is None:
-            columns = [c for c in df.columns if c not in ("terms", "freqs")]
+            # exclude the heavy staging arrays of every analyzed field
+            columns = [
+                c for c in df.columns
+                if c not in ("terms", "freqs")
+                and not c.startswith("terms_")
+                and not c.startswith("freqs_")
+            ]
         return df.select(*columns)
 
     def postings(self, terms: list[str] | None = None, field: str = "text") -> DataFrame:

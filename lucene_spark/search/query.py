@@ -93,6 +93,21 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """BM25F-style multi-field scoring (reference
+    sandbox/search/CombinedFieldQuery.java): the given (field, weight)
+    pairs form a synthetic combined field — per-doc freq is the weighted
+    sum of per-field freqs, the norm is the re-quantized weighted sum of
+    per-field lengths, and ONE pseudo-term BM25 weight is built from
+    blended stats (df = max across fields/terms, ttf and sumTTF =
+    weighted sums, docCount = max). Field weights must be >= 1."""
+
+    terms: tuple[str, ...]
+    fields: tuple[tuple[str, float], ...]  # ((field, weight), ...)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IntervalQuery(Query):
     """Ordered/unordered proximity with maxgaps over indexed positions —
     the lucene/queries intervals module shapes (Intervals.ordered /

@@ -343,7 +343,105 @@ class IndexSearcher:
             )
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, field)
+        if isinstance(q, Q.CombinedFieldQuery):
+            return self._scored_combined(q)
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    def _scored_combined(self, q: Q.CombinedFieldQuery) -> DataFrame | None:
+        """CombinedFieldQuery (BM25F): one pseudo-term scorer over blended
+        stats; per-doc combined freq = sum_f w_f * freq_f, combined norm =
+        intToByte4(round(sum_f w_f * decodedLength_f)) — reference
+        sandbox/search/CombinedFieldQuery.java:299-351,
+        MultiNormsLeafSimScorer.java:97-150."""
+        from ..functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+
+        fields = list(q.fields)
+        # pseudo term stats: df = max over (field, term); ttf = sum w_f*ttf
+        pseudo_df, pseudo_ttf = 0, 0.0
+        per_field_stats = {}
+        for fname, w in fields:
+            st = self.reader.term_stats(list(q.terms), fname)
+            per_field_stats[fname] = st
+            for t in q.terms:
+                if t in st:
+                    pseudo_df = max(pseudo_df, st[t][0])
+                    pseudo_ttf += w * st[t][1]
+        if pseudo_df == 0:
+            return None
+        # pseudo collection stats: docCount = max; sumTTF = sum w_f*sumTTF_f
+        doc_count, sum_ttf = 0, 0.0
+        for fname, w in fields:
+            dc, sttf = self.reader.collection_stats(fname)
+            doc_count = max(doc_count, dc)
+            sum_ttf += w * sttf
+        scorer = make_scorer(
+            [pseudo_df], doc_count, int(sum_ttf), boost=q.boost, dtype=self.dtype
+        )
+
+        # weighted per-field freq sums (decode freq only; constant scores)
+        parts = []
+        for fname, w in fields:
+            live = [t for t in q.terms if t in per_field_stats[fname]]
+            if not live:
+                continue
+            dec = self._decoded(live, {}, fname, constant_terms={t: 0.0 for t in live})
+            parts.append(
+                dec.groupBy("seg", "doc").agg(
+                    (F.sum("freq") * F.lit(float(w))).alias("wfreq")
+                )
+            )
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        freqs = union.groupBy("seg", "doc").agg(F.sum("wfreq").alias("freq"))
+
+        # combined norm from the docs table's per-field norm bytes
+        norm_cols = []
+        weights = []
+        manifest = self.reader._manifests[self.reader._builds[0]]
+        primary = manifest.get("field", "text")
+        for fname, w in fields:
+            if fname == primary:
+                norm_cols.append("norm")
+            elif fname in manifest.get("text_fields", []):
+                norm_cols.append(f"norm_{fname}")
+            else:
+                raise ValueError(
+                    f"CombinedFieldQuery field {fname!r} has no norms "
+                    "(all fields must be analyzed text fields)"
+                )
+            weights.append(float(w))
+        docs = self.reader.docs(["seg", "doc"] + norm_cols)
+        joined = freqs.join(docs, ["seg", "doc"])
+        cache = scorer.cache
+        wts = np.array(weights, dtype=np.float32)
+        lt = LENGTH_TABLE.astype(np.float32)
+
+        def rescore(iterator):
+            dt = cache.dtype.type
+            for pdf in iterator:
+                total = np.zeros(len(pdf), dtype=np.float32)
+                for ci, col in enumerate(norm_cols):
+                    nb = pdf[col].to_numpy(dtype=np.int64) & 0xFF
+                    total += wts[ci] * lt[nb]
+                # Math.round = floor(x + 0.5), not banker's rounding
+                nb_comb = int_to_byte4_np(np.floor(total + 0.5).astype(np.int64))
+                inv = cache[nb_comb.astype(np.int64) & 0xFF]
+                f = pdf["freq"].to_numpy(dtype=cache.dtype)
+                w0 = scorer.weight
+                s = (w0 - w0 / (dt(1.0) + f * inv)).astype(np.float64)
+                yield pd.DataFrame({"seg": pdf["seg"], "doc": pdf["doc"], "score": s})
+
+        return joined.mapInPandas(
+            rescore,
+            T.StructType(
+                [
+                    T.StructField("seg", T.StringType()),
+                    T.StructField("doc", T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            ),
+        )
 
     def _doc_union(self, blocks: DataFrame) -> DataFrame:
         """Distinct (seg, doc) union of the given postings blocks — the
@@ -550,7 +648,10 @@ class IndexSearcher:
         return (
             top.join(docs, ["seg", "doc"])
             .select("url", "score", "seg", "doc", "gdoc",
-                    *[c for c in docs.columns if c not in ("seg", "doc", "url", "norm", "length")])
+                    *[c for c in docs.columns
+                      if c not in ("seg", "doc", "url", "norm", "length")
+                      and not c.startswith("norm_") and not c.startswith("length_")
+                      and not c.startswith("positions")])
             .orderBy(F.desc("score"), F.asc("gdoc"))
         )
 

@@ -1,0 +1,133 @@
+"""CombinedFieldQuery (BM25F): multi-analyzed-field index + blended-stats
+pseudo-term scoring vs a brute-force oracle."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.bm25 import make_scorer
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+from conftest import TESTDATA
+
+TERMS = ("table", "scan")
+W_TEXT, W_HEAD = 1.0, 2.0
+HEAD_N = 8
+
+
+@pytest.fixture(scope="module")
+def cf_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cfidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA).withColumn(
+        "head", F.expr(f"array_join(slice(split(text, ' '), 1, {HEAD_N}), ' ')")
+    )
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("text",), text_fields={"head": "head"})
+    return root
+
+
+def _brute(corpus, dtype):
+    """Reference-faithful BM25F: blended stats + weighted freq/norm."""
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tf_text, tf_head, len_t, len_h = [], [], [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tf_text.append(Counter(toks))
+        len_t.append(len(toks))
+    # head = analysis of the first 8 whitespace tokens of the raw text
+    for text in corpus["text"]:
+        head = " ".join((text or "").split()[:HEAD_N])
+        htoks = an.terms(head)
+        tf_head.append(Counter(htoks))
+        len_h.append(len(htoks))
+    len_t, len_h = np.array(len_t), np.array(len_h)
+    df = 0
+    ttf = 0.0
+    for t in TERMS:
+        df = max(df, sum(1 for c in tf_text if c.get(t)), sum(1 for c in tf_head if c.get(t)))
+        ttf += W_TEXT * sum(c.get(t, 0) for c in tf_text)
+        ttf += W_HEAD * sum(c.get(t, 0) for c in tf_head)
+    doc_count = max(int((len_t > 0).sum()), int((len_h > 0).sum()))
+    sum_ttf = int(W_TEXT * len_t.sum() + W_HEAD * len_h.sum())
+    scorer = make_scorer([df], doc_count, sum_ttf, dtype=dtype)
+    nb_t = int_to_byte4_np(len_t)
+    nb_h = int_to_byte4_np(len_h)
+    comb = np.floor(
+        W_TEXT * LENGTH_TABLE[nb_t & 0xFF].astype(np.float32)
+        + W_HEAD * LENGTH_TABLE[nb_h & 0xFF].astype(np.float32)
+        + 0.5
+    ).astype(np.int64)
+    nb = int_to_byte4_np(comb)
+    out = []
+    for i in range(len(corpus)):
+        freq = sum(W_TEXT * tf_text[i].get(t, 0) + W_HEAD * tf_head[i].get(t, 0) for t in TERMS)
+        if freq <= 0:
+            continue
+        s = float(scorer.score(np.array([freq]), np.array([nb[i]]))[0])
+        out.append((corpus["url"][i], s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:10]
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_combined_field_matches_brute_force(spark, cf_root, corpus, dtype):
+    s = IndexSearcher(IndexReader(spark, cf_root), dtype=dtype)
+    q = Q.CombinedFieldQuery(TERMS, (("text", W_TEXT), ("head", W_HEAD)))
+    rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+    got = [(r["url"], float(r["score"])) for r in rows]
+    want = _brute(corpus, dtype)
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6)
+
+
+def test_second_text_field_individually_searchable(spark, cf_root, corpus):
+    """The extra analyzed field is a real field: term queries against it
+    score with its own stats/norms."""
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lens = [], []
+    for text in corpus["text"]:
+        head = " ".join((text or "").split()[:HEAD_N])
+        toks = an.terms(head)
+        tfs.append(Counter(toks))
+        lens.append(len(toks))
+    lens = np.array(lens)
+    df = sum(1 for c in tfs if c.get("table"))
+    scorer = make_scorer([df], int((lens > 0).sum()), int(lens.sum()))
+    nb = int_to_byte4_np(lens)
+    want = []
+    for i, c in enumerate(tfs):
+        f = c.get("table", 0)
+        if f:
+            want.append((corpus["url"][i], float(scorer.score(np.array([f]), np.array([nb[i]]))[0])))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:10]
+
+    s = IndexSearcher(IndexReader(spark, cf_root))
+    rows = s.search(Q.TermQuery("head", "table"), k=10, field="head").select("url", "score").collect()
+    got = [(r["url"], float(np.float32(r["score"]))) for r in rows]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6)
+
+
+def test_combined_requires_normed_fields(spark, cf_root):
+    s = IndexSearcher(IndexReader(spark, cf_root))
+    q = Q.CombinedFieldQuery(TERMS, (("text", 1.0), ("nosuchfield", 1.0)))
+    with pytest.raises(ValueError):
+        s.search(q, k=5, mode="exhaustive").collect()

@@ -1,0 +1,53 @@
+"""Highlighting: snippet extraction with offset-accurate term tagging."""
+
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+from lucene_spark.search.highlight import _query_terms, highlight
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+def test_query_term_extraction():
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.SHOULD, Q.PhraseQuery("text", ("fast", "scan"))),
+        (Q.MUST_NOT, Q.TermQuery("text", "merge")),
+    )
+    assert _query_terms(q) == {"table", "fast", "scan"}
+
+
+def test_highlight_marks_all_query_terms(spark, searcher):
+    out = highlight(searcher, parse("table AND scan"), k=5).collect()
+    assert len(out) == 5
+    for r in out:
+        snip = r["snippet"]
+        assert "<b>table</b>" in snip or "<b>scan</b>" in snip
+        # tags wrap real occurrences: stripping them recovers a substring
+        # of the stored text
+        plain = snip.replace("<b>", "").replace("</b>", "")
+        assert plain in r["text"]
+
+
+def test_highlight_tags_are_offset_accurate(spark, searcher):
+    out = highlight(searcher, parse("table"), k=3, max_passage_chars=80).collect()
+    for r in out:
+        snip = r["snippet"]
+        assert len(snip.replace("<b>", "").replace("</b>", "")) <= 80
+        i = snip.find("<b>")
+        while i != -1:
+            j = snip.find("</b>", i)
+            assert snip[i + 3 : j] == "table"
+            i = snip.find("<b>", j)
+
+
+def test_highlight_no_match_returns_head(spark, searcher):
+    q = Q.BooleanQuery.build((Q.FILTER, Q.DocValuesQuery("lang = 'en'")))
+    out = highlight(searcher, q, k=2, max_passage_chars=50).collect()
+    for r in out:
+        assert "<b>" not in r["snippet"]
+        assert r["snippet"] == r["text"][:50]

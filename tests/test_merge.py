@@ -74,6 +74,23 @@ def test_merged_invariants(spark, merged_root):
     assert reader.collection_stats() == (doc_count, int(sum_ttf))
 
 
+def test_concurrent_merge_scheduler(spark, merged_root):
+    """ConcurrentMergeScheduler re-expression: disjoint merges build in
+    parallel threads, commits serialize; results stay rank-identical."""
+    root = merged_root + "_conc"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=8, num_buckets=4, stored_cols=("text",))
+    before = {qs: _topk(spark, root, qs) for qs in ("table", "merge OR window OR spark")}
+    policy = TieredMergePolicy(segs_per_tier=2, floor_docs=10_000)
+    picks = policy.find_merges(Catalog(root).live_segments(), max_merges=2)
+    assert len(picks) == 2 and not (set(picks[0]) & set(picks[1]))
+    maybe_merge(spark, root, policy, concurrency=2)
+    assert len(Catalog(root).live_segments()) < 8
+    for qs, want in before.items():
+        assert _topk(spark, root, qs) == want, qs
+
+
 def test_tiered_policy_reduces_count(spark, merged_root):
     # build a fresh 6-segment index and let the policy shrink it
     root = merged_root + "_tiered"

@@ -129,3 +129,26 @@ def test_maxscore_kernel_vs_bruteforce(c):
     order = sorted(idx, key=lambda i: (-acc[i], i))[:k]
     want = [(int(i), np.float32(acc[i])) for i in order]
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ019_ .,:;'«»—") + [
+                "日", "本", "カ", "タ", "ひ", "ら", "한", "국",
+                "é", "ß", "Ω", "ю", "٣", "۵", "ー", "·", "․", "，", "🙂",
+            ]
+        ),
+        max_size=300,
+    )
+)
+def test_vectorized_scanner_matches_reference(s):
+    """The numpy UAX#29 boundary kernel is byte-identical to the
+    per-codepoint reference scanner on arbitrary multilingual text."""
+    from lucene_spark.analysis.tokenizer import _scan, _scan_vectorized
+
+    a, b = [], []
+    _scan(s, 0, a)
+    _scan_vectorized(s, 0, b)
+    assert a == b
