@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
+    q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dedup_simhash"] = _pq_dedup_simhash  # no SQL oracle (custom 64-bit hash)
     q["embed_near_dup"] = _pq_embed_near_dup
     q["ann_brute_topk"] = _pq_ann_brute
@@ -381,6 +382,13 @@ def _pq_dedup_minhash(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         d, "text", "doc_id", k=3, num_perm=128, rows_per_band=2, threshold=0.7
     )
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def _pq_dedup_ngram_jaccard(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", k=3, threshold=0.5)
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
@@ -837,6 +845,23 @@ inter AS (
 SELECT a, b, round(i / (na.cnt + nb.cnt - i), 4) AS jaccard_r
 FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
 WHERE i / (na.cnt + nb.cnt - i) >= 0.7
+"""
+    o["dedup_ngram_jaccard"] = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tri AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+  FROM arr, unnest(range(1, len(a) - 1)) AS t(i)
+),
+s AS (SELECT DISTINCT doc_id, sh FROM tri),
+n AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i / (na.cnt + nb.cnt - i), 4) AS jaccard_r
+FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+WHERE i / (na.cnt + nb.cnt - i) >= 0.5
 """
     _VEC = (
         "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "

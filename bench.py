@@ -118,7 +118,14 @@ def _amplified_pages(spark, sf_dir: str, replicas: int, materialize: bool = Fals
     return amp, n_base * replicas
 
 
-def _build(spark, pages, root: str, cores: int) -> float:
+def _build(spark, pages, root: str, cores: int,
+           num_segments: int | None = None,
+           shuffle_partitions: int | None = None) -> float:
+    """One index build. The scaling section passes FIXED num_segments /
+    shuffle_partitions so both parallelism levels run the *identical* job
+    (same segment count, same shuffle width) — otherwise the hi level does
+    more per-segment work and the ratio measures the job change, not the
+    scaling."""
     from lucene_spark.index import build_index
 
     shutil.rmtree(root, ignore_errors=True)
@@ -128,10 +135,10 @@ def _build(spark, pages, root: str, cores: int) -> float:
         pages,
         root,
         build_id="bench",
-        num_segments=max(cores, 8),
+        num_segments=num_segments or max(cores, 8),
         num_buckets=8,
         stored_cols=("lang", "text"),
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=shuffle_partitions or max(cores, 8),
     )
     return time.time() - t0
 
@@ -230,7 +237,9 @@ def main():
                     spark_s = _session(cores)
                     pages_s, _ = _amplified_pages(spark_s, SF_DIR, REPLICAS, materialize=True)
                     root_s = f"/tmp/lucene_spark_bench_s{cores}"
-                    tt[cores] = _build(spark_s, pages_s, root_s, cores)
+                    # identical job spec at both levels (same segments/shuffle)
+                    tt[cores] = _build(spark_s, pages_s, root_s, cores,
+                                       num_segments=16, shuffle_partitions=32)
                     spark_s.stop()
                     shutil.rmtree(root_s, ignore_errors=True)
                     if t_best[cores] is None or tt[cores] < t_best[cores]:

@@ -1,0 +1,78 @@
+"""DFR I(ne)L2 similarity — divergence-from-randomness scoring behind the
+same pluggable SimScorer contract (``.score(freqs, norm_bytes)``) as BM25
+and LM Dirichlet.
+
+Reference semantics (DFRSimilarity with BasicModelIne + AfterEffectL +
+NormalizationH2(c=1), the parameter-free default combination):
+
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/DFRSimilarity.java:127-131
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/BasicModelIne.java:34-45
+      ne  = N * (1 - ((N - 1) / N)^F)
+      A   = log2((N + 1) / (ne + 0.5))
+      score = A * aeTimes1pTfn * (1 - 1 / (1 + tfn))
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/AfterEffectL.java:32-34
+      aeTimes1pTfn = 1.0
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/NormalizationH2.java:57-60
+      tfn = freq * log2(1 + c * avgdl / dl)
+
+N = docCount, F = totalTermFreq of the term, avgdl = sumTotalTermFreq /
+docCount (SimilarityBase.java:86-89). ``dl`` is the quantized length from
+the SmallFloat norm byte (SimilarityBase.java:183-185 uses the same
+LENGTH_TABLE) — all similarities see identical norms. Math in float64,
+result cast like Lucene's ``(float) score`` (SimilarityBase.java:188).
+
+The score is monotone increasing in freq and decreasing in doc length
+(that is exactly why Lucene rewrites I(ne) as ``A*(1+tfn) - A``,
+DFRSimilarity.java:67-70), so the (freq, norm) pareto impacts and the
+block-max pruning machinery apply unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+LOG2 = float(np.log(2.0))
+
+
+@dataclass(frozen=True)
+class DFRScorer:
+    """Per-(query-term, field) DFR I(ne)L2 scorer (c = 1)."""
+
+    boost: float
+    A: float  # log2((N+1)/(ne+0.5)) — the basic-model information content
+    avgdl: float
+    c: float = 1.0
+    dtype: object = np.float32
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tfn = f * np.log1p(self.c * self.avgdl / dl) / LOG2
+        s = self.boost * self.A * (1.0 - 1.0 / (1.0 + tfn))
+        return s.astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        return float(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_dfr_scorer(
+    total_term_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    c: float = 1.0,
+    dtype=np.float32,
+) -> DFRScorer:
+    N = np.float64(max(doc_count, 1))
+    F = np.float64(total_term_freq)
+    ne = N * (1.0 - np.power((N - 1.0) / N, F))
+    A = np.log((N + 1.0) / (ne + 0.5)) / LOG2
+    avgdl = float(sum_total_term_freq) / float(max(doc_count, 1))
+    return DFRScorer(boost=float(boost), A=float(A), avgdl=avgdl, c=float(c), dtype=dtype)

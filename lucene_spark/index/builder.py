@@ -59,6 +59,7 @@ from ..codecs.impacts import competitive_impacts
 from ..codecs.pfor import pfor_encode
 from ..functions.smallfloat import int_to_byte4_np
 from .catalog import Catalog
+from .routing import partition_routes
 
 BLOCK_SIZE = 256  # reference: ForUtil.java:34
 
@@ -252,7 +253,7 @@ def emit_blocks(field, seg, term, bucket, docs, freqs, norms, rows, base_block: 
         )
 
 
-def _invert_segment(field, num_buckets, salted=False, positions=False):
+def _invert_segment(field, num_buckets, salted=False, positions=False, routed=False):
     """applyInPandas factory: one whole segment's doc rows -> its postings
     block rows. This is the Lucene DWPT flush re-expressed: the per-segment
     in-RAM terms hash becomes one vectorized factorize+argsort.
@@ -260,10 +261,13 @@ def _invert_segment(field, num_buckets, salted=False, positions=False):
     Input pdf columns: doc, norm, terms (array<string>), freqs (array<int>).
     Everything per-posting is numpy; the only Python-level loop is per
     unique term of the segment.
+
+    ``routed``: the group key is the collision-free int routing key (see
+    routing.py), bijective with the segment — read seg from the rows.
     """
 
     def fn(key, pdf):
-        seg = key[0]
+        seg = pdf["seg"].iloc[0] if routed else key[0]
         # salted: key = (seg, salt); block ids offset so each doc sub-range
         # emits independently (first_doc keeps global block order)
         base_block = int(key[1]) << 20 if salted else 0
@@ -451,6 +455,27 @@ def build_index(
     docs_df = spark.read.parquet(docs_path)
     inv_cols = ["seg", "doc", "norm", "terms", "freqs"] + (["positions"] if positions else [])
     inv_src = docs_df.select(*inv_cols)
+    # Collision-free reducer placement (routing.py): hash-partitioning
+    # num_segments keys into P shuffle partitions double-books reducers
+    # (birthday collisions), so the inversion wave is straggler-bound at
+    # high parallelism. Group instead by a per-segment int routing key
+    # whose murmur3 bucket is distinct per segment (round-robin balanced
+    # when num_segments > P). seg names embed pid, so the route is an O(1)
+    # array-literal lookup — no map-side join, no extra job.
+    n_part = int(shuffle_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    routes = partition_routes(num_segments, n_part)
+    pid_col = F.substring("seg", len(build_id) + 2, 8).cast("int")
+    route_col = F.element_at(
+        F.array(*[F.lit(int(r)) for r in routes]), pid_col + F.lit(1)
+    ).cast("int")
+
+    def _routed(src, kernel):
+        return (
+            src.withColumn("route", route_col)
+            .groupBy("route")
+            .applyInPandas(kernel, POSTINGS_SCHEMA)
+        )
+
     if docs_per_inversion_task:
         blocks = inv_src.groupBy(
             "seg", (F.col("doc") / F.lit(int(docs_per_inversion_task))).cast("int").alias("salt")
@@ -459,8 +484,8 @@ def build_index(
             POSTINGS_SCHEMA,
         )
     else:
-        blocks = inv_src.groupBy("seg").applyInPandas(
-            _invert_segment(field, num_buckets, positions=positions), POSTINGS_SCHEMA
+        blocks = _routed(
+            inv_src, _invert_segment(field, num_buckets, positions=positions, routed=True)
         )
     for fname in text_fields or {}:
         tf_src = docs_df.select(
@@ -470,10 +495,9 @@ def build_index(
             F.col(f"terms_{fname}").alias("terms"),
             F.col(f"freqs_{fname}").alias("freqs"),
         )
-        tf_blocks = tf_src.groupBy("seg").applyInPandas(
-            _invert_segment(fname, num_buckets), POSTINGS_SCHEMA
+        blocks = blocks.unionByName(
+            _routed(tf_src, _invert_segment(fname, num_buckets, routed=True))
         )
-        blocks = blocks.unionByName(tf_blocks)
     for kw in keyword_fields:
         kw_src = (
             docs_df.filter(F.col(kw).isNotNull())
@@ -485,12 +509,24 @@ def build_index(
                 F.array(F.lit(1)).alias("freqs"),
             )
         )
-        kw_blocks = kw_src.groupBy("seg").applyInPandas(
-            _invert_segment(kw, num_buckets), POSTINGS_SCHEMA
+        blocks = blocks.unionByName(
+            _routed(kw_src, _invert_segment(kw, num_buckets, routed=True))
         )
-        blocks = blocks.unionByName(kw_blocks)
     postings_path = os.path.join(bdir, "postings")
-    blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
+    # AQE partition-coalescing would merge the routed reducers back into
+    # shared tasks (it targets bytes, not placement) — suspend it for the
+    # inversion job only.
+    _ck = "spark.sql.adaptive.coalescePartitions.enabled"
+    _sk = "spark.sql.shuffle.partitions"
+    _prev_coalesce = spark.conf.get(_ck, "true")
+    _prev_shuffle = spark.conf.get(_sk)
+    spark.conf.set(_ck, "false")
+    spark.conf.set(_sk, str(n_part))  # the width the routes were planned for
+    try:
+        blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
+    finally:
+        spark.conf.set(_ck, _prev_coalesce)
+        spark.conf.set(_sk, _prev_shuffle)
     t_postings = time.time() - t0 - t_analysis
 
     # (term_dict is a *view*: postings rows with block_id == 0 — parquet

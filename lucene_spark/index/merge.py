@@ -48,6 +48,7 @@ from .builder import (
 )
 from .catalog import Catalog
 from .reader import IndexReader
+from .routing import partition_routes
 
 
 def _merge_blocks_kernel(
@@ -255,8 +256,17 @@ def prepare_merge(
             .withColumn("seg_ord", order_map[F.col("seg")])
         )
         nshuffle = shuffle_partitions or max(num_buckets, 8)
+        # collision-free bucket placement (routing.py): hashing num_buckets
+        # int keys into nshuffle partitions double-books reducers; route
+        # each bucket to its own partition deterministically instead.
+        b_routes = partition_routes(num_buckets, nshuffle)
+        b_route = F.element_at(
+            F.array(*[F.lit(int(r)) for r in b_routes]), F.col("bucket") + F.lit(1)
+        ).cast("int")
         merged_blocks = (
-            blocks.repartition(nshuffle, "bucket")
+            blocks.withColumn("route", b_route)
+            .repartition(nshuffle, "route")
+            .drop("route")
             .sortWithinPartitions("field", "term", "seg_ord", "first_doc")
             .mapInPandas(
                 _merge_blocks_kernel(

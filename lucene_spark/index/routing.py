@@ -1,0 +1,76 @@
+"""Deterministic collision-free reducer routing for the inversion stage.
+
+``groupBy(seg).applyInPandas`` places groups with Spark's HashPartitioning
+= ``pmod(murmur3(key), P)``. With num_segments keys hashed into P shuffle
+partitions, birthday collisions are near-certain (16 segment names land in
+only ~12 of 32 buckets), so one reducer inverts 2-3 segments serially while
+others idle — the single-wave straggler that caps build scaling at high
+parallelism. Lucene never has this problem because each DWPT *is* its own
+thread (reference index/DocumentsWriterPerThread.java); the Spark-native
+equivalent is to pick the partitioning key deliberately.
+
+The fix: group by an integer ``route`` chosen per segment such that
+``pmod(murmur3_int(route), P)`` is a distinct bucket per segment (or, when
+num_segments > P, a perfectly balanced round-robin over buckets). Routes
+are computed driver-side with a pure-Python replica of Spark's
+``Murmur3_x86_32.hashInt`` (seed 42) — the same public MurmurHash3
+algorithm ``F.hash`` evaluates — so placement is exact without ever
+running a job. A pytest verifies the replica against ``F.hash``.
+"""
+
+from __future__ import annotations
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_M32 = 0xFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_hash_int(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3_x86_32.hashInt`` (what ``F.hash`` computes for an
+    IntegerType column); returns a signed int32."""
+    k1 = (x & _M32) * _C1 & _M32
+    k1 = _rotl(k1, 15)
+    k1 = k1 * _C2 & _M32
+    h1 = (seed ^ k1) & _M32
+    h1 = _rotl(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & _M32
+    # fmix(h1, len=4)
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & _M32
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= 1 << 31 else h1
+
+
+def partition_bucket(route: int, num_partitions: int) -> int:
+    """The shuffle partition HashPartitioning assigns to an int key:
+    ``pmod(murmur3(route), P)`` (Python ``%`` already is pmod)."""
+    return murmur3_hash_int(route) % num_partitions
+
+
+def partition_routes(num_groups: int, num_partitions: int) -> list[int]:
+    """Routing keys for groups 0..num_groups-1: group i's key lands in
+    shuffle bucket ``i % num_partitions`` — distinct buckets while
+    num_groups <= P, balanced round-robin beyond. Deterministic (probes
+    k = 0, 1, 2, ... and assigns each k to the first group still wanting
+    k's bucket)."""
+    want: dict[int, list[int]] = {}
+    for i in range(num_groups):
+        want.setdefault(i % num_partitions, []).append(i)
+    routes: list[int | None] = [None] * num_groups
+    k = 0
+    remaining = num_groups
+    while remaining:
+        b = partition_bucket(k, num_partitions)
+        q = want.get(b)
+        if q:
+            routes[q.pop(0)] = k
+            remaining -= 1
+        k += 1
+    return routes  # type: ignore[return-value]

@@ -180,6 +180,56 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join — pairs (a, b, jaccard) with
+    word-k-gram Jaccard >= threshold, no signatures and no missed pairs.
+
+    Plan shape (the inverted-shingle-index join, one logical shuffle on the
+    shingle): explode distinct (id, shingle) postings -> self-join on
+    shingle -> per-pair common count c -> J = c / (|A| + |B| - c) via two
+    broadcast-size joins against per-doc set sizes.
+
+    At scale the cost driver is hot shingles (a shingle in d docs emits
+    d^2/2 join rows — boilerplate text is quadratic). ``max_shingle_df``
+    applies the standard document-frequency prefix filter: shingles in
+    more than N docs are dropped from BOTH intersection and union counts
+    before the join (an approximation; default None stays exact for
+    oracle-checked runs). Complements MinHash-LSH (probabilistic recall,
+    linear in bands) when exactness matters at moderate scale.
+    """
+    sh = shingle_df(df, text_col, id_col, k)
+    e = sh.select("id", F.explode("shingles").alias("s")).distinct()
+    if max_shingle_df is not None:
+        hot = e.groupBy("s").count().filter(F.col("count") > max_shingle_df)
+        e = e.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    e = e.cache()
+    sizes = e.groupBy("id").agg(F.count("*").alias("n"))
+    common = (
+        e.alias("x")
+        .join(e.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    j = (
+        common.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

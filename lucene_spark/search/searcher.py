@@ -63,10 +63,10 @@ TOPK_SCHEMA = T.StructType(
 
 class IndexSearcher:
     def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25"):
-        """``similarity``: "bm25" (default, float32 reference-exact) or
-        "lmd" (LM Dirichlet, mu=2000) — the pluggable SimScorer choice
-        (reference search/similarities/; term/boolean shapes only for lmd,
-        phrase/synonym stay BM25)."""
+        """``similarity``: "bm25" (default, float32 reference-exact),
+        "lmd" (LM Dirichlet, mu=2000) or "dfr" (DFR I(ne)L2, c=1) — the
+        pluggable SimScorer choice (reference search/similarities/;
+        term/boolean shapes only for lmd/dfr, phrase/synonym stay BM25)."""
         self.reader = reader
         self.dtype = dtype
         self.similarity = similarity
@@ -209,6 +209,12 @@ class IndexSearcher:
                 from ..functions.lmdirichlet import make_lm_scorer
 
                 scorers[t] = make_lm_scorer(
+                    ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+                )
+            elif self.similarity == "dfr":
+                from ..functions.dfr import make_dfr_scorer
+
+                scorers[t] = make_dfr_scorer(
                     ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
                 )
             else:

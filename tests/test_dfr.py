@@ -1,0 +1,108 @@
+"""DFR I(ne)L2 similarity: hand-computed vectors + end-to-end rank parity
+on both physical paths (exhaustive + block-max pruned)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.dfr import make_dfr_scorer
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.search import IndexSearcher, parse
+
+
+def _hand_score(f, dl, ttf, N, sttf, boost=1.0, c=1.0):
+    ne = N * (1 - ((N - 1) / N) ** ttf)
+    A = math.log2((N + 1) / (ne + 0.5))
+    avgdl = sttf / N
+    tfn = f * math.log2(1 + c * avgdl / dl)
+    return boost * A * (1 - 1 / (1 + tfn))
+
+
+def test_dfr_hand_computed_vectors():
+    """score = A * (1 - 1/(1+tfn)); A = log2((N+1)/(ne+0.5));
+    ne = N(1-((N-1)/N)^F); tfn = f*log2(1 + avgdl/dl)
+    (BasicModelIne.java:34-45, NormalizationH2.java:57-60)."""
+    ttf, N, sttf = 42, 500, 10_000
+    sc = make_dfr_scorer(ttf, N, sttf, boost=1.0, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200), (7, 1)]:
+        norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+        qdl = float(LENGTH_TABLE[norm])  # quantized length, like the engine
+        want = _hand_score(f, qdl, ttf, N, sttf)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12), (f, dl)
+    # boost scales linearly
+    sc2 = make_dfr_scorer(ttf, N, sttf, boost=2.5, dtype=np.float64)
+    assert float(sc2.score(np.array([3]), np.array([24]))[0]) == pytest.approx(
+        2.5 * float(sc.score(np.array([3]), np.array([24]))[0]), rel=1e-12
+    )
+
+
+def test_dfr_monotonicity_and_max_score():
+    sc = make_dfr_scorer(50, 500, 10_000, dtype=np.float64)
+    freqs = np.array([1, 2, 5, 10, 100])
+    s = sc.score(freqs, np.full(5, 24))
+    assert (np.diff(s) > 0).all()  # increasing in freq
+    s2 = sc.score(np.full(3, 5), np.array([5, 10, 20]))
+    assert (np.diff(s2) < 0).all()  # decreasing in doc length
+    assert (s >= 0).all()
+    # max_score bounds every achievable score (impacts contract)
+    ms = sc.max_score(max_freq=100, min_norm_byte=5)
+    grid = sc.score(
+        np.repeat(np.arange(1, 101), 4), np.tile(np.array([5, 24, 100, 255]), 100)
+    )
+    assert ms >= grid.max()
+
+
+@pytest.fixture(scope="module")
+def dfr_oracle(corpus):
+    """Brute-force DFR I(ne)L2 over the corpus (float64)."""
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tfs.append(Counter(toks))
+        lengths.append(len(toks))
+    lengths = np.array(lengths)
+    norms = int_to_byte4_np(lengths)
+    sttf = int(lengths.sum())
+    ttf = Counter()
+    for tf in tfs:
+        ttf.update(tf)
+
+    def topk(terms, k=10):
+        score = np.zeros(len(tfs))
+        mask = np.zeros(len(tfs), bool)
+        for t in terms:
+            sc = make_dfr_scorer(ttf.get(t, 0), int((lengths > 0).sum()), sttf,
+                                 dtype=np.float64)
+            f = np.array([tf.get(t, 0) for tf in tfs])
+            m = f > 0
+            s = np.zeros(len(tfs))
+            s[m] = sc.score(f[m], norms[m])
+            score += s
+            mask |= m
+        idx = np.nonzero(mask)[0]
+        order = sorted(idx, key=lambda i: (-score[i], i))[:k]
+        return [(corpus["url"][i], float(score[i])) for i in order]
+
+    return topk
+
+
+@pytest.mark.parametrize("qs,terms", [
+    ("table", ["table"]),
+    ("merge OR window OR spark", ["merge", "window", "spark"]),
+])
+def test_dfr_end_to_end_both_paths(reader, dfr_oracle, qs, terms):
+    s = IndexSearcher(reader, dtype=np.float64, similarity="dfr")
+    want = dfr_oracle(terms)
+    for mode in ("exhaustive", "maxscore"):
+        rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], mode
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), mode

@@ -73,6 +73,35 @@ def test_minhash_lsh_matches_bruteforce(spark, docs, docs_pdf):
         assert got[k_] == pytest.approx(v, abs=1e-9)
 
 
+def test_ngram_jaccard_exact_join(spark, docs, docs_pdf):
+    from lucene_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    sets = {r.doc_id: _sh3(r.text) for r in docs_pdf.itertuples(index=False)}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if inter:
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert got[k_] == pytest.approx(v, abs=1e-9)
+    # df-capped variant drops hot shingles but keeps true near-dup pairs of
+    # distinctive text (recall sanity, not exactness)
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.9, max_shingle_df=50
+    )
+    assert capped.count() <= len([1 for j in want.values() if j >= 0.9]) + len(want)
+
+
 def test_simhash_finds_near_dups(spark, docs, docs_pdf):
     from lucene_spark.pipeline.dedup import simhash_pairs, simhash_signatures
 

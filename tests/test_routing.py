@@ -1,0 +1,40 @@
+"""Collision-free reducer routing: the pure-Python Murmur3 replica must
+match Spark's F.hash bit-for-bit, and routes must place every segment in
+its own shuffle partition (round-robin balanced past P)."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from lucene_spark.index.routing import (
+    murmur3_hash_int,
+    partition_bucket,
+    partition_routes,
+)
+
+
+def test_murmur3_matches_spark_hash(spark):
+    vals = list(range(0, 200)) + [2**30, 2**31 - 1, 12345678]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "x int")
+        .select("x", F.hash("x").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert murmur3_hash_int(r["x"]) == r["h"], r["x"]
+
+
+def test_partition_routes_distinct_buckets():
+    for n, p in [(16, 32), (8, 8), (32, 32), (1, 32), (31, 37)]:
+        routes = partition_routes(n, p)
+        buckets = [partition_bucket(r, p) for r in routes]
+        assert len(set(buckets)) == n, (n, p)
+        assert buckets == [i % p for i in range(n)]
+
+
+def test_partition_routes_round_robin_when_oversubscribed():
+    n, p = 100, 32
+    routes = partition_routes(n, p)
+    counts = Counter(partition_bucket(r, p) for r in routes)
+    assert max(counts.values()) - min(counts.values()) <= 1
+    assert len(routes) == len(set(routes)) == n
