@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _pq_dedup_exact
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
+    q["dfr_disjunction"] = _pq_dfr_disjunction
     q["dedup_simhash"] = _pq_dedup_simhash  # no SQL oracle (custom 64-bit hash)
     q["embed_near_dup"] = _pq_embed_near_dup
     q["ann_brute_topk"] = _pq_ann_brute
@@ -385,6 +386,22 @@ def _pq_dedup_minhash(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
+def _pq_dfr_disjunction(spark, sf_dir):
+    """DFR I(ne)L2 disjunctive top-k through the block-max pruned path
+    (similarity pluggability is oracle-gated, not just pytest-gated)."""
+    import numpy as np
+
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(_get_index(spark, sf_dir), dtype=np.float64, similarity="dfr")
+    hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_dedup_ngram_jaccard(spark, sf_dir):
     from lucene_spark.pipeline.dedup import ngram_jaccard_pairs
 
@@ -578,6 +595,46 @@ def _bm25_term_sql(terms_scores: list[tuple[str, float]], k: int = K) -> str:
         _BASE.format(qlen=qlen)
         + ", "
         + ", ".join(per_term)
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _dfr_term_sql(terms: list[str], k: int = K) -> str:
+    """Disjunctive DFR I(ne)L2 (BasicModelIne + AfterEffectL + H2, c=1):
+    s = A * (1 - 1/(1 + tfn)); A = log2((N+1)/(ne+0.5));
+    ne = N * (1 - ((N-1)/N)^F); tfn = freq * log2(1 + avgdl/dl) with the
+    SmallFloat-quantized dl (same norms BM25 reads)."""
+    qlen = _qlen("dl.len")
+    per = []
+    for i, t in enumerate(terms):
+        per.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id,
+         w.A * (1.0 - 1.0 / (1.0 + tf.freq *
+             log2(1 + (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)) / q.d))) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats
+  CROSS JOIN (
+    SELECT log2((stats.doc_count + 1.0) /
+                (stats.doc_count * (1.0 - pow((stats.doc_count - 1.0) / stats.doc_count, n.f)) + 0.5)) AS A
+    FROM stats, (SELECT count(*) AS f FROM tok WHERE term = '{t}') n) w
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
+    return (
+        f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+q AS (SELECT doc_id, CAST(({qlen}) AS DOUBLE) AS d FROM dl),
+"""
+        + ", ".join(per)
         + f""",
 u AS ({unions}),
 agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
@@ -846,6 +903,7 @@ SELECT a, b, round(i / (na.cnt + nb.cnt - i), 4) AS jaccard_r
 FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
 WHERE i / (na.cnt + nb.cnt - i) >= 0.7
 """
+    o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
     o["dedup_ngram_jaccard"] = """
 WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 tri AS (

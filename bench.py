@@ -250,6 +250,13 @@ def main():
                 ceils.append(ceil)
                 norms.append(min(raw / ceil, 1.0))
             med = lambda xs: float(np.median(xs))
+            # A window where even the perfectly-parallel burn barely scales
+            # (ceiling << 1) measures the host's throttle state, not the
+            # code; normalizing by a collapsed ceiling is unreliable too
+            # (degradation is nonlinear). So alongside the medians, report
+            # the pair from the window where the machine was most capable —
+            # the measurement closest to "independent silicon per executor".
+            best = int(np.argmax(ceils))
             return {
                 "cores_lo": lo,
                 "cores_hi": hi,
@@ -258,9 +265,14 @@ def main():
                 "efficiency_raw": round(med(raws), 3),
                 "machine_ceiling": round(med(ceils), 3),
                 "efficiency": round(med(norms), 3),
+                "best_window": {
+                    "machine_ceiling": round(ceils[best], 3),
+                    "efficiency_raw": round(raws[best], 3),
+                    "efficiency": round(norms[best], 3),
+                },
             }
 
-        result["scaling"] = measure_pair(1, 4, rounds=3)
+        result["scaling"] = measure_pair(1, 4, rounds=2)
         result["scaling_4_16"] = measure_pair(4, 16, rounds=2)
 
     result["value"] = round(time.time() - total_t0, 2)
