@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dfr_disjunction"] = _pq_dfr_disjunction
+    q["hybrid_rrf"] = _pq_hybrid_rrf
     q["dedup_simhash"] = _pq_dedup_simhash  # no SQL oracle (custom 64-bit hash)
     q["embed_near_dup"] = _pq_embed_near_dup
     q["ann_brute_topk"] = _pq_ann_brute
@@ -400,6 +401,27 @@ def _pq_dfr_disjunction(spark, sf_dir):
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
     )
+
+
+def _pq_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 text top-10 fused with brute-force cosine ANN
+    top-10 (query = vec 0's embedding) by Reciprocal Rank Fusion with the
+    reference's semantics (TopDocs.rrf, core/search/TopDocs.java:372-437)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.pipeline.similarity import brute_force_topk
+    from lucene_spark.search import parse
+    from lucene_spark.search.fusion import rrf_fuse
+
+    s = _searcher(spark, sf_dir)
+    bm = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore").select(
+        doc_id_for_url_col().alias("doc_id"), "score"
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann = brute_force_topk(e, _query_vectors(spark, sf_dir, n=1), k=K).select(
+        F.col("id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    fused = rrf_fuse([bm, ann], top_n=K, k=60, id_col="doc_id")
+    return fused.select("doc_id", F.round(F.col("score"), 4).alias("rrf_r"))
 
 
 def _pq_dedup_ngram_jaccard(spark, sf_dir):
@@ -904,6 +926,33 @@ FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
 WHERE i / (na.cnt + nb.cnt - i) >= 0.7
 """
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
+    # hybrid RRF: BM25 ranks (reuse the bm25 agg CTEs) + cosine ANN ranks,
+    # contrib = 1/(60+rank), sum in double, tie-break doc asc (TopDocs.rrf)
+    _bm_pre = _bm25_term_sql(
+        [("merge", 1.0), ("window", 1.0), ("spark", 1.0)], k=K
+    ).rsplit("SELECT doc_id, round", 1)[0]
+    o["hybrid_rrf"] = (
+        _bm_pre
+        + f""",
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}),
+emb AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM emb GROUP BY 1),
+qv AS (SELECT i, x FROM emb WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+qn AS (SELECT sqrt(sum(x * x)) AS nv FROM qv),
+dots AS (SELECT e.vec_id AS doc_id, sum(qv.x * e.x) AS dot
+         FROM qv JOIN emb e ON e.i = qv.i GROUP BY 1),
+cosr AS (SELECT doc_id, dot / (n.nv * (SELECT nv FROM qn)) AS c
+         FROM dots JOIN nrm n ON n.vec_id = doc_id),
+ann AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+        FROM cosr ORDER BY c DESC, doc_id ASC LIMIT {K}),
+uf AS (SELECT doc_id, 1.0 / (60 + r) AS contrib FROM bm
+       UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM ann),
+fz AS (SELECT doc_id, sum(contrib) AS s FROM uf GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS rrf_r FROM fz ORDER BY s DESC, doc_id ASC LIMIT {K}
+"""
+    )
     o["dedup_ngram_jaccard"] = """
 WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 tri AS (

@@ -1,0 +1,59 @@
+"""Reciprocal Rank Fusion — combine ranked lists whose score distributions
+aren't comparable (BM25 text hits + cosine ANN hits being the headline
+hybrid-search shape).
+
+Reference semantics (TopDocs.rrf,
+/root/reference/lucene/core/src/java/org/apache/lucene/search/TopDocs.java:358-437):
+
+  rrf(doc) = sum over input lists of 1 / (k + rank)   (rank 1-based)
+  accumulate in double, final score cast to float;
+  order by score desc, tie-break doc id asc (like TopDocs#merge);
+  topN >= 1, k >= 1 required.
+
+The input lists are already top-k results (driver-scale row counts), so a
+single-partition rank window is the right plan — fusion cost is O(lists x
+k), never O(corpus). Each list's rank is recomputed from (score desc,
+id asc), the order TopDocs guarantees, so callers may pass unordered
+DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    hits: list[DataFrame], top_n: int = 10, k: int = 60, id_col: str = "url"
+) -> DataFrame:
+    """Fuse ranked (id, score) lists -> (id, score) of the top_n by RRF.
+
+    Each input DataFrame needs ``id_col`` and a ``score`` column; anything
+    else is ignored. ``k`` is the reference's rank-smoothing constant (60
+    is the Cormack/Clarke/Buettcher default used across engines).
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not hits:
+        raise ValueError("need at least one hits DataFrame")
+    ranked = []
+    for df in hits:
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                (F.lit(1.0) / (F.lit(k) + F.row_number().over(w))).alias("contrib"),
+            )
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy("id")
+        .agg(F.sum("contrib").alias("rrf_d"))
+        .orderBy(F.desc("rrf_d"), F.asc("id"))
+        .limit(top_n)
+        .select(F.col("id").alias(id_col), F.col("rrf_d").cast("float").alias("score"))
+    )

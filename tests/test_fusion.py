@@ -1,0 +1,53 @@
+"""Reciprocal Rank Fusion vs the reference TopDocs.rrf semantics
+(TopDocs.java:372-437): contrib 1/(k+rank), double accumulate, float cast,
+doc-asc tie-break."""
+
+import pytest
+
+from lucene_spark.search.fusion import rrf_fuse
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "url string, score double")
+
+
+def test_rrf_hand_computed(spark):
+    a = _df(spark, [("d1", 9.0), ("d2", 5.0), ("d3", 1.0)])
+    b = _df(spark, [("d2", 0.9), ("d4", 0.8)])
+    got = [(r["url"], r["score"]) for r in rrf_fuse([a, b], top_n=4, k=60).collect()]
+    want = {
+        "d1": 1 / 61,
+        "d2": 1 / 62 + 1 / 61,  # rank 2 in a, rank 1 in b
+        "d3": 1 / 63,
+        "d4": 1 / 62,
+    }
+    order = sorted(want, key=lambda u: (-want[u], u))
+    assert [u for u, _ in got] == order
+    for u, s in got:
+        assert s == pytest.approx(want[u], rel=1e-6)
+
+
+def test_rrf_rank_from_scores_not_input_order(spark):
+    # unordered input: ranks must come from (score desc, id asc)
+    a = _df(spark, [("d3", 1.0), ("d1", 9.0), ("d2", 5.0)])
+    got = [r["url"] for r in rrf_fuse([a], top_n=3, k=1).collect()]
+    assert got == ["d1", "d2", "d3"]
+
+
+def test_rrf_tie_break_doc_asc(spark):
+    # equal scores within a list -> rank by id asc; equal fused scores ->
+    # order by id asc (TopDocs#merge tie-break)
+    a = _df(spark, [("dB", 1.0), ("dA", 1.0)])
+    got = [(r["url"], r["score"]) for r in rrf_fuse([a], top_n=2, k=60).collect()]
+    assert [u for u, _ in got] == ["dA", "dB"]
+    assert got[0][1] > got[1][1]  # rank 1 vs rank 2
+
+
+def test_rrf_guards(spark):
+    a = _df(spark, [("d1", 1.0)])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], top_n=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([])
