@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dfr_disjunction"] = _pq_dfr_disjunction
     q["hybrid_rrf"] = _pq_hybrid_rrf
+    q["mlt_terms"] = _pq_mlt_terms
     q["dedup_simhash"] = _pq_dedup_simhash  # no SQL oracle (custom 64-bit hash)
     q["embed_near_dup"] = _pq_embed_near_dup
     q["ann_brute_topk"] = _pq_ann_brute
@@ -401,6 +402,19 @@ def _pq_dfr_disjunction(spark, sf_dir):
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
     )
+
+
+def _pq_mlt_terms(spark, sf_dir):
+    """MoreLikeThis interesting-term selection for doc 0 (tf*idf with
+    ClassicSimilarity idf, tf>=2, df>=5, top 25 — MoreLikeThis.java:624-677);
+    the selection half is SQL-expressible, the query half is pytest-gated."""
+    from lucene_spark.pages import url_for_doc_id
+    from lucene_spark.search.morelikethis import mlt_select_terms
+
+    reader = _get_index(spark, sf_dir)
+    sel = mlt_select_terms(reader, url_for_doc_id(0))
+    df = spark.createDataFrame([(t, float(s)) for t, s in sel], "term string, score double")
+    return df.select("term", F.round("score", 4).alias("score_r"))
 
 
 def _pq_hybrid_rrf(spark, sf_dir):
@@ -926,6 +940,19 @@ FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
 WHERE i / (na.cnt + nb.cnt - i) >= 0.7
 """
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
+    o["mlt_terms"] = f"""
+WITH tok AS ({_TOK}),
+src AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+stats AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+scored AS (
+  SELECT src.term, src.tf * (ln((stats.n + 1.0) / (dfs.df + 1.0)) + 1.0) AS score
+  FROM src JOIN dfs USING (term), stats
+  WHERE src.tf >= 2 AND dfs.df >= 5
+)
+SELECT term, round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, term ASC LIMIT 25
+"""
     # hybrid RRF: BM25 ranks (reuse the bm25 agg CTEs) + cosine ANN ranks,
     # contrib = 1/(60+rank), sum in double, tie-break doc asc (TopDocs.rrf)
     _bm_pre = _bm25_term_sql(

@@ -1,0 +1,51 @@
+"""ClassicSimilarity (legacy TF-IDF) behind the pluggable SimScorer
+contract.
+
+Reference semantics
+(/root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java:45-71,
+TFIDFSimilarity.java TFIDFScorer.score):
+
+  idf        = ln((docCount + 1) / (docFreq + 1)) + 1
+  tf(f)      = sqrt(f)
+  lengthNorm = 1 / sqrt(dl)
+  score      = tf(f) * (boost * idf) * lengthNorm(dl)
+
+``dl`` is the quantized length from the SmallFloat norm byte
+(TFIDFSimilarity.java:444 builds its norm table from the same
+LENGTH_TABLE). Lucene computes in float32; the engine computes float64 in
+oracle mode like the other similarities. Monotone increasing in freq and
+decreasing in doc length, so impacts/block-max pruning apply unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+
+@dataclass(frozen=True)
+class ClassicScorer:
+    query_weight: float  # boost * idf
+    dtype: object = np.float32
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        s = np.sqrt(f) * self.query_weight / np.sqrt(np.maximum(dl, 1.0))
+        return s.astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        return float(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_classic_scorer(
+    doc_freq: int, doc_count: int, boost: float = 1.0, dtype=np.float32
+) -> ClassicScorer:
+    idf = np.log((np.float64(doc_count) + 1.0) / (np.float64(doc_freq) + 1.0)) + 1.0
+    return ClassicScorer(query_weight=float(boost) * float(idf), dtype=dtype)

@@ -61,6 +61,26 @@ class IndexReader:
             ]
         return df.select(*columns)
 
+    def term_vector(self, url: str, field: str = "text") -> tuple[list, list]:
+        """(terms, freqs) of one document — the Lucene term-vectors read
+        (reference index/TermVectors.java). The staging ``terms``/``freqs``
+        arrays the builder persists in the docs table ARE the term vector
+        (term -> in-doc freq), so this is a pushed-down point lookup on the
+        url column (docs files are url-ordered within each segment unless an
+        index_sort overrides, and parquet row-group min/max prune either
+        way), not a separate stored structure."""
+        cols = ("terms", "freqs") if field == "text" else (f"terms_{field}", f"freqs_{field}")
+        rows = (
+            self.docs(["url", *cols])
+            .filter(F.col("url") == url)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return [], []
+        terms, freqs = rows[0][cols[0]], rows[0][cols[1]]
+        return list(terms or []), [int(f) for f in (freqs or [])]
+
     def postings(self, terms: list[str] | None = None, field: str = "text") -> DataFrame:
         """Postings blocks, pruned to the buckets + terms requested.
 

@@ -1,0 +1,88 @@
+"""MoreLikeThis — build a "find similar documents" query from one
+document's term vector.
+
+Reference semantics
+(/root/reference/lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java):
+
+- term selection (createQueue, MoreLikeThis.java:624-677): for each term of
+  the source doc keep it iff tf >= minTermFreq (default 2,
+  MoreLikeThis.java:165) and minDocFreq <= df <= maxDocFreq (defaults 5 /
+  unbounded, :173,:182); score = tf * idf with ClassicSimilarity's idf
+  = log((docCount + 1) / (df + 1)) + 1
+  (search/similarities/ClassicSimilarity.java idf; MoreLikeThis.java:267
+  uses ClassicSimilarity for idf only); keep the top maxQueryTerms
+  (default 25, :232) by score.
+- query construction (createQuery, MoreLikeThis.java:593-617): one SHOULD
+  TermQuery per selected term; when boost=true (default false, :190) each
+  clause is boosted by boost_factor * score / best_score.
+
+Deviation (documented): the reference's PriorityQueue leaves equal-score
+ordering unspecified; ties here break by term ascending so results are
+deterministic. Scores are computed in float64 (the engine's oracle mode);
+Lucene computes them in float32.
+"""
+
+from __future__ import annotations
+
+import math
+
+from . import query as Q
+
+DEFAULT_MIN_TERM_FREQ = 2
+DEFAULT_MIN_DOC_FREQ = 5
+DEFAULT_MAX_QUERY_TERMS = 25
+
+
+def mlt_select_terms(
+    reader,
+    url: str,
+    field: str = "text",
+    *,
+    max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
+    min_term_freq: int = DEFAULT_MIN_TERM_FREQ,
+    min_doc_freq: int = DEFAULT_MIN_DOC_FREQ,
+    max_doc_freq: int | None = None,
+) -> list[tuple[str, float]]:
+    """[(term, tf*idf score)] descending, ties by term asc — the
+    interesting-term selection half of MoreLikeThis."""
+    terms, freqs = reader.term_vector(url, field)
+    tf = {t: f for t, f in zip(terms, freqs) if f >= min_term_freq}
+    if not tf:
+        return []
+    doc_count, _ = reader.collection_stats(field)
+    stats = reader.term_stats(sorted(tf), field)
+    scored = []
+    for t, f in tf.items():
+        df = stats.get(t, (0, 0))[0]
+        if df < min_doc_freq or df == 0:
+            continue
+        if max_doc_freq is not None and df > max_doc_freq:
+            continue
+        idf = math.log((doc_count + 1) / (df + 1)) + 1.0
+        scored.append((t, f * idf))
+    scored.sort(key=lambda ts: (-ts[1], ts[0]))
+    return scored[:max_query_terms]
+
+
+def more_like_this(
+    reader,
+    url: str,
+    field: str = "text",
+    *,
+    boost: bool = False,
+    boost_factor: float = 1.0,
+    **select_kwargs,
+) -> Q.Query:
+    """The MoreLikeThis query for one document: SHOULD disjunction of the
+    selected interesting terms (boosted by score/best_score iff boost)."""
+    selected = mlt_select_terms(reader, url, field, **select_kwargs)
+    if not selected:
+        return Q.MatchNoDocsQuery()
+    best = selected[0][1]
+    pairs = []
+    for t, s in selected:
+        tq: Q.Query = Q.TermQuery(field, t)
+        if boost:
+            tq = Q.BoostQuery(tq, boost_factor * s / best)
+        pairs.append((Q.SHOULD, tq))
+    return Q.BooleanQuery.build(*pairs)

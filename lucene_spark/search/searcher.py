@@ -64,9 +64,10 @@ TOPK_SCHEMA = T.StructType(
 class IndexSearcher:
     def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25"):
         """``similarity``: "bm25" (default, float32 reference-exact),
-        "lmd" (LM Dirichlet, mu=2000) or "dfr" (DFR I(ne)L2, c=1) — the
-        pluggable SimScorer choice (reference search/similarities/;
-        term/boolean shapes only for lmd/dfr, phrase/synonym stay BM25)."""
+        "lmd" (LM Dirichlet, mu=2000), "dfr" (DFR I(ne)L2, c=1) or
+        "classic" (legacy TF-IDF) — the pluggable SimScorer choice
+        (reference search/similarities/; term/boolean shapes only for the
+        non-BM25 scorers, phrase/synonym stay BM25)."""
         self.reader = reader
         self.dtype = dtype
         self.similarity = similarity
@@ -216,6 +217,12 @@ class IndexSearcher:
 
                 scorers[t] = make_dfr_scorer(
                     ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+                )
+            elif self.similarity == "classic":
+                from ..functions.classic import make_classic_scorer
+
+                scorers[t] = make_classic_scorer(
+                    df_t, doc_count, boost=boosts.get(t, 1.0), dtype=self.dtype
                 )
             else:
                 scorers[t] = make_scorer(

@@ -1,0 +1,94 @@
+"""ClassicSimilarity (TF-IDF): hand-computed vectors + end-to-end rank
+parity on both physical paths."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.classic import make_classic_scorer
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.search import IndexSearcher, parse
+
+
+def test_classic_hand_computed_vectors():
+    """score = sqrt(f) * boost*idf / sqrt(dl); idf = ln((N+1)/(df+1)) + 1
+    (ClassicSimilarity.java:45-71, TFIDFSimilarity TFIDFScorer.score)."""
+    df_, N = 42, 500
+    idf = math.log((N + 1) / (df_ + 1)) + 1.0
+    sc = make_classic_scorer(df_, N, boost=1.0, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200), (9, 1)]:
+        norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+        qdl = float(LENGTH_TABLE[norm])
+        want = math.sqrt(f) * idf / math.sqrt(qdl)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12), (f, dl)
+    sc2 = make_classic_scorer(df_, N, boost=3.0, dtype=np.float64)
+    assert float(sc2.score(np.array([4]), np.array([24]))[0]) == pytest.approx(
+        3.0 * float(sc.score(np.array([4]), np.array([24]))[0]), rel=1e-12
+    )
+
+
+def test_classic_monotonicity_and_max_score():
+    sc = make_classic_scorer(50, 500, dtype=np.float64)
+    s = sc.score(np.array([1, 2, 5, 10, 100]), np.full(5, 24))
+    assert (np.diff(s) > 0).all()
+    s2 = sc.score(np.full(3, 5), np.array([5, 10, 20]))
+    assert (np.diff(s2) < 0).all()
+    ms = sc.max_score(max_freq=100, min_norm_byte=5)
+    grid = sc.score(
+        np.repeat(np.arange(1, 101), 4), np.tile(np.array([5, 24, 100, 255]), 100)
+    )
+    assert ms >= grid.max()
+
+
+@pytest.fixture(scope="module")
+def classic_oracle(corpus):
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tfs.append(Counter(toks))
+        lengths.append(len(toks))
+    lengths = np.array(lengths)
+    norms = int_to_byte4_np(lengths)
+    dfc = Counter()
+    for tf in tfs:
+        dfc.update(tf.keys())
+    n = int((lengths > 0).sum())
+
+    def topk(terms, k=10):
+        score = np.zeros(len(tfs))
+        mask = np.zeros(len(tfs), bool)
+        for t in terms:
+            sc = make_classic_scorer(dfc.get(t, 0), n, dtype=np.float64)
+            f = np.array([tf.get(t, 0) for tf in tfs])
+            m = f > 0
+            s = np.zeros(len(tfs))
+            s[m] = sc.score(f[m], norms[m])
+            score += s
+            mask |= m
+        idx = np.nonzero(mask)[0]
+        order = sorted(idx, key=lambda i: (-score[i], i))[:k]
+        return [(corpus["url"][i], float(score[i])) for i in order]
+
+    return topk
+
+
+@pytest.mark.parametrize("qs,terms", [
+    ("table", ["table"]),
+    ("merge OR window OR spark", ["merge", "window", "spark"]),
+])
+def test_classic_end_to_end_both_paths(reader, classic_oracle, qs, terms):
+    s = IndexSearcher(reader, dtype=np.float64, similarity="classic")
+    want = classic_oracle(terms)
+    for mode in ("exhaustive", "maxscore"):
+        rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], mode
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), mode

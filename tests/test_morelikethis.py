@@ -1,0 +1,67 @@
+"""MoreLikeThis: interesting-term selection vs a brute-force tf*idf oracle,
+and the generated SHOULD query finding the source document first."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search.morelikethis import mlt_select_terms, more_like_this
+
+
+@pytest.fixture(scope="module")
+def brute(corpus):
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs = [Counter(an.terms(t if isinstance(t, str) else "")) for t in corpus["text"]]
+    df = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    n = sum(1 for c in tfs if c)
+    return tfs, df, n
+
+
+def test_mlt_select_matches_bruteforce(reader, corpus, brute):
+    tfs, df, n = brute
+    for doc in (0, 7):
+        url = corpus["url"][doc]
+        want = []
+        for t, f in tfs[doc].items():
+            if f >= 2 and df[t] >= 5:
+                want.append((t, f * (math.log((n + 1) / (df[t] + 1)) + 1.0)))
+        want.sort(key=lambda ts: (-ts[1], ts[0]))
+        want = want[:25]
+        got = mlt_select_terms(reader, url)
+        assert [t for t, _ in got] == [t for t, _ in want], doc
+        for (gt, gs), (wt, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), doc
+
+
+def test_mlt_query_retrieves_source_doc(reader, corpus):
+    url = corpus["url"][0]
+    q = more_like_this(reader, url)
+    s = IndexSearcher(reader)
+    hits = s.search(q, k=5, mode="exhaustive").collect()
+    # the source doc matches every selected term -> top-5 (an exact or
+    # near-duplicate doc may legitimately outscore it on BM25: higher tf
+    # of the high-idf terms or a shorter field)
+    assert url in [h["url"] for h in hits]
+    # pruned path agrees with the exhaustive path on the generated query
+    hits_m = s.search(q, k=5, mode="maxscore").collect()
+    assert [(h["url"], h["score"]) for h in hits] == [
+        (h["url"], h["score"]) for h in hits_m
+    ]
+
+
+def test_mlt_filters_and_caps(reader, corpus):
+    url = corpus["url"][0]
+    # max_query_terms caps the clause count
+    sel = mlt_select_terms(reader, url, max_query_terms=5)
+    assert len(sel) <= 5
+    # an impossible df floor selects nothing -> MatchNoDocs
+    from lucene_spark.search.query import MatchNoDocsQuery
+
+    q = more_like_this(reader, url, min_doc_freq=10**9)
+    assert isinstance(q, MatchNoDocsQuery)
