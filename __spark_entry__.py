@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dfr_disjunction"] = _pq_dfr_disjunction
     q["hybrid_rrf"] = _pq_hybrid_rrf
     q["mlt_terms"] = _pq_mlt_terms
+    q["batch_bm25_topk"] = _pq_batch_bm25
     q["dedup_simhash"] = _pq_dedup_simhash  # no SQL oracle (custom 64-bit hash)
     q["embed_near_dup"] = _pq_embed_near_dup
     q["ann_brute_topk"] = _pq_ann_brute
@@ -399,6 +400,28 @@ def _pq_dfr_disjunction(spark, sf_dir):
     s = IndexSearcher(_get_index(spark, sf_dir), dtype=np.float64, similarity="dfr")
     hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
     return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_batch_bm25(spark, sf_dir):
+    """Workload-shaped serving: three queries scored by ONE pruned postings
+    scan + one aggregation + one per-query top-k window (search/batch.py);
+    per-query results identical to the single-query engine."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search.batch import batch_search
+
+    s = _searcher(spark, sf_dir)
+    qs = {
+        "q0": parse("table"),
+        "q1": parse("merge OR window OR spark"),
+        "q2": parse("table AND scan"),
+    }
+    res = batch_search(s, qs, k=K)
+    return res.select(
+        F.col("qid").alias("query_id"),
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
     )
@@ -940,6 +963,13 @@ FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
 WHERE i / (na.cnt + nb.cnt - i) >= 0.7
 """
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
+    _b0 = _bm25_term_sql([("table", 1.0)], K)
+    _b1 = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], K)
+    _b2 = _bm25_conj_sql(["table", "scan"], k=K)
+    o["batch_bm25_topk"] = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score_r FROM ({sql})"
+        for qid, sql in [("q0", _b0), ("q1", _b1), ("q2", _b2)]
+    )
     o["mlt_terms"] = f"""
 WITH tok AS ({_TOK}),
 src AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY term),

@@ -1,0 +1,115 @@
+"""Batch search — score a whole workload of queries in ONE pruned postings
+scan plus one aggregation.
+
+Lucene serves queries one IndexSearcher.search() at a time; on a Spark
+cluster the equivalent loop launches one job per query, paying the full
+scan/shuffle/schedule cost Q times. At warehouse scale the right plan
+is workload-shaped (the same move that batched the IVF ANN query path):
+
+  1. union every query's terms -> one bucket-pruned, term-pushed postings
+     scan; each posting block is decoded and scored ONCE even when many
+     queries share the term,
+  2. broadcast the tiny (query_id, term, boost, is_must) map onto the
+     decoded rows,
+  3. one hash aggregation per (query_id, seg, doc) with map-side partials,
+  4. per-query Lucene semantics (MUST conjunction, minimum_should_match,
+     MUST_NOT anti-join) as post-aggregation filters,
+  5. one window for per-query top-k (score desc, global doc asc — the
+     TopScoreDocCollector order), then a broadcast join for stored fields.
+
+Shuffle volume is O(matching docs) once, not O(sum over queries); scan
+volume is O(distinct terms), not O(sum of query lengths). Scoring parity:
+each query's results are identical to IndexSearcher.search() on the same
+flat boolean shape (pytest + the batch_bm25_topk oracle assert this).
+
+Supported query shapes: TermQuery and flat single-field BooleanQuery
+(SHOULD/MUST/MUST_NOT terms, minimum_should_match) — the `_classify`
+shapes. Per-term boosts apply at the mapping join (BM25's boost is a
+linear factor), so two queries may boost the same term differently while
+still sharing one decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import query as Q
+from .searcher import _classify
+
+
+def batch_search(
+    searcher, queries: dict[str, Q.Query], k: int = 10, field: str = "text"
+) -> DataFrame:
+    """(query_id, url, score, seg, doc, gdoc) — top-k per query, ordered
+    (query_id asc, score desc, gdoc asc)."""
+    infos = {}
+    for qid, q in queries.items():
+        info = _classify(q)
+        if info is None or info.get("filters"):
+            raise ValueError(
+                f"batch_search supports flat term boolean shapes; query {qid!r} "
+                "needs the single-query searcher"
+            )
+        infos[qid] = info
+    reader = searcher.reader
+    spark = reader.spark
+
+    all_terms = sorted({t for i in infos.values() for t in i["should"] + i["must"] + i["must_not"]})
+    scorers = searcher._scorers(all_terms, {}, field)  # boost 1; boosts join below
+    dec = searcher._decoded(all_terms, scorers, field)  # (seg, doc, term, score, freq)
+
+    # (qid, term, boost, is_must, is_not) — driver-size, broadcast
+    map_rows = []
+    for qid, info in infos.items():
+        for t in info["should"]:
+            map_rows.append((qid, t, float(info["boosts"].get(t, 1.0)), False, False))
+        for t in info["must"]:
+            map_rows.append((qid, t, float(info["boosts"].get(t, 1.0)), True, False))
+        for t in info["must_not"]:
+            map_rows.append((qid, t, 0.0, False, True))
+    qmap = spark.createDataFrame(
+        map_rows, "qid string, term string, tboost double, is_must boolean, is_not boolean"
+    )
+    joined = dec.join(F.broadcast(qmap), "term")
+    agg = joined.groupBy("qid", "seg", "doc").agg(
+        F.sum(
+            F.when(~F.col("is_not"), F.col("score") * F.col("tboost")).otherwise(0.0)
+        ).alias("score"),
+        F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("n_must_hit"),
+        F.sum(F.when(~F.col("is_must") & ~F.col("is_not"), 1).otherwise(0)).alias("n_should_hit"),
+        F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("hit_not"),
+    )
+    # per-query requirements as literal maps (whole-stage codegen, no join)
+    must_map = F.create_map(
+        *[F.lit(x) for qid, i in infos.items() for x in (qid, len(i["must"]))]
+    )
+    msm_map = F.create_map(
+        *[
+            F.lit(x)
+            for qid, i in infos.items()
+            for x in (qid, max(i["msm"], 1) if not i["must"] else i["msm"])
+        ]
+    )
+    boost_map = F.create_map(
+        *[F.lit(x) for qid, i in infos.items() for x in (qid, float(i["boost"]))]
+    )
+    kept = agg.filter(
+        (F.col("hit_not") == 0)
+        & (F.col("n_must_hit") == must_map[F.col("qid")])
+        & (F.col("n_should_hit") >= msm_map[F.col("qid")])
+    ).withColumn("score", F.col("score") * boost_map[F.col("qid")])
+    kept = searcher._drop_deleted(kept)
+
+    bases = reader.doc_bases()
+    base_map = F.create_map(*[F.lit(x) for pair in bases.items() for x in pair])
+    with_g = kept.withColumn("gdoc", base_map[F.col("seg")] + F.col("doc"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("gdoc"))
+    top = with_g.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    docs = reader.docs(["seg", "doc", "url"])
+    return (
+        F.broadcast(top)
+        .join(docs, ["seg", "doc"])
+        .select("qid", "url", "score", "seg", "doc", "gdoc")
+        .orderBy(F.asc("qid"), F.desc("score"), F.asc("gdoc"))
+    )

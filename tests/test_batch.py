@@ -1,0 +1,59 @@
+"""Batch search: one scan + one aggregation for Q queries, per-query
+results identical to IndexSearcher.search on the same shapes."""
+
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search.batch import batch_search
+
+
+@pytest.mark.parametrize("shapes", [
+    {
+        "term": "table",
+        "or3": "merge OR window OR spark",
+        "and2": "table AND scan",
+        "boosted": "table^2 OR scan",
+        "notq": "table -merge",
+    },
+])
+def test_batch_matches_single_query_results(reader, shapes):
+    s = IndexSearcher(reader)
+    queries = {qid: parse(qs) for qid, qs in shapes.items()}
+    res = batch_search(s, queries, k=10)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["url"], float(r["score"])))
+    for qid, qs in shapes.items():
+        want = [
+            (r["url"], float(r["score"]))
+            for r in s.search(parse(qs), k=10, mode="exhaustive").collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
+
+
+def test_batch_min_should_match(reader):
+    from lucene_spark.search import query as Q
+
+    s = IndexSearcher(reader)
+    q = Q.BooleanQuery.build(
+        (Q.SHOULD, Q.TermQuery("text", "merge")),
+        (Q.SHOULD, Q.TermQuery("text", "window")),
+        (Q.SHOULD, Q.TermQuery("text", "spark")),
+        minimum_should_match=2,
+    )
+    got = [
+        (r["url"], float(r["score"]))
+        for r in batch_search(s, {"m2": q}, k=10).collect()
+    ]
+    want = [
+        (r["url"], float(r["score"]))
+        for r in s.search(q, k=10, mode="exhaustive").collect()
+    ]
+    assert got == want
+
+
+def test_batch_rejects_unsupported_shapes(reader):
+    s = IndexSearcher(reader)
+    with pytest.raises(ValueError):
+        batch_search(s, {"p": parse('"table scan"')}, k=5)
