@@ -187,6 +187,32 @@ def main():
     queries = {name: round(float(np.min(ts)), 3) for name, ts in times.items()}
     result["queries"] = queries
 
+    # workload serving: the same 12-query workload as ONE batch_search job
+    # (single pruned scan + agg + per-query top-k) vs the sequential
+    # per-query loop. At cluster scale the batch plan's cost is
+    # O(workload terms), the loop's is O(queries) full job overheads.
+    from lucene_spark.search.batch import batch_search
+
+    pool = ["table", "scan", "merge", "window", "spark", "the"]
+    workload = {}
+    for i, t in enumerate(pool):
+        workload[f"w{i:02d}"] = parse(t)
+    for i, (a, b) in enumerate(zip(pool, pool[1:] + pool[:1])):
+        workload[f"w{10+i:02d}"] = parse(f"{a} OR {b}")
+    t0 = time.time()
+    batch_search(searcher, workload, k=K).collect()
+    t_batch = time.time() - t0
+    t0 = time.time()
+    for q in workload.values():
+        searcher.search(q, k=K, mode="exhaustive").collect()
+    t_seq = time.time() - t0
+    result["batch_workload"] = {
+        "n_queries": len(workload),
+        "batch_sec": round(t_batch, 2),
+        "sequential_sec": round(t_seq, 2),
+        "speedup": round(t_seq / t_batch, 2),
+    }
+
     # serving-path latency: same index + kernels, driver-local pyarrow
     # (no Spark jobs) — the Lucene-IndexSearcher-class profile
     from lucene_spark.serve import LocalSearcher
