@@ -42,9 +42,13 @@ _POSTING_COLS = [
 
 
 class LocalSearcher:
-    def __init__(self, index_root: str, snapshot_id: int | None = None, dtype=np.float32):
+    def __init__(self, index_root: str, snapshot_id: int | None = None, dtype=np.float32,
+                 similarity: str = "bm25"):
+        """``similarity``: same pluggable SimScorer registry as the Spark
+        IndexSearcher ("bm25" | "lmd" | "dfr" | "classic")."""
         self.root = index_root
         self.dtype = dtype
+        self.similarity = similarity
         self.catalog = Catalog(index_root)
         snap = self.catalog.snapshot(snapshot_id)
         self.snapshot_id = snap["id"]
@@ -118,6 +122,22 @@ class LocalSearcher:
 
     # --------------------------------------------------------------- search
 
+    def _make_scorer(self, st: tuple[int, int], doc_count: int, sum_ttf: int, boost: float):
+        df_t, ttf_t = st
+        if self.similarity == "lmd":
+            from .functions.lmdirichlet import make_lm_scorer
+
+            return make_lm_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
+        if self.similarity == "dfr":
+            from .functions.dfr import make_dfr_scorer
+
+            return make_dfr_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
+        if self.similarity == "classic":
+            from .functions.classic import make_classic_scorer
+
+            return make_classic_scorer(df_t, doc_count, boost=boost, dtype=self.dtype)
+        return make_scorer([df_t], doc_count, sum_ttf, boost=boost, dtype=self.dtype)
+
     def search(self, q, k: int = 10, field: str = "text"):
         """Top-k [(url, score, gdoc)] for a query string or flat term
         boolean (the shapes the block-max kernel serves; other shapes
@@ -143,7 +163,7 @@ class LocalSearcher:
         doc_count, sum_ttf = self.collection_stats(field)
         stats = self.term_stats(terms, field)
         scorers = {
-            t: make_scorer([stats[t][0]], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype)
+            t: self._make_scorer(stats[t], doc_count, sum_ttf, boosts.get(t, 1.0))
             for t in terms
             if t in stats
         }

@@ -54,3 +54,19 @@ def test_term_stats_match(local, reader):
     terms = ["table", "the", "scan"]
     assert local.term_stats(terms) == reader.term_stats(terms)
     assert local.collection_stats() == reader.collection_stats()
+
+
+@pytest.mark.parametrize("sim", ["lmd", "dfr", "classic"])
+def test_serve_pluggable_similarities(index_root, reader, sim):
+    """Serving path honors the same SimScorer registry as the Spark path."""
+    local = LocalSearcher(index_root, dtype=np.float64, similarity=sim)
+    s = IndexSearcher(reader, dtype=np.float64, similarity=sim)
+    for qs in ("table", "merge OR window OR spark"):
+        want = [
+            (r["url"], float(r["score"]))
+            for r in s.search(parse(qs), k=10).collect()
+        ]
+        got = [(u, float(sc)) for u, sc, _ in local.search(qs, k=10)]
+        assert [u for u, _ in got] == [u for u, _ in want], (sim, qs)
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), (sim, qs)
