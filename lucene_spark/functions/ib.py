@@ -1,0 +1,62 @@
+"""Information-based (IB) similarity, LL distribution + DF lambda + H2
+normalization — the fifth scorer behind the pluggable SimScorer contract.
+
+Reference semantics
+(/root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/IBSimilarity.java:115-118,
+DistributionLL.java score, LambdaDF.java:32-37, NormalizationH2.java:57-60):
+
+  lambda = float32((docFreq + 1) / (numberOfDocuments + 1))   [float cast!]
+  tfn    = freq * log2(1 + c * avgdl / dl)                     (c = 1)
+  score  = boost * (-ln(lambda / (tfn + lambda)))
+         = boost * ln((tfn + lambda) / lambda)
+
+``dl`` is the quantized length from the SmallFloat norm byte, like every
+similarity here. LambdaDF's float cast is reproduced so scores match Java
+bit-for-bit in the lambda term. Monotone increasing in freq and decreasing
+in doc length -> impacts/block-max pruning apply unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+LOG2 = float(np.log(2.0))
+
+
+@dataclass(frozen=True)
+class IBScorer:
+    boost: float
+    lam: float  # LambdaDF, float32-rounded like the reference
+    avgdl: float
+    c: float = 1.0
+    dtype: object = np.float32
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tfn = f * np.log1p(self.c * self.avgdl / dl) / LOG2
+        s = self.boost * np.log((tfn + self.lam) / self.lam)
+        return s.astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        return float(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_ib_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    c: float = 1.0,
+    dtype=np.float32,
+) -> IBScorer:
+    lam = float(np.float32((doc_freq + 1.0) / (max(doc_count, 1) + 1.0)))
+    avgdl = float(sum_total_term_freq) / float(max(doc_count, 1))
+    return IBScorer(boost=float(boost), lam=lam, avgdl=avgdl, c=float(c), dtype=dtype)

@@ -64,10 +64,10 @@ TOPK_SCHEMA = T.StructType(
 class IndexSearcher:
     def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25"):
         """``similarity``: "bm25" (default, float32 reference-exact),
-        "lmd" (LM Dirichlet, mu=2000), "dfr" (DFR I(ne)L2, c=1) or
-        "classic" (legacy TF-IDF) — the pluggable SimScorer choice
-        (reference search/similarities/; term/boolean shapes only for the
-        non-BM25 scorers, phrase/synonym stay BM25)."""
+        "lmd" (LM Dirichlet, mu=2000), "dfr" (DFR I(ne)L2, c=1),
+        "classic" (legacy TF-IDF) or "ib" (IB LL/DF/H2) — the pluggable
+        SimScorer choice (reference search/similarities/; term/boolean
+        shapes only for the non-BM25 scorers, phrase/synonym stay BM25)."""
         self.reader = reader
         self.dtype = dtype
         self.similarity = similarity
@@ -223,6 +223,12 @@ class IndexSearcher:
 
                 scorers[t] = make_classic_scorer(
                     df_t, doc_count, boost=boosts.get(t, 1.0), dtype=self.dtype
+                )
+            elif self.similarity == "ib":
+                from ..functions.ib import make_ib_scorer
+
+                scorers[t] = make_ib_scorer(
+                    df_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
                 )
             else:
                 scorers[t] = make_scorer(

@@ -45,7 +45,7 @@ class LocalSearcher:
     def __init__(self, index_root: str, snapshot_id: int | None = None, dtype=np.float32,
                  similarity: str = "bm25"):
         """``similarity``: same pluggable SimScorer registry as the Spark
-        IndexSearcher ("bm25" | "lmd" | "dfr" | "classic")."""
+        IndexSearcher ("bm25" | "lmd" | "dfr" | "classic" | "ib")."""
         self.root = index_root
         self.dtype = dtype
         self.similarity = similarity
@@ -136,6 +136,10 @@ class LocalSearcher:
             from .functions.classic import make_classic_scorer
 
             return make_classic_scorer(df_t, doc_count, boost=boost, dtype=self.dtype)
+        if self.similarity == "ib":
+            from .functions.ib import make_ib_scorer
+
+            return make_ib_scorer(df_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
         return make_scorer([df_t], doc_count, sum_ttf, boost=boost, dtype=self.dtype)
 
     def search(self, q, k: int = 10, field: str = "text"):

@@ -1,0 +1,117 @@
+"""IB (LL/DF/H2) similarity: hand-computed vectors + end-to-end rank
+parity on both physical paths (Spark + serving)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.ib import make_ib_scorer
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.search import IndexSearcher, parse
+
+
+def _hand(f, dl, df, N, sttf):
+    lam = float(np.float32((df + 1) / (N + 1)))  # LambdaDF float cast
+    avgdl = sttf / N
+    tfn = f * math.log2(1 + avgdl / dl)
+    return -math.log(lam / (tfn + lam))
+
+
+def test_ib_hand_computed_vectors():
+    """score = -ln(lambda/(tfn+lambda)); lambda = float32((df+1)/(N+1));
+    tfn = f*log2(1+avgdl/dl) (DistributionLL, LambdaDF.java:32-37, H2)."""
+    df_, N, sttf = 42, 500, 10_000
+    sc = make_ib_scorer(df_, N, sttf, boost=1.0, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200), (7, 1)]:
+        norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+        qdl = float(LENGTH_TABLE[norm])
+        want = _hand(f, qdl, df_, N, sttf)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12), (f, dl)
+    sc2 = make_ib_scorer(df_, N, sttf, boost=2.0, dtype=np.float64)
+    assert float(sc2.score(np.array([3]), np.array([24]))[0]) == pytest.approx(
+        2.0 * float(sc.score(np.array([3]), np.array([24]))[0]), rel=1e-12
+    )
+
+
+def test_ib_monotonicity_and_max_score():
+    sc = make_ib_scorer(50, 500, 10_000, dtype=np.float64)
+    s = sc.score(np.array([1, 2, 5, 10, 100]), np.full(5, 24))
+    assert (np.diff(s) > 0).all()
+    s2 = sc.score(np.full(3, 5), np.array([5, 10, 20]))
+    assert (np.diff(s2) < 0).all()
+    assert (s > 0).all()
+    ms = sc.max_score(max_freq=100, min_norm_byte=5)
+    grid = sc.score(
+        np.repeat(np.arange(1, 101), 4), np.tile(np.array([5, 24, 100, 255]), 100)
+    )
+    assert ms >= grid.max()
+
+
+@pytest.fixture(scope="module")
+def ib_oracle(corpus):
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tfs.append(Counter(toks))
+        lengths.append(len(toks))
+    lengths = np.array(lengths)
+    norms = int_to_byte4_np(lengths)
+    dfc = Counter()
+    for tf in tfs:
+        dfc.update(tf.keys())
+    n = int((lengths > 0).sum())
+    sttf = int(lengths.sum())
+
+    def topk(terms, k=10):
+        score = np.zeros(len(tfs))
+        mask = np.zeros(len(tfs), bool)
+        for t in terms:
+            sc = make_ib_scorer(dfc.get(t, 0), n, sttf, dtype=np.float64)
+            f = np.array([tf.get(t, 0) for tf in tfs])
+            m = f > 0
+            s = np.zeros(len(tfs))
+            s[m] = sc.score(f[m], norms[m])
+            score += s
+            mask |= m
+        idx = np.nonzero(mask)[0]
+        order = sorted(idx, key=lambda i: (-score[i], i))[:k]
+        return [(corpus["url"][i], float(score[i])) for i in order]
+
+    return topk
+
+
+@pytest.mark.parametrize("qs,terms", [
+    ("table", ["table"]),
+    ("merge OR window OR spark", ["merge", "window", "spark"]),
+])
+def test_ib_end_to_end_both_paths(reader, ib_oracle, qs, terms):
+    s = IndexSearcher(reader, dtype=np.float64, similarity="ib")
+    want = ib_oracle(terms)
+    for mode in ("exhaustive", "maxscore"):
+        rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], mode
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), mode
+
+
+def test_ib_serve_parity(index_root, reader):
+    from lucene_spark.serve import LocalSearcher
+
+    local = LocalSearcher(index_root, dtype=np.float64, similarity="ib")
+    s = IndexSearcher(reader, dtype=np.float64, similarity="ib")
+    want = [
+        (r["url"], float(r["score"]))
+        for r in s.search(parse("merge OR window"), k=10).collect()
+    ]
+    got = [(u, float(sc)) for u, sc, _ in local.search("merge OR window", k=10)]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
