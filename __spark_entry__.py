@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dfr_disjunction"] = _pq_dfr_disjunction
+    q["ib_disjunction"] = _pq_ib_disjunction
     q["hybrid_rrf"] = _pq_hybrid_rrf
     q["mlt_terms"] = _pq_mlt_terms
     q["batch_bm25_topk"] = _pq_batch_bm25
@@ -440,6 +441,21 @@ def _pq_mlt_terms(spark, sf_dir):
     return df.select("term", F.round("score", 4).alias("score_r"))
 
 
+def _pq_ib_disjunction(spark, sf_dir):
+    """IB LL/DF/H2 disjunctive top-k through the block-max pruned path."""
+    import numpy as np
+
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(_get_index(spark, sf_dir), dtype=np.float64, similarity="ib")
+    hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_hybrid_rrf(spark, sf_dir):
     """Hybrid search: BM25 text top-10 fused with brute-force cosine ANN
     top-10 (query = vec 0's embedding) by Reciprocal Rank Fusion with the
@@ -683,6 +699,44 @@ def _dfr_term_sql(terms: list[str], k: int = K) -> str:
     SELECT log2((stats.doc_count + 1.0) /
                 (stats.doc_count * (1.0 - pow((stats.doc_count - 1.0) / stats.doc_count, n.f)) + 0.5)) AS A
     FROM stats, (SELECT count(*) AS f FROM tok WHERE term = '{t}') n) w
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
+    return (
+        f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+q AS (SELECT doc_id, CAST(({qlen}) AS DOUBLE) AS d FROM dl),
+"""
+        + ", ".join(per)
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _ib_term_sql(terms: list[str], k: int = K) -> str:
+    """Disjunctive IB LL/DF/H2: s = -ln(lambda/(tfn+lambda));
+    lambda = float32((df+1)/(N+1)) (LambdaDF's float cast -> CAST AS REAL);
+    tfn = freq * log2(1 + avgdl/dl) with the SmallFloat-quantized dl."""
+    qlen = _qlen("dl.len")
+    per = []
+    for i, t in enumerate(terms):
+        per.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id,
+         -ln(w.lam / (tf.freq * log2(1 + (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)) / q.d)
+                      + w.lam)) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats
+  CROSS JOIN (
+    SELECT CAST(CAST((n.df + 1.0) / (stats.doc_count + 1.0) AS REAL) AS DOUBLE) AS lam
+    FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}') n) w
 )"""
         )
     unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
@@ -963,6 +1017,7 @@ FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
 WHERE i / (na.cnt + nb.cnt - i) >= 0.7
 """
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
+    o["ib_disjunction"] = _ib_term_sql(["merge", "window", "spark"])
     _b0 = _bm25_term_sql([("table", 1.0)], K)
     _b1 = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], K)
     _b2 = _bm25_conj_sql(["table", "scan"], k=K)
