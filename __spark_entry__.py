@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dfr_disjunction"] = _pq_dfr_disjunction
     q["ib_disjunction"] = _pq_ib_disjunction
+    q["events_windowed_counts"] = _pq_events_windowed
     q["hybrid_rrf"] = _pq_hybrid_rrf
     q["mlt_terms"] = _pq_mlt_terms
     q["batch_bm25_topk"] = _pq_batch_bm25
@@ -439,6 +440,22 @@ def _pq_mlt_terms(spark, sf_dir):
     sel = mlt_select_terms(reader, url_for_doc_id(0))
     df = spark.createDataFrame([(t, float(s)) for t, s in sel], "term string, score double")
     return df.select("term", F.round("score", 4).alias("score_r"))
+
+
+def _pq_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour event-time windows by event_type — the batch face of
+    the watermarked streaming aggregation (streaming/windows.py; the same
+    function runs on readStream with a watermark)."""
+    from lucene_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = windowed_event_counts(ev, window="1 hour", keys=("event_type",))
+    return agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 4).alias("sum_value_r"),
+    )
 
 
 def _pq_ib_disjunction(spark, sf_dir):
@@ -1018,6 +1035,14 @@ WHERE i / (na.cnt + nb.cnt - i) >= 0.7
 """
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
     o["ib_disjunction"] = _ib_term_sql(["merge", "window", "spark"])
+    o["events_windowed_counts"] = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value_r
+FROM events
+GROUP BY 1, 2
+"""
     _b0 = _bm25_term_sql([("table", 1.0)], K)
     _b1 = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], K)
     _b2 = _bm25_conj_sql(["table", "scan"], k=K)

@@ -1,3 +1,4 @@
 from .ingest import monitor_stream, start_index_stream
+from .windows import windowed_event_counts
 
-__all__ = ["monitor_stream", "start_index_stream"]
+__all__ = ["monitor_stream", "start_index_stream", "windowed_event_counts"]

@@ -1,0 +1,45 @@
+"""Watermarked windowed aggregation over an event stream.
+
+The Structured-Streaming half of the engine's analytics surface: tumbling
+event-time windows with a watermark bounding how late data may arrive
+before its window's state is finalized and dropped. The SAME function
+serves the batch path (a plain `groupBy(window(...))` — `withWatermark`
+only applies when the DataFrame is streaming), so batch results are the
+oracle for the streaming results (tested both ways in
+tests/test_streaming_windows.py).
+
+At scale this is the canonical Spark shape: one shuffle on
+(window, keys) with map-side partial aggregation; state store size is
+bounded by the watermark (late windows are evicted), so it runs
+indefinitely on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """(window_start, *keys, n, sum_value) per tumbling event-time window.
+
+    Streaming input: a watermark of ``watermark`` is applied first, so in
+    append output mode a window emits once the watermark passes its end,
+    and events later than the watermark are dropped (late-data policy).
+    Batch input: identical aggregation, no watermark (exact).
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
+    )

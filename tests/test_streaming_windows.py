@@ -1,0 +1,88 @@
+"""Watermarked windowed aggregation (streaming/windows.py): streaming
+results equal the batch aggregation of the same input, and events later
+than the watermark are dropped in append mode."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.streaming import windowed_event_counts
+
+_SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(spec):
+    return [(dt.datetime(2024, 1, 1, h, m), et, float(v)) for h, m, et, v in spec]
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    batch1 = _rows([(10, 5, "click", 1.0), (10, 20, "view", 2.0), (11, 1, "click", 3.0)])
+    batch2 = _rows([(11, 30, "click", 4.0), (12, 2, "view", 5.0)])
+    _write(spark, batch1, src)
+    _write(spark, batch2, src)
+
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_complete")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM win_complete").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(
+            spark.read.parquet(src), window="1 hour"
+        ).collect()
+    }
+    assert got == want
+    # 10h:click, 10h:view, 11h:click (2 events summed), 12h:view
+    assert len(want) == 4
+    k11 = (dt.datetime(2024, 1, 1, 11), "click")
+    assert want[k11] == (2, 7.0)
+
+
+def test_late_events_dropped_past_watermark(spark, tmp_path):
+    src = str(tmp_path / "late_src")
+    # batch 1 establishes watermark: max ts 12:00 - 10 min = 11:50
+    _write(spark, _rows([(10, 0, "click", 1.0), (12, 0, "click", 1.0)]), src)
+
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_append")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event in the 09:00 window (ends 10:00 < watermark
+        # 11:50 -> DROPPED) and one at 11:55 (>= watermark -> kept, in state)
+        _write(spark, _rows([(9, 30, "late", 99.0), (11, 55, "click", 2.0)]), src)
+        q.processAllAvailable()
+        # batch 3 advances event time so every live window expires and emits
+        _write(spark, _rows([(14, 0, "click", 1.0)]), src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_append").collect()
+    finally:
+        q.stop()
+    emitted = {(r["window_start"].hour, r["event_type"]): r["n"] for r in rows}
+    assert (9, "late") not in emitted  # later than watermark -> dropped
+    assert emitted.get((10, "click")) == 1
+    assert emitted.get((11, "click")) == 1  # the 11:55 event was kept
+    assert emitted.get((12, "click")) == 1
