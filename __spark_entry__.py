@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 K = 10
-_INDEX_VERSION = "v5"  # bumped: index_sort + second analyzed field "head"
+_INDEX_VERSION = "v7"  # bumped: embedding + source stored columns (knn, taxonomy)
 _INDEXES: dict[str, str] = {}
 
 
@@ -40,11 +40,28 @@ def _get_index(spark: SparkSession, sf_dir: str):
 
     root = _index_root(sf_dir)
     if sf_dir not in _INDEXES:
-        pages = pages_from_documents(spark, sf_dir).withColumn(
-            # a short "title-ish" second analyzed field for multi-field
-            # scoring (CombinedFieldQuery): the first 8 whitespace tokens
-            "head",
-            F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')"),
+        from lucene_spark.pages import doc_id_for_url_col
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        pages = (
+            pages_from_documents(spark, sf_dir)
+            .withColumn(
+                # a short "title-ish" second analyzed field for multi-field
+                # scoring (CombinedFieldQuery): the first 8 whitespace tokens
+                "head",
+                F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')"),
+            )
+            # doc values as stored columns: vector (KnnQuery) + source
+            # (taxonomy facet path component)
+            .withColumn("doc_id", doc_id_for_url_col())
+            .join(emb, "doc_id", "left")
+            .join(src, "doc_id", "left")
+            .drop("doc_id")
         )
         build_index(
             spark,
@@ -53,7 +70,7 @@ def _get_index(spark: SparkSession, sf_dir: str):
             build_id="b0000",
             num_segments=4,
             num_buckets=4,
-            stored_cols=("lang", "text"),
+            stored_cols=("lang", "text", "embedding", "source"),
             positions=True,
             index_sort=("length", "desc"),
             text_fields={"head": "head"},
@@ -163,6 +180,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wildcard_heavy"] = _pq_wildcard_heavy
     q["interval_near"] = _pq_interval_near
     q["combined_fields"] = _pq_combined_fields
+    # -- round 3: knn AST node, function score, fuzzy, distributed spell --
+    q["knn_bool_filtered"] = _pq_knn_bool_filtered
+    q["function_score"] = _pq_function_score
+    q["fuzzy_edit1"] = _pq_fuzzy
+    q["spell_suggest_topk"] = _pq_spell_suggest
+    q["multi_phrase"] = _pq_multi_phrase
+    q["interval_or_near"] = _pq_interval_or_near
+    q["common_terms"] = _pq_common_terms
+    q["facet_taxonomy_counts"] = _pq_facet_taxonomy
+    q["suggest_weighted"] = _pq_suggest_weighted
     return q
 
 
@@ -557,6 +584,138 @@ def _pq_ann_filtered(spark, sf_dir):
         e, _query_vectors(spark, sf_dir), k=10, where="vec_id % 2 = 0"
     )
     return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _knn_query_vector(spark, sf_dir, vec_id: int = 7):
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == vec_id)
+        .collect()[0]
+    )
+    return tuple(float(x) for x in row["embedding"])
+
+
+def _pq_knn_bool_filtered(spark, sf_dir):
+    """KnnFloatVectorQuery as a first-class AST node through
+    searcher.search(): exact cosine top-k over the subset accepted by a
+    BooleanQuery pre-filter (term containment AND a doc-values predicate)
+    — KnnFloatVectorQuery.java:60-110's accepted-docs contract."""
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    flt = Q.BooleanQuery.build(
+        (Q.FILTER, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.DocValuesQuery("lang = 'en'")),
+    )
+    q = Q.KnnQuery("embedding", _knn_query_vector(spark, sf_dir), k=K, filter=flt)
+    from lucene_spark.pages import doc_id_for_url_col
+
+    hits = s.search(q, k=K)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_function_score(spark, sf_dir):
+    """FunctionScoreQuery: BM25 disjunction boosted by a doc-values
+    expression (score = inner * ln(1 + length)), served by the two-pass
+    admissible pruned maxscore path."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.FunctionScoreQuery(parse("table OR scan"), "ln(1 + length)")
+    hits = s.search(q, k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_fuzzy(spark, sf_dir):
+    """FuzzyQuery (edit distance <= 1, constant-score rewrite)."""
+    return _hits_df(_searcher(spark, sf_dir), "tabl~1", mode="exhaustive")
+
+
+def _pq_spell_suggest(spark, sf_dir):
+    """Distributed DirectSpellChecker: JVM-side levenshtein inside the
+    dictionary scan, TakeOrderedAndProject top-k (driver sees k rows)."""
+    from lucene_spark.search.suggest import spell_suggest_frame
+
+    reader = _get_index(spark, sf_dir)
+    return spell_suggest_frame(reader, "tabel", k=5, max_edits=2).select(
+        "term", "df", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _pq_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery: slot-0 alternatives (table|merge) followed by
+    'scan' — "(table|merge) scan" exact phrase."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.MultiPhraseQuery("text", (("table", "merge"), ("scan",)))
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_interval_or_near(spark, sf_dir):
+    """Nested interval source: ordered(or(table, merge), scan) with
+    maxgaps=2 — synonym-aware proximity (Intervals.or inside ordered)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import IOr, IOrdered, ITerm
+
+    s = _searcher(spark, sf_dir)
+    src = IOrdered((IOr((ITerm("table"), ITerm("merge"))), ITerm("scan")), max_gaps=2)
+    q = Q.IntervalSourceQuery("text", src)
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_common_terms(spark, sf_dir):
+    """CommonTermsQuery('dup', 'the'): 'the' is corpus-common (df above
+    20% of docs) so it demotes to SHOULD; rare 'dup' stays MUST."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.CommonTermsQuery("text", ("dup", "the"), max_term_frequency=0.2)
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_facet_taxonomy(spark, sf_dir):
+    """Taxonomy facet rollup over hits of 'table': path = source/lang,
+    every ancestor counted (FastTaxonomyFacetCounts)."""
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import taxonomy_counts
+
+    s = _searcher(spark, sf_dir)
+    return taxonomy_counts(
+        s, parse("table"), F.concat_ws("/", F.col("source"), F.col("lang"))
+    )
+
+
+def _pq_suggest_weighted(spark, sf_dir):
+    """Weighted completion: 's' prefix ranked by total term freq desc —
+    an ordering doc_freq ranking would NOT produce."""
+    from lucene_spark.search.suggest import weighted_complete_frame
+
+    reader = _get_index(spark, sf_dir)
+    return weighted_complete_frame(reader, "s", k=5)
 
 
 def _pq_lang_id(spark, sf_dir):
@@ -989,6 +1148,141 @@ WITH tok AS ({_TOK})
 SELECT doc_id, 1.0 AS score_r
 FROM (SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, '^.*a.*$'))
 ORDER BY doc_id ASC LIMIT 1000
+"""
+    # FunctionScoreQuery: BM25(table OR scan) * ln(1 + analyzed length)
+    fs_base = _bm25_term_sql([("table", 1.0), ("scan", 1.0)], k=K)
+    o["function_score"] = (
+        fs_base.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id, round(score * ln(1 + dl2.len), 4) AS score_r
+FROM agg JOIN dl dl2 ON dl2.doc_id = agg.doc_id
+ORDER BY score * ln(1 + dl2.len) DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
+    # KnnQuery through the searcher: exact cosine top-k over the subset
+    # accepted by (contains 'table' AND lang = 'en'); score = (1 + cos)/2
+    _VEQ = (
+        "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings"
+    )
+    o["knn_bool_filtered"] = f"""
+WITH tok AS ({_TOK}),
+u AS ({_VEQ}),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),
+qv AS (SELECT i, x FROM u WHERE vec_id = 7),
+qn AS (SELECT sqrt(sum(x * x)) AS nv FROM qv),
+allowed AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.lang = 'en'
+    AND d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+),
+dp AS (
+  SELECT u.vec_id AS doc_id, sum(qv.x * u.x) AS dot
+  FROM qv JOIN u ON u.i = qv.i
+  WHERE u.vec_id IN (SELECT doc_id FROM allowed)
+  GROUP BY 1
+),
+s AS (
+  SELECT dp.doc_id, (1.0 + dp.dot / (qn.nv * nrm.nv)) / 2.0 AS s
+  FROM dp CROSS JOIN qn JOIN nrm ON nrm.vec_id = dp.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM s ORDER BY s DESC, doc_id ASC LIMIT {K}
+"""
+    # FuzzyQuery edit-distance <= 1 from 'tabl', constant-score rewrite
+    o["fuzzy_edit1"] = _constant_match_sql("levenshtein(term, 'tabl') <= 1")
+    # distributed DirectSpellChecker: dist asc, df desc, term asc top-5
+    o["spell_suggest_topk"] = f"""
+WITH tok AS ({_TOK}),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+c AS (
+  SELECT term, df, CAST(levenshtein(term, 'tabel') AS BIGINT) AS dist
+  FROM d WHERE length(term) BETWEEN 3 AND 7 AND term <> 'tabel'
+)
+SELECT term, df, dist FROM c WHERE dist <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+"""
+    # MultiPhraseQuery "(table|merge) scan": slot-union phrase freq, idf
+    # summed over ALL terms (table + merge + scan)
+    qlen_mp = _qlen("dl.len")
+    o["multi_phrase"] = f"""
+WITH tokp AS ({_TOKP}),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen_mp}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+pf AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('table', 'merge') AND b.term = 'scan'
+  GROUP BY a.doc_id
+),
+w AS (
+  SELECT (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'table') n)
+       + (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge') n)
+       + (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'scan') n) AS w
+  FROM stats
+)
+SELECT pf.doc_id, round(w.w - w.w / (1.0 + pf.freq * inv.norm_inv), 4) AS score_r
+FROM pf JOIN inv ON inv.doc_id = pf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT {K}
+"""
+    # nested interval: ordered(or(table, merge), scan), maxgaps 2 — the
+    # first leg's positions are the UNION of the two alternatives
+    o["interval_or_near"] = f"""
+WITH tokp AS ({_TOKP}),
+a AS (SELECT doc_id, pos FROM tokp WHERE term IN ('table', 'merge')),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'scan'),
+pairs AS (
+  SELECT a.doc_id, a.pos AS s,
+         (SELECT min(b.pos) FROM b WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+  FROM a
+),
+per_end AS (SELECT doc_id, max(s) AS s, e FROM pairs WHERE e IS NOT NULL GROUP BY doc_id, e),
+minimal AS (SELECT doc_id, s, min(e) AS e FROM per_end GROUP BY doc_id, s),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+  FROM minimal WHERE (e - s - 1) <= 2 GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # CommonTermsQuery(dup, the) cutoff 0.2: +dup the — rare term gates
+    # the match, the common term only boosts
+    ct_base = _bm25_term_sql([("dup", 1.0), ("the", 1.0)], k=K)
+    o["common_terms"] = (
+        ct_base.split(",\nu AS")[0]
+        + f""",
+agg AS (
+  SELECT t0.doc_id, t0.s + coalesce(t1.s, 0) AS score
+  FROM t0 LEFT JOIN t1 ON t1.doc_id = t0.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
+"""
+    )
+    # taxonomy rollup over hits of 'table': count source and source/lang
+    o["facet_taxonomy_counts"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+p AS (SELECT d.source AS s1, d.source || '/' || d.lang AS s2
+      FROM documents d JOIN hit USING (doc_id))
+SELECT path, count(*) AS count FROM (
+  SELECT s1 AS path FROM p UNION ALL SELECT s2 FROM p
+) GROUP BY 1
+"""
+    # weighted completion: total-term-freq ranking (not doc freq)
+    o["suggest_weighted"] = f"""
+WITH tok AS ({_TOK})
+SELECT term, count(*) AS weight FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5
 """
     o.update(_pipeline_oracles())
     return o

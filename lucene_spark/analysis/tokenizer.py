@@ -180,7 +180,13 @@ def _scan_vectorized(text: str, base_offset: int, out: list[tuple[str, int, int]
     text costs O(n) numpy instead of a per-codepoint Python loop."""
     import numpy as np
 
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    try:
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    except UnicodeEncodeError:
+        # dirty web text can carry lone surrogates, which utf-32 refuses to
+        # encode; the scalar scanner handles them (chr round-trip is exact)
+        _scan(text, base_offset, out)
+        return
     n = len(cps)
     if n == 0:
         return

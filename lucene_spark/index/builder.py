@@ -43,6 +43,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
+import threading
 import time
 import zlib
 from collections import Counter
@@ -326,6 +327,9 @@ def _invert_segment(field, num_buckets, salted=False, positions=False, routed=Fa
     return fn
 
 
+_CONF_LOCK = threading.Lock()  # serializes the session-conf window below
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -516,17 +520,22 @@ def build_index(
     # AQE partition-coalescing would merge the routed reducers back into
     # shared tasks (it targets bytes, not placement) — suspend it for the
     # inversion job only.
+    # The conf window is session-global state: serialize it under a process
+    # lock so two concurrent build_index calls on one SparkSession can't
+    # interleave set/restore (merge jobs use explicit repartition widths and
+    # never touch session conf, so they are safe to run alongside).
     _ck = "spark.sql.adaptive.coalescePartitions.enabled"
     _sk = "spark.sql.shuffle.partitions"
-    _prev_coalesce = spark.conf.get(_ck, "true")
-    _prev_shuffle = spark.conf.get(_sk)
-    spark.conf.set(_ck, "false")
-    spark.conf.set(_sk, str(n_part))  # the width the routes were planned for
-    try:
-        blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
-    finally:
-        spark.conf.set(_ck, _prev_coalesce)
-        spark.conf.set(_sk, _prev_shuffle)
+    with _CONF_LOCK:
+        _prev_coalesce = spark.conf.get(_ck, "true")
+        _prev_shuffle = spark.conf.get(_sk)
+        spark.conf.set(_ck, "false")
+        spark.conf.set(_sk, str(n_part))  # the width the routes were planned for
+        try:
+            blocks.write.mode("overwrite").partitionBy("seg", "bucket").parquet(postings_path)
+        finally:
+            spark.conf.set(_ck, _prev_coalesce)
+            spark.conf.set(_sk, _prev_shuffle)
     t_postings = time.time() - t0 - t_analysis
 
     # (term_dict is a *view*: postings rows with block_id == 0 — parquet

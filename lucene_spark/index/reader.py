@@ -139,8 +139,11 @@ class IndexReader:
             .distinct()
         )
         if limit is not None:
-            rows = df.limit(limit + 1).collect()
-            terms = sorted(r["term"] for r in rows)
+            # deterministic cap: ordered take (TakeOrderedAndProject), so a
+            # truncated expansion is always the same lexicographic prefix of
+            # the dictionary, never a partition-order-dependent subset
+            rows = df.orderBy("term").limit(limit + 1).collect()
+            terms = [r["term"] for r in rows]
             return terms[:limit], len(rows) > limit
         rows = df.collect()
         return sorted(r["term"] for r in rows)

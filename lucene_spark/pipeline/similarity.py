@@ -91,8 +91,20 @@ def kmeans_centroids(
     sample: int = 4096,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means on a fixed-seed sample (driver-side —
-    centroids are a small model, the heavy assignment stays distributed)."""
-    pdf = df.select(vec_col).limit(sample).toPandas()
+    centroids are a small model, the heavy assignment stays distributed).
+
+    The sample is a seeded Bernoulli draw over the WHOLE table (every
+    partition contributes), not a ``limit`` — limit takes whatever
+    partitions answer first, which skews centroids toward one file's data
+    distribution at scale. The fraction is derived from a cheap count; the
+    trailing limit only trims Bernoulli overshoot."""
+    total = df.count()
+    if total > sample:
+        frac = min(1.0, (sample * 1.3) / total)
+        sdf = df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample)
+    else:
+        sdf = df.select(vec_col)
+    pdf = sdf.toPandas()
     m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]

@@ -46,7 +46,9 @@ def batch_search(
     infos = {}
     for qid, q in queries.items():
         info = _classify(q)
-        if info is None or info.get("filters"):
+        if info is None or info.get("filters") or (
+            info.get("collapsed") and info["msm"] >= 1
+        ):
             raise ValueError(
                 f"batch_search supports flat term boolean shapes; query {qid!r} "
                 "needs the single-query searcher"

@@ -160,6 +160,71 @@ def sorted_top_hits_indexed(
     return matched.join(full, ["seg", "doc"]).orderBy(*order).limit(k)
 
 
+def taxonomy_counts(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    path_col,
+    sep: str = "/",
+    field: str = "text",
+) -> DataFrame:
+    """Hierarchical facet counts (FastTaxonomyFacetCounts, reference
+    facet/src/java/org/apache/lucene/facet/taxonomy/FastTaxonomyFacetCounts.java):
+    every matching doc increments EVERY ancestor of its taxonomy path —
+    a doc at ``a/b/c`` counts toward ``a``, ``a/b`` and ``a/b/c``
+    (the taxonomy ordinal -> parent rollup, :76-125).
+
+    ``path_col`` is a Column expression (or name) yielding the
+    ``sep``-joined path over the docs table's stored columns. The rollup
+    explodes each match to its path PREFIXES with pure column algebra
+    (transform over sequence — whole-stage codegen, no UDF) and runs one
+    hash aggregate: shuffle O(matches x depth), never O(corpus)."""
+    m = _matches_with_docs(searcher, q, field).withColumn(
+        "_path", path_col if not isinstance(path_col, str) else F.col(path_col)
+    )
+    parts = F.split(F.col("_path"), sep)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), sep),
+    )
+    return (
+        m.select(F.explode(prefixes).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def taxonomy_drill_down(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    path_col,
+    prefix: str,
+    sep: str = "/",
+    field: str = "text",
+) -> DataFrame:
+    """Drill-down (DrillDownQuery, reference
+    facet/src/java/org/apache/lucene/facet/DrillDownQuery.java): restrict
+    matches to docs under ``prefix``, then count the IMMEDIATE child
+    level — the facet panel after clicking a node."""
+    m = _matches_with_docs(searcher, q, field).withColumn(
+        "_path", path_col if not isinstance(path_col, str) else F.col(path_col)
+    )
+    depth = len(prefix.split(sep))
+    under = m.filter(
+        (F.col("_path") == prefix) | F.col("_path").startswith(prefix + sep)
+    )
+    parts = F.split(F.col("_path"), sep)
+    child = F.when(
+        F.size(parts) > depth,
+        F.array_join(F.slice(parts, F.lit(1), F.lit(depth + 1)), sep),
+    )
+    return (
+        under.select(child.alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").alias("count"))
+    )
+
+
 def distinct_count(
     searcher: IndexSearcher, q: Q.Query, col: str, approx: bool = False, field: str = "text"
 ) -> int:

@@ -96,6 +96,9 @@ def highlight_hits(
                 for s, e in matches:
                     if s < window[0] or s >= window[1]:
                         continue
+                    # clamp to the window so the snippet never exceeds
+                    # max_passage_chars and the tail slice stays consistent
+                    e = min(e, window[1])
                     parts.append(text[cur:s])
                     parts.append(pre + text[s:e] + post)
                     cur = e

@@ -19,6 +19,9 @@ need no BM25 plumbing — only positions.
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
+from dataclasses import dataclass
+
 import numpy as np
 
 
@@ -93,6 +96,283 @@ def interval_freq(plists: list, ordered: bool, max_gaps: int = -1) -> float:
             continue
         freq += 1.0 / max(length - n + 1, 1)
     return freq
+
+
+# ---------------------------------------------------------------------------
+# nested interval sources (Intervals.or / containing / containedBy and
+# ordered/unordered over arbitrary sub-sources — reference
+# queries/intervals/Intervals.java: or(:120), ordered(:76), unordered(:89),
+# containing(:257), containedBy(:269), maxgaps(:390))
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ISource:
+    """Base of the interval-source AST (IntervalsSource)."""
+
+
+@dataclass(frozen=True)
+class ITerm(ISource):
+    term: str
+
+
+@dataclass(frozen=True)
+class IOr(ISource):
+    """Union of sub-sources' intervals (Intervals.or -> DisjunctionIntervalsSource)."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IOrdered(ISource):
+    """Sub-sources in order, non-overlapping (child i ends before child
+    i+1 starts — OrderedIntervalsSource); ``max_gaps`` filters on
+    (length - minExtent) like Intervals.maxgaps."""
+
+    sources: tuple
+    max_gaps: int = -1
+
+
+@dataclass(frozen=True)
+class IUnordered(ISource):
+    """Window containing one interval of every sub-source in any order
+    (UnorderedIntervalsSource)."""
+
+    sources: tuple
+    max_gaps: int = -1
+
+
+@dataclass(frozen=True)
+class IContaining(ISource):
+    """Intervals of ``big`` that contain an interval of ``small``
+    (ContainedByIntervalsSource's dual, Intervals.containing)."""
+
+    big: ISource
+    small: ISource
+
+
+@dataclass(frozen=True)
+class IContainedBy(ISource):
+    """Intervals of ``small`` lying inside an interval of ``big``
+    (Intervals.containedBy)."""
+
+    small: ISource
+    big: ISource
+
+
+def leaf_terms(src: ISource) -> list[str]:
+    """Unique leaf terms, order-preserving."""
+    if isinstance(src, ITerm):
+        return [src.term]
+    if isinstance(src, (IOr, IOrdered, IUnordered)):
+        out: list[str] = []
+        for s in src.sources:
+            for t in leaf_terms(s):
+                if t not in out:
+                    out.append(t)
+        return out
+    if isinstance(src, IContaining):
+        kids = [src.big, src.small]
+    elif isinstance(src, IContainedBy):
+        kids = [src.small, src.big]
+    else:  # pragma: no cover
+        raise TypeError(type(src))
+    out = []
+    for s in kids:
+        for t in leaf_terms(s):
+            if t not in out:
+                out.append(t)
+    return out
+
+
+def required_terms(src: ISource) -> list[list[str]]:
+    """CNF-ish presence requirement: a doc can match only if, for every
+    returned group, at least one of the group's terms is present. Drives
+    the candidate intersection (phase 1) — admissible, never drops a
+    matching doc."""
+    if isinstance(src, ITerm):
+        return [[src.term]]
+    if isinstance(src, IOr):
+        # a doc needs ANY leaf of any branch
+        return [leaf_terms(src)]
+    if isinstance(src, (IOrdered, IUnordered)):
+        groups: list[list[str]] = []
+        for s in src.sources:
+            groups.extend(required_terms(s))
+        return groups
+    if isinstance(src, IContaining):
+        return required_terms(src.big) + required_terms(src.small)
+    if isinstance(src, IContainedBy):
+        return required_terms(src.small) + required_terms(src.big)
+    raise TypeError(type(src))  # pragma: no cover
+
+
+def min_extent(src: ISource) -> int:
+    """Smallest possible interval length (IntervalsSource.minExtent)."""
+    if isinstance(src, ITerm):
+        return 1
+    if isinstance(src, IOr):
+        return min(min_extent(s) for s in src.sources)
+    if isinstance(src, (IOrdered, IUnordered)):
+        return sum(min_extent(s) for s in src.sources)
+    if isinstance(src, IContaining):
+        return min_extent(src.big)
+    if isinstance(src, IContainedBy):
+        return min_extent(src.small)
+    raise TypeError(type(src))  # pragma: no cover
+
+
+def _minimalize(cands) -> list[tuple[int, int]]:
+    """Smallest containment-free subset covering the candidate set: sweep
+    by start descending, keep an interval iff its end is strictly below
+    every kept interval with a larger-or-equal start."""
+    out = []
+    best_end = None
+    for s, e in sorted(set(cands), key=lambda x: (-x[0], x[1])):
+        if best_end is None or e < best_end:
+            out.append((s, e))
+            best_end = e
+    return sorted(out)
+
+
+def eval_source(src: ISource, pos: dict[str, list]) -> list[tuple[int, int]]:
+    """Minimal intervals of ``src`` for one doc, given per-term sorted
+    position lists; result sorted by start (ends also ascending — the
+    containment-free invariant)."""
+    if isinstance(src, ITerm):
+        return [(int(p), int(p)) for p in pos.get(src.term, ())]
+    if isinstance(src, IOr):
+        cands: list[tuple[int, int]] = []
+        for s in src.sources:
+            cands.extend(eval_source(s, pos))
+        return _minimalize(cands)
+    if isinstance(src, IOrdered):
+        kids = [eval_source(s, pos) for s in src.sources]
+        if any(not k for k in kids):
+            return []
+        out: list[tuple[int, int]] = []
+        last_start = -1
+        # per last-child interval, greedily maximize every earlier start
+        # walking right-to-left (the generalization of ordered_intervals:
+        # child i must END strictly before child i+1 STARTS)
+        kid_ends = [[e for _, e in k] for k in kids[:-1]]
+        for s_last, e_last in kids[-1]:
+            bound = s_last
+            start = s_last
+            ok = True
+            for ci in range(len(kids) - 2, -1, -1):
+                j = bisect_left(kid_ends[ci], bound) - 1  # max end < bound
+                if j < 0:
+                    ok = False
+                    break
+                start, _e = kids[ci][j]
+                bound = start
+            if ok and start > last_start:
+                out.append((start, e_last))
+                last_start = start
+        return _filter_gaps(out, src)
+    if isinstance(src, IUnordered):
+        kids = [eval_source(s, pos) for s in src.sources]
+        if any(not k for k in kids):
+            return []
+        kid_ends = [[e for _, e in k] for k in kids]
+        all_ends = sorted({e for k in kids for _, e in k})
+        cands = []
+        for E in all_ends:
+            s_min, e_max = None, None
+            ok = True
+            for ci, k in enumerate(kids):
+                j = bisect_right(kid_ends[ci], E) - 1  # latest end <= E
+                if j < 0:
+                    ok = False
+                    break
+                s, e = k[j]
+                s_min = s if s_min is None else min(s_min, s)
+                e_max = e if e_max is None else max(e_max, e)
+            if ok:
+                cands.append((s_min, e_max))
+        return _filter_gaps(_minimalize(cands), src)
+    if isinstance(src, IContaining):
+        big = eval_source(src.big, pos)
+        small = eval_source(src.small, pos)
+        if not small:
+            return []
+        starts = [s for s, _ in small]
+        ends = [e for _, e in small]
+        out = []
+        for s, e in big:
+            # any small interval with start >= s and end <= e?
+            j = bisect_left(starts, s)  # first small starting at/after s
+            if j < len(small) and ends[j] <= e:
+                out.append((s, e))
+        return out
+    if isinstance(src, IContainedBy):
+        small = eval_source(src.small, pos)
+        big = eval_source(src.big, pos)
+        if not big:
+            return []
+        starts = [s for s, _ in big]
+        ends = [e for _, e in big]
+        out = []
+        for s, e in small:
+            # any big interval with start <= s and end >= e? containment-
+            # free big list: the best candidate is the LAST big starting
+            # at/before s (later starts have later ends)
+            j = bisect_right(starts, s) - 1
+            if j >= 0 and ends[j] >= e:
+                out.append((s, e))
+        return out
+    raise TypeError(type(src))  # pragma: no cover
+
+
+def _filter_gaps(ivs, src) -> list[tuple[int, int]]:
+    if src.max_gaps < 0:
+        return ivs
+    me = min_extent(src)
+    return [(s, e) for s, e in ivs if (e - s + 1) - me <= src.max_gaps]
+
+
+def source_freq(src: ISource, pos: dict[str, list]) -> float:
+    """Sloppy frequency of a nested source (IntervalScorer.java:63-67):
+    sum over minimal intervals of 1/max(length - minExtent + 1, 1)."""
+    me = min_extent(src)
+    return sum(
+        1.0 / max((e - s + 1) - me + 1, 1) for s, e in eval_source(src, pos)
+    )
+
+
+def scored_interval_source(searcher, q, field: str):
+    """(seg, doc, score) for an IntervalSourceQuery — the nested-source
+    generalization of scored_intervals, on the shared positions kernel.
+    Candidate intersection uses the source's required-term groups (an OR
+    branch contributes a union group, so synonym-aware proximity never
+    drops a doc that only has one alternative)."""
+    from .phrase import scored_positions_kernel
+
+    reader = searcher.reader
+    if not reader._manifests[reader._builds[0]].get("positions"):
+        raise ValueError("IntervalSourceQuery needs an index built with positions=True")
+    src = q.source
+    uniq = leaf_terms(src)
+    stats = reader.term_stats(uniq, field)
+    groups = [[t for t in g if t in stats] for g in required_terms(src)]
+    if any(not g for g in groups):
+        return None  # some required group has no indexed term at all
+    pivot = float(q.pivot)
+    boost = float(q.boost)
+
+    def score_doc(pos_by_uniq, norm_byte):
+        pos = dict(zip(uniq, pos_by_uniq))
+        freq = source_freq(src, pos)
+        if freq <= 0.0:
+            return None
+        return boost * (1.0 - pivot / (pivot + freq))
+
+    groups = sorted(groups, key=lambda g: sum(stats[t][0] for t in g))
+    return scored_positions_kernel(
+        searcher, uniq, [t for g in groups for t in g], field, score_doc,
+        term_groups=groups,
+    )
 
 
 def scored_intervals(searcher, q, field: str):

@@ -128,12 +128,21 @@ def _scored_phrase_positions(searcher, q, field: str):
     return scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc)
 
 
-def scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc):
-    """Shared positions-matching plan (phrase / interval queries):
-    one groupBy-segment shuffle of encoded blocks, rarest-first candidate
-    intersection, candidate-pruned position decode, then
+def scored_positions_kernel(
+    searcher, uniq_terms, rarest_order, field, score_doc, term_groups=None
+):
+    """Shared positions-matching plan (phrase / interval / multi-phrase
+    queries): one groupBy-segment shuffle of encoded blocks, rarest-first
+    candidate intersection, candidate-pruned position decode, then
     ``score_doc(pos_lists_by_uniq_term, norm_byte) -> float | None`` per
-    surviving candidate."""
+    surviving candidate.
+
+    ``term_groups``: optional list of term groups; a candidate doc must
+    contain at least one term of EVERY group (slot alternatives in
+    MultiPhraseQuery, OR branches in nested interval sources). Default:
+    one group per term of ``rarest_order`` (plain conjunction)."""
+    if term_groups is None:
+        term_groups = [[t] for t in rarest_order]
     reader = searcher.reader
     blocks = reader.postings(uniq_terms, field).select(
         "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
@@ -163,10 +172,13 @@ def scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc
         per_term = {}
         for term, g in pdf.groupby("term", sort=False):
             per_term[term] = g.sort_values("first_doc")
-        if any(t not in per_term for t in uniq_terms):
-            return empty
+        # a group with no present term can never be satisfied; a missing
+        # term inside a multi-term group just contributes nothing
+        for g in term_groups:
+            if all(t not in per_term for t in g):
+                return empty
 
-        # phase 1: doc-id intersection, rarest term first (doc payloads only)
+        # phase 1: doc-id intersection, rarest group first (doc payloads only)
         doc_cache: dict[tuple[str, int], np.ndarray] = {}
 
         def block_docs(t, i, row):
@@ -179,28 +191,41 @@ def scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc
                 doc_cache[(t, i)] = d
             return d
 
-        cand = None
-        for t in rarest_order:
+        def term_docs(t, cand):
+            """Docs of one term (bounded to cand's range when narrowing)."""
+            if t not in per_term:
+                return np.empty(0, dtype=np.int64)
             rows = list(per_term[t].itertuples(index=False))
             if cand is None:
-                d = np.concatenate([block_docs(t, i, r) for i, r in enumerate(rows)])
+                return np.concatenate([block_docs(t, i, r) for i, r in enumerate(rows)])
+            # decode only blocks overlapping the shrinking candidate set
+            parts = []
+            for i, r in enumerate(rows):
+                lo = np.searchsorted(cand, int(r.first_doc))
+                hi = np.searchsorted(cand, int(r.last_doc), side="right")
+                if lo < hi:
+                    parts.append(block_docs(t, i, r))
+            return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+        cand = None
+        for g in term_groups:
+            if len(g) == 1:
+                d = term_docs(g[0], cand)
             else:
-                # decode only blocks overlapping the shrinking candidate set
-                parts = []
-                for i, r in enumerate(rows):
-                    lo = np.searchsorted(cand, int(r.first_doc))
-                    hi = np.searchsorted(cand, int(r.last_doc), side="right")
-                    if lo < hi:
-                        parts.append(block_docs(t, i, r))
-                d = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+                d = np.unique(np.concatenate([term_docs(t, cand) for t in g]))
             cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
             if len(cand) == 0:
                 return empty
 
-        # phase 2: positions + norms only for candidate-overlapping blocks
+        # phase 2: positions + norms only for candidate-overlapping blocks.
+        # With groups, a candidate need not contain every term — mask block
+        # membership instead of assuming presence; norms are field-level, so
+        # any term's block row supplies a candidate's norm byte.
         pos_by_term = {t: np.empty(len(cand), dtype=object) for t in uniq_terms}
         norms_cand = np.zeros(len(cand), dtype=np.int64)
-        for ti, t in enumerate(uniq_terms):
+        for t in uniq_terms:
+            if t not in per_term:
+                continue
             out = pos_by_term[t]
             for i, row in enumerate(per_term[t].itertuples(index=False)):
                 lo = np.searchsorted(cand, int(row.first_doc))
@@ -210,17 +235,27 @@ def scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc
                 docs = block_docs(t, i, row)
                 freqs = pfor_decode(bytes(row.freq_payload), int(row.num_docs))
                 plists = decode_positions(bytes(row.pos_payload), freqs)
-                idx = np.searchsorted(docs, cand[lo:hi])  # all present
-                for ci, pi in zip(range(lo, hi), idx):
+                sub = cand[lo:hi]
+                idx = np.searchsorted(docs, sub)
+                idx_c = np.clip(idx, 0, len(docs) - 1)
+                present = docs[idx_c] == sub
+                norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
+                for off in np.nonzero(present)[0]:
+                    ci = lo + int(off)
+                    pi = int(idx_c[off])
                     out[ci] = plists[pi]
-                if ti == 0:
-                    norms = np.frombuffer(bytes(row.norm_payload), dtype=np.uint8)
-                    norms_cand[lo:hi] = norms[idx]
+                    norms_cand[ci] = norms[pi]
 
         # phase 3: per-candidate match + score via the caller's score_doc
         docs_out, scores_out = [], []
         for ci in range(len(cand)):
-            s = score_doc([pos_by_term[t][ci] for t in uniq_terms], norms_cand[ci])
+            s = score_doc(
+                [
+                    pos_by_term[t][ci] if pos_by_term[t][ci] is not None else []
+                    for t in uniq_terms
+                ],
+                norms_cand[ci],
+            )
             if s is None:
                 continue
             docs_out.append(int(cand[ci]))
@@ -236,6 +271,69 @@ def scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc
         )
 
     return blocks.groupBy("seg").applyInPandas(kernel, out_schema)
+
+
+def scored_multi_phrase(searcher, q, field: str):
+    """MultiPhraseQuery (reference search/MultiPhraseQuery.java): a phrase
+    whose slots accept term ALTERNATIVES (e.g. "big (apple|fruit)").
+
+    Semantics: a slot matches at position p when ANY of its alternatives
+    occurs at p — the slot's position list is the union of its terms'
+    lists (UnionPostingsEnum, MultiPhraseQuery.java:270-310); phrase freq
+    then follows the exact/sloppy matcher unchanged. The SimScorer's idf
+    sums over ALL terms across all slots (getStats,
+    MultiPhraseQuery.java:212-239).
+
+    Plan: the shared positions kernel with one term-GROUP per slot — the
+    candidate intersection takes the union of each slot's alternatives'
+    doc IDs (never drops a doc that has only one alternative), and decodes
+    positions only for candidate-overlapping blocks."""
+    reader = searcher.reader
+    if not reader._manifests[reader._builds[0]].get("positions"):
+        raise ValueError("MultiPhraseQuery needs an index built with positions=True")
+    slots = [list(dict.fromkeys(s)) for s in q.slots]
+    uniq = list(dict.fromkeys(t for s in slots for t in s))
+    doc_count, sum_ttf = reader.collection_stats(field)
+    stats = reader.term_stats(uniq, field)
+    # idf over every term that exists in the index (absent terms contribute
+    # no TermStatistics — allTermStats skips them)
+    live_all = [t for t in uniq if t in stats]
+    if not live_all:
+        return None
+    groups = [[t for t in s if t in stats] for s in slots]
+    if any(not g for g in groups):
+        return None  # a slot with no indexed alternative can never match
+    scorer = make_scorer(
+        [stats[t][0] for t in live_all], doc_count, sum_ttf,
+        boost=q.boost, dtype=searcher.dtype,
+    )
+    slop = q.slop
+    cache = scorer.cache
+    w = scorer.weight
+
+    def score_doc(pos_by_uniq, norm_byte):
+        by_term = dict(zip(uniq, pos_by_uniq))
+        plists = []
+        for s in slots:
+            arrs = [np.asarray(by_term[t], dtype=np.int64) for t in s]
+            merged = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+            if len(merged) == 0:
+                return None
+            plists.append(merged)
+        freq = (
+            _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
+        )
+        if freq <= 0:
+            return None
+        dt = cache.dtype.type
+        inv = cache[int(norm_byte) & 0xFF]
+        return float(w - w / (dt(1.0) + dt(freq) * inv))
+
+    groups = sorted(groups, key=lambda g: sum(stats[t][0] for t in g))
+    return scored_positions_kernel(
+        searcher, uniq, [t for g in groups for t in g], field, score_doc,
+        term_groups=groups,
+    )
 
 
 def _scored_phrase_reanalysis(searcher, q, field: str):

@@ -123,6 +123,51 @@ class IntervalQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with per-slot term alternatives (reference
+    search/MultiPhraseQuery.java): slot i matches when ANY of
+    ``slots[i]`` occurs at the expected position; idf sums over every
+    term across all slots (getStats, :212-239)."""
+
+    field: str
+    slots: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IntervalSourceQuery(Query):
+    """IntervalQuery over a NESTED IntervalsSource tree (Intervals.or /
+    ordered / unordered / containing / containedBy — reference
+    queries/intervals/Intervals.java), scored by the same saturation
+    function as the flat IntervalQuery. ``source`` is an
+    ``intervals.ISource``."""
+
+    field: str
+    source: object
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """CommonTermsQuery (reference
+    queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java):
+    terms whose doc freq exceeds ``max_term_frequency`` (a fraction of
+    doc_count when < 1, else an absolute df) are demoted to a SHOULD
+    group; rare terms keep ``low_freq_occur``. Rewrites against the
+    corpus stats into a plain BooleanQuery (buildQuery, :139-180) — the
+    stopword-robust web-query shape without an analysis-time stop list."""
+
+    field: str
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    low_freq_occur: str = "MUST"
+    high_freq_occur: str = "SHOULD"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     """``field IN (term, ...)`` over many terms — one bucket-pruned postings
     scan producing the constant-score doc union, instead of an N-clause
@@ -197,6 +242,54 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class KnnQuery(Query):
+    """KnnFloatVectorQuery analogue (reference
+    search/KnnFloatVectorQuery.java:1-167): top-k cosine similarity over a
+    per-document vector column, with an optional pre-filter Query — the
+    filter restricts the candidate set BEFORE vector scoring
+    (KnnFloatVectorQuery.java:60-110: the filter's accepted-doc bitset is
+    handed to the vector search). Scores are Lucene's
+    VectorSimilarityFunction.COSINE scaled similarity ``(1 + cos) / 2``
+    (index/VectorSimilarityFunction.java:58-63), times ``boost``.
+
+    Like Lucene (rewrite -> DocAndScoreQuery over exactly the top-k), the
+    node yields at most ``k`` scored docs, so it composes inside
+    BooleanQuery with any other scoring/filter clause.
+
+    ``field`` names the vector column stored in the docs table (doc values
+    re-expressed as a parquet column; pass ``vector_col`` in
+    ``build_index(stored_cols=...)`` to index it).
+    """
+
+    field: str
+    vector: tuple[float, ...]
+    k: int = 10
+    filter: "Query | None" = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """FunctionScoreQuery.boostByValue analogue (reference
+    queries/function/FunctionScoreQuery.java:60-103): final score =
+    ``boost * inner_score * factor(doc)``, where ``factor`` is a SQL
+    double expression over docs-table columns (doc values are columns
+    here), required non-negative. The match set is the wrapped query's.
+
+    Pruning: Lucene's FunctionScoreQuery reports an unbounded max score,
+    which silently disables WAND (FunctionScoreWeight's scorer does not
+    propagate setMinCompetitiveScore) — exhaustive over matching docs.
+    This engine's maxscore route instead runs an admissible two-pass
+    threshold scheme (see IndexSearcher._search_function_pruned) when the
+    wrapped query fits the kernel: provably rank-identical, still pruned.
+    """
+
+    query: Query
+    factor: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DocValuesQuery(Query):
     """Structured predicate over stored doc columns (the PointRangeQuery /
     IndexOrDocValuesQuery analogue — in Spark, doc values ARE columns, so
@@ -235,9 +328,15 @@ def _rewrite_once(q: Query, reader, field: str) -> Query:
         if reader is None:
             return q
         if isinstance(q, FuzzyQuery):
-            # dictionary scan + driver-side edit-distance post-filter; the
-            # candidate set is bounded by the length/prefix pre-filter
-            terms = _expand_fuzzy(q, reader)
+            # dictionary scan + driver-side edit-distance post-filter; when
+            # the candidate set overflows the rewrite cap, fall back to a
+            # DISTRIBUTED levenshtein predicate scan (TermPatternQuery) so
+            # no match is ever silently dropped
+            terms, truncated = _expand_fuzzy(q, reader)
+            if truncated:
+                return ConstantScoreQuery(
+                    TermPatternQuery(q.field, _fuzzy_pattern_sql(q)), boost=q.boost
+                )
             if not terms:
                 return MatchNoDocsQuery()
             return ConstantScoreQuery(TermInSetQuery(q.field, tuple(terms)), boost=q.boost)
@@ -259,9 +358,85 @@ def _rewrite_once(q: Query, reader, field: str) -> Query:
     if isinstance(q, TermInSetQuery):
         if not q.terms:
             return MatchNoDocsQuery()
+    if isinstance(q, CommonTermsQuery):
+        if reader is None:
+            return q
+        return _rewrite_common_terms(q, reader)
+    if isinstance(q, KnnQuery) and q.filter is not None:
+        import dataclasses
+
+        nf = _rewrite_once(q.filter, reader, field)
+        if isinstance(nf, MatchNoDocsQuery):
+            return MatchNoDocsQuery()
+        if nf is not q.filter:
+            return dataclasses.replace(q, filter=nf)
+    if isinstance(q, FunctionScoreQuery):
+        import dataclasses
+
+        ni = _rewrite_once(q.query, reader, field)
+        if isinstance(ni, MatchNoDocsQuery):
+            return MatchNoDocsQuery()
+        if ni is not q.query:
+            return dataclasses.replace(q, query=ni)
     if isinstance(q, BooleanQuery):
         return _rewrite_boolean(q, reader, field)
     return q
+
+
+def _rewrite_common_terms(q: CommonTermsQuery, reader) -> Query:
+    """CommonTermsQuery.rewrite (reference CommonTermsQuery.java:139-214):
+    split terms by corpus doc freq at the cutoff (fraction of doc_count
+    when max_term_frequency < 1, absolute df otherwise); low-freq terms
+    keep ``low_freq_occur``, high-freq terms move to a SHOULD-grouped
+    sub-query so a stopword-ish term boosts ranking but never gates the
+    match. All-common and all-rare edge cases collapse to a single flat
+    boolean (buildQuery's lowFreq/highFreq empty branches)."""
+    terms = [t for t in dict.fromkeys(q.terms)]
+    if not terms:
+        return MatchNoDocsQuery()
+    stats = reader.term_stats(terms, q.field)
+    doc_count, _ = reader.collection_stats(q.field)
+    cutoff = (
+        q.max_term_frequency * doc_count
+        if q.max_term_frequency < 1.0
+        else q.max_term_frequency
+    )
+    low, high = [], []
+    for t in terms:
+        df = stats.get(t, (0, 0))[0]
+        (high if df > cutoff else low).append(t)
+    mk = lambda t: TermQuery(q.field, t)
+    if not high:
+        return _apply_boost(
+            BooleanQuery.build(*[(q.low_freq_occur, mk(t)) for t in low]), q.boost
+        )
+    if not low:
+        return _apply_boost(
+            BooleanQuery.build(*[(q.high_freq_occur, mk(t)) for t in high]), q.boost
+        )
+    high_group = BooleanQuery.build(*[(SHOULD, mk(t)) for t in high])
+    return _apply_boost(
+        BooleanQuery.build(
+            *[(q.low_freq_occur, mk(t)) for t in low],
+            (q.high_freq_occur, high_group),
+        ),
+        q.boost,
+    )
+
+
+def _strip_boost(q: Query) -> tuple[Query, float]:
+    """(boost-free query, accumulated boost) — the clause-identity key for
+    duplicate merging, mirroring the BoostQuery-unwrapping loop in
+    BooleanQuery.rewrite (reference search/BooleanQuery.java:432-437)."""
+    import dataclasses
+
+    if isinstance(q, BoostQuery):
+        kq, b = _strip_boost(q.query)
+        return kq, b * q.boost
+    b = getattr(q, "boost", 1.0)
+    if b != 1.0:
+        return dataclasses.replace(q, boost=1.0), b
+    return q, 1.0
 
 
 def _apply_boost(q: Query, boost: float) -> Query:
@@ -298,16 +473,28 @@ def _rewrite_boolean(q: BooleanQuery, reader, field: str) -> Query:
             continue
         clauses.append(BooleanClause(c.occur, cq))
 
-    # dedupe SHOULD TermQuery clauses (duplicate merge)
-    seen = set()
-    out: list[BooleanClause] = []
-    for c in clauses:
-        key = (c.occur, c.query)
-        if c.occur == SHOULD and key in seen:
+    # Deduplicate SHOULD clauses by SUMMING their boosts — Lucene parity
+    # (reference search/BooleanQuery.java:428-458; SHOULD merge only when
+    # minimum_should_match <= 1, since duplicate SHOULD clauses each count
+    # toward msm). MUST clauses merge unconditionally (:460-491).
+    for occ in (SHOULD, MUST):
+        if occ == SHOULD and q.minimum_should_match > 1:
             continue
-        seen.add(key)
-        out.append(c)
-    clauses = out
+        sums: dict[Query, float] = {}
+        order: list[Query] = []
+        n_occ = 0
+        for c in clauses:
+            if c.occur != occ:
+                continue
+            n_occ += 1
+            kq, b = _strip_boost(c.query)
+            if kq not in sums:
+                sums[kq] = 0.0
+                order.append(kq)
+            sums[kq] += b
+        if sums and len(sums) != n_occ:
+            merged = [BooleanClause(occ, _apply_boost(kq, sums[kq])) for kq in order]
+            clauses = merged + [c for c in clauses if c.occur != occ]
 
     positives = [c for c in clauses if c.occur != MUST_NOT]
     if not positives:
@@ -354,13 +541,28 @@ def _pattern_sql(q: Query) -> str:
     raise TypeError(type(q))  # pragma: no cover
 
 
-def _expand_fuzzy(q: FuzzyQuery, reader) -> list[str]:
+def _fuzzy_pattern_sql(q: FuzzyQuery) -> str:
+    """Distributed FuzzyQuery predicate: Spark SQL ``levenshtein`` plus the
+    length-window / prefix bounds — semantically identical to the automaton
+    intersection, evaluated inside the postings scan (no driver term list)."""
+    lo = max(0, len(q.term) - q.max_edits)
+    hi = len(q.term) + q.max_edits
+    parts = [f"length(term) BETWEEN {lo} AND {hi}"]
+    if q.prefix_length:
+        parts.append(f"startswith(term, '{_sq(q.term[: q.prefix_length])}')")
+    parts.append(f"levenshtein(term, '{_sq(q.term)}') <= {q.max_edits}")
+    return " AND ".join(parts)
+
+
+def _expand_fuzzy(q: FuzzyQuery, reader) -> tuple[list[str], bool]:
     """Dictionary scan with edit-distance post-filter (the automaton
     intersection of FuzzyQuery rewritten as scan+filter); bounded by the
-    length window + required prefix, then capped like any rewrite."""
+    length window + required prefix, then capped like any rewrite. Returns
+    (terms, truncated) — truncated means the caller must use the
+    distributed predicate instead of this (possibly partial) expansion."""
     from pyspark.sql import functions as F
 
-    terms, _trunc = reader.expand_terms(
+    terms, trunc = reader.expand_terms(
         F.length(F.col("term")).between(
             max(0, len(q.term) - q.max_edits), len(q.term) + q.max_edits
         )
@@ -368,7 +570,10 @@ def _expand_fuzzy(q: FuzzyQuery, reader) -> list[str]:
         field=q.field,
         limit=MAX_CLAUSE_COUNT * 8,  # pre-filter set; post-filter shrinks it
     )
-    return [t for t in terms if _edit_distance_le(q.term, t, q.max_edits)][:MAX_CLAUSE_COUNT]
+    matched = [t for t in terms if _edit_distance_le(q.term, t, q.max_edits)]
+    if trunc or len(matched) > MAX_CLAUSE_COUNT:
+        return [], True
+    return matched, False
 
 
 def _edit_distance_le(a: str, b: str, k: int) -> bool:

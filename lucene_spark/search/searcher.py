@@ -94,6 +94,8 @@ class IndexSearcher:
         q = Q.rewrite(q, self.reader, field)
         if isinstance(q, Q.MatchNoDocsQuery):
             return self._empty_hits()
+        if isinstance(q, Q.FunctionScoreQuery):
+            return self._search_function(q, k, field, mode, doc_filter, after)
         info = _classify(q)
         # the pruned kernel only understands MUST/SHOULD term lists; clause
         # shapes it can't honor (MUST_NOT, FILTER, minimum_should_match with
@@ -338,6 +340,14 @@ class IndexSearcher:
             from .phrase import scored_phrase
 
             return scored_phrase(self, q, field)
+        if isinstance(q, Q.MultiPhraseQuery):
+            from .phrase import scored_multi_phrase
+
+            return scored_multi_phrase(self, q, q.field or field)
+        if isinstance(q, Q.IntervalSourceQuery):
+            from .intervals import scored_interval_source
+
+            return scored_interval_source(self, q, q.field or field)
         if isinstance(q, Q.IntervalQuery):
             from .intervals import scored_intervals
 
@@ -360,11 +370,201 @@ class IndexSearcher:
                 .select("seg", "doc")
                 .withColumn("score", F.lit(float(q.boost)))
             )
+        if isinstance(q, Q.KnnQuery):
+            return self._scored_knn(q, field)
+        if isinstance(q, Q.FunctionScoreQuery):
+            inner = self._scored_docs(q.query, field)
+            if inner is None:
+                return None
+            return (
+                inner.join(self._factor_frame(q.factor), ["seg", "doc"])
+                .select(
+                    "seg",
+                    "doc",
+                    (F.col("score") * F.col("_factor") * F.lit(float(q.boost))).alias("score"),
+                )
+            )
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, field)
         if isinstance(q, Q.CombinedFieldQuery):
             return self._scored_combined(q)
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    # -------------------------------------------------------- function score
+
+    def _factor_frame(self, factor: str) -> DataFrame:
+        """(seg, doc, _factor): the boost expression evaluated over the
+        docs-table columns (doc values are parquet columns here) — pure
+        column algebra, stays in whole-stage codegen."""
+        return self.reader.docs().select(
+            "seg", "doc", F.expr(factor).cast("double").alias("_factor")
+        )
+
+    def _search_function(
+        self,
+        q: Q.FunctionScoreQuery,
+        k: int,
+        field: str,
+        mode: str,
+        doc_filter: DataFrame | None,
+        after: tuple[float, int] | None,
+    ) -> DataFrame:
+        """FunctionScoreQuery.boostByValue (reference
+        queries/function/FunctionScoreQuery.java:60-103): score =
+        boost * inner * factor(doc). Lucene runs this exhaustively (the
+        FunctionScore weight never propagates setMinCompetitiveScore); when
+        the wrapped query fits the term kernel this engine instead uses an
+        admissible two-pass threshold scheme (_search_function_pruned) that
+        is provably rank-identical but still block-max pruned."""
+        info = _classify(q.query)
+        kernel_ok = (
+            info is not None
+            and not info["must_not"]
+            and not info["filters"]
+            and (info["msm"] <= 0 or (info["msm"] == 1 and not info["must"]))
+        )
+        pruned_ok = kernel_ok and doc_filter is None and after is None
+        if mode == "auto":
+            mode = "maxscore" if pruned_ok else "exhaustive"
+        if mode == "maxscore" and pruned_ok:
+            return self._search_function_pruned(q, info, k, info.get("field") or field)
+        return self._search_exhaustive(q, k, field, doc_filter, after)
+
+    def _search_function_pruned(
+        self, q: Q.FunctionScoreQuery, info: dict, k: int, field: str
+    ) -> DataFrame:
+        """Two-pass admissible pruning for score = inner * factor:
+
+        pass 1 — inner-score top-k through the normal block-max kernel;
+        the k candidates' FINAL scores give a lower bound tau on the true
+        k-th final score (any k candidates do).
+
+        pass 2 — every true top-k doc satisfies inner >= tau / Fmax
+        (inner * factor >= tau and factor <= Fmax), so rerun the kernel in
+        score-floor collection mode with floor = tau/Fmax, multiply the
+        survivors by their factor, and take the ordered top-k. Fmax is one
+        codegen agg over the docs scan (parquet column-stats territory at
+        scale). Shuffle volume is O(docs above the floor), not O(matches)."""
+        fdf = self._factor_frame(q.factor)
+        row = fdf.agg(
+            F.max("_factor").alias("mx"), F.min("_factor").alias("mn")
+        ).collect()[0]
+        fmax, fmin = row["mx"], row["mn"]
+        if fmax is None:
+            return self._empty_hits()
+        if fmin is not None and fmin < 0:
+            raise ValueError(
+                "FunctionScoreQuery factor must be non-negative "
+                f"(min over corpus = {fmin}); Lucene requires non-negative scores"
+            )
+        if fmax <= 0:
+            # every final score is 0 — degenerate; exhaustive keeps doc-order ties
+            return self._search_exhaustive(q, k, field, None, None)
+        boost = float(q.boost)
+        pass1 = (
+            self._search_maxscore(info, k, field)
+            .select("seg", "doc", "score")
+            .join(fdf, ["seg", "doc"])
+            .select((F.col("score") * F.col("_factor")).alias("fs"))
+            .orderBy(F.desc("fs"))
+            .limit(k)
+            .collect()
+        )
+        tau = float(pass1[-1]["fs"]) if len(pass1) >= k else 0.0
+        # 1e-9 relief absorbs the double-division rounding so a float-equal
+        # boundary doc is never pruned (floor mode is inclusive)
+        floor = (tau / float(fmax)) * (1.0 - 1e-9) if tau > 0 else 0.0
+        terms = info["should"] + info["must"]
+        boosts = {t: b * info["boost"] for t, b in info["boosts"].items()}
+        scorers = self._scorers(list(terms), boosts, field)
+        live = [t for t in terms if t in scorers]
+        if not live or (info["must"] and any(t not in scorers for t in info["must"])):
+            return self._empty_hits()
+        blocks = self.reader.postings(live, field)
+        kernel = maxscore_kernel(
+            {t: scorers[t] for t in live},
+            must_terms=[t for t in info["must"] if t in scorers],
+            k=k,
+            deletes=self.reader.deletes() if self.reader.has_deletes() else None,
+            floor=floor,
+        )
+        per_seg = blocks.groupBy("seg").applyInPandas(kernel, TOPK_SCHEMA)
+        final = per_seg.join(fdf, ["seg", "doc"]).select(
+            "seg",
+            "doc",
+            (F.col("score") * F.col("_factor") * F.lit(boost)).alias("score"),
+        )
+        return self._finalize(final, k)
+
+    def _scored_knn(self, q: Q.KnnQuery, field: str) -> DataFrame | None:
+        """KnnFloatVectorQuery: exact cosine top-k over the pre-filtered
+        doc set, yielding <= q.k scored (seg, doc) rows — the Spark shape
+        of Lucene's rewrite-to-DocAndScoreQuery (the vector search runs
+        once; composition sees only the winners). Score = boost * (1 +
+        cosine) / 2 (VectorSimilarityFunction.COSINE's scaled similarity,
+        reference index/VectorSimilarityFunction.java:58-78).
+
+        Plan: docs scan projected to (seg, doc, vec) — a DocValuesQuery
+        filter pushes into that same scan (Catalyst predicate pushdown);
+        any other filter Query resolves to a (seg, doc) set and left-semi
+        joins BEFORE scoring (KnnFloatVectorQuery.java:60-110's
+        accepted-docs contract). Partition-local top-k bounds the shuffle
+        to k rows per partition; a global ordered take finishes. At 100 TB
+        this is the exact-search path; route through the IVF catalog
+        (pipeline/similarity.py) when approximate recall is acceptable.
+        """
+        vec_col = q.field
+        base = self.reader.docs()
+        if vec_col not in base.columns:
+            raise ValueError(
+                f"KnnQuery field {vec_col!r} is not a stored docs column "
+                "(pass it via build_index(stored_cols=...))"
+            )
+        flt = q.filter
+        if isinstance(flt, Q.ConstantScoreQuery):
+            flt = flt.query
+        if isinstance(flt, Q.MatchNoDocsQuery):
+            return None
+        if isinstance(flt, Q.DocValuesQuery):
+            base = base.filter(F.expr(flt.predicate))
+        elif flt is not None:
+            mset = self._match_docs(flt, field)
+            base = base.join(mset, ["seg", "doc"], "left_semi")
+        cand = self._drop_deleted(
+            base.select("seg", "doc", vec_col).filter(F.col(vec_col).isNotNull())
+        )
+
+        qv = np.asarray(q.vector, dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        qv = qv / (qn if qn else 1.0)
+        k, boost = int(q.k), float(q.boost)
+
+        def score(iterator):
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                cos = (m / nrm) @ qv
+                s = boost * (1.0 + cos) / 2.0
+                kk = min(k, len(s))
+                sel = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                yield pd.DataFrame(
+                    {"seg": pdf["seg"].iloc[sel], "doc": pdf["doc"].iloc[sel], "score": s[sel]}
+                )
+
+        scored = cand.mapInPandas(score, "seg string, doc long, score double")
+        # the node's OWN k-truncation (ties by global doc order, like every
+        # collector here) happens before any boolean composition sees it
+        bases = self.reader.doc_bases()
+        base_map = F.create_map(*[F.lit(x) for pair in bases.items() for x in pair])
+        return (
+            scored.withColumn("gdoc", base_map[F.col("seg")] + F.col("doc"))
+            .orderBy(F.desc("score"), F.asc("gdoc"))
+            .limit(k)
+            .select("seg", "doc", "score")
+        )
 
     def _scored_combined(self, q: Q.CombinedFieldQuery) -> DataFrame | None:
         """CombinedFieldQuery (BM25F): one pseudo-term scorer over blended
@@ -695,34 +895,57 @@ def _classify(q: Q.Query) -> dict | None:
             "msm": 0,
             "boost": 1.0,
             "field": q.field,
+            "collapsed": False,
         }
     if isinstance(q, Q.BooleanQuery):
-        should, must, must_not, filters = [], [], [], []
-        boosts = {}
+        must_not, filters = [], []
         fields = {c.query.field for c in q.clauses if isinstance(c.query, Q.TermQuery)}
         if len(fields) > 1:
             return None
+        # A term may appear in several scoring clauses (e.g. ``+t t`` or
+        # ``t t^2``). Lucene's BooleanWeight keeps one scorer per clause and
+        # sums them (BooleanScorerSupplier); every SimScorer here is linear
+        # in boost, so summing the boosts into ONE merged clause scores
+        # bit-identically while keeping the kernel's one-state-per-term
+        # invariant. A MUST occurrence makes the merged clause MUST.
+        scoring: dict[str, list] = {}  # term -> [boost_sum, is_must, n_should]
+        order: list[str] = []
         for c in q.clauses:
             if not isinstance(c.query, Q.TermQuery):
                 return None
             t = c.query.term
-            if c.occur == Q.SHOULD:
-                should.append(t)
-            elif c.occur == Q.MUST:
-                must.append(t)
+            if c.occur in (Q.SHOULD, Q.MUST):
+                rec = scoring.get(t)
+                if rec is None:
+                    scoring[t] = rec = [0.0, False, 0]
+                    order.append(t)
+                rec[0] += c.query.boost
+                if c.occur == Q.MUST:
+                    rec[1] = True
+                else:
+                    rec[2] += 1
             elif c.occur == Q.MUST_NOT:
-                must_not.append(t)
+                if t not in must_not:
+                    must_not.append(t)
             else:
-                filters.append(t)
-            boosts[t] = c.query.boost
+                if t not in filters:
+                    filters.append(t)
+        should = [t for t in order if not scoring[t][1]]
+        must = [t for t in order if scoring[t][1]]
+        # ``collapsed``: merging changed how many SHOULD clauses a matching
+        # doc satisfies (term twice in SHOULD, or in MUST and SHOULD) — the
+        # per-term kernel then can't count minimum_should_match hits
+        # clause-accurately, so msm>1 shapes must take the exhaustive path.
+        collapsed = any(rec[2] > 1 or (rec[1] and rec[2] > 0) for rec in scoring.values())
         return {
             "should": should,
             "must": must,
             "must_not": must_not,
             "filters": filters,
-            "boosts": boosts,
+            "boosts": {t: scoring[t][0] for t in order},
             "msm": q.minimum_should_match,
             "boost": q.boost,
             "field": next(iter(fields)) if fields else None,
+            "collapsed": collapsed,
         }
     return None

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..index.reader import IndexReader
-from .query import _edit_distance_le
 
 
 def spell_suggest(
@@ -29,8 +28,30 @@ def spell_suggest(
 ) -> list[tuple[str, int]]:
     """Top-k corrections for ``term``: dictionary terms within
     ``max_edits``, ranked by (edit distance asc, doc_freq desc, term asc).
-    The exact input term is excluded (DirectSpellChecker behavior)."""
-    cand = (
+    The exact input term is excluded (DirectSpellChecker behavior).
+
+    The edit distance runs JVM-side (Spark SQL ``levenshtein``) inside the
+    dictionary scan and only the top-k rows reach the driver
+    (TakeOrderedAndProject) — on a web-scale vocabulary the length-window
+    candidate set is most of the dictionary, so a driver collect of it
+    would OOM; this plan's driver footprint is k rows at any scale."""
+    rows = spell_suggest_frame(reader, term, k, max_edits, field, min_doc_freq).collect()
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
+def spell_suggest_frame(
+    reader: IndexReader,
+    term: str,
+    k: int = 5,
+    max_edits: int = 2,
+    field: str = "text",
+    min_doc_freq: int = 1,
+):
+    """The spell-suggest plan as a DataFrame (top-k rows) — split out so
+    tests can assert the plan shape (ordered-limit, no full-vocabulary
+    driver collect)."""
+    esc = term.replace("\\", "\\\\").replace("'", "''")
+    return (
         reader._read("postings")
         .filter((F.col("field") == field) & F.col("doc_freq").isNotNull())
         .filter(
@@ -38,22 +59,66 @@ def spell_suggest(
                 max(1, len(term) - max_edits), len(term) + max_edits
             )
         )
+        .filter(F.col("term") != term)
         .groupBy("term")
         .agg(F.sum("doc_freq").alias("df"))
         .filter(F.col("df") >= min_doc_freq)
-        .collect()
+        .withColumn("dist", F.expr(f"levenshtein(term, '{esc}')"))
+        .filter(F.col("dist") <= max_edits)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
     )
-    scored = []
-    for r in cand:
-        t = r["term"]
-        if t == term:
-            continue
-        for d in range(1, max_edits + 1):
-            if _edit_distance_le(term, t, d):
-                scored.append((d, -int(r["df"]), t))
-                break
-    scored.sort()
-    return [(t, -neg_df) for _, neg_df, t in scored[:k]]
+
+
+def weighted_complete_frame(
+    reader: IndexReader,
+    prefix: str,
+    k: int = 5,
+    field: str = "text",
+    fuzzy_edits: int = 0,
+):
+    """AnalyzingSuggester/FuzzySuggester analogue (reference
+    suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+    AnalyzingSuggester.java:1-120, FuzzySuggester.java:30-90): completions
+    ranked by a stored WEIGHT, not doc frequency. The suggester's weight
+    is the term's total term frequency (the corpus-popularity signal the
+    index already carries — callers with an external weight table can join
+    it in instead).
+
+    ``fuzzy_edits`` > 0 matches terms whose first ``len(prefix)`` chars
+    are within that many edits of the prefix (FuzzySuggester's
+    Levenshtein automaton over the analyzed prefix, re-expressed as a
+    JVM-side ``levenshtein`` predicate in the dictionary scan). The plan
+    is an ordered-limit over the term dict — k rows reach the driver."""
+    esc = prefix.replace("\\", "\\\\").replace("'", "''")
+    base = reader._read("postings").filter(
+        (F.col("field") == field) & F.col("doc_freq").isNotNull()
+    )
+    if fuzzy_edits <= 0:
+        base = base.filter(F.col("term").startswith(prefix))
+    else:
+        base = base.filter(
+            F.expr(
+                f"levenshtein(substring(term, 1, {len(prefix)}), '{esc}') <= {fuzzy_edits}"
+            )
+        )
+    return (
+        base.groupBy("term")
+        .agg(F.sum("total_term_freq").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def weighted_complete(
+    reader: IndexReader,
+    prefix: str,
+    k: int = 5,
+    field: str = "text",
+    fuzzy_edits: int = 0,
+) -> list[tuple[str, int]]:
+    rows = weighted_complete_frame(reader, prefix, k, field, fuzzy_edits).collect()
+    return [(r["term"], int(r["weight"])) for r in rows]
 
 
 def complete_prefix(

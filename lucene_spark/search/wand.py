@@ -63,6 +63,7 @@ def maxscore_kernel(
     after: tuple[float, int] | None = None,
     doc_bases: dict[str, int] | None = None,
     deletes: dict | None = None,
+    floor: float | None = None,
 ):
     """Build the applyInPandas kernel: (key, pdf of postings blocks) ->
     pdf(seg, doc, score) with at most k rows.
@@ -70,8 +71,15 @@ def maxscore_kernel(
     ``after``: (score, gdoc) searchAfter cursor — only hits strictly after
     that (score desc, gdoc asc) position are collected; the pruning floor
     then works on the post-cursor candidate set.
-    ``deletes``: seg -> sorted tombstone doc array (liveDocs filter)."""
+    ``deletes``: seg -> sorted tombstone doc array (liveDocs filter).
+    ``floor``: score-floor collection mode — instead of a bounded top-k
+    heap, collect EVERY doc whose score >= floor (``k`` ignored). Block-max
+    window/list pruning still applies, but against the fixed inclusive
+    floor (strict comparisons flip so equal-to-floor docs survive). Used by
+    the FunctionScoreQuery two-pass threshold scheme, where the caller
+    proved no doc below the floor can reach the final top-k."""
     must_set = set(must_terms)
+    collect_all = floor is not None
 
     def kernel(key, pdf):
         seg = key[0]
@@ -111,14 +119,20 @@ def maxscore_kernel(
         max_last = max(int(s["last"][-1]) for s in states.values())
         top_scores = np.empty(0, dtype=np.float64)
         top_docs = np.empty(0, dtype=np.int64)
-        theta = -np.inf  # k-th best so far; ties always lose (doc order)
+        all_docs: list = []  # floor-collection mode accumulators
+        all_scores: list = []
+        # k-th best so far; ties always lose (doc order). In floor mode the
+        # threshold is fixed and INCLUSIVE (>= floor survives).
+        theta = floor if collect_all else -np.inf
 
         term_list = list(states)
-        for wstart in range(0, max_last + 1, WINDOW):
+        wstart = 0
+        while wstart <= max_last:
             wend = wstart + WINDOW - 1
             # per-term overlapping block range + window upper bound
             infos = []
             ub_sum = 0.0
+            next_first = None  # earliest upcoming block start past this window
             for t in term_list:
                 st = states[t]
                 first, last, bmax = st["first"], st["last"], st["bmax"]
@@ -136,13 +150,30 @@ def maxscore_kernel(
                 if j > i:
                     infos.append([t, i, j, ub])
                     ub_sum += ub
-                elif t in must_set:
-                    ub_sum = -np.inf  # a MUST term has no docs here
+                else:
+                    if i < n and (next_first is None or first[i] < next_first):
+                        next_first = int(first[i])
+                    if t in must_set:
+                        if i >= n:  # MUST postings exhausted: no more hits
+                            wstart = max_last + WINDOW
+                        ub_sum = -np.inf  # a MUST term has no docs here
+                        break
+            if wstart > max_last:
+                break
+            if not infos:
+                # no term has a block in range: jump straight to the window
+                # holding the earliest upcoming block instead of crawling
+                # empty 4096-doc windows one at a time (sparse tail of a
+                # segment whose other terms end early)
+                if next_first is None:
                     break
-            if not infos or ub_sum <= theta:
+                wstart = (next_first // WINDOW) * WINDOW
+                continue
+            if (ub_sum < theta) if collect_all else (ub_sum <= theta):
+                wstart += WINDOW
                 continue  # skip the whole window (block-max skip)
 
-            full = len(top_scores) >= k
+            full = collect_all or len(top_scores) >= k
             # essential split: cheapest-bound lists become non-essential while
             # their cumulative bound stays <= theta (MaxScoreBulkScorer.java:31-44)
             infos.sort(key=lambda x: x[3])
@@ -153,7 +184,8 @@ def maxscore_kernel(
                     t = rec[0]
                     if t in must_set:
                         continue
-                    if cum + rec[3] <= theta:
+                    ok = (cum + rec[3] < theta) if collect_all else (cum + rec[3] <= theta)
+                    if ok:
                         cum += rec[3]
                         non_essential.append(rec)
                     else:
@@ -187,11 +219,13 @@ def maxscore_kernel(
                 pos = np.clip(pos, 0, len(tombs) - 1)
                 cand = cand[tombs[pos] != gd]
             if len(cand) == 0:
+                wstart += WINDOW
                 continue
             cscores = acc[cand]
             remaining = sum(rec[3] for rec in non_essential)
             if full:
-                keep = cscores + remaining > theta
+                bound = cscores + remaining
+                keep = (bound >= theta) if collect_all else (bound > theta)
                 cand, cscores = cand[keep], cscores[keep]
             # probe non-essential lists for surviving candidates, richest first
             for rec in sorted(non_essential, key=lambda x: -x[3]):
@@ -213,9 +247,11 @@ def maxscore_kernel(
                 cscores = cscores + np.where(hit, tscores[pos], 0.0)
                 remaining -= ub
                 if full:
-                    keep = cscores + remaining > theta
+                    bound = cscores + remaining
+                    keep = (bound >= theta) if collect_all else (bound > theta)
                     cand, cscores = cand[keep], cscores[keep]
             if len(cand) == 0:
+                wstart += WINDOW
                 continue
             if after is not None:
                 a_s, a_g = after
@@ -224,7 +260,15 @@ def maxscore_kernel(
                 keep = (cscores < a_s) | ((cscores == a_s) & (gd > a_g))
                 cand, cscores = cand[keep], cscores[keep]
                 if len(cand) == 0:
+                    wstart += WINDOW
                     continue
+            if collect_all:
+                keep = cscores >= theta
+                if keep.any():
+                    all_docs.append(cand[keep] + wstart)
+                    all_scores.append(cscores[keep])
+                wstart += WINDOW
+                continue
             # merge into the bounded top-k (vectorized heap replacement);
             # stable preference for smaller doc on ties via lexsort keys
             new_docs = np.concatenate((top_docs, cand + wstart))
@@ -233,7 +277,13 @@ def maxscore_kernel(
             top_docs, top_scores = new_docs[order], new_scores[order]
             if len(top_scores) >= k:
                 theta = top_scores[-1]  # worst retained score = floor
+            wstart += WINDOW
 
+        if collect_all:
+            top_docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
+            top_scores = (
+                np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
+            )
         return pd.DataFrame({"seg": seg, "doc": top_docs, "score": top_scores})
 
     return kernel

@@ -80,17 +80,51 @@ def monitor_stream(
 
     Returns a streaming DataFrame (id, query_id) of matches — attach your
     own sink. Works identically on a batch DataFrame (used in tests).
+
+    Presearcher: instead of cross-joining every doc against every query
+    (O(docs x queries) — Lucene's Monitor avoids this with a query index,
+    monitor/TermFilteredPresearcher.java:62-120), each query registers ONE
+    anchor term (its longest — a rarity proxy needing no corpus stats; any
+    single required term is admissible since ALL terms must match). Docs
+    explode to their distinct terms and equi-join the broadcast anchor map,
+    so a query is evaluated only against docs containing its anchor:
+    candidate volume is O(docs x anchor hits), and the full containment
+    check runs on candidates only. Queries with no terms match everything
+    and keep the (tiny) cross-join path.
     """
     terms_udf = make_terms_udf(F, analyzer)
     analyzed = stream_df.select(
         F.col(id_col).alias("id"), terms_udf(F.col(text_col)).alias("terms")
     )
-    qdf = F.broadcast(
-        spark.createDataFrame(
-            [(qid, list(terms)) for qid, terms in registered_queries.items()],
-            "query_id string, q_terms array<string>",
+    anchored = [(qid, ts) for qid, ts in registered_queries.items() if ts]
+    empty = [qid for qid, ts in registered_queries.items() if not ts]
+    parts = []
+    if anchored:
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (qid, max(ts, key=lambda t: (len(t), t)), list(ts))
+                    for qid, ts in anchored
+                ],
+                "query_id string, anchor string, q_terms array<string>",
+            )
         )
-    )
-    joined = analyzed.crossJoin(qdf)
-    match = F.size(F.array_except(F.col("q_terms"), F.col("terms"))) == 0
-    return joined.filter(match).select("id", "query_id")
+        exploded = analyzed.select(
+            "id", "terms", F.explode(F.array_distinct("terms")).alias("anchor")
+        )
+        cand = exploded.join(qdf, "anchor")
+        match = F.size(F.array_except(F.col("q_terms"), F.col("terms"))) == 0
+        parts.append(cand.filter(match).select("id", "query_id"))
+    if empty:
+        edf = F.broadcast(
+            spark.createDataFrame([(qid,) for qid in empty], "query_id string")
+        )
+        parts.append(analyzed.crossJoin(edf).select("id", "query_id"))
+    if not parts:  # no registered queries
+        return analyzed.select("id", F.lit(None).cast("string").alias("query_id")).filter(
+            F.lit(False)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

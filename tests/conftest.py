@@ -44,12 +44,12 @@ def reader(spark, index_root):
 
 @pytest.fixture(scope="session")
 def corpus(spark):
-    """The raw corpus as (url, text) pandas frame, url-sorted — oracle input."""
+    """The raw corpus as (url, text, lang) pandas frame, url-sorted — oracle input."""
     from lucene_spark.pages import pages_from_documents
 
     pdf = (
         pages_from_documents(spark, TESTDATA)
-        .select("url", "text")
+        .select("url", "text", "lang")
         .toPandas()
         .sort_values("url")
         .reset_index(drop=True)

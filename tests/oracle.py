@@ -20,6 +20,14 @@ class BruteForceIndex:
         an = analyzer_for(analyzer)
         self.urls = corpus_pdf["url"].tolist()
         self.texts = corpus_pdf["text"].tolist()
+        self.langs = corpus_pdf["lang"].tolist() if "lang" in corpus_pdf else None
+        if "embedding" in corpus_pdf:
+            m = np.array(corpus_pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            self.vectors = m / nrm
+        else:
+            self.vectors = None
         self.tfs: list[Counter] = []
         lengths = []
         for text in corpus_pdf["text"]:
@@ -91,7 +99,66 @@ class BruteForceIndex:
             return self._eval_bool(q)
         if isinstance(q, Q.PhraseQuery):
             return self._eval_phrase(q)
+        if isinstance(q, Q.KnnQuery):
+            return self._eval_knn(q)
+        if isinstance(q, Q.FunctionScoreQuery):
+            return self._eval_function(q)
         raise NotImplementedError(type(q).__name__)
+
+    def _eval_function(self, q: Q.FunctionScoreQuery):
+        """FunctionScoreQuery.boostByValue: score = boost * inner *
+        factor(doc); the match set is the wrapped query's. The factor SQL
+        is evaluated per-doc by DuckDB over the corpus frame (url, text,
+        lang, length) — the same expression the engine hands to F.expr."""
+        mask, scores = self.eval(q.query)
+        return mask, np.where(mask, scores * self.factor_values(q.factor) * q.boost, 0.0)
+
+    def factor_values(self, factor: str) -> np.ndarray:
+        import duckdb
+        import pandas as pd
+
+        docs = pd.DataFrame(
+            {
+                "url": self.urls,
+                "text": self.texts,
+                "lang": self.langs if self.langs is not None else [None] * self.n,
+                "length": self.lengths,
+            }
+        )
+        con = duckdb.connect()
+        con.register("docs", docs)
+        out = con.execute(
+            f"SELECT CAST(({factor}) AS DOUBLE) AS f FROM docs"
+        ).fetchnumpy()["f"]
+        con.close()
+        return np.asarray(out, dtype=np.float64)
+
+    def _eval_knn(self, q: Q.KnnQuery):
+        """KnnFloatVectorQuery semantics: filter BEFORE scoring, exact
+        cosine top-k, score = boost*(1+cos)/2, ties by doc order."""
+        assert self.vectors is not None, "oracle corpus has no embedding column"
+        allowed = np.ones(self.n, bool)
+        flt = q.filter
+        if isinstance(flt, Q.ConstantScoreQuery):
+            flt = flt.query
+        if isinstance(flt, Q.DocValuesQuery):
+            # the oracle understands the one predicate shape tests use
+            import re
+
+            m = re.fullmatch(r"\s*lang\s*=\s*'(\w+)'\s*", flt.predicate)
+            assert m and self.langs is not None, f"unsupported predicate {flt.predicate}"
+            allowed = np.array([lg == m.group(1) for lg in self.langs], dtype=bool)
+        elif flt is not None:
+            allowed, _ = self.eval(flt)
+        cos = self.vectors @ np.asarray(q.vector, dtype=np.float64) / max(
+            np.linalg.norm(np.asarray(q.vector, dtype=np.float64)), 1e-300
+        )
+        s = float(q.boost) * (1.0 + cos) / 2.0
+        idx = np.nonzero(allowed)[0]
+        winners = sorted(idx, key=lambda i: (-s[i], i))[: q.k]
+        mask = np.zeros(self.n, bool)
+        mask[winners] = True
+        return mask, np.where(mask, s, 0.0)
 
     def _eval_phrase(self, q: Q.PhraseQuery):
         from lucene_spark.search.phrase import _phrase_freq_exact, _phrase_freq_sloppy

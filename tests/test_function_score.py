@@ -1,0 +1,94 @@
+"""FunctionScoreQuery: score = boost * inner * factor(doc-values expr)
+(reference queries/function/FunctionScoreQuery.java:60-103) — the
+exhaustive path AND the engine's two-pass admissible pruned path must both
+be rank-identical to the brute-force oracle."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+from oracle import BruteForceIndex
+
+K = 10
+
+FACTORS = [
+    "ln(1 + length)",                                  # recency/length style boost
+    "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.25 END",    # categorical demotion
+    "1.0 + (length % 7)",                              # wide spread (pruning stress)
+]
+
+INNER = [
+    "table",
+    "merge OR window OR spark",
+    "table^2 OR scan",
+    "table AND scan",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+def _engine_topk(searcher, q, k, mode):
+    rows = searcher.search(q, k=k, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(r["score"])) for r in rows]
+
+
+def _assert_rank_identical(got, want):
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (gu, gs, ws)
+
+
+@pytest.mark.parametrize("factor", FACTORS)
+@pytest.mark.parametrize("inner", INNER)
+def test_function_score_parity(searcher, reader, oracle, inner, factor):
+    q = Q.FunctionScoreQuery(Q.rewrite(parse(inner), reader), factor)
+    want = oracle.topk(q, K)
+    for mode in ("exhaustive", "maxscore"):
+        got = _engine_topk(searcher, q, K, mode)
+        _assert_rank_identical(got, want)
+
+
+def test_function_score_boost(searcher, reader, oracle):
+    q = Q.FunctionScoreQuery(parse("table"), "ln(1 + length)", boost=3.0)
+    want = oracle.topk(q, K)
+    for mode in ("exhaustive", "maxscore"):
+        _assert_rank_identical(_engine_topk(searcher, q, K, mode), want)
+
+
+def test_function_score_reranks(searcher, reader, oracle):
+    """The factor must actually change the ranking vs plain BM25 (otherwise
+    the test proves nothing)."""
+    inner = Q.rewrite(parse("merge OR window OR spark"), reader)
+    plain = [u for u, _ in oracle.topk(inner, K)]
+    boosted = [
+        u for u, _ in oracle.topk(Q.FunctionScoreQuery(inner, "1.0 + (length % 7)"), K)
+    ]
+    assert plain != boosted
+
+
+def test_function_score_negative_factor_raises(searcher):
+    with pytest.raises(ValueError, match="non-negative"):
+        searcher.search(
+            Q.FunctionScoreQuery(parse("table"), "length - 1000.0"), k=K, mode="maxscore"
+        ).collect()
+
+
+def test_function_score_composes_in_boolean(searcher, reader, oracle):
+    """FunctionScoreQuery is a Query: it nests as a scoring clause inside
+    BooleanQuery (exhaustive composition path)."""
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.FunctionScoreQuery(parse("table"), "ln(1 + length)")),
+        (Q.SHOULD, Q.TermQuery("text", "scan")),
+    )
+    want = oracle.topk(q, K)
+    _assert_rank_identical(_engine_topk(searcher, q, K, "exhaustive"), want)

@@ -102,3 +102,205 @@ def test_interval_as_boolean_clause(spark, ivx_root):
         ).collect()
     }
     assert all(r["url"] in iv_only for r in hits)
+
+
+# ---------------------------------------------------------------------------
+# nested interval sources (Intervals.or / containing / containedBy, nested
+# ordered/unordered) — hypothesis equivalence vs a definitional brute force,
+# then engine-level parity through the positions kernel
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_spark.search.intervals import (
+    IContainedBy,
+    IContaining,
+    IOr,
+    IOrdered,
+    ITerm,
+    IUnordered,
+    eval_source,
+    min_extent,
+    source_freq,
+)
+
+
+def _bmin(cands):
+    """Definitional minimal set: drop any interval containing another."""
+    c = sorted(set(cands))
+    return sorted(
+        iv
+        for iv in c
+        if not any(o != iv and iv[0] <= o[0] and o[1] <= iv[1] for o in c)
+    )
+
+
+def _brute(src, pos):
+    """Definitional evaluation: product-enumerate child minimal intervals,
+    filter validity, span, minimalize. Independent of eval_source's greedy."""
+    import itertools
+
+    if isinstance(src, ITerm):
+        return [(p, p) for p in pos.get(src.term, ())]
+    if isinstance(src, IOr):
+        return _bmin([iv for s in src.sources for iv in _brute(s, pos)])
+    if isinstance(src, (IOrdered, IUnordered)):
+        kids = [_brute(s, pos) for s in src.sources]
+        if any(not k for k in kids):
+            return []
+        cands = []
+        for combo in itertools.product(*kids):
+            if isinstance(src, IOrdered) and any(
+                combo[i][1] >= combo[i + 1][0] for i in range(len(combo) - 1)
+            ):
+                continue
+            cands.append((min(c[0] for c in combo), max(c[1] for c in combo)))
+        out = _bmin(cands)
+        if src.max_gaps >= 0:
+            me = min_extent(src)
+            out = [(s, e) for s, e in out if (e - s + 1) - me <= src.max_gaps]
+        return out
+    if isinstance(src, IContaining):
+        big, small = _brute(src.big, pos), _brute(src.small, pos)
+        return [b for b in big if any(b[0] <= s[0] and s[1] <= b[1] for s in small)]
+    if isinstance(src, IContainedBy):
+        small, big = _brute(src.small, pos), _brute(src.big, pos)
+        return [s for s in small if any(b[0] <= s[0] and s[1] <= b[1] for b in big)]
+    raise TypeError(type(src))
+
+
+_POSLISTS = st.fixed_dictionaries(
+    {
+        t: st.lists(st.integers(0, 24), max_size=6).map(lambda v: sorted(set(v)))
+        for t in "abc"
+    }
+)
+
+_SHAPES = [
+    IOr((ITerm("a"), ITerm("b"))),
+    IOrdered((IOr((ITerm("a"), ITerm("b"))), ITerm("c"))),
+    IOrdered((ITerm("a"), ITerm("b"), ITerm("c")), max_gaps=2),
+    IUnordered((IOr((ITerm("a"), ITerm("c"))), ITerm("b")), max_gaps=3),
+    IUnordered((ITerm("a"), ITerm("b"))),
+    IContaining(IUnordered((ITerm("a"), ITerm("b"))), ITerm("c")),
+    IContainedBy(ITerm("c"), IOrdered((ITerm("a"), ITerm("b")))),
+    IOrdered((IUnordered((ITerm("a"), ITerm("b"))), ITerm("c"))),
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(pos=_POSLISTS, shape=st.sampled_from(range(len(_SHAPES))))
+def test_nested_source_matches_definitional_bruteforce(pos, shape):
+    src = _SHAPES[shape]
+    assert eval_source(src, pos) == _brute(src, pos), (src, pos)
+
+
+def test_nested_interval_engine_parity(spark, ivx_root, corpus):
+    """IntervalSourceQuery through the positions kernel == per-doc
+    source_freq over analyzer positions (the algebra itself is validated
+    against the definitional brute force above)."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    shapes = [
+        IOrdered((IOr((ITerm("table"), ITerm("merge"))), ITerm("scan")), max_gaps=2),
+        IContaining(
+            IUnordered((ITerm("table"), ITerm("scan")), max_gaps=4), ITerm("merge")
+        ),
+        IUnordered((IOr((ITerm("table"), ITerm("merge"))), ITerm("window"))),
+    ]
+    an = analyzer_for("standard")
+    s = IndexSearcher(IndexReader(spark, ivx_root))
+    for src in shapes:
+        terms = set()
+        stack = [src]
+        from lucene_spark.search.intervals import leaf_terms
+
+        terms = leaf_terms(src)
+        want = []
+        for i, text in enumerate(corpus["text"]):
+            plists = {t: [] for t in terms}
+            for tok in an.tokens(text if isinstance(text, str) else ""):
+                if tok.term in plists:
+                    plists[tok.term].append(tok.position)
+            freq = source_freq(src, plists)
+            if freq > 0:
+                want.append((corpus["url"][i], 1.0 - 1.0 / (1.0 + freq)))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        want = want[:10]
+        q = Q.IntervalSourceQuery("text", src)
+        rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], src
+        for (gu, gs), (_wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), (gu, src)
+
+
+def test_multi_phrase_engine_parity(spark, ivx_root, corpus):
+    """MultiPhraseQuery == brute force: slot positions are the union of
+    alternatives, idf sums over every term across slots."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+    from lucene_spark.functions.bm25 import make_scorer
+    from lucene_spark.search.phrase import _phrase_freq_exact, _phrase_freq_sloppy
+
+    slots = (("table", "merge"), ("scan",))
+    all_terms = [t for s in slots for t in s]
+    an = analyzer_for("standard")
+    reader = IndexReader(spark, ivx_root)
+    doc_count, sum_ttf = reader.collection_stats("text")
+    stats = reader.term_stats(all_terms, "text")
+
+    for slop in (0, 2):
+        scorer = make_scorer(
+            [stats[t][0] for t in all_terms], doc_count, sum_ttf, dtype=np.float64
+        )
+        want = []
+        for i, text in enumerate(corpus["text"]):
+            plists = {t: [] for t in all_terms}
+            toks = an.tokens(text if isinstance(text, str) else "")
+            for tok in toks:
+                if tok.term in plists:
+                    plists[tok.term].append(tok.position)
+            merged = []
+            ok = True
+            for s_ in slots:
+                u = sorted(set(p for t in s_ for p in plists[t]))
+                if not u:
+                    ok = False
+                    break
+                merged.append(u)
+            if not ok:
+                continue
+            freq = (
+                _phrase_freq_exact(merged)
+                if slop == 0
+                else _phrase_freq_sloppy(merged, slop)
+            )
+            if freq <= 0:
+                continue
+            from lucene_spark.functions.smallfloat import int_to_byte4
+
+            norm = int_to_byte4(len(toks))
+            want.append(
+                (corpus["url"][i], float(scorer.score([freq], [norm])[0]))
+            )
+        want.sort(key=lambda x: (-x[1], x[0]))
+        want = want[:10]
+
+        s = IndexSearcher(IndexReader(spark, ivx_root), dtype=np.float64)
+        q = Q.MultiPhraseQuery("text", slots, slop=slop)
+        rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], slop
+        for (gu, gs), (_wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), (gu, slop)
+
+
+def test_multi_phrase_missing_alternative_ok(spark, ivx_root):
+    """A slot alternative absent from the index is skipped, not fatal; a
+    slot with NO indexed alternative matches nothing."""
+    s = IndexSearcher(IndexReader(spark, ivx_root))
+    q = Q.MultiPhraseQuery("text", (("table", "zzzmissing"), ("scan",)))
+    assert s.search(q, k=5, mode="exhaustive").count() > 0
+    q2 = Q.MultiPhraseQuery("text", (("zzzmissing",), ("scan",)))
+    assert s.search(q2, k=5, mode="exhaustive").count() == 0

@@ -1,0 +1,161 @@
+"""KnnQuery as a first-class Query AST node: KnnFloatVectorQuery parity
+(reference search/KnnFloatVectorQuery.java) — exact cosine top-k over the
+pre-filtered doc set, composing inside BooleanQuery through
+``searcher.search()``, vs the brute-force oracle."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+from conftest import TESTDATA
+from oracle import BruteForceIndex
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def vec_index_root(spark, tmp_path_factory):
+    """Index whose docs table stores an ``embedding`` vector column
+    (doc values re-expressed as a parquet column)."""
+    from lucene_spark.index import build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+
+    root = str(tmp_path_factory.mktemp("knn_idx"))
+    shutil.rmtree(root, ignore_errors=True)
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    pages = (
+        pages_from_documents(spark, TESTDATA)
+        .withColumn("doc_id", doc_id_for_url_col())
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id", "left")
+        .drop("doc_id", "label")
+    )
+    build_index(
+        spark,
+        pages,
+        root,
+        num_segments=3,
+        num_buckets=4,
+        stored_cols=("lang", "text", "embedding"),
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def vec_reader(spark, vec_index_root):
+    from lucene_spark.index import IndexReader
+
+    return IndexReader(spark, vec_index_root)
+
+
+@pytest.fixture(scope="module")
+def vec_searcher(vec_reader):
+    return IndexSearcher(vec_reader)
+
+
+@pytest.fixture(scope="module")
+def vec_oracle(spark):
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    pdf = (
+        pages_from_documents(spark, TESTDATA)
+        .withColumn("doc_id", doc_id_for_url_col())
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id", "left")
+        .select("url", "text", "lang", "embedding")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    return BruteForceIndex(pdf)
+
+
+@pytest.fixture(scope="module")
+def qvec(vec_oracle):
+    # a real corpus vector (doc 7) — realistic similarity structure
+    return tuple(float(x) for x in vec_oracle.vectors[7])
+
+
+def _engine_topk(searcher, q, k=K):
+    rows = searcher.search(q, k=k).select("url", "score").collect()
+    return [(r["url"], float(r["score"])) for r in rows]
+
+
+def _assert_rank_identical(got, want):
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (gu, gs, ws)
+
+
+def test_knn_topk(vec_searcher, vec_oracle, qvec):
+    q = Q.KnnQuery("embedding", qvec, k=K)
+    _assert_rank_identical(_engine_topk(vec_searcher, q), vec_oracle.topk(q, K))
+
+
+def test_knn_boost_and_self_hit(vec_searcher, vec_oracle, qvec):
+    q = Q.KnnQuery("embedding", qvec, k=5, boost=2.5)
+    got = _engine_topk(vec_searcher, q, k=5)
+    _assert_rank_identical(got, vec_oracle.topk(q, 5))
+    # the query vector IS doc 7's vector: cosine 1 -> score boost*(1+1)/2
+    assert got[0][0].endswith("000000000007")
+    assert got[0][1] == pytest.approx(2.5, abs=1e-9)
+
+
+def test_knn_docvalues_filter(vec_searcher, vec_oracle, qvec):
+    """Pre-filter pushes into the docs scan (KnnFloatVectorQuery's filter
+    arg: accepted docs only, full k still returned from the subset)."""
+    q = Q.KnnQuery("embedding", qvec, k=K, filter=Q.DocValuesQuery("lang = 'en'"))
+    got = _engine_topk(vec_searcher, q)
+    _assert_rank_identical(got, vec_oracle.topk(q, K))
+    assert len(got) == K
+
+
+def test_knn_term_filter(vec_searcher, vec_oracle, vec_reader, qvec):
+    """A Query-typed pre-filter (term containment) resolves through
+    _match_docs BEFORE scoring."""
+    q = Q.KnnQuery("embedding", qvec, k=K, filter=Q.TermQuery("text", "table"))
+    got = _engine_topk(vec_searcher, q)
+    _assert_rank_identical(got, vec_oracle.topk(q, K))
+    # every winner really contains the term
+    want_mask = vec_oracle.term_mask("table")
+    urls = {vec_oracle.urls[i] for i in np.nonzero(want_mask)[0]}
+    assert all(u in urls for u, _ in got)
+
+
+def test_knn_composes_in_boolean(vec_searcher, vec_oracle, qvec):
+    """KnnQuery inside BooleanQuery: the knn clause contributes its <=k
+    scored docs (Lucene's rewrite-to-DocAndScoreQuery contract), summed
+    with a SHOULD BM25 term clause."""
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.KnnQuery("embedding", qvec, k=20)),
+        (Q.SHOULD, Q.TermQuery("text", "table")),
+    )
+    _assert_rank_identical(_engine_topk(vec_searcher, q), vec_oracle.topk(q, K))
+
+
+def test_knn_as_filter_restricts(vec_searcher, vec_oracle, qvec):
+    """KnnQuery as a FILTER clause: constant-score candidate set of the
+    vector top-k, scored by the text clause."""
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.KnnQuery("embedding", qvec, k=50)),
+    )
+    _assert_rank_identical(_engine_topk(vec_searcher, q), vec_oracle.topk(q, K))
+
+
+def test_knn_rewrite_propagates_filter(vec_reader, qvec):
+    """rewrite() expands multi-term filters inside the knn node."""
+    q = Q.KnnQuery("embedding", qvec, k=5, filter=Q.PrefixQuery("text", "tab"))
+    r = Q.rewrite(q, vec_reader)
+    assert isinstance(r, Q.KnnQuery)
+    assert isinstance(r.filter, Q.ConstantScoreQuery)
+
+
+def test_knn_missing_column_raises(spark, reader):
+    s = IndexSearcher(reader)
+    with pytest.raises(ValueError, match="not a stored docs column"):
+        s.search(Q.KnnQuery("embedding", (1.0, 0.0), k=3)).collect()

@@ -88,8 +88,23 @@ def test_rewrite_single_clause_unwrap():
 
 
 def test_rewrite_dedupes_should():
+    # duplicate SHOULD clauses merge by SUMMING boosts (each clause scores
+    # in Lucene — BooleanQuery.rewrite's duplicate merge keeps the sum),
+    # then the single-clause boolean unwraps
     r = Q.rewrite(Q.BooleanQuery.build((Q.SHOULD, t("a")), (Q.SHOULD, t("a"))))
-    assert r == t("a")
+    assert r == Q.TermQuery("text", "a", boost=2.0)
+
+
+def test_rewrite_no_dedup_when_msm_gt1():
+    # msm > 1: duplicate SHOULD clauses each count toward
+    # minimum_should_match, so the merge must NOT fire
+    q = Q.BooleanQuery(
+        (Q.BooleanClause(Q.SHOULD, t("a")), Q.BooleanClause(Q.SHOULD, t("a")),
+         Q.BooleanClause(Q.SHOULD, t("b"))),
+        minimum_should_match=2,
+    )
+    r = Q.rewrite(q)
+    assert len(r.clauses) == 3
 
 
 def test_edit_distance():

@@ -302,6 +302,49 @@ def test_monitor_reverse_search(spark, docs):
     assert {(r["id"], r["query_id"]) for r in got} == want
 
 
+def test_monitor_presearcher_prunes(spark, docs):
+    """1k registered alert queries: the presearcher anchors each query on
+    one required term and equi-joins doc terms against it (a broadcast
+    HASH join) — never the O(docs x queries) cross join (Lucene Monitor's
+    Presearcher contract, monitor/TermFilteredPresearcher.java:62-120)."""
+    from lucene_spark.pages import pages_from_documents, url_for_doc_id
+    from lucene_spark.streaming import monitor_stream
+
+    pages = pages_from_documents(spark, TESTDATA)
+    vocab = [r["w"] for r in (
+        pages.selectExpr("explode(split(text, ' ')) AS w").groupBy("w").count()
+        .orderBy("count", ascending=False).limit(250).collect()
+    )]
+    queries = {}
+    for i in range(1000):
+        a, b = vocab[i % len(vocab)], vocab[(i * 7 + 3) % len(vocab)]
+        queries[f"q{i:04d}"] = [a, b]
+    out = monitor_stream(spark, pages, queries)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # correctness spot-check on a doc sample: match iff ALL query terms present
+    texts = {r["doc_id"]: set(r["text"].split())
+             for r in docs.select("doc_id", "text").limit(50).collect()}
+    got = {(r["id"], r["query_id"]) for r in out.collect()}
+    for did, terms in texts.items():
+        url = url_for_doc_id(did)
+        for qid, qterms in list(queries.items())[:200]:
+            assert ((url, qid) in got) == (set(qterms) <= terms)
+
+
+def test_monitor_matchall_query(spark):
+    """A registered query with no terms matches every doc (kept on the
+    tiny cross-join path)."""
+    from lucene_spark.pages import pages_from_documents
+    from lucene_spark.streaming import monitor_stream
+
+    pages = pages_from_documents(spark, TESTDATA).limit(7)
+    got = monitor_stream(spark, pages, {"all": [], "t": ["table"]}).collect()
+    assert sum(1 for r in got if r["query_id"] == "all") == 7
+
+
 def test_ivf_persisted_index(spark, emb, emb_np, tmp_path):
     from lucene_spark.pipeline.similarity import IVFVectorIndex, brute_force_topk
 

@@ -138,6 +138,7 @@ def test_maxscore_kernel_vs_bruteforce(c):
             list("abcXYZ019_ .,:;'«»—") + [
                 "日", "本", "カ", "タ", "ひ", "ら", "한", "국",
                 "é", "ß", "Ω", "ю", "٣", "۵", "ー", "·", "․", "，", "🙂",
+                "\ud800", "\udfff",  # lone surrogates (dirty web text)
             ]
         ),
         max_size=300,

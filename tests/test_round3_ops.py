@@ -1,0 +1,228 @@
+"""Round-3 operators: CommonTermsQuery rewrite, taxonomy facets, weighted
+suggesters — each vs an independent pandas/corpus-derived oracle."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader, dtype=np.float64)
+
+
+# --------------------------------------------------------- CommonTermsQuery
+
+
+def test_common_terms_rewrite_splits_on_df(reader):
+    """'dup' (rare) keeps MUST; high-df terms demote to a SHOULD group."""
+    q = Q.CommonTermsQuery("text", ("dup", "the", "scan"), max_term_frequency=0.2)
+    r = Q.rewrite(q, reader)
+    assert isinstance(r, Q.BooleanQuery)
+    occurs = {}
+    for c in r.clauses:
+        if isinstance(c.query, Q.TermQuery):
+            occurs[c.query.term] = c.occur
+        else:
+            # the common-term SHOULD group
+            assert c.occur == Q.SHOULD
+            inner_terms = {cc.query.term for cc in c.query.clauses}
+            assert inner_terms == {"the", "scan"}
+    assert occurs.get("dup") == Q.MUST
+
+
+def test_common_terms_all_rare_collapses_flat(reader):
+    q = Q.CommonTermsQuery("text", ("dup",), max_term_frequency=0.2)
+    r = Q.rewrite(q, reader)
+    # single rare term: boolean unwraps to the bare TermQuery
+    assert r == Q.TermQuery("text", "dup")
+
+
+def test_common_terms_all_common_flat_should(reader):
+    q = Q.CommonTermsQuery("text", ("the", "scan"), max_term_frequency=0.2)
+    r = Q.rewrite(q, reader)
+    assert isinstance(r, Q.BooleanQuery)
+    assert all(c.occur == Q.SHOULD for c in r.clauses)
+
+
+def test_common_terms_search_matches_equivalent_boolean(searcher, reader):
+    """CommonTermsQuery == the hand-built (+rare common...) boolean on both
+    physical paths."""
+    q = Q.CommonTermsQuery("text", ("dup", "the"), max_term_frequency=0.2)
+    want_q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "dup")),
+        (Q.SHOULD, Q.TermQuery("text", "the")),
+    )
+    for mode in ("exhaustive", "maxscore"):
+        got = [
+            (r["url"], float(r["score"]))
+            for r in searcher.search(q, k=10, mode=mode).select("url", "score").collect()
+        ]
+        want = [
+            (r["url"], float(r["score"]))
+            for r in searcher.search(want_q, k=10, mode=mode)
+            .select("url", "score")
+            .collect()
+        ]
+        assert got == want, mode
+    assert len(got) == 10
+
+
+# --------------------------------------------------------- taxonomy facets
+
+
+def _path_expr():
+    # 2-level synthetic taxonomy over stored columns: lang / url-last-char
+    return F.concat_ws("/", F.col("lang"), F.substring(F.col("url"), -1, 1))
+
+
+def _expected_rollup(corpus):
+    c = Counter()
+    for _, row in corpus.iterrows():
+        lang, leaf = row["lang"], row["url"][-1]
+        c[lang] += 1
+        c[f"{lang}/{leaf}"] += 1
+    return c
+
+
+def test_taxonomy_counts_rollup(searcher, corpus):
+    """Every match increments every ancestor of its path
+    (FastTaxonomyFacetCounts rollup) — here over MatchAll."""
+    from lucene_spark.search.facets import taxonomy_counts
+
+    got = {
+        r["path"]: r["count"]
+        for r in taxonomy_counts(searcher, Q.MatchAllDocsQuery(), _path_expr()).collect()
+    }
+    want = _expected_rollup(corpus)
+    assert got == dict(want)
+
+
+def test_taxonomy_counts_filtered(searcher, corpus):
+    """Rollup over the hits of a term query only."""
+    from lucene_spark.search.facets import taxonomy_counts
+
+    got = {
+        r["path"]: r["count"]
+        for r in taxonomy_counts(
+            searcher, Q.TermQuery("text", "dup"), _path_expr()
+        ).collect()
+    }
+    c = Counter()
+    for _, row in corpus.iterrows():
+        if "dup" in set(str(row["text"]).split()):
+            c[row["lang"]] += 1
+            c[f"{row['lang']}/{row['url'][-1]}"] += 1
+    assert got == dict(c)
+    assert sum(v for k, v in got.items() if "/" not in k) == sum(
+        v for k, v in got.items() if "/" in k
+    )
+
+
+def test_taxonomy_drill_down(searcher, corpus):
+    """Drill-down on a level-1 node counts its immediate children."""
+    from lucene_spark.search.facets import taxonomy_drill_down
+
+    got = {
+        r["path"]: r["count"]
+        for r in taxonomy_drill_down(
+            searcher, Q.MatchAllDocsQuery(), _path_expr(), prefix="en"
+        ).collect()
+    }
+    c = Counter()
+    for _, row in corpus.iterrows():
+        if row["lang"] == "en":
+            c[f"en/{row['url'][-1]}"] += 1
+    assert got == dict(c)
+
+
+def test_taxonomy_plan_has_no_udf(searcher):
+    """The rollup is pure column algebra — no Python evaluation in plan."""
+    from lucene_spark.search.facets import taxonomy_counts
+
+    plan = (
+        taxonomy_counts(searcher, Q.MatchAllDocsQuery(), _path_expr())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------- weighted suggest
+
+
+def _ttf(corpus):
+    c = Counter()
+    for t in corpus["text"]:
+        c.update(str(t).split())
+    return c
+
+
+def test_weighted_complete_ranks_by_ttf(reader, corpus):
+    from lucene_spark.search.suggest import weighted_complete
+
+    got = weighted_complete(reader, "s", k=5)
+    ttf = _ttf(corpus)
+    want = sorted(
+        ((t, n) for t, n in ttf.items() if t.startswith("s")),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert got == want
+
+
+def test_weighted_complete_differs_from_df_ranking(reader, corpus):
+    """The weight signal is total term freq, not doc freq — on this corpus
+    the two orders differ for the 's' prefix."""
+    from lucene_spark.search.suggest import complete_prefix, weighted_complete
+
+    by_w = [t for t, _ in weighted_complete(reader, "s", k=5)]
+    by_df = [t for t, _ in complete_prefix(reader, "s", k=5)]
+    assert set(by_w) == set(by_df)
+    assert by_w != by_df
+
+
+def test_fuzzy_weighted_complete(reader, corpus):
+    """FuzzySuggester shape: 1 edit in the analyzed prefix still completes."""
+    from lucene_spark.search.suggest import weighted_complete
+
+    got = weighted_complete(reader, "sxan", k=3, fuzzy_edits=1)
+    # candidates: terms whose first 4 chars are within 1 edit of 'sxan'
+    ttf = _ttf(corpus)
+    want = sorted(
+        (
+            (t, n)
+            for t, n in ttf.items()
+            if _lev(t[:4], "sxan") <= 1
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert got == want
+    assert any(t == "scan" for t, _ in got)
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_suggest_plan_is_ordered_limit(reader):
+    """No full-vocabulary driver collect: the plan ends in a global limit
+    (TakeOrderedAndProject) — k rows reach the driver at any scale."""
+    from lucene_spark.search.suggest import spell_suggest_frame, weighted_complete_frame
+
+    for frame in (
+        weighted_complete_frame(reader, "s", k=5),
+        spell_suggest_frame(reader, "tabel", k=5),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

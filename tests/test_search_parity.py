@@ -82,6 +82,25 @@ def test_maxscore_deep_k(searcher, reader, oracle):
     _assert_rank_identical(got, want)
 
 
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "+table table",          # same term MUST + SHOULD: Lucene scores both
+        "table^2 OR table",      # same term twice in SHOULD, differing boosts
+        "+table table scan",     # duplicate + a third term (relative ranking)
+        "+table^3 table",        # duplicate with boost on the MUST side
+    ],
+)
+def test_duplicate_term_clauses(searcher, reader, oracle, qs):
+    """A term in multiple scoring clauses scores once PER CLAUSE
+    (BooleanWeight keeps duplicate scorers) — on BOTH physical paths."""
+    q = Q.rewrite(parse(qs), reader)
+    want = oracle.topk(q, K)
+    for mode in ("exhaustive", "maxscore"):
+        got = _engine_topk(searcher, q, K, mode)
+        _assert_rank_identical(got, want)
+
+
 def test_count_shortcuts(searcher, reader, oracle):
     q = Q.TermQuery("text", "table")
     mask, _ = oracle.eval(q)
