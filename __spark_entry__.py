@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 K = 10
-_INDEX_VERSION = "v7"  # bumped: embedding + source stored columns (knn, taxonomy)
+_INDEX_VERSION = "v8"  # bumped: embedding/source stored cols + positions on text_fields
 _INDEXES: dict[str, str] = {}
 
 
@@ -149,9 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _pq_dedup_exact
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
+    q["dedup_clusters"] = _pq_dedup_clusters
     q["dfr_disjunction"] = _pq_dfr_disjunction
     q["ib_disjunction"] = _pq_ib_disjunction
     q["events_windowed_counts"] = _pq_events_windowed
+    q["events_sliding_counts"] = _pq_events_sliding
+    q["events_session_counts"] = _pq_events_sessions
     q["hybrid_rrf"] = _pq_hybrid_rrf
     q["mlt_terms"] = _pq_mlt_terms
     q["batch_bm25_topk"] = _pq_batch_bm25
@@ -418,6 +421,19 @@ def _pq_dedup_minhash(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
+def _pq_dedup_clusters(spark, sf_dir):
+    """Near-dup pair list -> connected components (large-star/small-star):
+    the keep/drop clustering a dedup pipeline actually needs (transitive
+    duplicates land in one cluster, component = min member id)."""
+    from lucene_spark.pipeline.dedup import connected_components, minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_perm=128, rows_per_band=2, threshold=0.7
+    )
+    return connected_components(pairs)
+
+
 def _pq_dfr_disjunction(spark, sf_dir):
     """DFR I(ne)L2 disjunctive top-k through the block-max pruned path
     (similarity pluggability is oracle-gated, not just pytest-gated)."""
@@ -479,6 +495,37 @@ def _pq_events_windowed(spark, sf_dir):
     agg = windowed_event_counts(ev, window="1 hour", keys=("event_type",))
     return agg.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 4).alias("sum_value_r"),
+    )
+
+
+def _pq_events_sliding(spark, sf_dir):
+    """Sliding 1h/30m event-time windows (each event in 2 windows) — the
+    batch face of the watermarked streaming hop aggregation."""
+    from lucene_spark.streaming.windows import sliding_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = sliding_event_counts(ev, window="1 hour", slide="30 minutes")
+    return agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 4).alias("sum_value_r"),
+    )
+
+
+def _pq_events_sessions(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per event_type — dynamic
+    windows with watermark-bounded state on the streaming face."""
+    from lucene_spark.streaming.windows import session_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = session_event_counts(ev, gap="30 minutes")
+    return agg.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end_s"),
         "event_type",
         "n",
         F.round(F.col("sum_value"), 4).alias("sum_value_r"),
@@ -1327,6 +1374,32 @@ SELECT a, b, round(i / (na.cnt + nb.cnt - i), 4) AS jaccard_r
 FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
 WHERE i / (na.cnt + nb.cnt - i) >= 0.7
 """
+    o["dedup_clusters"] = """
+WITH RECURSIVE
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tri AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+  FROM arr, unnest(range(1, len(a) - 1)) AS t(i)
+),
+s AS (SELECT DISTINCT doc_id, sh FROM tri),
+n AS (SELECT doc_id, count(*) AS cnt FROM s GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT a, b FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+  WHERE i / (na.cnt + nb.cnt - i) >= 0.7
+),
+e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u
+)
+SELECT u AS id, min(v) AS component FROM reach GROUP BY u
+"""
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
     o["ib_disjunction"] = _ib_term_sql(["merge", "window", "spark"])
     o["events_windowed_counts"] = """
@@ -1336,6 +1409,36 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        round(sum(value), 4) AS sum_value_r
 FROM events
 GROUP BY 1, 2
+"""
+    o["events_sliding_counts"] = """
+WITH w AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start_s,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value_r
+FROM w GROUP BY 1, 2
+"""
+    o["events_session_counts"] = """
+WITH s AS (
+  SELECT event_type, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end_s,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value_r
+FROM g GROUP BY event_type, sid
 """
     _b0 = _bm25_term_sql([("table", 1.0)], K)
     _b1 = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], K)

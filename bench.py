@@ -244,7 +244,7 @@ def main():
         # sustained load, so grouping all runs of one level together would
         # bias whichever level runs later; per-level minima over interleaved
         # slots see comparable host conditions.
-        def measure_pair(lo, hi, rounds):
+        def measure_pair(lo, hi, rounds, max_rounds=None):
             """Per interleaved (lo, hi) pair: raw efficiency AND the
             machine's own ceiling measured in the same host window with a
             perfectly-parallel pure-Python burn. On this virtualized box
@@ -253,10 +253,16 @@ def main():
             that does NOT exist on a multi-executor cluster, where each
             executor is independent silicon). Code efficiency is therefore
             raw/ceiling per pair, median across pairs; raw and ceiling are
-            both reported."""
+            both reported.
+
+            ``max_rounds``: when set, keep measuring extra windows until
+            one is GREEN (ceiling >= 0.85 and raw >= 0.8) or the budget is
+            exhausted — a throttled host window otherwise hides the code's
+            real scaling, and a later calm window recovers it."""
             raws, norms, ceils = [], [], []
             t_best = {lo: None, hi: None}
-            for _ in range(rounds):
+
+            def one_round():
                 rate, tt = {}, {}
                 for cores in (lo, hi):
                     rate[cores] = _burn_rate(cores)  # before the JVM starts
@@ -275,6 +281,26 @@ def main():
                 raws.append(raw)
                 ceils.append(ceil)
                 norms.append(min(raw / ceil, 1.0))
+
+            def green(i):
+                return ceils[i] >= 0.85 and raws[i] >= 0.8
+
+            sec_t0 = time.time()
+            for _ in range(rounds):
+                one_round()
+            # retry while no green window yet (host-degraded session):
+            # every completed window stays in the medians for honesty.
+            # Budget-bounded — a retry costs a full (lo-build + hi-build)
+            # round, so stop when the section would exceed its wall budget.
+            budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1200"))
+            per_round = (time.time() - sec_t0) / max(len(raws), 1)
+            while (
+                max_rounds
+                and len(raws) < max_rounds
+                and not any(green(i) for i in range(len(raws)))
+                and (time.time() - sec_t0) + per_round < budget
+            ):
+                one_round()
             med = lambda xs: float(np.median(xs))
             # A window where even the perfectly-parallel burn barely scales
             # (ceiling << 1) measures the host's throttle state, not the
@@ -288,6 +314,7 @@ def main():
                 "cores_hi": hi,
                 "docs_per_sec_lo": round(n_docs / t_best[lo], 1),
                 "docs_per_sec_hi": round(n_docs / t_best[hi], 1),
+                "n_windows": len(raws),
                 "efficiency_raw": round(med(raws), 3),
                 "machine_ceiling": round(med(ceils), 3),
                 "efficiency": round(med(norms), 3),
@@ -295,10 +322,12 @@ def main():
                     "machine_ceiling": round(ceils[best], 3),
                     "efficiency_raw": round(raws[best], 3),
                     "efficiency": round(norms[best], 3),
+                    "green": bool(green(best)),
                 },
+                "host_degraded": not any(green(i) for i in range(len(raws))),
             }
 
-        result["scaling"] = measure_pair(1, 4, rounds=2)
+        result["scaling"] = measure_pair(1, 4, rounds=2, max_rounds=5)
         result["scaling_4_16"] = measure_pair(4, 16, rounds=2)
 
     result["value"] = round(time.time() - total_t0, 2)

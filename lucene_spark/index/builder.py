@@ -191,18 +191,32 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
             if positions:
                 out["positions"] = pos_col
             for fname, src in (text_fields or {}).items():
-                f_terms, f_freqs = [], []
+                f_terms, f_freqs, f_pos = [], [], []
                 f_len = np.zeros(n, dtype=np.int64)
                 for i, txt in enumerate(pdf[src].tolist()):
-                    toks = analyzer.terms(txt if isinstance(txt, str) else "")
-                    c = Counter(toks)
-                    f_terms.append(list(c.keys()))
-                    f_freqs.append([int(v) for v in c.values()])
-                    f_len[i] = len(toks)
+                    txt = txt if isinstance(txt, str) else ""
+                    if positions:
+                        by_term: dict[str, list[int]] = {}
+                        count = 0
+                        for tok in analyzer.tokens(txt):
+                            by_term.setdefault(tok.term, []).append(tok.position)
+                            count += 1
+                        f_terms.append(list(by_term.keys()))
+                        f_freqs.append([len(v) for v in by_term.values()])
+                        f_pos.append(list(by_term.values()))
+                        f_len[i] = count
+                    else:
+                        toks = analyzer.terms(txt)
+                        c = Counter(toks)
+                        f_terms.append(list(c.keys()))
+                        f_freqs.append([int(v) for v in c.values()])
+                        f_len[i] = len(toks)
                 out[f"terms_{fname}"] = f_terms
                 out[f"freqs_{fname}"] = f_freqs
                 out[f"norm_{fname}"] = int_to_byte4_np(f_len).astype(np.int32)
                 out[f"length_{fname}"] = f_len
+                if positions:
+                    out[f"positions_{fname}"] = f_pos
             for c in stored_cols:
                 out[c] = pdf[c].to_numpy()
             next_doc += n
@@ -424,6 +438,11 @@ def build_index(
                 T.StructField(f"norm_{fname}", T.IntegerType()),
                 T.StructField(f"length_{fname}", T.LongType()),
             )
+            + (
+                (T.StructField(f"positions_{fname}", T.ArrayType(T.ArrayType(T.IntegerType()))),)
+                if positions
+                else ()
+            )
         ]
         + stored_fields
     )
@@ -492,15 +511,19 @@ def build_index(
             inv_src, _invert_segment(field, num_buckets, positions=positions, routed=True)
         )
     for fname in text_fields or {}:
-        tf_src = docs_df.select(
+        tf_cols = [
             "seg",
             "doc",
             F.col(f"norm_{fname}").alias("norm"),
             F.col(f"terms_{fname}").alias("terms"),
             F.col(f"freqs_{fname}").alias("freqs"),
-        )
+        ] + ([F.col(f"positions_{fname}").alias("positions")] if positions else [])
+        tf_src = docs_df.select(*tf_cols)
         blocks = blocks.unionByName(
-            _routed(tf_src, _invert_segment(fname, num_buckets, routed=True))
+            _routed(
+                tf_src,
+                _invert_segment(fname, num_buckets, positions=positions, routed=True),
+            )
         )
     for kw in keyword_fields:
         kw_src = (

@@ -366,3 +366,102 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 50
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a near-dup
+    pair list -> (id, component) with component = the smallest member id.
+
+    Pairwise dedup output (minhash/simhash/embedding pairs) is not yet a
+    keep/drop decision — transitive duplicates (A~B, B~C) must land in ONE
+    cluster so exactly one representative survives. This is the
+    alternating large-star / small-star iteration (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two hash-shuffles keyed on node id, and the round count is
+    O(log^2 n) worst case (~log n in practice) INDEPENDENT of cluster
+    diameter — a plain label-propagation loop needs diameter rounds, which
+    is the classic web-graph scale trap. Convergence is checked with one
+    count per round (driver sees a scalar, never data).
+
+    Returns every node that appears in ``pairs`` (isolated docs are not
+    emitted — they are their own singleton cluster by definition).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    def _sym(df: DataFrame) -> DataFrame:
+        # single-pass symmetrize via explode: one scan instead of a
+        # self-union (and Spark 4.1's optimizer miscompiles a union of a
+        # localCheckpointed relation with itself — "key not found: u#N")
+        return df.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+
+    for _ in range(max_iters):
+        # the graph is undirected: symmetrize before each round
+        und = _sym(edges)
+        # large-star: connect every neighbor v > u to u's minimum
+        # neighborhood element m = min(N(u) ∪ {u})
+        nbrs = und.groupBy("u").agg(F.min("v").alias("m"), F.collect_set("v").alias("vs"))
+        large = (
+            nbrs.select(
+                F.least(F.col("m"), F.col("u")).alias("m"),
+                F.col("u"),
+                F.explode("vs").alias("v"),
+            )
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: connect u and its <= neighbors to their minimum
+        smol_src = _sym(large)
+        nbrs2 = smol_src.filter(F.col("v") < F.col("u")).groupBy("u").agg(
+            F.min("v").alias("m"), F.collect_set("v").alias("vs")
+        )
+        new_edges = (
+            nbrs2.select("u", "m", F.explode("vs").alias("v"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(nbrs2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        # converged when the edge set is stable (every u points at its
+        # component minimum and nothing else)
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    reps = edges.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    return members.unionByName(reps)
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """End-to-end near-dup filter: resolve pair list to clusters, keep the
+    smallest-id representative of each cluster plus every unpaired doc —
+    the keep-set a training-data pipeline actually writes out."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    # plain anti-join: the loser set is O(duplicates) — AQE picks broadcast
+    # when it fits, shuffle-hash when a 100 TB corpus's duplicate fraction
+    # does not
+    return df.join(losers, id_col, "left_anti")

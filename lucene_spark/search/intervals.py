@@ -115,6 +115,29 @@ class ISource:
 class ITerm(ISource):
     term: str
 
+    @property
+    def key(self) -> str:
+        return self.term
+
+
+@dataclass(frozen=True)
+class ITermField(ISource):
+    """Field-masked term leaf (FieldMaskingSpanQuery, reference
+    queries/src/java/org/apache/lucene/queries/spans/FieldMaskingSpanQuery.java):
+    positions come from ANOTHER field's postings but compose with this
+    query's primary-field sources as if they were one field — the classic
+    cross-field proximity trick (e.g. gene name in `title` near disease
+    term in `body`). Saturation scoring is norm-free, so no norm blending
+    question arises (Lucene documents the same caveat)."""
+
+    term: str
+    field: str
+
+    @property
+    def key(self) -> str:
+        # \x1f cannot appear in an analyzed term — collision-free namespace
+        return f"{self.field}\x1f{self.term}"
+
 
 @dataclass(frozen=True)
 class IOr(ISource):
@@ -161,9 +184,10 @@ class IContainedBy(ISource):
 
 
 def leaf_terms(src: ISource) -> list[str]:
-    """Unique leaf terms, order-preserving."""
-    if isinstance(src, ITerm):
-        return [src.term]
+    """Unique leaf KEYS, order-preserving (a key is the term for primary-
+    field leaves, ``field\\x1fterm`` for masked leaves)."""
+    if isinstance(src, (ITerm, ITermField)):
+        return [src.key]
     if isinstance(src, (IOr, IOrdered, IUnordered)):
         out: list[str] = []
         for s in src.sources:
@@ -185,13 +209,41 @@ def leaf_terms(src: ISource) -> list[str]:
     return out
 
 
+def leaf_specs(src: ISource) -> list[tuple[str, str, str | None]]:
+    """Unique (key, term, masked_field_or_None) leaf specs, order-preserving."""
+    out: list[tuple[str, str, str | None]] = []
+
+    def walk(s):
+        if isinstance(s, ITerm):
+            spec = (s.key, s.term, None)
+        elif isinstance(s, ITermField):
+            spec = (s.key, s.term, s.field)
+        else:
+            if isinstance(s, (IOr, IOrdered, IUnordered)):
+                kids = s.sources
+            elif isinstance(s, IContaining):
+                kids = (s.big, s.small)
+            elif isinstance(s, IContainedBy):
+                kids = (s.small, s.big)
+            else:  # pragma: no cover
+                raise TypeError(type(s))
+            for k in kids:
+                walk(k)
+            return
+        if spec not in out:
+            out.append(spec)
+
+    walk(src)
+    return out
+
+
 def required_terms(src: ISource) -> list[list[str]]:
     """CNF-ish presence requirement: a doc can match only if, for every
     returned group, at least one of the group's terms is present. Drives
     the candidate intersection (phase 1) — admissible, never drops a
     matching doc."""
-    if isinstance(src, ITerm):
-        return [[src.term]]
+    if isinstance(src, (ITerm, ITermField)):
+        return [[src.key]]
     if isinstance(src, IOr):
         # a doc needs ANY leaf of any branch
         return [leaf_terms(src)]
@@ -209,7 +261,7 @@ def required_terms(src: ISource) -> list[list[str]]:
 
 def min_extent(src: ISource) -> int:
     """Smallest possible interval length (IntervalsSource.minExtent)."""
-    if isinstance(src, ITerm):
+    if isinstance(src, (ITerm, ITermField)):
         return 1
     if isinstance(src, IOr):
         return min(min_extent(s) for s in src.sources)
@@ -239,8 +291,8 @@ def eval_source(src: ISource, pos: dict[str, list]) -> list[tuple[int, int]]:
     """Minimal intervals of ``src`` for one doc, given per-term sorted
     position lists; result sorted by start (ends also ascending — the
     containment-free invariant)."""
-    if isinstance(src, ITerm):
-        return [(int(p), int(p)) for p in pos.get(src.term, ())]
+    if isinstance(src, (ITerm, ITermField)):
+        return [(int(p), int(p)) for p in pos.get(src.key, ())]
     if isinstance(src, IOr):
         cands: list[tuple[int, int]] = []
         for s in src.sources:
@@ -346,15 +398,32 @@ def scored_interval_source(searcher, q, field: str):
     generalization of scored_intervals, on the shared positions kernel.
     Candidate intersection uses the source's required-term groups (an OR
     branch contributes a union group, so synonym-aware proximity never
-    drops a doc that only has one alternative)."""
+    drops a doc that only has one alternative).
+
+    Field-masked leaves (``ITermField``) fetch their postings from the
+    OTHER field's bucket-pruned scan; the frames union under a
+    collision-free ``field\\x1fterm`` key so one kernel pass composes
+    cross-field positions (FieldMaskingSpanQuery semantics)."""
+    from pyspark.sql import functions as F
+
     from .phrase import scored_positions_kernel
 
     reader = searcher.reader
     if not reader._manifests[reader._builds[0]].get("positions"):
         raise ValueError("IntervalSourceQuery needs an index built with positions=True")
     src = q.source
-    uniq = leaf_terms(src)
-    stats = reader.term_stats(uniq, field)
+    specs = leaf_specs(src)
+    # per-field stats resolution (key -> (df, ttf))
+    by_field: dict[str | None, list[tuple[str, str]]] = {}
+    for key, term, mf in specs:
+        by_field.setdefault(mf, []).append((key, term))
+    stats: dict[str, tuple[int, int]] = {}
+    for mf, pairs in by_field.items():
+        fstats = reader.term_stats([t for _, t in pairs], mf or field)
+        for key, term in pairs:
+            if term in fstats:
+                stats[key] = fstats[term]
+    uniq = [key for key, _, _ in specs]
     groups = [[t for t in g if t in stats] for g in required_terms(src)]
     if any(not g for g in groups):
         return None  # some required group has no indexed term at all
@@ -369,9 +438,24 @@ def scored_interval_source(searcher, q, field: str):
         return boost * (1.0 - pivot / (pivot + freq))
 
     groups = sorted(groups, key=lambda g: sum(stats[t][0] for t in g))
+    blocks = None
+    if any(mf is not None for mf in by_field):
+        cols = [
+            "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
+            "doc_payload", "freq_payload", "norm_payload", "pos_payload",
+        ]
+        parts = []
+        for mf, pairs in by_field.items():
+            p = reader.postings([t for _, t in pairs], mf or field)
+            if mf is not None:
+                p = p.withColumn("term", F.concat(F.lit(mf + "\x1f"), F.col("term")))
+            parts.append(p.select(*cols))
+        blocks = parts[0]
+        for p in parts[1:]:
+            blocks = blocks.unionByName(p)
     return scored_positions_kernel(
         searcher, uniq, [t for g in groups for t in g], field, score_doc,
-        term_groups=groups,
+        term_groups=groups, blocks=blocks,
     )
 
 

@@ -129,7 +129,8 @@ def _scored_phrase_positions(searcher, q, field: str):
 
 
 def scored_positions_kernel(
-    searcher, uniq_terms, rarest_order, field, score_doc, term_groups=None
+    searcher, uniq_terms, rarest_order, field, score_doc, term_groups=None,
+    blocks=None,
 ):
     """Shared positions-matching plan (phrase / interval / multi-phrase
     queries): one groupBy-segment shuffle of encoded blocks, rarest-first
@@ -140,14 +141,19 @@ def scored_positions_kernel(
     ``term_groups``: optional list of term groups; a candidate doc must
     contain at least one term of EVERY group (slot alternatives in
     MultiPhraseQuery, OR branches in nested interval sources). Default:
-    one group per term of ``rarest_order`` (plain conjunction)."""
+    one group per term of ``rarest_order`` (plain conjunction).
+
+    ``blocks``: optional prebuilt postings-block frame (same columns) —
+    used by field-masked interval sources to union several fields'
+    postings under namespaced term keys."""
     if term_groups is None:
         term_groups = [[t] for t in rarest_order]
     reader = searcher.reader
-    blocks = reader.postings(uniq_terms, field).select(
-        "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
-        "doc_payload", "freq_payload", "norm_payload", "pos_payload",
-    )
+    if blocks is None:
+        blocks = reader.postings(uniq_terms, field).select(
+            "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
+            "doc_payload", "freq_payload", "norm_payload", "pos_payload",
+        )
     from ..codecs.docblocks import decode_doc_block
     from ..codecs.pfor import pfor_decode
     from ..index.builder import decode_positions

@@ -43,3 +43,57 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n"), F.sum(value_col).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: every event lands in
+    window/slide overlapping windows. Same one-shuffle shape as tumbling —
+    Spark expands the window assignment map-side (no self-join), so the
+    shuffle carries window/slide copies of each row's agg inputs, still
+    O(events), and the watermark bounds state exactly as for tumbling."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows: per key, events closer than ``gap`` merge into one
+    session (Structured Streaming's session_window — dynamic-length
+    windows with watermark-bounded state merging). Batch input runs the
+    identical expression exactly; the batch face is the streaming oracle.
+
+    Output: (session_start, session_end, *keys, n, sum_value)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )

@@ -226,3 +226,179 @@ def test_suggest_plan_is_ordered_limit(reader):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------- connected components
+
+
+def test_connected_components_basic(spark):
+    from lucene_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 8)], "a long, b long"
+    )
+    got = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (8, 8), (9, 8)}
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-node path converges in O(log n) large/small-star rounds — the
+    shape where naive label propagation needs 40 rounds."""
+    from lucene_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    got = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(41)}
+
+
+def test_connected_components_random_vs_unionfind(spark):
+    """Random graphs vs a driver-side union-find oracle."""
+    import random
+
+    from lucene_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    want = {(x, find(x)) for x in nodes}
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_keep_representatives(spark):
+    from lucene_spark.pipeline.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "a long, b long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_representatives(df, pairs, "doc_id").collect()
+    )
+    # clusters {0,1,2} -> keep 0; {5,6} -> keep 5; singletons 3,4,7 kept
+    assert kept == [0, 3, 4, 5, 7]
+
+
+# --------------------------------------------- field-masked interval sources
+
+
+@pytest.fixture(scope="module")
+def masked_root(spark, tmp_path_factory):
+    """Index with a second analyzed field ('head' = first 8 tokens) AND
+    positions on BOTH fields (positions=True now covers text_fields)."""
+    import shutil
+
+    from lucene_spark.index import build_index
+    from lucene_spark.pages import pages_from_documents
+
+    from conftest import TESTDATA
+
+    root = str(tmp_path_factory.mktemp("maskidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA).withColumn(
+        "head", F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')")
+    )
+    build_index(
+        spark, pages, root, num_segments=3, num_buckets=4,
+        stored_cols=("lang", "text"), positions=True,
+        text_fields={"head": "head"},
+    )
+    return root
+
+
+def test_field_masked_interval_parity(spark, masked_root, corpus):
+    """ITermField('table', 'head') composes with primary-field sources:
+    positions come from the head field (first 8 tokens), so matches need
+    'table' EARLY in the doc, ordered before a primary-field 'scan'."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+    from lucene_spark.index import IndexReader
+    from lucene_spark.search.intervals import (
+        IOrdered,
+        ITerm,
+        ITermField,
+        source_freq,
+    )
+
+    an = analyzer_for("standard")
+    src = IOrdered((ITermField("table", "head"), ITerm("scan")))
+    want = []
+    for i, text in enumerate(corpus["text"]):
+        toks = an.tokens(text if isinstance(text, str) else "")
+        head_toks = toks[:8]  # the head field IS the first 8 whitespace tokens
+        pos = {
+            "head\x1ftable": [t.position for t in head_toks if t.term == "table"],
+            "scan": [t.position for t in toks if t.term == "scan"],
+        }
+        freq = source_freq(src, pos)
+        if freq > 0:
+            want.append((corpus["url"][i], 1.0 - 1.0 / (1.0 + freq)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:10]
+    assert want, "fixture corpus should produce masked matches"
+
+    s = IndexSearcher(IndexReader(spark, masked_root))
+    q = Q.IntervalSourceQuery("text", src)
+    rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+    got = [(r["url"], float(r["score"])) for r in rows]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (_wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), gu
+
+
+def test_masked_differs_from_unmasked(spark, masked_root):
+    """Masking to 'head' is stricter than the same source on the primary
+    field (head only covers the first 8 tokens)."""
+    from lucene_spark.index import IndexReader
+    from lucene_spark.search.intervals import IOrdered, ITerm, ITermField
+
+    s = IndexSearcher(IndexReader(spark, masked_root))
+    masked = s.search(
+        Q.IntervalSourceQuery("text", IOrdered((ITermField("table", "head"), ITerm("scan")))),
+        k=1000, mode="exhaustive",
+    ).collect()
+    plain = s.search(
+        Q.IntervalSourceQuery("text", IOrdered((ITerm("table"), ITerm("scan")))),
+        k=1000, mode="exhaustive",
+    ).collect()
+    m_urls = {r["url"] for r in masked}
+    p_urls = {r["url"] for r in plain}
+    assert m_urls <= p_urls
+    assert m_urls != p_urls
+
+
+def test_phrase_on_secondary_field_positions(spark, masked_root, corpus):
+    """positions=True now indexes text_fields too: a PhraseQuery routed to
+    the head field uses the positions path and only matches phrases inside
+    the first 8 tokens."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+    from lucene_spark.index import IndexReader
+
+    an = analyzer_for("standard")
+    s = IndexSearcher(IndexReader(spark, masked_root))
+    got = {
+        r["url"]
+        for r in s.search(
+            Q.PhraseQuery("head", ("table", "scan")), k=1000, mode="exhaustive",
+            field="head",
+        ).collect()
+    }
+    want = set()
+    for i, text in enumerate(corpus["text"]):
+        toks = [t.term for t in an.tokens(text if isinstance(text, str) else "")][:8]
+        if any(a == "table" and b == "scan" for a, b in zip(toks, toks[1:])):
+            want.add(corpus["url"][i])
+    assert got == want

@@ -86,3 +86,81 @@ def test_late_events_dropped_past_watermark(spark, tmp_path):
     assert emitted.get((10, "click")) == 1
     assert emitted.get((11, "click")) == 1  # the 11:55 event was kept
     assert emitted.get((12, "click")) == 1
+
+
+def test_sliding_streaming_matches_batch(spark, tmp_path):
+    from lucene_spark.streaming.windows import sliding_event_counts
+
+    src = str(tmp_path / "slide_src")
+    _write(spark, _rows([(10, 5, "click", 1.0), (10, 40, "click", 2.0),
+                         (11, 10, "view", 3.0)]), src)
+    _write(spark, _rows([(11, 35, "click", 4.0)]), src)
+
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = sliding_event_counts(stream, window="1 hour", slide="30 minutes",
+                               watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_complete")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM slide_complete").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in sliding_event_counts(
+            spark.read.parquet(src), window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    assert got == want
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(n for n, _ in want.values()) == 2 * 4
+    # 10:05 click is in the 09:30 and 10:00 windows
+    assert want[(dt.datetime(2024, 1, 1, 9, 30), "click")] == (1, 1.0)
+    assert want[(dt.datetime(2024, 1, 1, 10, 0), "click")] == (2, 3.0)
+
+
+def test_session_streaming_matches_batch(spark, tmp_path):
+    from lucene_spark.streaming.windows import session_event_counts
+
+    src = str(tmp_path / "sess_src")
+    # click: 10:00, 10:20 (same session, gap 20m), 11:30 (new session)
+    # view:  10:05 alone
+    _write(spark, _rows([(10, 0, "click", 1.0), (10, 20, "click", 2.0),
+                         (10, 5, "view", 7.0)]), src)
+    _write(spark, _rows([(11, 30, "click", 4.0)]), src)
+
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = session_event_counts(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["session_start"], r["event_type"]): (r["session_end"], r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM sess_complete").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["session_start"], r["event_type"]): (r["session_end"], r["n"], r["sum_value"])
+        for r in session_event_counts(
+            spark.read.parquet(src), gap="30 minutes"
+        ).collect()
+    }
+    assert got == want
+    s1 = want[(dt.datetime(2024, 1, 1, 10, 0), "click")]
+    # session end = last event + gap; the 10:00 + 10:20 events merged
+    assert s1 == (dt.datetime(2024, 1, 1, 10, 50), 2, 3.0)
+    assert (dt.datetime(2024, 1, 1, 11, 30), "click") in want
