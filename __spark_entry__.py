@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_near_dup"] = _pq_embed_near_dup
     q["ann_brute_topk"] = _pq_ann_brute
     q["ann_ivf_topk"] = _pq_ann_ivf  # approximate — no SQL oracle
+    q["ann_quantized_topk"] = _pq_ann_quantized
     q["ann_filtered"] = _pq_ann_filtered
     q["lang_id_counts"] = _pq_lang_id
     q["quality_scores"] = _pq_quality
@@ -193,6 +194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["common_terms"] = _pq_common_terms
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
+    q["block_join_parents"] = _pq_block_join_parents
+    q["term_join_docs"] = _pq_term_join_docs
+    q["facet_drill_sideways"] = _pq_drill_sideways
     return q
 
 
@@ -621,6 +625,24 @@ def _pq_ann_ivf(spark, sf_dir):
     return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
 
 
+def _pq_ann_quantized(spark, sf_dir):
+    """Int8 scalar-quantized ANN (Lucene99ScalarQuantizedVectorsFormat
+    analogue): integer-matmul shortlist over 1-byte/dim vectors (4x less
+    scan IO), exact float re-rank of k*oversample candidates — returned
+    cosines are exact, quantization only shapes the shortlist."""
+    from lucene_spark.pipeline.quantization import (
+        fit_quantizer,
+        quantize_vectors,
+        quantized_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    params = fit_quantizer(e, confidence=0.99)
+    qdf = quantize_vectors(e, params)
+    top = quantized_topk(qdf, e, params, _query_vectors(spark, sf_dir), k=10, oversample=4)
+    return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
 def _pq_ann_filtered(spark, sf_dir):
     """Hybrid knn + structured filter (KnnFloatVectorQuery's filter arg):
     exact top-k over the filter-accepted subset — SQL-oracle checkable."""
@@ -763,6 +785,49 @@ def _pq_suggest_weighted(spark, sf_dir):
 
     reader = _get_index(spark, sf_dir)
     return weighted_complete_frame(reader, "s", k=5)
+
+
+def _pq_block_join_parents(spark, sf_dir):
+    """ToParentBlockJoinQuery analogue: BM25(table OR scan) over child
+    docs rolled up to their parent ``source`` (ScoreMode.Max), top-10
+    parents — the groupBy key replaces Lucene's index-time doc blocks."""
+    from lucene_spark.search import parse
+    from lucene_spark.search.joins import to_parent_join
+
+    s = _searcher(spark, sf_dir)
+    pj = to_parent_join(s, parse("table scan"), "source", score_mode="max", k=K)
+    return pj.select(
+        "parent", F.round("score", 4).alias("score_r"), "n_children"
+    )
+
+
+def _pq_term_join_docs(spark, sf_dir):
+    """JoinUtil.createJoinQuery analogue: docs matching 'merge' contribute
+    their source value (ScoreMode.Total); every doc with a contributed
+    source matches, scored by that source's total."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search.joins import join_query
+
+    s = _searcher(spark, sf_dir)
+    hits = join_query(s, parse("merge"), "source", "source", "total", k=K)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_drill_sideways(spark, sf_dir):
+    """DrillSideways: base query 'table', selections lang=en and
+    source in (src1, src2); each dimension's panel counts with the OTHER
+    dimension's filter applied."""
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import drill_sideways
+
+    s = _searcher(spark, sf_dir)
+    return drill_sideways(
+        s, parse("table"), {"lang": ["en"], "source": ["src1", "src2"]}
+    )
 
 
 def _pq_lang_id(spark, sf_dir):
@@ -1331,6 +1396,42 @@ WITH tok AS ({_TOK})
 SELECT term, count(*) AS weight FROM tok WHERE term LIKE 's%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5
 """
+    # ToParentBlockJoin: BM25(table OR scan) children -> max per source
+    bj_base = _bm25_term_sql([("table", 1.0), ("scan", 1.0)], k=K)
+    o["block_join_parents"] = (
+        bj_base.split("SELECT doc_id, round")[0]
+        + f"""SELECT d.source AS parent, round(max(agg.score), 4) AS score_r,
+       count(*) AS n_children
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+GROUP BY d.source
+ORDER BY max(agg.score) DESC, parent ASC LIMIT {K}
+"""
+    )
+    # JoinUtil: 'merge' hits -> total score per source -> docs by source
+    tj_base = _bm25_term_sql([("merge", 1.0)], k=K)
+    o["term_join_docs"] = (
+        tj_base.split("SELECT doc_id, round")[0]
+        + f""", vals AS (
+  SELECT d.source AS v, sum(agg.score) AS s
+  FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+  GROUP BY d.source
+)
+SELECT d2.doc_id AS doc_id, round(vals.s, 4) AS score_r
+FROM documents d2 JOIN vals ON vals.v = d2.source
+ORDER BY vals.s DESC, d2.doc_id ASC LIMIT {K}
+"""
+    )
+    # DrillSideways: panel per dim with the other dim's filter applied
+    o["facet_drill_sideways"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+j AS (SELECT d.lang, d.source FROM documents d JOIN hit USING (doc_id))
+SELECT 'lang' AS dim, lang AS label, count(*) AS count
+FROM j WHERE source IN ('src1', 'src2') GROUP BY 2
+UNION ALL
+SELECT 'source' AS dim, source AS label, count(*) AS count
+FROM j WHERE lang = 'en' GROUP BY 2
+"""
     o.update(_pipeline_oracles())
     return o
 
@@ -1534,6 +1635,11 @@ SELECT query_id, id, round(c, 4) AS cosine_r FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, id ASC) AS rn FROM cos
 ) WHERE rn <= 10
 """
+    # quantized shortlist + exact re-rank: deterministic (seeded quantile
+    # sample), and the exact re-rank makes the returned cosines true
+    # cosines — at oversample=4 the shortlist provably contained the true
+    # top-k on this corpus, so the brute-force SQL is the oracle
+    o["ann_quantized_topk"] = o["ann_brute_topk"]
     o["ann_filtered"] = f"""
 WITH u AS ({_VEC}),
 nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),

@@ -1,0 +1,221 @@
+"""Scalar-quantized vector search: int8 storage + integer scoring with
+exact float re-rank.
+
+Reference analogue: ``Lucene99ScalarQuantizedVectorsFormat`` /
+``ScalarQuantizer`` (``/root/reference/lucene/core/src/java/org/apache/
+lucene/util/quantization/ScalarQuantizer.java:1-200``,
+``codecs/lucene99/Lucene99ScalarQuantizedVectorsWriter.java``): vector
+components are clipped to [lower, upper] quantiles estimated from a
+sample at a confidence interval, affinely mapped to 7-bit integers
+(``quantize()``: ``(v - min) / alpha`` rounded, alpha = (max-min)/127),
+and similarity is computed on the int vectors plus an affine correction,
+with optional full-precision re-ranking of the shortlist.
+
+Why it matters at 100 TB: the quantized column is 4x smaller than
+float32 (16x vs float64), so the scan that dominates brute-force /
+IVF-cell scoring reads a quarter of the bytes; the integer matmul is
+also ~2-4x faster per row. The exact re-rank touches only
+``k * oversample`` rows per query via a broadcast candidate join.
+
+Dot-product reconstruction (cosine over pre-normalized vectors):
+  v ~= alpha * q + lo          (componentwise)
+  <a, b> ~= alpha^2 <qa, qb> + lo * alpha * (sum(qa) + sum(qb)) + d * lo^2
+``sum(q)`` is precomputed per stored vector (Lucene's per-vector
+correction term, ScalarQuantizer.quantize's return correction).
+
+The quantized estimate is only used to FORM the shortlist; the returned
+scores are exact float cosines from the re-rank, so quality degrades
+gracefully (recall, never score accuracy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .similarity import _TOPK_SCHEMA, _normalize
+
+_BITS_MAX = 127  # 7-bit unsigned range, stored in int8 like Lucene
+
+
+@dataclass(frozen=True)
+class QuantParams:
+    lo: float
+    hi: float
+    dim: int
+
+    @property
+    def alpha(self) -> float:
+        return (self.hi - self.lo) / _BITS_MAX if self.hi > self.lo else 1.0
+
+
+def fit_quantizer(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    confidence: float = 0.99,
+    sample: int = 4096,
+    seed: int = 42,
+) -> QuantParams:
+    """Estimate clip quantiles from a seeded Bernoulli sample (every
+    partition contributes — not ``limit``), pooling all components like
+    ScalarQuantizer.fromVectors' sampled confidence interval."""
+    total = df.count()
+    sdf = df.select(vec_col)
+    if total > sample:
+        sdf = sdf.sample(fraction=min(1.0, sample * 1.3 / total), seed=seed).limit(sample)
+    m = _normalize(np.array(sdf.toPandas()[vec_col].tolist(), dtype=np.float64))
+    tail = (1.0 - confidence) / 2.0
+    lo = float(np.quantile(m, tail))
+    hi = float(np.quantile(m, 1.0 - tail))
+    if hi <= lo:  # degenerate corpus: single value
+        hi = lo + 1e-9
+    return QuantParams(lo=lo, hi=hi, dim=int(m.shape[1]))
+
+
+def _quantize_np(m: np.ndarray, p: QuantParams) -> np.ndarray:
+    q = np.round((np.clip(m, p.lo, p.hi) - p.lo) / p.alpha)
+    return q.astype(np.int8)  # values in [0, 127]
+
+
+def quantize_vectors(
+    df: DataFrame,
+    params: QuantParams,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, qvec: binary, qsum: long): int8-packed quantized vectors plus
+    the per-vector correction sum. ``qvec`` is a binary column — 1 byte
+    per dimension, the 4x scan-size win; at scale this frame is what gets
+    persisted (partitioned like the source table or by IVF cell)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qvec", T.BinaryType()),
+            T.StructField("qsum", T.LongType()),
+        ]
+    )
+
+    def quant(iterator):
+        for pdf in iterator:
+            m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            q = _quantize_np(m, params)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(np.int64),
+                    "qvec": [row.tobytes() for row in q],
+                    "qsum": q.sum(axis=1, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(quant, out_schema)
+
+
+def quantized_topk(
+    qdf: DataFrame,
+    full_df: DataFrame,
+    params: QuantParams,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    oversample: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k per query: integer shortlist over the quantized frame, exact
+    float re-rank of k*oversample candidates. Returns (query_id, id,
+    cosine) with EXACT cosines (the quantized score never leaves the
+    shortlist stage). Plan: narrow map over qdf (partition-local top
+    shortlist bounds the shuffle to k*oversample rows per query) ->
+    window -> broadcast candidate semi-join into the full-precision
+    table -> JVM-side zip_with dot product -> final window."""
+    m = min(max(k * oversample, k), 1 << 20)
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    qq = _quantize_np(qm, params).astype(np.int32)  # (Q, d)
+    qsum_q = qq.sum(axis=1).astype(np.float64)
+    alpha, lo, dim = params.alpha, params.lo, params.dim
+
+    def shortlist(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy(np.int64)
+            mat = (
+                np.frombuffer(b"".join(pdf["qvec"].tolist()), dtype=np.int8)
+                .reshape(len(ids), dim)
+                .astype(np.int32)
+            )
+            dots = mat @ qq.T  # integer matmul (n, Q)
+            dsum = pdf["qsum"].to_numpy(np.float64)
+            est = (
+                alpha * alpha * dots
+                + lo * alpha * (dsum[:, None] + qsum_q[None, :])
+                + dim * lo * lo
+            )
+            kk = min(m, len(ids))
+            outs = []
+            for qi in range(len(qids)):
+                col = est[:, qi]
+                idx = (
+                    np.argpartition(-col, kk - 1)[:kk]
+                    if kk < len(ids)
+                    else np.arange(len(ids))
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "id": ids[idx], "cosine": col[idx]}
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    est = qdf.mapInPandas(shortlist, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    cand = (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("query_id", "id")
+    )
+    # exact re-rank: candidates are k*oversample rows/query -> broadcast
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                F.array(*[F.lit(float(x)) for x in qm[i]]).alias("qv"),
+            )
+            for i, qid in enumerate(qids)
+        ]
+    )
+    qtab = (
+        qdf.sparkSession.range(1)
+        .select(F.explode(qlit).alias("s"))
+        .select("s.query_id", "s.qv")
+    )
+    full = full_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    joined = (
+        full.join(F.broadcast(cand), "id")
+        .join(F.broadcast(qtab), "query_id")
+    )
+    nrm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = joined.select(
+        "query_id",
+        "id",
+        (dot / F.when(nrm > 0, nrm).otherwise(F.lit(1.0))).alias("cosine"),
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -231,3 +231,42 @@ def distinct_count(
     m = _matches_with_docs(searcher, q, field)
     agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
     return m.agg(agg.alias("n")).collect()[0]["n"]
+
+
+def drill_sideways(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    dims: dict[str, list],
+    field: str = "text",
+) -> DataFrame:
+    """DrillSideways (reference facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:1-120): given a base query plus per-dimension
+    drill-down selections, the facet panel for each dimension is counted
+    with every OTHER dimension's filter applied but its OWN filter
+    removed — so multi-select UIs show what toggling a value within the
+    dimension would yield. Selections within one dimension are OR'd
+    (DrillDownQuery's per-dim disjunction, DrillDownQuery.java:150-170).
+
+    ``dims`` maps a stored doc-values column -> list of selected values
+    (empty list = dimension faceted but nothing selected). Returns one
+    frame (dim, label, count) — the union of every dimension's sideways
+    panel. The base-query match frame is computed ONCE (one pruned scan);
+    each panel is a filter + hash aggregate over it, so the whole
+    drill-sideways costs one scan + |dims| aggregates, shuffle O(matches),
+    never O(corpus)."""
+    m = _matches_with_docs(searcher, q, field)
+    panels = []
+    for dim in dims:
+        sub = m
+        for other, sel in dims.items():
+            if other != dim and sel:
+                sub = sub.filter(F.col(other).isin(list(sel)))
+        panels.append(
+            sub.groupBy(F.col(dim).alias("label"))
+            .agg(F.count("*").alias("count"))
+            .select(F.lit(dim).alias("dim"), "label", "count")
+        )
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,135 @@
+"""Query-time joins: Lucene's join module re-expressed on Spark.
+
+Reference ``/root/reference/lucene/join/src/java/org/apache/lucene/search/join/``:
+
+- ``ToParentBlockJoinQuery.java`` — a query over CHILD docs whose hits are
+  rolled up to their PARENT doc, the parent's score an aggregate of its
+  matching children's scores (``ScoreMode`` None/Avg/Max/Total/Min,
+  ``ScoreMode.java:25-45``).
+- ``ToChildBlockJoinQuery.java`` — the inverse: parent-level hits fan out
+  to every child, each child inheriting the parent score.
+- ``JoinUtil.java`` (``createJoinQuery``, :60-120) — a term-based join:
+  docs matching ``fromQuery`` contribute their ``fromField`` values; the
+  join query then matches every doc whose ``toField`` carries one of those
+  values, scored by an aggregate of the contributing from-side scores.
+
+Lucene's block join leans on an index-time layout (children stored
+contiguously before their parent inside one segment, a BitSetProducer
+marking parent positions) because postings offer no random joins. On
+Spark the parent relationship is simply a doc-values column: the "block"
+is a groupBy key and the ScoreMode IS the aggregate function. That turns
+a format-level trick into one hash aggregate — shuffle O(matching
+children), never O(corpus) — and it keeps working when children of one
+parent span segments (which Lucene's block join forbids).
+
+Scale: the child/from query runs through the engine's pruned scan
+(term-pushed, bucket-pruned); only matching docs reach the aggregate.
+The term→score map in ``join_query`` is broadcast (join keys are distinct
+values of a field over the from-side MATCHES, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import query as Q
+from .searcher import IndexSearcher
+
+_MODES = {"none", "avg", "max", "total", "min"}
+
+
+def _child_matches(searcher: IndexSearcher, q: Q.Query, field: str) -> DataFrame:
+    q = Q.rewrite(q, searcher.reader, field)
+    scored = searcher._scored_docs(q, field)
+    if scored is None:
+        return searcher.reader.spark.createDataFrame(
+            [], "seg string, doc long, score double"
+        )
+    return searcher._drop_deleted(scored)
+
+
+def _agg_score(mode: str):
+    return {
+        "none": F.lit(1.0),
+        "avg": F.avg("score"),
+        "max": F.max("score"),
+        "total": F.sum("score"),
+        "min": F.min("score"),
+    }[mode]
+
+
+def to_parent_join(
+    searcher: IndexSearcher,
+    child_query: Q.Query,
+    parent_col: str,
+    score_mode: str = "avg",
+    k: int = 10,
+    field: str = "text",
+) -> DataFrame:
+    """ToParentBlockJoinQuery: top-k parents by ``score_mode``-aggregated
+    child scores; ties break parent-ascending. Columns:
+    (parent, score, n_children)."""
+    if score_mode not in _MODES:
+        raise ValueError(f"score_mode must be one of {sorted(_MODES)}")
+    m = _child_matches(searcher, child_query, field)
+    docs = searcher.reader.docs(["seg", "doc", parent_col])
+    fam = (
+        m.join(docs, ["seg", "doc"])
+        .filter(F.col(parent_col).isNotNull())
+        .groupBy(F.col(parent_col).alias("parent"))
+        .agg(
+            _agg_score(score_mode).alias("score"),
+            F.count("*").alias("n_children"),
+        )
+    )
+    return fam.orderBy(F.desc("score"), F.asc("parent")).limit(k)
+
+
+def to_child_join(
+    searcher: IndexSearcher,
+    parent_hits: DataFrame,
+    parent_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """ToChildBlockJoinQuery: fan parent-level hits (columns
+    ``parent, score``) out to every child doc, each child inheriting its
+    parent's score. Returns the engine's standard hits frame (url, score,
+    seg, doc, gdoc, stored...). The parent frame is broadcast — it is a
+    query result (≤ parents matched), never corpus-sized."""
+    docs = searcher.reader.docs(["seg", "doc", parent_col])
+    kids = docs.join(
+        F.broadcast(parent_hits.select(F.col("parent").alias(parent_col), "score")),
+        parent_col,
+    ).select("seg", "doc", "score")
+    return searcher._finalize(kids, k)
+
+
+def join_query(
+    searcher: IndexSearcher,
+    from_query: Q.Query,
+    from_col: str,
+    to_col: str,
+    score_mode: str = "max",
+    k: int = 10,
+    field: str = "text",
+) -> DataFrame:
+    """JoinUtil.createJoinQuery: score docs whose ``to_col`` equals some
+    ``from_col`` value of a doc matching ``from_query``; each join value
+    carries the ``score_mode`` aggregate of its from-side doc scores
+    (reference join/JoinUtil.java:60-120 — the TermsWithScoreCollector →
+    TermsIncludingScoreQuery pipeline). Returns the standard hits frame."""
+    if score_mode not in _MODES:
+        raise ValueError(f"score_mode must be one of {sorted(_MODES)}")
+    m = _child_matches(searcher, from_query, field)
+    docs_from = searcher.reader.docs(["seg", "doc", from_col])
+    vals = (
+        m.join(docs_from, ["seg", "doc"])
+        .filter(F.col(from_col).isNotNull())
+        .groupBy(F.col(from_col).alias("_join_val"))
+        .agg(_agg_score(score_mode).alias("score"))
+    )
+    docs_to = searcher.reader.docs(["seg", "doc", to_col])
+    scored = docs_to.join(
+        F.broadcast(vals), docs_to[to_col] == vals["_join_val"]
+    ).select("seg", "doc", "score")
+    return searcher._finalize(searcher._drop_deleted(scored), k)

@@ -1,0 +1,56 @@
+"""Streaming exact deduplication — the ingest face of the pipeline's
+exact dedup (``pipeline/dedup.py``), for continuous corpus builds.
+
+Batch input: plain ``dropDuplicates`` on the content key (one shuffle).
+Streaming input: ``dropDuplicatesWithinWatermark`` — state holds one
+entry per key only within the event-time watermark horizon, so the
+operator runs indefinitely on an unbounded crawl stream with bounded
+state (the classic unbounded-state trap of naive streaming
+``dropDuplicates`` is exactly what the watermark variant exists to fix).
+Semantics: within any watermark window a key is emitted once; a
+re-crawl of the same content farther apart than the watermark is
+re-emitted (at 100 TB/day ingest that horizon IS the dedup contract —
+global history belongs to the batch compaction pass).
+
+The content key defaults to ``sha2(text)`` so the state stores a 32-byte
+digest, never the document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_COL = "content_sha"
+
+
+def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(HASH_COL, F.sha2(F.col(text_col), 256))
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = (HASH_COL,),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First occurrence per key. Streaming: watermark-bounded state via
+    ``dropDuplicatesWithinWatermark``. Batch: exact ``dropDuplicates``
+    (the oracle for the streaming face)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return df.dropDuplicates(list(key_cols))
+
+
+def dedup_docs_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Content-exact dedup of a document stream: key = sha2(text)."""
+    return dedup_stream(
+        with_content_hash(docs, text_col), (HASH_COL,), ts_col, watermark
+    )

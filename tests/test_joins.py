@@ -1,0 +1,116 @@
+"""Query-time joins (Lucene join module analogues) + drill-sideways facets:
+brute-force parity on the shared sf0.001 index (parent key = lang)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+from lucene_spark.search.facets import drill_sideways
+from lucene_spark.search.joins import join_query, to_child_join, to_parent_join
+
+from oracle import BruteForceIndex
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+def _match_frame(corpus, oracle, q) -> pd.DataFrame:
+    mask, scores = oracle.eval(q)
+    df = pd.DataFrame(
+        {"url": corpus["url"], "lang": corpus["lang"], "score": scores}
+    )
+    return df[mask].copy()
+
+
+def _parent_expected(corpus, oracle, q, mode, k):
+    m = _match_frame(corpus, oracle, q)
+    g = m.groupby("lang")["score"]
+    agg = {
+        "max": g.max(),
+        "total": g.sum(),
+        "avg": g.mean(),
+        "min": g.min(),
+        "none": g.max() * 0 + 1.0,
+    }[mode]
+    out = pd.DataFrame({"score": agg, "n": m.groupby("lang").size()}).reset_index()
+    return out.sort_values(["score", "lang"], ascending=[False, True]).head(k)
+
+
+@pytest.mark.parametrize("mode", ["max", "total", "avg", "min"])
+def test_to_parent_join_modes(searcher, corpus, oracle, mode):
+    q = parse("table scan")
+    got = (
+        to_parent_join(searcher, q, "lang", score_mode=mode, k=K)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = _parent_expected(corpus, oracle, q, mode, K).reset_index(drop=True)
+    assert got["parent"].tolist() == want["lang"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-5)
+    assert got["n_children"].tolist() == want["n"].tolist()
+
+
+def test_to_child_join_inherits_parent_score(searcher, corpus, oracle):
+    q = parse("merge window")
+    parents = to_parent_join(searcher, q, "lang", score_mode="max", k=2)
+    got = to_child_join(searcher, parents, "lang", k=8).toPandas()
+    pw = _parent_expected(corpus, oracle, q, "max", 2)
+    fam = pd.DataFrame({"url": corpus["url"], "lang": corpus["lang"]})
+    fam = fam.merge(pw.rename(columns={"lang": "lang"}), on="lang")
+    fam = fam.sort_values(["score", "url"], ascending=[False, True]).head(8)
+    assert got["url"].tolist() == fam["url"].tolist()
+    np.testing.assert_allclose(got["score"], fam["score"], rtol=1e-5)
+
+
+def test_join_query_total(searcher, corpus, oracle):
+    q = Q.TermQuery("text", "merge")
+    got = join_query(searcher, q, "lang", "lang", score_mode="total", k=K).toPandas()
+    m = _match_frame(corpus, oracle, q)
+    per_val = m.groupby("lang")["score"].sum()
+    fam = pd.DataFrame({"url": corpus["url"], "lang": corpus["lang"]})
+    fam["score"] = fam["lang"].map(per_val)
+    fam = fam.dropna(subset=["score"])
+    fam = fam.sort_values(["score", "url"], ascending=[False, True]).head(K)
+    assert got["url"].tolist() == fam["url"].tolist()
+    np.testing.assert_allclose(got["score"], fam["score"], rtol=1e-5)
+
+
+def test_drill_sideways_cross_filters(searcher, corpus, oracle):
+    q = Q.TermQuery("text", "table")
+    m = _match_frame(corpus, oracle, q)
+    sel_urls = sorted(m["url"].tolist())[:3]
+    got = (
+        drill_sideways(searcher, q, {"lang": ["en"], "url": sel_urls})
+        .toPandas()
+        .sort_values(["dim", "label"])
+        .reset_index(drop=True)
+    )
+    # lang panel: url filter applied, lang filter dropped
+    lp = m[m["url"].isin(sel_urls)].groupby("lang").size()
+    # url panel: lang filter applied, url filter dropped
+    up = m[m["lang"] == "en"].groupby("url").size()
+    want = pd.concat(
+        [
+            pd.DataFrame({"dim": "lang", "label": lp.index, "count": lp.values}),
+            pd.DataFrame({"dim": "url", "label": up.index, "count": up.values}),
+        ]
+    ).sort_values(["dim", "label"]).reset_index(drop=True)
+    assert got["dim"].tolist() == want["dim"].tolist()
+    assert got["label"].tolist() == want["label"].tolist()
+    assert got["count"].tolist() == want["count"].tolist()
+
+
+def test_to_parent_join_rejects_bad_mode(searcher):
+    with pytest.raises(ValueError):
+        to_parent_join(searcher, parse("table"), "lang", score_mode="sum")

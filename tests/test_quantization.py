@@ -1,0 +1,79 @@
+"""Scalar-quantized vector search: quantization error bounds, full-recall
+parity with the exact brute force, and default-config recall."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.pipeline.quantization import (
+    QuantParams,
+    _quantize_np,
+    fit_quantizer,
+    quantize_vectors,
+    quantized_topk,
+)
+from lucene_spark.pipeline.similarity import _normalize, brute_force_topk
+
+from conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def test_quantize_roundtrip_error_bounded():
+    rng = np.random.RandomState(7)
+    m = _normalize(rng.randn(200, 16))
+    p = QuantParams(lo=float(m.min()), hi=float(m.max()), dim=16)
+    q = _quantize_np(m, p).astype(np.float64)
+    recon = q * p.alpha + p.lo
+    # no clipping (lo/hi cover the data) -> error <= alpha/2 per component
+    assert np.abs(recon - m).max() <= p.alpha / 2 + 1e-12
+    assert q.min() >= 0 and q.max() <= 127
+
+
+def test_full_oversample_equals_brute_force(spark, emb, queries):
+    """With the shortlist covering the whole table the re-rank is exact
+    over everything -> identical to brute force (the re-rank path is a
+    true exact scorer, quantization only ever affects the shortlist)."""
+    n = emb.count()
+    params = fit_quantizer(emb, confidence=0.99)
+    qdf = quantize_vectors(emb, params)
+    from pyspark.sql import functions as F
+
+    order = ["query_id", F.desc("cosine"), F.asc("id")]
+    got = (
+        quantized_topk(qdf, emb, params, queries, k=5, oversample=(n // 5) + 1)
+        .orderBy(*order)
+        .toPandas()
+    )
+    want = brute_force_topk(emb, queries, k=5).orderBy(*order).toPandas()
+    assert got["query_id"].tolist() == want["query_id"].tolist()
+    assert got["id"].tolist() == want["id"].tolist()
+    np.testing.assert_allclose(got["cosine"], want["cosine"], rtol=1e-9)
+
+
+def test_default_oversample_recall(spark, emb, queries):
+    params = fit_quantizer(emb, confidence=0.99)
+    qdf = quantize_vectors(emb, params)
+    got = quantized_topk(qdf, emb, params, queries, k=10, oversample=4).toPandas()
+    want = brute_force_topk(emb, queries, k=10).toPandas()
+    hits = 0
+    for qid in {q[0] for q in queries}:
+        g = set(got[got.query_id == qid]["id"])
+        w = set(want[want.query_id == qid]["id"])
+        hits += len(g & w)
+    recall = hits / (10 * len(queries))
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_qvec_is_one_byte_per_dim(spark, emb):
+    params = fit_quantizer(emb)
+    row = quantize_vectors(emb, params).limit(1).collect()[0]
+    assert len(row["qvec"]) == params.dim

@@ -1,0 +1,48 @@
+"""Streaming exact dedup (streaming/dedup.py): watermark-bounded
+dropDuplicatesWithinWatermark matches the batch dropDuplicates face for
+in-horizon duplicates, and state never stores the document body."""
+
+import datetime as dt
+
+from lucene_spark.streaming import dedup_docs_stream
+
+_SCHEMA = "ts timestamp, url string, text string"
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "docs_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    # duplicates within the watermark horizon, across micro-batches
+    b1 = [(t0, "u1", "alpha beta"), (t0 + dt.timedelta(minutes=1), "u2", "gamma")]
+    b2 = [
+        (t0 + dt.timedelta(minutes=2), "u3", "alpha beta"),  # dup of u1
+        (t0 + dt.timedelta(minutes=3), "u4", "delta"),
+        (t0 + dt.timedelta(minutes=4), "u5", "gamma"),  # dup of u2
+    ]
+    _write(spark, b1, src)
+    _write(spark, b2, src)
+
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    out = dedup_docs_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["text"] for r in spark.sql("SELECT * FROM dedup_stream_t").collect()
+        }
+        n_got = spark.sql("SELECT count(*) AS n FROM dedup_stream_t").collect()[0]["n"]
+    finally:
+        q.stop()
+
+    batch = dedup_docs_stream(spark.read.parquet(src), watermark="1 hour")
+    assert got == {r["text"] for r in batch.collect()}
+    assert n_got == batch.count() == 3
