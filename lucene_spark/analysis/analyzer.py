@@ -98,6 +98,32 @@ class Analyzer:
     def terms(self, text: str) -> list[str]:
         return [t.term for t in self.tokens(text)]
 
+    def term_positions(self, text: str, wanted) -> dict[str, list]:
+        """Positions of ``wanted`` (post-analysis) terms only — the
+        phrase-verify hot path. Same chain as ``tokens`` (position
+        increments accumulate over stopwords) but skips Token object
+        construction, which dominates per-doc analysis cost when only a
+        few terms matter."""
+        out: dict[str, list] = {t: [] for t in wanted}
+        pos = -1
+        pending = 1
+        for tok in tokenize(text, self.max_token_length):
+            term = tok.term
+            if self.possessive:
+                term = strip_possessive(term)
+            term = lowercase(term)
+            if term in self.stopwords:
+                pending += 1
+                continue
+            if self.stemmer is not None:
+                term = self.stemmer(term)
+            pos += pending
+            pending = 1
+            hit = out.get(term)
+            if hit is not None:
+                hit.append(pos)
+        return out
+
 
 def _porter(term: str) -> str:
     from .porter import stem

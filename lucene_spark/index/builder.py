@@ -89,16 +89,35 @@ POSTINGS_SCHEMA = T.StructType(POSTINGS_FIELDS)
 def encode_positions(pos_lists) -> bytes:
     """Per-block positions payload: for each posting, its sorted positions
     delta-encoded as vints, concatenated (freqs give the split points —
-    the Lucene .pos layout shape, format ours)."""
-    from ..codecs.pfor import write_vint
+    the Lucene .pos layout shape, format ours).
 
-    out = bytearray()
-    for plist in pos_lists:
-        prev = 0
-        for p in plist:
-            out += write_vint(int(p) - prev)
-            prev = int(p)
-    return bytes(out)
+    Vectorized: one numpy pass emits every vint byte (LSB-first 7-bit
+    groups, continuation bit on all but the last — the exact layout
+    ``decode_positions`` inverts); the per-position Python loop this
+    replaces dominated positional build time."""
+    lists = [np.asarray(p, dtype=np.int64) for p in pos_lists if len(p)]
+    if not lists:
+        return b""
+    deltas = np.concatenate(
+        [np.diff(p, prepend=np.int64(0)) for p in lists]
+    )
+    groups = (
+        1
+        + (deltas >= (1 << 7)).astype(np.int64)
+        + (deltas >= (1 << 14))
+        + (deltas >= (1 << 21))
+        + (deltas >= (1 << 28))
+    )
+    total = int(groups.sum())
+    ends = np.cumsum(groups) - 1
+    starts = ends - (groups - 1)
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(starts, groups)
+    vals = np.repeat(deltas, groups)
+    b = ((vals >> (7 * offsets)) & 0x7F).astype(np.uint8)
+    cont = np.ones(total, dtype=bool)
+    cont[ends] = False
+    b[cont] |= 0x80
+    return b.tobytes()
 
 
 def decode_positions(payload: bytes, freqs) -> list:

@@ -124,13 +124,61 @@ def _scored_phrase_positions(searcher, q, field: str):
         inv = cache[int(norm_byte) & 0xFF]
         return float(w - w / (dt(1.0) + dt(freq) * inv))
 
+    batch_score = None
+    if slop == 0:
+        # vectorized exact-phrase path: phrase freq for ALL candidates in
+        # one numpy pass (no per-candidate Python), then the same
+        # vectorized SimScorer the WAND kernel and the oracle use —
+        # bit-identical scores to the scalar path by construction.
+        def batch_score(pos_by_uniq, norms_cand):
+            n = len(norms_cand)
+            shift = np.int64(1) << np.int64(40)  # positions << 2^40
+
+            def slot_keys(term, j):
+                lists = pos_by_uniq[term]
+                lens = np.fromiter(
+                    (len(x) if x is not None else 0 for x in lists),
+                    dtype=np.int64,
+                    count=n,
+                )
+                if not lens.sum():
+                    return None
+                ci = np.repeat(np.arange(n, dtype=np.int64), lens)
+                ps = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in lists if x is not None and len(x)]
+                )
+                return ci * shift + (ps - np.int64(j))
+
+            keys = slot_keys(phrase_terms[0], 0)
+            for j, t in enumerate(phrase_terms[1:], 1):
+                if keys is None or not len(keys):
+                    return None
+                kj = slot_keys(t, j)
+                if kj is None:
+                    return None
+                keys = keys[np.isin(keys, kj, assume_unique=False)]
+            if keys is None or not len(keys):
+                return None
+            freqs = np.bincount(keys // shift, minlength=n)
+            mask = freqs > 0
+            if not mask.any():
+                return None
+            scores = scorer.score(
+                freqs[mask].astype(np.int64),
+                norms_cand[mask].astype(np.uint8),
+            )
+            return np.nonzero(mask)[0], scores.astype(np.float64)
+
     rarest_order = sorted(uniq_terms, key=lambda t: stats[t][0])
-    return scored_positions_kernel(searcher, uniq_terms, rarest_order, field, score_doc)
+    return scored_positions_kernel(
+        searcher, uniq_terms, rarest_order, field, score_doc,
+        batch_score=batch_score,
+    )
 
 
 def scored_positions_kernel(
     searcher, uniq_terms, rarest_order, field, score_doc, term_groups=None,
-    blocks=None,
+    blocks=None, batch_score=None,
 ):
     """Shared positions-matching plan (phrase / interval / multi-phrase
     queries): one groupBy-segment shuffle of encoded blocks, rarest-first
@@ -252,6 +300,21 @@ def scored_positions_kernel(
                     out[ci] = plists[pi]
                     norms_cand[ci] = norms[pi]
 
+        # phase 3 (vectorized): caller-supplied batch scorer handles every
+        # candidate in one numpy pass (exact-phrase fast path)
+        if batch_score is not None:
+            res = batch_score(pos_by_term, norms_cand)
+            if res is None:
+                return empty
+            idx, scores = res
+            return pd.DataFrame(
+                {
+                    "seg": pd.Series([seg] * len(idx), dtype=object),
+                    "doc": pd.Series(cand[idx], dtype=np.int64),
+                    "score": pd.Series(scores, dtype=np.float64),
+                }
+            )
+
         # phase 3: per-candidate match + score via the caller's score_doc
         docs_out, scores_out = [], []
         for ci in range(len(cand)):
@@ -357,20 +420,40 @@ def _scored_phrase_reanalysis(searcher, q, field: str):
         boost=q.boost,
         dtype=searcher.dtype,
     )
-    # phase 1: conjunction of terms -> candidate docs
-    scorers = searcher._scorers(terms, {}, field)
-    dec = searcher._decoded(terms, scorers, field)
-    cand = (
-        dec.groupBy("seg", "doc")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= len(terms))
-        .select("seg", "doc")
-    )
-    # phase 2: verify positions by re-analysis of stored text
     docs = reader.docs()
     if "text" not in docs.columns:
         raise ValueError("PhraseQuery needs the text stored (stored_cols=('text',...))")
-    joined = cand.join(docs.select("seg", "doc", "norm", "text"), ["seg", "doc"])
+    analyzer_name0 = reader._manifests[reader._builds[0]].get("analyzer", "standard")
+    min_df = min(stats[t][0] for t in terms)
+    if min_df >= 0.05 * doc_count:
+        # COMMON-phrase plan: the conjunction would keep most of the
+        # corpus, so the postings decode + groupBy shuffle + text join
+        # shuffle cost more than they save. Instead: ONE narrow scan of
+        # the docs table with a JVM substring prefilter (sound necessary
+        # condition: every emitted token is a substring of lower(text)
+        # whenever the chain does not stem — stemming may rewrite
+        # letters, e.g. happy->happi, so it disables the prefilter).
+        # This is the cost-based pick a planner would make; the selective
+        # plan below stays optimal when min_df is small (at 100 TB a
+        # rare phrase must never scan the corpus).
+        from ..analysis.analyzer import analyzer_for
+
+        joined = docs.select("seg", "doc", "norm", "text")
+        if analyzer_for(analyzer_name0).stemmer is None:
+            for t in terms:
+                joined = joined.filter(F.contains(F.lower(F.col("text")), F.lit(t)))
+    else:
+        # SELECTIVE plan — phase 1: conjunction of terms -> candidates
+        scorers = searcher._scorers(terms, {}, field)
+        dec = searcher._decoded(terms, scorers, field)
+        cand = (
+            dec.groupBy("seg", "doc")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= len(terms))
+            .select("seg", "doc")
+        )
+        # phase 2: verify positions by re-analysis of stored text
+        joined = cand.join(docs.select("seg", "doc", "norm", "text"), ["seg", "doc"])
     phrase_terms = list(q.terms)
     slop = q.slop
     analyzer_name = reader._manifests[reader._builds[0]].get("analyzer", "standard")
@@ -381,14 +464,11 @@ def _scored_phrase_reanalysis(searcher, q, field: str):
         from ..analysis.analyzer import analyzer_for
 
         analyzer = analyzer_for(analyzer_name)
+        wanted = frozenset(phrase_terms)
         for pdf in iterator:
             segs, docs_, scores = [], [], []
             for row in pdf.itertuples(index=False):
-                toks = analyzer.tokens(row.text or "")
-                pos_lists = {t: [] for t in set(phrase_terms)}
-                for tok in toks:
-                    if tok.term in pos_lists:
-                        pos_lists[tok.term].append(tok.position)
+                pos_lists = analyzer.term_positions(row.text or "", wanted)
                 plists = [pos_lists[t] for t in phrase_terms]
                 if any(len(p) == 0 for p in plists):
                     continue

@@ -61,3 +61,78 @@ def test_merge_preserves_positions(spark, pos_root):
     assert len(Catalog(pos_root).live_segments()) == 1
     for qs in PHRASES:
         assert _topk(spark, pos_root, qs) == before[qs], qs
+
+
+def test_reanalysis_scan_vs_selective_plan_parity(spark, index_root, corpus):
+    """The no-positions phrase path is cost-adaptive: common phrases scan
+    the docs table (contains prefilter, no shuffle), selective phrases go
+    through the postings conjunction. Both branches must match the brute
+    force: 'table scan' is common enough to take the scan plan at this
+    corpus, 'deduplication pipeline' is rare enough for the selective one."""
+    import lucene_spark.search.phrase as ph
+    from oracle import BruteForceIndex
+    from lucene_spark.search import query as Q
+
+    assert "min_df >= 0.05 * doc_count" in open(ph.__file__).read()
+    # scan plan: every sf0.001 term has df >= 5%, so 'table scan' takes it
+    reader = IndexReader(spark, index_root)
+    s = IndexSearcher(reader)
+    bf = BruteForceIndex(corpus)
+    q = Q.PhraseQuery("text", ("table", "scan"))
+    want = bf.topk(q, 10)
+    got = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in s.search(q, k=10, mode="exhaustive").collect()
+    ]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    np.testing.assert_allclose([x for _, x in got], [x for _, x in want], rtol=1e-6)
+
+
+def test_reanalysis_selective_plan_parity(spark, tmp_path):
+    """A rare phrase (df < 5%) must route through the postings-conjunction
+    plan and still match brute force — built on a mini corpus because the
+    sf0.001 vocabulary has no sub-5%-df terms."""
+    import pandas as pd
+
+    from oracle import BruteForceIndex
+    from lucene_spark.search import query as Q
+
+    rows = []
+    for i in range(80):
+        txt = "alpha beta gamma delta " + ("epsilon " * (i % 3 + 1)).strip()
+        if i in (7, 41):
+            txt += " zebra quark tail"
+        if i == 55:
+            txt += " quark zebra"  # terms present, wrong order: no match
+        rows.append((f"https://x/{i:04d}", txt, "en"))
+    pdf = pd.DataFrame(rows, columns=["url", "text", "lang"])
+    pages = spark.createDataFrame(pdf)
+    root = str(tmp_path / "ridx")
+    build_index(spark, pages, root, num_segments=2, num_buckets=4,
+                stored_cols=("lang", "text"))
+    searcher = IndexSearcher(IndexReader(spark, root))
+    q = Q.PhraseQuery("text", ("zebra", "quark"))
+    want = BruteForceIndex(pdf).topk(q, 10)
+    assert len(want) == 2
+    got = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in searcher.search(q, k=10, mode="exhaustive").collect()
+    ]
+    assert got == [(u, float(np.float32(x))) for u, x in want]
+
+
+def test_term_positions_matches_tokens(corpus):
+    """Analyzer.term_positions (lean verify API) == positions from the
+    full tokens() chain, for every doc and several wanted sets."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    wanted = frozenset({"table", "scan", "the", "merge"})
+    for text in corpus["text"].head(200):
+        toks = an.tokens(text or "")
+        want = {t: [] for t in wanted}
+        for tk in toks:
+            if tk.term in wanted:
+                want[tk.term].append(tk.position)
+        got = an.term_positions(text or "", wanted)
+        assert got == want
