@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_brute_topk"] = _pq_ann_brute
     q["ann_ivf_topk"] = _pq_ann_ivf  # approximate — no SQL oracle
     q["ann_quantized_topk"] = _pq_ann_quantized
+    q["ann_ivf_quantized"] = _pq_ann_ivf_quantized  # approximate — rows-only
     q["ann_filtered"] = _pq_ann_filtered
     q["lang_id_counts"] = _pq_lang_id
     q["quality_scores"] = _pq_quality
@@ -622,6 +623,22 @@ def _pq_ann_ivf(spark, sf_dir):
     IVFVectorIndex.build(spark, e, root, nlist=8, build_id="v0000")
     ivf = IVFVectorIndex(spark, root)
     top = ivf.search(_query_vectors(spark, sf_dir), k=10, nprobe=4)
+    return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _pq_ann_ivf_quantized(spark, sf_dir):
+    """Quantized IVF: cell-partition pruning x int8 columns — the
+    shortlist scan reads 1 byte/dim of nprobe/nlist of the corpus, exact
+    re-rank on k*oversample rows (approximate like ann_ivf_topk: same
+    probes, so rows-only driver check; parity vs float IVF is pytest-gated)."""
+    from lucene_spark.pipeline.similarity import IVFVectorIndex
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_ivfq_{_INDEX_VERSION}_{tag}"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    IVFVectorIndex.build(spark, e, root, nlist=8, build_id="q0000", quantize=True)
+    ivf = IVFVectorIndex(spark, root)
+    top = ivf.search(_query_vectors(spark, sf_dir), k=10, nprobe=4, oversample=4)
     return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
 
 

@@ -178,7 +178,22 @@ def quantized_topk(
         .filter(F.col("rn") <= m)
         .select("query_id", "id")
     )
-    # exact re-rank: candidates are k*oversample rows/query -> broadcast
+    return exact_rerank(full_df, cand, qids, qm, k, vec_col, id_col)
+
+
+def exact_rerank(
+    full_df: DataFrame,
+    cand: DataFrame,
+    qids: np.ndarray,
+    qm: np.ndarray,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k over a (query_id, id) candidate shortlist:
+    broadcast the shortlist into the full-precision table (column-pruned
+    to id+vector), JVM-side zip_with/aggregate dot product, final window.
+    ``qm`` must be the NORMALIZED query matrix aligned with ``qids``."""
     qlit = F.array(
         *[
             F.struct(
@@ -189,7 +204,7 @@ def quantized_topk(
         ]
     )
     qtab = (
-        qdf.sparkSession.range(1)
+        full_df.sparkSession.range(1)
         .select(F.explode(qlit).alias("s"))
         .select("s.query_id", "s.qv")
     )
@@ -214,8 +229,92 @@ def quantized_topk(
         "id",
         (dot / F.when(nrm > 0, nrm).otherwise(F.lit(1.0))).alias("cosine"),
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def add_quantized_columns(
+    df: DataFrame,
+    params: QuantParams,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append (qvec: binary, qsum: long) beside every existing column —
+    the persisted-index form: parquet column pruning lets the shortlist
+    scan read ONLY the 1-byte/dim column while the same files still carry
+    the full-precision vectors for the re-rank."""
+    fields = list(df.schema.fields) + [
+        T.StructField("qvec", T.BinaryType()),
+        T.StructField("qsum", T.LongType()),
+    ]
+    out_schema = T.StructType(fields)
+    cols = df.columns
+
+    def quant(iterator):
+        for pdf in iterator:
+            m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            q = _quantize_np(m, params)
+            out = pdf[cols].copy()
+            out["qvec"] = [row.tobytes() for row in q]
+            out["qsum"] = q.sum(axis=1, dtype=np.int64)
+            yield out
+
+    return df.mapInPandas(quant, out_schema)
+
+
+def quantized_cell_shortlist(
+    pruned: DataFrame,
+    cell_to_q: dict[int, list[int]],
+    qids: np.ndarray,
+    qq: np.ndarray,
+    qsum_q: np.ndarray,
+    params: QuantParams,
+    m: int,
+) -> DataFrame:
+    """Integer-matmul shortlist over a cell-pruned quantized scan:
+    ``pruned`` carries (id, qvec, qsum, cell); each Arrow batch scores
+    its vectors only against the queries probing that cell (broadcast
+    ``cell_to_q`` routing, same shape as the float IVF path) and emits a
+    partition-local top-m per query."""
+    alpha, lo, dim = params.alpha, params.lo, params.dim
+
+    def score(iterator):
+        for pdf in iterator:
+            outs = []
+            for cell_val, g in pdf.groupby("cell", sort=False):
+                qidx = cell_to_q.get(int(cell_val))
+                if not qidx or not len(g):
+                    continue
+                ids = g["id"].to_numpy(np.int64)
+                mat = (
+                    np.frombuffer(b"".join(g["qvec"].tolist()), dtype=np.int8)
+                    .reshape(len(ids), dim)
+                    .astype(np.int32)
+                )
+                dots = mat @ qq[qidx].T
+                dsum = g["qsum"].to_numpy(np.float64)
+                est = (
+                    alpha * alpha * dots
+                    + lo * alpha * (dsum[:, None] + qsum_q[qidx][None, :])
+                    + dim * lo * lo
+                )
+                kk = min(m, len(ids))
+                for j, qi in enumerate(qidx):
+                    col = est[:, j]
+                    sel = (
+                        np.argpartition(-col, kk - 1)[:kk]
+                        if kk < len(ids)
+                        else np.arange(len(ids))
+                    )
+                    outs.append(
+                        pd.DataFrame(
+                            {"query_id": qids[qi], "id": ids[sel], "cosine": col[sel]}
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return pruned.mapInPandas(score, _TOPK_SCHEMA)

@@ -214,9 +214,18 @@ class IVFVectorIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         build_id: str | None = None,
+        quantize: bool = False,
+        confidence: float = 0.99,
     ) -> int:
         """Build + atomically commit one IVF generation; returns the
-        snapshot id. Re-running a completed build_id is a no-op (resume)."""
+        snapshot id. Re-running a completed build_id is a no-op (resume).
+
+        ``quantize=True`` additionally stores int8 scalar-quantized
+        vectors (qvec/qsum columns, ``pipeline/quantization.py``) in the
+        same cell-partitioned files: parquet column pruning lets the
+        quantized search read 1 byte/dim while the re-rank reads the full
+        vectors of only its shortlist — Lucene99ScalarQuantizedVectorsFormat
+        composed with IVF partition pruning."""
         import json
         import os
 
@@ -230,6 +239,12 @@ class IVFVectorIndex:
         bdir = cat.build_dir(build_id)
         cent = kmeans_centroids(df, nlist, vec_col)
         celled = assign_cells(df, cent, vec_col)
+        qparams = None
+        if quantize:
+            from .quantization import add_quantized_columns, fit_quantizer
+
+            qparams = fit_quantizer(df, vec_col, confidence=confidence)
+            celled = add_quantized_columns(celled, qparams, vec_col)
         celled.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(bdir, "vectors")
         )
@@ -245,6 +260,12 @@ class IVFVectorIndex:
                 "vec_col": vec_col,
                 "id_col": id_col,
                 "num_vectors": n,
+                "quantized": bool(quantize),
+                "quant_params": (
+                    {"lo": qparams.lo, "hi": qparams.hi, "dim": qparams.dim}
+                    if qparams
+                    else None
+                ),
             },
         )
         old = [s["name"] for s in cat.live_segments()]
@@ -273,6 +294,14 @@ class IVFVectorIndex:
         self.vec_col = manifest["vec_col"]
         self.id_col = manifest["id_col"]
         self.nlist = manifest["nlist"]
+        self.quantized = bool(manifest.get("quantized"))
+        qp = manifest.get("quant_params")
+        if qp:
+            from .quantization import QuantParams
+
+            self.quant_params = QuantParams(qp["lo"], qp["hi"], qp["dim"])
+        else:
+            self.quant_params = None
         with open(os.path.join(bdir, "centroids.json")) as f:
             self.centroids = np.array(json.load(f))
         self._vectors = spark.read.parquet(os.path.join(bdir, "vectors"))
@@ -283,13 +312,57 @@ class IVFVectorIndex:
         k: int = 10,
         nprobe: int = 4,
         where: str | None = None,
+        quantized: bool | None = None,
+        oversample: int = 4,
     ) -> DataFrame:
         """Batched ANN top-k (one job for all queries); ``where`` adds the
-        hybrid knn-AND-structured-filter shape."""
-        return _batched_cell_topk(
-            self._vectors, self.centroids, queries, k, nprobe,
-            self.vec_col, self.id_col, where=where,
+        hybrid knn-AND-structured-filter shape. With a quantized build,
+        the shortlist scan reads only (id, qvec, qsum, cell) — 1 byte/dim
+        — and the exact re-rank reads full vectors for k*oversample rows
+        per query; returned cosines are exact either way."""
+        if quantized is None:
+            quantized = self.quantized
+        if not quantized:
+            return _batched_cell_topk(
+                self._vectors, self.centroids, queries, k, nprobe,
+                self.vec_col, self.id_col, where=where,
+            )
+        if not self.quantized:
+            raise ValueError("index was built without quantize=True")
+        from .quantization import (
+            _quantize_np,
+            exact_rerank,
+            quantized_cell_shortlist,
         )
+
+        qids = np.array([q[0] for q in queries], dtype=np.int64)
+        qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+        probes = np.argsort(-(qm @ self.centroids.T), axis=1)[:, :nprobe]
+        cell_to_q: dict[int, list[int]] = {}
+        for qi, row in enumerate(probes):
+            for c in row:
+                cell_to_q.setdefault(int(c), []).append(qi)
+        pruned = self._vectors.filter(F.col("cell").isin(sorted(cell_to_q)))
+        if where:
+            pruned = pruned.filter(F.expr(where))
+        pruned = pruned.select(
+            F.col(self.id_col).alias("id"), "qvec", "qsum", "cell"
+        )
+        qq = _quantize_np(qm, self.quant_params).astype(np.int32)
+        qsum_q = qq.sum(axis=1).astype(np.float64)
+        m = min(max(k * oversample, k), 1 << 20)
+        est = quantized_cell_shortlist(
+            pruned, cell_to_q, qids, qq, qsum_q, self.quant_params, m
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+        cand = (
+            est.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .select("query_id", "id")
+        )
+        # re-rank against the same snapshot's cell files (point-in-time)
+        full = self._vectors.filter(F.col("cell").isin(sorted(cell_to_q)))
+        return exact_rerank(full, cand, qids, qm, k, self.vec_col, self.id_col)
 
 
 def ivf_topk(

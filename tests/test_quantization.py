@@ -77,3 +77,41 @@ def test_qvec_is_one_byte_per_dim(spark, emb):
     params = fit_quantizer(emb)
     row = quantize_vectors(emb, params).limit(1).collect()[0]
     assert len(row["qvec"]) == params.dim
+
+
+def test_quantized_ivf_matches_float_ivf(spark, emb, queries, tmp_path):
+    """A quantize=True IVF build searched with full-coverage oversample
+    must equal the float IVF search on the same probed cells (the
+    re-rank is exact over everything the probe admits); at the default
+    oversample it must stay within recall>=0.9 of the float path."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import IVFVectorIndex
+
+    n = emb.count()
+    root_q = str(tmp_path / "ivfq")
+    IVFVectorIndex.build(spark, emb, root_q, nlist=8, build_id="q0000", quantize=True)
+    ivf = IVFVectorIndex(spark, root_q)
+    assert ivf.quantized and ivf.quant_params is not None
+
+    want = ivf.search(queries, k=5, nprobe=4, quantized=False).toPandas()
+    got = ivf.search(queries, k=5, nprobe=4, oversample=n).toPandas()
+    order = ["query_id", "id"]
+    assert (
+        got.sort_values(order).reset_index(drop=True)[["query_id", "id"]]
+        .equals(want.sort_values(order).reset_index(drop=True)[["query_id", "id"]])
+    )
+
+    got4 = ivf.search(queries, k=10, nprobe=4, oversample=4).toPandas()
+    want10 = ivf.search(queries, k=10, nprobe=4, quantized=False).toPandas()
+    hits = 0
+    for qid in {q[0] for q in queries}:
+        hits += len(
+            set(got4[got4.query_id == qid]["id"])
+            & set(want10[want10.query_id == qid]["id"])
+        )
+    assert hits / (10 * len(queries)) >= 0.9
+
+    # the persisted layout really carries 1-byte/dim quantized vectors
+    row = spark.read.parquet(root_q + "/builds/q0000/vectors").limit(1).collect()[0]
+    assert len(row["qvec"]) == ivf.quant_params.dim
