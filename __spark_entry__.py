@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spell_suggest_topk"] = _pq_spell_suggest
     q["multi_phrase"] = _pq_multi_phrase
     q["interval_or_near"] = _pq_interval_or_near
+    q["interval_not_containing"] = _pq_interval_not_containing
     q["common_terms"] = _pq_common_terms
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
@@ -768,6 +769,24 @@ def _pq_interval_or_near(spark, sf_dir):
     )
 
 
+def _pq_interval_not_containing(spark, sf_dir):
+    """Interval difference: ordered(table, scan) intervals that do NOT
+    contain an occurrence of 'the' (Intervals.notContaining) — the
+    subtrahend's term is not required, it only prunes when present."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import INotContaining, IOrdered, ITerm
+
+    s = _searcher(spark, sf_dir)
+    src = INotContaining(IOrdered((ITerm("table"), ITerm("scan"))), ITerm("the"))
+    q = Q.IntervalSourceQuery("text", src)
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_common_terms(spark, sf_dir):
     """CommonTermsQuery('dup', 'the'): 'the' is corpus-common (df above
     20% of docs) so it demotes to SHOULD; rare 'dup' stays MUST."""
@@ -1260,6 +1279,29 @@ minimal AS (SELECT doc_id, s, min(e) AS e FROM per_end GROUP BY doc_id, s),
 freqs AS (
   SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
   FROM minimal WHERE (e - s - 1) <= 2 GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    o["interval_not_containing"] = f"""
+WITH tokp AS ({_TOKP}),
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'table'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'scan'),
+c AS (SELECT doc_id, pos FROM tokp WHERE term = 'the'),
+pairs AS (
+  SELECT a.doc_id, a.pos AS s,
+         (SELECT min(b.pos) FROM b WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+  FROM a
+),
+per_end AS (SELECT doc_id, max(s) AS s, e FROM pairs WHERE e IS NOT NULL GROUP BY doc_id, e),
+minimal AS (SELECT doc_id, s, min(e) AS e FROM per_end GROUP BY doc_id, s),
+kept AS (
+  SELECT m.doc_id, m.s, m.e FROM minimal m
+  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.doc_id = m.doc_id AND c.pos BETWEEN m.s AND m.e)
+),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f FROM kept GROUP BY doc_id
 )
 SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
 FROM freqs WHERE f > 0

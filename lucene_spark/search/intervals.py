@@ -183,6 +183,47 @@ class IContainedBy(ISource):
     big: ISource
 
 
+@dataclass(frozen=True)
+class INotContaining(ISource):
+    """Intervals of ``minuend`` that contain NO interval of ``subtrahend``
+    (Intervals.notContaining -> DifferenceIntervalFunction.NOT_CONTAINING,
+    reference queries/intervals/DifferenceIntervalFunction.java). The
+    subtrahend's terms are NOT required for a match — their absence makes
+    the filter vacuous — but their positions prune when present."""
+
+    minuend: ISource
+    subtrahend: ISource
+
+
+@dataclass(frozen=True)
+class INotContainedBy(ISource):
+    """Intervals of ``small`` NOT lying inside any ``big`` interval
+    (Intervals.notContainedBy)."""
+
+    small: ISource
+    big: ISource
+
+
+@dataclass(frozen=True)
+class INonOverlapping(ISource):
+    """Intervals of ``minuend`` that do not overlap any ``subtrahend``
+    interval (Intervals.nonOverlapping)."""
+
+    minuend: ISource
+    subtrahend: ISource
+
+
+@dataclass(frozen=True)
+class IFirst(ISource):
+    """Intervals ending within the first ``end`` positions — the
+    SpanFirstQuery analogue (reference queries/spans/SpanFirstQuery.java:
+    spans with exclusive end() <= end; our ends are inclusive, so keep
+    e < end)."""
+
+    source: ISource
+    end: int
+
+
 def leaf_terms(src: ISource) -> list[str]:
     """Unique leaf KEYS, order-preserving (a key is the term for primary-
     field leaves, ``field\\x1fterm`` for masked leaves)."""
@@ -195,9 +236,15 @@ def leaf_terms(src: ISource) -> list[str]:
                 if t not in out:
                     out.append(t)
         return out
+    if isinstance(src, IFirst):
+        return leaf_terms(src.source)
     if isinstance(src, IContaining):
         kids = [src.big, src.small]
     elif isinstance(src, IContainedBy):
+        kids = [src.small, src.big]
+    elif isinstance(src, (INotContaining, INonOverlapping)):
+        kids = [src.minuend, src.subtrahend]
+    elif isinstance(src, INotContainedBy):
         kids = [src.small, src.big]
     else:  # pragma: no cover
         raise TypeError(type(src))
@@ -225,6 +272,12 @@ def leaf_specs(src: ISource) -> list[tuple[str, str, str | None]]:
                 kids = (s.big, s.small)
             elif isinstance(s, IContainedBy):
                 kids = (s.small, s.big)
+            elif isinstance(s, (INotContaining, INonOverlapping)):
+                kids = (s.minuend, s.subtrahend)
+            elif isinstance(s, INotContainedBy):
+                kids = (s.small, s.big)
+            elif isinstance(s, IFirst):
+                kids = (s.source,)
             else:  # pragma: no cover
                 raise TypeError(type(s))
             for k in kids:
@@ -256,6 +309,14 @@ def required_terms(src: ISource) -> list[list[str]]:
         return required_terms(src.big) + required_terms(src.small)
     if isinstance(src, IContainedBy):
         return required_terms(src.small) + required_terms(src.big)
+    if isinstance(src, (INotContaining, INonOverlapping)):
+        # only the positive side is required: a doc without the
+        # subtrahend's terms matches trivially
+        return required_terms(src.minuend)
+    if isinstance(src, INotContainedBy):
+        return required_terms(src.small)
+    if isinstance(src, IFirst):
+        return required_terms(src.source)
     raise TypeError(type(src))  # pragma: no cover
 
 
@@ -269,8 +330,12 @@ def min_extent(src: ISource) -> int:
         return sum(min_extent(s) for s in src.sources)
     if isinstance(src, IContaining):
         return min_extent(src.big)
-    if isinstance(src, IContainedBy):
+    if isinstance(src, (IContainedBy, INotContainedBy)):
         return min_extent(src.small)
+    if isinstance(src, (INotContaining, INonOverlapping)):
+        return min_extent(src.minuend)
+    if isinstance(src, IFirst):
+        return min_extent(src.source)
     raise TypeError(type(src))  # pragma: no cover
 
 
@@ -374,6 +439,52 @@ def eval_source(src: ISource, pos: dict[str, list]) -> list[tuple[int, int]]:
             if j >= 0 and ends[j] >= e:
                 out.append((s, e))
         return out
+    if isinstance(src, INotContaining):
+        keep = eval_source(src.minuend, pos)
+        drop = eval_source(src.subtrahend, pos)
+        if not drop:
+            return keep
+        starts = [s for s, _ in drop]
+        ends = [e for _, e in drop]
+        out = []
+        for s, e in keep:
+            # contains a drop interval iff the FIRST drop starting at/after
+            # s (which, in a containment-free list, has the smallest end
+            # among those) still ends at/before e
+            j = bisect_left(starts, s)
+            if not (j < len(drop) and ends[j] <= e):
+                out.append((s, e))
+        return out
+    if isinstance(src, INotContainedBy):
+        keep = eval_source(src.small, pos)
+        drop = eval_source(src.big, pos)
+        if not drop:
+            return keep
+        starts = [s for s, _ in drop]
+        ends = [e for _, e in drop]
+        out = []
+        for s, e in keep:
+            j = bisect_right(starts, s) - 1  # last big starting at/before s
+            if not (j >= 0 and ends[j] >= e):
+                out.append((s, e))
+        return out
+    if isinstance(src, INonOverlapping):
+        keep = eval_source(src.minuend, pos)
+        drop = eval_source(src.subtrahend, pos)
+        if not drop:
+            return keep
+        starts = [s for s, _ in drop]
+        ends = [e for _, e in drop]
+        out = []
+        for s, e in keep:
+            # overlap iff some drop has start <= e and end >= s; among
+            # drops starting at/before e the LAST has the largest end
+            j = bisect_right(starts, e) - 1
+            if not (j >= 0 and ends[j] >= s):
+                out.append((s, e))
+        return out
+    if isinstance(src, IFirst):
+        return [(s, e) for s, e in eval_source(src.source, pos) if e < src.end]
     raise TypeError(type(src))  # pragma: no cover
 
 

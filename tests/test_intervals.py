@@ -116,6 +116,10 @@ from hypothesis import strategies as st
 from lucene_spark.search.intervals import (
     IContainedBy,
     IContaining,
+    IFirst,
+    INonOverlapping,
+    INotContainedBy,
+    INotContaining,
     IOr,
     IOrdered,
     ITerm,
@@ -167,6 +171,17 @@ def _brute(src, pos):
     if isinstance(src, IContainedBy):
         small, big = _brute(src.small, pos), _brute(src.big, pos)
         return [s for s in small if any(b[0] <= s[0] and s[1] <= b[1] for b in big)]
+    if isinstance(src, INotContaining):
+        keep, drop = _brute(src.minuend, pos), _brute(src.subtrahend, pos)
+        return [k for k in keep if not any(k[0] <= d[0] and d[1] <= k[1] for d in drop)]
+    if isinstance(src, INotContainedBy):
+        keep, drop = _brute(src.small, pos), _brute(src.big, pos)
+        return [k for k in keep if not any(d[0] <= k[0] and k[1] <= d[1] for d in drop)]
+    if isinstance(src, INonOverlapping):
+        keep, drop = _brute(src.minuend, pos), _brute(src.subtrahend, pos)
+        return [k for k in keep if not any(d[0] <= k[1] and d[1] >= k[0] for d in drop)]
+    if isinstance(src, IFirst):
+        return [k for k in _brute(src.source, pos) if k[1] < src.end]
     raise TypeError(type(src))
 
 
@@ -186,6 +201,13 @@ _SHAPES = [
     IContaining(IUnordered((ITerm("a"), ITerm("b"))), ITerm("c")),
     IContainedBy(ITerm("c"), IOrdered((ITerm("a"), ITerm("b")))),
     IOrdered((IUnordered((ITerm("a"), ITerm("b"))), ITerm("c"))),
+    INotContaining(IUnordered((ITerm("a"), ITerm("b"))), ITerm("c")),
+    INotContaining(IOrdered((ITerm("a"), ITerm("b"))), IOr((ITerm("c"), ITerm("b")))),
+    INotContainedBy(ITerm("c"), IUnordered((ITerm("a"), ITerm("b")))),
+    INonOverlapping(IUnordered((ITerm("a"), ITerm("b"))), ITerm("c")),
+    INonOverlapping(IOrdered((ITerm("a"), ITerm("c"))), IUnordered((ITerm("b"), ITerm("c")))),
+    IFirst(IUnordered((ITerm("a"), ITerm("b"))), 10),
+    IFirst(ITerm("a"), 5),
 ]
 
 
@@ -208,6 +230,14 @@ def test_nested_interval_engine_parity(spark, ivx_root, corpus):
             IUnordered((ITerm("table"), ITerm("scan")), max_gaps=4), ITerm("merge")
         ),
         IUnordered((IOr((ITerm("table"), ITerm("merge"))), ITerm("window"))),
+        INotContaining(
+            IUnordered((ITerm("table"), ITerm("scan")), max_gaps=6), ITerm("the")
+        ),
+        INotContainedBy(ITerm("scan"), IUnordered((ITerm("table"), ITerm("the")))),
+        INonOverlapping(
+            IOrdered((ITerm("table"), ITerm("scan"))), ITerm("merge")
+        ),
+        IFirst(IUnordered((ITerm("table"), ITerm("scan"))), 30),
     ]
     an = analyzer_for("standard")
     s = IndexSearcher(IndexReader(spark, ivx_root))
