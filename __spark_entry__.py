@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["common_terms"] = _pq_common_terms
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
+    q["suggest_infix"] = _pq_suggest_infix
     q["block_join_parents"] = _pq_block_join_parents
     q["term_join_docs"] = _pq_term_join_docs
     q["facet_drill_sideways"] = _pq_drill_sideways
@@ -866,6 +867,15 @@ def _pq_drill_sideways(spark, sf_dir):
     )
 
 
+def _pq_suggest_infix(spark, sf_dir):
+    """Infix completion: terms containing 'er' ranked by total term freq
+    (AnalyzingInfixSuggester's anywhere-in-token match + weight rank)."""
+    from lucene_spark.search.suggest import infix_complete_frame
+
+    reader = _get_index(spark, sf_dir)
+    return infix_complete_frame(reader, "er", k=5)
+
+
 def _pq_lang_id(spark, sf_dir):
     from lucene_spark.pipeline.textstats import language_id
 
@@ -1453,6 +1463,11 @@ SELECT path, count(*) AS count FROM (
     o["suggest_weighted"] = f"""
 WITH tok AS ({_TOK})
 SELECT term, count(*) AS weight FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5
+"""
+    o["suggest_infix"] = f"""
+WITH tok AS ({_TOK})
+SELECT term, count(*) AS weight FROM tok WHERE term LIKE '%er%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5
 """
     # ToParentBlockJoin: BM25(table OR scan) children -> max per source

@@ -136,3 +136,27 @@ def complete_prefix(
         .collect()
     )
     return [(r["term"], int(r["df"])) for r in rows]
+
+
+def infix_complete_frame(
+    reader: IndexReader,
+    fragment: str,
+    k: int = 5,
+    field: str = "text",
+) -> "DataFrame":
+    """AnalyzingInfixSuggester analogue (reference suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java:
+    suggestions match the typed fragment ANYWHERE in the suggestion's
+    analyzed tokens, ranked by weight). Over the term dictionary: terms
+    containing ``fragment`` as a substring, ranked by total term
+    frequency. One column-pruned dictionary scan with a pushed contains
+    predicate; only k rows reach the driver."""
+    return (
+        reader._read("postings")
+        .filter((F.col("field") == field) & F.col("doc_freq").isNotNull())
+        .filter(F.col("term").contains(fragment))
+        .groupBy("term")
+        .agg(F.sum("total_term_freq").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k)
+    )

@@ -402,3 +402,24 @@ def test_phrase_on_secondary_field_positions(spark, masked_root, corpus):
         if any(a == "table" and b == "scan" for a, b in zip(toks, toks[1:])):
             want.add(corpus["url"][i])
     assert got == want
+
+
+def test_infix_suggest(spark, reader, corpus):
+    """Infix completion == brute-force substring-match + ttf ranking."""
+    from collections import Counter
+
+    from lucene_spark.search.suggest import infix_complete_frame
+
+    ttf = Counter()
+    for text in corpus["text"]:
+        for w in (text or "").split():
+            ttf[w.lower()] += 1
+    want = sorted(
+        ((t, c) for t, c in ttf.items() if "er" in t),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = [
+        (r["term"], int(r["weight"]))
+        for r in infix_complete_frame(reader, "er", k=5).collect()
+    ]
+    assert got == want
