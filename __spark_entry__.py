@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
     q["suggest_infix"] = _pq_suggest_infix
+    q["rescore_topk"] = _pq_rescore
     q["block_join_parents"] = _pq_block_join_parents
     q["term_join_docs"] = _pq_term_join_docs
     q["facet_drill_sideways"] = _pq_drill_sideways
@@ -867,6 +868,23 @@ def _pq_drill_sideways(spark, sf_dir):
     )
 
 
+def _pq_rescore(spark, sf_dir):
+    """QueryRescorer: BM25(table OR scan) top-20 re-ranked by
+    first + 2.0 * BM25(merge) over only those 20 docs."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.rescorer import rescore
+
+    s = _searcher(spark, sf_dir)
+    first = s.search(parse("table scan"), k=20, mode="exhaustive")
+    hits = rescore(s, first, Q.TermQuery("text", "merge"), k=K, weight=2.0)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_suggest_infix(spark, sf_dir):
     """Infix completion: terms containing 'er' ranked by total term freq
     (AnalyzingInfixSuggester's anywhere-in-token match + weight rank)."""
@@ -1317,6 +1335,22 @@ SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
 FROM freqs WHERE f > 0
 ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
 """
+    rs_base = _bm25_term_sql([("table", 1.0), ("scan", 1.0)], k=20)
+    o["rescore_topk"] = (
+        rs_base.split("SELECT doc_id, round")[0]
+        + f""", first AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20),
+m2 AS (
+  SELECT tf.doc_id, w.w - w.w / (1.0 + tf.freq * inv.norm_inv) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = 'merge' GROUP BY doc_id) tf
+  JOIN inv ON inv.doc_id = tf.doc_id
+  CROSS JOIN (SELECT 1.0 * ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+              FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge') n) w
+)
+SELECT f.doc_id AS doc_id, round(f.score + 2.0 * coalesce(m2.s, 0), 4) AS score_r
+FROM first f LEFT JOIN m2 ON m2.doc_id = f.doc_id
+ORDER BY f.score + 2.0 * coalesce(m2.s, 0) DESC, f.doc_id ASC LIMIT {K}
+"""
+    )
     o["term_in_set"] = f"""
 WITH tok AS ({_TOK})
 SELECT doc_id, 1.0 AS score_r

@@ -1,0 +1,54 @@
+"""Two-pass rescoring: QueryRescorer re-expressed on the hits frame.
+
+Reference ``/root/reference/lucene/core/src/java/org/apache/lucene/search/
+QueryRescorer.java`` (+ ``Rescorer.java``): a cheap first-pass query
+produces top-N; a (usually costlier) second query is evaluated over ONLY
+those N docs and the scores combine — the default combine is
+``first + weight * second`` when the second query matches, ``first``
+otherwise (QueryRescorer.rescore:60-105).
+
+Plan: the first-pass frame is top-N rows (driver-bounded, broadcast);
+the second query runs through the engine's exhaustive scorer — a pruned
+scan of O(its postings), exactly the cost Lucene pays to advance the
+second scorer — and a left join on (seg, doc) restricts it to the N
+candidates. One small join, one TakeOrderedAndProject; no corpus-sized
+shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import query as Q
+from .searcher import IndexSearcher
+
+
+def rescore(
+    searcher: IndexSearcher,
+    first_hits: DataFrame,
+    second_query: Q.Query,
+    k: int = 10,
+    weight: float = 2.0,
+    field: str = "text",
+) -> DataFrame:
+    """Re-rank ``first_hits`` (an engine hits frame) by
+    ``first + weight * second`` (second = 0 where the second query does
+    not match). Returns the standard hits frame, top-k."""
+    q = Q.rewrite(second_query, searcher.reader, field)
+    base = first_hits.select("seg", "doc", F.col("score").alias("_first"))
+    scored2 = searcher._scored_docs(q, field)
+    if scored2 is not None:
+        second = searcher._drop_deleted(scored2).select(
+            "seg", "doc", F.col("score").alias("_second")
+        )
+        base = base.join(second, ["seg", "doc"], "left")
+    else:
+        base = base.withColumn("_second", F.lit(None).cast("double"))
+    combined = base.select(
+        "seg",
+        "doc",
+        (
+            F.col("_first")
+            + F.lit(float(weight)) * F.coalesce(F.col("_second"), F.lit(0.0))
+        ).alias("score"),
+    )
+    return searcher._finalize(combined, k)

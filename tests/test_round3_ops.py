@@ -423,3 +423,32 @@ def test_infix_suggest(spark, reader, corpus):
         for r in infix_complete_frame(reader, "er", k=5).collect()
     ]
     assert got == want
+
+
+def test_rescore_matches_brute_force(spark, reader, corpus):
+    """QueryRescorer: first+weight*second over first-pass top-N == the
+    same combine computed from the brute-force oracle."""
+    from oracle import BruteForceIndex
+    from lucene_spark.search import IndexSearcher, parse
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.rescorer import rescore
+
+    s = IndexSearcher(reader)
+    bf = BruteForceIndex(corpus)
+    first_q = parse("table scan")
+    mask1, s1 = bf.eval(first_q)
+    idx = np.nonzero(mask1)[0]
+    order = sorted(idx, key=lambda i: (-s1[i], i))[:20]
+    _, s2 = bf.eval(Q.TermQuery("text", "merge"))
+    combined = [(bf.urls[i], float(s1[i]) + 2.0 * float(s2[i])) for i in order]
+    want = sorted(combined, key=lambda x: (-x[1], x[0]))[:10]
+
+    first = s.search(first_q, k=20, mode="exhaustive")
+    got = [
+        (r["url"], float(r["score"]))
+        for r in rescore(s, first, Q.TermQuery("text", "merge"), k=10).collect()
+    ]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    np.testing.assert_allclose(
+        [x for _, x in got], [x for _, x in want], rtol=1e-6
+    )
