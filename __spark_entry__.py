@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_weighted"] = _pq_suggest_weighted
     q["suggest_infix"] = _pq_suggest_infix
     q["rescore_topk"] = _pq_rescore
+    q["gopher_repetition"] = _pq_gopher_repetition
+    q["corpus_top_ngrams"] = _pq_corpus_top_ngrams
     q["block_join_parents"] = _pq_block_join_parents
     q["term_join_docs"] = _pq_term_join_docs
     q["facet_drill_sideways"] = _pq_drill_sideways
@@ -894,6 +896,27 @@ def _pq_suggest_infix(spark, sf_dir):
     return infix_complete_frame(reader, "er", k=5)
 
 
+def _pq_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters: per-doc duplicate-word and duplicate-
+    trigram fractions — pure column algebra, no UDF."""
+    from lucene_spark.pipeline.textstats import repetition_scores
+
+    out = repetition_scores(_docs(spark, sf_dir), "text")
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 4).alias("dup_word_frac_r"),
+        F.round("dup_trigram_frac", 4).alias("dup_trigram_frac_r"),
+    )
+
+
+def _pq_corpus_top_ngrams(spark, sf_dir):
+    """Corpus trigram census (contamination / boilerplate audit): top-20
+    word 3-grams by frequency."""
+    from lucene_spark.pipeline.textstats import corpus_top_ngrams
+
+    return corpus_top_ngrams(_docs(spark, sf_dir), n=3, k=20)
+
+
 def _pq_lang_id(spark, sf_dir):
     from lucene_spark.pipeline.textstats import language_id
 
@@ -1539,6 +1562,29 @@ FROM j WHERE source IN ('src1', 'src2') GROUP BY 2
 UNION ALL
 SELECT 'source' AS dim, source AS label, count(*) AS count
 FROM j WHERE lang = 'en' GROUP BY 2
+"""
+    o["gopher_repetition"] = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+w AS (SELECT doc_id, len(a) AS n, len(list_distinct(a)) AS dw FROM arr),
+t AS (
+  SELECT doc_id, count(*) AS nt, count(DISTINCT g) AS dt FROM (
+    SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+    FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id AS doc_id,
+       round(CASE WHEN w.n > 0 THEN 1.0 - dw / CAST(w.n AS DOUBLE) ELSE 0 END, 4) AS dup_word_frac_r,
+       round(CASE WHEN coalesce(t.nt, 0) > 0 THEN 1.0 - t.dt / CAST(t.nt AS DOUBLE) ELSE 0 END, 4) AS dup_trigram_frac_r
+FROM w LEFT JOIN t USING (doc_id)
+"""
+    o["corpus_top_ngrams"] = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+g AS (
+  SELECT a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS ngram
+  FROM arr, unnest(range(1, len(a) - 1)) AS r(i)
+)
+SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+ORDER BY n DESC, ngram ASC LIMIT 20
 """
     o.update(_pipeline_oracles())
     return o

@@ -144,3 +144,57 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         return pd.Series(res)
 
     return out.withColumn("fp_winnow", winnow(F.col(text_col)))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters —
+    public spec): fraction of duplicate words and of duplicate word
+    3-grams. Pure column algebra (split / transform / array_distinct),
+    whole-stage codegen, no UDF — a narrow map at any corpus size."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0]
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_word = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(words)) / n.cast("double")
+    ).otherwise(0.0)
+    dup_tri = F.when(
+        F.size(tri) > 0,
+        1.0 - F.size(F.array_distinct(tri)) / F.size(tri).cast("double"),
+    ).otherwise(0.0)
+    return df.withColumn("dup_word_frac", dup_word).withColumn(
+        "dup_trigram_frac", dup_tri
+    )
+
+
+def corpus_top_ngrams(
+    df: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Most frequent word n-grams across the corpus — the contamination /
+    boilerplate census a training pipeline runs before filtering. One
+    explode + one hash aggregate (map-side partial) + ordered limit;
+    shuffle O(distinct n-grams)."""
+    words = F.split(F.col(text_col), " ")
+    size = F.size(words)
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0]
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )

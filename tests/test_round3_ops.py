@@ -452,3 +452,43 @@ def test_rescore_matches_brute_force(spark, reader, corpus):
     np.testing.assert_allclose(
         [x for _, x in got], [x for _, x in want], rtol=1e-6
     )
+
+
+def test_repetition_scores_match_pandas(spark, corpus):
+    from lucene_spark.pipeline.textstats import repetition_scores
+
+    pdf = corpus.head(150).copy()
+    df = spark.createDataFrame(pdf[["url", "text"]])
+    got = {
+        r["url"]: (r["dup_word_frac"], r["dup_trigram_frac"])
+        for r in repetition_scores(df).collect()
+    }
+    for _, row in pdf.iterrows():
+        ws = (row["text"] or "").split(" ")
+        tri = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        dw = 1.0 - len(set(ws)) / len(ws) if ws else 0.0
+        dt = 1.0 - len(set(tri)) / len(tri) if tri else 0.0
+        gw, gt = got[row["url"]]
+        assert abs(gw - dw) < 1e-12 and abs(gt - dt) < 1e-12, row["url"]
+
+
+def test_repetition_scores_short_docs(spark):
+    """<3 tokens: trigram fraction 0, no descending-sequence blowup."""
+    from lucene_spark.pipeline.textstats import repetition_scores
+
+    df = spark.createDataFrame(
+        [("a",), ("a b",), ("",), ("a a",)], "text string"
+    )
+    rows = repetition_scores(df).collect()
+    assert all(r["dup_trigram_frac"] == 0.0 for r in rows)
+    assert [round(r["dup_word_frac"], 4) for r in rows] == [0.0, 0.0, 0.0, 0.5]
+
+
+def test_corpus_top_ngrams(spark):
+    from lucene_spark.pipeline.textstats import corpus_top_ngrams
+
+    df = spark.createDataFrame(
+        [("x y z x y z",), ("x y z",), ("a b",)], "text string"
+    )
+    rows = [(r["ngram"], r["n"]) for r in corpus_top_ngrams(df, n=3, k=3).collect()]
+    assert rows == [("x y z", 3), ("y z x", 1), ("z x y", 1)]
