@@ -128,8 +128,100 @@ class IndexSearcher:
             # stale until merge, like Lucene)
             stats = self.reader.term_stats([q.term], q.field or field)
             return stats.get(q.term, (0, 0))[0]
+        if (
+            isinstance(q, Q.BooleanQuery)
+            and not self.reader.has_deletes()
+            and q.clauses
+            and all(
+                c.occur in (Q.MUST, Q.FILTER) and isinstance(c.query, Q.TermQuery)
+                for c in q.clauses
+            )
+        ):
+            fields = {c.query.field or field for c in q.clauses}
+            if len(fields) == 1:
+                return self._count_conjunction(
+                    [c.query.term for c in q.clauses], fields.pop()
+                )
         matches = self._match_docs(q, field)
         return matches.count()
+
+    def _count_conjunction(self, terms: list[str], field: str) -> int:
+        """Filter-only conjunction count via per-segment bitset windows —
+        the DenseConjunctionBulkScorer analogue (reference
+        core/src/java/org/apache/lucene/search/DenseConjunctionBulkScorer.java:
+        instead of leapfrogging iterators, dense clauses are materialized
+        into a fixed-size window bitset and AND-ed; sparse windows take a
+        sorted-merge). One groupBy(seg) kernel over encoded doc blocks —
+        the only shuffle moves block payloads; the driver sees one count
+        per segment."""
+        uniq = list(dict.fromkeys(terms))
+        blocks = self.reader.postings(uniq, field).select(
+            "seg", "term", "enc", "doc_payload", "first_doc", "num_docs"
+        )
+        WINDOW = 4096
+        DENSITY_INV = 32  # bitset when every clause has >= window/32 docs
+
+        def kernel(key, pdf):
+            from ..codecs.docblocks import decode_doc_block
+
+            per_term = []
+            for t in uniq:
+                g = pdf[pdf["term"] == t]
+                if not len(g):
+                    return pd.DataFrame({"seg": [], "n": []}).astype(
+                        {"seg": object, "n": np.int64}
+                    )
+                g = g.sort_values("first_doc")
+                per_term.append(
+                    np.concatenate(
+                        [
+                            decode_doc_block(
+                                int(r.enc),
+                                bytes(r.doc_payload or b""),
+                                int(r.first_doc),
+                                int(r.num_docs),
+                            )
+                            for r in g.itertuples(index=False)
+                        ]
+                    )
+                )
+            max_doc = min(int(a[-1]) for a in per_term)
+            n = 0
+            # per-term window boundary pointers, all windows at once
+            edges = np.arange(0, max_doc + WINDOW + 1, WINDOW, dtype=np.int64)
+            bounds = [np.searchsorted(a, edges) for a in per_term]
+            for wi in range(len(edges) - 1):
+                counts = [int(b[wi + 1] - b[wi]) for b in bounds]
+                if any(c == 0 for c in counts):
+                    continue
+                slices = [
+                    a[b[wi] : b[wi + 1]] for a, b in zip(per_term, bounds)
+                ]
+                if min(counts) * DENSITY_INV >= WINDOW:
+                    bits = np.zeros(WINDOW, dtype=bool)
+                    bits[slices[0] - edges[wi]] = True
+                    for sl in slices[1:]:
+                        nxt = np.zeros(WINDOW, dtype=bool)
+                        nxt[sl - edges[wi]] = True
+                        bits &= nxt
+                    n += int(bits.sum())
+                else:
+                    cur = slices[0]
+                    for sl in slices[1:]:
+                        cur = cur[np.isin(cur, sl, assume_unique=True)]
+                        if not len(cur):
+                            break
+                    n += len(cur)
+            return pd.DataFrame({"seg": [key[0]], "n": [n]}).astype(
+                {"seg": object, "n": np.int64}
+            )
+
+        out_schema = T.StructType(
+            [T.StructField("seg", T.StringType()), T.StructField("n", T.LongType())]
+        )
+        per_seg = blocks.groupBy("seg").applyInPandas(kernel, out_schema)
+        row = per_seg.agg(F.sum("n").alias("total")).collect()[0]
+        return int(row["total"] or 0)
 
     def explain(self, q: Q.Query, seg: str, doc: int, field: str = "text") -> dict:
         """Score explanation for one document — Lucene's explain()

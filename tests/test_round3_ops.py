@@ -492,3 +492,24 @@ def test_corpus_top_ngrams(spark):
     )
     rows = [(r["ngram"], r["n"]) for r in corpus_top_ngrams(df, n=3, k=3).collect()]
     assert rows == [("x y z", 3), ("y z x", 1), ("z x y", 1)]
+
+
+def test_dense_conjunction_count_parity(spark, reader, corpus):
+    """count() routes filter-only term conjunctions through the bitset-
+    window kernel (DenseConjunctionBulkScorer analogue) — parity with a
+    pandas brute force on both the dense and the sparse window branch,
+    and no fallback to the generic match path."""
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(reader)
+    s._match_docs = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("dense-count fallback taken")
+    )
+    toksets = [set((t or "").lower().split()) for t in corpus["text"]]
+    for qs, terms in [
+        ("the AND table", ("the", "table")),   # high df -> bitset branch
+        ("table AND scan", ("table", "scan")), # lower df -> sparse branch
+        ("table AND nosuchterm", ("table", "nosuchterm")),
+    ]:
+        want = sum(1 for ts in toksets if all(t in ts for t in terms))
+        assert s.count(parse(qs)) == want, qs
