@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rescore_topk"] = _pq_rescore
     q["gopher_repetition"] = _pq_gopher_repetition
     q["corpus_top_ngrams"] = _pq_corpus_top_ngrams
+    q["canonical_urls"] = _pq_canonical_urls
+    q["host_stats"] = _pq_host_stats
     q["block_join_parents"] = _pq_block_join_parents
     q["term_join_docs"] = _pq_term_join_docs
     q["facet_drill_sideways"] = _pq_drill_sideways
@@ -917,6 +919,42 @@ def _pq_corpus_top_ngrams(spark, sf_dir):
     return corpus_top_ngrams(_docs(spark, sf_dir), n=3, k=20)
 
 
+def _synth_urls(spark, sf_dir):
+    """Synthetic messy URLs over doc_id (three shapes: tracking params +
+    fragment + default port + uppercase host; trailing slash; clean)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".Example.COM"))
+    b = F.col("doc_id") % 3
+    url = (
+        F.when(b == 0, F.concat(F.lit("HTTPS://"), host, F.lit(":443/doc/"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("?utm_source=x&b=2&a=1#frag")))
+        .when(b == 1, F.concat(F.lit("http://"), F.lower(host), F.lit(":80/doc/"),
+                               F.col("doc_id").cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), F.lower(host), F.lit("/doc/"),
+                            F.col("doc_id").cast("string")))
+    )
+    return d.withColumn("u", url)
+
+
+def _pq_canonical_urls(spark, sf_dir):
+    """URL canonicalization: lowercase scheme/host, default ports and
+    fragments stripped, tracking params removed, params sorted, trailing
+    slash normalized."""
+    from lucene_spark.pipeline.urls import canonical_url
+
+    out = canonical_url(_synth_urls(spark, sf_dir), "u")
+    return out.select("doc_id", "canonical_url")
+
+
+def _pq_host_stats(spark, sf_dir):
+    """Per-host corpus census (doc counts + char mass) behind host-level
+    filtering."""
+    from lucene_spark.pipeline.urls import host_stats
+
+    return host_stats(_synth_urls(spark, sf_dir), "u")
+
+
 def _pq_lang_id(spark, sf_dir):
     from lucene_spark.pipeline.textstats import language_id
 
@@ -1585,6 +1623,22 @@ g AS (
 )
 SELECT ngram, count(*) AS n FROM g GROUP BY ngram
 ORDER BY n DESC, ngram ASC LIMIT 20
+"""
+    o["canonical_urls"] = """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'http://h' || (doc_id % 7) || '.example.com/doc/' || doc_id
+    ELSE 'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id
+  END AS canonical_url
+FROM documents
+"""
+    o["host_stats"] = """
+SELECT 'h' || (doc_id % 7) || '.example.com' AS host,
+       count(*) AS n_docs,
+       sum(length(text)) AS total_chars,
+       round(avg(length(text)), 4) AS mean_chars
+FROM documents GROUP BY 1
 """
     o.update(_pipeline_oracles())
     return o

@@ -1,0 +1,81 @@
+"""URL hygiene operators for web-corpus pipelines.
+
+Public-practice operators (C4 / RefinedWeb-style corpus preparation):
+URL canonicalization so re-crawls of the same resource dedup together,
+and per-host rollups driving host-level allow/deny filtering. All pure
+column algebra (regexp/split/sort inside whole-stage codegen) — narrow
+maps and one hash aggregate at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tracking parameters stripped during canonicalization (public lists:
+# utm_* per Google Analytics docs, fbclid/gclid click ids)
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(df: DataFrame, url_col: str = "url", out_col: str = "canonical_url") -> DataFrame:
+    """Canonical form: lowercase scheme+host, default ports stripped,
+    fragment dropped, tracking query params removed and the remaining
+    params sorted, trailing slash normalized off the path."""
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":80$", ""), r":443$", ""
+    )
+    path = F.regexp_extract(rest, r"^[^/?]+([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/+$", "")
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return df.withColumn(
+        out_col, F.concat(scheme, F.lit("://"), host, path, qtail)
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per canonical URL (smallest id wins — deterministic)."""
+    from pyspark.sql.window import Window
+
+    out = canonical_url(df, url_col)
+    w = Window.partitionBy("canonical_url").orderBy(F.asc(id_col))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host rollup (docs, total/mean chars) — the census behind
+    host-level quality filtering. Host = lowercased authority without
+    port. One hash aggregate, shuffle O(distinct hosts)."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    text_len = F.length(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        df.select(host.alias("host"), text_len.alias("_len"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_len").alias("total_chars"),
+            F.round(F.avg("_len"), 4).alias("mean_chars"),
+        )
+    )

@@ -513,3 +513,24 @@ def test_dense_conjunction_count_parity(spark, reader, corpus):
     ]:
         want = sum(1 for ts in toksets if all(t in ts for t in terms))
         assert s.count(parse(qs)) == want, qs
+
+
+def test_canonical_url_and_dedup(spark):
+    from lucene_spark.pipeline.urls import canonical_url, url_dedup
+
+    rows = [
+        (1, "HTTPS://Ex.COM:443/a/b/?utm_source=t&z=1&a=2#frag"),
+        (2, "https://ex.com/a/b?a=2&z=1"),      # same canonical as 1
+        (3, "http://ex.com:80/"),
+        (4, "http://ex.com"),                    # same canonical as 3
+        (5, "https://ex.com/a/b?a=2&z=1&page=3"),  # real param kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in canonical_url(df).collect()}
+    assert got[1] == "https://ex.com/a/b?a=2&z=1"
+    assert got[2] == got[1]
+    assert got[3] == "http://ex.com/"
+    assert got[4] == got[3]
+    assert got[5] == "https://ex.com/a/b?a=2&page=3&z=1"
+    kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert kept == [1, 3, 5]
