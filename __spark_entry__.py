@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = _pq_ann_ivf  # approximate — no SQL oracle
     q["ann_quantized_topk"] = _pq_ann_quantized
     q["ann_ivf_quantized"] = _pq_ann_ivf_quantized  # approximate — rows-only
+    q["ann_ivf_append"] = _pq_ann_ivf_append
     q["ann_filtered"] = _pq_ann_filtered
     q["lang_id_counts"] = _pq_lang_id
     q["quality_scores"] = _pq_quality
@@ -646,6 +647,26 @@ def _pq_ann_ivf_quantized(spark, sf_dir):
     IVFVectorIndex.build(spark, e, root, nlist=8, build_id="q0000", quantize=True)
     ivf = IVFVectorIndex(spark, root)
     top = ivf.search(_query_vectors(spark, sf_dir), k=10, nprobe=4, oversample=4)
+    return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _pq_ann_ivf_append(spark, sf_dir):
+    """Incremental IVF ingestion: base build on even vec_ids, append the
+    odd ones (no centroid retrain), then probe EVERY cell — exhaustive
+    over base+append, so the exact brute-force SQL is the oracle."""
+    from lucene_spark.pipeline.similarity import IVFVectorIndex
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_ivfa_{_INDEX_VERSION}_{tag}"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    IVFVectorIndex.build(
+        spark, e.filter(F.col("vec_id") % 2 == 0), root, nlist=8, build_id="v0000"
+    )
+    IVFVectorIndex.append(
+        spark, e.filter(F.col("vec_id") % 2 == 1), root, build_id="a0001"
+    )
+    ivf = IVFVectorIndex(spark, root)
+    top = ivf.search(_query_vectors(spark, sf_dir), k=10, nprobe=ivf.nlist)
     return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
 
 
@@ -1848,6 +1869,8 @@ SELECT query_id, id, round(c, 4) AS cosine_r FROM (
     # cosines — at oversample=4 the shortlist provably contained the true
     # top-k on this corpus, so the brute-force SQL is the oracle
     o["ann_quantized_topk"] = o["ann_brute_topk"]
+    # append + probe-all is exhaustive over base+append => exact oracle
+    o["ann_ivf_append"] = o["ann_brute_topk"]
     o["ann_filtered"] = f"""
 WITH u AS ({_VEC}),
 nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),

@@ -275,6 +275,60 @@ class IVFVectorIndex:
             note=f"ivf build {build_id}",
         )
 
+    @staticmethod
+    def append(
+        spark: SparkSession,
+        df: DataFrame,
+        root: str,
+        *,
+        build_id: str | None = None,
+    ) -> int:
+        """Incremental ingestion — the NRT face of the vector index: new
+        vectors are assigned to the CURRENT generation's centroids (no
+        retrain), written as an additional cell-partitioned generation,
+        and committed as a snapshot holding base + appends. Readers pinned
+        to an earlier snapshot never see appended vectors (point-in-time,
+        same contract as the inverted index's micro-batch ingestion); a
+        quantized base quantizes appends with the SAME stored params. A
+        full rebuild (``build``) is the force-merge that retrains
+        centroids and refits quantiles."""
+        import json
+        import os
+
+        from ..index.catalog import Catalog
+
+        cat = Catalog(root)
+        if build_id is None:
+            build_id = f"a{len(os.listdir(os.path.join(root, 'builds'))):04d}"
+        if cat.build_completed(build_id):
+            return cat.load()["current"]
+        base = IVFVectorIndex(spark, root)  # current snapshot's generation
+        bdir = cat.build_dir(build_id)
+        celled = assign_cells(df, base.centroids, base.vec_col)
+        if base.quantized:
+            from .quantization import add_quantized_columns
+
+            celled = add_quantized_columns(celled, base.quant_params, base.vec_col)
+        celled.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(bdir, "vectors")
+        )
+        n = int(celled.count())
+        cat.write_manifest(
+            build_id,
+            {
+                "build_id": build_id,
+                "kind": "ivf-append",
+                "base": base.build_id,
+                "vec_col": base.vec_col,
+                "id_col": base.id_col,
+                "num_vectors": n,
+            },
+        )
+        return cat.commit(
+            [{"name": build_id, "build": build_id, "max_doc": n, "fields": {}}],
+            note=f"ivf append {build_id}",
+        )
+
     def __init__(self, spark: SparkSession, root: str, snapshot_id: int | None = None):
         import json
         import os
@@ -288,9 +342,16 @@ class IVFVectorIndex:
         self.snapshot_id = snap["id"]
         if not snap["segments"]:
             raise ValueError(f"no live IVF build in {root}")
-        self.build_id = snap["segments"][0]["name"]
+        # a snapshot may hold one base build plus appended generations
+        # (kind 'ivf-append') that share the base's centroids/params
+        names = [s["name"] for s in snap["segments"]]
+        manifests = {n: self.catalog.read_manifest(n) for n in names}
+        bases = [n for n in names if manifests[n].get("kind") == "ivf"]
+        if len(bases) != 1:
+            raise ValueError(f"expected exactly one base IVF build, got {bases}")
+        self.build_id = bases[0]
+        manifest = manifests[self.build_id]
         bdir = self.catalog.build_dir(self.build_id)
-        manifest = self.catalog.read_manifest(self.build_id)
         self.vec_col = manifest["vec_col"]
         self.id_col = manifest["id_col"]
         self.nlist = manifest["nlist"]
@@ -304,7 +365,16 @@ class IVFVectorIndex:
             self.quant_params = None
         with open(os.path.join(bdir, "centroids.json")) as f:
             self.centroids = np.array(json.load(f))
-        self._vectors = spark.read.parquet(os.path.join(bdir, "vectors"))
+        # per-build reads + unionByName: a single multi-root read trips
+        # Spark's partition discovery (CONFLICTING_DIRECTORY_STRUCTURES);
+        # the cell filter still pushes into every branch's scan
+        vecs = None
+        for n in names:
+            part = spark.read.parquet(
+                os.path.join(self.catalog.build_dir(n), "vectors")
+            )
+            vecs = part if vecs is None else vecs.unionByName(part)
+        self._vectors = vecs
 
     def search(
         self,

@@ -115,3 +115,70 @@ def test_quantized_ivf_matches_float_ivf(spark, emb, queries, tmp_path):
     # the persisted layout really carries 1-byte/dim quantized vectors
     row = spark.read.parquet(root_q + "/builds/q0000/vectors").limit(1).collect()[0]
     assert len(row["qvec"]) == ivf.quant_params.dim
+
+
+def test_ivf_append_point_in_time_and_recall(spark, emb, queries, tmp_path):
+    """Incremental IVF ingestion: appended vectors join the current
+    generation's cells; probe-all + exact scoring over base+append equals
+    brute force over the UNION; a reader pinned to the pre-append
+    snapshot never sees the appended vectors."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import IVFVectorIndex, brute_force_topk
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivfapp")
+    snap0 = IVFVectorIndex.build(spark, half_a, root, nlist=4, build_id="v0000")
+    snap1 = IVFVectorIndex.append(spark, half_b, root, build_id="a0001")
+    assert snap1 > snap0
+
+    ivf = IVFVectorIndex(spark, root)
+    assert ivf._vectors.count() == emb.count()
+    # probe every cell -> exhaustive over base+append == brute force
+    got = (
+        ivf.search(queries, k=5, nprobe=ivf.nlist)
+        .orderBy("query_id", F.desc("cosine"), F.asc("id"))
+        .toPandas()
+    )
+    want = (
+        brute_force_topk(emb, queries, k=5)
+        .orderBy("query_id", F.desc("cosine"), F.asc("id"))
+        .toPandas()
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+
+    # point-in-time: the pre-append snapshot still serves only half_a
+    pinned = IVFVectorIndex(spark, root, snapshot_id=snap0)
+    assert pinned._vectors.count() == half_a.count()
+
+    # resume: re-running the same append build_id is a no-op
+    assert IVFVectorIndex.append(spark, half_b, root, build_id="a0001") == snap1
+
+
+def test_ivf_append_quantized(spark, emb, queries, tmp_path):
+    """Appends to a quantized base are quantized with the SAME params and
+    the quantized search sees base + append."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import IVFVectorIndex, brute_force_topk
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivfappq")
+    IVFVectorIndex.build(spark, half_a, root, nlist=4, build_id="q0000", quantize=True)
+    IVFVectorIndex.append(spark, half_b, root, build_id="a0001")
+    ivf = IVFVectorIndex(spark, root)
+    n = emb.count()
+    got = (
+        ivf.search(queries, k=5, nprobe=ivf.nlist, oversample=n)
+        .orderBy("query_id", F.desc("cosine"), F.asc("id"))
+        .toPandas()
+    )
+    want = (
+        brute_force_topk(emb, queries, k=5)
+        .orderBy("query_id", F.desc("cosine"), F.asc("id"))
+        .toPandas()
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+    np.testing.assert_allclose(got["cosine"], want["cosine"], rtol=1e-9)
