@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_quantized_topk"] = _pq_ann_quantized
     q["ann_ivf_quantized"] = _pq_ann_ivf_quantized  # approximate — rows-only
     q["ann_ivf_append"] = _pq_ann_ivf_append
+    q["ann_deleted"] = _pq_ann_deleted
     q["ann_filtered"] = _pq_ann_filtered
     q["lang_id_counts"] = _pq_lang_id
     q["quality_scores"] = _pq_quality
@@ -665,6 +666,21 @@ def _pq_ann_ivf_append(spark, sf_dir):
     IVFVectorIndex.append(
         spark, e.filter(F.col("vec_id") % 2 == 1), root, build_id="a0001"
     )
+    ivf = IVFVectorIndex(spark, root)
+    top = ivf.search(_query_vectors(spark, sf_dir), k=10, nprobe=ivf.nlist)
+    return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _pq_ann_deleted(spark, sf_dir):
+    """Vector liveDocs: delete vec_ids 1 and 3, probe every cell — exact
+    over the live set, so the oracle is brute force minus the tombstones."""
+    from lucene_spark.pipeline.similarity import IVFVectorIndex
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_ivfd_{_INDEX_VERSION}_{tag}"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    IVFVectorIndex.build(spark, e, root, nlist=8, build_id="v0000")
+    IVFVectorIndex.delete(spark, root, [1, 3], build_id="d0001")
     ivf = IVFVectorIndex(spark, root)
     top = ivf.search(_query_vectors(spark, sf_dir), k=10, nprobe=ivf.nlist)
     return top.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
@@ -1871,6 +1887,11 @@ SELECT query_id, id, round(c, 4) AS cosine_r FROM (
     o["ann_quantized_topk"] = o["ann_brute_topk"]
     # append + probe-all is exhaustive over base+append => exact oracle
     o["ann_ivf_append"] = o["ann_brute_topk"]
+    # delete + probe-all: brute force over the live set
+    o["ann_deleted"] = o["ann_brute_topk"].replace(
+        "FROM q JOIN u ON u.i = q.i GROUP BY 1, 2",
+        "FROM q JOIN u ON u.i = q.i WHERE u.vec_id NOT IN (1, 3) GROUP BY 1, 2",
+    )
     o["ann_filtered"] = f"""
 WITH u AS ({_VEC}),
 nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),

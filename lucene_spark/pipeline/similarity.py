@@ -329,6 +329,41 @@ class IVFVectorIndex:
             note=f"ivf append {build_id}",
         )
 
+    @staticmethod
+    def delete(spark: SparkSession, root: str, ids, *, build_id: str | None = None) -> int:
+        """Delete vectors by id — liveDocs semantics (KnnFloatVectorQuery
+        only returns live docs; reference search/KnnFloatVectorQuery.java
+        acceptDocs): a tombstone generation is committed to the catalog,
+        every subsequent reader anti-joins it, and snapshots pinned before
+        the delete still serve the vector (point-in-time). Rebuild
+        (``build``) expunges, like a force-merge."""
+        import os
+
+        from ..index.catalog import Catalog
+
+        cat = Catalog(root)
+        if build_id is None:
+            build_id = f"d{len(os.listdir(os.path.join(root, 'builds'))):04d}"
+        if cat.build_completed(build_id):
+            return cat.load()["current"]
+        base = IVFVectorIndex(spark, root)
+        bdir = cat.build_dir(build_id)
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).alias(base.id_col))
+        else:
+            tomb = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{base.id_col} long"
+            )
+        tomb.write.mode("overwrite").parquet(os.path.join(bdir, "tombstones"))
+        cat.write_manifest(
+            build_id,
+            {"build_id": build_id, "kind": "ivf-delete", "id_col": base.id_col},
+        )
+        return cat.commit(
+            [{"name": build_id, "build": build_id, "max_doc": 0, "fields": {}}],
+            note=f"ivf delete {build_id}",
+        )
+
     def __init__(self, spark: SparkSession, root: str, snapshot_id: int | None = None):
         import json
         import os
@@ -370,10 +405,19 @@ class IVFVectorIndex:
         # the cell filter still pushes into every branch's scan
         vecs = None
         for n in names:
+            if manifests[n].get("kind") == "ivf-delete":
+                continue
             part = spark.read.parquet(
                 os.path.join(self.catalog.build_dir(n), "vectors")
             )
             vecs = part if vecs is None else vecs.unionByName(part)
+        # liveDocs: anti-join this snapshot's tombstone generations
+        for n in names:
+            if manifests[n].get("kind") == "ivf-delete":
+                tomb = spark.read.parquet(
+                    os.path.join(self.catalog.build_dir(n), "tombstones")
+                )
+                vecs = vecs.join(tomb, self.id_col, "left_anti")  # AQE broadcasts when small
         self._vectors = vecs
 
     def search(

@@ -182,3 +182,36 @@ def test_ivf_append_quantized(spark, emb, queries, tmp_path):
     )
     assert got["id"].tolist() == want["id"].tolist()
     np.testing.assert_allclose(got["cosine"], want["cosine"], rtol=1e-9)
+
+
+def test_ivf_delete_livedocs(spark, emb, queries, tmp_path):
+    """Vector deletes: tombstoned ids never surface; a pre-delete
+    snapshot still serves them; rebuild expunges."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import IVFVectorIndex, brute_force_topk
+
+    root = str(tmp_path / "ivfdel")
+    snap0 = IVFVectorIndex.build(spark, emb, root, nlist=4, build_id="v0000")
+    ivf0 = IVFVectorIndex(spark, root)
+    top1 = ivf0.search(queries[:1], k=1, nprobe=ivf0.nlist).collect()[0]["id"]
+
+    snap1 = IVFVectorIndex.delete(spark, root, [int(top1)], build_id="d0001")
+    assert snap1 > snap0
+    ivf = IVFVectorIndex(spark, root)
+    got = (
+        ivf.search(queries, k=5, nprobe=ivf.nlist)
+        .orderBy("query_id", F.desc("cosine"), F.asc("id"))
+        .toPandas()
+    )
+    assert int(top1) not in set(got["id"])
+    want = (
+        brute_force_topk(emb.filter(F.col("vec_id") != int(top1)), queries, k=5)
+        .orderBy("query_id", F.desc("cosine"), F.asc("id"))
+        .toPandas()
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+
+    pinned = IVFVectorIndex(spark, root, snapshot_id=snap0)
+    still = pinned.search(queries[:1], k=1, nprobe=pinned.nlist).collect()[0]["id"]
+    assert int(still) == int(top1)
