@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["block_join_parents"] = _pq_block_join_parents
     q["term_join_docs"] = _pq_term_join_docs
     q["facet_drill_sideways"] = _pq_drill_sideways
+    q["facet_stats_lang"] = _pq_facet_stats
     return q
 
 
@@ -924,6 +925,22 @@ def _pq_rescore(spark, sf_dir):
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
     )
+
+
+def _pq_facet_stats(spark, sf_dir):
+    """Aggregating facet: per-lang count/sum/mean of analyzed length over
+    hits of 'table' (value-association facets)."""
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import facet_stats
+
+    s = _searcher(spark, sf_dir)
+    out = facet_stats(s, parse("table"), "lang", "length")
+    return out.select(
+        "label",
+        "count",
+        "sum_value",
+        F.round("mean_value", 4).alias("mean_value_r"),
+    ).drop("mean_value")
 
 
 def _pq_suggest_infix(spark, sf_dir):
@@ -1676,6 +1693,15 @@ SELECT 'h' || (doc_id % 7) || '.example.com' AS host,
        sum(length(text)) AS total_chars,
        round(avg(length(text)), 4) AS mean_chars
 FROM documents GROUP BY 1
+"""
+    o["facet_stats_lang"] = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT d.lang AS label, count(*) AS count, sum(dl.len) AS sum_value,
+       round(avg(dl.len), 4) AS mean_value_r
+FROM hit JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY 1
 """
     o.update(_pipeline_oracles())
     return o

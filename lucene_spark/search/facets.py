@@ -270,3 +270,27 @@ def drill_sideways(
     for p in panels[1:]:
         out = out.unionByName(p)
     return out
+
+
+def facet_stats(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    facet_col: str,
+    value_col: str,
+    field: str = "text",
+) -> DataFrame:
+    """Aggregating facets (label -> count/sum/mean of a doc-values column
+    over the hits) — the value-association facet shape (reference
+    facet/src/java/org/apache/lucene/facet/taxonomy/
+    TaxonomyFacetFloatAssociations.java aggregation functions, and
+    LongValueFacetCounts' value-source collection). Same single scan as
+    facet_counts; one hash aggregate."""
+    return (
+        _matches_with_docs(searcher, q, field)
+        .groupBy(F.col(facet_col).alias("label"))
+        .agg(
+            F.count("*").alias("count"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("mean_value"),
+        )
+    )

@@ -534,3 +534,20 @@ def test_canonical_url_and_dedup(spark):
     assert got[5] == "https://ex.com/a/b?a=2&page=3&z=1"
     kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
     assert kept == [1, 3, 5]
+
+
+def test_facet_stats_matches_pandas(spark, reader, corpus):
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.facets import facet_stats
+
+    s = IndexSearcher(reader)
+    got = {
+        r["label"]: (r["count"], int(r["sum_value"]))
+        for r in facet_stats(s, Q.TermQuery("text", "table"), "lang", "length").collect()
+    }
+    m = corpus[corpus["text"].str.split().map(lambda ws: "table" in ws)]
+    want = {
+        lang: (len(g), int(g["text"].str.split().map(len).sum()))
+        for lang, g in m.groupby("lang")
+    }
+    assert got == want
