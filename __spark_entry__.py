@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = _pq_dedup_clusters
     q["dfr_disjunction"] = _pq_dfr_disjunction
     q["ib_disjunction"] = _pq_ib_disjunction
+    q["dfi_disjunction"] = _pq_dfi_disjunction
+    q["axiomatic_disjunction"] = _pq_axiomatic_disjunction
     q["events_windowed_counts"] = _pq_events_windowed
     q["events_sliding_counts"] = _pq_events_sliding
     q["events_session_counts"] = _pq_events_sessions
@@ -555,6 +557,40 @@ def _pq_ib_disjunction(spark, sf_dir):
     from lucene_spark.search import IndexSearcher, parse
 
     s = IndexSearcher(_get_index(spark, sf_dir), dtype=np.float64, similarity="ib")
+    hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_dfi_disjunction(spark, sf_dir):
+    """DFI standardized disjunctive top-k through the block-max pruned
+    path (DFISimilarity + IndependenceStandardized semantics)."""
+    import numpy as np
+
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(_get_index(spark, sf_dir), dtype=np.float64, similarity="dfi")
+    hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_axiomatic_disjunction(spark, sf_dir):
+    """Axiomatic F2EXP disjunctive top-k through the block-max pruned
+    path (AxiomaticF2EXP defaults s=0.25, k=0.35)."""
+    import numpy as np
+
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(
+        _get_index(spark, sf_dir), dtype=np.float64, similarity="axiomatic"
+    )
     hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
@@ -1224,6 +1260,82 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
     )
 
 
+def _dfi_term_sql(terms: list[str], k: int = K) -> str:
+    """Disjunctive DFI (IndependenceStandardized):
+    e = (F+1)*dl/(T+1); s = 0 if freq <= e else log2((freq-e)/sqrt(e)+1),
+    with the SmallFloat-quantized dl (same norms BM25 reads)."""
+    qlen = _qlen("dl.len")
+    per = []
+    for i, t in enumerate(terms):
+        per.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.freq <= w.e * q.d THEN 0.0
+              ELSE log2((tf.freq - w.e * q.d) / sqrt(w.e * q.d) + 1.0) END AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN q ON q.doc_id = tf.doc_id
+  CROSS JOIN (
+    SELECT (n.f + 1.0) / (stats.sum_ttf + 1.0) AS e
+    FROM stats, (SELECT count(*) AS f FROM tok WHERE term = '{t}') n) w
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
+    return (
+        f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+q AS (SELECT doc_id, CAST(({qlen}) AS DOUBLE) AS d FROM dl),
+"""
+        + ", ".join(per)
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _axiomatic_term_sql(terms: list[str], k: int = K) -> str:
+    """Disjunctive Axiomatic F2EXP (s=0.25, k=0.35):
+    score = freq/(freq + s + s*dl/avgdl) * ((N+1)/df)^k with the
+    SmallFloat-quantized dl."""
+    qlen = _qlen("dl.len")
+    per = []
+    for i, t in enumerate(terms):
+        per.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id,
+         tf.freq / (tf.freq + 0.25 +
+             0.25 * q.d / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))
+         * w.idf AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN q ON q.doc_id = tf.doc_id
+  CROSS JOIN stats
+  CROSS JOIN (
+    SELECT pow((stats.doc_count + 1.0) / n.df, 0.35) AS idf
+    FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}') n) w
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
+    return (
+        f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+q AS (SELECT doc_id, CAST(({qlen}) AS DOUBLE) AS d FROM dl),
+"""
+        + ", ".join(per)
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
 def _bm25_conj_sql(must: list[str], must_not: list[str] | None = None, k: int = K) -> str:
     """Conjunctive BM25: docs matching all ``must`` terms (minus must_not),
     scored by the sum of the must terms' BM25 scores."""
@@ -1774,6 +1886,8 @@ SELECT u AS id, min(v) AS component FROM reach GROUP BY u
 """
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
     o["ib_disjunction"] = _ib_term_sql(["merge", "window", "spark"])
+    o["dfi_disjunction"] = _dfi_term_sql(["merge", "window", "spark"])
+    o["axiomatic_disjunction"] = _axiomatic_term_sql(["merge", "window", "spark"])
     o["events_windowed_counts"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
        event_type,

@@ -1,0 +1,69 @@
+"""Axiomatic F2EXP similarity behind the pluggable SimScorer contract
+(``.score(freqs, norm_bytes)``).
+
+Reference semantics (AxiomaticF2EXP, defaults s=0.25, k=0.35 from
+Axiomatic's default constructor):
+
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/Axiomatic.java:100-116
+      score = max(0, boost * tf * ln * tfln * idf - gamma)
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/AxiomaticF2EXP.java:58-85
+      tf = ln = 1;  gamma = 0
+      tfln = freq / (freq + s + s * dl / avgdl)
+      idf  = ((N + 1) / df) ^ k
+
+N = docCount, df = docFreq, avgdl = sumTotalTermFreq / docCount
+(SimilarityBase.java:86-89); ``dl`` decoded from the shared SmallFloat
+norm byte. Score is increasing in freq and decreasing in dl, so the
+(max freq, min norm) pareto impacts bound every block and the maxscore
+kernel prunes admissibly. Math in float64, cast like Lucene's
+``(float) score`` (SimilarityBase.java:188).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+
+@dataclass(frozen=True)
+class AxiomaticF2EXPScorer:
+    """Per-(query-term, field) Axiomatic F2EXP scorer."""
+
+    boost: float
+    idf: float  # ((N+1)/df)^k — freq/length independent
+    avgdl: float
+    s: float = 0.25
+    dtype: object = np.float32
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        tfln = f / (f + self.s + self.s * dl / self.avgdl)
+        s = np.maximum(0.0, self.boost * tfln * self.idf)
+        return s.astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        return float(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_axiomatic_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    s: float = 0.25,
+    k: float = 0.35,
+    dtype=np.float32,
+) -> AxiomaticF2EXPScorer:
+    N = float(max(doc_count, 1))
+    idf = float(np.power((N + 1.0) / float(max(doc_freq, 1)), k))
+    avgdl = float(sum_total_term_freq) / N
+    return AxiomaticF2EXPScorer(
+        boost=float(boost), idf=idf, avgdl=avgdl, s=float(s), dtype=dtype
+    )

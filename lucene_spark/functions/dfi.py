@@ -1,0 +1,75 @@
+"""DFI (divergence from independence) similarity behind the pluggable
+SimScorer contract (``.score(freqs, norm_bytes)``).
+
+Reference semantics (DFISimilarity with IndependenceStandardized, the
+parameter-free chi-square-standardized measure):
+
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/DFISimilarity.java:70-82
+      expected = (F + 1) * dl / (T + 1)
+      score    = 0                        if freq <= expected
+                 boost * log2(m + 1)      otherwise
+  /root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/IndependenceStandardized.java:33-35
+      m = (freq - expected) / sqrt(expected)
+
+F = totalTermFreq of the term, T = sumTotalTermFreq of the field
+(``getNumberOfFieldTokens``, SimilarityBase.java:86-89), ``dl`` the
+SmallFloat-quantized length decoded from the norm byte — the same norms
+every other similarity reads, so one index serves all scorers.
+
+Monotonicity (what lets the block-max machinery prune): for fixed dl the
+score is non-decreasing in freq; for fixed freq a smaller dl lowers
+``expected`` and raises the measure. The (max freq, min norm) pareto
+impact rows therefore still upper-bound every block, exactly as for BM25
+(codecs/impacts.py). Math in float64, result cast like Lucene's
+``(float) score`` (SimilarityBase.java:188).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+LOG2 = float(np.log(2.0))
+
+
+@dataclass(frozen=True)
+class DFIScorer:
+    """Per-(query-term, field) DFI scorer (standardized independence)."""
+
+    boost: float
+    ttf: float  # F — total occurrences of the term across the field
+    sum_ttf: float  # T — total tokens in the field
+    dtype: object = np.float32
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        expected = (self.ttf + 1.0) * dl / (self.sum_ttf + 1.0)
+        m = (f - expected) / np.sqrt(expected)
+        s = self.boost * np.log1p(np.maximum(m, 0.0)) / LOG2
+        s = np.where(f <= expected, 0.0, s)
+        return s.astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        return float(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_dfi_scorer(
+    total_term_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    dtype=np.float32,
+) -> DFIScorer:
+    return DFIScorer(
+        boost=float(boost),
+        ttf=float(total_term_freq),
+        sum_ttf=float(sum_total_term_freq),
+        dtype=dtype,
+    )

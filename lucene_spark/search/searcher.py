@@ -65,7 +65,8 @@ class IndexSearcher:
     def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25"):
         """``similarity``: "bm25" (default, float32 reference-exact),
         "lmd" (LM Dirichlet, mu=2000), "dfr" (DFR I(ne)L2, c=1),
-        "classic" (legacy TF-IDF) or "ib" (IB LL/DF/H2) — the pluggable
+        "classic" (legacy TF-IDF), "ib" (IB LL/DF/H2), "dfi" (DFI
+        standardized) or "axiomatic" (F2EXP) — the pluggable
         SimScorer choice (reference search/similarities/; term/boolean
         shapes only for the non-BM25 scorers, phrase/synonym stay BM25)."""
         self.reader = reader
@@ -322,6 +323,18 @@ class IndexSearcher:
                 from ..functions.ib import make_ib_scorer
 
                 scorers[t] = make_ib_scorer(
+                    df_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+                )
+            elif self.similarity == "dfi":
+                from ..functions.dfi import make_dfi_scorer
+
+                scorers[t] = make_dfi_scorer(
+                    ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+                )
+            elif self.similarity == "axiomatic":
+                from ..functions.axiomatic import make_axiomatic_scorer
+
+                scorers[t] = make_axiomatic_scorer(
                     df_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
                 )
             else:

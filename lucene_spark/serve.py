@@ -45,7 +45,8 @@ class LocalSearcher:
     def __init__(self, index_root: str, snapshot_id: int | None = None, dtype=np.float32,
                  similarity: str = "bm25"):
         """``similarity``: same pluggable SimScorer registry as the Spark
-        IndexSearcher ("bm25" | "lmd" | "dfr" | "classic" | "ib")."""
+        IndexSearcher ("bm25" | "lmd" | "dfr" | "classic" | "ib" | "dfi"
+        | "axiomatic")."""
         self.root = index_root
         self.dtype = dtype
         self.similarity = similarity
@@ -140,6 +141,16 @@ class LocalSearcher:
             from .functions.ib import make_ib_scorer
 
             return make_ib_scorer(df_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
+        if self.similarity == "dfi":
+            from .functions.dfi import make_dfi_scorer
+
+            return make_dfi_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
+        if self.similarity == "axiomatic":
+            from .functions.axiomatic import make_axiomatic_scorer
+
+            return make_axiomatic_scorer(
+                df_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype
+            )
         return make_scorer([df_t], doc_count, sum_ttf, boost=boost, dtype=self.dtype)
 
     def search(self, q, k: int = 10, field: str = "text"):

@@ -1,0 +1,151 @@
+"""DFI (standardized) and Axiomatic F2EXP similarities: hand-computed
+vectors + end-to-end rank parity on both physical paths."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.axiomatic import make_axiomatic_scorer
+from lucene_spark.functions.dfi import make_dfi_scorer
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.search import IndexSearcher, parse
+
+
+def _dfi_hand(f, dl, ttf, sttf, boost=1.0):
+    expected = (ttf + 1) * dl / (sttf + 1)
+    if f <= expected:
+        return 0.0
+    m = (f - expected) / math.sqrt(expected)
+    return boost * math.log2(m + 1)
+
+
+def _axi_hand(f, dl, df, N, sttf, boost=1.0, s=0.25, k=0.35):
+    avgdl = sttf / N
+    return boost * (f / (f + s + s * dl / avgdl)) * ((N + 1) / df) ** k
+
+
+def test_dfi_hand_computed_vectors():
+    """score = log2((f-e)/sqrt(e) + 1) for f > e else 0;
+    e = (F+1)*dl/(T+1) (DFISimilarity.java:70-82,
+    IndependenceStandardized.java:33-35)."""
+    ttf, N, sttf = 42, 500, 10_000
+    sc = make_dfi_scorer(ttf, N, sttf, boost=1.0, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200), (7, 1), (1, 2000)]:
+        norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+        qdl = float(LENGTH_TABLE[norm])
+        want = _dfi_hand(f, qdl, ttf, sttf)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12, abs=1e-300), (f, dl)
+    sc2 = make_dfi_scorer(ttf, N, sttf, boost=2.5, dtype=np.float64)
+    assert float(sc2.score(np.array([7]), np.array([24]))[0]) == pytest.approx(
+        2.5 * float(sc.score(np.array([7]), np.array([24]))[0]), rel=1e-12
+    )
+
+
+def test_dfi_zero_below_expected_and_max_score():
+    # huge ttf, long doc -> expected > freq -> exactly 0 (not negative)
+    sc = make_dfi_scorer(9_000, 500, 10_000, dtype=np.float64)
+    long_norm = int(int_to_byte4_np(np.array([5000]))[0]) & 0xFF
+    assert float(sc.score(np.array([1]), np.array([long_norm]))[0]) == 0.0
+    s = sc.score(np.array([1, 2, 5, 10, 100]), np.full(5, 24))
+    assert (np.diff(s) >= 0).all() and (s >= 0).all()
+    ms = sc.max_score(max_freq=100, min_norm_byte=5)
+    grid = sc.score(
+        np.repeat(np.arange(1, 101), 4), np.tile(np.array([5, 24, 100, 255]), 100)
+    )
+    assert ms >= grid.max()
+
+
+def test_axiomatic_hand_computed_vectors():
+    """score = f/(f + s + s*dl/avgdl) * ((N+1)/df)^k, s=0.25 k=0.35
+    (AxiomaticF2EXP.java:58-85, Axiomatic.java:100-116)."""
+    df, N, sttf = 42, 500, 10_000
+    sc = make_axiomatic_scorer(df, N, sttf, boost=1.0, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200), (7, 1)]:
+        norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+        qdl = float(LENGTH_TABLE[norm])
+        want = _axi_hand(f, qdl, df, N, sttf)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12), (f, dl)
+    sc2 = make_axiomatic_scorer(df, N, sttf, boost=2.5, dtype=np.float64)
+    assert float(sc2.score(np.array([3]), np.array([24]))[0]) == pytest.approx(
+        2.5 * float(sc.score(np.array([3]), np.array([24]))[0]), rel=1e-12
+    )
+
+
+def test_axiomatic_monotonicity_and_max_score():
+    sc = make_axiomatic_scorer(50, 500, 10_000, dtype=np.float64)
+    s = sc.score(np.array([1, 2, 5, 10, 100]), np.full(5, 24))
+    assert (np.diff(s) > 0).all()
+    s2 = sc.score(np.full(3, 5), np.array([5, 10, 20]))
+    assert (np.diff(s2) < 0).all()
+    ms = sc.max_score(max_freq=100, min_norm_byte=5)
+    grid = sc.score(
+        np.repeat(np.arange(1, 101), 4), np.tile(np.array([5, 24, 100, 255]), 100)
+    )
+    assert ms >= grid.max()
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(corpus):
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tfs.append(Counter(toks))
+        lengths.append(len(toks))
+    lengths = np.array(lengths)
+    return tfs, lengths, int_to_byte4_np(lengths)
+
+
+def _brute_topk(corpus, corpus_stats, make, stat, terms, k=10):
+    from collections import Counter
+
+    tfs, lengths, norms = corpus_stats
+    N = int((lengths > 0).sum())
+    sttf = int(lengths.sum())
+    dfc = Counter()
+    ttfc = Counter()
+    for tf in tfs:
+        dfc.update(tf.keys())
+        ttfc.update(tf)
+    score = np.zeros(len(tfs))
+    mask = np.zeros(len(tfs), bool)
+    for t in terms:
+        n = dfc.get(t, 0) if stat == "df" else ttfc.get(t, 0)
+        sc = make(max(n, 1), N, sttf, dtype=np.float64)
+        f = np.array([tf.get(t, 0) for tf in tfs])
+        m = f > 0
+        s = np.zeros(len(tfs))
+        s[m] = sc.score(f[m], norms[m])
+        score += s
+        mask |= m
+    idx = np.nonzero(mask)[0]
+    order = sorted(idx, key=lambda i: (-score[i], i))[:k]
+    return [(corpus["url"][i], float(score[i])) for i in order]
+
+
+@pytest.mark.parametrize("sim,make,stat", [
+    ("dfi", make_dfi_scorer, "ttf"),
+    ("axiomatic", make_axiomatic_scorer, "df"),
+])
+@pytest.mark.parametrize("qs,terms", [
+    ("table", ["table"]),
+    ("merge OR window OR spark", ["merge", "window", "spark"]),
+])
+def test_dfi_axiomatic_end_to_end_both_paths(
+    reader, corpus, corpus_stats, sim, make, stat, qs, terms
+):
+    s = IndexSearcher(reader, dtype=np.float64, similarity=sim)
+    want = _brute_topk(corpus, corpus_stats, make, stat, terms)
+    for mode in ("exhaustive", "maxscore"):
+        rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], (sim, mode)
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12), (sim, mode)
