@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["filtered_by_lang"] = _pq_filtered_lang
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
+    q["decontam_ngram"] = _pq_decontam_ngram
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dedup_clusters"] = _pq_dedup_clusters
@@ -154,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ib_disjunction"] = _pq_ib_disjunction
     q["dfi_disjunction"] = _pq_dfi_disjunction
     q["axiomatic_disjunction"] = _pq_axiomatic_disjunction
+    q["jm_disjunction"] = _pq_jm_disjunction
+    q["boolean_disjunction"] = _pq_boolean_disjunction
     q["events_windowed_counts"] = _pq_events_windowed
     q["events_sliding_counts"] = _pq_events_sliding
     q["events_session_counts"] = _pq_events_sessions
@@ -428,6 +431,18 @@ def _pq_dedup_exact(spark, sf_dir):
     return exact_dedup(both, ["text"], "doc_id").select("rep_id", "dup_count")
 
 
+def _pq_decontam_ngram(spark, sf_dir):
+    """Benchmark decontamination: docs sharing a 3-token shingle with the
+    deterministic 'benchmark' slice (doc_id % 97 == 0) of the same table;
+    returns (doc_id, n_hits = distinct contaminated shingles)."""
+    from lucene_spark.pipeline.decontam import ngram_contamination
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    rest = d.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(rest, bench, n=3).orderBy("doc_id")
+
+
 def _pq_dedup_minhash(spark, sf_dir):
     from lucene_spark.pipeline.dedup import minhash_lsh_pairs
 
@@ -591,6 +606,38 @@ def _pq_axiomatic_disjunction(spark, sf_dir):
     s = IndexSearcher(
         _get_index(spark, sf_dir), dtype=np.float64, similarity="axiomatic"
     )
+    hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_jm_disjunction(spark, sf_dir):
+    """LM Jelinek-Mercer (lambda=0.1) disjunctive top-k through the
+    block-max pruned path (LMJelinekMercerSimilarity semantics)."""
+    import numpy as np
+
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(_get_index(spark, sf_dir), dtype=np.float64, similarity="jm")
+    hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_boolean_disjunction(spark, sf_dir):
+    """BooleanSimilarity disjunctive top-k: every matched clause scores
+    its boost, so the score is the matched-clause count (ties by doc id)."""
+    import numpy as np
+
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(_get_index(spark, sf_dir), dtype=np.float64, similarity="boolean")
     hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
@@ -1336,6 +1383,56 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
     )
 
 
+def _jm_term_sql(terms: list[str], k: int = K, lam: float = 0.1) -> str:
+    """Disjunctive LM Jelinek-Mercer:
+    s = ln(1 + ((1-lam)*freq/dl) / (lam*(F+1)/(T+1))) with the
+    SmallFloat-quantized dl (same norms BM25 reads)."""
+    qlen = _qlen("dl.len")
+    per = []
+    for i, t in enumerate(terms):
+        per.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((1.0 - {lam}) * tf.freq / q.d) / ({lam} * w.p)) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN q ON q.doc_id = tf.doc_id
+  CROSS JOIN (
+    SELECT (n.f + 1.0) / (stats.sum_ttf + 1.0) AS p
+    FROM stats, (SELECT count(*) AS f FROM tok WHERE term = '{t}') n) w
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
+    return (
+        f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+q AS (SELECT doc_id, CAST(({qlen}) AS DOUBLE) AS d FROM dl),
+"""
+        + ", ".join(per)
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _boolean_term_sql(terms: list[str], k: int = K) -> str:
+    """Disjunctive BooleanSimilarity: each matched clause contributes its
+    boost (1.0), so the score is the count of matched distinct terms."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK}),
+agg AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS DOUBLE) AS score
+  FROM tok WHERE term IN ({in_list}) GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_conj_sql(must: list[str], must_not: list[str] | None = None, k: int = K) -> str:
     """Conjunctive BM25: docs matching all ``must`` terms (minus must_not),
     scored by the sum of the must terms' BM25 scores."""
@@ -1841,6 +1938,18 @@ WITH unioned AS (
 )
 SELECT min(doc_id) AS rep_id, count(*) AS dup_count FROM unioned GROUP BY text
 """
+    o["decontam_ngram"] = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+g AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS ngram
+  FROM arr, unnest(range(1, len(a) - 1)) AS t(i)
+),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(DISTINCT g.ngram) AS n_hits
+FROM g JOIN bench USING (ngram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
     o["dedup_minhash_lsh"] = """
 WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 tri AS (
@@ -1888,6 +1997,8 @@ SELECT u AS id, min(v) AS component FROM reach GROUP BY u
     o["ib_disjunction"] = _ib_term_sql(["merge", "window", "spark"])
     o["dfi_disjunction"] = _dfi_term_sql(["merge", "window", "spark"])
     o["axiomatic_disjunction"] = _axiomatic_term_sql(["merge", "window", "spark"])
+    o["jm_disjunction"] = _jm_term_sql(["merge", "window", "spark"])
+    o["boolean_disjunction"] = _boolean_term_sql(["merge", "window", "spark"])
     o["events_windowed_counts"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
        event_type,

@@ -1,0 +1,42 @@
+"""BooleanSimilarity behind the pluggable SimScorer contract.
+
+Reference semantics
+(/root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/BooleanSimilarity.java:42-53):
+every match scores exactly the query boost — no tf, no idf, no length
+normalization. Useful when ranking is delegated elsewhere (filters,
+function score, learned rerankers) but the match set semantics of the
+full boolean engine are wanted.
+
+Trivially monotone (constant), so block-max pruning bounds are exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BooleanScorer:
+    """Per-(query-term, field) constant-score scorer (score == boost)."""
+
+    boost: float
+    dtype: object = np.float32
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq)
+        return np.full(f.shape, self.boost, dtype=self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        return float(np.asarray(self.boost, dtype=self.dtype))
+
+
+def make_boolean_scorer(
+    doc_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    dtype=np.float32,
+) -> BooleanScorer:
+    return BooleanScorer(boost=float(boost), dtype=dtype)

@@ -1,0 +1,68 @@
+"""LM Jelinek-Mercer similarity behind the pluggable SimScorer contract
+(``.score(freqs, norm_bytes)``).
+
+Reference semantics
+(/root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/LMJelinekMercerSimilarity.java:68-75,
+LMSimilarity.java DefaultCollectionModel):
+
+  p(w|C) = (totalTermFreq + 1) / (sumTotalTermFreq + 1)
+  score  = boost * log(1 + ((1 - lambda) * freq / dl) / (lambda * p(w|C)))
+
+lambda in (0, 1]; Zhai & Lafferty (SIGIR '01) suggest ~0.1 for short
+(title) queries, ~0.7 for long queries — 0.1 is this engine's default.
+``dl`` is the SmallFloat-quantized length decoded from the shared norm
+byte (LENGTH_TABLE), so every similarity reads identical norms.
+
+Monotone increasing in freq, decreasing in dl ⇒ the (max freq, min norm)
+pareto impact rows upper-bound every block and maxscore pruning stays
+admissible. Math in float64, cast like Lucene's ``(float) score``
+(SimilarityBase.java:188).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+DEFAULT_LAMBDA = 0.1
+
+
+@dataclass(frozen=True)
+class LMJelinekMercerScorer:
+    """Per-(query-term, field) LM Jelinek-Mercer scorer."""
+
+    boost: float
+    lam: float
+    p_coll: float  # collection probability of the term
+    dtype: object = np.float32
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        s = self.boost * np.log1p(
+            ((1.0 - self.lam) * f / dl) / (self.lam * self.p_coll)
+        )
+        return np.maximum(s, 0.0).astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        return float(self.score(np.array([max_freq]), np.array([min_norm_byte]))[0])
+
+
+def make_jm_scorer(
+    total_term_freq: int,
+    doc_count: int,
+    sum_total_term_freq: int,
+    boost: float = 1.0,
+    lam: float = DEFAULT_LAMBDA,
+    dtype=np.float32,
+) -> LMJelinekMercerScorer:
+    p = (np.float64(total_term_freq) + 1.0) / (np.float64(sum_total_term_freq) + 1.0)
+    return LMJelinekMercerScorer(
+        boost=float(boost), lam=float(lam), p_coll=float(p), dtype=dtype
+    )

@@ -1,0 +1,80 @@
+"""Pluggable SimScorer registry — the one table mapping a similarity name
+to its per-term scorer factory, shared by the Spark maxscore/exhaustive
+kernels (search/searcher.py) and the serving path (serve.py).
+
+Lucene analogue: IndexSearcher.setSimilarity with the similarities/
+package zoo (reference core/src/java/org/apache/lucene/search/similarities/).
+Every factory takes the same index statistics — (doc_freq,
+total_term_freq) for the term plus (doc_count, sum_total_term_freq) for
+the field — and returns a vectorized ``.score(freqs, norm_bytes)`` /
+``.max_score(max_freq, min_norm_byte)`` scorer whose (max freq, min norm)
+pareto impacts admissibly bound every posting block, so the block-max
+pruning machinery serves all of them unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SIMILARITIES = (
+    "bm25",
+    "lmd",
+    "jm",
+    "dfr",
+    "classic",
+    "ib",
+    "dfi",
+    "axiomatic",
+    "boolean",
+)
+
+
+def scorer_for(
+    similarity: str,
+    df_t: int,
+    ttf_t: int,
+    doc_count: int,
+    sum_ttf: int,
+    boost: float = 1.0,
+    dtype=np.float32,
+):
+    """Build the per-(query-term, field) scorer for ``similarity``."""
+    if similarity == "lmd":
+        from .lmdirichlet import make_lm_scorer
+
+        return make_lm_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "jm":
+        from .lmjelinekmercer import make_jm_scorer
+
+        return make_jm_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "dfr":
+        from .dfr import make_dfr_scorer
+
+        return make_dfr_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "classic":
+        from .classic import make_classic_scorer
+
+        return make_classic_scorer(df_t, doc_count, boost=boost, dtype=dtype)
+    if similarity == "ib":
+        from .ib import make_ib_scorer
+
+        return make_ib_scorer(df_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "dfi":
+        from .dfi import make_dfi_scorer
+
+        return make_dfi_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "axiomatic":
+        from .axiomatic import make_axiomatic_scorer
+
+        return make_axiomatic_scorer(df_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "boolean":
+        from .booleansim import make_boolean_scorer
+
+        return make_boolean_scorer(df_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "bm25":
+        from .bm25 import make_scorer
+
+        return make_scorer([df_t], doc_count, sum_ttf, boost=boost, dtype=dtype)
+    raise ValueError(
+        f"unknown similarity {similarity!r}; one of {', '.join(SIMILARITIES)}"
+    )

@@ -1,0 +1,85 @@
+"""Benchmark decontamination: flag training documents that share token
+n-grams with an evaluation/benchmark set.
+
+The standard LLM-data-pipeline operation (Brown et al. 2020, "Language
+Models are Few-Shot Learners", appendix C: 13-gram overlap filtering;
+open reproductions commonly use 8-13 token shingles): any document whose
+text contains an n-gram that also appears in a held-out benchmark is
+flagged (and typically dropped or split) so the eval set doesn't leak
+into training.
+
+100 TB plan shape: the benchmark side is small (MBs of eval text) — its
+distinct shingle set broadcasts; the corpus side is one narrow
+tokenize→shingle pass (all JVM-side: split / transform / explode, no
+Python) followed by a BROADCAST hash join and a map-side-combinable
+groupBy(doc). No corpus-sized shuffle; cost is O(corpus tokens) scan +
+O(matches) aggregation. Skew-safe: shingle explosion is per-doc bounded
+and the join key cardinality is the benchmark's, not the corpus'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(df: DataFrame, n: int, text_col: str) -> DataFrame:
+    """Add an ``ngram`` column: whitespace-token n-grams of ``text_col``
+    (one row per shingle after the explode). Pure column algebra."""
+    # NB: guard the short-doc case — Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], not an empty array
+    grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return df.withColumn("ngram", F.explode(grams))
+
+
+def benchmark_ngrams(benchmark: DataFrame, n: int = 13, text_col: str = "text") -> DataFrame:
+    """Distinct token n-grams of the benchmark set — the (small)
+    broadcast side of the contamination join."""
+    return _shingles(benchmark, n, text_col).select("ngram").distinct()
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_hits) for every document sharing >= 1 token n-gram with
+    ``benchmark`` — n_hits counts the DISTINCT contaminated n-grams.
+
+    Join order is corpus ⋈ broadcast(benchmark shingles): the benchmark
+    side is always the small one, so the join never shuffles the corpus.
+    """
+    bench = benchmark_ngrams(benchmark, n, text_col)
+    return (
+        _shingles(docs.select(id_col, text_col), n, text_col)
+        .join(F.broadcast(bench), "ngram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("ngram").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The filter face: ``docs`` minus every contaminated document
+    (left_anti against the contamination frame — same broadcast-join
+    plan, no corpus shuffle at all)."""
+    bench = benchmark_ngrams(benchmark, n, text_col)
+    dirty = (
+        _shingles(docs.select(id_col, text_col), n, text_col)
+        .join(F.broadcast(bench), "ngram")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(dirty, id_col, "left_anti")

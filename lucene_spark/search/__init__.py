@@ -1,6 +1,7 @@
 from . import query
 from .parser import parse
+from .rescorer import rescore
 from .searcher import IndexSearcher
 from .topk import merge_topk
 
-__all__ = ["query", "parse", "IndexSearcher", "merge_topk"]
+__all__ = ["query", "parse", "rescore", "IndexSearcher", "merge_topk"]

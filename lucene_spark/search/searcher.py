@@ -64,11 +64,13 @@ TOPK_SCHEMA = T.StructType(
 class IndexSearcher:
     def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25"):
         """``similarity``: "bm25" (default, float32 reference-exact),
-        "lmd" (LM Dirichlet, mu=2000), "dfr" (DFR I(ne)L2, c=1),
-        "classic" (legacy TF-IDF), "ib" (IB LL/DF/H2), "dfi" (DFI
-        standardized) or "axiomatic" (F2EXP) — the pluggable
-        SimScorer choice (reference search/similarities/; term/boolean
-        shapes only for the non-BM25 scorers, phrase/synonym stay BM25)."""
+        "lmd" (LM Dirichlet, mu=2000), "jm" (LM Jelinek-Mercer,
+        lambda=0.1), "dfr" (DFR I(ne)L2, c=1), "classic" (legacy TF-IDF),
+        "ib" (IB LL/DF/H2), "dfi" (DFI standardized), "axiomatic" (F2EXP)
+        or "boolean" (score == boost) — the pluggable SimScorer registry
+        (functions/registry.py; reference search/similarities/;
+        term/boolean shapes only for the non-BM25 scorers, phrase/synonym
+        stay BM25)."""
         self.reader = reader
         self.dtype = dtype
         self.similarity = similarity
@@ -297,50 +299,16 @@ class IndexSearcher:
         doc_count, sum_ttf = self.reader.collection_stats(field)
         stats = self.reader.term_stats(terms, field)
         scorers = {}
+        from ..functions.registry import scorer_for
+
         for t in terms:
             if t not in stats:
                 continue
             df_t, ttf_t = stats[t]
-            if self.similarity == "lmd":
-                from ..functions.lmdirichlet import make_lm_scorer
-
-                scorers[t] = make_lm_scorer(
-                    ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
-                )
-            elif self.similarity == "dfr":
-                from ..functions.dfr import make_dfr_scorer
-
-                scorers[t] = make_dfr_scorer(
-                    ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
-                )
-            elif self.similarity == "classic":
-                from ..functions.classic import make_classic_scorer
-
-                scorers[t] = make_classic_scorer(
-                    df_t, doc_count, boost=boosts.get(t, 1.0), dtype=self.dtype
-                )
-            elif self.similarity == "ib":
-                from ..functions.ib import make_ib_scorer
-
-                scorers[t] = make_ib_scorer(
-                    df_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
-                )
-            elif self.similarity == "dfi":
-                from ..functions.dfi import make_dfi_scorer
-
-                scorers[t] = make_dfi_scorer(
-                    ttf_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
-                )
-            elif self.similarity == "axiomatic":
-                from ..functions.axiomatic import make_axiomatic_scorer
-
-                scorers[t] = make_axiomatic_scorer(
-                    df_t, doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
-                )
-            else:
-                scorers[t] = make_scorer(
-                    [df_t], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
-                )
+            scorers[t] = scorer_for(
+                self.similarity, df_t, ttf_t, doc_count, sum_ttf,
+                boost=boosts.get(t, 1.0), dtype=self.dtype,
+            )
         return scorers
 
     def _decoded(self, terms: list[str], scorers, field: str,

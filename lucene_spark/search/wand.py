@@ -253,6 +253,33 @@ def maxscore_kernel(
             if len(cand) == 0:
                 wstart += WINDOW
                 continue
+            if len(infos) > 1:
+                # canonical re-sum (sorted term name): the pruning loops
+                # above accumulate per-term contributions in essential/
+                # probe order, which varies across windows as theta evolves
+                # — float64 addition is not associative, so docs with
+                # IDENTICAL term profiles landing in different windows
+                # would get ±1-ulp different totals and break the
+                # ties-by-doc-id contract vs the exhaustive path. Re-summing
+                # the survivors in one fixed order makes equal profiles
+                # produce bit-equal totals. Blocks are memoized, so this
+                # costs one searchsorted per overlapping term.
+                gdocs_w = cand + wstart
+                tot = np.zeros(len(cand), dtype=np.float64)
+                for t, i, j, _ub in sorted(infos, key=lambda r: r[0]):
+                    st = states[t]
+                    dparts, sparts = [], []
+                    for bi in range(i, j):
+                        d, s = _decode_block(st, bi)
+                        dparts.append(d)
+                        sparts.append(s)
+                    tdocs = np.concatenate(dparts)
+                    tscores = np.concatenate(sparts)
+                    pos = np.searchsorted(tdocs, gdocs_w)
+                    pos = np.clip(pos, 0, len(tdocs) - 1)
+                    hit = tdocs[pos] == gdocs_w
+                    tot = tot + np.where(hit, tscores[pos], 0.0)
+                cscores = tot
             if after is not None:
                 a_s, a_g = after
                 base = doc_bases.get(seg, 0) if doc_bases else 0

@@ -45,8 +45,8 @@ class LocalSearcher:
     def __init__(self, index_root: str, snapshot_id: int | None = None, dtype=np.float32,
                  similarity: str = "bm25"):
         """``similarity``: same pluggable SimScorer registry as the Spark
-        IndexSearcher ("bm25" | "lmd" | "dfr" | "classic" | "ib" | "dfi"
-        | "axiomatic")."""
+        IndexSearcher (functions/registry.py: "bm25" | "lmd" | "jm" |
+        "dfr" | "classic" | "ib" | "dfi" | "axiomatic" | "boolean")."""
         self.root = index_root
         self.dtype = dtype
         self.similarity = similarity
@@ -124,34 +124,13 @@ class LocalSearcher:
     # --------------------------------------------------------------- search
 
     def _make_scorer(self, st: tuple[int, int], doc_count: int, sum_ttf: int, boost: float):
+        from .functions.registry import scorer_for
+
         df_t, ttf_t = st
-        if self.similarity == "lmd":
-            from .functions.lmdirichlet import make_lm_scorer
-
-            return make_lm_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
-        if self.similarity == "dfr":
-            from .functions.dfr import make_dfr_scorer
-
-            return make_dfr_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
-        if self.similarity == "classic":
-            from .functions.classic import make_classic_scorer
-
-            return make_classic_scorer(df_t, doc_count, boost=boost, dtype=self.dtype)
-        if self.similarity == "ib":
-            from .functions.ib import make_ib_scorer
-
-            return make_ib_scorer(df_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
-        if self.similarity == "dfi":
-            from .functions.dfi import make_dfi_scorer
-
-            return make_dfi_scorer(ttf_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype)
-        if self.similarity == "axiomatic":
-            from .functions.axiomatic import make_axiomatic_scorer
-
-            return make_axiomatic_scorer(
-                df_t, doc_count, sum_ttf, boost=boost, dtype=self.dtype
-            )
-        return make_scorer([df_t], doc_count, sum_ttf, boost=boost, dtype=self.dtype)
+        return scorer_for(
+            self.similarity, df_t, ttf_t, doc_count, sum_ttf,
+            boost=boost, dtype=self.dtype,
+        )
 
     def search(self, q, k: int = 10, field: str = "text"):
         """Top-k [(url, score, gdoc)] for a query string or flat term

@@ -1,0 +1,71 @@
+"""Benchmark n-gram decontamination vs a pure-Python oracle, plus plan
+shape (broadcast join, no corpus shuffle) and short-doc edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline.decontam import (
+    benchmark_ngrams,
+    decontaminate,
+    ngram_contamination,
+)
+
+
+def _grams(text: str, n: int) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.mark.parametrize("n", [2, 5])
+def test_contamination_matches_python_oracle(spark, corpus, n):
+    pdf = corpus[["url", "text"]].reset_index(drop=True)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pdf["text"])], "doc_id long, text string"
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    rest = docs.filter(F.col("doc_id") % 7 != 0)
+
+    bench_grams = set()
+    for i, t in enumerate(pdf["text"]):
+        if i % 7 == 0:
+            bench_grams |= _grams(t, n)
+    want = {}
+    for i, t in enumerate(pdf["text"]):
+        if i % 7 != 0:
+            hits = _grams(t, n) & bench_grams
+            if hits:
+                want[i] = len(hits)
+
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_contamination(rest, bench, n=n).collect()
+    }
+    assert got == want
+
+    clean = decontaminate(rest, bench, n=n)
+    got_clean = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    want_clean = {i for i in range(len(pdf)) if i % 7 != 0 and i not in want}
+    assert got_clean == want_clean
+
+
+def test_short_docs_produce_no_shingles(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, ""), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = benchmark_ngrams(docs, n=3).collect()
+    grams = {r["ngram"] for r in out}
+    # doc 1 ("a b") and doc 2 ("") are shorter than n and contribute nothing;
+    # crucially they do NOT produce reversed/degenerate shingles
+    assert grams == {"a b c", "b c d", "c d e", "d e f"}
+
+
+def test_contamination_join_is_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = ngram_contamination(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

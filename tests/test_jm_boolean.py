@@ -1,0 +1,133 @@
+"""LM Jelinek-Mercer and Boolean similarities: hand-computed vectors +
+end-to-end rank parity on both physical paths, plus a registry contract
+check."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.booleansim import make_boolean_scorer
+from lucene_spark.functions.lmjelinekmercer import make_jm_scorer
+from lucene_spark.functions.registry import SIMILARITIES, scorer_for
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.search import IndexSearcher, parse
+
+
+def _jm_hand(f, dl, ttf, sttf, boost=1.0, lam=0.1):
+    p = (ttf + 1) / (sttf + 1)
+    return boost * math.log(1 + ((1 - lam) * f / dl) / (lam * p))
+
+
+def test_jm_hand_computed_vectors():
+    """score = log(1 + ((1-λ)·f/dl) / (λ·p(w|C))), λ=0.1, p=(F+1)/(T+1)
+    (LMJelinekMercerSimilarity.java:68-75)."""
+    ttf, N, sttf = 42, 500, 10_000
+    sc = make_jm_scorer(ttf, N, sttf, boost=1.0, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200), (7, 1), (1, 2000)]:
+        norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+        qdl = float(LENGTH_TABLE[norm])
+        want = _jm_hand(f, qdl, ttf, sttf)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12), (f, dl)
+    sc2 = make_jm_scorer(ttf, N, sttf, boost=2.5, dtype=np.float64)
+    assert float(sc2.score(np.array([7]), np.array([24]))[0]) == pytest.approx(
+        2.5 * float(sc.score(np.array([7]), np.array([24]))[0]), rel=1e-12
+    )
+
+
+def test_jm_monotonicity_and_max_score():
+    sc = make_jm_scorer(42, 500, 10_000, dtype=np.float64)
+    s = sc.score(np.array([1, 2, 5, 10, 100]), np.full(5, 24))
+    assert (np.diff(s) > 0).all() and (s > 0).all()
+    s2 = sc.score(np.full(3, 5), np.array([5, 10, 20]))
+    assert (np.diff(s2) < 0).all()
+    ms = sc.max_score(max_freq=100, min_norm_byte=5)
+    grid = sc.score(
+        np.repeat(np.arange(1, 101), 4), np.tile(np.array([5, 24, 100, 255]), 100)
+    )
+    assert ms >= grid.max()
+
+
+def test_boolean_constant_score():
+    """Every match scores exactly the boost (BooleanSimilarity.java:50-53)."""
+    sc = make_boolean_scorer(42, 500, 10_000, boost=1.0, dtype=np.float64)
+    s = sc.score(np.array([1, 2, 5, 10, 100]), np.array([5, 24, 100, 200, 255]))
+    assert (s == 1.0).all()
+    sc2 = make_boolean_scorer(42, 500, 10_000, boost=3.5, dtype=np.float64)
+    assert (sc2.score(np.array([1, 9]), np.array([24, 24])) == 3.5).all()
+    assert sc2.max_score(max_freq=7, min_norm_byte=1) == 3.5
+
+
+def test_registry_covers_all_names():
+    for name in SIMILARITIES:
+        sc = scorer_for(name, 10, 25, 500, 10_000, boost=1.5, dtype=np.float64)
+        out = sc.score(np.array([2, 4]), np.array([24, 24]))
+        assert out.shape == (2,) and np.isfinite(out).all()
+        assert sc.max_score(max_freq=4, min_norm_byte=24) >= out.max()
+    with pytest.raises(ValueError):
+        scorer_for("nope", 1, 1, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(corpus):
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tfs.append(Counter(toks))
+        lengths.append(len(toks))
+    lengths = np.array(lengths)
+    return tfs, lengths, int_to_byte4_np(lengths)
+
+
+def _brute_topk(corpus, corpus_stats, make, stat, terms, k=10):
+    from collections import Counter
+
+    tfs, lengths, norms = corpus_stats
+    N = int((lengths > 0).sum())
+    sttf = int(lengths.sum())
+    dfc = Counter()
+    ttfc = Counter()
+    for tf in tfs:
+        dfc.update(tf.keys())
+        ttfc.update(tf)
+    score = np.zeros(len(tfs))
+    mask = np.zeros(len(tfs), bool)
+    for t in terms:
+        n = dfc.get(t, 0) if stat == "df" else ttfc.get(t, 0)
+        sc = make(max(n, 1), N, sttf, dtype=np.float64)
+        f = np.array([tf.get(t, 0) for tf in tfs])
+        m = f > 0
+        s = np.zeros(len(tfs))
+        s[m] = sc.score(f[m], norms[m])
+        score += s
+        mask |= m
+    idx = np.nonzero(mask)[0]
+    order = sorted(idx, key=lambda i: (-score[i], i))[:k]
+    return [(corpus["url"][i], float(score[i])) for i in order]
+
+
+@pytest.mark.parametrize("sim,make,stat", [
+    ("jm", make_jm_scorer, "ttf"),
+    ("boolean", make_boolean_scorer, "df"),
+])
+@pytest.mark.parametrize("qs,terms", [
+    ("table", ["table"]),
+    ("merge OR window OR spark", ["merge", "window", "spark"]),
+])
+def test_jm_boolean_end_to_end_both_paths(
+    reader, corpus, corpus_stats, sim, make, stat, qs, terms
+):
+    s = IndexSearcher(reader, dtype=np.float64, similarity=sim)
+    want = _brute_topk(corpus, corpus_stats, make, stat, terms)
+    for mode in ("exhaustive", "maxscore"):
+        rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], (sim, mode)
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12), (sim, mode)
