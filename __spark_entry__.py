@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
+    q["pii_scrub"] = _pq_pii_scrub
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dedup_clusters"] = _pq_dedup_clusters
@@ -441,6 +442,33 @@ def _pq_decontam_ngram(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 97 == 0)
     rest = d.filter(F.col("doc_id") % 97 != 0)
     return ngram_contamination(rest, bench, n=3).orderBy("doc_id")
+
+
+def _pq_pii_scrub(spark, sf_dir):
+    """PII scrub: deterministically seed PII shapes into every 13th doc
+    (same injection in the oracle), then count matches per kind and hash
+    the redacted text — one codegen scan, no shuffle."""
+    from lucene_spark.pipeline.scrub import pii_counts, redact_pii
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail u"), F.col("doc_id").cast("string"),
+                F.lit("@ex.org ip 10.1.2."), (F.col("doc_id") % 250).cast("string"),
+                F.lit(" tel 555-123-4567 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    counted = pii_counts(seeded)
+    red = redact_pii(counted, out_col="redacted")
+    return red.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5(F.col("redacted").cast("binary")).alias("h"),
+    ).orderBy("doc_id")
 
 
 def _pq_dedup_minhash(spark, sf_dir):
@@ -1949,6 +1977,38 @@ SELECT g.doc_id, count(DISTINCT g.ngram) AS n_hits
 FROM g JOIN bench USING (ngram)
 WHERE g.doc_id % 97 <> 0
 GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+    o["pii_scrub"] = r"""
+WITH seeded AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0
+         THEN text || ' mail u' || doc_id || '@ex.org ip 10.1.2.' || (doc_id % 250)
+              || ' tel 555-123-4567 ssn 123-45-6789'
+         ELSE text END AS text
+  FROM documents),
+pats AS (
+  SELECT doc_id, text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS p_email,
+    '\b\d{3}-\d{2}-\d{4}\b' AS p_ssn,
+    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b' AS p_phone,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS p_ipv4
+  FROM seeded),
+counted AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, p_email)) AS n_email,
+    len(regexp_extract_all(text, p_ssn)) AS n_ssn,
+    len(regexp_extract_all(text, p_phone)) AS n_phone,
+    len(regexp_extract_all(text, p_ipv4)) AS n_ipv4,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, p_email, '<EMAIL>', 'g'),
+          p_ssn, '<SSN>', 'g'),
+        p_phone, '<PHONE>', 'g'),
+      p_ipv4, '<IPV4>', 'g') AS redacted
+  FROM pats)
+SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, md5(redacted) AS h
+FROM counted WHERE doc_id % 13 = 0 ORDER BY doc_id
 """
     o["dedup_minhash_lsh"] = """
 WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -1,0 +1,56 @@
+"""PII scrubbing: detect + redact personally identifiable substrings in a
+text column — the standard pre-training privacy pass (email / IPv4 /
+US-phone / SSN shapes).
+
+All patterns live in the RE2 ∩ java.util.regex common subset (no
+lookaround, no backreferences) so the exact same pattern strings run
+JVM-side in Spark (``regexp_replace`` / ``regexp_count``) and in any
+RE2-based oracle engine.
+
+100 TB plan shape: pure column algebra — chained ``regexp_replace`` is a
+narrow map inside whole-stage codegen; no shuffle, no Python, no UDF. A
+redaction pass over the corpus costs exactly one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Ordered: SSN/phone before generic digit shapes would matter if patterns
+# overlapped; these four are mutually disjoint on well-formed input.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ssn", "phone", "ipv4"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every PII match with ``<KIND>`` (e.g. ``<EMAIL>``) in
+    ``text_col`` (written to ``out_col``, default in-place). Patterns are
+    applied in the ``kinds`` order."""
+    col = F.col(text_col)
+    for kind in kinds:
+        col = F.regexp_replace(col, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.withColumn(out_col or text_col, col)
+
+
+def pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ssn", "phone", "ipv4"),
+) -> DataFrame:
+    """Add an ``n_<kind>`` match-count column per PII kind (codegen
+    ``regexp_count`` — one scan for all kinds)."""
+    out = df
+    for kind in kinds:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind]))
+        )
+    return out

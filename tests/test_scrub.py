@@ -1,0 +1,52 @@
+"""PII scrubbing: hand-built strings through redact_pii / pii_counts,
+plus a no-shuffle plan gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline.scrub import pii_counts, redact_pii
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (0, "write to alice.smith+x@sub.example.co.uk today"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+        (2, "call 555-123-4567 or 555 987 6543"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "clean text with no pii at all"),
+        (5, "mixed: bob@ex.org from 10.1.2.3 tel 555-111-2222 ssn 987-65-4321"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_counts(pii_docs):
+    got = {r["doc_id"]: r for r in pii_counts(pii_docs).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"], got[0]["n_ssn"]) == (1, 0, 0, 0)
+    assert got[1]["n_ipv4"] == 2
+    assert got[2]["n_phone"] == 2
+    assert got[3]["n_ssn"] == 1
+    assert all(got[4][f"n_{k}"] == 0 for k in ("email", "ipv4", "phone", "ssn"))
+    assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_phone"], got[5]["n_ssn"]) == (1, 1, 1, 1)
+
+
+def test_redact(pii_docs):
+    got = {r["doc_id"]: r["text"] for r in redact_pii(pii_docs).collect()}
+    assert got[0] == "write to <EMAIL> today"
+    assert got[1] == "server at <IPV4> and <IPV4> rebooted"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "ssn <SSN> leaked"
+    assert got[4] == "clean text with no pii at all"
+    assert got[5] == "mixed: <EMAIL> from <IPV4> tel <PHONE> ssn <SSN>"
+
+
+def test_redact_out_col_keeps_original(pii_docs):
+    out = redact_pii(pii_docs, out_col="clean")
+    r = out.filter(F.col("doc_id") == 3).collect()[0]
+    assert r["text"] == "ssn 123-45-6789 leaked"
+    assert r["clean"] == "ssn <SSN> leaked"
+
+
+def test_scrub_plan_has_no_shuffle(pii_docs):
+    plan = redact_pii(pii_counts(pii_docs))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
