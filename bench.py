@@ -204,13 +204,19 @@ def main():
         workload[f"w{i:02d}"] = parse(t)
     for i, (a, b) in enumerate(zip(pool, pool[1:] + pool[:1])):
         workload[f"w{10+i:02d}"] = parse(f"{a} OR {b}")
-    t0 = time.time()
-    batch_search(searcher, workload, k=K).collect()
-    t_batch = time.time() - t0
-    t0 = time.time()
-    for q in workload.values():
-        searcher.search(q, k=K, mode="exhaustive").collect()
-    t_seq = time.time() - t0
+    # same contention discipline as the query section: interleave
+    # (batch, sequential) trials and take the per-metric min — a host
+    # throttle window then degrades one trial of each, not one side of
+    # the comparison (observed flipping the ratio 1.2x -> 0.56x)
+    t_batch = t_seq = float("inf")
+    for _trial in range(2):
+        t0 = time.time()
+        batch_search(searcher, workload, k=K).collect()
+        t_batch = min(t_batch, time.time() - t0)
+        t0 = time.time()
+        for q in workload.values():
+            searcher.search(q, k=K, mode="exhaustive").collect()
+        t_seq = min(t_seq, time.time() - t0)
     result["batch_workload"] = {
         "n_queries": len(workload),
         "batch_sec": round(t_batch, 2),
