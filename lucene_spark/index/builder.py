@@ -160,14 +160,23 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
     IDs and run the analysis chain (tokenize -> lowercase -> stop) producing
     per-doc term/freq arrays + the SmallFloat norm byte.
 
-    ``text_fields``: {extra_field_name: source_col} — each analyzed as its
-    own field with its own norms (multi-field scoring / CombinedFieldQuery
-    support); staged as terms_<f>/freqs_<f>/norm_<f>/length_<f> columns."""
+    ``text_fields``: {extra_field_name: source_col | (source_col,
+    analyzer_name)} — each analyzed as its own field with its own norms
+    (multi-field scoring / CombinedFieldQuery support); staged as
+    terms_<f>/freqs_<f>/norm_<f>/length_<f> columns. The tuple form is the
+    PerFieldAnalyzerWrapper analogue (reference
+    analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/
+    PerFieldAnalyzerWrapper.java): that field's chain runs with its own
+    analyzer; query-side callers pass the same name to ``parse``."""
 
     def fn(iterator):
         from pyspark import TaskContext
 
         analyzer = analyzer_for(analyzer_name)
+        field_analyzers = {
+            fname: analyzer_for(spec[1]) if isinstance(spec, (tuple, list)) else analyzer
+            for fname, spec in (text_fields or {}).items()
+        }
         pid = TaskContext.get().partitionId()
         seg = f"{build_id}-{pid:05d}"
         next_doc = 0
@@ -209,7 +218,9 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
             )
             if positions:
                 out["positions"] = pos_col
-            for fname, src in (text_fields or {}).items():
+            for fname, spec in (text_fields or {}).items():
+                src = spec[0] if isinstance(spec, (tuple, list)) else spec
+                fan = field_analyzers[fname]
                 f_terms, f_freqs, f_pos = [], [], []
                 f_len = np.zeros(n, dtype=np.int64)
                 for i, txt in enumerate(pdf[src].tolist()):
@@ -217,7 +228,7 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
                     if positions:
                         by_term: dict[str, list[int]] = {}
                         count = 0
-                        for tok in analyzer.tokens(txt):
+                        for tok in fan.tokens(txt):
                             by_term.setdefault(tok.term, []).append(tok.position)
                             count += 1
                         f_terms.append(list(by_term.keys()))
@@ -225,7 +236,7 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
                         f_pos.append(list(by_term.values()))
                         f_len[i] = count
                     else:
-                        toks = analyzer.terms(txt)
+                        toks = fan.terms(txt)
                         c = Counter(toks)
                         f_terms.append(list(c.keys()))
                         f_freqs.append([int(v) for v in c.values()])
@@ -398,10 +409,15 @@ def build_index(
     column is indexed untokenized as its own field (single term per doc,
     freq 1, norms omitted = norm byte 1), queryable as field:value.
 
-    ``text_fields``: {field_name: source_column} — additional ANALYZED
-    fields (TextField analogue), each with its own postings, norms and
-    stats; queryable per-field and combinable via CombinedFieldQuery
-    (BM25F-style multi-field scoring).
+    ``text_fields``: {field_name: source_column | (source_column,
+    analyzer_name)} — additional ANALYZED fields (TextField analogue),
+    each with its own postings, norms and stats; queryable per-field and
+    combinable via CombinedFieldQuery (BM25F-style multi-field scoring).
+    The tuple form gives the field its OWN analyzer
+    (PerFieldAnalyzerWrapper analogue — reference analysis/common/.../
+    miscellaneous/PerFieldAnalyzerWrapper.java:30-60); query-side, pass
+    the same analyzer name to ``parse`` for that field. Per-field
+    analyzer names are recorded in the manifest (``field_analyzers``).
 
     ``index_sort``: (column, "asc"|"desc") — IndexWriterConfig.setIndexSort
     (reference index/IndexWriterConfig.java:475). The docs table's ROWS are
@@ -428,7 +444,10 @@ def build_index(
         ["url", text_col]
         + [c for c in stored_cols if c != text_col]
         + list(keyword_fields)
-        + list((text_fields or {}).values())
+        + [
+            spec[0] if isinstance(spec, (tuple, list)) else spec
+            for spec in (text_fields or {}).values()
+        ]
     )
     src = src.select(*dict.fromkeys(needed))
 
@@ -651,6 +670,10 @@ def build_index(
             "positions": positions,
             "index_sort": list(index_sort) if index_sort else None,
             "text_fields": sorted(text_fields) if text_fields else [],
+            "field_analyzers": {
+                fname: (spec[1] if isinstance(spec, (tuple, list)) else analyzer)
+                for fname, spec in (text_fields or {}).items()
+            },
             "elapsed_sec": time.time() - t0,
             "phase_sec": {
                 "analysis": round(t_analysis, 2),

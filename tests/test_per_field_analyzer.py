@@ -1,0 +1,97 @@
+"""Per-field analyzers (PerFieldAnalyzerWrapper analogue): a text_fields
+entry may carry its own analyzer; that field's postings/norms reflect it
+while the default field keeps the index analyzer."""
+
+import shutil
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+HEAD_N = 8
+
+
+@pytest.fixture(scope="module")
+def pfa_reader(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pfaidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA).withColumn(
+        "head", F.expr(f"array_join(slice(split(text, ' '), 1, {HEAD_N}), ' ')")
+    )
+    build_index(spark, pages, root, num_segments=2, num_buckets=4,
+                stored_cols=("text",),
+                text_fields={"head": ("head", "english")})
+    return IndexReader(spark, root)
+
+
+def _head_tf(corpus, analyzer_name):
+    an = analyzer_for(analyzer_name)
+    out = []
+    for text in corpus["text"]:
+        head = " ".join((text or "").split()[:HEAD_N])
+        out.append(Counter(an.terms(head)))
+    return out
+
+
+def test_head_field_is_english_analyzed(pfa_reader, corpus):
+    """The head field's term dict matches the ENGLISH analysis of the head
+    text (possessive strip + Porter), not the standard one."""
+    eng = _head_tf(corpus, "english")
+    std = _head_tf(corpus, "standard")
+    want_eng = set().union(*[set(c) for c in eng])
+    want_std = set().union(*[set(c) for c in std])
+    got = set(
+        r["term"]
+        for r in pfa_reader._read("postings")
+        .filter(F.col("field") == "head")
+        .filter(F.col("doc_freq").isNotNull())
+        .select("term").distinct().collect()
+    )
+    assert got == want_eng
+    # the analyzers genuinely differ on this corpus (else the test is vacuous)
+    assert want_eng != want_std
+
+
+def test_default_field_untouched(pfa_reader, corpus):
+    an = analyzer_for("standard")
+    want = set()
+    for text in corpus["text"]:
+        want |= set(an.terms(text if isinstance(text, str) else ""))
+    got = set(
+        r["term"]
+        for r in pfa_reader._read("postings")
+        .filter(F.col("field") == "text")
+        .filter(F.col("doc_freq").isNotNull())
+        .select("term").distinct().collect()
+    )
+    assert got == want
+
+
+def test_search_stemmed_field(pfa_reader, corpus):
+    """A stemmed term query on the english field matches every doc whose
+    head contains any inflection, with BM25 over the stemmed tf/norms."""
+    eng = _head_tf(corpus, "english")
+    # pick the most frequent stemmed head term for a meaningful query
+    df = Counter()
+    for c in eng:
+        df.update(c.keys())
+    term = df.most_common(1)[0][0]
+    want = {corpus["url"][i] for i, c in enumerate(eng) if term in c}
+    s = IndexSearcher(pfa_reader, dtype=np.float64)
+    hits = s.search(Q.TermQuery("head", term), k=len(want) + 5, field="head")
+    got = {r["url"] for r in hits.select("url").collect()}
+    assert got == want
+
+
+def test_manifest_records_field_analyzers(pfa_reader):
+    m = pfa_reader._manifests[pfa_reader._builds[0]]
+    assert m["field_analyzers"] == {"head": "english"}
+    assert m["analyzer"] == "standard"
