@@ -228,9 +228,9 @@ class IndexSearcher:
 
     def explain(self, q: Q.Query, seg: str, doc: int, field: str = "text") -> dict:
         """Score explanation for one document — Lucene's explain()
-        (search/Weight#explain): the per-term BM25 decomposition (freq,
-        norm, dl, idf, weight, term score) plus the summed total; total is
-        None when the doc doesn't match."""
+        (search/Weight#explain): the per-term decomposition (freq, norm,
+        dl, idf, weight, term score) under THIS searcher's similarity plus
+        the summed total; total is None when the doc doesn't match."""
         q = Q.rewrite(q, self.reader, field)
         info = _classify(q)
         if info is None:
@@ -260,13 +260,20 @@ class IndexSearcher:
             freq = int(pfor_decode(bytes(row["freq_payload"]), row["num_docs"])[i])
             norm = int(np.frombuffer(bytes(row["norm_payload"]), dtype=np.uint8)[i])
             t = row["term"]
-            scorer = make_scorer(
-                [stats[t][0]], doc_count, sum_ttf, boost=boosts.get(t, 1.0), dtype=self.dtype
+            from ..functions.registry import scorer_for
+
+            scorer = scorer_for(
+                self.similarity, stats[t][0], stats[t][1], doc_count, sum_ttf,
+                boost=boosts.get(t, 1.0), dtype=self.dtype,
             )
             s = float(scorer.score(np.array([freq]), np.array([norm]))[0])
             from ..functions.bm25 import idf as idf_fn
             from ..functions.smallfloat import byte4_to_int
 
+            if self.similarity == "bm25":
+                desc = f"weight(={boosts.get(t,1.0)}*idf) * tf/(tf+k1*((1-b)+b*dl/avgdl))"
+            else:
+                desc = f"score({self.similarity}, freq={freq}, dl={byte4_to_int(norm)})"
             details.append(
                 {
                     "term": t,
@@ -277,7 +284,7 @@ class IndexSearcher:
                     "doc_freq": stats[t][0],
                     "idf": float(idf_fn(stats[t][0], doc_count)),
                     "boost": boosts.get(t, 1.0),
-                    "description": f"weight(={boosts.get(t,1.0)}*idf) * tf/(tf+k1*((1-b)+b*dl/avgdl))",
+                    "description": desc,
                 }
             )
             total += s

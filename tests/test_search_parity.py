@@ -270,6 +270,22 @@ def test_explain_matches_search_scores(searcher, reader):
     assert qm == Q.MatchNoDocsQuery() or searcher.explain(qm, hits[0]["seg"], hits[0]["doc"])["matched"] is False
 
 
+@pytest.mark.parametrize("sim", ["dfr", "jm", "dfi", "axiomatic", "boolean"])
+def test_explain_honors_similarity(reader, sim):
+    """explain() decomposes under the searcher's pluggable similarity, not
+    hardcoded BM25 — per-term scores sum to the collected hit score."""
+    from lucene_spark.search import IndexSearcher
+
+    s = IndexSearcher(reader, dtype=np.float64, similarity=sim)
+    q = Q.rewrite(parse("merge OR window"), reader)
+    hits = s.search(q, k=3).collect()
+    assert hits
+    for r in hits:
+        exp = s.explain(q, r["seg"], r["doc"])
+        assert exp["matched"]
+        assert exp["total"] == pytest.approx(float(r["score"]), rel=1e-9, abs=1e-12)
+
+
 def test_spell_suggest_and_complete(reader, oracle):
     """Suggest module: corrections ranked (distance, df); completions by df."""
     from lucene_spark.search.suggest import complete_prefix, spell_suggest
