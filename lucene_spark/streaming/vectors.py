@@ -1,0 +1,57 @@
+"""Streaming vector ingestion: micro-batches of embeddings append to the
+persisted IVF index as incremental generations.
+
+The vector twin of ``start_index_stream`` (streaming/ingest.py): Lucene's
+NRT contract — freshly flushed vector segments become searchable on
+reader reopen without retraining the whole structure
+(reference core/src/java/org/apache/lucene/index/DirectoryReader.java:241
+openIfChanged; codecs write per-segment vector data that merges later) —
+re-expressed as a Structured Streaming ``foreachBatch`` sink over the IVF
+catalog:
+
+- each micro-batch is assigned to the CURRENT generation's centroids (no
+  retrain) and committed as one append generation
+  (``IVFVectorIndex.append``), partitioned by cell so probes keep pruning;
+- exactly-once: the build_id embeds the batch id and a completed build is
+  skipped, so Structured Streaming's replay-after-failure lands on the
+  resume path (same discipline as the inverted-index stream);
+- readers pinned to an earlier snapshot never see the new vectors
+  (point-in-time);
+- a periodic full ``IVFVectorIndex.build`` is the force-merge that
+  retrains centroids once appended mass skews the cell balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline.similarity import IVFVectorIndex
+
+
+def start_vector_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    *,
+    trigger_once: bool = False,
+):
+    """Start a streaming query appending ``stream_df`` (id + embedding
+    columns matching the base index's schema) to the IVF index at
+    ``index_root``. The base index must already exist (``build``)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        IVFVectorIndex.append(
+            spark, batch_df, index_root, build_id=f"s{batch_id:08d}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,75 @@
+"""Streaming vector ingestion: an availableNow file stream appends IVF
+generations; results match brute force over base+stream; snapshots stay
+point-in-time and replays are idempotent."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+from lucene_spark.index import Catalog
+from lucene_spark.pipeline.similarity import IVFVectorIndex
+from lucene_spark.streaming.vectors import start_vector_stream
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA}/embeddings.parquet").cache()
+
+
+def _brute_topk(ids, m, qv, k):
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    qn = np.asarray(qv, dtype=np.float64)
+    qn = qn / max(np.linalg.norm(qn), 1e-12)
+    cos = mn @ qn
+    order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
+    return [(int(ids[i]), float(cos[i])) for i in order]
+
+
+def test_stream_appends_become_searchable(spark, emb, tmp_path):
+    root = str(tmp_path / "vidx")
+    shutil.rmtree(root, ignore_errors=True)
+    n = emb.count()
+    base = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    snap_base = IVFVectorIndex.build(spark, base, root, nlist=8)
+
+    # stream the second half in as parquet micro-batches (availableNow)
+    stream_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    rest.repartition(2).write.parquet(stream_dir)
+    stream = spark.readStream.schema(emb.schema).parquet(stream_dir)
+    q = start_vector_stream(spark, stream, root, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    qv = m[0]
+    want = _brute_topk(ids, m, qv, 10)
+
+    ivf = IVFVectorIndex(spark, root)
+    got = [
+        (int(r["id"]), float(r["cosine"]))
+        for r in ivf.search([(0, list(qv))], k=10, nprobe=8)
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-6)
+
+    # point-in-time: a reader pinned to the base snapshot can't see appends
+    old = IVFVectorIndex(spark, root, snapshot_id=snap_base)
+    old_ids = {
+        int(r["id"])
+        for r in old.search([(0, list(qv))], k=n, nprobe=8).collect()
+    }
+    assert old_ids and all(i < n // 2 for i in old_ids)
+
+    # replayed batch (failure recovery) is a no-op commit-wise
+    snap_now = Catalog(root).load()["current"]
+    IVFVectorIndex.append(spark, rest, root, build_id="s00000000")
+    assert Catalog(root).load()["current"] == snap_now
