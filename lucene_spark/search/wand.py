@@ -32,6 +32,11 @@ import pandas as pd
 
 WINDOW = 4096  # MaxScoreBulkScorer.INNER_WINDOW_SIZE (:28)
 
+# Bench/regression hook: the canonical re-sum of window survivors (see
+# kernel body). Required for exact-tie rank parity; only ever disabled to
+# measure its cost.
+CANONICAL_RESUM = True
+
 
 def _decode_block(term_state, bi):
     """Decode + score block ``bi`` of a term, memoized."""
@@ -80,6 +85,10 @@ def maxscore_kernel(
     proved no doc below the floor can reach the final top-k."""
     must_set = set(must_terms)
     collect_all = floor is not None
+    # snapshot the module flag DRIVER-SIDE: the kernel closure ships to
+    # executor workers by value, so reading the global inside `kernel`
+    # would see the worker's fresh import, not a driver-side toggle
+    canonical_resum = CANONICAL_RESUM
 
     def kernel(key, pdf):
         seg = key[0]
@@ -253,7 +262,7 @@ def maxscore_kernel(
             if len(cand) == 0:
                 wstart += WINDOW
                 continue
-            if len(infos) > 1:
+            if canonical_resum and len(infos) > 1:
                 # canonical re-sum (sorted term name): the pruning loops
                 # above accumulate per-term contributions in essential/
                 # probe order, which varies across windows as theta evolves
