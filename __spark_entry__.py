@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["distinct_langs"] = _pq_distinct_langs
     q["monitor_matches"] = _pq_monitor
     q["sort_by_field"] = _pq_sort_by_field
+    q["sort_after_field_page2"] = _pq_sort_after_field
+    q["facet_percentiles_lang"] = _pq_facet_percentiles
     q["quality_filter_pass"] = _pq_quality_filter
     q["bool_min_should_match"] = _pq_msm
     q["term_in_set"] = _pq_term_in_set
@@ -325,6 +327,42 @@ def _pq_sort_by_field(spark, sf_dir):
     return out.select(
         doc_id_for_url_col().alias("doc_id"), F.col("length").alias("n_tokens")
     )
+
+
+def _pq_sort_after_field(spark, sf_dir):
+    """TopFieldCollector.searchAfter: page 2 of the length-desc sort —
+    cursor = page 1's last (length, url), strictly-after predicate pushed
+    below the ordered take."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import sorted_search_after, sorted_top_hits_indexed
+
+    s = _searcher(spark, sf_dir)
+    page1 = (
+        sorted_top_hits_indexed(s, parse("table"), "length", ascending=False, k=10)
+        .select("length", "url")
+        .collect()
+    )
+    last = page1[-1]
+    out = sorted_search_after(
+        s, parse("table"), "length", (last["length"], last["url"]),
+        ascending=False, k=10,
+    )
+    return out.select(
+        doc_id_for_url_col().alias("doc_id"), F.col("length").alias("n_tokens")
+    )
+
+
+def _pq_facet_percentiles(spark, sf_dir):
+    """Percentile facets: exact p50/p90/p99 of token length per lang over
+    the hits of 'table' (numeric-distribution facet, one hash agg)."""
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import facet_percentiles
+
+    s = _searcher(spark, sf_dir)
+    return facet_percentiles(
+        s, parse("table"), "length", (0.5, 0.9, 0.99), group_col="lang"
+    ).orderBy("lang")
 
 
 def _pq_facet_lang(spark, sf_dir):
@@ -1566,6 +1604,25 @@ hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
 lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
 SELECT doc_id, n_tokens FROM hit JOIN lens USING (doc_id)
 ORDER BY n_tokens DESC, doc_id ASC LIMIT 10
+"""
+    o["sort_after_field_page2"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens FROM hit JOIN lens USING (doc_id)
+ORDER BY n_tokens DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+    o["facet_percentiles_lang"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+lens AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT lang,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+       count(*) AS n_hits
+FROM hit JOIN lens USING (doc_id)
+GROUP BY lang ORDER BY lang
 """
     msm_base = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], k=K)
     o["bool_min_should_match"] = (

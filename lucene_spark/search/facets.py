@@ -160,6 +160,68 @@ def sorted_top_hits_indexed(
     return matched.join(full, ["seg", "doc"]).orderBy(*order).limit(k)
 
 
+def sorted_search_after(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    sort_field: str,
+    after: tuple,
+    ascending: bool = False,
+    k: int = 10,
+    field: str = "text",
+) -> DataFrame:
+    """TopFieldCollector.searchAfter for field sorts (reference
+    search/TopFieldCollector.java create(sort, after): the paging
+    collector only admits docs strictly after the cursor in the total
+    order (sort_field dir, url asc)).
+
+    ``after`` = (sort_value, url) of the previous page's last hit. The
+    cursor predicate is pure column algebra pushed BELOW the
+    TakeOrderedAndProject, so at scale page N+1 reads no more than page N
+    did — and when the index is sorted by ``sort_field`` the predicate
+    reaches the parquet row-group stats."""
+    a_val, a_url = after
+    if ascending:
+        cursor = (F.col(sort_field) > F.lit(a_val)) | (
+            (F.col(sort_field) == F.lit(a_val)) & (F.col("url") > F.lit(a_url))
+        )
+        order = [F.asc(sort_field), F.asc("url")]
+    else:
+        cursor = (F.col(sort_field) < F.lit(a_val)) | (
+            (F.col(sort_field) == F.lit(a_val)) & (F.col("url") > F.lit(a_url))
+        )
+        order = [F.desc(sort_field), F.asc("url")]
+    m = _matches_with_docs(searcher, q, field)
+    return m.filter(cursor).orderBy(*order).limit(k)
+
+
+def facet_percentiles(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    value_col: str,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    group_col: str | None = None,
+    field: str = "text",
+) -> DataFrame:
+    """Percentile facets over the matching docs' ``value_col`` — the facet
+    module's numeric-distribution aggregation (flat facets give counts;
+    this gives exact linear-interpolated quantiles, one hash agg).
+
+    EXACT percentiles (Spark `percentile`, not approx) so results are
+    engine-independent: DuckDB's quantile_cont uses the same
+    interpolation. At 100 TB swap in percentile_approx for one pass with
+    bounded memory — same plan shape, documented trade."""
+    m = _matches_with_docs(searcher, q, field)
+    plist = ", ".join(str(p) for p in percentiles)
+    expr = F.expr(f"percentile({value_col}, array({plist}))")
+    keys = [group_col] if group_col else []
+    agg = m.groupBy(*keys).agg(expr.alias("_p"), F.count("*").alias("n_hits"))
+    cols = keys + [
+        F.round(F.col("_p")[i], 4).alias(f"p{int(p * 100):02d}")
+        for i, p in enumerate(percentiles)
+    ] + [F.col("n_hits")]
+    return agg.select(*cols)
+
+
 def taxonomy_counts(
     searcher: IndexSearcher,
     q: Q.Query,

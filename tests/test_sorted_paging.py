@@ -1,0 +1,60 @@
+"""TopFieldCollector.searchAfter paging + percentile facets vs pandas."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search.facets import (
+    facet_percentiles,
+    sorted_search_after,
+    sorted_top_hits,
+)
+
+
+def _matching_lengths(corpus, term):
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    rows = []
+    for i, text in enumerate(corpus["text"]):
+        toks = an.terms(text if isinstance(text, str) else "")
+        if term in toks:
+            rows.append((corpus["url"][i], len(toks)))
+    return rows
+
+
+@pytest.mark.parametrize("ascending", [False, True])
+def test_sorted_search_after_pages_are_seamless(reader, corpus, ascending):
+    searcher = IndexSearcher(reader)
+    rows = _matching_lengths(corpus, "table")
+    sign = 1 if ascending else -1
+    want = sorted(rows, key=lambda r: (sign * r[1], r[0]))
+    order = [F.asc("length") if ascending else F.desc("length"), F.asc("url")]
+    page1 = [
+        (r["url"], r["length"])
+        for r in sorted_top_hits(searcher, parse("table"), order, k=10)
+        .select("url", "length").collect()
+    ]
+    assert page1 == [(u, l) for u, l in want[:10]]
+    last = page1[-1]
+    page2 = [
+        (r["url"], r["length"])
+        for r in sorted_search_after(
+            searcher, parse("table"), "length", (last[1], last[0]),
+            ascending=ascending, k=10,
+        ).select("url", "length").collect()
+    ]
+    assert page2 == [(u, l) for u, l in want[10:20]]
+
+
+def test_facet_percentiles_match_numpy(reader, corpus):
+    searcher = IndexSearcher(reader)
+    rows = _matching_lengths(corpus, "table")
+    lens = np.array([l for _, l in rows], dtype=np.float64)
+    got = facet_percentiles(searcher, parse("table"), "length").collect()[0]
+    for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+        assert float(got[col]) == pytest.approx(
+            round(float(np.percentile(lens, p)), 4), abs=1e-9
+        )
+    assert got["n_hits"] == len(rows)
