@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
     q["pii_scrub"] = _pq_pii_scrub
+    q["chunk_documents"] = _pq_chunk_documents
+    q["stratified_sample"] = _pq_stratified_sample
     q["dedup_minhash_lsh"] = _pq_dedup_minhash
     q["dedup_ngram_jaccard"] = _pq_dedup_ngram_jaccard
     q["dedup_clusters"] = _pq_dedup_clusters
@@ -480,6 +482,32 @@ def _pq_decontam_ngram(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 97 == 0)
     rest = d.filter(F.col("doc_id") % 97 != 0)
     return ngram_contamination(rest, bench, n=3).orderBy("doc_id")
+
+
+def _pq_chunk_documents(spark, sf_dir):
+    """Document chunking: 64-token windows with 16-token overlap
+    (stride 48) — one codegen pass, one row per chunk."""
+    from lucene_spark.pipeline.chunking import chunk_documents
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = chunk_documents(d, max_tokens=64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_id", "n_tokens",
+        F.md5(F.col("chunk").cast("binary")).alias("h"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _pq_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep 50% of en, 25% of de,
+    12.5% of everything else, decided by md5-bucket of doc_id — byte-
+    reproducible across engines (same rows in the DuckDB oracle)."""
+    from lucene_spark.pipeline.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.125
+    )
+    return out.orderBy("doc_id")
 
 
 def _pq_pii_scrub(spark, sf_dir):
@@ -2034,6 +2062,23 @@ SELECT g.doc_id, count(DISTINCT g.ngram) AS n_hits
 FROM g JOIN bench USING (ngram)
 WHERE g.doc_id % 97 <> 0
 GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+    o["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '20' END
+ORDER BY doc_id
+"""
+    o["chunk_documents"] = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+n AS (SELECT doc_id, a,
+             1 + CAST(ceil(greatest(len(a) - 64, 0) / 48.0) AS INT) AS nc
+      FROM arr),
+c AS (SELECT doc_id, i - 1 AS chunk_id,
+             a[(i-1)*48 + 1 : (i-1)*48 + 64] AS w
+      FROM n, unnest(range(1, nc + 1)) AS t(i))
+SELECT doc_id, chunk_id, len(w) AS n_tokens, md5(array_to_string(w, ' ')) AS h
+FROM c ORDER BY doc_id, chunk_id
 """
     o["pii_scrub"] = r"""
 WITH seeded AS (

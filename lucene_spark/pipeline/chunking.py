@@ -1,0 +1,53 @@
+"""Document chunking: split long documents into bounded token windows —
+the training-data preparation step between cleaning and tokenization
+(context-window packing, RAG passage extraction, embedding inputs).
+
+``chunk_documents`` emits one row per chunk: ``max_tokens`` whitespace
+tokens per chunk with ``overlap`` tokens carried over between adjacent
+chunks (stride = max_tokens - overlap), preserving token order and byte
+content. Deterministic: chunk i of doc d covers tokens
+[i*stride, i*stride + max_tokens).
+
+100 TB plan shape: pure column algebra — split / sequence / transform /
+slice / posexplode stay in whole-stage codegen; no shuffle, no Python.
+Output is one narrow pass, ~(len/stride) rows per doc; downstream
+repartitioning (e.g. for packing) is the caller's choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, chunk_id, n_tokens, chunk) rows — token windows of
+    ``text_col``. The last chunk may be shorter; a doc shorter than
+    ``max_tokens`` yields exactly one chunk (its full text); empty text
+    yields one empty chunk (chunk_id 0) so no document silently vanishes.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = f"split({text_col}, ' ')"
+    # number of chunks: 1 + ceil(max(len - max_tokens, 0) / stride)
+    n_chunks = (
+        f"1 + CAST(ceil(greatest(size({toks}) - {max_tokens}, 0) / {stride}.0) AS INT)"
+    )
+    grams = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> struct(i AS chunk_id, slice({toks}, i * {stride} + 1, {max_tokens}) AS w))"
+    )
+    ex = df.select(id_col, F.explode(grams).alias("c"))
+    return ex.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.w").alias("n_tokens"),
+        F.concat_ws(" ", "c.w").alias("chunk"),
+    )

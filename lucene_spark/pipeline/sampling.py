@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data mixing: reproducible
+doc-level and stratified sampling keyed on a content/id hash, not RNG.
+
+``df.sample`` is seed-dependent per partition layout; data pipelines need
+the SAME document kept across reruns, engines, and repartitionings. The
+keep decision here is a pure function of the row id: the first two hex
+chars of md5(salt || id) define a uniform bucket in [0, 256); a row is
+kept when its bucket is below round(fraction * 256). That predicate is
+identical SQL in any engine with md5() (granularity 1/256 ≈ 0.4%).
+
+100 TB plan shape: a codegen filter on a narrow projection — no shuffle,
+no RNG state, trivially parallel; stratified fractions ride a literal
+map lookup (no join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(id_col: str, salt: str):
+    """[0, 256) bucket: first md5 byte of salt||id (hex-string compare
+    avoids engine-specific hex->int conversions)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")), 1, 2
+    )
+
+
+def _threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(int(round(fraction * 256)), "02x")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, decided per-row by hash — stable across
+    reruns, partitionings and engines."""
+    return df.filter(_bucket(id_col, salt) < F.lit(_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (df.sampleBy's reproducible
+    twin): ``fractions`` maps stratum value -> keep fraction; strata not
+    listed keep ``default_fraction``. The per-stratum threshold is a
+    literal map lookup — codegen, no join, no RNG."""
+    thr = F.create_map(
+        *[
+            F.lit(x)
+            for kv in fractions.items()
+            for x in (kv[0], _threshold(kv[1]))
+        ]
+    )
+    default = F.lit(_threshold(default_fraction))
+    return df.filter(
+        _bucket(id_col, salt) < F.coalesce(thr[F.col(strata_col)], default)
+    )

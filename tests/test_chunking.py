@@ -1,0 +1,64 @@
+"""Document chunking vs a pure-Python oracle + plan/edge gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline.chunking import chunk_documents
+
+
+def _py_chunks(text, max_tokens, overlap):
+    toks = text.split(" ")
+    stride = max_tokens - overlap
+    out = []
+    i = 0
+    while True:
+        w = toks[i * stride : i * stride + max_tokens]
+        out.append((i, len(w), " ".join(w)))
+        if i * stride + max_tokens >= len(toks):
+            break
+        i += 1
+    return out
+
+
+@pytest.mark.parametrize("max_tokens,overlap", [(8, 0), (8, 3), (5, 4)])
+def test_chunks_match_python_oracle(spark, max_tokens, overlap):
+    texts = [
+        " ".join(f"t{i}" for i in range(n))
+        for n in (1, 4, 8, 9, 16, 23, 64)
+    ] + [""]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_documents(docs, max_tokens, overlap, id_col="doc_id").collect()
+    }
+    want = {}
+    for d, t in enumerate(texts):
+        for cid, n, chunk in _py_chunks(t, max_tokens, overlap):
+            want[(d, cid)] = (n, chunk)
+    assert got == want
+
+
+def test_chunk_reconstruction_no_overlap(spark):
+    """With overlap=0 the chunks partition the token stream exactly."""
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, max_tokens=16, overlap=0).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert " ".join(r["chunk"] for r in rows) == text
+    assert [r["n_tokens"] for r in rows] == [16, 16, 16, 16, 16, 16, 4]
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_chunking_plan_has_no_shuffle(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(docs, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,75 @@
+"""Deterministic sampling: reproducibility, stratum fractions, hash
+parity with a pure-Python md5 oracle, no-shuffle plan."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline.sampling import (
+    _threshold,
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+def _py_keep(doc_id, fraction, salt=""):
+    h = hashlib.md5((salt + str(doc_id)).encode()).hexdigest()[:2]
+    return h < _threshold(fraction)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+         for i in range(2000)],
+        "doc_id long, lang string",
+    )
+
+
+def test_matches_python_md5_oracle(spark, ids):
+    got = {r["doc_id"] for r in deterministic_sample(ids, 0.25).collect()}
+    want = {i for i in range(2000) if _py_keep(i, 0.25)}
+    assert got == want
+    # ~25% within the 1/256-granularity tolerance
+    assert abs(len(want) / 2000 - 0.25) < 0.05
+
+
+def test_reproducible_and_nested(spark, ids):
+    a = {r["doc_id"] for r in deterministic_sample(ids, 0.5).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(ids.repartition(7), 0.5).collect()}
+    assert a == b  # partitioning-independent
+    # a smaller fraction is a SUBSET of a larger one (same hash, lower bar)
+    small = {r["doc_id"] for r in deterministic_sample(ids, 0.1).collect()}
+    assert small <= a
+
+
+def test_salt_changes_the_sample(spark, ids):
+    a = {r["doc_id"] for r in deterministic_sample(ids, 0.5).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(ids, 0.5, salt="v2").collect()}
+    assert a != b
+
+
+def test_stratified_fractions(spark, ids):
+    out = stratified_sample(ids, "lang", {"en": 0.5, "de": 0.1}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    want_en = {i for i in range(0, 2000, 3) if _py_keep(i, 0.5)}
+    want_de = {i for i in range(1, 2000, 3) if _py_keep(i, 0.1)}
+    assert by.get("en", set()) == want_en
+    assert by.get("de", set()) == want_de
+    assert "fr" not in by  # default fraction 0
+
+
+def test_bad_fraction_raises(spark, ids):
+    with pytest.raises(ValueError):
+        deterministic_sample(ids, 1.5)
+
+
+def test_sampling_plan_has_no_shuffle(spark, ids):
+    plan = (
+        stratified_sample(ids, "lang", {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
