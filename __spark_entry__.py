@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sort_by_field"] = _pq_sort_by_field
     q["sort_after_field_page2"] = _pq_sort_after_field
     q["facet_percentiles_lang"] = _pq_facet_percentiles
+    q["facet_sampled_lang"] = _pq_facet_sampled
     q["quality_filter_pass"] = _pq_quality_filter
     q["bool_min_should_match"] = _pq_msm
     q["term_in_set"] = _pq_term_in_set
@@ -365,6 +366,17 @@ def _pq_facet_percentiles(spark, sf_dir):
     return facet_percentiles(
         s, parse("table"), "length", (0.5, 0.9, 0.99), group_col="lang"
     ).orderBy("lang")
+
+
+def _pq_facet_sampled(spark, sf_dir):
+    """Sampled facet counts (RandomSamplingFacetsCollector semantics) with
+    a deterministic md5-bucket sample — counts amortized by the exact
+    effective rate, reproducible in the oracle."""
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import sampled_facet_counts
+
+    s = _searcher(spark, sf_dir)
+    return sampled_facet_counts(s, parse("table"), "lang", fraction=0.25).orderBy("lang")
 
 
 def _pq_facet_lang(spark, sf_dir):
@@ -1639,6 +1651,17 @@ hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
 lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
 SELECT doc_id, n_tokens FROM hit JOIN lens USING (doc_id)
 ORDER BY n_tokens DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+    o["facet_sampled_lang"] = f"""
+WITH tok AS ({_TOK}),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+s AS (
+  SELECT d.lang FROM hit JOIN documents d USING (doc_id)
+  WHERE substr(md5('https://example.com/doc/' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0')), 1, 2) < '40'
+)
+SELECT lang, count(*) AS sample_count,
+       CAST(round(count(*) / 0.25) AS BIGINT) AS est_count
+FROM s GROUP BY lang ORDER BY lang
 """
     o["facet_percentiles_lang"] = f"""
 WITH tok AS ({_TOK}),

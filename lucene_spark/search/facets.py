@@ -222,6 +222,44 @@ def facet_percentiles(
     return agg.select(*cols)
 
 
+def sampled_facet_counts(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    facet_col: str,
+    fraction: float = 0.1,
+    field: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Sampled facet counts (reference facet/RandomSamplingFacetsCollector
+    .java:40-120: count facets over a sample of the hits, then amortize
+    the counts by the inverse sampling rate).
+
+    The sample is the DETERMINISTIC md5-bucket filter
+    (pipeline/sampling.py), not RNG — reruns, engines and partitionings
+    see the same sample, so the corrected counts are reproducible. The
+    correction uses the EXACT effective rate round(fraction*256)/256 (the
+    bucket predicate's true measure), mirroring amortizeFacetCounts.
+    At scale this reads the same match set but aggregates ~fraction of
+    it — the cheap first look at a facet distribution."""
+    from ..pipeline.sampling import _bucket, _threshold
+
+    thr = _threshold(fraction)
+    eff = int(thr, 16) / 256.0
+    if eff <= 0:
+        raise ValueError("fraction too small: effective sampling rate is 0")
+    m = _matches_with_docs(searcher, q, field)
+    sampled = m.filter(_bucket("url", salt) < F.lit(thr))
+    return (
+        sampled.groupBy(facet_col)
+        .agg(F.count("*").alias("sample_count"))
+        .select(
+            facet_col,
+            "sample_count",
+            F.round(F.col("sample_count") / F.lit(eff)).cast("long").alias("est_count"),
+        )
+    )
+
+
 def taxonomy_counts(
     searcher: IndexSearcher,
     q: Q.Query,

@@ -48,6 +48,33 @@ def test_sorted_search_after_pages_are_seamless(reader, corpus, ascending):
     assert page2 == [(u, l) for u, l in want[10:20]]
 
 
+def test_sampled_facet_counts(reader, corpus):
+    """RandomSamplingFacetsCollector semantics with the deterministic
+    sample: sample_count is exact over the md5-bucket subset and
+    est_count = sample_count / effective_rate."""
+    import hashlib
+
+    from lucene_spark.search.facets import sampled_facet_counts
+
+    searcher = IndexSearcher(reader)
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    want = {}
+    for i, text in enumerate(corpus["text"]):
+        if "table" not in an.terms(text if isinstance(text, str) else ""):
+            continue
+        url = corpus["url"][i]
+        if hashlib.md5(url.encode()).hexdigest()[:2] < "40":
+            lang = corpus["lang"][i]
+            want[lang] = want.get(lang, 0) + 1
+    rows = sampled_facet_counts(searcher, parse("table"), "lang", 0.25).collect()
+    got = {r["lang"]: (r["sample_count"], r["est_count"]) for r in rows}
+    assert {k: v[0] for k, v in got.items()} == want
+    for k, (sc, est) in got.items():
+        assert est == round(sc / 0.25)
+
+
 def test_facet_percentiles_match_numpy(reader, corpus):
     searcher = IndexSearcher(reader)
     rows = _matching_lengths(corpus, "table")
