@@ -224,6 +224,68 @@ def main():
         "speedup": round(t_seq / t_batch, 2),
     }
 
+    # pipeline ops at amplified scale: ANN (catalog IVF vs brute force, one
+    # batched job each) and exact dedup throughput — the LLM-data-pipeline
+    # side of the engine, measured with the same min-of-interleaved
+    # discipline
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.dedup import exact_dedup
+    from lucene_spark.pipeline.similarity import IVFVectorIndex, brute_force_topk
+
+    # re-scan the materialized corpus in THIS session (the build session's
+    # `pages` frame died with its SparkSession)
+    pages_q, _ = _amplified_pages(spark, SF_DIR, REPLICAS, materialize=True)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    vreps = max(1, min(REPLICAS, 50))
+    amp_emb = (
+        emb.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(vreps - 1))))
+        .select(
+            (F.col("vec_id") * vreps + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("rep").cast("float") * F.lit(1e-3)
+            ).alias("embedding"),
+        )
+    )
+    vpath = f"/tmp/lucene_spark_bench_vecs_{vreps}"
+    if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
+        amp_emb.write.mode("overwrite").parquet(vpath)
+    vecs = spark.read.parquet(vpath)
+    ivf_root = "/tmp/lucene_spark_bench_ivf"
+    _sh.rmtree(ivf_root, ignore_errors=True)
+    t0 = time.time()
+    IVFVectorIndex.build(spark, vecs, ivf_root, nlist=64, build_id="bench")
+    t_ivf_build = time.time() - t0
+    ivf = IVFVectorIndex(spark, ivf_root)
+    qvecs = [(int(r["vec_id"]), list(r["embedding"])) for r in emb.limit(16).collect()]
+    t_ivf = t_brute = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ivf.search(qvecs, k=10, nprobe=8).collect()
+        t_ivf = min(t_ivf, time.time() - t0)
+        t0 = time.time()
+        brute_force_topk(vecs, qvecs, k=10).collect()
+        t_brute = min(t_brute, time.time() - t0)
+    t_dedup = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        exact_dedup(pages_q, ["text"], "url").count()
+        t_dedup = min(t_dedup, time.time() - t0)
+    result["pipeline_ops"] = {
+        "n_vectors": n_emb * vreps,
+        "ivf_build_sec": round(t_ivf_build, 2),
+        "ann_ivf_16q_sec": round(t_ivf, 2),
+        "ann_brute_16q_sec": round(t_brute, 2),
+        "ann_speedup": round(t_brute / t_ivf, 2),
+        "dedup_docs": n_docs,
+        "dedup_exact_sec": round(t_dedup, 2),
+        "dedup_docs_per_sec": round(n_docs / t_dedup, 1),
+    }
+
     # serving-path latency: same index + kernels, driver-local pyarrow
     # (no Spark jobs) — the Lucene-IndexSearcher-class profile
     from lucene_spark.serve import LocalSearcher
