@@ -130,3 +130,108 @@ def check_index(spark: SparkSession, index_root: str, strict: bool = True) -> di
     if strict and errors:
         raise AssertionError("; ".join(errors[:10]))
     return report
+
+
+def check_vector_index(spark: SparkSession, root: str, strict: bool = True) -> dict:
+    """CheckIndex for the IVF vector index (the vector-file counterpart of
+    CheckIndex's vector checks — reference index/CheckIndex.java
+    testVectors): validates, distributed,
+
+    - cell assignment: every stored vector's cell IS its nearest centroid
+      (one mapInPandas pass, no collect of vectors)
+    - cell ids within [0, nlist)
+    - live vector count equals sum of generation manifests minus tombstones
+    - ids unique across generations
+    - quantized columns (when present) decode within the scalar-quantizer's
+      reconstruction bound for every vector
+    """
+    from ..pipeline.similarity import IVFVectorIndex, _normalize
+
+    ivf = IVFVectorIndex(spark, root)
+    errors: list[str] = []
+    cent = _normalize(ivf.centroids.astype(np.float64))
+    vec_col, id_col = ivf.vec_col, ivf.id_col
+    qp = ivf.quant_params
+
+    def part_check(iterator):
+        for pdf in iterator:
+            errs = []
+            m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            want = (m @ cent.T).argmax(axis=1)
+            got = pdf["cell"].to_numpy()
+            bad = np.nonzero(want != got)[0]
+            for i in bad[:5]:
+                errs.append(
+                    f"{id_col}={pdf[id_col].iloc[i]}: cell {got[i]} != nearest centroid {want[i]}"
+                )
+            if (got < 0).any() or (got >= len(cent)).any():
+                errs.append("cell id out of [0, nlist)")
+            if qp is not None and "qvec" in pdf.columns:
+                # qvec = round((clip(normalize(v), lo, hi) - lo)/alpha) as
+                # int8 bytes (quantization.py _quantize_np); reconstruction
+                # must land within alpha/2 of the clipped normalized value
+                q = np.stack(
+                    [np.frombuffer(bytes(b), dtype=np.int8) for b in pdf["qvec"]]
+                ).astype(np.float64)
+                recon = q * qp.alpha + qp.lo
+                clipped = np.clip(m, qp.lo, qp.hi)
+                qsum = np.array(pdf["qsum"].tolist(), dtype=np.int64)
+                if np.abs(recon - clipped).max() > qp.alpha / 2 + 1e-9:
+                    errs.append("quantized vector outside reconstruction bound")
+                if (qsum != q.sum(axis=1).astype(np.int64)).any():
+                    errs.append("qsum != sum(qvec)")
+            yield pd.DataFrame({"errors": ["; ".join(errs) if errs else None],
+                                "n": [len(pdf)]})
+
+    res = ivf._vectors.mapInPandas(
+        part_check, "errors string, n long"
+    ).collect()
+    for r in res:
+        if r["errors"]:
+            errors.append(r["errors"])
+    n_live = sum(r["n"] for r in res)
+
+    n_ids = ivf._vectors.select(id_col).distinct().count()
+    if n_ids != n_live:
+        errors.append(f"duplicate ids: {n_live} rows but {n_ids} distinct {id_col}")
+
+    import os
+
+    manifests = {
+        s["name"]: ivf.catalog.read_manifest(s["name"])
+        for s in ivf.catalog.snapshot(None)["segments"]
+    }
+    declared = sum(
+        m.get("num_vectors", 0) for m in manifests.values()
+        if m.get("kind") in ("ivf", "ivf-append")
+    )
+    # tombstoned = ids in delete generations that actually hit a stored row
+    raw_ids = None
+    tomb_ids = None
+    for name, m in manifests.items():
+        bdir = ivf.catalog.build_dir(name)
+        if m.get("kind") == "ivf-delete":
+            t = spark.read.parquet(os.path.join(bdir, "tombstones"))
+            tomb_ids = t if tomb_ids is None else tomb_ids.unionByName(t)
+        else:
+            p = spark.read.parquet(os.path.join(bdir, "vectors")).select(id_col)
+            raw_ids = p if raw_ids is None else raw_ids.unionByName(p)
+    tombs = (
+        0 if tomb_ids is None
+        else raw_ids.join(tomb_ids.distinct(), id_col, "left_semi").count()
+    )
+    if declared - tombs != n_live:
+        errors.append(
+            f"live count {n_live} != declared {declared} - tombstoned {tombs}"
+        )
+
+    report = {
+        "build_id": ivf.build_id,
+        "nlist": int(ivf.nlist),
+        "num_vectors": int(n_live),
+        "quantized": ivf.quantized,
+        "errors": errors,
+    }
+    if strict and errors:
+        raise AssertionError("; ".join(errors[:10]))
+    return report

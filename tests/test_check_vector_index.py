@@ -1,0 +1,60 @@
+"""check_vector_index: green on healthy builds (plain, quantized,
+appended, deleted) and red on a corrupted cell assignment."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+from lucene_spark.index.check import check_vector_index
+from lucene_spark.pipeline.similarity import IVFVectorIndex
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA}/embeddings.parquet").cache()
+
+
+def test_check_passes_across_lifecycle(spark, emb, tmp_path):
+    root = str(tmp_path / "vidx")
+    shutil.rmtree(root, ignore_errors=True)
+    n = emb.count()
+    IVFVectorIndex.build(spark, emb.filter(F.col("vec_id") < n // 2), root, nlist=8)
+    rep = check_vector_index(spark, root)
+    assert rep["errors"] == [] and rep["num_vectors"] == n // 2
+
+    IVFVectorIndex.append(spark, emb.filter(F.col("vec_id") >= n // 2), root)
+    rep = check_vector_index(spark, root)
+    assert rep["errors"] == [] and rep["num_vectors"] == n
+
+    IVFVectorIndex.delete(spark, root, [0, 1, 2])
+    rep = check_vector_index(spark, root)
+    assert rep["errors"] == [] and rep["num_vectors"] == n - 3
+
+
+def test_check_passes_quantized(spark, emb, tmp_path):
+    root = str(tmp_path / "vq")
+    shutil.rmtree(root, ignore_errors=True)
+    IVFVectorIndex.build(spark, emb, root, nlist=8, quantize=True)
+    rep = check_vector_index(spark, root)
+    assert rep["errors"] == [] and rep["quantized"]
+
+
+def test_check_catches_corrupted_cells(spark, emb, tmp_path):
+    import os
+
+    root = str(tmp_path / "vbad")
+    shutil.rmtree(root, ignore_errors=True)
+    IVFVectorIndex.build(spark, emb, root, nlist=8, build_id="b0")
+    # corrupt: rewrite one cell's vectors into the wrong cell directory
+    vdir = os.path.join(root, "builds", "b0", "vectors")
+    cells = sorted(d for d in os.listdir(vdir) if d.startswith("cell="))
+    src, dst = cells[0], cells[1]
+    for f in os.listdir(os.path.join(vdir, src)):
+        shutil.move(os.path.join(vdir, src, f), os.path.join(vdir, dst, f))
+    os.rmdir(os.path.join(vdir, src))
+    with pytest.raises(AssertionError):
+        check_vector_index(spark, root)
+    rep = check_vector_index(spark, root, strict=False)
+    assert rep["errors"]
