@@ -103,12 +103,29 @@ def _scored_phrase_positions(searcher, q, field: str):
     stats = reader.term_stats(uniq_terms, field)
     if any(t not in stats for t in uniq_terms):
         return None
-    scorer = make_scorer(
-        [stats[t][0] for t in q.terms], doc_count, sum_ttf,
+    score_doc, batch_score = phrase_score_fns(
+        uniq_terms, list(q.terms), q.slop, stats, doc_count, sum_ttf,
         boost=q.boost, dtype=searcher.dtype,
     )
-    phrase_terms = list(q.terms)
-    slop = q.slop
+    rarest_order = sorted(uniq_terms, key=lambda t: stats[t][0])
+    return scored_positions_kernel(
+        searcher, uniq_terms, rarest_order, field, score_doc,
+        batch_score=batch_score,
+    )
+
+
+def phrase_score_fns(
+    uniq_terms, phrase_terms, slop, stats, doc_count, sum_ttf,
+    boost=1.0, dtype=np.float32,
+):
+    """(score_doc, batch_score) closures for a phrase over the positions
+    kernel — factored out so the Spark path and the driver-local serving
+    path (serve.LocalSearcher) score identically: idf summed over the
+    phrase's terms in double, phrase freq through the same SimScorer."""
+    scorer = make_scorer(
+        [stats[t][0] for t in phrase_terms], doc_count, sum_ttf,
+        boost=boost, dtype=dtype,
+    )
     cache = scorer.cache
     w = scorer.weight
 
@@ -169,11 +186,7 @@ def _scored_phrase_positions(searcher, q, field: str):
             )
             return np.nonzero(mask)[0], scores.astype(np.float64)
 
-    rarest_order = sorted(uniq_terms, key=lambda t: stats[t][0])
-    return scored_positions_kernel(
-        searcher, uniq_terms, rarest_order, field, score_doc,
-        batch_score=batch_score,
-    )
+    return score_doc, batch_score
 
 
 def scored_positions_kernel(
@@ -194,18 +207,12 @@ def scored_positions_kernel(
     ``blocks``: optional prebuilt postings-block frame (same columns) —
     used by field-masked interval sources to union several fields'
     postings under namespaced term keys."""
-    if term_groups is None:
-        term_groups = [[t] for t in rarest_order]
     reader = searcher.reader
     if blocks is None:
         blocks = reader.postings(uniq_terms, field).select(
             "seg", "term", "first_doc", "last_doc", "num_docs", "enc",
             "doc_payload", "freq_payload", "norm_payload", "pos_payload",
         )
-    from ..codecs.docblocks import decode_doc_block
-    from ..codecs.pfor import pfor_decode
-    from ..index.builder import decode_positions
-
     out_schema = T.StructType(
         [
             T.StructField("seg", T.StringType()),
@@ -213,6 +220,26 @@ def scored_positions_kernel(
             T.StructField("score", T.DoubleType()),
         ]
     )
+    kernel = build_positions_kernel(
+        uniq_terms, rarest_order, score_doc, term_groups, batch_score
+    )
+    return blocks.groupBy("seg").applyInPandas(kernel, out_schema)
+
+
+def build_positions_kernel(
+    uniq_terms, rarest_order, score_doc, term_groups=None, batch_score=None,
+):
+    """Host-agnostic positions kernel factory: (key, pdf of postings
+    blocks) -> pdf(seg, doc, score). Shared by the Spark applyInPandas
+    path above and the driver-local serving path
+    (serve.LocalSearcher._search_phrase) — same bytes in, same scores
+    out on either host."""
+    if term_groups is None:
+        term_groups = [[t] for t in rarest_order]
+    from ..codecs.docblocks import decode_doc_block
+    from ..codecs.pfor import pfor_decode
+    from ..index.builder import decode_positions
+
     empty = pd.DataFrame(
         {
             "seg": pd.Series([], dtype=object),
@@ -339,7 +366,7 @@ def scored_positions_kernel(
             }
         )
 
-    return blocks.groupBy("seg").applyInPandas(kernel, out_schema)
+    return kernel
 
 
 def scored_multi_phrase(searcher, q, field: str):

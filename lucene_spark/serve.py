@@ -133,17 +133,19 @@ class LocalSearcher:
         )
 
     def search(self, q, k: int = 10, field: str = "text"):
-        """Top-k [(url, score, gdoc)] for a query string or flat term
-        boolean (the shapes the block-max kernel serves; other shapes
-        belong on the Spark path)."""
+        """Top-k [(url, score, gdoc)] for a query string, flat term
+        boolean, or phrase (positions-indexed builds); other shapes
+        belong on the Spark path."""
         if isinstance(q, str):
             q = parse(q)
         q = Q.rewrite(q, None, field)
+        if isinstance(q, Q.PhraseQuery):
+            return self._search_phrase(q, k, field)
         info = self._classify(q)
         if info is None:
             raise NotImplementedError(
-                "LocalSearcher serves term/boolean queries; use the Spark "
-                "IndexSearcher for phrase/multi-term/filter shapes"
+                "LocalSearcher serves term/boolean/phrase queries; use the "
+                "Spark IndexSearcher for multi-term/filter shapes"
             )
         # the local kernel honors MUST/SHOULD/MUST_NOT only — reject shapes
         # it would silently mis-serve rather than dropping clauses
@@ -202,6 +204,57 @@ class LocalSearcher:
         return [
             (urls[gdoc_to_segdoc[g]], s, g) for s, g in merged
         ]
+
+    def _search_phrase(self, q, k: int, field: str):
+        """PhraseQuery on the serving path (positions-indexed builds
+        only): the SAME host-agnostic positions kernel the Spark path runs
+        inside applyInPandas (phrase.build_positions_kernel), driven per
+        segment over pyarrow block reads — identical bytes in, identical
+        float scores out."""
+        from .search.phrase import build_positions_kernel, phrase_score_fns
+
+        if not all(m.get("positions") for m in self._manifests.values()):
+            raise NotImplementedError(
+                "phrase serving needs a positions-indexed build "
+                "(build_index(positions=True)); use the Spark IndexSearcher"
+            )
+        uniq_terms = list(dict.fromkeys(q.terms))
+        doc_count, sum_ttf = self.collection_stats(field)
+        stats = self.term_stats(uniq_terms, field)
+        if any(t not in stats for t in uniq_terms):
+            return []
+        score_doc, batch_score = phrase_score_fns(
+            uniq_terms, list(q.terms), q.slop, stats, doc_count, sum_ttf,
+            boost=q.boost, dtype=self.dtype,
+        )
+        rarest = sorted(uniq_terms, key=lambda t: stats[t][0])
+        kernel = build_positions_kernel(
+            uniq_terms, rarest, score_doc, batch_score=batch_score
+        )
+        pdf = self._blocks(
+            uniq_terms, field,
+            columns=["term", "first_doc", "last_doc", "num_docs", "enc",
+                     "doc_payload", "freq_payload", "norm_payload", "pos_payload"],
+        )
+        per_seg = []
+        for seg, g in pdf.groupby("seg", sort=True):
+            out = kernel((seg,), g)
+            if not len(out):
+                continue
+            docs = out["doc"].to_numpy(np.int64)
+            scores = out["score"].to_numpy(np.float64)
+            tombs = self.deletes.get(seg)
+            if tombs is not None:
+                keep = ~np.isin(docs, tombs)
+                docs, scores = docs[keep], scores[keep]
+            base = self.doc_bases[seg]
+            per_seg.append(
+                [(float(s), int(d) + base, seg, int(d)) for s, d in zip(scores, docs)]
+            )
+        merged = merge_topk([[(s, g) for s, g, _, _ in part] for part in per_seg], k)
+        gdoc_to_segdoc = {g: (seg, d) for part in per_seg for s, g, seg, d in part}
+        urls = self._urls([gdoc_to_segdoc[g] for _, g in merged])
+        return [(urls[gdoc_to_segdoc[g]], s, g) for s, g in merged]
 
     @staticmethod
     def _classify(q):

@@ -1,0 +1,45 @@
+"""LocalSearcher phrase serving: same positions kernel as the Spark path,
+so top-k (urls AND float32 scores) must be identical."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from conftest import TESTDATA
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.serve import LocalSearcher
+
+
+@pytest.fixture(scope="module")
+def pos_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("spidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True)
+    return root
+
+
+@pytest.mark.parametrize("qs", ['"table scan"', '"key order"', '"table scan"~2'])
+def test_serve_phrase_matches_spark_path(spark, pos_root, qs):
+    s = IndexSearcher(IndexReader(spark, pos_root))
+    want = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in s.search(parse(qs), k=10).select("url", "score").collect()
+    ]
+    ls = LocalSearcher(pos_root)
+    got = [(u, float(np.float32(sc))) for u, sc, _ in ls.search(qs, k=10)]
+    assert got == want
+
+
+def test_serve_phrase_requires_positions(spark, index_root):
+    ls = LocalSearcher(index_root)  # session index: positions=False
+    with pytest.raises(NotImplementedError):
+        ls.search('"table scan"', k=5)
+
+
+def test_serve_phrase_missing_term(spark, pos_root):
+    assert LocalSearcher(pos_root).search('"table zzznosuchterm"', k=5) == []
