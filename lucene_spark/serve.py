@@ -141,6 +141,16 @@ class LocalSearcher:
         q = Q.rewrite(q, None, field)
         if isinstance(q, Q.PhraseQuery):
             return self._search_phrase(q, k, field)
+        if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
+                          Q.TermRangeQuery, Q.TermInSetQuery)):
+            terms, boost = self._expand_terms_local(q, field)
+            return self._search_constant_union(terms, boost, k, field)
+        if isinstance(q, Q.ConstantScoreQuery) and isinstance(
+            q.query, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
+                      Q.TermRangeQuery, Q.TermInSetQuery)
+        ):
+            terms, _ = self._expand_terms_local(q.query, field)
+            return self._search_constant_union(terms, q.boost, k, field)
         info = self._classify(q)
         if info is None:
             raise NotImplementedError(
@@ -204,6 +214,90 @@ class LocalSearcher:
         return [
             (urls[gdoc_to_segdoc[g]], s, g) for s, g in merged
         ]
+
+    def _expand_terms_local(self, q, field: str) -> tuple[list[str], float]:
+        """MultiTermQuery rewrite on the serving path: one column-pruned
+        pyarrow scan of the term DICTIONARY (stats rows only — orders of
+        magnitude smaller than the postings), Python predicate, capped at
+        the same MAX_CLAUSE_COUNT the Spark rewrite uses. Over the cap the
+        serving path refuses (the Spark engine has the distributed
+        TermPatternQuery fallback; a point-serving process does not)."""
+        import re
+
+        from .search.query import MAX_CLAUSE_COUNT
+
+        if isinstance(q, Q.TermInSetQuery):
+            return list(dict.fromkeys(q.terms)), getattr(q, "boost", 1.0)
+        if isinstance(q, Q.PrefixQuery):
+            pred = lambda t: t.startswith(q.prefix)  # noqa: E731
+        elif isinstance(q, Q.WildcardQuery):
+            # Lucene wildcard: * = any run, ? = one char (no char classes)
+            rx = re.compile(
+                "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in q.pattern
+                )
+            )
+            pred = lambda t: rx.fullmatch(t) is not None  # noqa: E731
+        elif isinstance(q, Q.RegexpQuery):
+            rx = re.compile(q.regexp)
+            pred = lambda t: rx.fullmatch(t) is not None  # noqa: E731
+        elif isinstance(q, Q.TermRangeQuery):
+            lo, hi = q.lower, q.upper
+
+            def pred(t):
+                if lo is not None and (t < lo or (t == lo and not q.include_lower)):
+                    return False
+                if hi is not None and (t > hi or (t == hi and not q.include_upper)):
+                    return False
+                return True
+        else:  # pragma: no cover - dispatch guards this
+            raise NotImplementedError(type(q).__name__)
+        filt = pc.field("field").__eq__(field) & ~pc.field("doc_freq").is_null()
+        terms: set[str] = set()
+        for d in self._datasets:
+            t = d.to_table(columns=["term"], filter=filt)
+            terms.update(t.column("term").to_pylist())
+        matched = sorted(t for t in terms if pred(t))
+        if len(matched) > MAX_CLAUSE_COUNT:
+            raise NotImplementedError(
+                f"expansion exceeds MAX_CLAUSE_COUNT ({MAX_CLAUSE_COUNT}); "
+                "use the Spark IndexSearcher (distributed TermPatternQuery)"
+            )
+        return matched, q.boost
+
+    def _search_constant_union(self, terms: list[str], boost: float, k: int, field: str):
+        """Constant-score doc union of ``terms`` (TermInSetQuery /
+        rewritten multi-term semantics): decode doc blocks only, union per
+        segment, drop tombstones, first k docs in global doc order (every
+        score equals the boost, so ties-by-gdoc IS the order)."""
+        if not terms:
+            return []
+        from .codecs.docblocks import decode_doc_block
+
+        pdf = self._blocks(
+            list(terms), field,
+            columns=["term", "first_doc", "last_doc", "num_docs", "enc", "doc_payload"],
+        )
+        out = []
+        for seg, g in pdf.groupby("seg", sort=True):
+            parts = [
+                decode_doc_block(
+                    int(r.enc), bytes(r.doc_payload or b""),
+                    int(r.first_doc), int(r.num_docs),
+                )
+                for r in g.itertuples(index=False)
+            ]
+            docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            tombs = self.deletes.get(seg)
+            if tombs is not None and len(docs):
+                docs = docs[~np.isin(docs, tombs)]
+            base = self.doc_bases[seg]
+            out.extend((int(d) + base, seg, int(d)) for d in docs[:k])
+        out.sort()
+        out = out[:k]
+        urls = self._urls([(seg, d) for _, seg, d in out])
+        return [(urls[(seg, d)], float(boost), g) for g, seg, d in out]
 
     def _search_phrase(self, q, k: int, field: str):
         """PhraseQuery on the serving path (positions-indexed builds

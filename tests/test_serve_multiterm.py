@@ -1,0 +1,47 @@
+"""LocalSearcher multi-term serving: prefix/wildcard/range/term-set
+rewrites expand against the local term dictionary and must match the
+Spark engine's constant-score union exactly."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+from lucene_spark.serve import LocalSearcher
+
+
+QUERIES = [
+    Q.PrefixQuery("text", "ta"),
+    Q.WildcardQuery("text", "t?ble"),
+    Q.WildcardQuery("text", "*dex"),
+    Q.TermRangeQuery("text", "table", "term"),
+    Q.TermInSetQuery("text", ("table", "scan", "nosuchterm")),
+    Q.PrefixQuery("text", "ta", boost=2.5),
+]
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: type(q).__name__ + "-" + str(hash(q) % 997))
+def test_serve_multiterm_matches_spark(reader, index_root, q):
+    s = IndexSearcher(reader)
+    want = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in s.search(q, k=25).select("url", "score").collect()
+    ]
+    ls = LocalSearcher(index_root)
+    got = [(u, float(np.float32(sc))) for u, sc, _ in ls.search(q, k=25)]
+    assert got == want
+
+
+def test_serve_multiterm_cap(reader, index_root, monkeypatch):
+    import lucene_spark.search.query as qmod
+
+    monkeypatch.setattr(qmod, "MAX_CLAUSE_COUNT", 1)
+    ls = LocalSearcher(index_root)
+    with pytest.raises(NotImplementedError):
+        ls.search(Q.PrefixQuery("text", "t"), k=5)
+
+
+def test_serve_fuzzy_still_refused(index_root):
+    ls = LocalSearcher(index_root)
+    with pytest.raises(NotImplementedError):
+        ls.search(Q.FuzzyQuery("text", "tabel"), k=5)
