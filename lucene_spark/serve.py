@@ -254,6 +254,28 @@ class LocalSearcher:
         else:  # pragma: no cover - dispatch guards this
             raise NotImplementedError(type(q).__name__)
         filt = pc.field("field").__eq__(field) & ~pc.field("doc_freq").is_null()
+        # push what pyarrow can evaluate into the scan (prefix / range hit
+        # the parquet row-group term stats; wildcard/regexp stay Python
+        # over the already-tiny dictionary projection)
+        if isinstance(q, Q.PrefixQuery) and q.prefix:
+            filt = filt & (pc.field("term") >= q.prefix)
+            if ord(q.prefix[-1]) < 0xD7FF:  # successor stays encodable utf8
+                filt = filt & (
+                    pc.field("term") < q.prefix[:-1] + chr(ord(q.prefix[-1]) + 1)
+                )
+        elif isinstance(q, Q.TermRangeQuery):
+            if q.lower is not None:
+                filt = filt & (
+                    (pc.field("term") >= q.lower)
+                    if q.include_lower
+                    else (pc.field("term") > q.lower)
+                )
+            if q.upper is not None:
+                filt = filt & (
+                    (pc.field("term") <= q.upper)
+                    if q.include_upper
+                    else (pc.field("term") < q.upper)
+                )
         terms: set[str] = set()
         for d in self._datasets:
             t = d.to_table(columns=["term"], filter=filt)
