@@ -71,44 +71,55 @@ def highlight_hits(
 
         an = analyzer_for(analyzer)
         for pdf in iterator:
-            snippets = []
-            for text in pdf[text_col]:
-                text = text if isinstance(text, str) else ""
-                matches = [
-                    (tok.start, tok.end)
-                    for tok in an.tokens(text)
-                    if tok.term in terms
-                ]
-                if not matches:
-                    snippets.append(text[:max_passage_chars])
-                    continue
-                # best fixed-width window: most matches, earliest on ties
-                best, best_n = 0, -1
-                starts = np.array([m[0] for m in matches])
-                for s, _e in matches:
-                    lo = max(0, min(s, len(text) - max_passage_chars))
-                    n = int(((starts >= lo) & (starts < lo + max_passage_chars)).sum())
-                    if n > best_n:
-                        best, best_n = lo, n
-                window = (best, best + max_passage_chars)
-                parts = []
-                cur = window[0]
-                for s, e in matches:
-                    if s < window[0] or s >= window[1]:
-                        continue
-                    # clamp to the window so the snippet never exceeds
-                    # max_passage_chars and the tail slice stays consistent
-                    e = min(e, window[1])
-                    parts.append(text[cur:s])
-                    parts.append(pre + text[s:e] + post)
-                    cur = e
-                parts.append(text[cur : window[1]])
-                snippets.append("".join(parts))
+            snippets = [
+                snippet_for(text, terms, an, max_passage_chars, pre, post)
+                for text in pdf[text_col]
+            ]
             pdf = pdf.copy()
             pdf["snippet"] = snippets
             yield pdf[cols + ["snippet"]]
 
     return hits.mapInPandas(run, out_schema)
+
+
+def snippet_for(
+    text,
+    terms: set[str],
+    an,
+    max_passage_chars: int = 160,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> str:
+    """Best-passage snippet for one document — the pure core shared by the
+    Spark mapInPandas path and the driver-local serving path."""
+    text = text if isinstance(text, str) else ""
+    matches = [
+        (tok.start, tok.end) for tok in an.tokens(text) if tok.term in terms
+    ]
+    if not matches:
+        return text[:max_passage_chars]
+    # best fixed-width window: most matches, earliest on ties
+    best, best_n = 0, -1
+    starts = np.array([m[0] for m in matches])
+    for s, _e in matches:
+        lo = max(0, min(s, len(text) - max_passage_chars))
+        n = int(((starts >= lo) & (starts < lo + max_passage_chars)).sum())
+        if n > best_n:
+            best, best_n = lo, n
+    window = (best, best + max_passage_chars)
+    parts = []
+    cur = window[0]
+    for s, e in matches:
+        if s < window[0] or s >= window[1]:
+            continue
+        # clamp to the window so the snippet never exceeds
+        # max_passage_chars and the tail slice stays consistent
+        e = min(e, window[1])
+        parts.append(text[cur:s])
+        parts.append(pre + text[s:e] + post)
+        cur = e
+    parts.append(text[cur : window[1]])
+    return "".join(parts)
 
 
 def highlight(searcher, q: Q.Query, k: int = 10, field: str = "text", **kw) -> DataFrame:

@@ -372,6 +372,48 @@ class LocalSearcher:
         urls = self._urls([gdoc_to_segdoc[g] for _, g in merged])
         return [(urls[gdoc_to_segdoc[g]], s, g) for s, g in merged]
 
+    def highlight(self, q, k: int = 10, field: str = "text",
+                  max_passage_chars: int = 160, pre: str = "<b>", post: str = "</b>"):
+        """Search + best-passage snippets on the serving path:
+        [(url, score, snippet)]. Same pure snippet core as the Spark
+        highlighter (search/highlight.py:snippet_for); needs the text
+        stored (build_index(stored_cols=("text", ...)))."""
+        from .analysis.analyzer import analyzer_for
+        from .search.highlight import _query_terms, snippet_for
+
+        if isinstance(q, str):
+            q = parse(q)
+        hits = self.search(q, k=k, field=field)
+        if not hits:
+            return []
+        an = analyzer_for(
+            self._manifests[self._builds[0]].get("analyzer", "standard")
+        )
+        terms = _query_terms(Q.rewrite(q, None, field))
+        # stored-text fetch for exactly k rows (same pruned read as _urls)
+        urls = [url for url, _s, _g in hits]
+        texts = {}
+        for dset in self._doc_datasets:
+            if "text" not in dset.schema.names:
+                continue
+            filt = pc.field("url").isin(urls)
+            t = dset.to_table(columns=["url", "text"], filter=filt)
+            for r in t.to_pylist():
+                texts[r["url"]] = r["text"]
+        if hits and not texts:
+            raise ValueError(
+                "highlight() needs the text stored (stored_cols=('text',...))"
+            )
+        return [
+            (
+                url,
+                score,
+                snippet_for(texts.get(url, ""), terms, an,
+                            max_passage_chars, pre, post),
+            )
+            for url, score, _g in hits
+        ]
+
     @staticmethod
     def _classify(q):
         from .search.searcher import _classify

@@ -1,0 +1,29 @@
+"""LocalSearcher.highlight: snippets identical to the Spark highlighter
+(same pure snippet core over the same stored text)."""
+
+import numpy as np
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search.highlight import highlight
+from lucene_spark.serve import LocalSearcher
+
+
+def test_serve_highlight_matches_spark(reader, index_root):
+    s = IndexSearcher(reader)
+    q = parse("merge OR window")
+    want = {
+        r["url"]: (float(np.float32(r["score"])), r["snippet"])
+        for r in highlight(s, q, k=8).select("url", "score", "snippet").collect()
+    }
+    ls = LocalSearcher(index_root)
+    got = ls.highlight("merge OR window", k=8)
+    assert len(got) == len(want)
+    for url, score, snippet in got:
+        ws, wsnip = want[url]
+        assert float(np.float32(score)) == ws
+        assert snippet == wsnip
+        assert "<b>" in snippet
+
+
+def test_serve_highlight_no_hits(index_root):
+    assert LocalSearcher(index_root).highlight("zzznosuchterm", k=5) == []
