@@ -35,6 +35,21 @@ from .search.parser import parse
 from .search.topk import merge_topk
 from .search.wand import maxscore_kernel
 
+def _edit_distance_capped(a: str, b: str, cap: int) -> int:
+    """Levenshtein with early exit at > cap (DirectSpellChecker bound)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[len(b)]
+
+
 _POSTING_COLS = [
     "term", "first_doc", "last_doc", "num_docs", "enc",
     "doc_payload", "freq_payload", "norm_payload", "imp_freqs", "imp_norms",
@@ -413,6 +428,65 @@ class LocalSearcher:
             )
             for url, score, _g in hits
         ]
+
+    def _term_stats_scan(self, filt) -> dict[str, tuple[int, int]]:
+        """term -> (df, ttf) over the dictionary rows matching ``filt``
+        (stats rows only — column-pruned, bucket-unprunable by design
+        since patterns span buckets, but the dictionary is tiny)."""
+        agg: dict[str, list[int]] = {}
+        for d in self._datasets:
+            t = d.to_table(
+                columns=["term", "doc_freq", "total_term_freq"], filter=filt
+            )
+            for r in t.to_pylist():
+                cur = agg.setdefault(r["term"], [0, 0])
+                cur[0] += int(r["doc_freq"])
+                cur[1] += int(r["total_term_freq"])
+        return {t: (df, ttf) for t, (df, ttf) in agg.items()}
+
+    def complete(self, prefix: str, k: int = 5, field: str = "text",
+                 weight: str = "df") -> list[tuple[str, int]]:
+        """Autocomplete on the serving path: top-k dictionary completions
+        of ``prefix`` ranked by df (doc_freq) or 'ttf' weight, term asc on
+        ties — the AnalyzingSuggester profile at point-query latency (no
+        Spark jobs; one pruned pyarrow dictionary read)."""
+        filt = pc.field("field").__eq__(field) & ~pc.field("doc_freq").is_null()
+        if prefix:
+            filt = filt & (pc.field("term") >= prefix)
+            if ord(prefix[-1]) < 0xD7FF:
+                filt = filt & (
+                    pc.field("term") < prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                )
+        stats = self._term_stats_scan(filt)
+        key = (lambda kv: (-kv[1][0], kv[0])) if weight == "df" else (
+            lambda kv: (-kv[1][1], kv[0])
+        )
+        ranked = sorted(stats.items(), key=key)[:k]
+        return [(t, s[0] if weight == "df" else s[1]) for t, s in ranked]
+
+    def spell(self, term: str, k: int = 5, max_edits: int = 2,
+              field: str = "text", min_doc_freq: int = 1) -> list[tuple[str, int]]:
+        """Spell correction on the serving path (DirectSpellChecker
+        ranking: edit distance asc, df desc, term asc; input term
+        excluded). Candidates are length-windowed in the dictionary scan;
+        the banded edit distance runs in Python over that window."""
+        lo, hi = max(1, len(term) - max_edits), len(term) + max_edits
+        filt = (
+            pc.field("field").__eq__(field)
+            & ~pc.field("doc_freq").is_null()
+            & (pc.utf8_length(pc.field("term")) >= lo)
+            & (pc.utf8_length(pc.field("term")) <= hi)
+        )
+        stats = self._term_stats_scan(filt)
+        out = []
+        for t, (df, _ttf) in stats.items():
+            if t == term or df < min_doc_freq:
+                continue
+            d = _edit_distance_capped(term, t, max_edits)
+            if d <= max_edits:
+                out.append((d, -df, t))
+        out.sort()
+        return [(t, -ndf) for _d, ndf, t in out[:k]]
 
     @staticmethod
     def _classify(q):

@@ -1,0 +1,33 @@
+"""Serving-path suggesters: completion/spell match the Spark suggest
+module exactly (same dictionary, same ranking)."""
+
+from lucene_spark.search.suggest import complete_prefix, spell_suggest, weighted_complete
+from lucene_spark.serve import LocalSearcher
+
+
+def test_serve_complete_matches_spark(reader, index_root):
+    ls = LocalSearcher(index_root)
+    assert ls.complete("ta", k=5) == complete_prefix(reader, "ta", k=5)
+    assert ls.complete("s", k=7) == complete_prefix(reader, "s", k=7)
+    # weight-ranked (ttf) completion == the AnalyzingSuggester analogue
+    assert ls.complete("ta", k=5, weight="ttf") == weighted_complete(reader, "ta", k=5)
+
+
+def test_serve_spell_matches_spark(reader, index_root):
+    ls = LocalSearcher(index_root)
+    assert ls.spell("tabel", k=3, max_edits=2) == spell_suggest(
+        reader, "tabel", k=3, max_edits=2
+    )
+    got = ls.spell("table", k=5, max_edits=1)
+    assert got == spell_suggest(reader, "table", k=5, max_edits=1)
+    assert all(t != "table" for t, _ in got)
+
+
+def test_edit_distance_capped():
+    from lucene_spark.serve import _edit_distance_capped as ed
+
+    assert ed("kitten", "sitting", 3) == 3
+    assert ed("abc", "abc", 2) == 0
+    assert ed("abc", "abcd", 2) == 1
+    assert ed("abc", "xyz", 2) == 3  # capped: reported as cap+1
+    assert ed("a", "abcdef", 2) == 3  # length-window early exit
