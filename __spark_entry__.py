@@ -219,7 +219,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_join_docs"] = _pq_term_join_docs
     q["facet_drill_sideways"] = _pq_drill_sideways
     q["facet_stats_lang"] = _pq_facet_stats
+    q["update_replace"] = _pq_update_replace
     return q
+
+
+_UPD_DOCS = {1: "alpha", 3: "beta", 5: "gamma"}
+
+
+def _upd_text(label: str) -> str:
+    return f"zqupdated fresh {label} body zqupdated"
+
+
+def _pq_update_replace(spark, sf_dir):
+    """updateDocument: atomic delete-by-key + add in ONE snapshot
+    (IndexWriter.updateDocument, reference index/IndexWriter.java:1528)
+    on a dedicated index, then an expunging force-merge so stats are
+    fresh — the index is then exactly a build over the replaced corpus,
+    which plain BM25 SQL expresses. All steps are resume-safe: the build
+    skips on completion, the update replays as a no-op, the merge
+    returns once one segment remains."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index, update_documents
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.pages import (
+        doc_id_for_url_col,
+        pages_from_documents,
+        url_for_doc_id,
+    )
+    from lucene_spark.search import IndexSearcher, parse
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_upd_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(spark, pages, root, build_id="b0000", num_segments=3,
+                num_buckets=4, stored_cols=("lang",))
+    batch = spark.createDataFrame(
+        [(url_for_doc_id(i), _upd_text(lbl), "en")
+         for i, lbl in sorted(_UPD_DOCS.items())],
+        "url string, text string, lang string",
+    )
+    update_documents(spark, root, batch, build_id="u0001", num_segments=1,
+                     stored_cols=("lang",))
+    force_merge(spark, root)
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(parse("zqupdated OR table"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_combined_fields(spark, sf_dir):
@@ -2048,6 +2096,19 @@ SELECT d.lang AS label, count(*) AS count, sum(dl.len) AS sum_value,
 FROM hit JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
 GROUP BY 1
 """
+    # update_replace: after the expunging merge, the index is exactly a
+    # fresh build over the corpus with the three texts swapped — plain BM25
+    # SQL over that replaced corpus is the oracle
+    cases = " ".join(
+        f"WHEN doc_id = {i} THEN '{_upd_text(lbl)}'"
+        for i, lbl in sorted(_UPD_DOCS.items())
+    )
+    o["update_replace"] = _bm25_term_sql(
+        [("zqupdated", 1.0), ("table", 1.0)]
+    ).replace(
+        "FROM documents",
+        f"FROM (SELECT doc_id, CASE {cases} ELSE text END AS text FROM documents) documents",
+    )
     o.update(_pipeline_oracles())
     return o
 

@@ -1,5 +1,13 @@
 from .builder import BLOCK_SIZE, build_index, term_bucket
 from .catalog import Catalog
 from .reader import IndexReader
+from .update import update_documents
 
-__all__ = ["BLOCK_SIZE", "build_index", "term_bucket", "Catalog", "IndexReader"]
+__all__ = [
+    "BLOCK_SIZE",
+    "build_index",
+    "term_bucket",
+    "Catalog",
+    "IndexReader",
+    "update_documents",
+]

@@ -393,11 +393,19 @@ def build_index(
     keyword_fields: tuple[str, ...] = (),
     index_sort: tuple[str, str] | None = None,
     text_fields: dict[str, str] | None = None,
+    commit: bool = True,
 ) -> int:
     """Build one generation of segments from a pages DataFrame and commit.
 
     Returns the committed snapshot id. If a completed build with the same
     ``build_id`` already exists, the build is skipped (resume semantics).
+
+    ``commit=False`` writes the segment files but publishes nothing: the
+    call returns ``(segment_entries, manifest)`` for the caller to fold
+    into its own atomic catalog commit (used by ``update_documents`` to
+    pair the add with its delete-by-key in ONE snapshot, like
+    IndexWriter.updateDocument). The caller owns writing the manifest
+    (the build-completion marker) after its commit.
 
     ``docs_per_inversion_task``: explicit skew salting — when set, each
     segment's inversion is split into doc sub-ranges of this size that run
@@ -430,8 +438,23 @@ def build_index(
     cat = Catalog(index_root)
     if build_id is None:
         build_id = f"b{len(os.listdir(os.path.join(index_root, 'builds'))):04d}"
-    if cat.build_completed(build_id):
+    if commit and cat.build_completed(build_id):
+        # (commit=False callers own completion marking — a replayed
+        # uncommitted build rebuilds, overwrite-safe)
         return cat.load()["current"]
+    # IndexReader maps terms→buckets with ONE layout for every generation
+    # (reader.py:32) — a generation with a different num_buckets would be
+    # silently unreadable, so refuse it outright
+    for prior in sorted(os.listdir(os.path.join(index_root, "builds"))):
+        if prior == build_id or not cat.build_completed(prior):
+            continue
+        prior_buckets = cat.read_manifest(prior).get("num_buckets")
+        if prior_buckets is not None and prior_buckets != num_buckets:
+            raise ValueError(
+                f"num_buckets={num_buckets} conflicts with existing build "
+                f"{prior} (num_buckets={prior_buckets}); all generations of "
+                f"an index must share one bucket layout"
+            )
     t0 = time.time()
     bdir = cat.build_dir(build_id)
 
@@ -659,9 +682,7 @@ def build_index(
             "min_url": r["min_url"],
             "max_url": r["max_url"],
         }
-    cat.write_manifest(
-        build_id,
-        {
+    manifest = {
             "build_id": build_id,
             "field": field,
             "num_segments": num_segments,
@@ -681,6 +702,8 @@ def build_index(
                 "stats_commit": round(time.time() - t0 - t_analysis - t_postings, 2),
             },
             "partitions": manifest_parts,
-        },
-    )
+    }
+    if not commit:
+        return segments, manifest
+    cat.write_manifest(build_id, manifest)
     return cat.commit(segments, note=f"build {build_id}")

@@ -1,0 +1,143 @@
+"""updateDocument(s): atomic delete-by-key + add in one snapshot.
+
+Lucene analogue: ``IndexWriter.updateDocument(Term, doc)`` /
+``updateDocuments`` (reference
+core/src/java/org/apache/lucene/index/IndexWriter.java:1528-1612) — delete
+every document matching the key term and add the replacement as ONE atomic
+operation: a reader sees the old version or the new, never both and never
+neither.
+
+Spark shape: the replacement batch is built as new segments (one build
+generation, ``build_index(commit=False)`` — files written, nothing
+published), the old versions are staged as tombstone generations (also
+invisible until pinned), and a single catalog snapshot publishes both.
+Point-in-time readers of the pre-update snapshot still see the old
+versions (Lucene's point-in-time IndexReader semantics).
+
+Statistics stay Lucene-stale: the tombstoned old versions keep counting
+toward docFreq / collection stats until a merge expunges them, and the new
+segments add their own stats — BM25 scores of untouched docs therefore
+shift exactly as they do in Lucene after updateDocument (idf/avgdl see
+old+new), which the SQL oracle mirrors with a UNION ALL stats corpus.
+
+Scale shape: the incoming key set is broadcast (an update batch is small
+next to the corpus), victims come from one column-pruned scan of the docs
+table (seg, doc, key only — no text), and the replacement build shuffles
+only the batch itself. No corpus-wide shuffle, no driver materialization
+beyond the (seg, doc) victim ids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .builder import build_index
+from .catalog import Catalog
+from .deletes import _tomb_dir, _tomb_path, load_tombstones
+from .reader import IndexReader
+
+
+def _update_committed(cat: Catalog, build_id: str) -> int | None:
+    """Snapshot id of a prior committed update with this build_id, if any.
+
+    The catalog (not the manifest) is the completion marker: a crash
+    anywhere before the commit replays the whole update; a crash after it
+    makes the replay a no-op."""
+    for snap in cat.load()["snapshots"]:
+        if snap.get("note") == f"update {build_id}":
+            return snap["id"]
+    return None
+
+
+def update_documents(
+    spark: SparkSession,
+    index_root: str,
+    new_pages: DataFrame,
+    *,
+    key: str = "url",
+    build_id: str | None = None,
+    num_segments: int = 2,
+    **build_kwargs,
+) -> int:
+    """Atomically replace every indexed doc whose ``key`` matches a row of
+    ``new_pages`` with that row; docs with unseen keys are plain adds.
+
+    Returns the committed snapshot id. Replays of the same ``build_id``
+    after success are no-ops (resume semantics); replays after a crash
+    redo the update idempotently — victims are recomputed excluding this
+    build's own segments, and the commit removes-then-adds by name, so
+    repeated publication converges to the same state.
+
+    ``key`` must be ``url`` or a stored column present in the index's docs
+    table. Pass the same analyzer/positions/text_fields build kwargs as the
+    base build so the new segments answer the same query shapes.
+    """
+    cat = Catalog(index_root)
+    if build_id is None:
+        build_id = f"u{len(os.listdir(os.path.join(index_root, 'builds'))):04d}"
+    done = _update_committed(cat, build_id)
+    if done is not None:
+        return done
+
+    reader = IndexReader(spark, index_root)
+    # the new generation must share the base build's physical layout and
+    # analysis chain, or the reader's single global bucket mapping (and the
+    # oracle's analyzer assumptions) silently miss the new segments' terms
+    base = reader._manifests[reader._builds[0]] if reader._builds else {}
+    for param in ("num_buckets", "field", "analyzer", "positions"):
+        if param in base:
+            build_kwargs.setdefault(param, base[param])
+    keys = new_pages.select(F.col(key)).distinct()
+    victims = (
+        reader.docs(["seg", "doc", key])
+        .join(F.broadcast(keys), key, "inner")
+        # replay safety: never tombstone docs this very build added
+        .filter(~F.col("seg").startswith(build_id + "-"))
+        .select("seg", "doc")
+        .collect()
+    )
+    by_seg: dict[str, set] = {}
+    for r in victims:
+        by_seg.setdefault(r["seg"], set()).add(int(r["doc"]))
+
+    segments, manifest = build_index(
+        spark,
+        new_pages,
+        index_root,
+        build_id=build_id,
+        num_segments=num_segments,
+        commit=False,
+        **build_kwargs,
+    )
+
+    # stage tombstone generations for the old versions (invisible until the
+    # snapshot below pins the bumped del_gen)
+    entries = []
+    for entry in reader.segments:
+        if entry["name"].startswith(build_id + "-"):
+            continue  # a crashed prior attempt's own segments: superseded
+        entry = dict(entry)
+        seg = entry["name"]
+        if seg in by_seg:
+            old = set(load_tombstones(index_root, entry).tolist())
+            merged = np.array(sorted(old | by_seg[seg]), dtype=np.int64)
+            gen = entry.get("del_gen", 0) + 1
+            os.makedirs(_tomb_dir(index_root, seg), exist_ok=True)
+            pd.DataFrame({"doc": merged}).to_parquet(_tomb_path(index_root, seg, gen))
+            entry["del_gen"] = gen
+            entry["del_count"] = int(len(merged))
+        entries.append(entry)
+
+    # manifest before publish: IndexReader reads every live build's manifest,
+    # so it must exist the instant the snapshot lands
+    cat.write_manifest(build_id, manifest)
+    return cat.commit(
+        entries + segments,
+        remove_segments=[e["name"] for e in entries] + [s["name"] for s in segments],
+        note=f"update {build_id}",
+    )

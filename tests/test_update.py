@@ -1,0 +1,138 @@
+"""updateDocument semantics: atomic delete-by-key + add in one snapshot
+(IndexWriter.updateDocument — reference
+core/src/java/org/apache/lucene/index/IndexWriter.java:1528-1612):
+old-or-new never both/neither, point-in-time pre-update reads, stale stats
+until merge, fresh brute-force parity after the expunging merge."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import Catalog, IndexReader, build_index, update_documents
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents, url_for_doc_id
+from lucene_spark.search import IndexSearcher, parse
+
+from conftest import TESTDATA
+from oracle import BruteForceIndex
+
+NONCE = "zqupdated"
+
+
+@pytest.fixture()
+def uroot(spark, tmp_path):
+    root = str(tmp_path / "uidx")
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, build_id="b0000", num_segments=3,
+                num_buckets=4, stored_cols=("lang", "text"))
+    return root
+
+
+def _topk(spark, root, qs, mode="auto", k=10, snapshot_id=None):
+    s = IndexSearcher(IndexReader(spark, root, snapshot_id=snapshot_id))
+    rows = s.search(parse(qs), k=k, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def _replacements(spark, root, victims, extra_new=True):
+    """Replacement pages: victims' text swapped for a nonce-bearing body,
+    plus one brand-new url (an update with an unseen key = plain add)."""
+    reader = IndexReader(spark, root)
+    rows = [
+        (u, f"{NONCE} fresh body number {i} {NONCE}", "en")
+        for i, u in enumerate(sorted(victims))
+    ]
+    if extra_new:
+        rows.append((url_for_doc_id(999_999_999), f"{NONCE} brand new page", "en"))
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
+def test_update_replaces_docs_atomically(spark, uroot):
+    before = _topk(spark, uroot, "table", k=20)
+    victims = sorted({u for u, _ in before[:3]})
+    pre_snapshot = Catalog(uroot).load()["current"]
+    pre_stats = IndexReader(spark, uroot).collection_stats("text")
+
+    batch = _replacements(spark, uroot, victims)
+    sid = update_documents(spark, uroot, batch, build_id="u0001",
+                           num_segments=1, stored_cols=("lang", "text"))
+    assert sid == pre_snapshot + 1  # ONE snapshot for delete+add
+
+    # old versions gone from the term's hits (scores legitimately shift:
+    # the ADDED docs change doc_count/avgdl, exactly as in Lucene — exact
+    # parity is asserted post-merge and by the driver's SQL oracle)
+    after = _topk(spark, uroot, "table", k=20)
+    assert {u for u, _ in after} & set(victims) == set()
+
+    # new versions are the only docs matching the nonce: 3 updates + 1 add
+    hits = _topk(spark, uroot, NONCE, k=50)
+    assert sorted(u for u, _ in hits) == victims + [url_for_doc_id(999_999_999)]
+    assert len({u for u, _ in hits}) == len(hits)  # never both versions
+
+    # stale stats: old versions still counted, new docs add theirs
+    post_stats = IndexReader(spark, uroot).collection_stats("text")
+    assert post_stats[0] == pre_stats[0] + 4
+
+    # point-in-time: the pre-update snapshot still serves the old versions
+    old_hits = _topk(spark, uroot, "table", k=20, snapshot_id=pre_snapshot)
+    assert old_hits == before
+    assert _topk(spark, uroot, NONCE, k=5, snapshot_id=pre_snapshot) == []
+
+
+def test_update_replay_and_chained_updates(spark, uroot):
+    before = _topk(spark, uroot, "scan", k=10)
+    victims = sorted({u for u, _ in before[:2]})
+    batch = _replacements(spark, uroot, victims, extra_new=False)
+
+    sid1 = update_documents(spark, uroot, batch, build_id="u0001",
+                            num_segments=1, stored_cols=("lang", "text"))
+    # replay of the same build_id is a no-op (resume semantics)
+    sid2 = update_documents(spark, uroot, batch, build_id="u0001",
+                            num_segments=1, stored_cols=("lang", "text"))
+    assert sid2 == sid1
+    assert Catalog(uroot).load()["current"] == sid1
+
+    # a second update of the SAME key supersedes the first: exactly one
+    # live version, carrying the latest body
+    v = victims[0]
+    batch2 = spark.createDataFrame(
+        [(v, f"{NONCE} zqsecondgen body", "en")],
+        "url string, text string, lang string",
+    )
+    update_documents(spark, uroot, batch2, build_id="u0002",
+                     num_segments=1, stored_cols=("lang", "text"))
+    hits = _topk(spark, uroot, "zqsecondgen", k=10)
+    assert [u for u, _ in hits] == [v]
+    nonce_hits = _topk(spark, uroot, NONCE, k=10)
+    assert sorted(u for u, _ in nonce_hits) == victims
+    assert len({u for u, _ in nonce_hits}) == len(nonce_hits)
+
+
+def test_update_then_merge_matches_brute_force(spark, uroot, corpus):
+    """After the expunging merge the stats are fresh, so the engine must
+    match a brute-force oracle over the replaced corpus exactly."""
+    before = _topk(spark, uroot, "merge", k=10)
+    victims = sorted({u for u, _ in before[:2]})
+    batch = _replacements(spark, uroot, victims, extra_new=False)
+    update_documents(spark, uroot, batch, build_id="u0001",
+                     num_segments=1, stored_cols=("lang", "text"))
+    force_merge(spark, uroot)
+
+    pdf = corpus.copy()
+    repl = {
+        u: f"{NONCE} fresh body number {i} {NONCE}"
+        for i, u in enumerate(victims)
+    }
+    pdf["text"] = [repl.get(u, t) for u, t in zip(pdf["url"], pdf["text"])]
+    oracle = BruteForceIndex(pdf)
+
+    for qs in ("merge", NONCE, "table scan"):
+        got = _topk(spark, uroot, qs, mode="exhaustive", k=10)
+        want = oracle.topk(parse(qs), k=10)
+        assert [u for u, _ in got] == [u for u, _ in want], qs
+        for (gu, gs), (wu, ws) in zip(got, want):
+            # engine sums float32 term scores in double — compare at float32
+            assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (qs, gu, gs, ws)
