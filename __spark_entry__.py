@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_drill_sideways"] = _pq_drill_sideways
     q["facet_stats_lang"] = _pq_facet_stats
     q["update_replace"] = _pq_update_replace
+    q["add_indexes_search"] = _pq_add_indexes
     return q
 
 
@@ -264,6 +265,42 @@ def _pq_update_replace(spark, sf_dir):
     force_merge(spark, root)
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     hits = s.search(parse("zqupdated OR table"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_add_indexes(spark, sf_dir):
+    """addIndexes(Directory...) (IndexWriter.java:2984): two contiguous
+    url-range shards indexed independently, then federated by a pure
+    file-copy + one catalog snapshot (no re-indexing, no Spark job) —
+    search over the union must equal plain BM25 SQL over the whole
+    corpus. All steps resume across runs (build-id skip, note replay)."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, add_indexes, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher, parse
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = f"/tmp/lucene_spark_addix_{_INDEX_VERSION}_{tag}"
+    srcb = f"/tmp/lucene_spark_addix_src_{_INDEX_VERSION}_{tag}"
+    pages = (
+        pages_from_documents(spark, sf_dir)
+        .select("url", "text", "lang")
+        .withColumn("did", doc_id_for_url_col())
+    )
+    cut = spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2
+    build_index(spark, pages.filter(F.col("did") < cut).drop("did"), dest,
+                build_id="b0000", num_segments=2, num_buckets=4,
+                stored_cols=("lang",))
+    build_index(spark, pages.filter(F.col("did") >= cut).drop("did"), srcb,
+                build_id="b0000", num_segments=2, num_buckets=4,
+                stored_cols=("lang",))
+    add_indexes(dest, [srcb], build_id="x0001")
+    s = IndexSearcher(IndexReader(spark, dest), dtype=np.float64)
+    hits = s.search(parse("table OR scan"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -2109,6 +2146,9 @@ GROUP BY 1
         "FROM documents",
         f"FROM (SELECT doc_id, CASE {cases} ELSE text END AS text FROM documents) documents",
     )
+    # add_indexes_search: federation of two disjoint range shards must be
+    # indistinguishable from one index over the whole corpus
+    o["add_indexes_search"] = _bm25_term_sql([("table", 1.0), ("scan", 1.0)])
     o.update(_pipeline_oracles())
     return o
 

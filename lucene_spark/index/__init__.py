@@ -1,3 +1,4 @@
+from .add_indexes import add_indexes
 from .builder import BLOCK_SIZE, build_index, term_bucket
 from .catalog import Catalog
 from .reader import IndexReader
@@ -5,6 +6,7 @@ from .update import update_documents
 
 __all__ = [
     "BLOCK_SIZE",
+    "add_indexes",
     "build_index",
     "term_bucket",
     "Catalog",

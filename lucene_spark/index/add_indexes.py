@@ -1,0 +1,147 @@
+"""addIndexes: federate independently built indexes into one catalog.
+
+Lucene analogue: ``IndexWriter.addIndexes(Directory...)`` (reference
+core/src/java/org/apache/lucene/index/IndexWriter.java:2984-3090 — the
+codec-file copy path, not the re-indexing ``addIndexes(CodecReader...)``):
+every live segment of every source index is copied file-for-file into the
+destination and published in ONE atomic snapshot — no re-analysis, no
+re-inversion, no Spark job at all.
+
+This is the shard-federation primitive at scale: N crawl shards are
+indexed independently (each build sees only its slice), then a pure
+metadata + file-copy step makes them one searchable index. When the
+sources cover contiguous, disjoint url ranges added in url order, the
+destination keeps the global ``doc order == url order`` tie-break
+invariant exactly; otherwise added docs simply append after existing ones
+(deterministic, and exactly how Lucene appends docBases — a later merge
+re-establishes any desired physical order).
+
+Constraints mirror what the reader assumes globally (reader.py:32,
+phrase.py:82): every generation of one index must share ``num_buckets``,
+``field``, ``analyzer`` and ``positions``; a mismatch raises instead of
+producing a silently unreadable or silently phrase-blind generation.
+Sources should also share the docs-table column set (parquet partition
+discovery infers one schema per generation directory).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from .catalog import Catalog
+from .deletes import _tomb_dir, _tomb_path
+
+_LAYOUT_PARAMS = ("num_buckets", "field", "analyzer", "positions")
+
+
+def _first_manifest(cat: Catalog) -> dict | None:
+    builds_dir = os.path.join(cat.root, "builds")
+    if not os.path.isdir(builds_dir):
+        return None
+    for b in sorted(os.listdir(builds_dir)):
+        if cat.build_completed(b):
+            return cat.read_manifest(b)
+    return None
+
+
+def _add_committed(cat: Catalog, note: str) -> int | None:
+    for snap in cat.load()["snapshots"]:
+        if snap.get("note") == note:
+            return snap["id"]
+    return None
+
+
+def add_indexes(dest_root: str, src_roots: list[str], *, build_id: str | None = None) -> int:
+    """Copy every live segment of every source index into ``dest_root``
+    and publish them all in one atomic snapshot; returns the snapshot id.
+
+    Pure driver-side file copy + catalog bookkeeping — O(bytes copied),
+    zero cluster work. Replays of the same ``build_id`` after a committed
+    add are no-ops; replays after a crash redo the copy (overwrite-safe)
+    and converge to the same state.
+
+    Segments are renamed ``{build_id}-{nnnnn}`` in (source order, source
+    segment order), so passing range-sharded sources in url order keeps
+    global doc order == url order. Live tombstones travel with their
+    segments (deleted docs stay deleted).
+    """
+    cat = Catalog(dest_root)
+    if build_id is None:
+        build_id = f"x{len(os.listdir(os.path.join(dest_root, 'builds'))):04d}"
+    note = f"addIndexes {build_id}"
+    done = _add_committed(cat, note)
+    if done is not None:
+        return done
+
+    base = _first_manifest(cat)
+    bdir = cat.build_dir(build_id)
+    entries: list[dict] = []
+    partitions: dict[str, dict] = {}
+    index_sorts = set()
+    n = 0
+    for src_root in src_roots:
+        src_cat = Catalog(src_root)
+        src_live = src_cat.live_segments()
+        if not src_live:
+            continue
+        src_manifests = {
+            b: src_cat.read_manifest(b) for b in sorted({s["build"] for s in src_live})
+        }
+        first = next(iter(src_manifests.values()))
+        if base is None:
+            base = first  # empty destination: first source defines the layout
+        for p in _LAYOUT_PARAMS:
+            if first.get(p) != base.get(p):
+                raise ValueError(
+                    f"addIndexes layout mismatch on {p!r}: source {src_root} has "
+                    f"{first.get(p)!r}, destination requires {base.get(p)!r}"
+                )
+        for m in src_manifests.values():
+            s = m.get("index_sort")
+            index_sorts.add(tuple(s) if s else None)
+        for entry in src_live:
+            old = entry["name"]
+            new = f"{build_id}-{n:05d}"
+            n += 1
+            for table in ("docs", "postings"):
+                src_dir = os.path.join(
+                    src_root, "builds", entry["build"], table, f"seg={old}"
+                )
+                dst_dir = os.path.join(bdir, table, f"seg={new}")
+                if os.path.isdir(dst_dir):  # crashed prior attempt
+                    shutil.rmtree(dst_dir)
+                os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+                shutil.copytree(src_dir, dst_dir)
+            gen = entry.get("del_gen", 0)
+            if gen:
+                os.makedirs(_tomb_dir(dest_root, new), exist_ok=True)
+                shutil.copyfile(
+                    _tomb_path(src_root, old, gen), _tomb_path(dest_root, new, gen)
+                )
+            e = dict(entry)
+            e["name"] = new
+            e["build"] = build_id
+            entries.append(e)
+            src_part = src_manifests[entry["build"]].get("partitions", {}).get(old)
+            partitions[new] = src_part or {"docs": entry["max_doc"]}
+
+    if not entries:
+        raise ValueError("addIndexes: no live segments in any source")
+    sort = index_sorts.pop() if len(index_sorts) == 1 else None
+    cat.write_manifest(
+        build_id,
+        {
+            "build_id": build_id,
+            "field": base["field"],
+            "num_segments": len(entries),
+            "num_buckets": base["num_buckets"],
+            "analyzer": base["analyzer"],
+            "positions": base.get("positions", False),
+            "index_sort": list(sort) if sort else None,
+            "text_fields": base.get("text_fields", []),
+            "field_analyzers": base.get("field_analyzers", {}),
+            "partitions": partitions,
+        },
+    )
+    return cat.commit(entries, note=note)

@@ -1,0 +1,117 @@
+"""addIndexes(Directory...) semantics (reference
+core/src/java/org/apache/lucene/index/IndexWriter.java:2984): file-level
+segment federation in one atomic snapshot — full brute-force parity over
+the union corpus, carried deletes, layout-mismatch refusal, idempotent
+replay. Range-sharded sources added in url order keep the global
+doc-order == url-order tie-break."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import Catalog, IndexReader, add_indexes, build_index
+from lucene_spark.index.deletes import delete_docs
+from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+
+from conftest import TESTDATA
+from oracle import BruteForceIndex
+
+QUERIES = ("table", "merge OR window OR spark", "table AND scan", "+table -merge")
+
+
+def _shard_pages(spark, n_shards):
+    """Contiguous url-range shards (url order == doc_id order)."""
+    pages = pages_from_documents(spark, TESTDATA).withColumn(
+        "did", doc_id_for_url_col()
+    )
+    total = pages.count()
+    cut = total // n_shards
+    out = []
+    for i in range(n_shards):
+        lo, hi = i * cut, (i + 1) * cut if i < n_shards - 1 else total
+        out.append(pages.filter((F.col("did") >= lo) & (F.col("did") < hi)).drop("did"))
+    return out
+
+
+def _build(spark, root, pages, **kw):
+    shutil.rmtree(root, ignore_errors=True)
+    kw.setdefault("num_segments", 2)
+    kw.setdefault("num_buckets", 4)
+    build_index(spark, pages, root, build_id="b0000", **kw)
+    return root
+
+
+def _topk(spark, root, qs, k=10, mode="auto"):
+    s = IndexSearcher(IndexReader(spark, root))
+    rows = s.search(parse(qs), k=k, mode=mode).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def _assert_parity(spark, root, oracle, qs, k=10):
+    for mode in ("exhaustive", "maxscore"):
+        got = _topk(spark, root, qs, k=k, mode=mode)
+        want = oracle.topk(parse(qs), k=k)
+        assert [u for u, _ in got] == [u for u, _ in want], (qs, mode)
+        for (gu, gs), (_, ws) in zip(got, want):
+            assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (qs, gu)
+
+
+def test_add_indexes_full_parity(spark, tmp_path, corpus):
+    """Three range shards indexed independently == one index over the
+    whole corpus, bit-for-bit on ranks and float32 scores."""
+    a, b, c = _shard_pages(spark, 3)
+    dest = _build(spark, str(tmp_path / "dest"), a)
+    rb = _build(spark, str(tmp_path / "srcb"), b)
+    rc = _build(spark, str(tmp_path / "srcc"), c)
+
+    pre = Catalog(dest).load()["current"]
+    sid = add_indexes(dest, [rb, rc], build_id="x0001")
+    assert sid == pre + 1  # ONE snapshot for both sources
+
+    reader = IndexReader(spark, dest)
+    oracle = BruteForceIndex(corpus)
+    assert reader.collection_stats("text")[0] == len(corpus)
+    for qs in QUERIES:
+        _assert_parity(spark, dest, oracle, qs)
+
+    # url order must survive federation: segment name order == url ranges
+    segs = Catalog(dest).live_segments()
+    urls = [reader.docs(["seg", "url"]).filter(F.col("seg") == s["name"])
+            .agg(F.min("url"), F.max("url")).first() for s in segs]
+    flat = [u for pair in urls for u in pair]
+    assert flat == sorted(flat)
+
+
+def test_add_indexes_carries_deletes_and_replays(spark, tmp_path, corpus):
+    a, b = _shard_pages(spark, 2)
+    dest = _build(spark, str(tmp_path / "dest"), a)
+    rb = _build(spark, str(tmp_path / "srcb"), b)
+
+    # tombstone one matching doc in the source before federating
+    rbr = IndexReader(spark, rb)
+    sb = IndexSearcher(rbr)
+    victim = sb.search(parse("table"), k=1).select("url").first()["url"]
+    delete_docs(spark, rb, rbr.docs(["seg", "doc", "url"]).filter(F.col("url") == victim))
+
+    sid = add_indexes(dest, [rb], build_id="x0001")
+    assert add_indexes(dest, [rb], build_id="x0001") == sid  # no-op replay
+    assert Catalog(dest).load()["current"] == sid
+
+    hits = _topk(spark, dest, "table", k=len(corpus))
+    assert victim not in {u for u, _ in hits}
+    # stale-stats semantics survive the copy: the tombstoned doc still counts
+    assert IndexReader(spark, dest).collection_stats("text")[0] == len(corpus)
+
+
+def test_add_indexes_refuses_layout_mismatch(spark, tmp_path):
+    a, b = _shard_pages(spark, 2)
+    dest = _build(spark, str(tmp_path / "dest"), a, num_buckets=4)
+    rb = _build(spark, str(tmp_path / "srcb"), b, num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets"):
+        add_indexes(dest, [rb], build_id="x0001")
+    rp = _build(spark, str(tmp_path / "srcp"), b, num_buckets=4, positions=True)
+    with pytest.raises(ValueError, match="positions"):
+        add_indexes(dest, [rp], build_id="x0002")
