@@ -1,6 +1,7 @@
 from .add_indexes import add_indexes
 from .builder import BLOCK_SIZE, build_index, term_bucket
 from .catalog import Catalog
+from .expire import expire_snapshots
 from .reader import IndexReader
 from .update import update_documents
 
@@ -10,6 +11,7 @@ __all__ = [
     "build_index",
     "term_bucket",
     "Catalog",
+    "expire_snapshots",
     "IndexReader",
     "update_documents",
 ]

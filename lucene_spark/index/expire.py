@@ -1,0 +1,172 @@
+"""Snapshot expiration: the IndexDeletionPolicy + IndexFileDeleter analogue.
+
+Lucene keeps every commit point alive until a deletion policy releases it,
+then IndexFileDeleter refcounts the files each retained commit references
+and physically deletes files whose refcount reaches zero
+(/root/reference/lucene/core/src/java/org/apache/lucene/index/IndexFileDeleter.java:150-233,
+IndexDeletionPolicy.java, KeepLastNCommitsDeletionPolicy.java,
+SnapshotDeletionPolicy.java). Without this, an index that merges or
+updates forever leaks every superseded segment.
+
+This module is the same contract over the parquet catalog:
+
+- ``keep_last=N`` is KeepLastNCommitsDeletionPolicy (N=1 ==
+  KeepOnlyLastCommitDeletionPolicy); the CURRENT snapshot is always
+  retained regardless of N.
+- ``keep_ids`` pins explicit snapshots like SnapshotDeletionPolicy.snapshot()
+  — point-in-time readers on a pinned id stay valid across expirations.
+- The "refcount" is computed set-wise instead of incrementally: a segment
+  data directory (``builds/<b>/<table>/seg=<name>``) is live iff any
+  retained snapshot lists ``(build=b, name)``; a tombstone generation file
+  is live iff any retained snapshot pins that ``del_gen`` for the segment;
+  an IVF build's whole-directory data (``vectors/``, ``centroids.json``,
+  ``tombstones/``) is live iff any retained snapshot references the build.
+  Set-wise is the right distributed shape: it is idempotent, needs no
+  persistent counter state, and a crash mid-delete just leaves garbage the
+  next run removes (exactly IndexFileDeleter's retry-on-init behavior,
+  IndexFileDeleter.java:216-233).
+- ``manifest.json`` is always kept: it is what makes a replayed build_id a
+  no-op, and the build-id allocator numbers by directory count, so build
+  directories are never removed — only their data.
+
+Order of operations mirrors Lucene's commit-then-delete: the pruned
+catalog is atomically published FIRST, then files unreferenced by the new
+catalog are deleted. A reader racing the expiration either loads the old
+catalog (every file it can reference still exists at load time, same
+guarantee as POSIX unlink-after-open is NOT available on object stores —
+hence catalog-first publication bounds the race to in-flight loads) or
+the new one (sees only retained snapshots).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from .catalog import Catalog
+
+
+def _tree_size(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fn in filenames:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                pass
+    return total
+
+
+def _remove(path: str, deleted: list[str], dry_run: bool) -> int:
+    size = _tree_size(path)
+    deleted.append(path)
+    if not dry_run:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    return size
+
+
+def expire_snapshots(
+    index_root: str,
+    *,
+    keep_last: int = 2,
+    keep_ids: tuple[int, ...] = (),
+    dry_run: bool = False,
+) -> dict:
+    """Expire old snapshots and delete files no retained snapshot needs.
+
+    Works on both index kinds sharing the Catalog format (the inverted
+    index and the IVF vector index). Returns a stats dict:
+    ``{"retained", "expired", "deleted_paths", "freed_bytes"}``.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (current is always retained)")
+    cat = Catalog(index_root)
+    data = cat.load()
+    snaps = data["snapshots"]
+    known = {s["id"] for s in snaps}
+    missing = set(keep_ids) - known
+    if missing:
+        raise KeyError(f"cannot pin unknown snapshot ids {sorted(missing)}")
+
+    retained_ids = {data["current"]} | set(keep_ids)
+    retained_ids.update(s["id"] for s in snaps[-keep_last:])
+    retained = [s for s in snaps if s["id"] in retained_ids]
+    expired = [s["id"] for s in snaps if s["id"] not in retained_ids]
+
+    # The reference set: everything any retained snapshot can reach.
+    live_pairs: set[tuple[str, str]] = set()  # (build, segment name)
+    live_builds: set[str] = set()
+    pinned_gens: dict[str, set[int]] = {}  # segment name -> live del_gens
+    for s in retained:
+        for e in s["segments"]:
+            live_pairs.add((e["build"], e["name"]))
+            live_builds.add(e["build"])
+            gen = e.get("del_gen", 0)
+            if gen:
+                pinned_gens.setdefault(e["name"], set()).add(int(gen))
+    live_seg_names = {name for _b, name in live_pairs}
+
+    # 1) Publish the pruned catalog (atomic; Lucene's "commit then delete").
+    if expired and not dry_run:
+        data["snapshots"] = retained
+        cat._write(data)
+
+    deleted: list[str] = []
+    freed = 0
+
+    # 2) Segment-partitioned tables: drop seg= dirs with refcount 0.
+    builds_root = os.path.join(index_root, "builds")
+    for b in sorted(os.listdir(builds_root)) if os.path.isdir(builds_root) else []:
+        bdir = os.path.join(builds_root, b)
+        if not os.path.isdir(bdir):
+            continue
+        for entry in sorted(os.listdir(bdir)):
+            if entry == "manifest.json":
+                continue  # resume marker + build-id numbering: always kept
+            path = os.path.join(bdir, entry)
+            if b not in live_builds:
+                # Whole build unreferenced: drop all its data (table dirs,
+                # IVF vectors/centroids/tombstones, _SUCCESS markers).
+                freed += _remove(path, deleted, dry_run)
+                continue
+            seg_dirs = (
+                [d for d in os.listdir(path) if d.startswith("seg=")]
+                if os.path.isdir(path)
+                else []
+            )
+            for d in seg_dirs:
+                if (b, d[len("seg="):]) not in live_pairs:
+                    freed += _remove(os.path.join(path, d), deleted, dry_run)
+
+    # 3) Inverted-index tombstone generations not pinned by any retained
+    # snapshot (root/tombstones/<seg>/gen-K.parquet, index/deletes.py).
+    tomb_root = os.path.join(index_root, "tombstones")
+    if os.path.isdir(tomb_root):
+        for seg in sorted(os.listdir(tomb_root)):
+            seg_dir = os.path.join(tomb_root, seg)
+            if seg not in live_seg_names:
+                freed += _remove(seg_dir, deleted, dry_run)
+                continue
+            live_gens = pinned_gens.get(seg, set())
+            for fn in sorted(os.listdir(seg_dir)):
+                if fn.startswith("gen-") and fn.endswith(".parquet"):
+                    gen = int(fn[len("gen-"):-len(".parquet")])
+                    if gen not in live_gens:
+                        freed += _remove(os.path.join(seg_dir, fn), deleted, dry_run)
+
+    return {
+        "retained": sorted(retained_ids & known),
+        "expired": expired,
+        "deleted_paths": len(deleted),
+        "freed_bytes": freed,
+        "paths": deleted,
+        "dry_run": dry_run,
+    }

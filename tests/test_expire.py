@@ -1,0 +1,146 @@
+"""Snapshot expiration: IndexDeletionPolicy + IndexFileDeleter semantics —
+retained commits stay readable (including explicit pins), expired ones are
+gone from the catalog, and files no retained snapshot references are
+physically deleted."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import Catalog, IndexReader, build_index, expire_snapshots
+from lucene_spark.index.deletes import delete_by_query
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher, parse
+
+from conftest import TESTDATA
+
+
+@pytest.fixture()
+def eroot(spark, tmp_path):
+    root = str(tmp_path / "eidx")
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"))
+    return root
+
+
+def _topk(spark, root, qs, snapshot_id=None, k=10):
+    s = IndexSearcher(IndexReader(spark, root, snapshot_id=snapshot_id))
+    rows = s.search(parse(qs), k=k).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def _seg_dirs(root):
+    found = set()
+    broot = os.path.join(root, "builds")
+    for b in os.listdir(broot):
+        for table in ("docs", "postings"):
+            tdir = os.path.join(broot, b, table)
+            if os.path.isdir(tdir):
+                for d in os.listdir(tdir):
+                    if d.startswith("seg="):
+                        found.add((b, table, d[len("seg="):]))
+    return found
+
+
+def test_expire_refcounts_files_and_honors_pins(spark, eroot):
+    base = _topk(spark, eroot, "table")
+    pinned = Catalog(eroot).load()["current"]  # the pre-delete commit
+
+    delete_by_query(spark, eroot, parse("scan"))
+    after_delete = _topk(spark, eroot, "table")
+    force_merge(spark, eroot, max_segments=1)  # expunges; old segs now dead
+    # (merge rank parity is test_merge's job; here after_merge is the
+    # baseline that must survive expiration bit-for-bit)
+    after_merge = _topk(spark, eroot, "table")
+    assert after_merge and "scan" not in {u for u, _ in after_delete}
+
+    segs_before = _seg_dirs(eroot)
+    cat = Catalog(eroot)
+    all_ids = [s["id"] for s in cat.load()["snapshots"]]
+    assert len(all_ids) >= 4  # init, build, delete, merge
+
+    # dry_run reports deletions but touches nothing
+    plan = expire_snapshots(eroot, keep_last=1, keep_ids=(pinned,), dry_run=True)
+    assert plan["deleted_paths"] > 0 and _seg_dirs(eroot) == segs_before
+
+    # expire for real, pinning the pre-delete commit (SnapshotDeletionPolicy)
+    stats = expire_snapshots(eroot, keep_last=1, keep_ids=(pinned,))
+    assert stats["expired"] and stats["freed_bytes"] > 0
+    left = {s["id"] for s in Catalog(eroot).load()["snapshots"]}
+    assert left == set(stats["retained"]) and pinned in left
+
+    # current and pinned snapshots still serve identical results
+    assert _topk(spark, eroot, "table") == after_merge
+    assert _topk(spark, eroot, "table", snapshot_id=pinned) == base
+    # pinned pre-delete commit must not see the delete's tombstones
+    assert _topk(spark, eroot, "scan", snapshot_id=pinned) != []
+
+    # an expired snapshot id is no longer loadable
+    dead = next(i for i in all_ids if i not in left)
+    with pytest.raises(KeyError):
+        IndexReader(spark, eroot, snapshot_id=dead)
+
+    # drop the pin: the pre-merge segment files now have refcount 0 and
+    # must be physically deleted (IndexFileDeleter.deleteFilesIfNoRef)
+    stats2 = expire_snapshots(eroot, keep_last=1)
+    assert stats2["deleted_paths"] > 0
+    live = Catalog(eroot).live_segments()
+    live_pairs = {(e["build"], e["name"]) for e in live}
+    assert all((b, name) in live_pairs for b, _t, name in _seg_dirs(eroot))
+    # merge expunged the deletes, so no tombstone generations survive
+    troot = os.path.join(eroot, "tombstones")
+    leftover = (
+        [f for s in os.listdir(troot) for f in os.listdir(os.path.join(troot, s))]
+        if os.path.isdir(troot) else []
+    )
+    assert leftover == []
+    assert _topk(spark, eroot, "table") == after_merge
+
+    # expiration is idempotent: a re-run finds nothing to delete
+    stats3 = expire_snapshots(eroot, keep_last=1)
+    assert stats3["deleted_paths"] == 0 and stats3["expired"] == []
+
+
+def test_expire_vector_index(spark, tmp_path):
+    """The same expiration works on the IVF catalog: a rebuild swap leaves
+    the old generation unreferenced; expire removes its vectors/centroids
+    while the live generation keeps serving identical neighbors."""
+    from lucene_spark.index.check import check_vector_index
+    from lucene_spark.pipeline.similarity import IVFVectorIndex
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    root = str(tmp_path / "vidx")
+    IVFVectorIndex.build(spark, emb.filter(F.col("vec_id") % 2 == 0), root, nlist=4)
+    IVFVectorIndex.build(spark, emb, root, nlist=4, build_id="v_full")  # swap
+
+    idx = IVFVectorIndex(spark, root)
+    row = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding").first()
+    q = [(int(row["vec_id"]), list(row["embedding"]))]
+    before = idx.search(q, k=5).collect()
+
+    stats = expire_snapshots(root, keep_last=1)
+    assert stats["freed_bytes"] > 0
+    old_bdir = os.path.join(root, "builds", "v0000")
+    assert not os.path.exists(os.path.join(old_bdir, "vectors"))
+    assert not os.path.exists(os.path.join(old_bdir, "centroids.json"))
+    assert os.path.exists(os.path.join(old_bdir, "manifest.json"))
+
+    after = IVFVectorIndex(spark, root).search(q, k=5).collect()
+    assert after == before
+    assert check_vector_index(spark, root)["errors"] == []
+
+
+def test_expire_guards(spark, eroot):
+    with pytest.raises(ValueError):
+        expire_snapshots(eroot, keep_last=0)
+    with pytest.raises(KeyError):
+        expire_snapshots(eroot, keep_ids=(999,))
+    # keeping everything is a no-op
+    stats = expire_snapshots(eroot, keep_last=100)
+    assert stats["expired"] == [] and stats["deleted_paths"] == 0
