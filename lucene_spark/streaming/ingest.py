@@ -36,12 +36,19 @@ def start_index_stream(
     num_segments_per_batch: int = 4,
     merge_policy: TieredMergePolicy | None = None,
     trigger_once: bool = False,
+    retain_snapshots: int | None = None,
     **build_kwargs,
 ):
     """Start a streaming query indexing ``stream_df`` (pages schema).
 
     Each micro-batch becomes one catalog commit; the tiered merge policy
-    runs after each batch (background-merge stand-in)."""
+    runs after each batch (background-merge stand-in). ``retain_snapshots``
+    bounds catalog growth for always-on streams: after each batch the
+    deletion policy keeps only that many trailing commits and physically
+    deletes merged-away segment files (Lucene's IndexWriter holds an
+    IndexFileDeleter for exactly this — an NRT writer that never expunges
+    old commits leaks every superseded segment, IndexFileDeleter.java:69).
+    None keeps everything (NoDeletionPolicy)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
@@ -56,6 +63,10 @@ def start_index_stream(
         )
         if merge_policy is not None:
             maybe_merge(spark, index_root, merge_policy)
+        if retain_snapshots is not None:
+            from ..index.expire import expire_snapshots
+
+            expire_snapshots(index_root, keep_last=retain_snapshots)
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

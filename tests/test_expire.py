@@ -136,6 +136,46 @@ def test_expire_vector_index(spark, tmp_path):
     assert check_vector_index(spark, root)["errors"] == []
 
 
+def test_streaming_retention_bounds_catalog(spark, tmp_path):
+    """An always-on ingest stream with retain_snapshots must not leak:
+    after the run the catalog holds a bounded history and every segment
+    directory on disk is referenced by a retained snapshot, while search
+    results match a fresh full build exactly."""
+    from lucene_spark.index.merge import TieredMergePolicy
+    from lucene_spark.streaming import start_index_stream
+
+    pages = pages_from_documents(spark, TESTDATA).limit(300).cache()
+    src_dir = str(tmp_path / "src")
+    pages.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    root = str(tmp_path / "sidx")
+    q = start_index_stream(
+        spark, stream, root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_segments_per_batch=2,
+        merge_policy=TieredMergePolicy(segs_per_tier=2, floor_docs=1),
+        trigger_once=True,
+        retain_snapshots=1,
+        stored_cols=("lang", "text"),
+    )
+    q.awaitTermination(300)
+
+    cat = Catalog(root)
+    snaps = cat.load()["snapshots"]
+    assert len(snaps) == 1 and snaps[0]["id"] == cat.load()["current"]
+    live_pairs = {(e["build"], e["name"]) for e in cat.live_segments()}
+    assert all((b, n) in live_pairs for b, _t, n in _seg_dirs(root))
+
+    full_root = str(tmp_path / "full")
+    build_index(spark, pages, full_root, num_segments=2, stored_cols=("lang", "text"))
+    assert _topk(spark, root, "table") == _topk(spark, full_root, "table")
+    pages.unpersist()
+
+
 def test_expire_guards(spark, eroot):
     with pytest.raises(ValueError):
         expire_snapshots(eroot, keep_last=0)
