@@ -221,7 +221,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_stats_lang"] = _pq_facet_stats
     q["update_replace"] = _pq_update_replace
     q["add_indexes_search"] = _pq_add_indexes
+    q["feature_saturation"] = _pq_feature_saturation
+    q["distance_feature_recency"] = _pq_distance_feature
     return q
+
+
+def _pq_feature_saturation(spark, sf_dir):
+    """FeatureField.newSaturationQuery as an additive SHOULD clause next
+    to a BM25 term clause (the canonical static-ranking-signal pattern,
+    reference core/.../document/FeatureField.java:355-470): score =
+    bm25(table) + 1.5 * length / (length + 40)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.BooleanQuery.build(
+        (Q.SHOULD, Q.TermQuery("text", "table")),
+        (Q.SHOULD, Q.FeatureQuery("length", "saturation", pivot=40.0, boost=1.5)),
+    )
+    hits = s.search(q, k=K)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_distance_feature(spark, sf_dir):
+    """LongField.newDistanceFeatureQuery analogue (recency boost): MUST
+    bm25(table) + SHOULD 2 * pivot / (pivot + |doc_id - origin|) over the
+    url-derived doc id (doc values are columns)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (
+            Q.SHOULD,
+            Q.DistanceFeatureQuery(
+                "cast(substring(url, 25, 12) as double)",
+                origin=0.0,
+                pivot=50.0,
+                boost=2.0,
+            ),
+        ),
+    )
+    hits = s.search(q, k=K)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 _UPD_DOCS = {1: "alpha", 3: "beta", 5: "gamma"}
@@ -1916,6 +1965,30 @@ ORDER BY doc_id ASC LIMIT 1000
         + f"""SELECT agg.doc_id AS doc_id, round(score * ln(1 + dl2.len), 4) AS score_r
 FROM agg JOIN dl dl2 ON dl2.doc_id = agg.doc_id
 ORDER BY score * ln(1 + dl2.len) DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
+    # FeatureQuery: bm25(table) SHOULD-unioned with an additive
+    # saturation feature over the analyzed length (matches len > 0)
+    feat_base = _bm25_term_sql([("table", 1.0)], k=K)
+    o["feature_saturation"] = (
+        feat_base.split("SELECT doc_id, round")[0]
+        + f"""SELECT dl.doc_id AS doc_id,
+       round(coalesce(agg.score, 0) + 1.5 * dl.len / (dl.len + 40.0), 4) AS score_r
+FROM dl LEFT JOIN agg ON agg.doc_id = dl.doc_id
+WHERE dl.len > 0
+ORDER BY coalesce(agg.score, 0) + 1.5 * dl.len / (dl.len + 40.0) DESC, dl.doc_id ASC
+LIMIT {K}
+"""
+    )
+    # DistanceFeatureQuery: MUST bm25(table) + 2 * 50 / (50 + doc_id)
+    dfq_base = _bm25_term_sql([("table", 1.0)], k=K)
+    o["distance_feature_recency"] = (
+        dfq_base.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id,
+       round(agg.score + 2.0 * 50.0 / (50.0 + agg.doc_id), 4) AS score_r
+FROM agg
+ORDER BY agg.score + 2.0 * 50.0 / (50.0 + agg.doc_id) DESC, agg.doc_id ASC
+LIMIT {K}
 """
     )
     # KnnQuery through the searcher: exact cosine top-k over the subset

@@ -303,6 +303,63 @@ class DocValuesQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class FeatureQuery(Query):
+    """FeatureField static-ranking-signal query (reference
+    core/src/java/org/apache/lucene/document/FeatureField.java:355-470:
+    newLogQuery / newSaturationQuery / newSigmoidQuery / newLinearQuery).
+
+    Lucene stores the feature value as a term frequency in a dedicated
+    feature field; here doc values are parquet columns, so ``feature`` is
+    a SQL double expression over docs-table columns (e.g. ``"length"`` or
+    a pagerank column). Matches every doc whose feature is non-null and
+    > 0 (Lucene: docs holding the feature term, freq > 0); score =
+
+      - log:        boost * ln(pivot + S)      (pivot = scalingFactor a >= 1)
+      - saturation: boost * S / (S + pivot)    (pivot > 0)
+      - sigmoid:    boost * S^exp / (S^exp + pivot^exp)
+      - linear:     boost * S
+
+    All functions are non-negative and monotonic in S, so the node
+    composes in BooleanQuery SHOULD clauses exactly like Lucene's usage
+    pattern (BM25 text clauses + an additive static signal)."""
+
+    feature: str
+    function: str = "saturation"  # log | saturation | sigmoid | linear
+    pivot: float = 1.0
+    exp: float = 1.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.function not in ("log", "saturation", "sigmoid", "linear"):
+            raise ValueError(f"unknown feature function {self.function!r}")
+        if self.function == "log" and self.pivot < 1.0:
+            raise ValueError("log scalingFactor must be >= 1 (FeatureField.java:389)")
+        if self.function in ("saturation", "sigmoid") and self.pivot <= 0:
+            raise ValueError("pivot must be > 0")
+        if self.function == "sigmoid" and self.exp <= 0:
+            raise ValueError("sigmoid exponent must be > 0")
+
+
+@dataclass(frozen=True)
+class DistanceFeatureQuery(Query):
+    """LongField.newDistanceFeatureQuery analogue (reference
+    core/src/java/org/apache/lucene/document/LongField.java:126-145,
+    LongDistanceFeatureQuery): score = boost * pivot / (pivot +
+    |value - origin|) — the canonical recency / geo-proximity boost.
+    ``field`` is a SQL numeric expression over docs-table columns;
+    matches every doc where it is non-null."""
+
+    field: str
+    origin: float
+    pivot: float
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.pivot <= 0:
+            raise ValueError("pivot distance must be > 0")
+
+
 # ---------------------------------------------------------------------------
 # rewrite (logical optimizer) — BooleanQuery.java:269-647 equivalents
 # ---------------------------------------------------------------------------

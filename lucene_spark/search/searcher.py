@@ -452,6 +452,10 @@ class IndexSearcher:
             )
         if isinstance(q, Q.KnnQuery):
             return self._scored_knn(q, field)
+        if isinstance(q, Q.FeatureQuery):
+            return self._scored_feature(q)
+        if isinstance(q, Q.DistanceFeatureQuery):
+            return self._scored_distance_feature(q)
         if isinstance(q, Q.FunctionScoreQuery):
             inner = self._scored_docs(q.query, field)
             if inner is None:
@@ -469,6 +473,44 @@ class IndexSearcher:
         if isinstance(q, Q.CombinedFieldQuery):
             return self._scored_combined(q)
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    # ------------------------------------------------------- feature queries
+
+    def _scored_feature(self, q: Q.FeatureQuery) -> DataFrame:
+        """FeatureField query scorer (FeatureField.java:355-470): the
+        feature is a docs-table column (doc values), the score a pure
+        column expression — whole-stage codegen, no Python. Matches docs
+        with feature > 0, like Lucene's feature-term postings."""
+        s = F.expr(q.feature).cast("double")
+        fn, pivot, ex, boost = q.function, float(q.pivot), float(q.exp), float(q.boost)
+        if fn == "log":
+            score = F.log(F.lit(pivot) + s)
+        elif fn == "saturation":
+            score = s / (s + F.lit(pivot))
+        elif fn == "sigmoid":
+            num = F.pow(s, F.lit(ex))
+            score = num / (num + F.lit(pivot ** ex))
+        else:  # linear
+            score = s
+        return (
+            self.reader.docs()
+            .filter(s.isNotNull() & (s > 0))
+            .select("seg", "doc", (score * F.lit(boost)).alias("score"))
+        )
+
+    def _scored_distance_feature(self, q: Q.DistanceFeatureQuery) -> DataFrame:
+        """LongField.newDistanceFeatureQuery scorer: boost * pivot /
+        (pivot + |value - origin|) over a docs column — the recency /
+        proximity boost, pure column algebra."""
+        v = F.expr(q.field).cast("double")
+        score = F.lit(float(q.pivot)) / (
+            F.lit(float(q.pivot)) + F.abs(v - F.lit(float(q.origin)))
+        )
+        return (
+            self.reader.docs()
+            .filter(v.isNotNull())
+            .select("seg", "doc", (score * F.lit(float(q.boost))).alias("score"))
+        )
 
     # -------------------------------------------------------- function score
 

@@ -103,7 +103,36 @@ class BruteForceIndex:
             return self._eval_knn(q)
         if isinstance(q, Q.FunctionScoreQuery):
             return self._eval_function(q)
+        if isinstance(q, Q.FeatureQuery):
+            return self._eval_feature(q)
+        if isinstance(q, Q.DistanceFeatureQuery):
+            return self._eval_distance_feature(q)
         raise NotImplementedError(type(q).__name__)
+
+    def _eval_feature(self, q: Q.FeatureQuery):
+        """FeatureField.newLog/Saturation/Sigmoid/LinearQuery: matches
+        feature > 0; score from the definitional formula."""
+        s = self.factor_values(q.feature)
+        mask = ~np.isnan(s) & (s > 0)
+        sv = np.where(mask, s, 0.0)
+        if q.function == "log":
+            out = np.log(q.pivot + sv, where=mask, out=np.zeros(self.n))
+        elif q.function == "saturation":
+            out = np.divide(sv, sv + q.pivot, where=mask, out=np.zeros(self.n))
+        elif q.function == "sigmoid":
+            num = np.power(sv, q.exp, where=mask, out=np.zeros(self.n))
+            out = np.divide(num, num + q.pivot ** q.exp, where=mask, out=np.zeros(self.n))
+        else:
+            out = sv
+        return mask, np.where(mask, out * q.boost, 0.0)
+
+    def _eval_distance_feature(self, q: Q.DistanceFeatureQuery):
+        """LongField.newDistanceFeatureQuery: boost * pivot / (pivot +
+        |value - origin|) over every doc with a non-null value."""
+        v = self.factor_values(q.field)
+        mask = ~np.isnan(v)
+        out = q.pivot / (q.pivot + np.abs(np.where(mask, v, 0.0) - q.origin))
+        return mask, np.where(mask, out * q.boost, 0.0)
 
     def _eval_function(self, q: Q.FunctionScoreQuery):
         """FunctionScoreQuery.boostByValue: score = boost * inner *

@@ -1,0 +1,94 @@
+"""FeatureField / DistanceFeature queries (reference
+core/src/java/org/apache/lucene/document/FeatureField.java:355-470,
+LongField.newDistanceFeatureQuery): static-ranking-signal scores from
+doc-values columns, standalone and composed in BooleanQuery SHOULD
+clauses next to BM25 text clauses — parity vs the brute-force oracle."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+from oracle import BruteForceIndex
+
+K = 10
+
+# engine-side doc_id recovered from the url column (doc values are columns)
+DOC_ID = "cast(substring(url, 25, 12) as double)"
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+def _topk(searcher, q, k=K):
+    rows = searcher.search(q, k=k).select("url", "score").collect()
+    return [(r["url"], float(r["score"])) for r in rows]
+
+
+def _assert_rank_identical(got, want):
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (gu, gs, ws)
+
+
+FEATURES = [
+    Q.FeatureQuery("length", "saturation", pivot=40.0),
+    Q.FeatureQuery("length", "log", pivot=1.0, boost=2.0),
+    Q.FeatureQuery("length", "sigmoid", pivot=40.0, exp=2.0),
+    Q.FeatureQuery("length % 13", "linear", boost=0.5),
+]
+
+
+@pytest.mark.parametrize("q", FEATURES, ids=lambda q: q.function)
+def test_feature_query_standalone_parity(searcher, oracle, q):
+    _assert_rank_identical(_topk(searcher, q), oracle.topk(q, K))
+
+
+def test_distance_feature_parity(searcher, oracle):
+    q = Q.DistanceFeatureQuery(DOC_ID, origin=100.0, pivot=25.0, boost=3.0)
+    _assert_rank_identical(_topk(searcher, q), oracle.topk(q, K))
+
+
+def test_feature_composes_in_boolean_should(searcher, reader, oracle):
+    """The canonical Lucene usage: BM25 clauses + an additive feature
+    SHOULD clause (FeatureField javadoc example)."""
+    q = Q.BooleanQuery.build(
+        (Q.SHOULD, Q.TermQuery("text", "table")),
+        (Q.SHOULD, Q.FeatureQuery("length", "saturation", pivot=40.0, boost=1.5)),
+    )
+    _assert_rank_identical(_topk(searcher, q), oracle.topk(q, K))
+
+
+def test_distance_feature_with_must_text_clause(searcher, oracle):
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.SHOULD, Q.DistanceFeatureQuery(DOC_ID, origin=0.0, pivot=50.0)),
+    )
+    _assert_rank_identical(_topk(searcher, q), oracle.topk(q, K))
+
+
+def test_feature_validation():
+    with pytest.raises(ValueError):
+        Q.FeatureQuery("length", "log", pivot=0.5)  # scalingFactor < 1
+    with pytest.raises(ValueError):
+        Q.FeatureQuery("length", "saturation", pivot=0.0)
+    with pytest.raises(ValueError):
+        Q.FeatureQuery("length", "nope")
+    with pytest.raises(ValueError):
+        Q.DistanceFeatureQuery(DOC_ID, origin=0.0, pivot=0.0)
+
+
+def test_feature_plan_is_codegen_only(searcher):
+    """The feature scorer is pure column algebra over the docs scan — no
+    Python (BatchEvalPython / ArrowEvalPython) in the plan."""
+    q = Q.FeatureQuery("length", "saturation", pivot=40.0)
+    plan = searcher._scored_feature(q)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
