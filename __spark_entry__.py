@@ -223,7 +223,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["add_indexes_search"] = _pq_add_indexes
     q["feature_saturation"] = _pq_feature_saturation
     q["distance_feature_recency"] = _pq_distance_feature
+    q["synonym_index_search"] = _pq_synonym_search
     return q
+
+
+def _pq_synonym_search(spark, sf_dir):
+    """Index-time synonym stacking (SynonymGraphFilter single-token rules,
+    reference analysis/common/.../synonym/SynonymGraphFilter.java) + ASCII
+    folding on a dedicated index: 'table' also indexes 'tbl' and 'fast'
+    also indexes 'quick' as posIncr==0 stacked tokens. Searching the
+    SYNONYM terms must find the source docs with BM25 fed by
+    discountOverlaps norms (dl excludes stacked tokens,
+    Similarity.java:153-163) while sumTotalTermFreq includes them."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher, parse
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_syn_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        analyzer="standard+folding+syn:table=tbl;fast=quick",
+    )
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    # parse with the plain analyzer: the expansion happened at index time
+    hits = s.search(parse("tbl OR quick"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_feature_saturation(spark, sf_dir):
@@ -1989,6 +2020,43 @@ LIMIT {K}
 FROM agg
 ORDER BY agg.score + 2.0 * 50.0 / (50.0 + agg.doc_id) DESC, agg.doc_id ASC
 LIMIT {K}
+"""
+    )
+    # Index-time synonyms (table->tbl, fast->quick): the index term 'tbl'
+    # has the postings of source 'table' (+ any literal 'tbl'); stacked
+    # tokens count into sum_ttf (avgdl) but NOT into the per-doc norm
+    syn_qlen = _qlen("tot.nl")
+    syn_terms = []
+    for i, srcs in enumerate((("table", "tbl"), ("fast", "quick"))):
+        inlist = ", ".join(f"'{t}'" for t in srcs)
+        syn_terms.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id, w.w - w.w / (1.0 + tf.freq * inv.norm_inv) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term IN ({inlist}) GROUP BY doc_id) tf
+  JOIN inv ON inv.doc_id = tf.doc_id
+  CROSS JOIN (SELECT 1.0 * ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+              FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term IN ({inlist})) n) w
+)"""
+        )
+    o["synonym_index_search"] = (
+        f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+extra AS (SELECT doc_id, count(*) AS x FROM tok WHERE term IN ('table', 'fast') GROUP BY doc_id),
+tot AS (SELECT dl.doc_id, dl.len + coalesce(extra.x, 0) AS tl, dl.len AS nl
+        FROM dl LEFT JOIN extra ON extra.doc_id = dl.doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(tl) AS sum_ttf FROM tot WHERE tl > 0),
+inv AS (
+  SELECT tot.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({syn_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM tot, stats
+), """
+        + ", ".join(syn_terms)
+        + f""",
+u AS (SELECT doc_id, s FROM t0 UNION ALL SELECT doc_id, s FROM t1),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     )
     # KnnQuery through the searcher: exact cosine top-k over the subset

@@ -21,7 +21,8 @@ Python in the Spark plan) are at the bottom.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import unicodedata
+from dataclasses import dataclass, replace
 
 import pandas as pd
 
@@ -55,6 +56,42 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
+# ASCIIFoldingFilter specials the NFKD decomposition does not reach
+# (reference analysis/common/src/java/org/apache/lucene/analysis/
+# miscellaneous/ASCIIFoldingFilter.java — the generated fold table maps
+# these to ASCII sequences; everything with a canonical decomposition is
+# handled by NFKD + combining-mark strip below)
+_FOLD_SPECIALS = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
+    "þ": "th", "ł": "l", "ı": "i", "ħ": "h", "ŋ": "n", "ſ": "s",
+    "ĸ": "q", "«": '"', "»": '"',
+}
+
+
+def fold_ascii(term: str) -> str:
+    """ASCIIFoldingFilter equivalent: fold accented/decorated Latin
+    codepoints to their ASCII base (café -> cafe, straße -> strasse).
+    Codepoints with no ASCII base survive unchanged (CJK etc.)."""
+    if term.isascii():
+        return term
+    out = []
+    for ch in term:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        sp = _FOLD_SPECIALS.get(ch)
+        if sp is not None:
+            out.append(sp)
+            continue
+        kept = "".join(
+            c
+            for c in unicodedata.normalize("NFKD", ch)
+            if not unicodedata.combining(c) and ord(c) < 128
+        )
+        out.append(kept if kept else ch)
+    return "".join(out)
+
+
 _APOSTROPHES = ("'", "’", "＇")  # EnglishPossessiveFilter.java variants
 
 
@@ -67,24 +104,43 @@ def strip_possessive(term: str) -> str:
 
 @dataclass(frozen=True)
 class Analyzer:
-    """tokenize [-> possessive strip] -> lowercase -> stop-filter
-    [-> stem] pipeline (Lucene StandardAnalyzer / EnglishAnalyzer order:
-    EnglishAnalyzer.java:103-111)."""
+    """tokenize [-> possessive strip] -> lowercase [-> ascii fold] ->
+    stop-filter [-> stem] [-> synonym stacking] pipeline (Lucene
+    StandardAnalyzer / EnglishAnalyzer order: EnglishAnalyzer.java:103-111;
+    ASCIIFoldingFilter and SynonymGraphFilter from analysis/common).
+
+    ``synonyms`` is a tuple of ``(term, (alt1, alt2, ...))`` pairs applied
+    to the post-stem term: each alt is emitted as a STACKED token at the
+    same position (posIncr == 0), the single-token index-time synonym
+    contract of SynonymGraphFilter (reference analysis/common/src/java/org/
+    apache/lucene/analysis/synonym/SynonymGraphFilter.java — multi-token
+    rules need posLength graphs and are out of scope). Stacked tokens
+    count into ``length`` (sumTotalTermFreq) but NOT into the norm:
+    computeNorm stores length - numOverlap with discountOverlaps=true
+    (Similarity.java:153-163)."""
 
     stopwords: frozenset[str] = frozenset()
     max_token_length: int = MAX_TOKEN_LENGTH
     possessive: bool = False
     stemmer: object = None  # callable term -> term
+    ascii_folding: bool = False
+    synonyms: tuple = ()  # ((term, (alt, ...)), ...)
+
+    def __post_init__(self):
+        object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
 
     def tokens(self, text: str) -> list[Token]:
         out: list[Token] = []
         pos = -1
         pending = 1
+        syn = self._syn
         for tok in tokenize(text, self.max_token_length):
             term = tok.term
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
+            if self.ascii_folding:
+                term = fold_ascii(term)
             if term in self.stopwords:
                 pending += 1  # posIncr accumulates (FilteringTokenFilter.java:49-58)
                 continue
@@ -93,10 +149,42 @@ class Analyzer:
             pos += pending
             pending = 1
             out.append(Token(term, pos, tok.start, tok.end))
+            if syn is not None:
+                for alt in syn.get(term, ()):
+                    # stacked token: same position (posIncr == 0)
+                    out.append(Token(alt, pos, tok.start, tok.end))
         return out
 
     def terms(self, text: str) -> list[str]:
         return [t.term for t in self.tokens(text)]
+
+    def invert(self, text: str) -> tuple[list[str], int]:
+        """(all emitted terms incl. stacked synonyms, norm token count).
+
+        The norm count excludes posIncr==0 stacked tokens — it is what
+        computeNorm encodes (length - numOverlap, discountOverlaps=true,
+        Similarity.java:153-163); ``len(terms)`` is the field length that
+        feeds sumTotalTermFreq."""
+        terms: list[str] = []
+        norm_count = 0
+        syn = self._syn
+        for tok in tokenize(text, self.max_token_length):
+            term = tok.term
+            if self.possessive:
+                term = strip_possessive(term)
+            term = lowercase(term)
+            if self.ascii_folding:
+                term = fold_ascii(term)
+            if term in self.stopwords:
+                continue
+            if self.stemmer is not None:
+                term = self.stemmer(term)
+            terms.append(term)
+            norm_count += 1
+            if syn is not None:
+                for alt in syn.get(term, ()):
+                    terms.append(alt)
+        return terms, norm_count
 
     def term_positions(self, text: str, wanted) -> dict[str, list]:
         """Positions of ``wanted`` (post-analysis) terms only — the
@@ -107,11 +195,14 @@ class Analyzer:
         out: dict[str, list] = {t: [] for t in wanted}
         pos = -1
         pending = 1
+        syn = self._syn
         for tok in tokenize(text, self.max_token_length):
             term = tok.term
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
+            if self.ascii_folding:
+                term = fold_ascii(term)
             if term in self.stopwords:
                 pending += 1
                 continue
@@ -122,6 +213,11 @@ class Analyzer:
             hit = out.get(term)
             if hit is not None:
                 hit.append(pos)
+            if syn is not None:
+                for alt in syn.get(term, ()):
+                    hit = out.get(alt)
+                    if hit is not None:
+                        hit.append(pos)  # stacked: same position
         return out
 
 
@@ -138,8 +234,46 @@ ENGLISH = Analyzer(
 )  # EnglishAnalyzer: possessive strip + 33-word stops + Porter
 
 
-def analyzer_for(name: str) -> Analyzer:
-    return {"standard": STANDARD, "english_stops": ENGLISH_STOPS, "english": ENGLISH}[name]
+_BASE_ANALYZERS = {"standard": STANDARD, "english_stops": ENGLISH_STOPS, "english": ENGLISH}
+_ANALYZER_CACHE: dict[str, Analyzer] = {}
+
+
+def analyzer_for(name) -> Analyzer:
+    """Resolve an analyzer by name. Names are ``base[+modifier]...`` so a
+    configured chain round-trips through the index manifest and resolves
+    identically inside executors (no driver-side registry to ship):
+
+      - ``standard`` / ``english_stops`` / ``english`` — base pipelines
+      - ``+folding`` — ASCIIFoldingFilter step
+      - ``+syn:a=b|c;d=e`` — index-time single-token synonym stacking
+        (term ``a`` also indexes ``b`` and ``c`` at the same position)
+
+    e.g. ``"standard+folding+syn:fast=quick|rapid"``. An ``Analyzer``
+    instance passes through unchanged (for programmatic chains; note a
+    large synonym set belongs in the name-encoded form only for small
+    maps — broadcast a custom Analyzer instance otherwise)."""
+    if isinstance(name, Analyzer):
+        return name
+    hit = _ANALYZER_CACHE.get(name)
+    if hit is not None:
+        return hit
+    base, *mods = name.split("+")
+    a = _BASE_ANALYZERS[base]
+    for mod in mods:
+        if mod == "folding":
+            a = replace(a, ascii_folding=True)
+        elif mod.startswith("syn:"):
+            entries = []
+            for pair in mod[4:].split(";"):
+                src, _, alts = pair.partition("=")
+                if not src or not alts:
+                    raise ValueError(f"bad synonym rule {pair!r} in analyzer {name!r}")
+                entries.append((src, tuple(alts.split("|"))))
+            a = replace(a, synonyms=tuple(entries))
+        else:
+            raise KeyError(f"unknown analyzer modifier {mod!r} in {name!r}")
+    _ANALYZER_CACHE[name] = a
+    return a
 
 
 # ---------------------------------------------------------------------------

@@ -186,31 +186,42 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
             freqs_col: list[list[int]] = []
             pos_col: list[list[list[int]]] = []
             lengths = np.zeros(n, dtype=np.int64)
+            # norm tokens = length - numOverlap (stacked posIncr==0 synonym
+            # tokens count into sumTotalTermFreq but not into the norm —
+            # computeNorm with discountOverlaps=true, Similarity.java:153-163)
+            norm_toks = np.zeros(n, dtype=np.int64)
             texts = pdf[text_field].tolist()
             for i, txt in enumerate(texts):
                 txt = txt if isinstance(txt, str) else ""
                 if positions:
                     by_term: dict[str, list[int]] = {}
                     count = 0
+                    advancing = 0
+                    last_pos = -1
                     for tok in analyzer.tokens(txt):
                         by_term.setdefault(tok.term, []).append(tok.position)
                         count += 1
+                        if tok.position != last_pos:
+                            advancing += 1
+                            last_pos = tok.position
                     terms_col.append(list(by_term.keys()))
                     freqs_col.append([len(v) for v in by_term.values()])
                     pos_col.append(list(by_term.values()))
                     lengths[i] = count
+                    norm_toks[i] = advancing
                 else:
-                    toks = analyzer.terms(txt)
+                    toks, norm_cnt = analyzer.invert(txt)
                     c = Counter(toks)
                     terms_col.append(list(c.keys()))
                     freqs_col.append([int(v) for v in c.values()])
                     lengths[i] = len(toks)
+                    norm_toks[i] = norm_cnt
             out = pd.DataFrame(
                 {
                     "seg": seg,
                     "doc": np.arange(next_doc, next_doc + n, dtype=np.int64),
                     "url": pdf["url"].to_numpy(),
-                    "norm": int_to_byte4_np(lengths).astype(np.int32),
+                    "norm": int_to_byte4_np(norm_toks).astype(np.int32),
                     "length": lengths,
                     "terms": terms_col,
                     "freqs": freqs_col,
@@ -223,27 +234,35 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
                 fan = field_analyzers[fname]
                 f_terms, f_freqs, f_pos = [], [], []
                 f_len = np.zeros(n, dtype=np.int64)
+                f_norm_toks = np.zeros(n, dtype=np.int64)
                 for i, txt in enumerate(pdf[src].tolist()):
                     txt = txt if isinstance(txt, str) else ""
                     if positions:
                         by_term: dict[str, list[int]] = {}
                         count = 0
+                        advancing = 0
+                        last_pos = -1
                         for tok in fan.tokens(txt):
                             by_term.setdefault(tok.term, []).append(tok.position)
                             count += 1
+                            if tok.position != last_pos:
+                                advancing += 1
+                                last_pos = tok.position
                         f_terms.append(list(by_term.keys()))
                         f_freqs.append([len(v) for v in by_term.values()])
                         f_pos.append(list(by_term.values()))
                         f_len[i] = count
+                        f_norm_toks[i] = advancing
                     else:
-                        toks = fan.terms(txt)
+                        toks, norm_cnt = fan.invert(txt)
                         c = Counter(toks)
                         f_terms.append(list(c.keys()))
                         f_freqs.append([int(v) for v in c.values()])
                         f_len[i] = len(toks)
+                        f_norm_toks[i] = norm_cnt
                 out[f"terms_{fname}"] = f_terms
                 out[f"freqs_{fname}"] = f_freqs
-                out[f"norm_{fname}"] = int_to_byte4_np(f_len).astype(np.int32)
+                out[f"norm_{fname}"] = int_to_byte4_np(f_norm_toks).astype(np.int32)
                 out[f"length_{fname}"] = f_len
                 if positions:
                     out[f"positions_{fname}"] = f_pos

@@ -223,10 +223,29 @@ class _Parser:
             if lowered.endswith("*") and "*" not in lowered[:-1] and "?" not in lowered:
                 return Q.PrefixQuery(field, lowered[:-1])
             return Q.WildcardQuery(field, lowered)
-        terms = self.analyzer.terms(text)
-        if not terms:
+        toks = self.analyzer.tokens(text)
+        if not toks:
             return Q.MatchNoDocsQuery()
-        if len(terms) == 1:
-            return Q.TermQuery(field, terms[0])
-        # analyzer split one atom into several terms -> implicit phrase-less OR
-        return Q.BooleanQuery.build(*[(Q.SHOULD, Q.TermQuery(field, t)) for t in terms])
+        # group stacked (same-position, posIncr==0) tokens: a synonym-
+        # emitting analyzer turns one atom into a SynonymQuery, exactly
+        # QueryBuilder.analyzeGraphBoolean/newSynonymQuery (reference
+        # core/src/java/org/apache/lucene/util/QueryBuilder.java:560-630)
+        groups: list[list[str]] = []
+        last_pos = None
+        for tok in toks:
+            if tok.position == last_pos:
+                if tok.term not in groups[-1]:
+                    groups[-1].append(tok.term)
+            else:
+                groups.append([tok.term])
+                last_pos = tok.position
+
+        def leaf(g: list[str]) -> Q.Query:
+            if len(g) == 1:
+                return Q.TermQuery(field, g[0])
+            return Q.SynonymQuery(field, tuple(g))
+
+        if len(groups) == 1:
+            return leaf(groups[0])
+        # analyzer split one atom into several positions -> implicit OR
+        return Q.BooleanQuery.build(*[(Q.SHOULD, leaf(g)) for g in groups])

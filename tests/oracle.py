@@ -18,6 +18,7 @@ from lucene_spark.search import query as Q
 class BruteForceIndex:
     def __init__(self, corpus_pdf, analyzer="standard"):
         an = analyzer_for(analyzer)
+        self.an = an
         self.urls = corpus_pdf["url"].tolist()
         self.texts = corpus_pdf["text"].tolist()
         self.langs = corpus_pdf["lang"].tolist() if "lang" in corpus_pdf else None
@@ -30,12 +31,14 @@ class BruteForceIndex:
             self.vectors = None
         self.tfs: list[Counter] = []
         lengths = []
+        norm_lens = []  # length - numOverlap (discountOverlaps=true norms)
         for text in corpus_pdf["text"]:
-            toks = an.terms(text if isinstance(text, str) else "")
+            toks, norm_cnt = an.invert(text if isinstance(text, str) else "")
             self.tfs.append(Counter(toks))
             lengths.append(len(toks))
+            norm_lens.append(norm_cnt)
         self.lengths = np.array(lengths, dtype=np.int64)
-        self.norms = int_to_byte4_np(self.lengths)
+        self.norms = int_to_byte4_np(np.array(norm_lens, dtype=np.int64))
         self.doc_count = int((self.lengths > 0).sum())
         self.sum_ttf = int(self.lengths.sum())
         self.df: Counter = Counter()
@@ -192,7 +195,7 @@ class BruteForceIndex:
     def _eval_phrase(self, q: Q.PhraseQuery):
         from lucene_spark.search.phrase import _phrase_freq_exact, _phrase_freq_sloppy
 
-        an = analyzer_for("standard")
+        an = self.an
         if any(t not in self.df for t in q.terms):
             return np.zeros(self.n, bool), np.zeros(self.n)
         scorer = make_scorer(

@@ -1,0 +1,158 @@
+"""ASCIIFoldingFilter + index-time synonym stacking (SynonymGraphFilter
+single-token rules) + the numOverlap norm discount they exercise
+(reference analysis/common/.../miscellaneous/ASCIIFoldingFilter.java,
+analysis/common/.../synonym/SynonymGraphFilter.java,
+core/.../search/similarities/Similarity.java:153-163 computeNorm with
+discountOverlaps=true: norm byte = length - numOverlap)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for, fold_ascii
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search import query as Q
+
+from oracle import BruteForceIndex
+
+SYN = "standard+syn:fast=quick|rapid;table=tbl"
+
+
+# ------------------------------------------------------------- fold_ascii
+
+@pytest.mark.parametrize(
+    "raw,folded",
+    [
+        ("café", "cafe"),
+        ("straße", "strasse"),
+        ("naïve", "naive"),
+        ("łódź", "lodz"),
+        ("Ærøskøbing".lower(), "aeroskobing"),
+        ("þorn", "thorn"),
+        ("ascii", "ascii"),
+        ("日本語", "日本語"),  # no ASCII base: unchanged
+    ],
+)
+def test_fold_ascii_vectors(raw, folded):
+    assert fold_ascii(raw) == folded
+
+
+def test_folding_analyzer_chain():
+    an = analyzer_for("standard+folding")
+    assert an.terms("Café STRASSE naïve") == ["cafe", "strasse", "naive"]
+    # base analyzers unchanged
+    assert analyzer_for("standard").terms("Café") == ["café"]
+
+
+# ------------------------------------------------------- synonym stacking
+
+def test_synonym_tokens_are_stacked():
+    an = analyzer_for(SYN)
+    toks = an.tokens("fast table scan")
+    assert [(t.term, t.position) for t in toks] == [
+        ("fast", 0), ("quick", 0), ("rapid", 0),
+        ("table", 1), ("tbl", 1),
+        ("scan", 2),
+    ]
+    # invert: terms include stacked synonyms, norm count excludes them
+    terms, norm_cnt = an.invert("fast table scan")
+    assert terms == ["fast", "quick", "rapid", "table", "tbl", "scan"]
+    assert norm_cnt == 3
+
+
+def test_synonym_positions_for_phrase_verify():
+    an = analyzer_for(SYN)
+    pos = an.term_positions("fast table scan", {"quick", "tbl", "scan"})
+    assert pos == {"quick": [0], "tbl": [1], "scan": [2]}
+
+
+def test_analyzer_for_rejects_bad_modifiers():
+    with pytest.raises(KeyError):
+        analyzer_for("standard+nope")
+    with pytest.raises(ValueError):
+        analyzer_for("standard+syn:broken")
+
+
+def test_parser_emits_synonym_query():
+    q = parse("fast", analyzer=SYN)
+    assert q == Q.SynonymQuery("text", ("fast", "quick", "rapid"))
+    q2 = parse("fast AND scan", analyzer=SYN)
+    assert isinstance(q2, Q.BooleanQuery)
+    kinds = {type(c.query) for c in q2.clauses}
+    assert kinds == {Q.SynonymQuery, Q.TermQuery}
+
+
+# --------------------------------------------------- end-to-end index build
+
+@pytest.fixture(scope="module")
+def syn_index(spark, corpus, tmp_path_factory):
+    """A positions index over the first 80 corpus docs built with the
+    synonym+folding analyzer (exercises the stacked-token overlap
+    accounting on BOTH builder paths via positions=True)."""
+    from lucene_spark.index import IndexReader, build_index
+
+    sub = corpus.head(80)
+    pages = spark.createDataFrame(sub[["url", "text", "lang"]])
+    root = str(tmp_path_factory.mktemp("syn_idx"))
+    build_index(
+        spark, pages, root,
+        num_segments=2, num_buckets=2,
+        analyzer=SYN, positions=True, stored_cols=("lang", "text"),
+    )
+    return IndexReader(spark, root), sub
+
+
+def _topk(searcher, q, k=10):
+    rows = searcher.search(q, k=k).select("url", "score").collect()
+    return [(r["url"], float(r["score"])) for r in rows]
+
+
+def test_synonym_index_engine_matches_oracle(syn_index):
+    reader, sub = syn_index
+    searcher = IndexSearcher(reader)
+    oracle = BruteForceIndex(sub, analyzer=SYN)
+    # querying the SYNONYM term finds docs that only contain the source
+    # term — the index-time expansion contract — and BM25 scores (fed by
+    # overlap-discounted norms) match the brute-force oracle on every path
+    for qs in ("tbl", "quick", "tbl OR scan", "quick AND merge"):
+        q = Q.rewrite(parse(qs), reader)
+        want = oracle.topk(q, 10)
+        assert want, qs  # non-degenerate: the synonym terms must match docs
+        for mode in ("exhaustive", "maxscore"):
+            rows = searcher.search(q, k=10, mode=mode).select("url", "score").collect()
+            got = [(r["url"], float(r["score"])) for r in rows]
+            assert [u for u, _ in got] == [u for u, _ in want], (qs, mode)
+            for (gu, gs), (_, ws) in zip(got, want):
+                assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (qs, gu)
+
+
+def test_synonym_norm_discounts_overlaps(syn_index):
+    """docs.norm must encode length - numOverlap, docs.length the total
+    emitted tokens (sumTotalTermFreq side)."""
+    from lucene_spark.functions.smallfloat import int_to_byte4_np
+
+    reader, sub = syn_index
+    an = analyzer_for(SYN)
+    rows = reader.docs(["url", "norm", "length"]).collect()
+    by_url = {r["url"]: (r["norm"], r["length"]) for r in rows}
+    checked_discounted = 0
+    for _, row in sub.iterrows():
+        terms, norm_cnt = an.invert(row["text"])
+        norm, length = by_url[row["url"]]
+        assert length == len(terms)
+        assert norm == int(int_to_byte4_np(np.array([norm_cnt]))[0])
+        if len(terms) != norm_cnt:
+            checked_discounted += 1
+    assert checked_discounted > 0  # corpus genuinely exercises the discount
+
+
+def test_synonym_phrase_across_stacked_position(syn_index):
+    """Phrase '<synonym> <next>' matches through the stacked position
+    (tbl stacked on table): positions kernel + brute force agree."""
+    reader, sub = syn_index
+    searcher = IndexSearcher(reader)
+    oracle = BruteForceIndex(sub, analyzer=SYN)
+    q = Q.PhraseQuery("text", ("tbl", "scan"))
+    want = oracle.topk(q, 10)
+    got = _topk(searcher, Q.PhraseQuery("text", ("tbl", "scan")))
+    assert [u for u, _ in got] == [u for u, _ in want]
