@@ -224,7 +224,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["feature_saturation"] = _pq_feature_saturation
     q["distance_feature_recency"] = _pq_distance_feature
     q["synonym_index_search"] = _pq_synonym_search
+    q["shingle_bigram_search"] = _pq_shingle_search
     return q
+
+
+def _pq_shingle_search(spark, sf_dir):
+    """ShingleFilter word bigrams (reference analysis/common/.../shingle/
+    ShingleFilter.java, outputUnigrams=true): a dedicated index analyzed
+    with ``standard+shingle:2`` serves the bigram 'table scan' as ONE
+    postings term through the maxscore kernel. Stacked shingles inflate
+    sumTotalTermFreq (avgdl) but not the per-doc norm."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_shingle_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        analyzer="standard+shingle:2",
+    )
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(Q.TermQuery("text", "table scan"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_synonym_search(spark, sf_dir):
@@ -2059,6 +2088,38 @@ SELECT doc_id, round(score, 4) AS score_r
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     )
+    # ShingleFilter bigrams: term 'table scan' = adjacent (table, scan)
+    # pairs; per-doc length gains len-1 stacked shingles (sum_ttf side),
+    # the norm stays the unigram count
+    sh_qlen = _qlen("tot.nl")
+    o["shingle_bigram_search"] = f"""
+WITH u AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS len FROM u GROUP BY doc_id),
+tot AS (SELECT doc_id, len + CASE WHEN len >= 2 THEN len - 1 ELSE 0 END AS tl, len AS nl FROM dl),
+stats AS (SELECT count(*) AS doc_count, sum(tl) AS sum_ttf FROM tot WHERE tl > 0),
+inv AS (
+  SELECT tot.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({sh_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM tot, stats
+),
+big AS (
+  SELECT doc_id, term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+  FROM u
+),
+tf AS (SELECT doc_id, count(*) AS freq FROM big WHERE bg = 'table scan' GROUP BY doc_id),
+w AS (SELECT 1.0 * ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+      FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM big WHERE bg = 'table scan') n),
+t0 AS (
+  SELECT tf.doc_id, w.w - w.w / (1.0 + tf.freq * inv.norm_inv) AS s
+  FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM t0 ORDER BY s DESC, doc_id ASC LIMIT {K}
+"""
     # KnnQuery through the searcher: exact cosine top-k over the subset
     # accepted by (contains 'table' AND lang = 'en'); score = (1 + cos)/2
     _VEQ = (

@@ -125,6 +125,13 @@ class Analyzer:
     stemmer: object = None  # callable term -> term
     ascii_folding: bool = False
     synonyms: tuple = ()  # ((term, (alt, ...)), ...)
+    # ShingleFilter analogue (reference analysis/common/src/java/org/apache/
+    # lucene/analysis/shingle/ShingleFilter.java, outputUnigrams=true):
+    # shingle=N emits word n-grams of sizes 2..N (" "-joined) STACKED at
+    # their first constituent's position. Shingles are formed over the
+    # primary (position-advancing) token stream — with an empty stop set
+    # this is exactly ShingleFilter (no holes, so no "_" fillers).
+    shingle: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -153,6 +160,37 @@ class Analyzer:
                 for alt in syn.get(term, ()):
                     # stacked token: same position (posIncr == 0)
                     out.append(Token(alt, pos, tok.start, tok.end))
+        if self.shingle > 1:
+            out = self._weave_shingles(out)
+        return out
+
+    def _weave_shingles(self, toks: list[Token]) -> list[Token]:
+        """Emit word n-grams (sizes 2..shingle) stacked at their first
+        constituent's position; constituents are the primary (first token
+        at each position) stream."""
+        prim: list[Token] = []
+        for t in toks:
+            if not prim or t.position != prim[-1].position:
+                prim.append(t)
+        out: list[Token] = []
+        pi = -1
+        last_pos = None
+        for t in toks:
+            out.append(t)
+            if t.position != last_pos:
+                pi += 1
+                last_pos = t.position
+                for size in range(2, self.shingle + 1):
+                    if pi + size <= len(prim):
+                        endt = prim[pi + size - 1]
+                        out.append(
+                            Token(
+                                " ".join(p.term for p in prim[pi : pi + size]),
+                                t.position,
+                                t.start,
+                                endt.end,
+                            )
+                        )
         return out
 
     def terms(self, text: str) -> list[str]:
@@ -165,6 +203,16 @@ class Analyzer:
         computeNorm encodes (length - numOverlap, discountOverlaps=true,
         Similarity.java:153-163); ``len(terms)`` is the field length that
         feeds sumTotalTermFreq."""
+        if self.shingle > 1:
+            terms2: list[str] = []
+            norm2 = 0
+            last = -1
+            for t in self.tokens(text):
+                terms2.append(t.term)
+                if t.position != last:
+                    norm2 += 1
+                    last = t.position
+            return terms2, norm2
         terms: list[str] = []
         norm_count = 0
         syn = self._syn
@@ -192,6 +240,14 @@ class Analyzer:
         increments accumulate over stopwords) but skips Token object
         construction, which dominates per-doc analysis cost when only a
         few terms matter."""
+        if self.shingle > 1:
+            # shingle terms need the woven stream; positions still matter
+            outs: dict[str, list] = {t: [] for t in wanted}
+            for t in self.tokens(text):
+                hit = outs.get(t.term)
+                if hit is not None:
+                    hit.append(t.position)
+            return outs
         out: dict[str, list] = {t: [] for t in wanted}
         pos = -1
         pending = 1
@@ -247,6 +303,7 @@ def analyzer_for(name) -> Analyzer:
       - ``+folding`` — ASCIIFoldingFilter step
       - ``+syn:a=b|c;d=e`` — index-time single-token synonym stacking
         (term ``a`` also indexes ``b`` and ``c`` at the same position)
+      - ``+shingle:N`` — ShingleFilter word n-grams (sizes 2..N, stacked)
 
     e.g. ``"standard+folding+syn:fast=quick|rapid"``. An ``Analyzer``
     instance passes through unchanged (for programmatic chains; note a
@@ -262,6 +319,11 @@ def analyzer_for(name) -> Analyzer:
     for mod in mods:
         if mod == "folding":
             a = replace(a, ascii_folding=True)
+        elif mod.startswith("shingle:"):
+            n = int(mod[8:])
+            if n < 2:
+                raise ValueError(f"shingle size must be >= 2 in analyzer {name!r}")
+            a = replace(a, shingle=n)
         elif mod.startswith("syn:"):
             entries = []
             for pair in mod[4:].split(";"):

@@ -156,3 +156,67 @@ def test_synonym_phrase_across_stacked_position(syn_index):
     want = oracle.topk(q, 10)
     got = _topk(searcher, Q.PhraseQuery("text", ("tbl", "scan")))
     assert [u for u, _ in got] == [u for u, _ in want]
+
+
+# ------------------------------------------------------------- shingles
+
+def test_shingle_token_stream():
+    an = analyzer_for("standard+shingle:2")
+    assert [(t.term, t.position) for t in an.tokens("the fast key scan")] == [
+        ("the", 0), ("the fast", 0),
+        ("fast", 1), ("fast key", 1),
+        ("key", 2), ("key scan", 2),
+        ("scan", 3),
+    ]
+    terms, norm_cnt = an.invert("the fast key scan")
+    assert terms == ["the", "the fast", "fast", "fast key", "key", "key scan", "scan"]
+    assert norm_cnt == 4  # shingles are stacked (posIncr==0) overlaps
+    an3 = analyzer_for("standard+shingle:3")
+    assert [t.term for t in an3.tokens("a b c")] == ["a", "a b", "a b c", "b", "b c", "c"]
+
+
+def test_shingle_size_validation():
+    with pytest.raises(ValueError):
+        analyzer_for("standard+shingle:1")
+
+
+@pytest.fixture(scope="module")
+def shingle_index(spark, corpus, tmp_path_factory):
+    from lucene_spark.index import IndexReader, build_index
+
+    sub = corpus.head(80)
+    pages = spark.createDataFrame(sub[["url", "text", "lang"]])
+    root = str(tmp_path_factory.mktemp("shingle_idx"))
+    build_index(
+        spark, pages, root,
+        num_segments=2, num_buckets=2,
+        analyzer="standard+shingle:2", stored_cols=("lang",),
+    )
+    return IndexReader(spark, root), sub
+
+
+def test_shingle_bigram_search_matches_oracle(shingle_index):
+    reader, sub = shingle_index
+    searcher = IndexSearcher(reader)
+    oracle = BruteForceIndex(sub, analyzer="standard+shingle:2")
+    # most frequent bigram in the slice — robust to corpus randomness
+    bigram = max(
+        (t for t in oracle.df if " " in t), key=lambda t: oracle.df[t]
+    )
+    assert oracle.df[bigram] >= 2
+    q = Q.TermQuery("text", bigram)
+    want = oracle.topk(q, 10)
+    for mode in ("exhaustive", "maxscore"):
+        rows = searcher.search(q, k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], (bigram, mode)
+        for (gu, gs), (_, ws) in zip(got, want):
+            assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (bigram, gu)
+    # bigram AND unigram conjunction through the kernel too
+    q2 = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", bigram)),
+        (Q.MUST, Q.TermQuery("text", bigram.split(" ")[0])),
+    )
+    want2 = oracle.topk(q2, 10)
+    rows2 = searcher.search(q2, k=10, mode="maxscore").select("url", "score").collect()
+    assert [r["url"] for r in rows2] == [u for u, _ in want2]
