@@ -225,7 +225,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["distance_feature_recency"] = _pq_distance_feature
     q["synonym_index_search"] = _pq_synonym_search
     q["shingle_bigram_search"] = _pq_shingle_search
+    q["multi_field_dismax"] = _pq_multi_field
     return q
+
+
+def _pq_multi_field(spark, sf_dir):
+    """MultiFieldQueryParser analogue (reference queryparser/.../classic/
+    MultiFieldQueryParser.java): 'table scan' duplicated per clause over
+    (text, head) as DisjunctionMax(tie=0.3) — each per-field TermQuery
+    scores against ITS field's stats and norms."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search.parser import parse_multi_field
+
+    s = _searcher(spark, sf_dir)
+    q = parse_multi_field("table scan", ("text", "head"), tie_breaker=0.3)
+    hits = s.search(q, k=K)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_shingle_search(spark, sf_dir):
@@ -2086,6 +2104,54 @@ u AS (SELECT doc_id, s FROM t0 UNION ALL SELECT doc_id, s FROM t1),
 agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
 SELECT doc_id, round(score, 4) AS score_r
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
+"""
+    )
+    # MultiFieldQueryParser dismax over (text, head): per term,
+    # s = max(s_text, s_head) + 0.3 * (s_text + s_head - max); head-field
+    # BM25 uses the head field's own stats/norms (first 8 tokens)
+    mf_qlen_h = _qlen("dlh.len")
+    mf_terms = []
+    for i, t in enumerate(("table", "scan")):
+        mf_terms.append(
+            f"""tt{i} AS (
+  SELECT tf.doc_id, w.w - w.w / (1.0 + tf.freq * inv.norm_inv) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN inv ON inv.doc_id = tf.doc_id
+  CROSS JOIN (SELECT 1.0 * ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+              FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}') n) w
+), th{i} AS (
+  SELECT tf.doc_id, w.w - w.w / (1.0 + tf.freq * inv_h.norm_inv) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tokh WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN inv_h ON inv_h.doc_id = tf.doc_id
+  CROSS JOIN (SELECT 1.0 * ln(1 + (stats_h.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+              FROM stats_h, (SELECT count(DISTINCT doc_id) AS df FROM tokh WHERE term = '{t}') n) w
+), dm{i} AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         greatest(coalesce(a.s, 0), coalesce(b.s, 0))
+           + 0.3 * (coalesce(a.s, 0) + coalesce(b.s, 0)
+                    - greatest(coalesce(a.s, 0), coalesce(b.s, 0))) AS s
+  FROM tt{i} a FULL JOIN th{i} b ON a.doc_id = b.doc_id
+)"""
+        )
+    mf_base = _bm25_term_sql([("table", 1.0)], k=K)  # for the shared text CTEs
+    o["multi_field_dismax"] = (
+        mf_base.split(", t0 AS")[0]
+        + f""",
+tokh AS (SELECT doc_id, unnest(a[1:8]) AS term
+         FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents)),
+dlh AS (SELECT doc_id, count(*) AS len FROM tokh GROUP BY doc_id),
+stats_h AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dlh WHERE len > 0),
+inv_h AS (
+  SELECT dlh.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({mf_qlen_h}) / (stats_h.sum_ttf / CAST(stats_h.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dlh, stats_h
+), """
+        + ", ".join(mf_terms)
+        + f""",
+u AS (SELECT doc_id, s FROM dm0 UNION ALL SELECT doc_id, s FROM dm1),
+agg2 AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg2 WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     )
     # ShingleFilter bigrams: term 'table scan' = adjacent (table, scan)

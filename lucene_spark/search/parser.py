@@ -249,3 +249,65 @@ class _Parser:
             return leaf(groups[0])
         # analyzer split one atom into several positions -> implicit OR
         return Q.BooleanQuery.build(*[(Q.SHOULD, leaf(g)) for g in groups])
+
+
+# ---------------------------------------------------------------------------
+# MultiFieldQueryParser analogue
+# ---------------------------------------------------------------------------
+
+_MF_SENTINEL = "\x00multifield"
+
+
+def parse_multi_field(
+    query_string: str,
+    fields: tuple[str, ...] | list[str],
+    analyzer: str = "standard",
+    tie_breaker: float | None = None,
+    boosts: dict[str, float] | None = None,
+) -> Q.Query:
+    """MultiFieldQueryParser analogue (reference queryparser/src/java/org/
+    apache/lucene/queryparser/classic/MultiFieldQueryParser.java): every
+    clause that uses the DEFAULT field is duplicated across ``fields`` at
+    the CLAUSE level (``+a b`` over f1,f2 becomes ``+(f1:a | f2:a)
+    (f1:b | f2:b)``, never a whole-tree union). Explicit ``field:term``
+    clauses are left untouched.
+
+    Per-clause combination: a SHOULD BooleanQuery when ``tie_breaker`` is
+    None (MultiFieldQueryParser's summed combination) or a
+    DisjunctionMaxQuery with the given tie (the best-field / dismax
+    variant). ``boosts`` is MultiFieldQueryParser's per-field boost map."""
+    q = parse(query_string, default_field=_MF_SENTINEL, analyzer=analyzer)
+    return _expand_fields(q, tuple(fields), tie_breaker, boosts or {})
+
+
+def _expand_fields(q: Q.Query, fields, tie, boosts) -> Q.Query:
+    from dataclasses import replace
+
+    if isinstance(q, Q.BooleanQuery):
+        return replace(
+            q,
+            clauses=tuple(
+                Q.BooleanClause(c.occur, _expand_fields(c.query, fields, tie, boosts))
+                for c in q.clauses
+            ),
+        )
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return replace(
+            q, disjuncts=tuple(_expand_fields(d, fields, tie, boosts) for d in q.disjuncts)
+        )
+    if isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery, Q.FunctionScoreQuery)):
+        return replace(q, query=_expand_fields(q.query, fields, tie, boosts))
+    if getattr(q, "field", None) == _MF_SENTINEL:
+        alts = []
+        for f in fields:
+            nq = replace(q, field=f)
+            b = boosts.get(f, 1.0)
+            if b != 1.0:
+                nq = replace(nq, boost=nq.boost * b)
+            alts.append(nq)
+        if len(alts) == 1:
+            return alts[0]
+        if tie is None:
+            return Q.BooleanQuery.build(*[(Q.SHOULD, a) for a in alts])
+        return Q.DisjunctionMaxQuery(tuple(alts), tie_breaker=tie)
+    return q

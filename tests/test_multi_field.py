@@ -1,0 +1,124 @@
+"""MultiFieldQueryParser analogue (reference queryparser/src/java/org/
+apache/lucene/queryparser/classic/MultiFieldQueryParser.java): clause-level
+duplication of default-field leaves across fields, combined per clause as
+SHOULD sums or DisjunctionMax — verified against per-field brute-force
+BM25 on a real two-field index."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.functions.bm25 import make_scorer
+from lucene_spark.functions.smallfloat import int_to_byte4_np
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+from lucene_spark.search.parser import parse_multi_field
+
+from conftest import TESTDATA
+
+HEAD_N = 8
+
+
+# ----------------------------------------------------------- AST expansion
+
+def test_expansion_shapes():
+    q = parse_multi_field("+table scan", ("text", "head"), tie_breaker=0.4,
+                          boosts={"head": 2.0})
+    assert isinstance(q, Q.BooleanQuery)
+    must, should = q.clauses
+    assert must.occur == Q.MUST and should.occur == Q.SHOULD
+    assert must.query == Q.DisjunctionMaxQuery(
+        (Q.TermQuery("text", "table"), Q.TermQuery("head", "table", boost=2.0)),
+        tie_breaker=0.4,
+    )
+    # tie_breaker=None -> SHOULD boolean per clause (summed combination)
+    q2 = parse_multi_field("table", ("text", "head"))
+    assert q2 == Q.BooleanQuery.build(
+        (Q.SHOULD, Q.TermQuery("text", "table")),
+        (Q.SHOULD, Q.TermQuery("head", "table")),
+    )
+
+
+def test_expansion_leaves_explicit_fields_alone():
+    q = parse_multi_field('"fast key" lang:en', ("text", "head"))
+    sub = {type(c.query) for c in q.clauses}
+    assert sub == {Q.BooleanQuery, Q.TermQuery}
+    explicit = [c.query for c in q.clauses if isinstance(c.query, Q.TermQuery)]
+    assert explicit == [Q.TermQuery("lang", "en")]
+    phrases = [c.query for c in q.clauses if isinstance(c.query, Q.BooleanQuery)][0]
+    assert {p.query.field for p in phrases.clauses} == {"text", "head"}
+
+
+def test_expansion_multiterm_and_boost():
+    q = parse_multi_field("tab*^3", ("text", "head"), tie_breaker=0.0)
+    assert isinstance(q, Q.BoostQuery) and q.boost == 3.0
+    inner = q.query
+    assert isinstance(inner, Q.DisjunctionMaxQuery)
+    assert {d.field for d in inner.disjuncts} == {"text", "head"}
+    assert all(isinstance(d, Q.PrefixQuery) for d in inner.disjuncts)
+
+
+# ------------------------------------------------------------- end-to-end
+
+@pytest.fixture(scope="module")
+def mf_index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mfidx"))
+    pages = pages_from_documents(spark, TESTDATA).withColumn(
+        "head", F.expr(f"array_join(slice(split(text, ' '), 1, {HEAD_N}), ' ')")
+    )
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=(), text_fields={"head": "head"})
+    corpus = (
+        pages.select("url", "text", "head").toPandas().sort_values("url").reset_index(drop=True)
+    )
+    return IndexReader(spark, root), corpus
+
+
+def _field_scores(texts, term, boost=1.0):
+    an = analyzer_for("standard")
+    tfs = [Counter(an.terms(t if isinstance(t, str) else "")) for t in texts]
+    lens = np.array([sum(c.values()) for c in tfs], dtype=np.int64)
+    norms = int_to_byte4_np(lens)
+    doc_count = int((lens > 0).sum())
+    sum_ttf = int(lens.sum())
+    df = sum(1 for c in tfs if c.get(term))
+    out = np.zeros(len(texts))
+    if df == 0:
+        return out
+    scorer = make_scorer([df], doc_count, sum_ttf, boost=boost)
+    freqs = np.array([c.get(term, 0) for c in tfs], dtype=np.int64)
+    m = freqs > 0
+    out[m] = scorer.score(freqs[m], norms[m]).astype(np.float64)
+    return out
+
+
+@pytest.mark.parametrize("tie", [None, 0.0, 0.3])
+def test_multi_field_parity(mf_index, tie):
+    reader, corpus = mf_index
+    searcher = IndexSearcher(reader)
+    terms = ("table", "scan")
+    per_term = []
+    for t in terms:
+        st = _field_scores(corpus["text"], t)
+        sh = _field_scores(corpus["head"], t)
+        if tie is None:
+            per_term.append(st + sh)
+        else:
+            mx = np.maximum(st, sh)
+            per_term.append(mx + tie * (st + sh - mx))
+    total = np.sum(per_term, axis=0)
+    mask = total > 0
+    order = sorted(np.nonzero(mask)[0], key=lambda i: (-total[i], i))[:10]
+    want = [(corpus["url"][i], float(total[i])) for i in order]
+
+    q = parse_multi_field("table scan", ("text", "head"), tie_breaker=tie)
+    rows = searcher.search(q, k=10).select("url", "score").collect()
+    got = [(r["url"], float(r["score"])) for r in rows]
+    assert [u for u, _ in got] == [u for u, _ in want], tie
+    for (gu, gs), (_, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), (tie, gu)
