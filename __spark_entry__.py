@@ -226,7 +226,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["synonym_index_search"] = _pq_synonym_search
     q["shingle_bigram_search"] = _pq_shingle_search
     q["multi_field_dismax"] = _pq_multi_field
+    q["dv_update_feature"] = _pq_dv_update
     return q
+
+
+def _pq_dv_update(spark, sf_dir):
+    """Doc-values update generations (IndexWriter.updateNumericDocValue,
+    reference index/IndexWriter.java updateDocValues /
+    ReadersAndUpdates.java): a stored 'rank' column is rewritten for
+    doc_id % 31 == 0 WITHOUT re-indexing, then served through
+    FeatureQuery(linear) — the read applies one broadcast overlay join.
+    Replay-safe: re-running writes an identical-content generation."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index, update_doc_values
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_dv_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang").withColumn(
+        "rank", (doc_id_for_url_col() % 97).cast("double")
+    )
+    build_index(spark, pages, root, build_id="b0000", num_segments=3,
+                num_buckets=4, stored_cols=("rank",))
+    upd = (
+        pages.select("url")
+        .withColumn("did", doc_id_for_url_col())
+        .filter(F.col("did") % 31 == 0)
+        .select("url", (F.lit(1000.0) + (F.col("did") % 7)).alias("rank"))
+    )
+    update_doc_values(spark, root, upd)
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(Q.FeatureQuery("rank", "linear"), k=K)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_multi_field(spark, sf_dir):
@@ -2106,6 +2143,20 @@ SELECT doc_id, round(score, 4) AS score_r
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     )
+    # DV update generations: rank = doc_id % 97, overridden to
+    # 1000 + doc_id % 7 where doc_id % 31 == 0; FeatureQuery(linear)
+    # top-k = rank desc, doc asc, over rank > 0
+    o["dv_update_feature"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN 1000.0 + (doc_id % 7)
+              ELSE CAST(doc_id % 97 AS DOUBLE) END AS rank
+  FROM documents
+)
+SELECT doc_id, round(rank, 4) AS score_r
+FROM r WHERE rank > 0
+ORDER BY rank DESC, doc_id ASC LIMIT {K}
+"""
     # MultiFieldQueryParser dismax over (text, head): per term,
     # s = max(s_text, s_head) + 0.3 * (s_text + s_head - max); head-field
     # BM25 uses the head field's own stats/norms (first 8 tokens)

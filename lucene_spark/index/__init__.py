@@ -3,6 +3,7 @@ from .builder import BLOCK_SIZE, build_index, term_bucket
 from .catalog import Catalog
 from .expire import expire_snapshots
 from .reader import IndexReader
+from .dv_updates import update_doc_values
 from .update import update_documents
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "expire_snapshots",
     "IndexReader",
     "update_documents",
+    "update_doc_values",
 ]

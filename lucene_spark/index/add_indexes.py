@@ -119,6 +119,15 @@ def add_indexes(dest_root: str, src_roots: list[str], *, build_id: str | None = 
                 shutil.copyfile(
                     _tomb_path(src_root, old, gen), _tomb_path(dest_root, new, gen)
                 )
+            dvg = entry.get("dv_gen", 0)
+            if dvg:
+                # doc-values update overlays travel with their segment too
+                from .dv_updates import _dv_dir, _dv_path
+
+                os.makedirs(_dv_dir(dest_root, new), exist_ok=True)
+                shutil.copyfile(
+                    _dv_path(src_root, old, dvg), _dv_path(dest_root, new, dvg)
+                )
             e = dict(entry)
             e["name"] = new
             e["build"] = build_id

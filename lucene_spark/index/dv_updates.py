@@ -1,0 +1,173 @@
+"""Doc-values update generations — updateNumericDocValue /
+updateBinaryDocValue analogue.
+
+Lucene semantics reproduced (reference
+/root/reference/lucene/core/src/java/org/apache/lucene/index/IndexWriter.java
+updateNumericDocValue/updateDocValues, ReadersAndUpdates.java): a doc-values
+field can be rewritten for selected docs WITHOUT re-indexing — postings,
+norms and scoring statistics are untouched; only non-scoring doc values
+(filters, feature/function-score inputs, facets, sort keys other than the
+index sort) see the new values. Updates are versioned per segment and fold
+into the segment at merge time, exactly like Lucene's per-segment DV
+generations.
+
+Spark shape: a small overlay parquet per segment
+(``dv_updates/<seg>/gen-K.parquet`` of ``doc`` + updated columns); the
+catalog snapshot pins ``(dv_gen, dv_cols)`` per segment, so readers get
+point-in-time visibility the same way they get segment/delete visibility.
+Each new generation is COMPACTED with the previous one at write (last
+write wins per (doc, column)), so a read applies exactly ONE broadcast
+left join + per-column coalesce regardless of update history. Overlays
+are O(updated docs) — the same small-batch contract as tombstones; at
+100 TB a 1M-row overlay is a broadcast, never a shuffle of the corpus.
+
+Guarded columns: the key (``url``), scoring internals (``norm``,
+``length``), ids, and the index-sort column (its physical row order was
+fixed at write — Lucene likewise cannot re-sort a segment)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .reader import IndexReader
+
+GUARDED_COLS = {"seg", "doc", "url", "norm", "length"}
+
+
+def _dv_dir(root: str, seg: str) -> str:
+    return os.path.join(root, "dv_updates", seg)
+
+
+def _dv_path(root: str, seg: str, gen: int) -> str:
+    return os.path.join(_dv_dir(root, seg), f"gen-{gen}.parquet")
+
+
+def load_dv_overlay(root: str, seg_entry: dict) -> pd.DataFrame | None:
+    """Current overlay frame (doc + updated cols) for one segment."""
+    gen = seg_entry.get("dv_gen", 0)
+    if not gen:
+        return None
+    return pd.read_parquet(_dv_path(root, seg_entry["name"], gen))
+
+
+def update_doc_values(
+    spark: SparkSession,
+    index_root: str,
+    updates: DataFrame,
+    key: str = "url",
+    note: str = "dv_update",
+) -> int:
+    """Apply doc-values updates given by ``updates`` (``key`` column +
+    one or more value columns); one atomic snapshot. Docs whose key does
+    not exist are ignored (IndexWriter.updateDocValues term semantics:
+    the update applies to documents matching the term)."""
+    reader = IndexReader(spark, index_root)
+    cat = Catalog(index_root)
+    cols = [c for c in updates.columns if c != key]
+    if not cols:
+        raise ValueError("updates must carry at least one value column")
+    bad = set(cols) & GUARDED_COLS
+    if bad:
+        raise ValueError(f"cannot update guarded doc-values columns {sorted(bad)}")
+    docs_cols = set(reader.docs().columns)
+    missing = [c for c in cols if c not in docs_cols]
+    if missing:
+        raise ValueError(
+            f"unknown doc-values columns {missing} (updates rewrite existing "
+            "stored columns, like Lucene DV updates rewrite existing fields)"
+        )
+    for b in reader._builds:
+        srt = reader._manifests[b].get("index_sort")
+        if srt and srt[0] in cols:
+            raise ValueError(
+                f"cannot update index-sort column {srt[0]!r}: the segment's "
+                "physical row order was fixed at write"
+            )
+    # resolve (seg, doc) for the batch: column-pruned docs scan, broadcast
+    # join on the key — shuffle volume O(batch), never O(corpus)
+    resolved = (
+        reader.docs(["seg", "doc", key])
+        .join(F.broadcast(updates), key)
+        .select("seg", "doc", *cols)
+        .toPandas()
+    )
+    if not len(resolved):
+        return reader.snapshot_id
+
+    new_entries = []
+    for entry in reader.segments:
+        entry = dict(entry)
+        seg = entry["name"]
+        mine = resolved[resolved["seg"] == seg]
+        if len(mine):
+            new = (
+                mine.drop(columns=["seg"])
+                .drop_duplicates(subset=["doc"], keep="last")
+                .set_index("doc")
+            )
+            prev = load_dv_overlay(index_root, entry)
+            if prev is not None:
+                # last-wins compaction: the new generation's cells override,
+                # untouched (doc, col) cells carry forward
+                merged = new.combine_first(prev.set_index("doc"))
+            else:
+                merged = new
+            gen = entry.get("dv_gen", 0) + 1
+            os.makedirs(_dv_dir(index_root, seg), exist_ok=True)
+            merged.reset_index().to_parquet(_dv_path(index_root, seg, gen))
+            entry["dv_gen"] = gen
+            entry["dv_cols"] = sorted(merged.columns)
+        new_entries.append(entry)
+    return cat.commit(new_entries, remove_segments=[e["name"] for e in new_entries], note=note)
+
+
+def dv_overlay_df(spark: SparkSession, reader: IndexReader) -> DataFrame | None:
+    """All live segments' overlays as ONE (seg, doc, <col>...) DataFrame
+    (missing columns null), or None when no segment has updates."""
+    frames = []
+    all_cols: list[str] = []
+    for entry in reader.segments:
+        ov = load_dv_overlay(reader.root, entry)
+        if ov is None:
+            continue
+        ov = ov.copy()
+        ov.insert(0, "seg", entry["name"])
+        frames.append(ov)
+        for c in entry.get("dv_cols", []):
+            if c not in all_cols:
+                all_cols.append(c)
+    if not frames:
+        return None
+    pdf = pd.concat(frames, ignore_index=True)
+    for c in all_cols:
+        if c not in pdf.columns:
+            pdf[c] = None
+    return spark.createDataFrame(pdf[["seg", "doc"] + all_cols])
+
+
+def apply_dv_overlays(reader: IndexReader, df: DataFrame) -> DataFrame:
+    """Coalesce overlay values over ``df``'s columns (broadcast left join;
+    one join regardless of how many generations were written). Columns not
+    present in ``df`` are ignored — column pruning still works."""
+    ov = dv_overlay_df(reader.spark, reader)
+    if ov is None:
+        return df
+    touch = [c for c in ov.columns if c not in ("seg", "doc") and c in df.columns]
+    if not touch:
+        return df
+    renamed = ov.select(
+        "seg", "doc", *[F.col(c).alias(f"_dv_{c}") for c in touch]
+    )
+    out = df.join(F.broadcast(renamed), ["seg", "doc"], "left")
+    for c in touch:
+        base_type = df.schema[c].dataType
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"_dv_{c}").cast(base_type), F.col(c))
+        ).drop(f"_dv_{c}")
+    return out.select(*df.columns)

@@ -105,6 +105,7 @@ def expire_snapshots(
     live_pairs: set[tuple[str, str]] = set()  # (build, segment name)
     live_builds: set[str] = set()
     pinned_gens: dict[str, set[int]] = {}  # segment name -> live del_gens
+    pinned_dv_gens: dict[str, set[int]] = {}  # segment name -> live dv_gens
     for s in retained:
         for e in s["segments"]:
             live_pairs.add((e["build"], e["name"]))
@@ -112,6 +113,9 @@ def expire_snapshots(
             gen = e.get("del_gen", 0)
             if gen:
                 pinned_gens.setdefault(e["name"], set()).add(int(gen))
+            dvg = e.get("dv_gen", 0)
+            if dvg:
+                pinned_dv_gens.setdefault(e["name"], set()).add(int(dvg))
     live_seg_names = {name for _b, name in live_pairs}
 
     # 1) Publish the pruned catalog (atomic; Lucene's "commit then delete").
@@ -156,6 +160,22 @@ def expire_snapshots(
                 freed += _remove(seg_dir, deleted, dry_run)
                 continue
             live_gens = pinned_gens.get(seg, set())
+            for fn in sorted(os.listdir(seg_dir)):
+                if fn.startswith("gen-") and fn.endswith(".parquet"):
+                    gen = int(fn[len("gen-"):-len(".parquet")])
+                    if gen not in live_gens:
+                        freed += _remove(os.path.join(seg_dir, fn), deleted, dry_run)
+
+    # 4) Doc-values update generations not pinned by any retained snapshot
+    # (root/dv_updates/<seg>/gen-K.parquet, index/dv_updates.py).
+    dv_root = os.path.join(index_root, "dv_updates")
+    if os.path.isdir(dv_root):
+        for seg in sorted(os.listdir(dv_root)):
+            seg_dir = os.path.join(dv_root, seg)
+            if seg not in live_seg_names:
+                freed += _remove(seg_dir, deleted, dry_run)
+                continue
+            live_gens = pinned_dv_gens.get(seg, set())
             for fn in sorted(os.listdir(seg_dir)):
                 if fn.startswith("gen-") and fn.endswith(".parquet"):
                     gen = int(fn[len("gen-"):-len(".parquet")])

@@ -198,6 +198,13 @@ def prepare_merge(
         # docs: drop tombstoned rows, compact + rebase doc ids (url order
         # is preserved across adjacency, so ids stay url-ordered)
         docs = reader._read("docs").filter(F.col("seg").isin(names))
+        if any(segs[n].get("dv_gen") for n in names):
+            # bake doc-values update overlays into the merged rows (Lucene
+            # folds DV update generations at merge the same way) — the
+            # merged segment then needs no dv_gen
+            from .dv_updates import apply_dv_overlays
+
+            docs = apply_dv_overlays(reader, docs)
         if has_deletes:
             import pandas as pd_
             from pyspark.sql import types as T_

@@ -49,7 +49,9 @@ class IndexReader:
 
     def docs(self, columns: list[str] | None = None) -> DataFrame:
         """Per-document table; default projection excludes the heavy
-        staging ``terms``/``freqs`` arrays (parquet prunes them)."""
+        staging ``terms``/``freqs`` arrays (parquet prunes them).
+        Doc-values update overlays (dv_updates generations) are applied
+        when a requested column has updates — one broadcast join."""
         df = self._read("docs")
         if columns is None:
             # exclude the heavy staging arrays of every analyzed field
@@ -59,6 +61,13 @@ class IndexReader:
                 and not c.startswith("terms_")
                 and not c.startswith("freqs_")
             ]
+        if any(s.get("dv_gen") for s in self.segments):
+            from .dv_updates import apply_dv_overlays
+
+            # keep the (seg, doc) join keys through the overlay, then
+            # project back down to the requested columns
+            aug = list(dict.fromkeys(["seg", "doc", *columns]))
+            return apply_dv_overlays(self, df.select(*aug)).select(*columns)
         return df.select(*columns)
 
     def term_vector(self, url: str, field: str = "text") -> tuple[list, list]:

@@ -1,0 +1,99 @@
+"""Doc-values update generations (updateNumericDocValue /
+updateBinaryDocValue analogue; reference index/IndexWriter.java
+updateDocValues, ReadersAndUpdates.java): rewrite selected docs' stored
+columns without re-indexing — point-in-time snapshots, last-wins
+compaction across generations, overlays baked at merge."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index import IndexReader, build_index, update_doc_values
+from lucene_spark.index.merge import force_merge
+from lucene_spark.pages import pages_from_documents, url_for_doc_id
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+from conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def dv_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dvidx"))
+    pages = pages_from_documents(spark, TESTDATA).withColumn(
+        # a deterministic numeric doc-values column to update
+        "rank", (F.col("warc_ts").cast("long") % 97).cast("double")
+    )
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "rank"))
+    return root
+
+
+def _lang_of(spark, root, urls):
+    r = IndexReader(spark, root)
+    rows = r.docs(["url", "lang"]).filter(F.col("url").isin(urls)).collect()
+    return {row["url"]: row["lang"] for row in rows}
+
+
+def test_dv_update_visible_and_point_in_time(spark, dv_root):
+    urls = [url_for_doc_id(i) for i in (1, 3, 5)]
+    pre_reader = IndexReader(spark, dv_root)
+    pre_snap = pre_reader.snapshot_id
+    upd = spark.createDataFrame([(u, "xx") for u in urls], "url string, lang string")
+    sid = update_doc_values(spark, dv_root, upd)
+    assert sid > pre_snap
+    # new reader sees the overlay
+    assert set(_lang_of(spark, dv_root, urls).values()) == {"xx"}
+    # the pre-update snapshot still sees the original values
+    old = IndexReader(spark, dv_root, snapshot_id=pre_snap)
+    langs = old.docs(["url", "lang"]).filter(F.col("url").isin(urls)).collect()
+    assert all(r["lang"] != "xx" for r in langs)
+    # DocValuesQuery matches exactly the updated docs
+    s = IndexSearcher(IndexReader(spark, dv_root))
+    hits = s.search(Q.DocValuesQuery("lang = 'xx'"), k=100)
+    assert sorted(r["url"] for r in hits.collect()) == sorted(urls)
+
+
+def test_dv_second_generation_last_wins(spark, dv_root):
+    u1, u3 = url_for_doc_id(1), url_for_doc_id(3)
+    upd2 = spark.createDataFrame([(u1, "yy")], "url string, lang string")
+    update_doc_values(spark, dv_root, upd2)
+    langs = _lang_of(spark, dv_root, [u1, u3])
+    assert langs[u1] == "yy"  # second generation overrides
+    assert langs[u3] == "xx"  # first generation carries forward
+
+
+def test_dv_numeric_update_feeds_feature_query(spark, dv_root):
+    target = url_for_doc_id(7)
+    upd = spark.createDataFrame([(target, 10_000.0)], "url string, rank double")
+    update_doc_values(spark, dv_root, upd)
+    s = IndexSearcher(IndexReader(spark, dv_root))
+    top = s.search(Q.FeatureQuery("rank", "linear"), k=1).collect()
+    assert top[0]["url"] == target
+    assert top[0]["score"] == pytest.approx(10_000.0)
+
+
+def test_dv_guards(spark, dv_root):
+    with pytest.raises(ValueError):
+        update_doc_values(
+            spark, dv_root,
+            spark.createDataFrame([("u", 3)], "url string, length long"),
+        )
+    with pytest.raises(ValueError):
+        update_doc_values(
+            spark, dv_root,
+            spark.createDataFrame([("u", 3)], "url string, nosuchcol long"),
+        )
+
+
+def test_dv_merge_bakes_overlays(spark, dv_root):
+    force_merge(spark, dv_root)
+    reader = IndexReader(spark, dv_root)
+    assert not any(s.get("dv_gen") for s in reader.segments)
+    langs = _lang_of(spark, dv_root, [url_for_doc_id(1), url_for_doc_id(3)])
+    assert langs[url_for_doc_id(1)] == "yy"
+    assert langs[url_for_doc_id(3)] == "xx"
+    rows = reader.docs(["url", "rank"]).filter(
+        F.col("url") == url_for_doc_id(7)
+    ).collect()
+    assert rows[0]["rank"] == pytest.approx(10_000.0)
