@@ -227,7 +227,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shingle_bigram_search"] = _pq_shingle_search
     q["multi_field_dismax"] = _pq_multi_field
     q["dv_update_feature"] = _pq_dv_update
+    q["high_freq_terms"] = _pq_high_freq_terms
+    q["facet_dynamic_ranges"] = _pq_dynamic_ranges
     return q
+
+
+def _pq_high_freq_terms(spark, sf_dir):
+    """HighFreqTerms tool (reference misc/.../HighFreqTerms.java): top-10
+    terms by docFreq (ties by term asc) from the block-0 stats view —
+    the driver sees 10 rows, never the vocabulary."""
+    from lucene_spark.search.facets import high_freq_terms
+
+    reader = _get_index(spark, sf_dir)
+    return high_freq_terms(reader, k=10, by="doc_freq").select(
+        "term", "doc_freq", "total_term_freq"
+    )
+
+
+def _pq_dynamic_ranges(spark, sf_dir):
+    """DynamicRangeUtil (reference facet/.../range/DynamicRangeUtil.java):
+    quartile ranges of the analyzed length over docs matching 'table' —
+    boundaries are exact interpolated percentiles, counts one hash agg."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.facets import dynamic_range_facets
+
+    s = _searcher(spark, sf_dir)
+    out = dynamic_range_facets(s, Q.TermQuery("text", "table"), "length", n_ranges=4)
+    return out.select("range_id", "n_docs")
 
 
 def _pq_dv_update(spark, sf_dir):
@@ -2143,6 +2169,28 @@ SELECT doc_id, round(score, 4) AS score_r
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     )
+    # HighFreqTerms: top-10 by docFreq, ties term asc
+    o["high_freq_terms"] = f"""
+WITH tok AS ({_TOK})
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+FROM tok GROUP BY term
+ORDER BY doc_freq DESC, term ASC LIMIT 10
+"""
+    # DynamicRangeUtil quartiles of analyzed length over docs matching
+    # 'table': boundaries = quantile_cont at 0.25/0.5/0.75 (same exact
+    # interpolation as Spark percentile), ranges half-open [b_i-1, b_i)
+    o["facet_dynamic_ranges"] = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+v AS (SELECT CAST(dl.len AS DOUBLE) AS v FROM dl JOIN m ON m.doc_id = dl.doc_id),
+b AS (SELECT quantile_cont(v, 0.25) AS b1, quantile_cont(v, 0.5) AS b2,
+             quantile_cont(v, 0.75) AS b3 FROM v)
+SELECT CASE WHEN v >= b.b3 THEN 3 WHEN v >= b.b2 THEN 2
+            WHEN v >= b.b1 THEN 1 ELSE 0 END AS range_id,
+       count(*) AS n_docs
+FROM v, b GROUP BY 1 ORDER BY 1
+"""
     # DV update generations: rank = doc_id % 97, overridden to
     # 1000 + doc_id % 7 where doc_id % 31 == 0; FeatureQuery(linear)
     # top-k = rank desc, doc asc, over rank > 0

@@ -394,3 +394,72 @@ def facet_stats(
             F.avg(value_col).alias("mean_value"),
         )
     )
+
+
+def high_freq_terms(reader, k: int = 10, field: str = "text", by: str = "doc_freq") -> DataFrame:
+    """HighFreqTerms tool (reference misc/src/java/org/apache/lucene/misc/
+    HighFreqTerms.java): top-k terms of a field by docFreq or
+    totalTermFreq. One column-pruned scan of the block-0 stats view +
+    hash agg + ordered take (TakeOrderedAndProject) — the driver sees k
+    rows, never the vocabulary."""
+    if by not in ("doc_freq", "total_term_freq"):
+        raise ValueError("by must be 'doc_freq' or 'total_term_freq'")
+    agg = (
+        reader.term_dict(None, field)
+        .groupBy("term")
+        .agg(
+            F.sum("doc_freq").alias("doc_freq"),
+            F.sum("total_term_freq").alias("total_term_freq"),
+        )
+    )
+    return agg.orderBy(F.desc(by), F.asc("term")).limit(k)
+
+
+def dynamic_range_facets(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    value_col: str,
+    n_ranges: int = 4,
+    field: str = "text",
+) -> DataFrame:
+    """DynamicRangeUtil analogue (reference facet/src/java/org/apache/
+    lucene/facet/range/DynamicRangeUtil.java): split the matching docs'
+    ``value_col`` into ``n_ranges`` ranges of ~equal doc weight.
+
+    Boundaries are EXACT interpolated percentiles at i/n (one agg over
+    the match set — same definition as DuckDB quantile_cont, so results
+    are engine-independent); ranges are half-open [b_{i-1}, b_i) with
+    open outer ends. Two aggregations total; at 100 TB swap
+    percentile_approx in for one bounded-memory pass (same plan shape)."""
+    if n_ranges < 2:
+        raise ValueError("n_ranges must be >= 2")
+    m = _matches_with_docs(searcher, q, field)
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    plist = ", ".join(str(p) for p in qs)
+    row = m.agg(F.expr(f"percentile({value_col}, array({plist}))").alias("b")).collect()[0]
+    bounds = [float(b) for b in (row["b"] or [])]
+    if not bounds:
+        return searcher.reader.spark.createDataFrame(
+            [], "range_id int, lo double, hi double, n_docs long"
+        )
+    v = F.col(value_col).cast("double")
+    # chained CASE: the highest boundary <= v wins
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = F.when(v >= F.lit(b), F.lit(i + 1)).otherwise(bucket)
+    counts = (
+        m.select(bucket.alias("range_id"))
+        .groupBy("range_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    edges = [None] + bounds + [None]
+    lows = {i: edges[i] for i in range(n_ranges)}
+    his = {i: edges[i + 1] for i in range(n_ranges)}
+    lo_map = F.create_map(*[x for i in range(n_ranges) for x in (F.lit(i), F.lit(lows[i]))])
+    hi_map = F.create_map(*[x for i in range(n_ranges) for x in (F.lit(i), F.lit(his[i]))])
+    return counts.select(
+        F.col("range_id").cast("int").alias("range_id"),
+        F.round(lo_map[F.col("range_id")], 4).alias("lo"),
+        F.round(hi_map[F.col("range_id")], 4).alias("hi"),
+        "n_docs",
+    ).orderBy("range_id")

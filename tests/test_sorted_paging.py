@@ -85,3 +85,60 @@ def test_facet_percentiles_match_numpy(reader, corpus):
             round(float(np.percentile(lens, p)), 4), abs=1e-9
         )
     assert got["n_hits"] == len(rows)
+
+
+def test_high_freq_terms_matches_corpus(reader, corpus):
+    """HighFreqTerms: top-k by docFreq == pandas recount; plan is an
+    ordered take (driver sees k rows, not the vocabulary)."""
+    from collections import Counter
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+    from lucene_spark.search.facets import high_freq_terms
+
+    an = analyzer_for("standard")
+    df_count = Counter()
+    ttf = Counter()
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        df_count.update(set(toks))
+        ttf.update(toks)
+    want = sorted(df_count, key=lambda t: (-df_count[t], t))[:10]
+    out = high_freq_terms(reader, k=10, by="doc_freq")
+    rows = out.collect()
+    assert [r["term"] for r in rows] == want
+    for r in rows:
+        assert r["doc_freq"] == df_count[r["term"]]
+        assert r["total_term_freq"] == ttf[r["term"]]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_range_facets_equal_weight(reader, corpus):
+    """DynamicRangeUtil: quartile ranges over matching docs' length ==
+    numpy percentile bucketing."""
+    import numpy as np
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.facets import dynamic_range_facets
+
+    an = analyzer_for("standard")
+    lens, match = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        lens.append(len(toks))
+        match.append("table" in toks)
+    v = np.array(lens, dtype=float)[np.array(match)]
+    bounds = np.percentile(v, [25, 50, 75], method="linear")
+    want = np.zeros(4, dtype=int)
+    ids = np.searchsorted(np.sort(bounds), v, side="right")
+    for i in ids:
+        want[i] += 1
+    s = IndexSearcher(reader)
+    rows = dynamic_range_facets(s, Q.TermQuery("text", "table"), "length", 4).collect()
+    got = {r["range_id"]: r["n_docs"] for r in rows}
+    for i in range(4):
+        assert got.get(i, 0) == want[i], (i, got, want.tolist())
+    # each quartile holds ~25% of the matches (equal-weight contract)
+    assert max(got.values()) - min(got.values()) <= 0.2 * len(v)
