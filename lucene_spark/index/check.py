@@ -119,6 +119,28 @@ def check_index(spark: SparkSession, index_root: str, strict: bool = True) -> di
         max_doc = next(s["max_doc"] for s in reader.segments if s["name"] == seg)
         if len(tombs) and (tombs[0] < 0 or tombs[-1] >= max_doc):
             errors.append(f"{seg}: tombstone out of range")
+    # doc-values update overlays: pinned gen file exists, docs in range,
+    # columns declared and not scoring-guarded
+    from .dv_updates import GUARDED_COLS, load_dv_overlay
+
+    for entry in reader.segments:
+        if not entry.get("dv_gen"):
+            continue
+        seg = entry["name"]
+        try:
+            ov = load_dv_overlay(reader.root, entry)
+        except FileNotFoundError:
+            errors.append(f"{seg}: dv overlay gen-{entry['dv_gen']} missing")
+            continue
+        if ov["doc"].duplicated().any():
+            errors.append(f"{seg}: duplicate docs in dv overlay")
+        if len(ov) and (ov["doc"].min() < 0 or ov["doc"].max() >= entry["max_doc"]):
+            errors.append(f"{seg}: dv overlay doc out of range")
+        cols = set(ov.columns) - {"doc"}
+        if cols != set(entry.get("dv_cols", [])):
+            errors.append(f"{seg}: dv_cols {sorted(cols)} != declared {entry.get('dv_cols')}")
+        if cols & GUARDED_COLS:
+            errors.append(f"{seg}: dv overlay touches guarded columns {sorted(cols & GUARDED_COLS)}")
 
     report = {
         "segments": len(reader.segments),

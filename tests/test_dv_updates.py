@@ -97,3 +97,38 @@ def test_dv_merge_bakes_overlays(spark, dv_root):
         F.col("url") == url_for_doc_id(7)
     ).collect()
     assert rows[0]["rank"] == pytest.approx(10_000.0)
+
+
+def test_dv_check_index_and_expire(spark, tmp_path_factory):
+    """CheckIndex validates overlays; expire keeps pinned generations
+    readable and physically deletes unpinned ones."""
+    import os
+
+    from lucene_spark.index import expire_snapshots
+    from lucene_spark.index.check import check_index
+    from lucene_spark.index.dv_updates import _dv_path
+
+    root = str(tmp_path_factory.mktemp("dvexp"))
+    pages = pages_from_documents(spark, TESTDATA).limit(60)
+    build_index(spark, pages, root, num_segments=2, num_buckets=2,
+                stored_cols=("lang",))
+    u = url_for_doc_id(2)
+    update_doc_values(
+        spark, root, spark.createDataFrame([(u, "aa")], "url string, lang string")
+    )
+    update_doc_values(
+        spark, root, spark.createDataFrame([(u, "bb")], "url string, lang string")
+    )
+    rep = check_index(spark, root)
+    assert not rep["errors"]
+    reader = IndexReader(spark, root)
+    seg = next(s for s in reader.segments if s.get("dv_gen"))
+    assert seg["dv_gen"] == 2
+    assert os.path.exists(_dv_path(root, seg["name"], 1))
+    expire_snapshots(root, keep_last=1)
+    # gen-1 is no longer pinned by any retained snapshot -> deleted
+    assert not os.path.exists(_dv_path(root, seg["name"], 1))
+    assert os.path.exists(_dv_path(root, seg["name"], 2))
+    langs = _lang_of(spark, root, [u])
+    assert langs[u] == "bb"
+    assert not check_index(spark, root)["errors"]
