@@ -1,0 +1,85 @@
+"""spark-submit entry point for the distributed index build.
+
+The north rule's launch shape: package the library and submit the build to
+a multi-executor cluster —
+
+    zip -r /tmp/lucene_spark.zip lucene_spark
+    spark-submit --master <cluster> --py-files /tmp/lucene_spark.zip \
+        scripts/submit_build.py \
+        --input /data/testdata/sf0.1 --index-root /data/index \
+        --num-segments 64 --build-id b0001
+
+``--input`` is either a driver sf-dir (documents.parquet is wrapped into
+the Common-Crawl-style pages table) or, with ``--pages-parquet``, a
+parquet table already in the input_hint shape
+(url, warc_ts, html, text, lang). The build is resumable: re-submitting
+with the same --build-id skips completed work (per-partition lineage in
+the build manifest). Prints ONE JSON line of build metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="sf dir with documents.parquet, or a pages parquet with --pages-parquet")
+    ap.add_argument("--pages-parquet", action="store_true",
+                    help="treat --input as a pages-shaped parquet table")
+    ap.add_argument("--index-root", required=True)
+    ap.add_argument("--build-id", default=None)
+    ap.add_argument("--num-segments", type=int, default=8)
+    ap.add_argument("--num-buckets", type=int, default=8)
+    ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--analyzer", default="standard")
+    ap.add_argument("--stored-cols", default="lang",
+                    help="comma-separated stored columns ('' for none)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # master/executors come from spark-submit; no hardcoding here
+    spark = SparkSession.builder.appName("lucene_spark_build").getOrCreate()
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import pages_from_documents
+
+    if args.pages_parquet:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = pages_from_documents(spark, args.input)
+
+    stored = tuple(c for c in args.stored_cols.split(",") if c)
+    t0 = time.time()
+    build_index(
+        spark,
+        pages,
+        args.index_root,
+        build_id=args.build_id,
+        num_segments=args.num_segments,
+        num_buckets=args.num_buckets,
+        positions=args.positions,
+        analyzer=args.analyzer,
+        stored_cols=stored,
+    )
+    secs = time.time() - t0
+    reader = IndexReader(spark, args.index_root)
+    n_docs = reader.max_doc()
+    print(json.dumps({
+        "metric": "submit_build",
+        "docs": n_docs,
+        "build_sec": round(secs, 2),
+        "docs_per_sec": round(n_docs / secs, 1) if secs > 0 else None,
+        "segments": len(reader.segments),
+        "snapshot_id": reader.snapshot_id,
+        "index_root": args.index_root,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

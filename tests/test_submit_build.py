@@ -1,0 +1,50 @@
+"""spark-submit --py-files launch path (the north rule's cluster shape):
+the library travels ONLY as a zip, the build runs through
+scripts/submit_build.py, and re-submitting the same build id resumes
+(skips completed work) instead of rebuilding."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from conftest import TESTDATA
+
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_py_files_build(tmp_path):
+    zip_base = str(tmp_path / "lucene_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="lucene_spark")
+    idx = str(tmp_path / "idx")
+
+    def submit():
+        cmd = [
+            SPARK_SUBMIT, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_base + ".zip",
+            os.path.join(REPO, "scripts", "submit_build.py"),
+            "--input", TESTDATA, "--index-root", idx,
+            "--num-segments", "3", "--build-id", "subm1",
+        ]
+        # run from a scratch cwd so ONLY the zip provides the library
+        out = subprocess.run(
+            cmd, cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+            env={**os.environ, "PYTHONPATH": ""},
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        line = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')][-1]
+        return json.loads(line)
+
+    m1 = submit()
+    assert m1["docs"] == 500 and m1["segments"] == 3 and m1["snapshot_id"] == 1
+    # resubmit: resumable build skips the completed build id; the catalog
+    # still points at the same snapshot (no duplicate segments)
+    m2 = submit()
+    assert m2["docs"] == 500 and m2["segments"] == 3 and m2["snapshot_id"] == 1
+    assert m2["build_sec"] < m1["build_sec"]  # skip path, no re-inversion
