@@ -1,0 +1,58 @@
+"""spark-submit entry point for a BM25 query workload over a built index.
+
+    spark-submit --master <cluster> --py-files /tmp/lucene_spark.zip \
+        scripts/submit_search.py --index-root /data/index \
+        --queries "table scan" "+merge window" --k 10 --repeats 3
+
+Runs each query-string through the block-max engine, reports per-query
+p50 seconds + the top hit, one JSON line. Use --mode exhaustive to force
+the oracle path."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index-root", required=True)
+    ap.add_argument("--queries", nargs="+", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--mode", default="auto", choices=["auto", "maxscore", "exhaustive"])
+    ap.add_argument("--analyzer", default="standard")
+    args = ap.parse_args()
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("lucene_spark_search").getOrCreate()
+
+    from lucene_spark.index import IndexReader
+    from lucene_spark.search import IndexSearcher, parse
+
+    searcher = IndexSearcher(IndexReader(spark, args.index_root))
+    out = {}
+    for qs in args.queries:
+        q = parse(qs, analyzer=args.analyzer)
+        times = []
+        top = None
+        for _ in range(args.repeats):
+            t0 = time.time()
+            rows = searcher.search(q, k=args.k, mode=args.mode).collect()
+            times.append(time.time() - t0)
+            if rows and top is None:
+                top = {"url": rows[0]["url"], "score": round(float(rows[0]["score"]), 4)}
+        out[qs] = {
+            "p50_sec": round(float(np.median(times)), 4),
+            "n_hits": len(rows),
+            "top": top,
+        }
+    print(json.dumps({"metric": "submit_search", "k": args.k, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

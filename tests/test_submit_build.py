@@ -48,3 +48,22 @@ def test_spark_submit_py_files_build(tmp_path):
     m2 = submit()
     assert m2["docs"] == 500 and m2["segments"] == 3 and m2["snapshot_id"] == 1
     assert m2["build_sec"] < m1["build_sec"]  # skip path, no re-inversion
+
+    # query workload through the same launch shape
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_base + ".zip",
+        os.path.join(REPO, "scripts", "submit_search.py"),
+        "--index-root", idx, "--queries", "table scan", "--k", "5",
+        "--repeats", "1",
+    ]
+    out = subprocess.run(
+        cmd, cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')][-1]
+    res = json.loads(line)
+    assert res["queries"]["table scan"]["n_hits"] == 5
+    assert res["queries"]["table scan"]["top"]["score"] > 0
