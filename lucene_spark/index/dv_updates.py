@@ -129,7 +129,12 @@ def update_doc_values(
 
 def dv_overlay_df(spark: SparkSession, reader: IndexReader) -> DataFrame | None:
     """All live segments' overlays as ONE (seg, doc, <col>...) DataFrame
-    (missing columns null), or None when no segment has updates."""
+    (missing columns null), or None when no segment has updates. Cached
+    per reader — a reader pins one snapshot, so its overlays are
+    immutable."""
+    cached = getattr(reader, "_dv_overlay_cache", False)
+    if cached is not False:
+        return cached
     frames = []
     all_cols: list[str] = []
     for entry in reader.segments:
@@ -143,12 +148,15 @@ def dv_overlay_df(spark: SparkSession, reader: IndexReader) -> DataFrame | None:
             if c not in all_cols:
                 all_cols.append(c)
     if not frames:
+        reader._dv_overlay_cache = None
         return None
     pdf = pd.concat(frames, ignore_index=True)
     for c in all_cols:
         if c not in pdf.columns:
             pdf[c] = None
-    return spark.createDataFrame(pdf[["seg", "doc"] + all_cols])
+    out = spark.createDataFrame(pdf[["seg", "doc"] + all_cols])
+    reader._dv_overlay_cache = out
+    return out
 
 
 def apply_dv_overlays(reader: IndexReader, df: DataFrame) -> DataFrame:
