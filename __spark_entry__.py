@@ -2535,6 +2535,30 @@ def _pipeline_oracles() -> dict[str, str]:
     from lucene_spark.pipeline.textstats import ENGLISH_STOPWORDS_33
 
     o: dict[str, str] = {}
+    # SimHash near-dup pairs: md5-based 64-bit signatures are reproduced
+    # exactly in SQL (term hash = first 8 md5 bytes big-endian), then
+    # brute-force all-pairs hamming <= 3 — the banded engine must find
+    # the identical pair set (hamming <= 3 banding is exact by pigeonhole)
+    o["dedup_simhash"] = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+hv AS (SELECT doc_id, c, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tf),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT) AS s
+  FROM bits GROUP BY 1
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3
+"""
     o["dedup_exact"] = """
 WITH unioned AS (
   SELECT doc_id, text FROM documents

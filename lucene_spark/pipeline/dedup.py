@@ -236,7 +236,10 @@ def ngram_jaccard_pairs(
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over whitespace terms weighted by
-    term frequency; term hash = crc32(term) folded to 64 bits via two crcs."""
+    term frequency; term hash = first 8 bytes (big-endian) of md5(term),
+    so the whole signature is reproducible in plain SQL
+    (``('0x' || substr(md5(term), 1, 16))::UBIGINT`` in DuckDB)."""
+    import hashlib
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
@@ -246,9 +249,10 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             if not words:
                 continue
             uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
-            h1 = np.array([zlib.crc32(w.encode()) for w in uniq], dtype=np.uint64)
-            h2 = np.array([zlib.crc32(w.encode()[::-1]) for w in uniq], dtype=np.uint64)
-            hv = (h1 << np.uint64(32)) | h2
+            hv = np.array(
+                [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in uniq],
+                dtype=np.uint64,
+            )
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
                 np.int64
             )
