@@ -1,0 +1,96 @@
+"""Randomized query parity — the RandomizedTesting / CheckHits analogue
+(reference lucene/test-framework/.../search/CheckHits.java and the
+RandomQueryUtils style of Lucene's randomized test suite): seeded random
+query ASTs (nested booleans with every occur kind + msm, phrases, dismax,
+synonyms, boosts) must score rank-identically to the brute-force oracle
+on BOTH physical paths. Seeds are fixed — failures reproduce exactly."""
+
+import random
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+from oracle import BruteForceIndex
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+@pytest.fixture(scope="module")
+def vocab(oracle):
+    common = sorted(oracle.df, key=lambda t: -oracle.df[t])[:40]
+    rare = [t for t in sorted(oracle.df) if oracle.df[t] <= 2][:5]
+    return common + rare + ["zznosuchterm"]
+
+
+def gen_query(rng: random.Random, vocab, depth=0) -> Q.Query:
+    r = rng.random()
+    boost = rng.choice([1.0, 1.0, 1.0, 2.0, 0.5])
+    if depth >= 2 or r < 0.40:
+        return Q.TermQuery("text", rng.choice(vocab), boost=boost)
+    if r < 0.50:
+        terms = tuple(rng.choice(vocab) for _ in range(2))
+        return Q.PhraseQuery("text", terms, slop=rng.choice([0, 0, 1, 2]))
+    if r < 0.58:
+        return Q.DisjunctionMaxQuery(
+            tuple(gen_query(rng, vocab, depth + 1) for _ in range(2)),
+            tie_breaker=rng.choice([0.0, 0.3]),
+            boost=boost,
+        )
+    if r < 0.65:
+        terms = tuple(dict.fromkeys(rng.choice(vocab) for _ in range(3)))
+        return Q.SynonymQuery("text", terms, boost=boost)
+    n = rng.randint(2, 4)
+    occurs = []
+    for i in range(n):
+        occurs.append(rng.choice([Q.SHOULD] * 4 + [Q.MUST] * 2 + [Q.MUST_NOT, Q.FILTER]))
+    if not any(o in (Q.SHOULD, Q.MUST, Q.FILTER) for o in occurs):
+        occurs[0] = Q.SHOULD  # never pure-negative
+    clauses = [(o, gen_query(rng, vocab, depth + 1)) for o in occurs]
+    n_should = sum(1 for o in occurs if o == Q.SHOULD)
+    msm = rng.choice([0, 0, 0, 1, min(2, n_should)]) if n_should else 0
+    return Q.BooleanQuery.build(*clauses, minimum_should_match=msm)
+
+
+def _assert_equivalent(got, want, ctx):
+    """Rank parity with near-tie tolerance: pairwise scores match (sorted
+    desc on both sides) and each score-equivalence class (1e-4 rounding)
+    holds the same url multiset."""
+    assert len(got) == len(want), ctx
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=3e-5), (ctx, gu, wu)
+
+    def classes(rows):
+        out = {}
+        for u, s in rows:
+            out.setdefault(round(float(np.float32(s)), 4), set()).add(u)
+        return out
+
+    gc, wc = classes(got), classes(want)
+    assert set(gc) == set(wc), ctx
+    for key in gc:
+        assert gc[key] == wc[key], (ctx, key)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 1789])
+def test_random_query_parity(searcher, reader, oracle, vocab, seed):
+    rng = random.Random(seed)
+    for i in range(8):
+        q = Q.rewrite(gen_query(rng, vocab), reader)
+        want = oracle.topk(q, K)
+        for mode in ("exhaustive", "maxscore"):
+            rows = searcher.search(q, k=K, mode=mode).select("url", "score").collect()
+            got = [(r["url"], float(r["score"])) for r in rows]
+            _assert_equivalent(got, want, (seed, i, mode, q))
