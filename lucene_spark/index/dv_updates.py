@@ -73,6 +73,10 @@ def update_doc_values(
     if not cols:
         raise ValueError("updates must carry at least one value column")
     bad = set(cols) & GUARDED_COLS
+    bad |= {
+        c for c in cols
+        if c.startswith(("norm_", "length_", "terms", "freqs", "positions"))
+    }  # per-field scoring internals / staging arrays are not doc values
     if bad:
         raise ValueError(f"cannot update guarded doc-values columns {sorted(bad)}")
     docs_cols = set(reader.docs().columns)

@@ -1,7 +1,7 @@
 from . import query
-from .parser import parse
+from .parser import parse, parse_multi_field
 from .rescorer import rescore
 from .searcher import IndexSearcher
 from .topk import merge_topk
 
-__all__ = ["query", "parse", "rescore", "IndexSearcher", "merge_topk"]
+__all__ = ["query", "parse", "parse_multi_field", "rescore", "IndexSearcher", "merge_topk"]

@@ -220,3 +220,29 @@ def test_shingle_bigram_search_matches_oracle(shingle_index):
     want2 = oracle.topk(q2, 10)
     rows2 = searcher.search(q2, k=10, mode="maxscore").select("url", "score").collect()
     assert [r["url"] for r in rows2] == [u for u, _ in want2]
+
+
+def test_phrase_parse_with_stacked_tokens_builds_multiphrase():
+    """QueryBuilder.analyzeMultiPhrase: a quoted phrase under a synonym
+    analyzer yields per-slot alternatives, not a flattened phrase."""
+    q = parse('"fast scan"', analyzer="standard+syn:fast=quick")
+    assert q == Q.MultiPhraseQuery("text", (("fast", "quick"), ("scan",)), 0)
+    # plain analyzer unchanged
+    assert parse('"fast scan"~1') == Q.PhraseQuery("text", ("fast", "scan"), 1)
+
+
+def test_dv_guard_rejects_per_field_internals(spark, tmp_path_factory, corpus):
+    from lucene_spark.index import build_index, update_doc_values
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path_factory.mktemp("dvguard"))
+    pages = spark.createDataFrame(corpus.head(20)[["url", "text", "lang"]]).withColumn(
+        "head", SF.expr("array_join(slice(split(text, ' '), 1, 4), ' ')")
+    )
+    build_index(spark, pages, root, num_segments=1, num_buckets=2,
+                text_fields={"head": "head"})
+    with pytest.raises(ValueError):
+        update_doc_values(
+            spark, root,
+            spark.createDataFrame([("u", 3)], "url string, length_head long"),
+        )
