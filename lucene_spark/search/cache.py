@@ -1,0 +1,63 @@
+"""Filter-clause query cache — the LRUQueryCache analogue.
+
+Lucene semantics reproduced (reference
+/root/reference/lucene/core/src/java/org/apache/lucene/search/LRUQueryCache.java
++ UsageTrackingQueryCachingPolicy.java): non-scoring filter clauses that
+recur across searches are materialized ONCE per (reader snapshot, query)
+and the cached doc-set is reused; entries are evicted least-recently-used;
+a usage policy only caches a query once it has been seen ``min_frequency``
+times (caching one-off filters would pay the materialization for nothing).
+
+Spark shape: the cache unit is a persisted ``(seg, doc)`` DataFrame —
+executors hold the materialized doc-set partitions (memory, spilling to
+disk), so a cache hit replaces the clause's postings scan + decode with an
+InMemoryTableScan. Eviction unpersists. Keys include the index root AND
+snapshot id, so readers of different snapshots never share entries
+(Lucene keys per-segment cache entries by the segment's core key the
+same way)."""
+
+from __future__ import annotations
+
+from collections import Counter, OrderedDict
+
+from pyspark.sql import DataFrame
+
+
+class QueryCache:
+    def __init__(self, max_entries: int = 32, min_frequency: int = 2):
+        self.max_entries = max_entries
+        self.min_frequency = min_frequency
+        self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._seen: Counter = Counter()
+        self.hits = 0
+        self.misses = 0
+
+    def match_docs(self, searcher, q, field: str = "text") -> DataFrame:
+        """Cached (seg, doc) match set for a filter operand. Falls through
+        to the searcher's uncached path until the usage policy admits the
+        query."""
+        key = (searcher.reader.root, searcher.reader.snapshot_id, q, field)
+        ent = self._entries.get(key)
+        if ent is not None:
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return ent
+        self._seen[key] += 1
+        df = searcher._match_docs_uncached(q, field)
+        if self._seen[key] < self.min_frequency:
+            self.misses += 1
+            return df
+        df = df.persist()
+        df.count()  # materialize eagerly, like LRUQueryCache's first use
+        self._entries[key] = df
+        self.misses += 1
+        while len(self._entries) > self.max_entries:
+            _k, old = self._entries.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._entries.values():
+            df.unpersist()
+        self._entries.clear()
+        self._seen.clear()

@@ -62,7 +62,8 @@ TOPK_SCHEMA = T.StructType(
 
 
 class IndexSearcher:
-    def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25"):
+    def __init__(self, reader: IndexReader, dtype=np.float32, similarity: str = "bm25",
+                 query_cache=None):
         """``similarity``: "bm25" (default, float32 reference-exact),
         "lmd" (LM Dirichlet, mu=2000), "jm" (LM Jelinek-Mercer,
         lambda=0.1), "dfr" (DFR I(ne)L2, c=1), "classic" (legacy TF-IDF),
@@ -70,10 +71,15 @@ class IndexSearcher:
         or "boolean" (score == boost) — the pluggable SimScorer registry
         (functions/registry.py; reference search/similarities/;
         term/boolean shapes only for the non-BM25 scorers, phrase/synonym
-        stay BM25)."""
+        stay BM25).
+
+        ``query_cache``: optional ``search.cache.QueryCache`` — recurring
+        FILTER / MUST_NOT operands are served from persisted doc-sets
+        (the LRUQueryCache analogue)."""
         self.reader = reader
         self.dtype = dtype
         self.similarity = similarity
+        self.query_cache = query_cache
 
     # ------------------------------------------------------------------ API
 
@@ -912,7 +918,14 @@ class IndexSearcher:
         return scored
 
     def _match_docs(self, q: Q.Query, field: str) -> DataFrame:
-        """Unscored matching (seg, doc) set — FILTER / MUST_NOT operand."""
+        """Unscored matching (seg, doc) set — FILTER / MUST_NOT operand.
+        Routed through the query cache when one is attached (recurring
+        filters are served from persisted doc-sets, LRUQueryCache.java)."""
+        if self.query_cache is not None:
+            return self.query_cache.match_docs(self, q, field)
+        return self._match_docs_uncached(q, field)
+
+    def _match_docs_uncached(self, q: Q.Query, field: str) -> DataFrame:
         if isinstance(q, Q.MatchAllDocsQuery):
             return self.reader.docs(["seg", "doc"])
         if isinstance(q, Q.ConstantScoreQuery):

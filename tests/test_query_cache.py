@@ -1,0 +1,70 @@
+"""LRUQueryCache analogue: recurring FILTER/MUST_NOT operands are served
+from persisted doc-sets with LRU eviction and a usage-frequency admission
+policy (reference core/.../search/LRUQueryCache.java +
+UsageTrackingQueryCachingPolicy.java)."""
+
+import pytest
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+from lucene_spark.search.cache import QueryCache
+
+from oracle import BruteForceIndex
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+FILTERED = Q.BooleanQuery.build(
+    (Q.MUST, Q.TermQuery("text", "table")),
+    (Q.FILTER, Q.TermQuery("text", "scan")),
+)
+
+
+def test_cached_results_match_uncached_and_oracle(reader, oracle):
+    plain = IndexSearcher(reader)
+    cache = QueryCache(min_frequency=1)
+    cached = IndexSearcher(reader, query_cache=cache)
+    want = [
+        (r["url"], round(float(r["score"]), 5))
+        for r in plain.search(FILTERED, k=10).collect()
+    ]
+    owant = [(u, round(s, 5)) for u, s in oracle.topk(FILTERED, 10)]
+    for _ in range(2):  # second run is the cache hit
+        got = [
+            (r["url"], round(float(r["score"]), 5))
+            for r in cached.search(FILTERED, k=10).collect()
+        ]
+        assert got == want == owant
+    assert cache.hits >= 1 and len(cache._entries) == 1
+
+
+def test_usage_policy_admits_after_min_frequency(reader):
+    cache = QueryCache(min_frequency=2)
+    s = IndexSearcher(reader, query_cache=cache)
+    s.search(FILTERED, k=5).collect()
+    assert len(cache._entries) == 0  # seen once: not cached yet
+    s.search(FILTERED, k=5).collect()
+    assert len(cache._entries) == 1  # second use admits it
+    hits_before = cache.hits
+    s.search(FILTERED, k=5).collect()
+    assert cache.hits > hits_before
+
+
+def test_lru_eviction_unpersists(reader):
+    cache = QueryCache(max_entries=1, min_frequency=1)
+    s = IndexSearcher(reader, query_cache=cache)
+    q1 = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.TermQuery("text", "merge")),
+    )
+    s.search(FILTERED, k=5).collect()
+    first = next(iter(cache._entries.values()))
+    assert first.storageLevel.useMemory
+    s.search(q1, k=5).collect()  # different filter: evicts the first
+    assert len(cache._entries) == 1
+    assert not first.storageLevel.useMemory  # unpersisted on eviction
+    cache.clear()
+    assert len(cache._entries) == 0
