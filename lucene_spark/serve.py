@@ -156,6 +156,8 @@ class LocalSearcher:
         q = Q.rewrite(q, None, field)
         if isinstance(q, Q.PhraseQuery):
             return self._search_phrase(q, k, field)
+        if isinstance(q, Q.SynonymQuery):
+            return self._search_synonym(q, k, field)
         if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                           Q.TermRangeQuery, Q.TermInSetQuery)):
             terms, boost = self._expand_terms_local(q, field)
@@ -229,6 +231,65 @@ class LocalSearcher:
         return [
             (urls[gdoc_to_segdoc[g]], s, g) for s, g in merged
         ]
+
+    def _search_synonym(self, q, k: int, field: str):
+        """SynonymQuery serving (reference search/SynonymQuery.java
+        blended stats): per-doc freqs of all variants summed, scored ONCE
+        with the max-docFreq idf — decode the variants' blocks, aggregate
+        per segment, score vectorized, bounded top-k merge."""
+        from .codecs.docblocks import decode_doc_block
+        from .codecs.pfor import pfor_decode
+
+        terms = list(dict.fromkeys(q.terms))
+        doc_count, sum_ttf = self.collection_stats(field)
+        stats = self.term_stats(terms, field)
+        if not stats:
+            return []
+        max_df = max(df for df, _ in stats.values())
+        ttf = sum(t for _, t in stats.values())
+        scorer = self._make_scorer((max_df, ttf), doc_count, sum_ttf, float(q.boost))
+        pdf = self._blocks([t for t in terms if t in stats], field)
+        per_seg = []
+        for seg, g in pdf.groupby("seg", sort=True):
+            docs_l, freqs_l, norms_l = [], [], []
+            for row in g.itertuples(index=False):
+                n = int(row.num_docs)
+                docs_l.append(
+                    decode_doc_block(
+                        int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), n
+                    )
+                )
+                freqs_l.append(pfor_decode(bytes(row.freq_payload), n).astype(np.int64))
+                norms_l.append(np.frombuffer(bytes(row.norm_payload), dtype=np.uint8))
+            docs = np.concatenate(docs_l)
+            freqs = np.concatenate(freqs_l)
+            norms = np.concatenate(norms_l)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            fsum = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(fsum, inv, freqs)
+            nrm = np.zeros(len(uniq), dtype=np.uint8)
+            nrm[inv] = norms  # one norm per doc, identical across variants
+            dead = self.deletes.get(seg)
+            if dead is not None and len(dead):
+                pos = np.searchsorted(dead, uniq)
+                pos = np.clip(pos, 0, len(dead) - 1)
+                keep = dead[pos] != uniq
+                uniq, fsum, nrm = uniq[keep], fsum[keep], nrm[keep]
+            if not len(uniq):
+                continue
+            scores = scorer.score(fsum, nrm).astype(np.float64)
+            order = np.lexsort((uniq, -scores))[:k]
+            base = self.doc_bases[seg]
+            per_seg.append(
+                [
+                    (float(scores[i]), int(uniq[i]) + base, seg, int(uniq[i]))
+                    for i in order
+                ]
+            )
+        merged = merge_topk([[(s, g) for s, g, _, _ in part] for part in per_seg], k)
+        gdoc_to_segdoc = {g: (seg, d) for part in per_seg for s, g, seg, d in part}
+        urls = self._urls([gdoc_to_segdoc[g] for _, g in merged])
+        return [(urls[gdoc_to_segdoc[g]], s, g) for s, g in merged]
 
     def _expand_terms_local(self, q, field: str) -> tuple[list[str], float]:
         """MultiTermQuery rewrite on the serving path: one column-pruned

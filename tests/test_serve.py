@@ -70,3 +70,19 @@ def test_serve_pluggable_similarities(index_root, reader, sim):
         assert [u for u, _ in got] == [u for u, _ in want], (sim, qs)
         for (gu, gs), (wu, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9), (sim, qs)
+
+
+def test_serve_synonym_query_matches_spark(local, spark_searcher):
+    """SynonymQuery serves locally: summed freqs + max-df idf == Spark."""
+    from lucene_spark.search import query as Q
+
+    q = Q.SynonymQuery("text", ("table", "scan"), boost=1.5)
+    want = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in spark_searcher.search(q, k=10).collect()
+    ]
+    got = [(u, float(np.float32(s))) for u, s, _ in local.search(q, k=10)]
+    assert got == want
+    # missing variants are ignored, all-missing returns empty
+    assert local.search(Q.SynonymQuery("text", ("zznope", "table")), k=3)
+    assert local.search(Q.SynonymQuery("text", ("zznope",)), k=3) == []
