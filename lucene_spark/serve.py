@@ -158,6 +158,10 @@ class LocalSearcher:
             return self._search_phrase(q, k, field)
         if isinstance(q, Q.SynonymQuery):
             return self._search_synonym(q, k, field)
+        if isinstance(q, Q.DisjunctionMaxQuery) and all(
+            isinstance(d, Q.TermQuery) for d in q.disjuncts
+        ):
+            return self._search_dismax(q, k, field)
         if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                           Q.TermRangeQuery, Q.TermInSetQuery)):
             terms, boost = self._expand_terms_local(q, field)
@@ -285,6 +289,77 @@ class LocalSearcher:
                     (float(scores[i]), int(uniq[i]) + base, seg, int(uniq[i]))
                     for i in order
                 ]
+            )
+        merged = merge_topk([[(s, g) for s, g, _, _ in part] for part in per_seg], k)
+        gdoc_to_segdoc = {g: (seg, d) for part in per_seg for s, g, seg, d in part}
+        urls = self._urls([gdoc_to_segdoc[g] for _, g in merged])
+        return [(urls[gdoc_to_segdoc[g]], s, g) for s, g in merged]
+
+    def _search_dismax(self, q, k: int, field: str):
+        """DisjunctionMaxQuery over term disjuncts (reference
+        search/DisjunctionMaxQuery.java): per-doc score = max over
+        disjuncts + tie_breaker * (sum - max). Per-segment vectorized
+        combine over the decoded term scores."""
+        from .codecs.docblocks import decode_doc_block
+        from .codecs.pfor import pfor_decode
+
+        djs = list(q.disjuncts)
+        terms = list(dict.fromkeys(d.term for d in djs))
+        doc_count, sum_ttf = self.collection_stats(field)
+        stats = self.term_stats(terms, field)
+        # one scorer per CLAUSE (duplicate terms keep separate boosts)
+        scorers = [
+            (d.term, self._make_scorer(stats[d.term], doc_count, sum_ttf, float(d.boost)))
+            for d in djs
+            if d.term in stats
+        ]
+        if not scorers:
+            return []
+        tie = float(q.tie_breaker)
+        boost = float(q.boost)
+        pdf = self._blocks([t for t, _ in scorers], field)
+        per_seg = []
+        for seg, g in pdf.groupby("seg", sort=True):
+            decoded: dict[str, tuple] = {}
+            for term, tg in g.groupby("term"):
+                docs_l, freqs_l, norms_l = [], [], []
+                for row in tg.itertuples(index=False):
+                    n = int(row.num_docs)
+                    docs_l.append(
+                        decode_doc_block(
+                            int(row.enc), bytes(row.doc_payload or b""), int(row.first_doc), n
+                        )
+                    )
+                    freqs_l.append(pfor_decode(bytes(row.freq_payload), n).astype(np.int64))
+                    norms_l.append(np.frombuffer(bytes(row.norm_payload), dtype=np.uint8))
+                decoded[term] = (
+                    np.concatenate(docs_l),
+                    np.concatenate(freqs_l),
+                    np.concatenate(norms_l),
+                )
+            uniq = np.unique(np.concatenate([d for d, _, _ in decoded.values()]))
+            mx = np.full(len(uniq), -np.inf)
+            sm = np.zeros(len(uniq))
+            for term, scorer in scorers:
+                if term not in decoded:
+                    continue
+                docs, freqs, norms = decoded[term]
+                s = scorer.score(freqs, norms).astype(np.float64)
+                idx = np.searchsorted(uniq, docs)
+                np.maximum.at(mx, idx, s)
+                np.add.at(sm, idx, s)
+            scores = (mx + tie * (sm - mx)) * boost
+            dead = self.deletes.get(seg)
+            if dead is not None and len(dead):
+                pos = np.clip(np.searchsorted(dead, uniq), 0, len(dead) - 1)
+                keep = dead[pos] != uniq
+                uniq, scores = uniq[keep], scores[keep]
+            if not len(uniq):
+                continue
+            order = np.lexsort((uniq, -scores))[:k]
+            base = self.doc_bases[seg]
+            per_seg.append(
+                [(float(scores[i]), int(uniq[i]) + base, seg, int(uniq[i])) for i in order]
             )
         merged = merge_topk([[(s, g) for s, g, _, _ in part] for part in per_seg], k)
         gdoc_to_segdoc = {g: (seg, d) for part in per_seg for s, g, seg, d in part}

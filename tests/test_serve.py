@@ -86,3 +86,25 @@ def test_serve_synonym_query_matches_spark(local, spark_searcher):
     # missing variants are ignored, all-missing returns empty
     assert local.search(Q.SynonymQuery("text", ("zznope", "table")), k=3)
     assert local.search(Q.SynonymQuery("text", ("zznope",)), k=3) == []
+
+
+def test_serve_dismax_matches_spark(local, spark_searcher):
+    from lucene_spark.search import query as Q
+
+    for q in (
+        Q.DisjunctionMaxQuery(
+            (Q.TermQuery("text", "table"), Q.TermQuery("text", "scan", boost=2.0)),
+            tie_breaker=0.3,
+        ),
+        Q.DisjunctionMaxQuery(
+            (Q.TermQuery("text", "merge"), Q.TermQuery("text", "window")),
+            tie_breaker=0.0,
+            boost=1.5,
+        ),
+    ):
+        want = [
+            (r["url"], float(np.float32(r["score"])))
+            for r in spark_searcher.search(q, k=10).collect()
+        ]
+        got = [(u, float(np.float32(s))) for u, s, _ in local.search(q, k=10)]
+        assert got == want, q
