@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_bool_and_not"] = _q("+table +scan -merge", mode="exhaustive")
     q["bm25_term_boost"] = _q("table^2 OR scan", mode="maxscore")
     q["bm25_phrase"] = _q('"table scan"', mode="exhaustive")
+    q["phrase_sloppy"] = _q('"table scan"~3', mode="exhaustive")
     q["prefix_constant"] = _q("tab*", mode="exhaustive")
     q["term_range"] = _q("[table TO tap]", mode="exhaustive")
     q["hit_count_term"] = _count_q("table")
@@ -1870,6 +1871,80 @@ ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT 
 """
 
 
+def _phrase_sloppy_sql(t1: str, t2: str, slop: int, k: int = K) -> str:
+    """Sloppy two-term phrase — SloppyPhraseMatcher's frontier walk as a
+    recursive CTE (validated against the matcher port in
+    tests/test_sloppy_phrase.py::test_two_term_closed_form_matches_matcher):
+    adjusted positions A=pos (label 0) and B=pos-1 (label 1); the walk
+    starts at the larger of the two first positions (label 1 wins ties),
+    each next frontier is the first OPPOSITE-label element strictly
+    greater, and every frontier f emits one crossing with matchLength =
+    f - (largest opposite-label element <= f). freq = sum of
+    1/(1+matchLength) over crossings with matchLength <= slop."""
+    qlen = _qlen("dl.len")
+    return f"""
+WITH RECURSIVE tokp AS ({_TOKP}),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+ap AS (
+  SELECT doc_id, pos AS p, 0 AS lbl FROM tokp WHERE term = '{t1}'
+  UNION ALL
+  SELECT doc_id, pos - 1 AS p, 1 AS lbl FROM tokp WHERE term = '{t2}'
+),
+ann AS (
+  SELECT doc_id, p, lbl,
+    max(CASE WHEN lbl = 0 THEN p END) OVER (PARTITION BY doc_id ORDER BY p RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev0,
+    max(CASE WHEN lbl = 1 THEN p END) OVER (PARTITION BY doc_id ORDER BY p RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev1,
+    min(CASE WHEN lbl = 0 THEN p END) OVER (PARTITION BY doc_id ORDER BY p RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next0,
+    min(CASE WHEN lbl = 1 THEN p END) OVER (PARTITION BY doc_id ORDER BY p RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next1
+  FROM ap
+),
+init AS (
+  SELECT a.doc_id,
+         CASE WHEN b.fb >= a.fa THEN b.fb ELSE a.fa END AS p,
+         CASE WHEN b.fb >= a.fa THEN 1 ELSE 0 END AS lbl
+  FROM (SELECT doc_id, min(p) AS fa FROM ap WHERE lbl = 0 GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(p) AS fb FROM ap WHERE lbl = 1 GROUP BY doc_id) b USING (doc_id)
+),
+walk AS (
+  SELECT doc_id, p, lbl FROM init
+  UNION ALL
+  SELECT a.doc_id,
+         CASE WHEN w.lbl = 0 THEN a.next1 ELSE a.next0 END AS p,
+         1 - w.lbl AS lbl
+  FROM walk w
+  JOIN ann a ON a.doc_id = w.doc_id AND a.p = w.p AND a.lbl = w.lbl
+  WHERE (CASE WHEN w.lbl = 0 THEN a.next1 ELSE a.next0 END) IS NOT NULL
+),
+ev AS (
+  SELECT w.doc_id,
+         w.p - (CASE WHEN w.lbl = 0 THEN a.prev1 ELSE a.prev0 END) AS gap
+  FROM walk w JOIN ann a ON a.doc_id = w.doc_id AND a.p = w.p AND a.lbl = w.lbl
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / (1.0 + gap)) FILTER (WHERE gap <= {slop}) AS freq
+  FROM ev GROUP BY doc_id
+  HAVING sum(1.0 / (1.0 + gap)) FILTER (WHERE gap <= {slop}) > 0
+),
+w AS (
+  SELECT (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t1}') n)
+       + (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t2}') n) AS w
+  FROM stats
+)
+SELECT pf.doc_id, round(w.w - w.w / (1.0 + pf.freq * inv.norm_inv), 4) AS score_r
+FROM pf JOIN inv ON inv.doc_id = pf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT {k}
+"""
+
+
 def _constant_match_sql(pred: str, k: int = K) -> str:
     return f"""
 WITH tok AS ({_TOK})
@@ -1888,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_bool_and_not"] = _bm25_conj_sql(["table", "scan"], ["merge"])
     o["bm25_term_boost"] = _bm25_term_sql([("table", 2.0), ("scan", 1.0)])
     o["bm25_phrase"] = _phrase_sql("table", "scan")
+    o["phrase_sloppy"] = _phrase_sloppy_sql("table", "scan", 3)
     o["prefix_constant"] = _constant_match_sql("term LIKE 'tab%'")
     o["term_range"] = _constant_match_sql("term >= 'table' AND term <= 'tap'")
     o["hit_count_term"] = (

@@ -47,31 +47,332 @@ def _phrase_freq_exact(positions: list[list[int]]) -> int:
     return int(ok.sum())
 
 
-def _phrase_freq_sloppy(positions: list[list[int]], slop: int) -> float:
-    """Sloppy phrase freq: sum over matches of 1/(distance+1)
-    (SloppyPhraseMatcher sloppyWeight). A simplified alignment search:
-    for each occurrence of the first term, greedily align the rest."""
-    total = 0.0
-    arrays = [np.asarray(p, dtype=np.int64) for p in positions]
-    for p0 in arrays[0]:
-        dist = 0
-        ok = True
-        for i, arr in enumerate(arrays[1:], 1):
-            want = p0 + i
-            j = np.searchsorted(arr, want)
-            best = None
-            for cand in (j - 1, j, j + 1):
-                if 0 <= cand < len(arr):
-                    d = abs(int(arr[cand]) - want)
-                    if best is None or d < best:
-                        best = d
-            if best is None or dist + best > slop:
-                ok = False
+class _PP:
+    """PhrasePositions analogue (reference search/PhrasePositions.java):
+    one per phrase slot; ``position`` is the doc position MINUS the query
+    offset so an exact match puts every PP at the same position."""
+
+    __slots__ = (
+        "plist", "nexti", "count", "offset", "ord", "terms", "position",
+        "rpt_group", "rpt_ind",
+    )
+
+    def __init__(self, plist, offset, ord_, terms):
+        self.plist = plist
+        self.offset = offset
+        self.ord = ord_
+        self.terms = terms
+        self.position = 0
+        self.nexti = 0
+        self.count = 0
+        self.rpt_group = -1
+        self.rpt_ind = 0
+
+    def first_position(self) -> bool:
+        self.count = len(self.plist)
+        self.nexti = 0
+        return self.next_position()
+
+    def next_position(self) -> bool:
+        if self.count > 0:
+            self.count -= 1
+            self.position = int(self.plist[self.nexti]) - self.offset
+            self.nexti += 1
+            return True
+        return False
+
+
+def _pp_less(a: _PP, b: _PP) -> bool:
+    """pq order (SloppyPhraseMatcher.java:94-109): position, then query
+    offset, then ord."""
+    if a.position == b.position:
+        if a.offset == b.offset:
+            return a.ord < b.ord
+        return a.offset < b.offset
+    return a.position < b.position
+
+
+class _SloppyMatcher:
+    """Faithful port of the reference SloppyPhraseMatcher
+    (search/SloppyPhraseMatcher.java): least-PP priority-queue traversal,
+    per-match ``matchLength`` minimization, repeat-term groups with
+    collision resolution, and multi-term (union-slot) repeat grouping.
+
+    Deliberately NOT an all-combinations enumerator — the reference skips
+    some valid combinations for speed (class javadoc lines 43-48), and the
+    scores must match IT, not an idealized matcher. The pq here is a
+    linear-scan min list: phrase lengths are tiny and total order is
+    guaranteed by the ord tiebreak.
+    """
+
+    def __init__(self, plists, offsets, terms, slop: int):
+        self.slop = slop
+        self.pps = [
+            _PP(pl, off, i, tuple(ts))
+            for i, (pl, off, ts) in enumerate(zip(plists, offsets, terms))
+        ]
+        self.pq: list[_PP] = []
+        self.end = -(1 << 62)
+        self.positioned = False
+        self.match_length = 1 << 62
+        self.has_rpts = False
+        self.has_multi_term_rpts = False
+        self.rpt_groups: list[list[_PP]] = []
+
+    # -- queue helpers (PriorityQueue.usingLessThan analogue) --
+    def _pop(self) -> _PP:
+        best = 0
+        for i in range(1, len(self.pq)):
+            if _pp_less(self.pq[i], self.pq[best]):
+                best = i
+        return self.pq.pop(best)
+
+    def _top(self) -> _PP:
+        best = self.pq[0]
+        for p in self.pq[1:]:
+            if _pp_less(p, best):
+                best = p
+        return best
+
+    # -- init (initFirstTime: matcher is built fresh per doc) --
+    def reset(self) -> bool:
+        self.end = -(1 << 62)
+        self.match_length = 1 << 62
+        for pp in self.pps:
+            if not pp.first_position():
+                return False  # a slot with no positions can never match
+        rpt_terms = self._repeating_terms()
+        self.has_rpts = bool(rpt_terms)
+        if self.has_rpts:
+            rgs = self._gather_rpt_groups(rpt_terms)
+            # sortRptGroups: by query offset; rptInd = index in group
+            self.rpt_groups = []
+            for g in rgs:
+                g = sorted(g, key=lambda pp: pp.offset)
+                for j, pp in enumerate(g):
+                    pp.rpt_ind = j
+                self.rpt_groups.append(g)
+            if not self._advance_repeat_groups():
+                return False
+        self.pq = []
+        for pp in self.pps:
+            if pp.position > self.end:
+                self.end = pp.position
+            self.pq.append(pp)
+        self.positioned = True
+        return True
+
+    def _repeating_terms(self) -> dict:
+        """terms appearing in more than one PP (repeatingTerms())."""
+        tord: dict = {}
+        tcnt: dict = {}
+        for pp in self.pps:
+            for t in pp.terms:
+                c = tcnt.get(t, 0) + 1
+                tcnt[t] = c
+                if c == 2:
+                    tord[t] = len(tord)
+        return tord
+
+    def _gather_rpt_groups(self, rpt_terms: dict) -> list[list[_PP]]:
+        rpp = []
+        for pp in self.pps:
+            if any(t in rpt_terms for t in pp.terms):
+                rpp.append(pp)
+                if len(pp.terms) > 1:
+                    self.has_multi_term_rpts = True
+        res: list[list[_PP]] = []
+        if not self.has_multi_term_rpts:
+            # single-term: group by equal actual doc position in first doc
+            for i, pp in enumerate(rpp):
+                if pp.rpt_group >= 0:
+                    continue
+                tp = pp.position + pp.offset
+                for pp2 in rpp[i + 1 :]:
+                    if (
+                        pp2.rpt_group >= 0
+                        or pp2.offset == pp.offset
+                        or pp2.position + pp2.offset != tp
+                    ):
+                        continue
+                    if pp.rpt_group < 0:
+                        pp.rpt_group = len(res)
+                        res.append([pp])
+                    pp2.rpt_group = pp.rpt_group
+                    res[pp.rpt_group].append(pp2)
+        else:
+            # multi-term: connected components of term-sharing (bitset union)
+            sets = [
+                frozenset(t for t in pp.terms if t in rpt_terms) for pp in rpp
+            ]
+            groups: list[set] = []
+            for s in sets:
+                merged = set(s)
+                keep = []
+                for g in groups:
+                    if g & merged:
+                        merged |= g
+                    else:
+                        keep.append(g)
+                keep.append(merged)
+                groups = keep
+            term_to_g = {}
+            for gi, g in enumerate(groups):
+                for t in g:
+                    term_to_g[t] = gi
+            tmp: list[list[_PP]] = [[] for _ in groups]
+            for pp in rpp:
+                for t in pp.terms:
+                    if t in rpt_terms:
+                        gi = term_to_g[t]
+                        if pp not in tmp[gi]:
+                            tmp[gi].append(pp)
+                        pp.rpt_group = gi
+            res = [g for g in tmp if g]
+        return res
+
+    def _advance_repeat_groups(self) -> bool:
+        """advanceRepeatGroups(): break initial collisions — in each group
+        (offset-sorted) the j-th PP starts j positions in."""
+        for rg in self.rpt_groups:
+            if self.has_multi_term_rpts:
+                i = 0
+                while i < len(rg):
+                    incr = 1
+                    pp = rg[i]
+                    while True:
+                        k = self._collide(pp)
+                        if k < 0:
+                            break
+                        pp2 = self._lesser(pp, rg[k])
+                        if not self._advance_pp(pp2):
+                            return False
+                        if pp2.rpt_ind < i:
+                            incr = 0
+                            break
+                    i += incr
+            else:
+                for j in range(1, len(rg)):
+                    for _ in range(j):
+                        if not rg[j].next_position():
+                            return False
+        return True
+
+    def _advance_pp(self, pp: _PP) -> bool:
+        if not pp.next_position():
+            return False
+        if pp.position > self.end:
+            self.end = pp.position
+        return True
+
+    def _lesser(self, pp: _PP, pp2: _PP) -> _PP:
+        if pp.position < pp2.position or (
+            pp.position == pp2.position and pp.offset < pp2.offset
+        ):
+            return pp
+        return pp2
+
+    def _collide(self, pp: _PP) -> int:
+        tp = pp.position + pp.offset
+        for pp2 in self.rpt_groups[pp.rpt_group]:
+            if pp2 is not pp and pp2.position + pp2.offset == tp:
+                return pp2.rpt_ind
+        return -1
+
+    def _advance_rpts(self, pp: _PP) -> bool:
+        """advanceRpts(): pp was just advanced; resolve any repeater
+        collision by advancing the lesser of the colliding pair, then
+        re-queue every queue member advanced along the way."""
+        if pp.rpt_group < 0:
+            return True
+        rg = self.rpt_groups[pp.rpt_group]
+        bits: set[int] = set()
+        k0 = pp.rpt_ind
+        while True:
+            k = self._collide(pp)
+            if k < 0:
                 break
-            dist += best
-        if ok:
-            total += 1.0 / (dist + 1)
-    return total
+            pp = self._lesser(pp, rg[k])
+            if not self._advance_pp(pp):
+                return False
+            if k != k0:
+                bits.add(k)
+        stack = []
+        while bits:
+            pp2 = self._pop()
+            stack.append(pp2)
+            if pp2.rpt_group >= 0 and pp2.rpt_ind in bits:
+                bits.discard(pp2.rpt_ind)
+        for p in reversed(stack):
+            self.pq.append(p)
+        return True
+
+    def next_match(self) -> bool:
+        """nextMatch() (SloppyPhraseMatcher.java:193-225): pop the least
+        PP, shrink matchLength while it stays below its successor, emit
+        when it passes — matchLength <= slop qualifies; exhaustion emits
+        the final pending window."""
+        if not self.positioned:
+            return False
+        pp = self._pop()
+        self.match_length = self.end - pp.position
+        nxt = self._top().position
+        while self._advance_pp(pp):
+            if self.has_rpts and not self._advance_rpts(pp):
+                break
+            if pp.position > nxt:
+                self.pq.append(pp)
+                if self.match_length <= self.slop:
+                    return True
+                pp = self._pop()
+                nxt = self._top().position
+                self.match_length = self.end - pp.position
+            else:
+                ml2 = self.end - pp.position
+                if ml2 < self.match_length:
+                    self.match_length = ml2
+        self.positioned = False
+        return self.match_length <= self.slop
+
+
+def _phrase_freq_sloppy(
+    positions: list, slop: int, offsets=None, terms=None, dtype=np.float32,
+) -> float:
+    """Sloppy phrase freq — sum of sloppyWeight = 1/(1+matchLength) over
+    the matches the reference SloppyPhraseMatcher visits (PhraseScorer
+    .score() accumulation, PhraseScorer.java:85-90).
+
+    ``positions``: one sorted doc-position list per phrase slot.
+    ``offsets``: query position per slot (default 0..n-1).
+    ``terms``: per-slot term name(s) — REQUIRED for Lucene repeat
+    semantics when a term occupies several slots ("a b a"~2); a slot of a
+    MultiPhraseQuery passes the tuple of its alternatives. Default treats
+    every slot as a distinct term (no repeats).
+    ``dtype``: accumulation dtype — the reference accumulates freq in
+    float32 (PhraseScorer.freq); the engine's float64 oracle mode passes
+    float64 so DuckDB's double SQL reproduces it exactly.
+    """
+    n = len(positions)
+    if n == 0:
+        return 0.0
+    plists = [np.asarray(p, dtype=np.int64) for p in positions]
+    if n == 1:
+        # single-slot phrases rewrite to TermQuery in the reference; each
+        # occurrence is an exact match (matchLength 0, weight 1)
+        return float(len(plists[0]))
+    if offsets is None:
+        offsets = list(range(n))
+    if terms is None:
+        terms = [(f"\x00slot{i}",) for i in range(n)]
+    terms = [t if isinstance(t, (tuple, list, frozenset)) else (t,) for t in terms]
+    m = _SloppyMatcher(plists, offsets, terms, slop)
+    if not m.reset() or not m.next_match():
+        return 0.0
+    dt = np.dtype(dtype).type
+    acc = dt(1.0) / (dt(1.0) + dt(m.match_length))
+    while m.next_match():
+        acc = acc + dt(1.0) / (dt(1.0) + dt(m.match_length))
+    return float(acc)
 
 
 def scored_phrase(searcher, q, field: str):
@@ -133,7 +434,11 @@ def phrase_score_fns(
         by_term = dict(zip(uniq_terms, pos_by_uniq))
         plists = [by_term[t] for t in phrase_terms]
         freq = (
-            _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
+            _phrase_freq_exact(plists)
+            if slop == 0
+            else _phrase_freq_sloppy(
+                plists, slop, terms=phrase_terms, dtype=cache.dtype
+            )
         )
         if freq <= 0:
             return None
@@ -417,7 +722,12 @@ def scored_multi_phrase(searcher, q, field: str):
                 return None
             plists.append(merged)
         freq = (
-            _phrase_freq_exact(plists) if slop == 0 else _phrase_freq_sloppy(plists, slop)
+            _phrase_freq_exact(plists)
+            if slop == 0
+            else _phrase_freq_sloppy(
+                plists, slop,
+                terms=[tuple(s) for s in slots], dtype=cache.dtype,
+            )
         )
         if freq <= 0:
             return None
@@ -502,7 +812,9 @@ def _scored_phrase_reanalysis(searcher, q, field: str):
                 if slop == 0:
                     freq = _phrase_freq_exact(plists)
                 else:
-                    freq = _phrase_freq_sloppy(plists, slop)
+                    freq = _phrase_freq_sloppy(
+                        plists, slop, terms=phrase_terms, dtype=cache.dtype
+                    )
                 if freq <= 0:
                     continue
                 dt = cache.dtype.type

@@ -213,7 +213,9 @@ class BruteForceIndex:
             if any(not p for p in lists):
                 continue
             freq = (
-                _phrase_freq_exact(lists) if q.slop == 0 else _phrase_freq_sloppy(lists, q.slop)
+                _phrase_freq_exact(lists)
+                if q.slop == 0
+                else _phrase_freq_sloppy(lists, q.slop, terms=list(q.terms))
             )
             if freq > 0:
                 mask[i] = True

@@ -304,7 +304,10 @@ def test_multi_phrase_engine_parity(spark, ivx_root, corpus):
             freq = (
                 _phrase_freq_exact(merged)
                 if slop == 0
-                else _phrase_freq_sloppy(merged, slop)
+                else _phrase_freq_sloppy(
+                    merged, slop,
+                    terms=[tuple(s_) for s_ in slots], dtype=np.float64,
+                )
             )
             if freq <= 0:
                 continue
