@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_bool_filtered"] = _pq_knn_bool_filtered
     q["function_score"] = _pq_function_score
     q["fuzzy_edit1"] = _pq_fuzzy
+    q["fuzzy_transposed"] = _q("tabel~1", mode="exhaustive")
     q["spell_suggest_topk"] = _pq_spell_suggest
     q["multi_phrase"] = _pq_multi_phrase
     q["interval_or_near"] = _pq_interval_or_near
@@ -2392,7 +2393,15 @@ SELECT doc_id, round(s, 4) AS score_r
 FROM s ORDER BY s DESC, doc_id ASC LIMIT {K}
 """
     # FuzzyQuery edit-distance <= 1 from 'tabl', constant-score rewrite
-    o["fuzzy_edit1"] = _constant_match_sql("levenshtein(term, 'tabl') <= 1")
+    # NOTE: engine fuzzy distance is OSA (adjacent transposition = 1 edit,
+    # no overlapping edits — the reference's LuceneLevenshteinDistance);
+    # DuckDB's damerau_levenshtein is the unrestricted variant. They are
+    # provably identical at max_edits <= 1 (a single primitive op is the
+    # same op in both), so driver fuzzy oracles stay at k=1.
+    o["fuzzy_edit1"] = _constant_match_sql("damerau_levenshtein(term, 'tabl') <= 1")
+    o["fuzzy_transposed"] = _constant_match_sql(
+        "damerau_levenshtein(term, 'tabel') <= 1"
+    )
     # distributed DirectSpellChecker: dist asc, df desc, term asc top-5
     o["spell_suggest_topk"] = f"""
 WITH tok AS ({_TOK}),

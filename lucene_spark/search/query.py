@@ -75,11 +75,16 @@ class RegexpQuery(Query):
 
 @dataclass(frozen=True)
 class FuzzyQuery(Query):
+    """Reference FuzzyQuery.java:32,82 — ``transpositions`` defaults true:
+    the edit distance is Damerau-style (adjacent transposition = 1 edit,
+    the LuceneLevenshteinDistance DP), not classic Levenshtein."""
+
     field: str
     term: str
     max_edits: int = 2
     prefix_length: int = 0
     boost: float = 1.0
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)
@@ -391,6 +396,8 @@ def _rewrite_once(q: Query, reader, field: str) -> Query:
             # no match is ever silently dropped
             terms, truncated = _expand_fuzzy(q, reader)
             if truncated:
+                if q.transpositions:
+                    _ensure_fuzzy_udf(reader.spark)
                 return ConstantScoreQuery(
                     TermPatternQuery(q.field, _fuzzy_pattern_sql(q)), boost=q.boost
                 )
@@ -598,16 +605,46 @@ def _pattern_sql(q: Query) -> str:
     raise TypeError(type(q))  # pragma: no cover
 
 
+_OSA_UDF_NAME = "ls_fuzzy_dist_le"
+
+
+def _ensure_fuzzy_udf(spark) -> None:
+    """Register the exact transposition-aware distance as an Arrow-batched
+    pandas UDF (idempotent per session) so the distributed fuzzy scan can
+    post-filter the cheap JVM prefilter without any driver term list."""
+    if getattr(spark, "_ls_fuzzy_udf", False):
+        return
+    from pyspark.sql.functions import pandas_udf
+
+    def _dist_le(term, query, k):
+        qv = query.iloc[0] if len(query) else ""
+        kv = int(k.iloc[0]) if len(k) else 0
+        return term.map(lambda t: _edit_distance_le(qv, t or "", kv))
+
+    spark.udf.register(
+        _OSA_UDF_NAME, pandas_udf(_dist_le, "boolean", functionType=200)
+    )  # 200 = SQL_SCALAR_PANDAS_UDF (explicit: no resolvable type hints here)
+    spark._ls_fuzzy_udf = True
+
+
 def _fuzzy_pattern_sql(q: FuzzyQuery) -> str:
-    """Distributed FuzzyQuery predicate: Spark SQL ``levenshtein`` plus the
-    length-window / prefix bounds — semantically identical to the automaton
-    intersection, evaluated inside the postings scan (no driver term list)."""
+    """Distributed FuzzyQuery predicate, evaluated inside the postings scan
+    (no driver term list): length-window / prefix bounds + a JVM
+    ``levenshtein`` prefilter, then the exact transposition-aware distance
+    as an Arrow-batched UDF over the survivors. The prefilter bound is
+    sound because every transposition costs at most 2 classic-Levenshtein
+    edits, so damerau(a,b) <= k implies levenshtein(a,b) <= 2k."""
     lo = max(0, len(q.term) - q.max_edits)
     hi = len(q.term) + q.max_edits
     parts = [f"length(term) BETWEEN {lo} AND {hi}"]
     if q.prefix_length:
         parts.append(f"startswith(term, '{_sq(q.term[: q.prefix_length])}')")
-    parts.append(f"levenshtein(term, '{_sq(q.term)}') <= {q.max_edits}")
+    lev_cap = 2 * q.max_edits if q.transpositions else q.max_edits
+    parts.append(f"levenshtein(term, '{_sq(q.term)}') <= {lev_cap}")
+    if q.transpositions:
+        parts.append(
+            f"{_OSA_UDF_NAME}(term, '{_sq(q.term)}', {q.max_edits})"
+        )
     return " AND ".join(parts)
 
 
@@ -627,23 +664,42 @@ def _expand_fuzzy(q: FuzzyQuery, reader) -> tuple[list[str], bool]:
         field=q.field,
         limit=MAX_CLAUSE_COUNT * 8,  # pre-filter set; post-filter shrinks it
     )
-    matched = [t for t in terms if _edit_distance_le(q.term, t, q.max_edits)]
+    matched = [
+        t for t in terms if _edit_distance_le(q.term, t, q.max_edits, q.transpositions)
+    ]
     if trunc or len(matched) > MAX_CLAUSE_COUNT:
         return [], True
     return matched, False
 
 
-def _edit_distance_le(a: str, b: str, k: int) -> bool:
-    """True iff Levenshtein(a, b) <= k (row-min early exit; terms are short
-    so the full DP row is cheap and correct)."""
+def _edit_distance_le(a: str, b: str, k: int, transpositions: bool = True) -> bool:
+    """True iff edit_distance(a, b) <= k. With ``transpositions`` (the
+    FuzzyQuery default, FuzzyQuery.java:82) an adjacent-character swap
+    counts as ONE edit — the same DP the reference uses as its own oracle
+    (TestFuzzyQuery.getDistance, poached from LuceneLevenshteinDistance:
+    d[i][j] = min(..., d[i-2][j-2] + cost) when a[i-1]==b[j-2] and
+    a[i-2]==b[j-1]). Python strings are already codepoint sequences, so
+    the IntsRef conversion is implicit. Row-min early exit; terms are
+    short so the full DP row is cheap and correct."""
     if abs(len(a) - len(b)) > k:
         return False
+    prev2: list[int] | None = None
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
         for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            cost = ca != cb
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transpositions
+                and i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                d = min(d, prev2[j - 2] + cost)
+            cur.append(d)
         if min(cur) > k:
             return False
-        prev = cur
+        prev2, prev = prev, cur
     return prev[len(b)] <= k

@@ -79,6 +79,28 @@ def test_heavy_expansion_stays_distributed(searcher, reader, oracle, monkeypatch
     assert searcher.count(q) == int(mask.sum())
 
 
+def test_fuzzy_distributed_fallback_transpositions(searcher, reader, oracle, monkeypatch):
+    """Above the cap FuzzyQuery stays distributed (levenshtein 2k JVM
+    prefilter + Arrow OSA post-filter UDF) and must match the same doc
+    set the driver-side OSA expansion yields — including transposed
+    terms classic levenshtein would miss."""
+    monkeypatch.setattr(Q, "MAX_CLAUSE_COUNT", 0)
+    fq = Q.FuzzyQuery("text", "tabel", max_edits=1)
+    q = Q.rewrite(fq, reader)
+    assert isinstance(q, Q.ConstantScoreQuery)
+    assert isinstance(q.query, Q.TermPatternQuery)
+    assert Q._OSA_UDF_NAME in q.query.predicate
+    got = _topk(searcher, q, k=50)
+    mask = np.zeros(oracle.n, bool)
+    matched = [t for t in oracle.df if Q._edit_distance_le("tabel", t, 1)]
+    assert "table" in matched  # the transposition classic levenshtein misses
+    for t in matched:
+        mask |= oracle.term_mask(t)
+    idx = sorted(np.nonzero(mask)[0])[:50]
+    want = [(oracle.urls[i], 1.0) for i in idx]
+    assert got == want
+
+
 def test_capped_expansion_collects_at_most_limit(reader, monkeypatch):
     """expand_terms with a limit never pulls more than limit+1 rows."""
     from pyspark.sql import functions as F
