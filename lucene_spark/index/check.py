@@ -121,7 +121,7 @@ def check_index(spark: SparkSession, index_root: str, strict: bool = True) -> di
             errors.append(f"{seg}: tombstone out of range")
     # doc-values update overlays: pinned gen file exists, docs in range,
     # columns declared and not scoring-guarded
-    from .dv_updates import GUARDED_COLS, load_dv_overlay
+    from .dv_updates import is_guarded_col, load_dv_overlay
 
     for entry in reader.segments:
         if not entry.get("dv_gen"):
@@ -139,8 +139,9 @@ def check_index(spark: SparkSession, index_root: str, strict: bool = True) -> di
         cols = set(ov.columns) - {"doc"}
         if cols != set(entry.get("dv_cols", [])):
             errors.append(f"{seg}: dv_cols {sorted(cols)} != declared {entry.get('dv_cols')}")
-        if cols & GUARDED_COLS:
-            errors.append(f"{seg}: dv overlay touches guarded columns {sorted(cols & GUARDED_COLS)}")
+        guarded = {c for c in cols if is_guarded_col(c)}
+        if guarded:
+            errors.append(f"{seg}: dv overlay touches guarded columns {sorted(guarded)}")
 
     report = {
         "segments": len(reader.segments),

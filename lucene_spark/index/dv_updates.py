@@ -39,6 +39,16 @@ from .reader import IndexReader
 
 GUARDED_COLS = {"seg", "doc", "url", "norm", "length"}
 
+# per-field scoring internals / staging arrays are not doc values either
+_GUARDED_PREFIXES = ("norm_", "length_", "terms", "freqs", "positions")
+
+
+def is_guarded_col(c: str) -> bool:
+    """Single source of truth for what a DV update may never touch —
+    shared by update_doc_values and CheckIndex so the validator can
+    never drift behind the writer's guard (ADVICE r3)."""
+    return c in GUARDED_COLS or c.startswith(_GUARDED_PREFIXES)
+
 
 def _dv_dir(root: str, seg: str) -> str:
     return os.path.join(root, "dv_updates", seg)
@@ -72,11 +82,7 @@ def update_doc_values(
     cols = [c for c in updates.columns if c != key]
     if not cols:
         raise ValueError("updates must carry at least one value column")
-    bad = set(cols) & GUARDED_COLS
-    bad |= {
-        c for c in cols
-        if c.startswith(("norm_", "length_", "terms", "freqs", "positions"))
-    }  # per-field scoring internals / staging arrays are not doc values
+    bad = {c for c in cols if is_guarded_col(c)}
     if bad:
         raise ValueError(f"cannot update guarded doc-values columns {sorted(bad)}")
     docs_cols = set(reader.docs().columns)
@@ -93,6 +99,19 @@ def update_doc_values(
                 f"cannot update index-sort column {srt[0]!r}: the segment's "
                 "physical row order was fixed at write"
             )
+    # duplicate keys inside one batch have no defined winner (collected row
+    # order is arbitrary, unlike IndexWriter's call-order semantics) —
+    # reject them up front; callers sequence conflicting updates as
+    # separate batches (each batch is its own generation, last wins)
+    dup = (
+        updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate key {dup[0][0]!r} in one updates batch: ordering "
+            "within a batch is undefined — split conflicting updates into "
+            "separate update_doc_values calls"
+        )
     # resolve (seg, doc) for the batch: column-pruned docs scan, broadcast
     # join on the key — shuffle volume O(batch), never O(corpus)
     resolved = (
@@ -158,7 +177,16 @@ def dv_overlay_df(spark: SparkSession, reader: IndexReader) -> DataFrame | None:
     for c in all_cols:
         if c not in pdf.columns:
             pdf[c] = None
-    out = spark.createDataFrame(pdf[["seg", "doc"] + all_cols])
+    pdf = pdf[["seg", "doc"] + all_cols]
+    # NaN cells mean "this generation did not touch (doc, col)" and MUST
+    # reach Spark as SQL nulls: without Arrow, createDataFrame(pandas)
+    # would keep them as DoubleType NaN, which F.coalesce treats as
+    # non-null and apply_dv_overlays would clobber base values (ADVICE
+    # r3). Convert explicitly so correctness never hinges on
+    # spark.sql.execution.arrow.pyspark.enabled.
+    vals = pdf[all_cols].astype(object)
+    pdf = pd.concat([pdf[["seg", "doc"]], vals.where(vals.notna(), None)], axis=1)
+    out = spark.createDataFrame(pdf)
     reader._dv_overlay_cache = out
     return out
 

@@ -157,11 +157,22 @@ class LocalSearcher:
         if isinstance(q, Q.PhraseQuery):
             return self._search_phrase(q, k, field)
         if isinstance(q, Q.SynonymQuery):
-            return self._search_synonym(q, k, field)
+            # score against the query's OWN field, not the default
+            return self._search_synonym(q, k, q.field or field)
         if isinstance(q, Q.DisjunctionMaxQuery) and all(
             isinstance(d, Q.TermQuery) for d in q.disjuncts
         ):
-            return self._search_dismax(q, k, field)
+            # every disjunct carries its own field; this kernel resolves
+            # stats/blocks for ONE field — serve only single-field shapes,
+            # reject mixed fields rather than silently mis-scoring them
+            # (parse_multi_field produces exactly that mixed shape)
+            dfields = {d.field or field for d in q.disjuncts}
+            if len(dfields) == 1:
+                return self._search_dismax(q, k, next(iter(dfields)))
+            raise NotImplementedError(
+                "LocalSearcher serves single-field DisjunctionMax only; "
+                "use the Spark IndexSearcher for multi-field dismax"
+            )
         if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                           Q.TermRangeQuery, Q.TermInSetQuery)):
             terms, boost = self._expand_terms_local(q, field)

@@ -73,6 +73,58 @@ def test_dv_numeric_update_feeds_feature_query(spark, dv_root):
     assert top[0]["score"] == pytest.approx(10_000.0)
 
 
+def test_dv_duplicate_keys_in_batch_rejected(spark, dv_root):
+    """ADVICE r3: within one batch the winner between duplicate keys was
+    whatever row order toPandas produced — now it's a hard error; callers
+    sequence conflicting updates as separate generations."""
+    u = url_for_doc_id(7)
+    upd = spark.createDataFrame(
+        [(u, "aa"), (u, "bb")], "url string, lang string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        update_doc_values(spark, dv_root, upd)
+
+
+def test_dv_overlay_nulls_without_arrow(spark, dv_root):
+    """ADVICE r3: untouched (doc, col) cells must reach Spark as SQL
+    nulls even when the session does NOT have Arrow enabled — otherwise
+    combine_first's NaN becomes a non-null Double and coalesce clobbers
+    base values after cross-column updates."""
+    u8, u9 = url_for_doc_id(8), url_for_doc_id(9)
+    base = _lang_of(spark, dv_root, [u9])[u9]
+    # gen A touches rank of doc8 only; gen B touches lang of doc9 only —
+    # the compacted overlay has NaN holes in both columns
+    update_doc_values(
+        spark, dv_root,
+        spark.createDataFrame([(u8, 55.0)], "url string, rank double"),
+    )
+    update_doc_values(
+        spark, dv_root,
+        spark.createDataFrame([(u9, "zz")], "url string, lang string"),
+    )
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(arrow_key, "true")
+    spark.conf.set(arrow_key, "false")
+    try:
+        reader = IndexReader(spark, dv_root)
+        rows = {
+            r["url"]: (r["lang"], r["rank"])
+            for r in reader.docs(["url", "lang", "rank"])
+            .filter(F.col("url").isin([u8, u9]))
+            .collect()
+        }
+    finally:
+        spark.conf.set(arrow_key, old)
+    assert rows[url_for_doc_id(8)][1] == 55.0
+    # doc8's lang must be its base value, NOT NaN-clobbered
+    assert rows[url_for_doc_id(8)][0] is not None
+    assert rows[url_for_doc_id(9)][0] == "zz"
+    # doc9's rank must survive as its base value, not NaN
+    assert rows[url_for_doc_id(9)][1] is not None
+    assert not np.isnan(rows[url_for_doc_id(9)][1])
+    assert base != "zz"
+
+
 def test_dv_guards(spark, dv_root):
     with pytest.raises(ValueError):
         update_doc_values(

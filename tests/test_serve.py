@@ -88,6 +88,43 @@ def test_serve_synonym_query_matches_spark(local, spark_searcher):
     assert local.search(Q.SynonymQuery("text", ("zznope",)), k=3) == []
 
 
+def test_serve_dismax_mixed_fields_refused(local):
+    """ADVICE r3: a DisjunctionMaxQuery whose disjuncts carry different
+    fields (the parse_multi_field shape) must be refused, not silently
+    scored against the default field."""
+    from lucene_spark.search import query as Q
+
+    q = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("text", "table"), Q.TermQuery("head", "table")),
+        tie_breaker=0.1,
+    )
+    with pytest.raises(NotImplementedError):
+        local.search(q, k=5)
+
+
+def test_serve_synonym_and_dismax_use_query_field(local, spark_searcher):
+    """The query's own field wins over the default-field parameter."""
+    from lucene_spark.search import parse
+    from lucene_spark.search import query as Q
+
+    sq = Q.SynonymQuery("text", ("table", "scan"))
+    dq = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("text", "table"), Q.TermQuery("text", "scan")),
+        tie_breaker=0.2,
+    )
+    for q in (sq, dq):
+        want = [
+            (r["url"], float(np.float32(r["score"])))
+            for r in spark_searcher.search(q, k=10).collect()
+        ]
+        # deliberately wrong default field: q.field must override it
+        got = [
+            (u, float(np.float32(s)))
+            for u, s, _ in local.search(q, k=10, field="nosuchfield")
+        ]
+        assert got == want, q
+
+
 def test_serve_dismax_matches_spark(local, spark_searcher):
     from lucene_spark.search import query as Q
 
