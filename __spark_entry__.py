@@ -182,7 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_md5"] = _pq_fingerprint
     q["mm_media_meta"] = _pq_mm_meta
     q["mm_frame_counts"] = _pq_mm_frames
-    q["mm_decode_features"] = _pq_mm_features  # stub decode — no SQL oracle
+    q["mm_decode_features"] = _pq_mm_features  # real WAV round-trip, full oracle
+    q["mm_bmp_features"] = _pq_mm_bmp
     # -- facets / grouping / monitor (SURVEY §2e, §2i) --
     q["facet_lang_counts"] = _pq_facet_lang
     q["facet_range_length"] = _pq_facet_range
@@ -1536,16 +1537,44 @@ def _pq_mm_frames(spark, sf_dir):
 
 
 def _pq_mm_features(spark, sf_dir):
-    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
-    from lucene_spark.pipeline.multimodal import decode_features
+    """REAL media decode round-trip (VERDICT r3 #8): text codepoints ->
+    PCM16 samples -> a genuine RIFF/WAVE binary column -> chunk-walking
+    parse -> amplitude statistics. The oracle recomputes the same stats
+    from the characters, so the full encode+decode path is value-gated."""
+    from lucene_spark.pipeline.multimodal import decode_features, synth_media
 
-    pages = pages_from_documents(spark, sf_dir).withColumn(
-        "doc_id", doc_id_for_url_col()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
     )
-    feats = decode_features(pages, "html", "doc_id", fake=True)
+    wav = synth_media(docs, "text", "doc_id", codec="wav")
+    feats = decode_features(wav, "payload", "id", codec="wav")
     return feats.select(
-        "id", F.round(F.col("features")[0], 4).alias("f_mean"),
+        F.col("id").alias("doc_id"),
+        F.round(F.col("features")[0], 4).alias("f_mean"),
         F.round(F.col("features")[1], 4).alias("f_std"),
+        F.col("features")[3].cast("long").alias("f_max"),
+        F.col("features")[7].cast("long").alias("n_samples"),
+    )
+
+
+def _pq_mm_bmp(spark, sf_dir):
+    """BMP round-trip: codepoints%256 as gray8 pixels in a real BMP
+    (BITMAPINFOHEADER, bottom-up rows, palette), parsed back."""
+    from lucene_spark.pipeline.multimodal import decode_features, synth_media
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    bmp = synth_media(docs, "text", "doc_id", codec="bmp", width=1)
+    feats = decode_features(bmp, "payload", "id", codec="bmp")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("features")[0], 4).alias("px_mean"),
+        F.col("features")[3].cast("long").alias("px_max"),
     )
 
 
@@ -2970,6 +2999,30 @@ FROM documents
 SELECT doc_id,
        CAST(least(8, greatest(1, (length(text) + 62) // 128)) AS BIGINT) AS n_frames
 FROM documents
+"""
+    o["mm_decode_features"] = """
+WITH ch AS (
+  SELECT doc_id, ascii(c) % 32768 AS v
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0)
+)
+SELECT doc_id,
+       round(avg(v), 4) AS f_mean,
+       round(coalesce(stddev_pop(v), 0), 4) AS f_std,
+       CAST(max(v) AS BIGINT) AS f_max,
+       count(*) AS n_samples
+FROM ch GROUP BY doc_id
+"""
+    o["mm_bmp_features"] = """
+WITH ch AS (
+  SELECT doc_id, ascii(c) % 256 AS v
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0)
+)
+SELECT doc_id,
+       round(avg(v), 4) AS px_mean,
+       CAST(max(v) AS BIGINT) AS px_max
+FROM ch GROUP BY doc_id
 """
     o["facet_lang_counts"] = f"""
 WITH tok AS ({_TOK}),

@@ -1,0 +1,81 @@
+"""Real pure-numpy media codecs: WAV (RIFF/PCM16) and BMP (8-bit BI_RGB)
+— byte-level container correctness and exact encode/decode round-trips,
+no Spark needed."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.pipeline.multimodal import (
+    _text_samples,
+    parse_bmp,
+    parse_wav,
+    synth_bmp_gray8,
+    synth_wav_pcm16,
+)
+
+
+def test_wav_header_bytes():
+    b = synth_wav_pcm16(np.array([1, -2, 3], dtype=np.int16), sample_rate=8000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert b[12:16] == b"fmt " and b[36:40] == b"data"
+    # data size = 3 samples * 2 bytes
+    assert int.from_bytes(b[40:44], "little") == 6
+    # RIFF size = total - 8
+    assert int.from_bytes(b[4:8], "little") == len(b) - 8
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    s = rng.randint(-32768, 32768, size=1000).astype(np.int16)
+    meta, got = parse_wav(synth_wav_pcm16(s, sample_rate=44100))
+    assert meta == {"channels": 1, "sample_rate": 44100, "bits": 16}
+    assert (got == s).all()
+
+
+def test_wav_odd_chunk_alignment():
+    """RIFF chunks are word-aligned: an odd-size unknown chunk between fmt
+    and data must not derail the walker."""
+    base = synth_wav_pcm16(np.array([5, 6], dtype=np.int16))
+    fmt_chunk = base[12:36]
+    data_chunk = base[36:]
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad byte
+    body = fmt_chunk + odd + data_chunk
+    payload = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    meta, got = parse_wav(payload)
+    assert list(got) == [5, 6]
+
+
+def test_wav_rejects_non_wav_and_compressed():
+    with pytest.raises(ValueError):
+        parse_wav(b"not a wav at all")
+    bad = bytearray(synth_wav_pcm16(np.array([1], dtype=np.int16)))
+    bad[20] = 2  # fmt code != PCM
+    with pytest.raises(ValueError):
+        parse_wav(bytes(bad))
+
+
+def test_bmp_roundtrip_exact_and_bottom_up():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=35).astype(np.uint8)  # 35 = 7 rows of 5
+    b = synth_bmp_gray8(px, width=5)
+    assert b[:2] == b"BM"
+    meta, got = parse_bmp(b)
+    assert meta == {"width": 5, "height": 7, "bits": 8}
+    assert (got.ravel() == px).all()  # top-down order restored
+
+
+def test_bmp_zero_pads_ragged_tail():
+    px = np.array([9, 8, 7], dtype=np.uint8)
+    meta, got = parse_bmp(synth_bmp_gray8(px, width=2))
+    flat = got.ravel()
+    assert list(flat) == [9, 8, 7, 0]  # zero pad, never repeated data
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        parse_bmp(b"PNG...nope")
+
+
+def test_text_samples_codepoints():
+    assert list(_text_samples("Aé")) == [65, 233]
+    assert len(_text_samples("")) == 0
