@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_frame_counts"] = _pq_mm_frames
     q["mm_decode_features"] = _pq_mm_features  # real WAV round-trip, full oracle
     q["mm_bmp_features"] = _pq_mm_bmp
+    q["cjk_bigram_counts"] = _pq_cjk_bigram
     # -- facets / grouping / monitor (SURVEY §2e, §2i) --
     q["facet_lang_counts"] = _pq_facet_lang
     q["facet_range_length"] = _pq_facet_range
@@ -1557,6 +1558,47 @@ def _pq_mm_features(spark, sf_dir):
         F.col("features")[3].cast("long").alias("f_max"),
         F.col("features")[7].cast("long").alias("n_samples"),
     )
+
+
+def _pq_cjk_bigram(spark, sf_dir):
+    """CJKBigramFilter over a derived zh-like column (VERDICT r3 #6): each
+    doc's first 20 chars map to Han codepoints (0x4E00 + cp%100), the
+    standard+cjk analyzer bigrams them (han runs -> codepoint bigrams,
+    lone chars -> SINGLE), and the oracle recomputes bigram totals /
+    distinct counts from the same derivation in SQL."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bigrams", T.LongType()),
+            T.StructField("n_uniq", T.LongType()),
+        ]
+    )
+
+    def kernel(iterator):
+        an = analyzer_for("standard+cjk")
+        for pdf in iterator:
+            n_big, n_uniq = [], []
+            for text in pdf["text"]:
+                s = text[:20] if isinstance(text, str) else ""
+                zh = "".join(chr(0x4E00 + (ord(c) % 100)) for c in s)
+                terms = an.terms(zh)
+                n_big.append(len(terms))
+                n_uniq.append(len(set(terms)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bigrams": n_big,
+                    "n_uniq": n_uniq,
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema)
 
 
 def _pq_mm_bmp(spark, sf_dir):
@@ -3023,6 +3065,29 @@ SELECT doc_id,
        round(avg(v), 4) AS px_mean,
        CAST(max(v) AS BIGINT) AS px_max
 FROM ch GROUP BY doc_id
+"""
+    o["cjk_bigram_counts"] = """
+WITH base AS (SELECT doc_id, left(text, 20) AS s FROM documents),
+idx AS (
+  SELECT doc_id, s, unnest(range(1, greatest(length(s), 1))) AS i
+  FROM base WHERE length(s) >= 2
+),
+bi AS (
+  SELECT doc_id,
+         chr(19968 + (ascii(substr(s, CAST(i AS INT), 1)) % 100)) ||
+         chr(19968 + (ascii(substr(s, CAST(i AS INT) + 1, 1)) % 100)) AS b
+  FROM idx
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT b) AS n_uniq
+  FROM bi GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_uniq FROM agg
+UNION ALL
+SELECT doc_id,
+       CASE WHEN length(s) = 1 THEN 1 ELSE 0 END AS n_bigrams,
+       CASE WHEN length(s) = 1 THEN 1 ELSE 0 END AS n_uniq
+FROM base WHERE length(s) < 2
 """
     o["facet_lang_counts"] = f"""
 WITH tok AS ({_TOK}),

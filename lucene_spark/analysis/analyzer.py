@@ -102,6 +102,76 @@ def strip_possessive(term: str) -> str:
     return term
 
 
+# CJKBigramFilter script flags (reference analysis/common/src/java/org/
+# apache/lucene/analysis/cjk/CJKBigramFilter.java:55-76)
+CJK_HAN, CJK_HIRAGANA, CJK_KATAKANA, CJK_HANGUL = 1, 2, 4, 8
+CJK_ALL = CJK_HAN | CJK_HIRAGANA | CJK_KATAKANA | CJK_HANGUL
+
+
+def _cjk_type(term: str) -> int:
+    from .tokenizer import _HG, _HI, _ID, _KA, _classify
+
+    c = _classify(term[0])
+    if c == _ID:
+        return CJK_HAN
+    if c == _HI:
+        return CJK_HIRAGANA
+    if c == _KA:
+        return CJK_KATAKANA
+    if c == _HG:
+        return CJK_HANGUL
+    return 0
+
+
+def _cjk_stream(toks, flags: int, unigrams: bool) -> list[tuple]:
+    """CJKBigramFilter port: buffer the CODEPOINTS of consecutive
+    enabled-script tokens (a multi-char katakana/hangul run token
+    contributes all its chars — CJKBigramFilter.java refill() appends
+    per-codepoint with per-cp offsets) and emit codepoint bigrams across
+    the whole buffer, including across script boundaries when both
+    scripts are enabled (TestCJKBigramFilter.testAllScripts). A buffer of
+    one codepoint emits the original token (<SINGLE>); with ``unigrams``
+    each codepoint also emits, with its following bigram STACKED at its
+    position (posIncr 0, testUnigramsAndBigramsAllScripts). Non-enabled
+    tokens flush the buffer and pass through.
+
+    Yields (term, start, end, pos_increment)."""
+    out: list[tuple] = []
+    run: list[tuple] = []  # (char, start, end)
+
+    def flush():
+        if not run:
+            return
+        if len(run) == 1:
+            ch, s, e = run[0]
+            out.append((ch, s, e, 1))
+        elif unigrams:
+            for i, (ch, s, e) in enumerate(run):
+                out.append((ch, s, e, 1))
+                if i + 1 < len(run):
+                    ch2, _s2, e2 = run[i + 1]
+                    out.append((ch + ch2, s, e2, 0))
+        else:
+            for i in range(len(run) - 1):
+                ch, s, _e = run[i]
+                ch2, _s2, e2 = run[i + 1]
+                out.append((ch + ch2, s, e2, 1))
+        run.clear()
+
+    for tok in toks:
+        t = _cjk_type(tok.term)
+        if t and (t & flags):
+            # offsets in this tokenizer are codepoint indices, so a run
+            # token's chars sit at consecutive offsets
+            for i, ch in enumerate(tok.term):
+                run.append((ch, tok.start + i, tok.start + i + 1))
+        else:
+            flush()
+            out.append((tok.term, tok.start, tok.end, 1))
+    flush()
+    return out
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """tokenize [-> possessive strip] -> lowercase [-> ascii fold] ->
@@ -132,34 +202,47 @@ class Analyzer:
     # primary (position-advancing) token stream — with an empty stop set
     # this is exactly ShingleFilter (no holes, so no "_" fillers).
     shingle: int = 1
+    # CJKBigramFilter analogue: a bitmask of CJK_* script flags (0 = off)
+    # and the outputUnigrams switch (unigram + stacked bigram stream)
+    cjk_flags: int = 0
+    cjk_unigrams: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
 
+    def _raw_stream(self, text: str) -> list[tuple]:
+        """(term, start, end, pos_increment) tuples, post-tokenizer and
+        post-CJK-bigram (the bigram filter sits right after the tokenizer,
+        like CJKAnalyzer's chain — CJK codepoints are untouched by the
+        case/possessive/stem steps downstream)."""
+        toks = tokenize(text, self.max_token_length)
+        if self.cjk_flags:
+            return _cjk_stream(toks, self.cjk_flags, self.cjk_unigrams)
+        return [(t.term, t.start, t.end, 1) for t in toks]
+
     def tokens(self, text: str) -> list[Token]:
         out: list[Token] = []
         pos = -1
-        pending = 1
+        acc = 0
         syn = self._syn
-        for tok in tokenize(text, self.max_token_length):
-            term = tok.term
+        for term, start, end, incr in self._raw_stream(text):
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
-                pending += 1  # posIncr accumulates (FilteringTokenFilter.java:49-58)
+                acc += incr  # posIncr accumulates (FilteringTokenFilter.java:49-58)
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
-            pos += pending
-            pending = 1
-            out.append(Token(term, pos, tok.start, tok.end))
+            pos += incr + acc
+            acc = 0
+            out.append(Token(term, pos, start, end))
             if syn is not None:
                 for alt in syn.get(term, ()):
                     # stacked token: same position (posIncr == 0)
-                    out.append(Token(alt, pos, tok.start, tok.end))
+                    out.append(Token(alt, pos, start, end))
         if self.shingle > 1:
             out = self._weave_shingles(out)
         return out
@@ -216,8 +299,7 @@ class Analyzer:
         terms: list[str] = []
         norm_count = 0
         syn = self._syn
-        for tok in tokenize(text, self.max_token_length):
-            term = tok.term
+        for term, _start, _end, incr in self._raw_stream(text):
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
@@ -228,7 +310,8 @@ class Analyzer:
             if self.stemmer is not None:
                 term = self.stemmer(term)
             terms.append(term)
-            norm_count += 1
+            if incr:  # posIncr==0 stacked tokens don't count into the norm
+                norm_count += 1
             if syn is not None:
                 for alt in syn.get(term, ()):
                     terms.append(alt)
@@ -250,22 +333,21 @@ class Analyzer:
             return outs
         out: dict[str, list] = {t: [] for t in wanted}
         pos = -1
-        pending = 1
+        acc = 0
         syn = self._syn
-        for tok in tokenize(text, self.max_token_length):
-            term = tok.term
+        for term, _start, _end, incr in self._raw_stream(text):
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
-                pending += 1
+                acc += incr
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
-            pos += pending
-            pending = 1
+            pos += incr + acc
+            acc = 0
             hit = out.get(term)
             if hit is not None:
                 hit.append(pos)
@@ -304,6 +386,9 @@ def analyzer_for(name) -> Analyzer:
       - ``+syn:a=b|c;d=e`` — index-time single-token synonym stacking
         (term ``a`` also indexes ``b`` and ``c`` at the same position)
       - ``+shingle:N`` — ShingleFilter word n-grams (sizes 2..N, stacked)
+      - ``+cjk`` — CJKBigramFilter (all scripts, bigrams only, the
+        CJKAnalyzer default); ``+cjk:uni`` adds stacked unigrams;
+        ``+cjk:han`` / ``+cjk:han_uni`` restrict to Han
 
     e.g. ``"standard+folding+syn:fast=quick|rapid"``. An ``Analyzer``
     instance passes through unchanged (for programmatic chains; note a
@@ -324,6 +409,18 @@ def analyzer_for(name) -> Analyzer:
             if n < 2:
                 raise ValueError(f"shingle size must be >= 2 in analyzer {name!r}")
             a = replace(a, shingle=n)
+        elif mod == "cjk":
+            a = replace(a, cjk_flags=CJK_ALL)  # CJKAnalyzer default: all scripts, bigrams only
+        elif mod.startswith("cjk:"):
+            arg = mod[4:]
+            if arg == "uni":
+                a = replace(a, cjk_flags=CJK_ALL, cjk_unigrams=True)
+            elif arg == "han":
+                a = replace(a, cjk_flags=CJK_HAN)
+            elif arg == "han_uni":
+                a = replace(a, cjk_flags=CJK_HAN, cjk_unigrams=True)
+            else:
+                raise ValueError(f"unknown cjk variant {arg!r} in analyzer {name!r}")
         elif mod.startswith("syn:"):
             entries = []
             for pair in mod[4:].split(";"):

@@ -1,0 +1,101 @@
+"""CJKBigramFilter parity — golden vectors ported from the reference
+TestCJKBigramFilter (analysis/common/src/test/org/apache/lucene/analysis/
+cjk/TestCJKBigramFilter.java), no Spark needed."""
+
+from lucene_spark.analysis.analyzer import analyzer_for
+
+SENT = "多くの学生が試験に落ちた。"
+
+
+def _terms(name, text):
+    return [t.term for t in analyzer_for(name).tokens(text)]
+
+
+def _terms_pos(name, text):
+    return [(t.term, t.position) for t in analyzer_for(name).tokens(text)]
+
+
+def test_all_scripts_bigrams():
+    """testAllScripts: default = bigrams across every enabled script."""
+    assert _terms("standard+cjk", SENT) == [
+        "多く", "くの", "の学", "学生", "生が", "が試", "試験", "験に", "に落", "落ち", "ちた",
+    ]
+
+
+def test_han_only():
+    """testHanOnly: hiragana passes through, lone han chars emit SINGLE,
+    adjacent han chars emit DOUBLE; all increments 1."""
+    got = _terms_pos("standard+cjk:han", SENT)
+    assert got == [
+        ("多", 0), ("く", 1), ("の", 2), ("学生", 3), ("が", 4),
+        ("試験", 5), ("に", 6), ("落", 7), ("ち", 8), ("た", 9),
+    ]
+
+
+def test_unigrams_and_bigrams_all_scripts():
+    """testUnigramsAndBigramsAllScripts: unigram stream with each bigram
+    STACKED at its first constituent's position (posIncr 0)."""
+    got = _terms_pos("standard+cjk:uni", SENT)
+    want_terms = [
+        "多", "多く", "く", "くの", "の", "の学", "学", "学生", "生", "生が", "が",
+        "が試", "試", "試験", "験", "験に", "に", "に落", "落", "落ち", "ち", "ちた", "た",
+    ]
+    want_incr = [1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1]
+    assert [t for t, _ in got] == want_terms
+    pos, positions = -1, []
+    for i in want_incr:
+        pos += i
+        positions.append(pos)
+    assert [p for _, p in got] == positions
+
+
+def test_unigrams_and_bigrams_han_only():
+    got = _terms_pos("standard+cjk:han_uni", SENT)
+    want_terms = [
+        "多", "く", "の", "学", "学生", "生", "が", "試", "試験", "験", "に", "落", "ち", "た",
+    ]
+    want_incr = [1, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 1, 1]
+    assert [t for t, _ in got] == want_terms
+    pos, positions = -1, []
+    for i in want_incr:
+        pos += i
+        positions.append(pos)
+    assert [p for _, p in got] == positions
+
+
+def test_bigram_across_whitespace_and_latin_break():
+    """Whitespace produces no token, so CJK chars across it still bigram;
+    a latin token flushes the buffer (SINGLE on both sides)."""
+    assert _terms("standard+cjk", "一 二") == ["一二"]
+    assert _terms("standard+cjk", "一 hello 二") == ["一", "hello", "二"]
+    assert _terms("standard+cjk", "一 hello 二三") == ["一", "hello", "二三"]
+
+
+def test_katakana_run_internal_bigrams():
+    """A multi-codepoint katakana run token contributes its codepoints to
+    the buffer (CJKBigramFilter refill() is per-codepoint)."""
+    assert _terms("standard+cjk", "アイウエ") == ["アイ", "イウ", "ウエ"]
+    assert _terms("standard+cjk", "ア") == ["ア"]
+
+
+def test_mixed_script_and_norm_counting():
+    """Hangul+han bigram across scripts; invert's norm excludes stacked
+    (posIncr 0) bigrams in unigram mode."""
+    a_uni = analyzer_for("standard+cjk:uni")
+    terms, norm = a_uni.invert("学生")
+    assert terms == ["学", "学生", "生"]
+    assert norm == 2  # the stacked bigram does not count
+    a = analyzer_for("standard+cjk")
+    terms2, norm2 = a.invert("学生 hello")
+    assert terms2 == ["学生", "hello"]
+    assert norm2 == 2
+
+
+def test_term_positions_path_matches_tokens():
+    a = analyzer_for("standard+cjk")
+    text = "多くの学生 spark 試験に"
+    toks = a.tokens(text)
+    wanted = {t.term for t in toks}
+    pos = a.term_positions(text, wanted)
+    for t in toks:
+        assert t.position in pos[t.term]
