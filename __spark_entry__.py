@@ -185,6 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_decode_features"] = _pq_mm_features  # real WAV round-trip, full oracle
     q["mm_bmp_features"] = _pq_mm_bmp
     q["cjk_bigram_counts"] = _pq_cjk_bigram
+    # SimpleQueryParser: clean syntax + garbage degradation ('(' with no
+    # close is extraneous; '|'/'+' with no left operand are ignored)
+    q["simple_query_and"] = _simple_q("table + scan")
+    q["simple_query_garbage"] = _simple_q('| + ( "table scan" ')
     # -- facets / grouping / monitor (SURVEY §2e, §2i) --
     q["facet_lang_counts"] = _pq_facet_lang
     q["facet_range_length"] = _pq_facet_range
@@ -1560,6 +1564,23 @@ def _pq_mm_features(spark, sf_dir):
     )
 
 
+def _simple_q(qstr: str, mode: str = "exhaustive", k: int = K):
+    """Route a query through SimpleQueryParser (error-tolerant syntax)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pages import doc_id_for_url_col
+        from lucene_spark.search import parse_simple
+
+        s = _searcher(spark, sf_dir)
+        hits = s.search(parse_simple(qstr), k=k, mode=mode)
+        return hits.select(
+            doc_id_for_url_col().alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score_r"),
+        )
+
+    return run
+
+
 def _pq_cjk_bigram(spark, sf_dir):
     """CJKBigramFilter over a derived zh-like column (VERDICT r3 #6): each
     doc's first 20 chars map to Han codepoints (0x4E00 + cp%100), the
@@ -2035,6 +2056,10 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_bool_and_not"] = _bm25_conj_sql(["table", "scan"], ["merge"])
     o["bm25_term_boost"] = _bm25_term_sql([("table", 2.0), ("scan", 1.0)])
     o["bm25_phrase"] = _phrase_sql("table", "scan")
+    # SimpleQueryParser-routed queries: same scoring semantics as their
+    # classic-parser twins, so the same first-principles SQL applies
+    o["simple_query_and"] = _bm25_conj_sql(["table", "scan"])
+    o["simple_query_garbage"] = _phrase_sql("table", "scan")
     o["phrase_sloppy"] = _phrase_sloppy_sql("table", "scan", 3)
     o["prefix_constant"] = _constant_match_sql("term LIKE 'tab%'")
     o["term_range"] = _constant_match_sql("term >= 'table' AND term <= 'tap'")

@@ -172,6 +172,24 @@ def _cjk_stream(toks, flags: int, unigrams: bool) -> list[tuple]:
     return out
 
 
+def _ws_tokenize(text: str, max_len: int) -> list[Token]:
+    """WhitespaceTokenizer: maximal runs of non-whitespace codepoints
+    (tokens longer than max_len split, like CharTokenizer's buffer)."""
+    out: list[Token] = []
+    pos = -1
+    i, n = 0, len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        start = i
+        while i < n and not text[i].isspace() and i - start < max_len:
+            i += 1
+        pos += 1
+        out.append(Token(text[start:i], pos, start, i))
+    return out
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """tokenize [-> possessive strip] -> lowercase [-> ascii fold] ->
@@ -206,6 +224,10 @@ class Analyzer:
     # and the outputUnigrams switch (unigram + stacked bigram stream)
     cjk_flags: int = 0
     cjk_unigrams: bool = False
+    # WhitespaceTokenizer instead of the UAX#29 scanner (reference
+    # analysis/core/WhitespaceTokenizer.java: split on Character
+    # .isWhitespace, keep everything else verbatim)
+    whitespace: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -215,7 +237,10 @@ class Analyzer:
         post-CJK-bigram (the bigram filter sits right after the tokenizer,
         like CJKAnalyzer's chain — CJK codepoints are untouched by the
         case/possessive/stem steps downstream)."""
-        toks = tokenize(text, self.max_token_length)
+        if self.whitespace:
+            toks = _ws_tokenize(text, self.max_token_length)
+        else:
+            toks = tokenize(text, self.max_token_length)
         if self.cjk_flags:
             return _cjk_stream(toks, self.cjk_flags, self.cjk_unigrams)
         return [(t.term, t.start, t.end, 1) for t in toks]
@@ -372,7 +397,14 @@ ENGLISH = Analyzer(
 )  # EnglishAnalyzer: possessive strip + 33-word stops + Porter
 
 
-_BASE_ANALYZERS = {"standard": STANDARD, "english_stops": ENGLISH_STOPS, "english": ENGLISH}
+WHITESPACE = Analyzer(whitespace=True)  # WhitespaceAnalyzer + LowerCaseFilter
+
+_BASE_ANALYZERS = {
+    "standard": STANDARD,
+    "english_stops": ENGLISH_STOPS,
+    "english": ENGLISH,
+    "whitespace": WHITESPACE,
+}
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 
 

@@ -1,7 +1,8 @@
 from . import query
 from .parser import parse, parse_multi_field
+from .simple_parser import parse_simple
 from .rescorer import rescore
 from .searcher import IndexSearcher
 from .topk import merge_topk
 
-__all__ = ["query", "parse", "parse_multi_field", "rescore", "IndexSearcher", "merge_topk"]
+__all__ = ["query", "parse", "parse_multi_field", "parse_simple", "rescore", "IndexSearcher", "merge_topk"]

@@ -1,0 +1,353 @@
+"""SimpleQueryParser — the error-tolerant human query syntax.
+
+Behavior port of the reference
+/root/reference/lucene/queryparser/src/java/org/apache/lucene/queryparser/
+simple/SimpleQueryParser.java: `+` AND, `|` OR, `-` NOT, `"..."` phrase
+(`~N` near), trailing `*` prefix, `~N` fuzzy, `(...)` precedence, `\\`
+escape, whitespace delimiting — and NO syntax errors ever: unbalanced
+quotes/parens degrade exactly like the reference (opening char treated as
+extraneous), `--` double negation cancels, operators with no left operand
+are ignored, precedence folds right-to-left by wrapping the current tree
+whenever the operation changes.
+"""
+
+from __future__ import annotations
+
+from ..analysis.analyzer import analyzer_for, fold_ascii, lowercase
+from . import query as Q
+
+# feature flags (SimpleQueryParser.java:120-139)
+AND_OPERATOR = 1 << 0
+NOT_OPERATOR = 1 << 1
+OR_OPERATOR = 1 << 2
+PREFIX_OPERATOR = 1 << 3
+PHRASE_OPERATOR = 1 << 4
+PRECEDENCE_OPERATORS = 1 << 5
+ESCAPE_OPERATOR = 1 << 6
+WHITESPACE_OPERATOR = 1 << 7
+FUZZY_OPERATOR = 1 << 8
+NEAR_OPERATOR = 1 << 9
+ALL_OPERATORS = -1
+
+_WS = (" ", "\t", "\n", "\r")
+_MAX_FUZZY = 2  # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE
+
+
+class _State:
+    __slots__ = ("data", "index", "length", "top", "current_op", "previous_op", "not_")
+
+    def __init__(self, data: str, start: int, end: int):
+        self.data = data
+        self.index = start
+        self.length = end
+        self.top: Q.Query | None = None
+        self.current_op: str | None = None
+        self.previous_op: str | None = None
+        self.not_ = 0
+
+
+class SimpleParser:
+    """One parser instance per (weights, flags, analyzer, default op)."""
+
+    def __init__(
+        self,
+        field: str = "text",
+        analyzer: str = "standard",
+        weights: dict[str, float] | None = None,
+        flags: int = ALL_OPERATORS,
+        default_operator: str = Q.SHOULD,
+    ):
+        self.weights = weights or {field: 1.0}
+        self.flags = flags
+        self.analyzer = analyzer_for(analyzer)
+        self.default_operator = default_operator
+
+    # -- public --
+    def parse(self, text: str) -> Q.Query:
+        if text.strip() == "*":
+            return Q.MatchAllDocsQuery()
+        state = _State(text, 0, len(text))
+        self._parse_sub(state)
+        if state.top is None:
+            return Q.MatchNoDocsQuery()
+        return state.top
+
+    # -- parse loop (parseSubQuery) --
+    def _parse_sub(self, state: _State) -> None:
+        f = self.flags
+        while state.index < state.length:
+            ch = state.data[state.index]
+            if ch == "(" and f & PRECEDENCE_OPERATORS:
+                self._consume_subquery(state)
+            elif ch == ")" and f & PRECEDENCE_OPERATORS:
+                state.index += 1  # extraneous, ignored
+            elif ch == '"' and f & PHRASE_OPERATOR:
+                self._consume_phrase(state)
+            elif ch == "+" and f & AND_OPERATOR:
+                if state.current_op is None and state.top is not None:
+                    state.current_op = Q.MUST
+                state.index += 1
+            elif ch == "|" and f & OR_OPERATOR:
+                if state.current_op is None and state.top is not None:
+                    state.current_op = Q.SHOULD
+                state.index += 1
+            elif ch == "-" and f & NOT_OPERATOR:
+                state.not_ += 1
+                state.index += 1
+                continue  # keep the not count across the reset below
+            elif ch in _WS and f & WHITESPACE_OPERATOR:
+                state.index += 1
+            else:
+                self._consume_token(state)
+            state.not_ = 0
+
+    def _consume_subquery(self, state: _State) -> None:
+        start = state.index = state.index + 1
+        precedence = 1
+        escaped = False
+        while state.index < state.length:
+            ch = state.data[state.index]
+            if not escaped:
+                if ch == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    state.index += 1
+                    continue
+                if ch == "(":
+                    precedence += 1
+                elif ch == ")":
+                    precedence -= 1
+                    if precedence == 0:
+                        break
+            escaped = False
+            state.index += 1
+        if state.index == state.length:
+            state.index = start  # no closing paren: '(' is extraneous
+        elif state.index == start:
+            state.current_op = None  # '()' resets the pending operation
+            state.index += 1
+        else:
+            sub = _State(state.data, start, state.index)
+            self._parse_sub(sub)
+            self._build_tree(state, sub.top)
+            state.index += 1
+
+    def _consume_phrase(self, state: _State) -> None:
+        start = state.index = state.index + 1
+        buf: list[str] = []
+        escaped = False
+        has_slop = False
+        while state.index < state.length:
+            ch = state.data[state.index]
+            if not escaped:
+                if ch == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    state.index += 1
+                    continue
+                if ch == '"':
+                    if (
+                        state.length > state.index + 1
+                        and state.data[state.index + 1] == "~"
+                        and self.flags & NEAR_OPERATOR
+                    ):
+                        state.index += 1
+                        if state.length > state.index + 1:
+                            has_slop = True
+                        break
+                    break
+            escaped = False
+            buf.append(ch)
+            state.index += 1
+        if state.index == state.length:
+            state.index = start  # no closing quote: '"' is extraneous
+        elif state.index == start:
+            state.current_op = None
+            state.index += 1
+        else:
+            phrase = "".join(buf)
+            slop = self._parse_fuzziness(state) if has_slop else 0
+            self._build_tree(state, self._new_phrase_query(phrase, slop))
+            state.index += 1
+
+    def _consume_token(self, state: _State) -> None:
+        buf: list[str] = []
+        escaped = False
+        prefix = False
+        fuzzy = False
+        while state.index < state.length:
+            ch = state.data[state.index]
+            if not escaped:
+                if ch == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    prefix = False
+                    state.index += 1
+                    continue
+                if self._token_finished(state):
+                    break
+                if buf and ch == "~" and self.flags & FUZZY_OPERATOR:
+                    fuzzy = True
+                    break
+                prefix = bool(buf) and ch == "*" and self.flags & PREFIX_OPERATOR
+            escaped = False
+            buf.append(ch)
+            state.index += 1
+        if buf:
+            if fuzzy and self.flags & FUZZY_OPERATOR:
+                token = "".join(buf)
+                fuzziness = min(self._parse_fuzziness(state), _MAX_FUZZY)
+                if fuzziness == 0:
+                    branch = self._new_default_query(token)
+                else:
+                    branch = self._new_fuzzy_query(token, fuzziness)
+            elif prefix:
+                branch = self._new_prefix_query("".join(buf[:-1]))
+            else:
+                branch = self._new_default_query("".join(buf))
+            self._build_tree(state, branch)
+
+    def _token_finished(self, state: _State) -> bool:
+        ch = state.data[state.index]
+        f = self.flags
+        return (
+            (ch == '"' and f & PHRASE_OPERATOR)
+            or (ch == "|" and f & OR_OPERATOR)
+            or (ch == "+" and f & AND_OPERATOR)
+            or (ch == "(" and f & PRECEDENCE_OPERATORS)
+            or (ch == ")" and f & PRECEDENCE_OPERATORS)
+            or (ch in _WS and f & WHITESPACE_OPERATOR)
+        )
+
+    def _parse_fuzziness(self, state: _State) -> int:
+        if state.index >= state.length or state.data[state.index] != "~":
+            return 0
+        buf: list[str] = []
+        while state.index < state.length:
+            state.index += 1
+            if state.index < state.length:
+                if self._token_finished(state):
+                    break
+                buf.append(state.data[state.index])
+        try:
+            fuzziness = int("".join(buf)) if buf else 2  # bare ~ means 2
+        except ValueError:
+            fuzziness = 0
+        return max(fuzziness, 0)
+
+    # -- tree building (buildQueryTree/addClause) --
+    def _build_tree(self, state: _State, branch: Q.Query | None) -> None:
+        if branch is None:
+            return
+        if state.not_ % 2 == 1:
+            branch = Q.BooleanQuery(
+                (
+                    Q.BooleanClause(Q.MUST_NOT, branch),
+                    Q.BooleanClause(Q.SHOULD, Q.MatchAllDocsQuery()),
+                )
+            )
+        if state.top is None:
+            state.top = branch
+        else:
+            if state.current_op is None:
+                state.current_op = self.default_operator
+            if state.previous_op != state.current_op:
+                state.top = Q.BooleanQuery(
+                    (Q.BooleanClause(state.current_op, state.top),)
+                )
+            state.top = Q.BooleanQuery(
+                state.top.clauses + (Q.BooleanClause(state.current_op, branch),),
+                state.top.minimum_should_match,
+            )
+            state.previous_op = state.current_op
+        state.current_op = None
+
+    # -- leaf factories (newDefaultQuery/newPhraseQuery/...), weighted
+    #    per field then OR'd (SimpleQueryParser.java:554-600) --
+    def _weighted(self, per_field) -> Q.Query | None:
+        parts = []
+        for fld, boost in self.weights.items():
+            q = per_field(fld)
+            if q is None:
+                continue
+            parts.append(Q._apply_boost(q, boost) if boost != 1.0 else q)
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return Q.BooleanQuery(tuple(Q.BooleanClause(Q.SHOULD, p) for p in parts))
+
+    def _position_groups(self, text: str) -> list[list[str]]:
+        groups: list[list[str]] = []
+        last_pos = None
+        for tok in self.analyzer.tokens(text):
+            if tok.position == last_pos:
+                if tok.term not in groups[-1]:
+                    groups[-1].append(tok.term)
+            else:
+                groups.append([tok.term])
+                last_pos = tok.position
+        return groups
+
+    def _new_default_query(self, text: str) -> Q.Query | None:
+        groups = self._position_groups(text)
+
+        def build(fld):
+            if not groups:
+                return None
+            leaves = [
+                Q.TermQuery(fld, g[0]) if len(g) == 1 else Q.SynonymQuery(fld, tuple(g))
+                for g in groups
+            ]
+            if len(leaves) == 1:
+                return leaves[0]
+            return Q.BooleanQuery(
+                tuple(Q.BooleanClause(self.default_operator, l) for l in leaves)
+            )
+
+        return self._weighted(build)
+
+    def _new_phrase_query(self, text: str, slop: int) -> Q.Query | None:
+        slots = self._position_groups(text)
+
+        def build(fld):
+            if not slots:
+                return None
+            if len(slots) == 1:
+                g = slots[0]
+                return (
+                    Q.TermQuery(fld, g[0])
+                    if len(g) == 1
+                    else Q.SynonymQuery(fld, tuple(g))
+                )
+            if all(len(g) == 1 for g in slots):
+                return Q.PhraseQuery(fld, tuple(g[0] for g in slots), slop)
+            return Q.MultiPhraseQuery(fld, tuple(tuple(g) for g in slots), slop)
+
+        return self._weighted(build)
+
+    def _normalize(self, text: str) -> str:
+        """Analyzer.normalize analogue: the chain's char-level steps only."""
+        t = lowercase(text)
+        if self.analyzer.ascii_folding:
+            t = fold_ascii(t)
+        return t
+
+    def _new_prefix_query(self, text: str) -> Q.Query | None:
+        t = self._normalize(text)
+        return self._weighted(lambda fld: Q.PrefixQuery(fld, t) if t else None)
+
+    def _new_fuzzy_query(self, text: str, fuzziness: int) -> Q.Query | None:
+        t = self._normalize(text)
+        return self._weighted(
+            lambda fld: Q.FuzzyQuery(fld, t, max_edits=fuzziness) if t else None
+        )
+
+
+def parse_simple(
+    text: str,
+    field: str = "text",
+    analyzer: str = "standard",
+    weights: dict[str, float] | None = None,
+    flags: int = ALL_OPERATORS,
+    default_operator: str = Q.SHOULD,
+) -> Q.Query:
+    """Parse the error-tolerant simple syntax into a Query."""
+    return SimpleParser(field, analyzer, weights, flags, default_operator).parse(text)

@@ -1,0 +1,218 @@
+"""SimpleQueryParser parity — golden vectors ported from the reference
+TestSimpleQueryParser.java (whitespace+lowercase analyzer, default
+operator MUST, like the reference test helper). No Spark needed."""
+
+import pytest
+
+from lucene_spark.search import query as Q
+from lucene_spark.search.simple_parser import (
+    AND_OPERATOR,
+    ESCAPE_OPERATOR,
+    NOT_OPERATOR,
+    OR_OPERATOR,
+    PHRASE_OPERATOR,
+    PRECEDENCE_OPERATORS,
+    PREFIX_OPERATOR,
+    WHITESPACE_OPERATOR,
+    parse_simple,
+)
+
+F = "field"
+
+
+def parse(text, flags=-1):
+    return parse_simple(
+        text, field=F, analyzer="whitespace", flags=flags, default_operator=Q.MUST
+    )
+
+
+def term(t):
+    return Q.TermQuery(F, t)
+
+
+def bq(*pairs, msm=0):
+    return Q.BooleanQuery(tuple(Q.BooleanClause(o, q) for o, q in pairs), msm)
+
+
+NOT_STAR = bq((Q.MUST_NOT, term("star")), (Q.SHOULD, Q.MatchAllDocsQuery()))
+
+
+def test_term():
+    assert parse("foobar") == term("foobar")
+
+
+def test_fuzzy():
+    expected = Q.FuzzyQuery(F, "foobar", max_edits=2)
+    assert parse("foobar~2") == expected
+    assert parse("foobar~") == expected  # bare ~ means 2
+    assert parse("foobar~a") == term("foobar~a".split("~")[0]) or True
+    # non-numeric fuzziness parses to 0 -> plain term query
+    assert parse("foobar~a") == term("foobar")
+    assert parse("foobar~1a") == term("foobar")
+    # edit distance is capped at 2
+    assert parse("foobar~5") == Q.FuzzyQuery(F, "foobar", max_edits=2)
+
+
+def test_phrase_and_slop():
+    assert parse('"star wars"') == Q.PhraseQuery(F, ("star", "wars"), 0)
+    assert parse('"star wars"~2') == Q.PhraseQuery(F, ("star", "wars"), 2)
+    # non-numeric slop -> 0
+    assert parse('"star wars"~a') == Q.PhraseQuery(F, ("star", "wars"), 0)
+
+
+def test_prefix():
+    assert parse("foobar*") == Q.PrefixQuery(F, "foobar")
+
+
+def test_and_or_not():
+    assert parse("this+that") == bq((Q.MUST, term("this")), (Q.MUST, term("that")))
+    assert parse("this|that") == bq((Q.SHOULD, term("this")), (Q.SHOULD, term("that")))
+    assert parse("this that") == bq((Q.MUST, term("this")), (Q.MUST, term("that")))
+    assert parse("-foo") == bq(
+        (Q.MUST_NOT, term("foo")), (Q.SHOULD, Q.MatchAllDocsQuery())
+    )
+    assert parse("-(foo)") == parse("-foo")
+    assert parse("---foo") == parse("-foo")  # odd number of nots
+
+
+def test_crazy_prefixes():
+    # testCrazyPrefixes1: inner * is literal, trailing * is the operator
+    assert parse("st*ar*") == Q.PrefixQuery(F, "st*ar")
+    # testCrazyPrefixes2: escaped backslash then escaped-star + prefix star
+    assert parse("st*ar\\\\**") == Q.PrefixQuery(F, "st*ar\\*")
+    # testTermInDisguise: final * is escaped -> not a prefix query
+    assert parse("sT*Ar\\\\\\*") == term("st*ar\\*")
+
+
+def test_garbage_term():
+    expected = term("star")
+    for text in (
+        "star", "star\n", "star\r", "star\t", "star(", "star)", 'star"',
+        "\t \r\n\nstar   \n \r \t ", '- + "" - star \\',
+    ):
+        assert parse(text) == expected, repr(text)
+
+
+def test_garbage_empty():
+    for text in (
+        "", "  ", "\\ ", "\\ \\ ", '""', '" "', '" "|" "', '(" "|" ")',
+        '" " " "', '(" " " ")',
+    ):
+        assert parse(text) == Q.MatchNoDocsQuery(), repr(text)
+
+
+def test_garbage_and_or_not():
+    expected_and = bq((Q.MUST, term("star")), (Q.MUST, term("wars")))
+    for text in (
+        "star wars", "star+wars", "     star     wars   ",
+        "     star +    wars   ", "  |     star + + |   wars   ",
+        "  |     star + + |   wars   \\",
+    ):
+        assert parse(text) == expected_and, repr(text)
+    expected_or = bq((Q.SHOULD, term("star")), (Q.SHOULD, term("wars")))
+    for text in (
+        "star|wars", "     star |    wars   ",
+        "  |     star | + |   wars   ", "  +     star | + +   wars   \\",
+    ):
+        assert parse(text) == expected_or, repr(text)
+    for text in ("-star", "---star", "- -star -"):
+        assert parse(text) == NOT_STAR, repr(text)
+
+
+def test_garbage_phrase_and_subquery():
+    expected = Q.PhraseQuery(F, ("star", "wars"), 0)
+    for text in (
+        '"star wars"', '"star wars\\ "', '"" | "star wars"',
+        '          "star wars"        ""\\',
+    ):
+        assert parse(text) == expected, repr(text)
+    for text in (
+        "(star)", "(star))", "((star)",
+        "     -()(star)        \n\n\r     ", "| + - ( + - |      star    \n      ) \n",
+    ):
+        assert parse(text) == term("star"), repr(text)
+
+
+def test_compound_and_complex():
+    # testCompoundAnd
+    assert parse("star wars empire") == bq(
+        (Q.MUST, term("star")), (Q.MUST, term("wars")), (Q.MUST, term("empire"))
+    )
+    # testComplex00: (star | wars) + empire
+    inner = bq((Q.SHOULD, term("star")), (Q.SHOULD, term("wars")))
+    expected = bq((Q.MUST, inner), (Q.MUST, term("empire")))
+    for text in ("star|wars empire", "star|wars + empire", "star| + wars + ----empire |"):
+        assert parse(text) == expected, repr(text)
+    # testComplex01: (star + wars) | empire
+    inner = bq((Q.MUST, term("star")), (Q.MUST, term("wars")))
+    expected = bq((Q.SHOULD, inner), (Q.SHOULD, term("empire")))
+    for text in ("star wars | empire", "star + wars|empire", "star + | wars | ----empire +"):
+        assert parse(text) == expected, repr(text)
+    # testComplex04: (star+wars) | empire | (strikes+back)
+    inner = bq((Q.MUST, term("star")), (Q.MUST, term("wars")))
+    inner2 = bq((Q.MUST, term("strikes")), (Q.MUST, term("back")))
+    expected = bq((Q.SHOULD, inner), (Q.SHOULD, term("empire")), (Q.SHOULD, inner2))
+    for text in (
+        "(star wars) | empire | (strikes back)",
+        "(star + wars) |empire | (strikes + back)",
+        "(star + | wars |) | ----empire | + --(strikes + | --back) \\",
+    ):
+        assert parse(text) == expected, repr(text)
+
+
+def test_match_all_star():
+    assert parse("*") == Q.MatchAllDocsQuery()
+    assert parse("  *  ") == Q.MatchAllDocsQuery()
+
+
+def test_disable_flags():
+    base = ~0
+    # disable phrase: quotes become term characters
+    no_phrase = base & ~PHRASE_OPERATOR
+    assert parse('"star wars"', no_phrase) == bq(
+        (Q.MUST, term('"star')), (Q.MUST, term('wars"'))
+    )
+    # disable prefix: trailing * is literal
+    no_prefix = base & ~PREFIX_OPERATOR
+    assert parse("foobar*", no_prefix) == term("foobar*")
+    # disable AND: + is a term char
+    no_and = base & ~AND_OPERATOR
+    assert parse("this+that", no_and) == term("this+that")
+    # disable OR: | is a term char
+    no_or = base & ~OR_OPERATOR
+    assert parse("this|that", no_or) == term("this|that")
+    # disable NOT: - is a term char
+    no_not = base & ~NOT_OPERATOR
+    assert parse("-foo", no_not) == term("-foo")
+    # disable precedence: parens are term chars
+    no_prec = base & ~PRECEDENCE_OPERATORS
+    assert parse("(foo)", no_prec) == term("(foo)")
+    # disable escape: backslash is a term char
+    no_esc = base & ~ESCAPE_OPERATOR
+    assert parse("foo\\bar", no_esc) == term("foo\\bar")
+    # disable whitespace: spaces reach the ANALYZER, which still splits —
+    # createBooleanQuery makes a default-operator boolean of the tokens
+    no_ws = base & ~WHITESPACE_OPERATOR
+    assert parse("foo bar", no_ws) == bq((Q.MUST, term("foo")), (Q.MUST, term("bar")))
+
+
+def test_weighted_fields():
+    got = parse_simple(
+        "foo",
+        analyzer="whitespace",
+        weights={"f1": 1.0, "f2": 2.0},
+        default_operator=Q.MUST,
+    )
+    assert isinstance(got, Q.BooleanQuery)
+    assert all(c.occur == Q.SHOULD for c in got.clauses)
+    fields = {getattr(c.query, "field", None) for c in got.clauses}
+    assert fields == {"f1", "f2"}
+
+
+def test_standard_analyzer_multi_token_atom():
+    """With a real analyzer, a token that analyzes to several terms
+    becomes a boolean of the default operator (createBooleanQuery);
+    UAX#29 keeps the apostrophe word whole (MidNumLet)."""
+    got = parse_simple("foo,bar", field=F, analyzer="standard", default_operator=Q.MUST)
+    assert got == bq((Q.MUST, term("foo")), (Q.MUST, term("bar")))
+    assert parse_simple("can't", field=F, analyzer="standard") == term("can't")
