@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hit_count_bool"] = _count_q("table AND scan")
     q["search_after_page2"] = _pq_search_after
     q["filtered_by_lang"] = _pq_filtered_lang
+    q["iodv_verified_filter"] = _pq_iodv_verified
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
@@ -745,6 +746,27 @@ def _pq_filtered_lang(spark, sf_dir):
     q = Q.BooleanQuery.build(
         (Q.MUST, Q.TermQuery("text", "table")),
         (Q.FILTER, Q.DocValuesQuery("lang = 'en'")),
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_iodv_verified(spark, sf_dir):
+    """IndexOrDocValuesQuery FILTER beside a bounded MUST term: the
+    leadCost-vs-matches estimate picks the doc-values verification path
+    (candidates join the column-pruned docs table; the predicate's match
+    set is never materialized — reference search/IndexOrDocValuesQuery.java
+    scorerSupplier)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "merge")),
+        (Q.FILTER, Q.IndexOrDocValuesQuery("lang = 'en'")),
     )
     hits = s.search(q, k=K, mode="exhaustive")
     return hits.select(
@@ -2080,6 +2102,15 @@ SELECT count(*) AS n_hits FROM (
     base_t = _bm25_term_sql([("table", 1.0)], k=K)
     o["filtered_by_lang"] = (
         base_t.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id, round(score, 4) AS score_r
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+WHERE d.lang = 'en'
+ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
+    base_m = _bm25_term_sql([("merge", 1.0)], k=K)
+    o["iodv_verified_filter"] = (
+        base_m.split("SELECT doc_id, round")[0]
         + f"""SELECT agg.doc_id AS doc_id, round(score, 4) AS score_r
 FROM agg JOIN documents d ON d.doc_id = agg.doc_id
 WHERE d.lang = 'en'

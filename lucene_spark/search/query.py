@@ -296,15 +296,41 @@ class FunctionScoreQuery(Query):
 
 @dataclass(frozen=True)
 class DocValuesQuery(Query):
-    """Structured predicate over stored doc columns (the PointRangeQuery /
-    IndexOrDocValuesQuery analogue — in Spark, doc values ARE columns, so
-    the 'index vs doc-values' access-path choice collapses into Catalyst's
-    scan planning with predicate pushdown). Matches with constant score.
+    """Structured predicate over stored doc columns (the PointRangeQuery
+    analogue — in Spark, doc values ARE columns, so the access path is
+    Catalyst's scan planning with predicate pushdown). Matches with
+    constant score.
 
     ``predicate`` is a SQL boolean expression over docs-table columns,
     e.g. "lang = 'en'" or "length between 30 and 60"."""
 
     predicate: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IndexOrDocValuesQuery(Query):
+    """Cost-choice wrapper (reference search/IndexOrDocValuesQuery.java):
+    the same predicate served two ways, picked per use site.
+
+    - As a LEAD iterator (standalone / filter-only boolean): the
+      index-style path — a pushdown scan of the docs table, where parquet
+      row-group stats prune I/O like a points index would.
+    - As a VERIFICATION filter beside scoring clauses whose estimated
+      candidate count is below the predicate's estimated match count: the
+      doc-values path — join the bounded candidate set to the (column-
+      pruned) docs table and post-filter, which never materializes the
+      predicate's full match set (the analogue of random-access DV checks
+      against leadCost, IndexOrDocValuesQuery.java scorerSupplier).
+
+    ``est_matches``: optional cardinality hint for the predicate (a
+    planner statistic); when absent the predicate is assumed unselective
+    (doc_count / 2), which biases bounded candidate sets toward the
+    verification path — the same default bias Lucene gets from comparing
+    leadCost against the index scorer's cost."""
+
+    predicate: str
+    est_matches: int | None = None
     boost: float = 1.0
 
 

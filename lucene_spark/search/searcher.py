@@ -449,7 +449,10 @@ class IndexSearcher:
             fld = q.field or field
             blocks = self.reader.postings(None, fld).filter(F.expr(q.predicate))
             return self._doc_union(blocks).withColumn("score", F.lit(float(q.boost)))
-        if isinstance(q, Q.DocValuesQuery):
+        if isinstance(q, (Q.DocValuesQuery, Q.IndexOrDocValuesQuery)):
+            # lead-iterator use: index-style pushdown scan (row-group
+            # pruning is the points-index analogue); the verification-side
+            # choice for IndexOrDocValuesQuery lives in _scored_boolean
             return (
                 self.reader.docs()
                 .filter(F.expr(q.predicate))
@@ -872,8 +875,33 @@ class IndexSearcher:
                     return None
                 continue
             parts.append(p.withColumn("cid", F.lit(i)))
-        fset = None  # intersection of FILTER clause match sets
+        # FILTER access-path choice (IndexOrDocValuesQuery.java): a filter
+        # may LEAD (pushdown scan -> semi-join, materializes its match set)
+        # or VERIFY (join the bounded scored candidates to the column-pruned
+        # docs table and post-filter — never materializes the match set).
+        # Verification is sound only when the scored side is mandatory
+        # (some MUST or msm>=1 gate exists); it wins when the candidate
+        # estimate is below the predicate's estimated match count.
+        fset = None  # intersection of LEAD filter match sets
+        verify_preds: list[str] = []
+        self.last_iodv_paths: list[str] = []
+        cand_bounded = bool(parts) and (n_must > 0 or msm > 0)
+        cand_est = None
         for sub in groups[Q.FILTER]:
+            if isinstance(sub, Q.IndexOrDocValuesQuery) and cand_bounded:
+                doc_count, _ = self.reader.collection_stats(field)
+                if cand_est is None:
+                    cand_est = self._candidate_estimate(
+                        groups[Q.MUST], groups[Q.SHOULD], field, doc_count
+                    )
+                est_f = (
+                    sub.est_matches if sub.est_matches is not None else doc_count // 2
+                )
+                if cand_est < est_f:
+                    verify_preds.append(sub.predicate)
+                    self.last_iodv_paths.append("docvalues")
+                    continue
+                self.last_iodv_paths.append("index")
             m = self._match_docs(sub, field)
             fset = m if fset is None else fset.join(m, ["seg", "doc"], "left_semi")
         if parts:
@@ -904,6 +932,16 @@ class IndexSearcher:
                     )
                 else:
                     scored = scored.join(fset, ["seg", "doc"], "left_semi")
+            if verify_preds:
+                # doc-values verification: candidates join the docs table
+                # (Catalyst prunes to the predicate's columns) — O(candidates)
+                # post-filter, no filter match set ever materialized
+                cond = F.expr(" AND ".join(f"({p})" for p in verify_preds))
+                scored = (
+                    scored.join(self.reader.docs(), ["seg", "doc"])
+                    .filter(cond)
+                    .select("seg", "doc", "score")
+                )
         else:
             # no live scoring clauses: a filter-only boolean matches the
             # FILTER intersection with score 0 — BooleanWeight.scorerSupplier
@@ -916,6 +954,31 @@ class IndexSearcher:
             m = self._match_docs(sub, field)
             scored = scored.join(m, ["seg", "doc"], "left_anti")
         return scored
+
+    def _candidate_estimate(
+        self, musts: list, shoulds: list, field: str, doc_count: int
+    ) -> int:
+        """leadCost analogue (IndexOrDocValuesQuery.java scorerSupplier):
+        an upper bound on the scored candidate count from term statistics —
+        min df over MUST terms (a conjunction can't exceed its rarest
+        term), else the sum of SHOULD term dfs; unknown query shapes fall
+        back to doc_count (assume unbounded)."""
+
+        def df_of(sub):
+            while isinstance(sub, (Q.BoostQuery, Q.ConstantScoreQuery)):
+                sub = sub.query
+            if isinstance(sub, Q.TermQuery):
+                st = self.reader.term_stats([sub.term], field)
+                return st.get(sub.term, (0, 0))[0]
+            return None
+
+        if musts:
+            dfs = [d for d in (df_of(s) for s in musts) if d is not None]
+            return min(dfs) if dfs else doc_count
+        dfs = [df_of(s) for s in shoulds]
+        if not dfs or any(d is None for d in dfs):
+            return doc_count
+        return min(sum(dfs), doc_count)
 
     def _match_docs(self, q: Q.Query, field: str) -> DataFrame:
         """Unscored matching (seg, doc) set — FILTER / MUST_NOT operand.

@@ -1,0 +1,89 @@
+"""IndexOrDocValuesQuery cost choice: the same predicate leads via the
+pushdown scan OR verifies candidates via a docs-table join, chosen by
+the leadCost-vs-matches estimate (reference search/
+IndexOrDocValuesQuery.java scorerSupplier)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.index import IndexReader
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+def _hits(searcher, q, k=50):
+    rows = searcher.search(q, k=k).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def _bool(term, flt, occur=Q.MUST):
+    return Q.BooleanQuery(
+        (Q.BooleanClause(occur, Q.TermQuery("text", term)), Q.BooleanClause(Q.FILTER, flt))
+    )
+
+
+def test_unselective_filter_verifies_candidates(searcher):
+    """A rare MUST term ('dup', df 25/500) beside an (assumed) unselective
+    predicate: the filter must NOT lead — candidates verify through the
+    docs join."""
+    base = _hits(searcher, _bool("dup", Q.DocValuesQuery("length >= 1")))
+    got = _hits(searcher, _bool("dup", Q.IndexOrDocValuesQuery("length >= 1")))
+    assert searcher.last_iodv_paths == ["docvalues"]
+    assert got == base and got  # same matches, same scores
+
+
+def test_selective_hint_leads_with_index_path(searcher):
+    """est_matches below the candidate estimate: the pushdown scan leads
+    (row-group pruning pays off for selective predicates)."""
+    flt = Q.IndexOrDocValuesQuery("length >= 1", est_matches=1)
+    got = _hits(searcher, _bool("dup", flt))
+    assert searcher.last_iodv_paths == ["index"]
+    base = _hits(searcher, _bool("dup", Q.DocValuesQuery("length >= 1")))
+    assert got == base and got
+
+
+def test_common_term_filter_leads(searcher):
+    """A frequent MUST term ('table', df 391/500): the candidate estimate
+    exceeds the default match estimate, so the index path leads."""
+    got = _hits(searcher, _bool("table", Q.IndexOrDocValuesQuery("length >= 1")))
+    assert searcher.last_iodv_paths == ["index"]
+    base = _hits(searcher, _bool("table", Q.DocValuesQuery("length >= 1")))
+    assert got == base and got
+
+
+def test_lead_when_candidates_unbounded(searcher):
+    """SHOULD-only boolean with msm==0... is gated to msm>=1, but a
+    filter-only boolean has no candidates: the predicate must lead."""
+    q = Q.BooleanQuery(
+        (Q.BooleanClause(Q.FILTER, Q.IndexOrDocValuesQuery("lang = 'en'")),)
+    )
+    got = _hits(searcher, q, k=2000)
+    base = _hits(
+        searcher,
+        Q.BooleanQuery((Q.BooleanClause(Q.FILTER, Q.DocValuesQuery("lang = 'en'")),)),
+        k=2000,
+    )
+    assert got == base and got
+    assert searcher.last_iodv_paths == []  # no verification bookkeeping
+
+
+def test_standalone_iodv_scores_like_docvalues(searcher):
+    got = _hits(searcher, Q.ConstantScoreQuery(Q.IndexOrDocValuesQuery("lang = 'en'")), k=100)
+    base = _hits(searcher, Q.ConstantScoreQuery(Q.DocValuesQuery("lang = 'en'")), k=100)
+    assert got == base and got
+
+
+def test_verification_filters_actually_filter(searcher, reader):
+    """Correctness of the docvalues path: a predicate matching only some
+    candidates must drop the rest (not just pass everything through)."""
+    base = _hits(searcher, _bool("dup", Q.DocValuesQuery("length >= 50")))
+    got = _hits(searcher, _bool("dup", Q.IndexOrDocValuesQuery("length >= 50")))
+    assert searcher.last_iodv_paths == ["docvalues"]
+    assert got == base
+    unfiltered = _hits(searcher, Q.TermQuery("text", "dup"))
+    assert len(got) < len(unfiltered)
