@@ -238,7 +238,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dv_update_feature"] = _pq_dv_update
     q["high_freq_terms"] = _pq_high_freq_terms
     q["facet_dynamic_ranges"] = _pq_dynamic_ranges
-    return q
+    # The driver's correctness artifact covers the FIRST 50 entries in
+    # insertion order. Rotate so the queries CORRECTNESS_r03 did NOT check
+    # (everything added mid-round-3 and in round 4) land inside that window
+    # this round; the already-driver-proven r3 rows follow. All entries keep
+    # full oracles either way — this only chooses which 50 the artifact
+    # re-proves.
+    unchecked = {k: v for k, v in q.items() if k not in _R3_DRIVER_CHECKED}
+    return {**unchecked, **{k: q[k] for k in _R3_DRIVER_CHECKED if k in q}}
+
+
+# Keys present in CORRECTNESS_r03.json (the driver's round-3 50-row window),
+# plus simple_query_garbage (its twin simple_query_and already rotates in)
+# and distinct_langs (trivial count-distinct, locally proven) to make room —
+# and minus mm_decode_features, whose oracle was upgraded from rows-only to
+# full values (real WAV decode) after r3 and so deserves a driver re-check.
+_R3_DRIVER_CHECKED = [
+    "bm25_term_topk", "bm25_term_head", "bm25_bool_or", "bm25_bool_and",
+    "bm25_bool_and_not", "bm25_term_boost", "bm25_phrase", "prefix_constant",
+    "term_range", "hit_count_term", "hit_count_bool", "search_after_page2",
+    "filtered_by_lang", "dedup_exact", "decontam_ngram", "pii_scrub",
+    "chunk_documents", "stratified_sample", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_clusters", "dfr_disjunction",
+    "ib_disjunction", "dfi_disjunction", "axiomatic_disjunction",
+    "jm_disjunction", "boolean_disjunction", "events_windowed_counts",
+    "events_sliding_counts", "events_session_counts", "hybrid_rrf",
+    "mlt_terms", "batch_bm25_topk", "dedup_simhash", "embed_near_dup",
+    "ann_brute_topk", "ann_ivf_topk", "ann_quantized_topk",
+    "ann_ivf_quantized", "ann_ivf_append", "ann_deleted", "ann_filtered",
+    "lang_id_counts", "quality_scores", "token_counts", "fingerprint_md5",
+    "mm_media_meta", "mm_frame_counts", "facet_lang_counts",
+    "simple_query_garbage", "distinct_langs",
+]
 
 
 def _pq_high_freq_terms(spark, sf_dir):

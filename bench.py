@@ -240,7 +240,8 @@ def main():
     pages_q, _ = _amplified_pages(spark, SF_DIR, REPLICAS, materialize=True)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_emb = emb.count()
-    vreps = max(1, min(REPLICAS, 50))
+    vreps = int(os.environ.get("SPARK_GRAFT_BENCH_VREPS", "200"))
+    nlist, nprobe = 256, 8
     amp_emb = (
         emb.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(vreps - 1))))
@@ -258,18 +259,38 @@ def main():
     ivf_root = "/tmp/lucene_spark_bench_ivf"
     _sh.rmtree(ivf_root, ignore_errors=True)
     t0 = time.time()
-    IVFVectorIndex.build(spark, vecs, ivf_root, nlist=64, build_id="bench")
+    IVFVectorIndex.build(spark, vecs, ivf_root, nlist=nlist, build_id="bench")
     t_ivf_build = time.time() - t0
     ivf = IVFVectorIndex(spark, ivf_root)
     qvecs = [(int(r["vec_id"]), list(r["embedding"])) for r in emb.limit(16).collect()]
-    t_ivf = t_brute = float("inf")
+    t_ivf = t_brute = t_ivf1 = t_brute1 = float("inf")
     for _ in range(2):
         t0 = time.time()
-        ivf.search(qvecs, k=10, nprobe=8).collect()
+        ivf.search(qvecs, k=10, nprobe=nprobe).collect()
         t_ivf = min(t_ivf, time.time() - t0)
         t0 = time.time()
         brute_force_topk(vecs, qvecs, k=10).collect()
         t_brute = min(t_brute, time.time() - t0)
+        t0 = time.time()
+        ivf.search(qvecs[:1], k=10, nprobe=nprobe).collect()
+        t_ivf1 = min(t_ivf1, time.time() - t0)
+        t0 = time.time()
+        brute_force_topk(vecs, qvecs[:1], k=10).collect()
+        t_brute1 = min(t_brute1, time.time() - t0)
+    # read-fraction evidence (the 100 TB claim, measured): per-cell row
+    # counts -> exact rows a query's nprobe cells hold vs the corpus. The
+    # per-query fraction is the scan cost at any scale (cell partition
+    # pruning); the union fraction is what the 16-query BATCH job scans.
+    import numpy as _np
+
+    cc = {int(r["cell"]): int(r["n"]) for r in
+          ivf._vectors.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    total_rows = sum(cc.values())
+    qm = _np.array([v for _, v in qvecs], dtype=_np.float64)
+    qm /= _np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = _np.argsort(-(qm @ ivf.centroids.T), axis=1)[:, :nprobe]
+    per_q = [sum(cc.get(int(c), 0) for c in row) / total_rows for row in probes]
+    union_rows = sum(cc.get(int(c), 0) for c in {int(c) for row in probes for c in row})
     t_dedup = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -277,10 +298,17 @@ def main():
         t_dedup = min(t_dedup, time.time() - t0)
     result["pipeline_ops"] = {
         "n_vectors": n_emb * vreps,
+        "ivf_nlist": nlist,
+        "ivf_nprobe": nprobe,
         "ivf_build_sec": round(t_ivf_build, 2),
         "ann_ivf_16q_sec": round(t_ivf, 2),
         "ann_brute_16q_sec": round(t_brute, 2),
         "ann_speedup": round(t_brute / t_ivf, 2),
+        "ann_ivf_1q_sec": round(t_ivf1, 2),
+        "ann_brute_1q_sec": round(t_brute1, 2),
+        "ann_speedup_1q": round(t_brute1 / t_ivf1, 2),
+        "ivf_read_fraction_per_query": round(float(_np.mean(per_q)), 4),
+        "ivf_read_fraction_16q_union": round(union_rows / total_rows, 4),
         "dedup_docs": n_docs,
         "dedup_exact_sec": round(t_dedup, 2),
         "dedup_docs_per_sec": round(n_docs / t_dedup, 1),
@@ -342,6 +370,17 @@ def main():
                     spark_s = _session(cores)
                     pages_s, _ = _amplified_pages(spark_s, SF_DIR, REPLICAS, materialize=True)
                     root_s = f"/tmp/lucene_spark_bench_s{cores}"
+                    # warm the session off the clock with a mini build on the
+                    # un-amplified base (JVM codegen, parquet committer,
+                    # Python worker pool with pandas/numpy imports): cluster
+                    # executors are long-lived, so a cold-JVM first job is a
+                    # sandbox artifact, and it costs the hi level a larger
+                    # FRACTION of its shorter wall time — exactly the fixed
+                    # overhead the efficiency ratio must not include.
+                    base_s, _ = _amplified_pages(spark_s, SF_DIR, 1)
+                    _build(spark_s, base_s, root_s + "_warm", cores,
+                           num_segments=16, shuffle_partitions=32)
+                    shutil.rmtree(root_s + "_warm", ignore_errors=True)
                     # identical job spec at both levels (same segments/shuffle)
                     tt[cores] = _build(spark_s, pages_s, root_s, cores,
                                        num_segments=16, shuffle_partitions=32)
