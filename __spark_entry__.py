@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- round 3: knn AST node, function score, fuzzy, distributed spell --
     q["knn_bool_filtered"] = _pq_knn_bool_filtered
     q["function_score"] = _pq_function_score
+    q["expr_function_score"] = _pq_expr_function_score
+    q["expr_rescore"] = _pq_expr_rescore
+    q["nb_classify"] = _pq_nb_classify
+    q["knn_classify"] = _pq_knn_classify
     q["fuzzy_edit1"] = _pq_fuzzy
     q["fuzzy_transposed"] = _q("tabel~1", mode="exhaustive")
     q["spell_suggest_topk"] = _pq_spell_suggest
@@ -268,7 +272,15 @@ _R3_DRIVER_CHECKED = [
     "ann_ivf_quantized", "ann_ivf_append", "ann_deleted", "ann_filtered",
     "lang_id_counts", "quality_scores", "token_counts", "fingerprint_md5",
     "mm_media_meta", "mm_frame_counts", "facet_lang_counts",
-    "simple_query_garbage", "distinct_langs",
+    # locally-proven variants whose base operator IS driver-checked,
+    # demoted to make window room for genuinely new round-4 operators:
+    # simple_query_garbage (simple_query_and in), distinct_langs,
+    # quality_filter_pass (quality_scores in r3), facet_sampled_lang
+    # (facet_lang_counts in r3), sort_after_field_page2 (sort_by_field in),
+    # canonical_urls + host_stats (URL-ops family, local oracles green)
+    "simple_query_garbage", "distinct_langs", "quality_filter_pass",
+    "facet_sampled_lang", "sort_after_field_page2", "canonical_urls",
+    "host_stats",
 ]
 
 
@@ -1288,6 +1300,78 @@ def _pq_function_score(spark, sf_dir):
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
     )
+
+
+def _pq_expr_function_score(spark, sf_dir):
+    """expressions module (reference lucene/expressions JavascriptCompiler):
+    FunctionScoreQuery whose factor is compiled from the JS-like formula
+    syntax (ternary + comparison + sqrt over the length doc value)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.expressions import compile_expression
+
+    s = _searcher(spark, sf_dir)
+    factor = compile_expression("length > 45 ? sqrt(length) : 1").sql()
+    hits = s.search(Q.FunctionScoreQuery(parse("table OR scan"), factor), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_expr_rescore(spark, sf_dir):
+    """Expression-as-Sort (reference expressions/Expression.getSortField
+    with _score bound): BM25(table scan) top-20 re-ordered by a compiled
+    formula over (_score, length)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search.expressions import expression_rescore
+
+    s = _searcher(spark, sf_dir)
+    first = s.search(parse("table scan"), k=20, mode="exhaustive")
+    hits = expression_rescore(
+        s, first, "_score * (length < 40 ? 1.2 : 1.0) + ln(1 + length) / 10", k=K
+    )
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+_NB_SNIPPETS = [
+    (0, "table scan merge"),
+    (1, "vector window"),
+    (2, "key dup line table"),
+]
+
+
+def _pq_nb_classify(spark, sf_dir):
+    """SimpleNaiveBayesClassifier (reference classification/
+    SimpleNaiveBayesClassifier.java): class = lang keyword field; one row
+    per snippet with the assigned class and its softmax probability."""
+    from lucene_spark.classification import SimpleNaiveBayesClassifier
+
+    reader = _get_index(spark, sf_dir)
+    clf = SimpleNaiveBayesClassifier(reader, "lang")
+    rows = []
+    for qid, text in _NB_SNIPPETS:
+        c, p = clf.assign_class(text)
+        rows.append((qid, c, round(float(p), 4)))
+    return spark.createDataFrame(rows, "qid long, lang string, prob_r double")
+
+
+def _pq_knn_classify(spark, sf_dir):
+    """KNearestNeighborClassifier (reference classification/
+    KNearestNeighborClassifier.java): MLT(doc 0) -> BM25 top-10 neighbors
+    -> per-class score sum(hit/max)/k; all classes, best first."""
+    from lucene_spark.classification import KNearestNeighborClassifier
+    from lucene_spark.pages import url_for_doc_id
+
+    s = _searcher(spark, sf_dir)
+    clf = KNearestNeighborClassifier(s, "lang", k=10)
+    rows = [(c, round(float(v), 4)) for c, v in clf.get_classes(url_for_doc_id(0))]
+    return spark.createDataFrame(rows, "lang string, score_r double")
 
 
 def _pq_fuzzy(spark, sf_dir):
@@ -2343,6 +2427,29 @@ FROM agg JOIN dl dl2 ON dl2.doc_id = agg.doc_id
 ORDER BY score * ln(1 + dl2.len) DESC, agg.doc_id ASC LIMIT {K}
 """
     )
+    # expressions module: the oracle formulas are hand-written SQL (NOT
+    # rendered by the engine's compiler), so the compiler itself is under
+    # test, not just the plan that evaluates its output
+    _efs = "(CASE WHEN dl2.len > 45 THEN sqrt(dl2.len) ELSE 1.0 END)"
+    o["expr_function_score"] = (
+        fs_base.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id, round(score * {_efs}, 4) AS score_r
+FROM agg JOIN dl dl2 ON dl2.doc_id = agg.doc_id
+ORDER BY score * {_efs} DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
+    _er = ("t.score * (CASE WHEN dl2.len < 40 THEN 1.2 ELSE 1.0 END)"
+           " + ln(1 + dl2.len) / 10")
+    o["expr_rescore"] = (
+        fs_base.split("SELECT doc_id, round")[0].rstrip().rstrip(",")
+        + f""",
+top20 AS (SELECT agg.doc_id, score FROM agg
+          ORDER BY score DESC, agg.doc_id ASC LIMIT 20)
+SELECT t.doc_id AS doc_id, round({_er}, 4) AS score_r
+FROM top20 t JOIN dl dl2 ON dl2.doc_id = t.doc_id
+ORDER BY {_er} DESC, t.doc_id ASC LIMIT {K}
+"""
+    )
     # FeatureQuery: bm25(table) SHOULD-unioned with an additive
     # saturation feature over the analyzed length (matches len > 0)
     feat_base = _bm25_term_sql([("table", 1.0)], k=K)
@@ -2977,6 +3084,99 @@ scored AS (
 SELECT term, round(score, 4) AS score_r
 FROM scored ORDER BY score DESC, term ASC LIMIT 25
 """
+    # SimpleNaiveBayesClassifier: prior ln(df_c/N) + per-token add-one
+    # log-likelihood ln((docs(w AND c)+1)/(avgUniqueTermsPerDoc*df_c + N)),
+    # softmax across classes, argmax per snippet
+    _nb_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, s in _NB_SNIPPETS for t in s.split()
+    )
+    o["nb_classify"] = f"""
+WITH tok AS ({_TOK}),
+qtok AS (SELECT * FROM (VALUES {_nb_vals}) AS v(qid, term)),
+classes AS (SELECT lang, count(*) AS df_c FROM documents GROUP BY lang),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+avgu AS (
+  SELECT count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avg_unique FROM dt
+),
+hits AS (
+  SELECT d.lang, t.term, count(*) AS docs_with
+  FROM dt t JOIN documents d USING (doc_id)
+  WHERE t.term IN (SELECT DISTINCT term FROM qtok)
+  GROUP BY d.lang, t.term
+),
+scores AS (
+  SELECT q.qid, c.lang,
+         ln(c.df_c) - ln(n.n_docs)
+         + sum(ln((coalesce(h.docs_with, 0) + 1.0)
+                  / (a.avg_unique * c.df_c + n.n_docs))) AS s
+  FROM qtok q
+  CROSS JOIN classes c CROSS JOIN n CROSS JOIN avgu a
+  LEFT JOIN hits h ON h.lang = c.lang AND h.term = q.term
+  GROUP BY q.qid, c.lang, c.df_c, n.n_docs
+),
+mxs AS (SELECT qid, max(s) AS smax FROM scores GROUP BY qid),
+lse AS (
+  SELECT sc.qid, m.smax + ln(sum(exp(sc.s - m.smax))) AS loga
+  FROM scores sc JOIN mxs m USING (qid) GROUP BY sc.qid, m.smax
+),
+probs AS (
+  SELECT sc.qid, sc.lang, exp(sc.s - l.loga) AS p,
+         row_number() OVER (PARTITION BY sc.qid ORDER BY sc.s DESC, sc.lang ASC) AS rn
+  FROM scores sc JOIN lse l USING (qid)
+)
+SELECT qid, lang, round(p, 4) AS prob_r FROM probs WHERE rn = 1 ORDER BY qid
+"""
+    # KNearestNeighborClassifier: MLT(doc 0) top-25 terms -> BM25
+    # disjunction top-10 -> per-class sum(score/max)/k (k/sumdoc rescale
+    # when short) — buildListFromTopDocs
+    _knn_qlen = _qlen("dl.len")
+    o["knn_classify"] = (
+        _BASE.format(qlen=_knn_qlen)
+        + f""",
+src AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+sel AS (
+  SELECT src.term, dfs.df,
+         src.tf * (ln((stats.doc_count + 1.0) / (dfs.df + 1.0)) + 1.0) AS mscore
+  FROM src JOIN dfs USING (term), stats
+  WHERE src.tf >= 2 AND dfs.df >= 5
+  ORDER BY mscore DESC, src.term ASC LIMIT 25
+),
+qcontrib AS (
+  SELECT tok.doc_id, tok.term, count(*) AS freq
+  FROM tok JOIN sel ON sel.term = tok.term
+  GROUP BY tok.doc_id, tok.term
+),
+tw AS (
+  SELECT sel.term, ln(1 + (stats.doc_count - sel.df + 0.5) / (sel.df + 0.5)) AS w
+  FROM sel, stats
+),
+scored AS (
+  SELECT c.doc_id, sum(tw.w - tw.w / (1.0 + c.freq * inv.norm_inv)) AS score
+  FROM qcontrib c
+  JOIN inv ON inv.doc_id = c.doc_id
+  JOIN tw ON tw.term = c.term
+  GROUP BY c.doc_id
+),
+topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10),
+mx AS (SELECT max(score) AS m FROM topk),
+votes AS (
+  SELECT d.lang, count(*) AS nn, sum(t.score / mx.m) AS boost
+  FROM topk t JOIN documents d USING (doc_id), mx
+  GROUP BY d.lang
+),
+tot AS (SELECT sum(nn) AS sumdoc FROM votes)
+SELECT lang,
+       round(CASE WHEN tot.sumdoc < 10
+                  THEN (boost / 10.0) * 10.0 / tot.sumdoc
+                  ELSE boost / 10.0 END, 4) AS score_r
+FROM votes, tot
+ORDER BY (CASE WHEN tot.sumdoc < 10
+               THEN (boost / 10.0) * 10.0 / tot.sumdoc
+               ELSE boost / 10.0 END) DESC, lang ASC
+"""
+    )
     # hybrid RRF: BM25 ranks (reuse the bm25 agg CTEs) + cosine ANN ranks,
     # contrib = 1/(60+rank), sum in double, tie-break doc asc (TopDocs.rrf)
     _bm_pre = _bm25_term_sql(

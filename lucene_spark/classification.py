@@ -1,0 +1,179 @@
+"""Lucene ``classification`` module analogue: index-backed classifiers.
+
+- ``SimpleNaiveBayesClassifier`` (reference classification/src/java/org/
+  apache/lucene/classification/SimpleNaiveBayesClassifier.java): classes
+  are the terms of a keyword class field; score(c) = log-prior +
+  Σ_w log P(w|c) over the analyzed input tokens (duplicates counted,
+  calculateLogLikelihood), with add-one smoothing where
+  num = docs(w ∧ c) + 1 and den = avgUniqueTermsPerDoc · docFreq(c) +
+  docsWithClass (getTextTermFreqForClass / countDocsWithClass); results
+  softmax-normalized (normClassificationResults).
+
+- ``KNearestNeighborClassifier`` (reference .../KNearestNeighborClassifier
+  .java): a MoreLikeThis query from the input text retrieves the top-k
+  neighbors; score(c) = Σ_{hits of class c} (hit score / max score) / k,
+  rescaled by k/sumdoc when fewer than k hits exist
+  (buildListFromTopDocs).
+
+Spark shape: training statistics are ONE distributed aggregation over the
+index's docs table (explode of the staged per-doc term arrays → per
+(class, term) doc counts), cached as a DataFrame. Classification of a
+batch of texts needs only the rows of the query tokens: a filtered read
+of the (class, term) aggregate — O(query vocab × classes) rows to the
+driver, the TopDocs.merge collect pattern, never the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _class_term_stats(reader, class_col: str, field: str = "text"):
+    """(class, term) -> docs-containing counts plus per-class doc counts,
+    computed in one distributed pass over the docs table. Returns
+    (class_term_df, class_counts, avg_unique_terms_per_doc, n_docs)."""
+    docs = reader.docs(["seg", "doc", class_col, "terms", "length"])
+    docs = docs.filter(F.col(class_col).isNotNull())
+    # per (class, term): number of docs of that class containing the term
+    ct = (
+        docs.select(class_col, F.explode(F.array_distinct("terms")).alias("term"))
+        .groupBy(class_col, "term")
+        .agg(F.count("*").alias("docs_with"))
+    )
+    per_class = {
+        r[class_col]: int(r["n"])
+        for r in docs.groupBy(class_col).agg(F.count("*").alias("n")).collect()
+    }
+    # sumDocFreq / docCount of the text field (getTextTermFreqForClass):
+    # total distinct (doc, term) pairs over docs with at least one token
+    agg = docs.select(
+        F.sum(F.size(F.array_distinct("terms"))).alias("postings"),
+        F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
+    ).collect()[0]
+    avg_unique = float(agg["postings"]) / float(agg["doc_count"])
+    return ct, per_class, avg_unique, sum(per_class.values())
+
+
+def _softmax_norm(scored: list[tuple[str, float]]) -> list[tuple[str, float]]:
+    """normClassificationResults: exp(score − logsumexp) in 0..1."""
+    smax = max(s for _, s in scored)
+    loga = smax + math.log(sum(math.exp(s - smax) for _, s in scored))
+    out = [(c, math.exp(s - loga)) for c, s in scored]
+    out.sort(key=lambda cs: (-cs[1], cs[0]))
+    return out
+
+
+@dataclass
+class SimpleNaiveBayesClassifier:
+    """See module docstring. ``class_col`` is a stored keyword column
+    (the class field); ``analyzer`` defaults to the index's analyzer."""
+
+    reader: object
+    class_col: str
+    field: str = "text"
+
+    def __post_init__(self):
+        self._stats = None
+
+    def _ensure_stats(self):
+        if self._stats is None:
+            self._stats = _class_term_stats(self.reader, self.class_col, self.field)
+        return self._stats
+
+    def _tokenize(self, text: str) -> list[str]:
+        from .analysis.analyzer import analyzer_for
+
+        name = "standard"
+        manifests = getattr(self.reader, "_manifests", None)
+        if manifests:
+            name = next(iter(manifests.values())).get("analyzer", "standard")
+        return [t.term for t in analyzer_for(name).tokens(text)]
+
+    def get_classes(self, text: str) -> list[tuple[str, float]]:
+        """All classes with softmax-normalized scores, best first."""
+        ct, per_class, avg_unique, docs_with_class = self._ensure_stats()
+        tokens = self._tokenize(text)
+        # one filtered read: only the query tokens' rows come back
+        rows = ct.filter(F.col("term").isin(list(set(tokens)))).collect()
+        hits = {(r[self.class_col], r["term"]): int(r["docs_with"]) for r in rows}
+        scored = []
+        for c, df_c in per_class.items():
+            prior = math.log(df_c) - math.log(docs_with_class)
+            den = avg_unique * df_c + docs_with_class
+            ll = sum(
+                math.log((hits.get((c, w), 0) + 1) / den) for w in tokens
+            )
+            scored.append((c, prior + ll))
+        return _softmax_norm(scored)
+
+    def assign_class(self, text: str) -> tuple[str, float]:
+        return self.get_classes(text)[0]
+
+    def classify_batch(self, texts: list[str]) -> list[tuple[str, float]]:
+        return [self.assign_class(t) for t in texts]
+
+
+@dataclass
+class KNearestNeighborClassifier:
+    """See module docstring. Neighbors come from the engine's MLT query
+    (search/morelikethis.py) over an indexed example document, or from a
+    caller-provided query for free text."""
+
+    searcher: object
+    class_col: str
+    k: int = 10
+    field: str = "text"
+    min_term_freq: int = 2
+    min_doc_freq: int = 5
+
+    def _classify_hits(self, hits: DataFrame) -> list[tuple[str, float]]:
+        docs = self.searcher.reader.docs(["seg", "doc", self.class_col])
+        rows = (
+            hits.select("seg", "doc", "score")
+            .join(docs, ["seg", "doc"])
+            .collect()
+        )
+        if not rows:
+            return []
+        max_score = max(float(r["score"]) for r in rows)
+        counts: dict[str, int] = {}
+        boosts: dict[str, float] = {}
+        for r in rows:
+            c = r[self.class_col]
+            if c is None:
+                continue
+            counts[c] = counts.get(c, 0) + 1
+            boosts[c] = boosts.get(c, 0.0) + float(r["score"]) / max_score
+        sumdoc = sum(counts.values())
+        out = []
+        for c, n in counts.items():
+            score = (n * (boosts[c] / n)) / float(self.k)
+            if sumdoc < self.k:
+                score *= self.k / float(sumdoc)
+            out.append((c, score))
+        out.sort(key=lambda cs: (-cs[1], cs[0]))
+        return out
+
+    def get_classes(self, url: str) -> list[tuple[str, float]]:
+        """Classify the document stored at ``url`` by its k nearest
+        neighbors (KNearestNeighborDocumentClassifier's document path)."""
+        from .search.morelikethis import more_like_this
+
+        q = more_like_this(
+            self.searcher.reader,
+            url,
+            self.field,
+            min_term_freq=self.min_term_freq,
+            min_doc_freq=self.min_doc_freq,
+        )
+        hits = self.searcher.search(q, k=self.k, mode="exhaustive")
+        return self._classify_hits(hits)
+
+    def assign_class(self, url: str) -> tuple[str, float]:
+        classes = self.get_classes(url)
+        if not classes:
+            raise ValueError(f"no neighbors found for {url!r}")
+        return classes[0]

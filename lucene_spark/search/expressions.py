@@ -1,0 +1,370 @@
+"""Lucene ``expressions`` module analogue: compile the JS-like ranking
+formula syntax (reference lucene/expressions/src/java/org/apache/lucene/
+expressions/js/JavascriptCompiler.java and Javascript.g grammar) into a
+portable SQL double expression.
+
+Where the reference compiles to JVM bytecode against DoubleValuesSource
+bindings, here the natural target is a Catalyst column expression: doc
+values ARE docs-table columns, so a compiled expression drops into any
+plan slot that takes a SQL expression — ``FunctionScoreQuery.factor``,
+a sort column, a rescorer. The rendered SQL is deliberately restricted
+to the ANSI subset Spark SQL and DuckDB share, so the SAME compiled
+string powers both the engine and its independent oracle.
+
+Semantics follow the reference compiler: everything is a double;
+comparison / logical operators yield 1.0 or 0.0; the ternary condition
+and logical operands test ``!= 0`` (JavascriptCompiler.java pushCond /
+visitBoolean). Bitwise and shift operators are NOT supported (they are
+in the reference grammar but meaningless for ranking formulas and not
+portably renderable); using one raises ``ExpressionError``.
+
+Bindings (reference expressions/SimpleBindings.java): a mapping from
+variable name to a SQL fragment — a column name, ``_score``'s slot
+expression, or another compiled expression (composition, like binding
+an Expression in SimpleBindings).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+__all__ = ["ExpressionError", "JsExpression", "compile_expression"]
+
+
+class ExpressionError(ValueError):
+    """Parse or bind failure (reference throws ParseException)."""
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>(?:0[xX][0-9a-fA-F]+)|(?:\d+\.?\d*(?:[eE][+-]?\d+)?)|(?:\.\d+(?:[eE][+-]?\d+)?))
+    | (?P<ident>[a-zA-Z_$][a-zA-Z0-9_$]*(?:[.][a-zA-Z_$][a-zA-Z0-9_$]*)*)
+    | (?P<op><=|>=|==|!=|&&|\|\||<<|>>>|>>|[-+*/%<>!?:(),&^|~])
+    )""",
+    re.VERBOSE,
+)
+
+_UNSUPPORTED = {"<<", ">>", ">>>", "&", "^", "|", "~"}
+
+# function name -> (arity, renderer over already-rendered args). Mirrors
+# JavascriptCompiler.DEFAULT_FUNCTIONS (the Math.* surface + haversin).
+_EARTH_MEAN_RADIUS_M = 6_371_008.7714  # reference util/SloppyMath.java
+
+_FUNCS: dict[str, tuple[int, "callable"]] = {
+    "abs": (1, lambda a: f"abs({a[0]})"),
+    # CAST: Spark's ceil/floor return BIGINT (DuckDB returns the arg type);
+    # the reference keeps everything double
+    "ceil": (1, lambda a: f"CAST(ceil({a[0]}) AS DOUBLE)"),
+    "floor": (1, lambda a: f"CAST(floor({a[0]}) AS DOUBLE)"),
+    "exp": (1, lambda a: f"exp({a[0]})"),
+    "ln": (1, lambda a: f"ln({a[0]})"),
+    "log10": (1, lambda a: f"log10({a[0]})"),
+    # logn(base, v) — reference JavascriptCompiler.DEFAULT_FUNCTIONS
+    "logn": (2, lambda a: f"(ln({a[1]}) / ln({a[0]}))"),
+    "sqrt": (1, lambda a: f"sqrt({a[0]})"),
+    "pow": (2, lambda a: f"power({a[0]}, {a[1]})"),
+    "min": (2, lambda a: f"least({a[0]}, {a[1]})"),
+    "max": (2, lambda a: f"greatest({a[0]}, {a[1]})"),
+    "sin": (1, lambda a: f"sin({a[0]})"),
+    "cos": (1, lambda a: f"cos({a[0]})"),
+    "tan": (1, lambda a: f"tan({a[0]})"),
+    "asin": (1, lambda a: f"asin({a[0]})"),
+    "acos": (1, lambda a: f"acos({a[0]})"),
+    "atan": (1, lambda a: f"atan({a[0]})"),
+    "atan2": (2, lambda a: f"atan2({a[0]}, {a[1]})"),
+    # hyperbolics via exp(): DuckDB has no sinh/cosh/tanh, and rendering
+    # the same formula for both engines keeps engine==oracle bit-for-bit
+    "sinh": (1, lambda a: f"((exp({a[0]}) - exp(- {a[0]})) / 2)"),
+    "cosh": (1, lambda a: f"((exp({a[0]}) + exp(- {a[0]})) / 2)"),
+    "tanh": (1, lambda a: f"((exp(2 * {a[0]}) - 1) / (exp(2 * {a[0]}) + 1))"),
+    # haversin(lat1, lon1, lat2, lon2) -> meters (SloppyMath.haversinMeters)
+    "haversin": (
+        4,
+        lambda a: (
+            f"(2.0 * {_EARTH_MEAN_RADIUS_M} * asin(sqrt("
+            f"power(sin((radians({a[2]}) - radians({a[0]})) / 2), 2) + "
+            f"cos(radians({a[0]})) * cos(radians({a[2]})) * "
+            f"power(sin((radians({a[3]}) - radians({a[1]})) / 2), 2))))"
+        ),
+    ),
+}
+
+
+@dataclass(frozen=True)
+class _Tok:
+    kind: str  # num | ident | op | end
+    text: str
+
+
+def _lex(src: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            rest = src[pos:].strip()
+            if not rest:
+                break
+            raise ExpressionError(f"unexpected character at: {rest[:20]!r}")
+        pos = m.end()
+        for kind in ("num", "ident", "op"):
+            if m.group(kind) is not None:
+                toks.append(_Tok(kind, m.group(kind)))
+                break
+    toks.append(_Tok("end", ""))
+    return toks
+
+
+# AST: ("num", text) | ("var", name) | ("call", name, [args])
+#    | ("un", op, x) | ("bin", op, l, r) | ("cmp", op, l, r)
+#    | ("and"/"or", l, r) | ("not", x) | ("cond", c, t, f)
+
+
+class _Parser:
+    """Recursive-descent over the reference grammar's precedence ladder
+    (Javascript.g): unary > muldiv > addsub > relational > equality >
+    logical-and > logical-or > conditional."""
+
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def take(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str):
+        t = self.take()
+        if t.text != text:
+            raise ExpressionError(f"expected {text!r}, got {t.text!r}")
+
+    def parse(self):
+        node = self.conditional()
+        if self.peek().kind != "end":
+            raise ExpressionError(f"trailing input at {self.peek().text!r}")
+        return node
+
+    def conditional(self):
+        c = self.logical_or()
+        if self.peek().text == "?":
+            self.take()
+            t = self.conditional()
+            self.expect(":")
+            f = self.conditional()
+            return ("cond", c, t, f)
+        return c
+
+    def logical_or(self):
+        node = self.logical_and()
+        while self.peek().text == "||":
+            self.take()
+            node = ("or", node, self.logical_and())
+        return node
+
+    def logical_and(self):
+        node = self.equality()
+        while self.peek().text == "&&":
+            self.take()
+            node = ("and", node, self.equality())
+        return node
+
+    def equality(self):
+        node = self.relational()
+        while self.peek().text in ("==", "!="):
+            op = self.take().text
+            node = ("cmp", "=" if op == "==" else "<>", node, self.relational())
+        return node
+
+    def relational(self):
+        node = self.addsub()
+        while self.peek().text in ("<", "<=", ">", ">="):
+            op = self.take().text
+            node = ("cmp", op, node, self.addsub())
+        return node
+
+    def addsub(self):
+        node = self.muldiv()
+        while self.peek().text in ("+", "-"):
+            op = self.take().text
+            node = ("bin", op, node, self.muldiv())
+        return node
+
+    def muldiv(self):
+        node = self.unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.take().text
+            node = ("bin", op, node, self.unary())
+        return node
+
+    def unary(self):
+        t = self.peek()
+        if t.text in _UNSUPPORTED:
+            raise ExpressionError(
+                f"operator {t.text!r} is in the reference grammar but not "
+                "supported here (bitwise/shift ops are not portable SQL)"
+            )
+        if t.text == "-":
+            self.take()
+            return ("un", "-", self.unary())
+        if t.text == "+":
+            self.take()
+            return self.unary()
+        if t.text == "!":
+            self.take()
+            return ("not", self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.take()
+        if t.text in _UNSUPPORTED:
+            raise ExpressionError(
+                f"operator {t.text!r} is in the reference grammar but not "
+                "supported here (bitwise/shift ops are not portable SQL)"
+            )
+        if t.kind == "num":
+            return ("num", t.text)
+        if t.kind == "ident":
+            if self.peek().text == "(":
+                self.take()
+                args = []
+                if self.peek().text != ")":
+                    args.append(self.conditional())
+                    while self.peek().text == ",":
+                        self.take()
+                        args.append(self.conditional())
+                self.expect(")")
+                return ("call", t.text, args)
+            return ("var", t.text)
+        if t.text == "(":
+            node = self.conditional()
+            self.expect(")")
+            return node
+        raise ExpressionError(f"unexpected token {t.text!r}")
+
+
+def _num_sql(text: str) -> str:
+    # scientific notation parses as DOUBLE in both Spark SQL and DuckDB
+    # (a bare "1.0" would be DECIMAL in both); 17 significant digits
+    # round-trip any double exactly
+    v = float(int(text, 16)) if text[:2].lower() == "0x" else float(text)
+    return format(v, ".16e")
+
+
+class JsExpression:
+    """A compiled expression: ``variables`` is the set of unbound names,
+    ``sql(bindings)`` renders portable SQL with every variable replaced
+    by its binding fragment (column name / SQL / another JsExpression)."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self._ast = _Parser(_lex(source)).parse()
+        self.variables: set[str] = set()
+        self._collect_vars(self._ast)
+
+    def _collect_vars(self, node):
+        kind = node[0]
+        if kind == "var":
+            self.variables.add(node[1])
+        elif kind == "call":
+            name, args = node[1], node[2]
+            fn = _FUNCS.get(name)
+            if fn is None:
+                raise ExpressionError(f"unknown function {name!r}")
+            if fn[0] != len(args):
+                raise ExpressionError(
+                    f"{name}() takes {fn[0]} argument(s), got {len(args)}"
+                )
+            for a in args:
+                self._collect_vars(a)
+        elif kind in ("num",):
+            pass
+        else:
+            for child in node[1:]:
+                if isinstance(child, tuple):
+                    self._collect_vars(child)
+
+    def sql(self, bindings: dict[str, "str | JsExpression"] | None = None) -> str:
+        """Render to SQL. Unbound variables pass through as column names
+        (the common case: the variable IS a doc-values column)."""
+        b: dict[str, str] = {}
+        for name, v in (bindings or {}).items():
+            b[name] = f"({v.sql()})" if isinstance(v, JsExpression) else str(v)
+        return self._sql(self._ast, b)
+
+    def _sql(self, node, b: dict[str, str]) -> str:
+        kind = node[0]
+        if kind == "num":
+            return _num_sql(node[1])
+        if kind == "var":
+            frag = b.get(node[1], node[1])
+            if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_.]*|\(.*\)", frag, re.S):
+                frag = f"({frag})"
+            return frag
+        if kind == "call":
+            return _FUNCS[node[1]][1]([self._sql(a, b) for a in node[2]])
+        if kind == "un":
+            return f"(- {self._sql(node[2], b)})"
+        if kind == "bin":
+            l, r = self._sql(node[2], b), self._sql(node[3], b)
+            if node[1] == "%":
+                # JS % on doubles == SQL mod() on doubles in both targets
+                return f"mod({l}, {r})"
+            return f"({l} {node[1]} {r})"
+        if kind == "cmp":
+            l, r = self._sql(node[2], b), self._sql(node[3], b)
+            return f"(CASE WHEN {l} {node[1]} {r} THEN 1.0e0 ELSE 0.0e0 END)"
+        if kind == "and":
+            l, r = self._sql(node[1], b), self._sql(node[2], b)
+            return f"(CASE WHEN {l} <> 0 AND {r} <> 0 THEN 1.0e0 ELSE 0.0e0 END)"
+        if kind == "or":
+            l, r = self._sql(node[1], b), self._sql(node[2], b)
+            return f"(CASE WHEN {l} <> 0 OR {r} <> 0 THEN 1.0e0 ELSE 0.0e0 END)"
+        if kind == "not":
+            return f"(CASE WHEN {self._sql(node[1], b)} = 0 THEN 1.0e0 ELSE 0.0e0 END)"
+        if kind == "cond":
+            c = self._sql(node[1], b)
+            t, f = self._sql(node[2], b), self._sql(node[3], b)
+            return f"(CASE WHEN {c} <> 0 THEN {t} ELSE {f} END)"
+        raise AssertionError(node)
+
+
+def compile_expression(source: str) -> JsExpression:
+    """JavascriptCompiler.compile analogue."""
+    return JsExpression(source)
+
+
+def expression_rescore(
+    searcher,
+    first_hits,
+    source: "str | JsExpression",
+    k: int = 10,
+    bindings: dict[str, str] | None = None,
+):
+    """Expression-as-Sort over a first-pass hits frame — the reference's
+    canonical expressions usage (expressions/Expression.java getSortField
+    with ``_score`` bound to relevance, fed to IndexSearcher.search(q, n,
+    sort)). The expression re-orders the bounded candidate set; free
+    variables resolve to doc-values columns via ONE broadcast-sized join
+    of the top-N rows to the column-pruned docs table (no corpus scan —
+    the N candidates are the only rows read back).
+
+    Returns the standard hits frame, top-k by expression value desc, ties
+    by global doc order."""
+    from pyspark.sql import functions as F
+
+    expr = compile_expression(source) if isinstance(source, str) else source
+    b = dict(bindings or {})
+    doc_cols = sorted(v for v in expr.variables if v != "_score" and v not in b)
+    base = first_hits.select("seg", "doc", F.col("score").alias("_first"))
+    if doc_cols:
+        docs = searcher.reader.docs(["seg", "doc", *doc_cols])
+        base = base.join(docs, ["seg", "doc"])
+    b.setdefault("_score", "_first")
+    out = base.select(
+        "seg", "doc", F.expr(expr.sql(b)).cast("double").alias("score")
+    )
+    return searcher._finalize(out, k)

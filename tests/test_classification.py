@@ -1,0 +1,127 @@
+"""classification module vs independent pandas oracles (reference
+lucene/classification SimpleNaiveBayesClassifier / KNearestNeighborClassifier;
+formulas re-derived in the test from the raw corpus, not from engine code)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.classification import (
+    KNearestNeighborClassifier,
+    SimpleNaiveBayesClassifier,
+)
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    from lucene_spark.search import IndexSearcher
+
+    return IndexSearcher(reader)
+
+
+def _nb_expected(corpus, tokens: list[str]) -> list[tuple[str, float]]:
+    """Brute-force NB from the raw corpus frame (tokenize = split: the
+    synthetic corpus is pre-normalized, the same property every SQL oracle
+    relies on)."""
+    toksets = corpus["text"].str.split().apply(set)
+    n_docs = len(corpus)
+    doc_count = int((corpus["text"].str.len() > 0).sum())
+    postings = int(toksets.apply(len).sum())
+    avg_unique = postings / doc_count
+    out = []
+    for c, grp in corpus.groupby("lang"):
+        df_c = len(grp)
+        prior = math.log(df_c) - math.log(n_docs)
+        den = avg_unique * df_c + n_docs
+        csets = toksets[grp.index]
+        ll = 0.0
+        for w in tokens:
+            hits = int(csets.apply(lambda s: w in s).sum())
+            ll += math.log((hits + 1) / den)
+        out.append((c, prior + ll))
+    smax = max(s for _, s in out)
+    loga = smax + math.log(sum(math.exp(s - smax) for _, s in out))
+    res = [(c, math.exp(s - loga)) for c, s in out]
+    res.sort(key=lambda cs: (-cs[1], cs[0]))
+    return res
+
+
+def test_naive_bayes_matches_brute_force(reader, corpus):
+    clf = SimpleNaiveBayesClassifier(reader, "lang")
+    for text in ("table scan merge", "vector window", "key dup line table"):
+        got = clf.get_classes(text)
+        want = _nb_expected(corpus, text.split())
+        assert [c for c, _ in got] == [c for c, _ in want], text
+        assert [p for _, p in got] == pytest.approx([p for _, p in want], rel=1e-9)
+        assert sum(p for _, p in got) == pytest.approx(1.0)
+
+
+def test_naive_bayes_counts_duplicate_tokens(reader, corpus):
+    """calculateLogLikelihood iterates tokens WITH repetition — a repeated
+    token must contribute twice."""
+    clf = SimpleNaiveBayesClassifier(reader, "lang")
+    got = clf.get_classes("table table scan")
+    want = _nb_expected(corpus, ["table", "table", "scan"])
+    assert [p for _, p in got] == pytest.approx([p for _, p in want], rel=1e-9)
+
+
+def _knn_expected(hits_pdf, lang_by_url, k):
+    mx = hits_pdf["score"].max()
+    votes = {}
+    for _, r in hits_pdf.iterrows():
+        c = lang_by_url[r["url"]]
+        n, b = votes.get(c, (0, 0.0))
+        votes[c] = (n + 1, b + r["score"] / mx)
+    sumdoc = sum(n for n, _ in votes.values())
+    out = []
+    for c, (n, b) in votes.items():
+        s = (n * (b / n)) / k
+        if sumdoc < k:
+            s *= k / sumdoc
+        out.append((c, s))
+    out.sort(key=lambda cs: (-cs[1], cs[0]))
+    return out
+
+
+def test_knn_classifier_matches_vote_formula(searcher, reader, corpus):
+    from lucene_spark.pages import url_for_doc_id
+    from lucene_spark.search.morelikethis import more_like_this
+
+    url = url_for_doc_id(0)
+    clf = KNearestNeighborClassifier(searcher, "lang", k=10)
+    got = clf.get_classes(url)
+    # expected: the engine's (rank-parity-oracled) hits + the reference
+    # vote formula computed here independently
+    q = more_like_this(reader, url)
+    hits = searcher.search(q, k=10, mode="exhaustive").select("url", "score").toPandas()
+    lang_by_url = dict(zip(corpus["url"], corpus["lang"]))
+    want = _knn_expected(hits, lang_by_url, k=10)
+    assert [c for c, _ in got] == [c for c, _ in want]
+    assert [s for _, s in got] == pytest.approx([s for _, s in want], rel=1e-9)
+
+
+def test_knn_classifier_short_topdocs_rescale(searcher, reader, corpus):
+    """sumdoc < k triggers the k/sumdoc correction (buildListFromTopDocs);
+    class scores then sum to sum(score/max)/sumdoc * k/k = boost/sumdoc."""
+    from lucene_spark.pages import url_for_doc_id
+    from lucene_spark.search.morelikethis import more_like_this
+
+    url = url_for_doc_id(0)
+    clf = KNearestNeighborClassifier(searcher, "lang", k=600)
+    got = clf.get_classes(url)
+    q = more_like_this(reader, url)
+    hits = searcher.search(q, k=600, mode="exhaustive").select("url", "score").toPandas()
+    assert len(hits) < 600  # the corpus can't fill k — correction branch
+    lang_by_url = dict(zip(corpus["url"], corpus["lang"]))
+    want = _knn_expected(hits, lang_by_url, k=600)
+    assert [s for _, s in got] == pytest.approx([s for _, s in want], rel=1e-9)
+    total = sum(s for _, s in got)
+    boost_sum = (hits["score"] / hits["score"].max()).sum()
+    assert total == pytest.approx(boost_sum / len(hits), rel=1e-9)
+
+
+def test_assign_class_is_argmax(reader):
+    clf = SimpleNaiveBayesClassifier(reader, "lang")
+    classes = clf.get_classes("table scan")
+    assert clf.assign_class("table scan") == classes[0]

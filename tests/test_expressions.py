@@ -1,0 +1,147 @@
+"""expressions module: the JS-like formula compiler (reference
+lucene/expressions JavascriptCompiler) and its sort/rescore integration.
+Value parity is checked three ways: compiled SQL vs a Python reference
+eval (DuckDB execution), Spark-vs-DuckDB portability of the SAME string,
+and the searcher integration vs a pandas brute-force computation."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from lucene_spark.search.expressions import (
+    ExpressionError,
+    compile_expression,
+    expression_rescore,
+)
+
+# (source, python reference lambda over env dict)
+_VECTORS = [
+    ("1 + 2 * 3", lambda e: 7.0),
+    ("(1 + 2) * 3 - 4 / 2", lambda e: 7.0),
+    ("-4 % 3", lambda e: math.fmod(-4, 3)),
+    ("2 < 3", lambda e: 1.0),
+    ("3 <= 2", lambda e: 0.0),
+    ("2 == 2 && 3 != 3", lambda e: 0.0),
+    ("1 > 0 || 0 > 1", lambda e: 1.0),
+    ("!0 + !3", lambda e: 1.0),
+    ("x > 2 ? x * 10 : x - 1", lambda e: e["x"] * 10 if e["x"] > 2 else e["x"] - 1),
+    ("0x20", lambda e: 32.0),
+    (".5e1", lambda e: 5.0),
+    ("max(min(x, 5), 2)", lambda e: max(min(e["x"], 5), 2)),
+    ("logn(2, 32)", lambda e: 5.0),
+    ("pow(x, 2) + sqrt(abs(x))", lambda e: e["x"] ** 2 + math.sqrt(abs(e["x"]))),
+    ("ln(exp(x))", lambda e: e["x"]),
+    ("log10(1000)", lambda e: 3.0),
+    ("atan2(1, 1) * 4", lambda e: math.pi),
+    ("ceil(x) - floor(x)", lambda e: math.ceil(e["x"]) - math.floor(e["x"])),
+    ("tanh(x) + sinh(0) + cosh(0)", lambda e: math.tanh(e["x"]) + 1.0),
+    # nested ternary, right-associative (JS semantics)
+    ("x < 2 ? 1 : x < 4 ? 2 : 3", lambda e: 1 if e["x"] < 2 else (2 if e["x"] < 4 else 3)),
+]
+
+
+@pytest.mark.parametrize("src,ref", _VECTORS, ids=[v[0] for v in _VECTORS])
+def test_compiled_sql_matches_python_reference(src, ref):
+    con = duckdb.connect()
+    for x in (0.5, 1.0, 2.5, 3.7, -1.25):
+        sql = compile_expression(src).sql({"x": format(x, ".16e")})
+        got = con.execute(f"select {sql}").fetchone()[0]
+        assert isinstance(got, float)
+        assert got == pytest.approx(ref({"x": x}), rel=1e-12, abs=1e-12), (src, x)
+
+
+def test_haversin_reference_vector():
+    # TestExpressions.testDistanceSort-style vector: JFK-ish -> midtown
+    sql = compile_expression(
+        "haversin(40.7143528,-74.0059731,40.759011,-73.9844722)"
+    ).sql()
+    got = duckdb.connect().execute(f"select {sql}").fetchone()[0]
+    assert got == pytest.approx(5285.89, abs=1.5)
+
+
+def test_variables_and_bindings_compose():
+    e = compile_expression("_score * boost + ln(1 + length)")
+    assert e.variables == {"_score", "boost", "length"}
+    # bind one var to another compiled expression (SimpleBindings
+    # Expression binding), the rest to literal SQL fragments
+    inner = compile_expression("2 * 2")
+    sql = e.sql({"_score": "1.5e0", "boost": inner, "length": "0.0e0"})
+    got = duckdb.connect().execute(f"select {sql}").fetchone()[0]
+    assert got == pytest.approx(6.0)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "2 &", "foo(1)", "min(1)", "1 +", "a b", "3 & 4", "1 << 2", "~2",
+     "1 ? 2", "(1", "pow(1,2,3)", "x @ y"],
+)
+def test_parse_errors(bad):
+    with pytest.raises(ExpressionError):
+        compile_expression(bad)
+
+
+def test_spark_duckdb_portability(spark):
+    """The SAME rendered string evaluates identically in both engines
+    over a table of doubles — the property the oracle gate relies on."""
+    rows = [(float(i) / 3.0, float(97 - i)) for i in range(30)]
+    sdf = spark.createDataFrame(rows, "a double, b double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a DOUBLE, b DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for src in [
+        "a * 2 + ln(1 + b)",
+        "a > 5 ? sqrt(b) : b / 7",
+        "min(a, b) + max(a, 3) * (a != b)",
+        "logn(2, 1 + abs(a - b)) + pow(1 + a, 0.5)",
+        "ceil(a) - floor(b / 7) + a % 3",
+    ]:
+        sql = compile_expression(src).sql()
+        from pyspark.sql import functions as F
+
+        got = [r[0] for r in sdf.select(F.expr(sql)).collect()]
+        want = [r[0] for r in con.execute(f"select {sql} from t").fetchall()]
+        assert got == pytest.approx(want, rel=1e-12), src
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    from lucene_spark.search import IndexSearcher
+
+    return IndexSearcher(reader)
+
+
+def test_expression_rescore_matches_pandas_brute(searcher, reader):
+    from lucene_spark.search import parse
+
+    first = searcher.search(parse("table scan"), k=20, mode="exhaustive")
+    fpdf = first.select("seg", "doc", "url", "score").toPandas()
+    lens = reader.docs(["seg", "doc", "length"]).toPandas()
+    m = fpdf.merge(lens, on=["seg", "doc"])
+    m["expected"] = m["score"] * np.where(m["length"] < 40, 1.2, 1.0) + np.log(
+        1 + m["length"]
+    ) / 10
+    m = m.sort_values(["expected", "url"], ascending=[False, True]).head(10)
+    got = expression_rescore(
+        searcher, first, "_score * (length < 40 ? 1.2 : 1.0) + ln(1 + length) / 10", k=10
+    ).toPandas()
+    assert list(got["url"]) == list(m["url"])
+    assert list(got["score"]) == pytest.approx(list(m["expected"]), rel=1e-9)
+
+
+def test_expression_as_function_score_factor(searcher):
+    """Compiled factor drops into FunctionScoreQuery; pruned and
+    exhaustive modes agree (the admissible two-pass scheme holds for a
+    CASE-shaped factor too)."""
+    from lucene_spark.search import parse
+    from lucene_spark.search import query as Q
+
+    factor = compile_expression("length > 45 ? sqrt(length) : 1").sql()
+    q = Q.FunctionScoreQuery(parse("table OR scan"), factor)
+    a = searcher.search(q, k=10, mode="maxscore").select("url", "score").collect()
+    b = searcher.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+    assert [(r["url"], pytest.approx(r["score"])) for r in a] == [
+        (r["url"], r["score"]) for r in b
+    ]
+    assert a
