@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["expr_rescore"] = _pq_expr_rescore
     q["nb_classify"] = _pq_nb_classify
     q["knn_classify"] = _pq_knn_classify
+    q["points_box"] = _pq_points_box
+    q["complex_phrase"] = _pq_complex_phrase
+    q["surround_near"] = _pq_surround_near
     q["fuzzy_edit1"] = _pq_fuzzy
     q["fuzzy_transposed"] = _q("tabel~1", mode="exhaustive")
     q["spell_suggest_topk"] = _pq_spell_suggest
@@ -281,6 +284,12 @@ _R3_DRIVER_CHECKED = [
     "simple_query_garbage", "distinct_langs", "quality_filter_pass",
     "facet_sampled_lang", "sort_after_field_page2", "canonical_urls",
     "host_stats",
+    # high_freq_terms is a diagnostic tool (misc/HighFreqTerms), the least
+    # operator-like of the locally-proven set — demoted for window room
+    "high_freq_terms",
+    # family-redundant variants (suggest_weighted + spell_suggest_topk and
+    # five facet oracles remain in-window for their families)
+    "suggest_infix", "facet_percentiles_lang",
 ]
 
 
@@ -1374,6 +1383,57 @@ def _pq_knn_classify(spark, sf_dir):
     return spark.createDataFrame(rows, "lang string, score_r double")
 
 
+def _pq_points_box(spark, sf_dir):
+    """BKD points analogue (index/points.py): 2-D box over (n_chars,
+    doc_id%256) served by Z-order row-group pruning + exact re-check."""
+    from lucene_spark.index.points import DimSpec, PointsIndex
+
+    root = _index_root(sf_dir) + "_points"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ymod", F.col("doc_id") % 256
+    )
+    PointsIndex.build(
+        spark, docs, root,
+        [DimSpec("n_chars", 0, 4096), DimSpec("ymod", 0, 255)],
+        bits=10, build_id="p0",
+    )
+    pts = PointsIndex(spark, root)
+    out = pts.box_search({"n_chars": (100, 300), "ymod": (32, 96)})
+    return out.select("doc_id", "n_chars", "ymod").orderBy("doc_id")
+
+
+def _pq_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser flavor: a phrase with an alternatives
+    group and an embedded prefix — "(merge window) tab*" — expanded at
+    rewrite into a MultiPhraseQuery."""
+    from lucene_spark.search.complex_phrase import parse_complex_phrase
+
+    from lucene_spark.pages import doc_id_for_url_col
+
+    s = _searcher(spark, sf_dir)
+    q = parse_complex_phrase('"(merge window) tab*"')
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_surround_near(spark, sf_dir):
+    """Surround query language (reference queryparser/surround):
+    4W(merge, window) = ordered within distance 4 -> IOrdered maxgaps 3,
+    interval saturation scoring."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search.surround import parse_surround
+
+    s = _searcher(spark, sf_dir)
+    hits = s.search(parse_surround("4W(merge, window)"), k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_fuzzy(spark, sf_dir):
     """FuzzyQuery (edit distance <= 1, constant-score rewrite)."""
     return _hits_df(_searcher(spark, sf_dir), "tabl~1", mode="exhaustive")
@@ -2366,6 +2426,27 @@ SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
 FROM freqs WHERE f > 0
 ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
 """
+    # surround 4W(merge, window): same minimal-interval machinery as
+    # interval_near with maxgaps 3 (distance 4 -> gaps <= 3)
+    o["surround_near"] = f"""
+WITH tokp AS ({_TOKP}),
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'merge'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'window'),
+pairs AS (
+  SELECT a.doc_id, a.pos AS s,
+         (SELECT min(b.pos) FROM b WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+  FROM a
+),
+per_end AS (SELECT doc_id, max(s) AS s, e FROM pairs WHERE e IS NOT NULL GROUP BY doc_id, e),
+minimal AS (SELECT doc_id, s, min(e) AS e FROM per_end GROUP BY doc_id, s),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+  FROM minimal WHERE (e - s - 1) <= 3 GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
     o["interval_not_containing"] = f"""
 WITH tokp AS ({_TOKP}),
 a AS (SELECT doc_id, pos FROM tokp WHERE term = 'table'),
@@ -2704,6 +2785,39 @@ w AS (
           FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge') n)
        + (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
           FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'scan') n) AS w
+  FROM stats
+)
+SELECT pf.doc_id, round(w.w - w.w / (1.0 + pf.freq * inv.norm_inv), 4) AS score_r
+FROM pf JOIN inv ON inv.doc_id = pf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT {K}
+"""
+    # complexPhrase: "(merge window) tab*" — slot 0 alternatives + a
+    # prefix slot whose expansion the SQL mirrors with LIKE (idf sums over
+    # every expanded term, MultiPhraseQuery.getStats)
+    o["complex_phrase"] = f"""
+WITH tokp AS ({_TOKP}),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen_mp}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+pf AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('merge', 'window') AND b.term LIKE 'tab%'
+  GROUP BY a.doc_id
+),
+w AS (
+  SELECT (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge') n)
+       + (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'window') n)
+       + (SELECT coalesce(sum(ln(1 + (stats2.doc_count - n.df + 0.5) / (n.df + 0.5))), 0)
+          FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                WHERE term LIKE 'tab%' GROUP BY term) n, stats stats2) AS w
   FROM stats
 )
 SELECT pf.doc_id, round(w.w - w.w / (1.0 + pf.freq * inv.norm_inv), 4) AS score_r
@@ -3130,6 +3244,12 @@ SELECT qid, lang, round(p, 4) AS prob_r FROM probs WHERE rn = 1 ORDER BY qid
     # KNearestNeighborClassifier: MLT(doc 0) top-25 terms -> BM25
     # disjunction top-10 -> per-class sum(score/max)/k (k/sumdoc rescale
     # when short) — buildListFromTopDocs
+    o["points_box"] = """
+SELECT doc_id, n_chars, doc_id % 256 AS ymod
+FROM documents
+WHERE n_chars BETWEEN 100 AND 300 AND (doc_id % 256) BETWEEN 32 AND 96
+ORDER BY doc_id
+"""
     _knn_qlen = _qlen("dl.len")
     o["knn_classify"] = (
         _BASE.format(qlen=_knn_qlen)

@@ -1,0 +1,232 @@
+"""BKD points index analogue: multi-dimensional range queries via a
+Z-order (Morton) sort key.
+
+Reference: ``lucene/core/src/java/org/apache/lucene/index/PointValues.java``
+and the Lucene90 BKD tree (``codecs/lucene90/Lucene90PointsFormat``,
+``util/bkd/BKDWriter.java``): points are recursively split into
+spatially-coherent leaf blocks; a box query visits only leaves whose
+bounding box intersects the query, comparing each leaf's min/max packed
+value against the range (PointRangeQuery.java relate/intersect).
+
+Spark re-expression: the spatial split becomes a SORT. Each point gets a
+Morton code (bit-interleaved quantized dims — the same space-filling
+locality a BKD recursive split produces); the table is written
+range-partitioned and sorted by that code, so parquet row-group min/max
+stats on the ``morton`` column are tight intervals of the Z-curve — the
+leaf bounding boxes of a BKD tree, materialized as scan statistics. A box
+query decomposes into O(ranges) Morton intervals (the same quadtree
+recursion BKDReader drives, run driver-side over the QUERY box only — no
+data touched), pushed into the scan as ``morton BETWEEN`` predicates;
+row groups outside every interval are skipped by footer stats alone.
+Exact per-dim predicates re-check the survivors (Z-ranges over-cover,
+like BKD CELL_CROSSES_QUERY leaves re-check doc by doc).
+
+At 100 TB: the cover computation is O(64) driver-side integer ops; the
+scan reads only row groups whose Z-interval intersects the box — the
+nprobe/nlist-style read-fraction story, here for numeric boxes. No
+shuffle at query time; one range-partitioning shuffle at build."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import Catalog
+
+
+@dataclass(frozen=True)
+class DimSpec:
+    """One indexed dimension: source column + value range (values are
+    clamped; the range plays the role of the BKD packed-value space)."""
+
+    col: str
+    lo: float
+    hi: float
+
+
+def _quant_col(spec: DimSpec, bits: int):
+    """Quantize a dim to [0, 2^bits) — JVM-side column expression."""
+    span = spec.hi - spec.lo
+    scaled = (
+        (F.col(spec.col).cast("double") - F.lit(spec.lo)) / F.lit(span)
+    ) * F.lit(float((1 << bits) - 1))
+    q = F.round(scaled).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), q))
+
+
+def _morton_col(dims: list[DimSpec], bits: int):
+    """Bit-interleave the quantized dims (dim 0 takes the low bit of each
+    group). Pure shift/or column algebra — whole-stage codegen, no UDF."""
+    qs = [_quant_col(d, bits) for d in dims]
+    n = len(dims)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(qs):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return out
+
+
+def _interleave(coords: tuple[int, ...], bits: int) -> int:
+    out = 0
+    n = len(coords)
+    for b in range(bits):
+        for i, c in enumerate(coords):
+            out |= ((c >> b) & 1) << (b * n + i)
+    return out
+
+
+def morton_cover(
+    qlo: tuple[int, ...],
+    qhi: tuple[int, ...],
+    bits: int,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Decompose a quantized box into Morton intervals — the BKDReader
+    recursion (CELL_INSIDE_QUERY emits the cell's whole Z-interval,
+    CELL_CROSSES_QUERY recurses) run over the query box, not the data.
+    Bounded by ``max_ranges``: when the budget is hit, crossing cells
+    emit their full interval (over-coverage only — the exact per-dim
+    re-check keeps results correct, the same contract as a BKD leaf
+    visit)."""
+    n = len(qlo)
+    out: list[tuple[int, int]] = []
+
+    def cell_range(prefix: tuple[int, ...], level: int) -> tuple[int, int]:
+        # cell at `level` splits done (level bits fixed per dim, high-first)
+        shift = bits - level
+        lo = tuple(p << shift for p in prefix)
+        hi = tuple(((p + 1) << shift) - 1 for p in prefix)
+        return _interleave(lo, bits), _interleave(hi, bits)
+
+    def rec(prefix: tuple[int, ...], level: int, budget: list[int]):
+        shift = bits - level
+        clo = tuple(p << shift for p in prefix)
+        chi = tuple(((p + 1) << shift) - 1 for p in prefix)
+        if any(chi[i] < qlo[i] or clo[i] > qhi[i] for i in range(n)):
+            return  # CELL_OUTSIDE_QUERY
+        inside = all(clo[i] >= qlo[i] and chi[i] <= qhi[i] for i in range(n))
+        if inside or level == bits or budget[0] <= 0:
+            out.append(cell_range(prefix, level))
+            return
+        budget[0] -= 1
+        # split every dim once per level: 2^n children in Z order
+        for child in range(1 << n):
+            cp = tuple((prefix[i] << 1) | ((child >> i) & 1) for i in range(n))
+            rec(cp, level + 1, budget)
+
+    rec(tuple(0 for _ in range(n)), 0, [max_ranges])
+    # merge adjacent/overlapping intervals (Z order of emission is sorted)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for a, b in out:
+        if merged and a <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
+    return merged
+
+
+class PointsIndex:
+    """Catalog-backed persisted points table (same snapshot semantics as
+    the inverted/IVF indexes: atomic rebuild, point-in-time reads)."""
+
+    def __init__(self, spark: SparkSession, root: str, snapshot_id: int | None = None):
+        self.spark = spark
+        self.root = root
+        self.catalog = Catalog(root)
+        segs = self.catalog.live_segments(snapshot_id)
+        if not segs:
+            raise ValueError(f"no live points build under {root}")
+        self.build_id = segs[0]["build"]
+        m = self.catalog.read_manifest(self.build_id)
+        self.bits = int(m["bits"])
+        self.dims = [DimSpec(d["col"], float(d["lo"]), float(d["hi"])) for d in m["dims"]]
+        self.id_col = m["id_col"]
+        self._path = os.path.join(self.catalog.build_dir(self.build_id), "points")
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        df: DataFrame,
+        root: str,
+        dims: list[DimSpec],
+        *,
+        id_col: str = "doc_id",
+        bits: int = 16,
+        build_id: str | None = None,
+        num_files: int = 32,
+        extra_cols: tuple[str, ...] = (),
+    ) -> int:
+        """Write the Z-sorted points table and commit one generation.
+        ``num_files``: range partitions — at scale, one per ~row-group
+        budget so every file covers a narrow Z-interval."""
+        cat = Catalog(root)
+        if build_id is None:
+            build_id = f"p{len(os.listdir(os.path.join(root, 'builds'))):04d}"
+        if cat.build_completed(build_id):
+            return cat.load()["current"]
+        bdir = cat.build_dir(build_id)
+        pts = df.select(
+            id_col, *[d.col for d in dims], *extra_cols
+        ).withColumn("morton", _morton_col(dims, bits))
+        (
+            pts.repartitionByRange(num_files, "morton")
+            .sortWithinPartitions("morton")
+            .write.mode("overwrite")
+            .parquet(os.path.join(bdir, "points"))
+        )
+        n = spark.read.parquet(os.path.join(bdir, "points")).count()
+        cat.write_manifest(
+            build_id,
+            {
+                "build_id": build_id,
+                "kind": "points",
+                "bits": bits,
+                "id_col": id_col,
+                "num_points": n,
+                "dims": [{"col": d.col, "lo": d.lo, "hi": d.hi} for d in dims],
+            },
+        )
+        old = [s["name"] for s in cat.live_segments()]
+        return cat.commit(
+            [{"name": build_id, "build": build_id, "max_doc": n, "fields": {}}],
+            remove_segments=old,
+            note=f"points build {build_id}",
+        )
+
+    def _quantize(self, dim: DimSpec, v: float) -> int:
+        span = dim.hi - dim.lo
+        q = round((v - dim.lo) / span * ((1 << self.bits) - 1))
+        return max(0, min((1 << self.bits) - 1, int(q)))
+
+    def box_search(
+        self,
+        ranges: dict[str, tuple[float, float]],
+        max_ranges: int = 64,
+    ) -> DataFrame:
+        """All points inside the (closed) per-dim ranges — the
+        PointRangeQuery box. Dims omitted from ``ranges`` are unbounded.
+        Returns the points rows (id + dim columns)."""
+        qlo, qhi = [], []
+        for d in self.dims:
+            lo, hi = ranges.get(d.col, (d.lo, d.hi))
+            qlo.append(self._quantize(d, lo))
+            qhi.append(self._quantize(d, hi))
+        cover = morton_cover(tuple(qlo), tuple(qhi), self.bits, max_ranges)
+        scan = self.spark.read.parquet(self._path)
+        zpred = None
+        for a, b in cover:
+            c = F.col("morton").between(F.lit(a), F.lit(b))
+            zpred = c if zpred is None else (zpred | c)
+        out = scan.filter(zpred) if zpred is not None else scan
+        # exact re-check (Z-cover and quantization both over-cover)
+        for col, (lo, hi) in ranges.items():
+            out = out.filter(F.col(col).cast("double").between(float(lo), float(hi)))
+        return out.drop("morton")
+
+    def count(self, ranges: dict[str, tuple[float, float]]) -> int:
+        """PointValues#estimatePointCount-style exact count of the box."""
+        return self.box_search(ranges).count()

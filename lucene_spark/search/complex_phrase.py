@@ -1,0 +1,90 @@
+"""ComplexPhraseQueryParser flavor (reference queryparser/complexPhrase/
+src/java/org/apache/lucene/queryparser/complexPhrase/
+ComplexPhraseQueryParser.java): the classic grammar, but quoted phrases
+may embed wildcards, prefixes, fuzzy terms and alternative groups —
+
+    "(john jon) smyth~"        either first name, then a fuzzy surname
+    "foo* bar"~2               prefix in slot 0, slop 2
+
+Everything outside quotes parses exactly like the classic parser (the
+flavor subclasses it and overrides only the phrase hook). Inside quotes:
+whitespace separates slots; ``( a b )`` groups alternatives into ONE
+slot; ``t~`` / ``t~N`` is fuzzy (default maxEdits 2, FuzzyQuery.java
+defaults); ``*``/``?`` makes a wildcard (trailing-``*``-only is a
+prefix); plain terms run through the analyzer (stacked outputs become
+alternatives — synonyms survive inside complex phrases)."""
+
+from __future__ import annotations
+
+import re
+
+from ..analysis.analyzer import analyzer_for
+from . import query as Q
+from .parser import _lex, _Parser
+
+_FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<edits>\d)?$")
+
+
+def _classify_element(raw: str, analyzer) -> list[tuple]:
+    """One phrase element -> alternative specs for a slot."""
+    m = _FUZZY_RE.match(raw)
+    if m and "*" not in raw and "?" not in raw:
+        return [("fuzzy", m.group("body").lower(), int(m.group("edits") or 2))]
+    if "*" in raw or "?" in raw:
+        body = raw.lower()
+        if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+            return [("prefix", body[:-1])]
+        return [("wildcard", body)]
+    # plain term: analyze (possessive/stem/synonyms); stacked tokens all
+    # become alternatives of this slot
+    toks = analyzer.tokens(raw)
+    return [("term", t.term) for t in toks] or []
+
+
+def _parse_phrase_body(body: str, analyzer) -> list[tuple[tuple, ...]]:
+    slots: list[tuple[tuple, ...]] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "(":
+            j = body.find(")", i + 1)
+            if j < 0:
+                raise ValueError(f"unclosed group in complex phrase: {body!r}")
+            alts: list[tuple] = []
+            for part in body[i + 1 : j].split():
+                alts.extend(_classify_element(part, analyzer))
+            if alts:
+                slots.append(tuple(dict.fromkeys(alts)))
+            i = j + 1
+            continue
+        j = i
+        while j < n and not body[j].isspace() and body[j] != "(":
+            j += 1
+        alts = _classify_element(body[i:j], analyzer)
+        if alts:
+            slots.append(tuple(dict.fromkeys(alts)))
+        i = j
+    return slots
+
+
+class _ComplexPhraseParser(_Parser):
+    def _phrase_query(self, body: str, slop: int):
+        slots = _parse_phrase_body(body, self.analyzer)
+        if not slots:
+            return Q.MatchNoDocsQuery()
+        if all(len(s) == 1 and s[0][0] == "term" for s in slots):
+            # no complex elements: identical to the classic phrase path
+            return super()._phrase_query(body, slop)
+        return Q.ComplexPhraseQuery(self.field, tuple(slots), slop)
+
+
+def parse_complex_phrase(
+    query_string: str, default_field: str = "text", analyzer: str = "standard"
+) -> Q.Query:
+    tokens = _lex(query_string)
+    parser = _ComplexPhraseParser(tokens, default_field, analyzer_for(analyzer))
+    q = parser.parse_or()
+    return q if q is not None else Q.MatchNoDocsQuery()

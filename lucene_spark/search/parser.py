@@ -172,37 +172,7 @@ class _Parser:
             return inner
         if kind == "phrase":
             self.next()
-            # group stacked (same-position) tokens: a synonym/shingle
-            # analyzer turns a quoted phrase into a MultiPhraseQuery with
-            # per-slot alternatives, exactly QueryBuilder.analyzeMultiPhrase
-            # (reference core/src/java/org/apache/lucene/util/QueryBuilder.java:430-470)
-            toks = self.analyzer.tokens(val["body"])
-            if not toks:
-                return self._maybe_boost(Q.MatchNoDocsQuery())
-            slots: list[list[str]] = []
-            last_pos = None
-            for tok in toks:
-                if tok.position == last_pos:
-                    if tok.term not in slots[-1]:
-                        slots[-1].append(tok.term)
-                else:
-                    slots.append([tok.term])
-                    last_pos = tok.position
-            if len(slots) == 1:
-                g = slots[0]
-                leaf = Q.TermQuery(self.field, g[0]) if len(g) == 1 else Q.SynonymQuery(
-                    self.field, tuple(g)
-                )
-                return self._maybe_boost(leaf)
-            if all(len(g) == 1 for g in slots):
-                return self._maybe_boost(
-                    Q.PhraseQuery(self.field, tuple(g[0] for g in slots), val["slop"])
-                )
-            return self._maybe_boost(
-                Q.MultiPhraseQuery(
-                    self.field, tuple(tuple(g) for g in slots), val["slop"]
-                )
-            )
+            return self._maybe_boost(self._phrase_query(val["body"], val["slop"]))
         if kind == "regex":
             self.next()
             return self._maybe_boost(Q.RegexpQuery(self.field, val))
@@ -222,6 +192,34 @@ class _Parser:
         # unexpected token: skip it
         self.next()
         return None
+
+    def _phrase_query(self, body: str, slop: int):
+        """Quoted-phrase construction; a subclass hook (the complexPhrase
+        flavor overrides it). Groups stacked (same-position) tokens: a
+        synonym/shingle analyzer turns a quoted phrase into a
+        MultiPhraseQuery with per-slot alternatives, exactly
+        QueryBuilder.analyzeMultiPhrase (reference core/src/java/org/
+        apache/lucene/util/QueryBuilder.java:430-470)."""
+        toks = self.analyzer.tokens(body)
+        if not toks:
+            return Q.MatchNoDocsQuery()
+        slots: list[list[str]] = []
+        last_pos = None
+        for tok in toks:
+            if tok.position == last_pos:
+                if tok.term not in slots[-1]:
+                    slots[-1].append(tok.term)
+            else:
+                slots.append([tok.term])
+                last_pos = tok.position
+        if len(slots) == 1:
+            g = slots[0]
+            return Q.TermQuery(self.field, g[0]) if len(g) == 1 else Q.SynonymQuery(
+                self.field, tuple(g)
+            )
+        if all(len(g) == 1 for g in slots):
+            return Q.PhraseQuery(self.field, tuple(g[0] for g in slots), slop)
+        return Q.MultiPhraseQuery(self.field, tuple(tuple(g) for g in slots), slop)
 
     def _maybe_boost(self, q):
         if q is not None and self.peek()[0] == "boost":

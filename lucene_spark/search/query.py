@@ -141,6 +141,29 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class ComplexPhraseQuery(Query):
+    """ComplexPhraseQueryParser's phrase (reference queryparser/
+    complexPhrase/src/java/org/apache/lucene/queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java): phrase slots may hold multi-term
+    subqueries — wildcard / prefix / fuzzy — or alternative groups.
+    ``rewrite`` expands every pattern slot against the term dictionary
+    and the whole phrase becomes a MultiPhraseQuery (the reference builds
+    span-near over SpanMultiTermQueryWrapper; position semantics are the
+    same, scoring here follows MultiPhraseQuery's blended stats —
+    documented deviation from span scoring).
+
+    ``slots``: per position, a tuple of elements; each element is
+    ("term", t) | ("prefix", p) | ("wildcard", pat) | ("fuzzy", t, maxEdits).
+    A slot whose expansion is empty makes the phrase unmatchable
+    (MatchNoDocsQuery), mirroring a span clause with no terms."""
+
+    field: str
+    slots: tuple[tuple[tuple, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IntervalSourceQuery(Query):
     """IntervalQuery over a NESTED IntervalsSource tree (Intervals.or /
     ordered / unordered / containing / containedBy — reference
@@ -452,6 +475,10 @@ def _rewrite_once(q: Query, reader, field: str) -> Query:
         if reader is None:
             return q
         return _rewrite_common_terms(q, reader)
+    if isinstance(q, ComplexPhraseQuery):
+        if reader is None:
+            return q
+        return _rewrite_complex_phrase(q, reader)
     if isinstance(q, KnnQuery) and q.filter is not None:
         import dataclasses
 
@@ -527,6 +554,55 @@ def _strip_boost(q: Query) -> tuple[Query, float]:
     if b != 1.0:
         return dataclasses.replace(q, boost=1.0), b
     return q, 1.0
+
+
+def _rewrite_complex_phrase(q: ComplexPhraseQuery, reader) -> Query:
+    """Expand pattern slots against the term dictionary (one bucket-pruned
+    dictionary scan per pattern element) and collapse to the matching
+    simple query shape — PhraseQuery / MultiPhraseQuery / SynonymQuery.
+    Overflowing the clause cap raises, mirroring the reference's
+    TooManyClauses from SpanBooleanQueryRewrite."""
+    from pyspark.sql import functions as F
+
+    out_slots: list[tuple[str, ...]] = []
+    for slot in q.slots:
+        terms: list[str] = []
+        for el in slot:
+            kind = el[0]
+            if kind == "term":
+                terms.append(el[1])
+                continue
+            if kind == "fuzzy":
+                fq = FuzzyQuery(q.field, el[1], max_edits=el[2])
+                got, truncated = _expand_fuzzy(fq, reader)
+            else:
+                pat = (
+                    PrefixQuery(q.field, el[1])
+                    if kind == "prefix"
+                    else WildcardQuery(q.field, el[1])
+                )
+                got, truncated = reader.expand_terms(
+                    F.expr(_pattern_sql(pat)), field=q.field, limit=MAX_CLAUSE_COUNT
+                )
+            if truncated:
+                raise ValueError(
+                    f"complex phrase element {el!r} expands past "
+                    f"{MAX_CLAUSE_COUNT} terms (reference throws TooManyClauses)"
+                )
+            terms.extend(got)
+        dedup = tuple(dict.fromkeys(terms))
+        if not dedup:
+            return MatchNoDocsQuery()  # an unmatchable slot kills the phrase
+        out_slots.append(dedup)
+    if len(out_slots) == 1:
+        g = out_slots[0]
+        base = TermQuery(q.field, g[0]) if len(g) == 1 else SynonymQuery(q.field, g)
+        return _apply_boost(base, q.boost)
+    if all(len(g) == 1 for g in out_slots):
+        return _apply_boost(
+            PhraseQuery(q.field, tuple(g[0] for g in out_slots), q.slop), q.boost
+        )
+    return _apply_boost(MultiPhraseQuery(q.field, tuple(out_slots), q.slop), q.boost)
 
 
 def _apply_boost(q: Query, boost: float) -> Query:

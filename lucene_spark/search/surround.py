@@ -1,0 +1,212 @@
+"""Surround query-language parser (reference queryparser/surround/src/
+java/org/apache/lucene/queryparser/surround/parser/QueryParser.jj and
+query/DistanceQuery.java): explicit proximity operators over span-like
+semantics —
+
+    3W(a, b)       a then b, in order, within distance 3
+    a W b          infix form, distance 1 (adjacent, ordered)
+    5N(a, b, c)    all three within a 5-wide window, any order
+    AND / OR / NOT boolean composition (case-insensitive)
+    pre*           truncated terms (outside proximity args)
+
+Mapping: the reference compiles distance ops to SpanNearQuery(slop =
+distance − 1, ordered|unordered); here they compile to the intervals
+module — ``nW`` → IOrdered(max_gaps = n−1), ``nN`` → IUnordered(max_gaps
+= n−1) — wrapped in IntervalSourceQuery. ``OR`` inside a distance op's
+arguments becomes Intervals.or (the reference's SrndBooleanQuery inside
+DistanceQuery). Scoring: interval saturation (IntervalQuery's
+1 − pivot/(pivot+freq)), a documented deviation from surround's
+span-based scores; match SETS are equal.
+
+Restrictions (documented): truncated (wildcard) terms are not allowed
+inside distance operators (the reference expands them there via
+SrndTruncQuery's reader enumeration; use complexPhrase for that shape)."""
+
+from __future__ import annotations
+
+import re
+
+from ..analysis.analyzer import analyzer_for
+from . import query as Q
+from .intervals import IOr, IOrdered, ITerm, IUnordered
+
+_TOK_RE = re.compile(
+    r"""\s*(?:
+      (?P<dist>(?P<dn>\d+)?(?P<dop>[WwNn])\s*\()      # prefix distance op
+    | (?P<infix_dist>(?P<idn>\d+)?(?P<idop>[WwNn]))(?=\s)  # infix op token
+    | (?P<lparen>\() | (?P<rparen>\)) | (?P<comma>,)
+    | (?P<word>[^\s(),]+)
+    )""",
+    re.VERBOSE,
+)
+
+_BOOL = {"and": "AND", "or": "OR", "not": "NOT"}
+
+
+class SurroundParseError(ValueError):
+    pass
+
+
+def _lex(s: str) -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOK_RE.match(s, pos)
+        if not m or m.end() == pos:
+            raise SurroundParseError(f"bad surround syntax at {s[pos:pos+20]!r}")
+        pos = m.end()
+        if m.group("dist"):
+            out.append(("dist", (int(m.group("dn") or 1), m.group("dop").upper())))
+        elif m.group("infix_dist"):
+            out.append(("idist", (int(m.group("idn") or 1), m.group("idop").upper())))
+        elif m.group("lparen"):
+            out.append(("(", None))
+        elif m.group("rparen"):
+            out.append((")", None))
+        elif m.group("comma"):
+            out.append((",", None))
+        else:
+            w = m.group("word")
+            kind = _BOOL.get(w.lower())
+            # single bare W/N between operands lexes as a word — reclassify
+            if kind:
+                out.append((kind, None))
+            else:
+                out.append(("word", w))
+    out.append(("end", None))
+    return out
+
+
+class _P:
+    def __init__(self, toks, field, analyzer):
+        self.toks = toks
+        self.i = 0
+        self.field = field
+        self.analyzer = analyzer
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def take(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        t = self.take()
+        if t[0] != kind:
+            raise SurroundParseError(f"expected {kind}, got {t[0]}")
+        return t
+
+    # -- boolean levels ----------------------------------------------------
+    def parse_or(self) -> Q.Query:
+        parts = [self.parse_and()]
+        while self.peek()[0] == "OR":
+            self.take()
+            parts.append(self.parse_and())
+        if len(parts) == 1:
+            return parts[0]
+        return Q.BooleanQuery.build(*[(Q.SHOULD, p) for p in parts])
+
+    def parse_and(self) -> Q.Query:
+        clauses = [(Q.MUST, self.parse_infix())]
+        while self.peek()[0] in ("AND", "NOT"):
+            kind = self.take()[0]
+            if kind == "NOT":
+                clauses.append((Q.MUST_NOT, self.parse_infix()))
+            else:
+                if self.peek()[0] == "NOT":
+                    self.take()
+                    clauses.append((Q.MUST_NOT, self.parse_infix()))
+                else:
+                    clauses.append((Q.MUST, self.parse_infix()))
+        if len(clauses) == 1 and clauses[0][0] == Q.MUST:
+            return clauses[0][1]
+        return Q.BooleanQuery.build(*clauses)
+
+    # -- infix distance: a W b, a 3N b ------------------------------------
+    def parse_infix(self) -> Q.Query:
+        left = self.parse_atom()
+        chain: list = []
+        op = None
+        while self.peek()[0] == "idist":
+            n, o = self.take()[1]
+            right = self.parse_atom()
+            if op is None:
+                op = (n, o)
+                chain = [left, right]
+            elif (n, o) == op:
+                chain.append(right)  # a W b W c folds into one source
+            else:
+                left = self._distance_query(op, chain)
+                op = (n, o)
+                chain = [left, right]
+        if op is None:
+            return left
+        return self._distance_query(op, chain)
+
+    def _to_source(self, q: Q.Query):
+        """Query -> interval source (distance-op operand)."""
+        if isinstance(q, Q.TermQuery):
+            return ITerm(q.term)
+        if isinstance(q, Q.IntervalSourceQuery):
+            return q.source
+        if isinstance(q, Q.BooleanQuery) and all(
+            c.occur == Q.SHOULD for c in q.clauses
+        ):
+            return IOr(tuple(self._to_source(c.query) for c in q.clauses))
+        raise SurroundParseError(
+            f"operand not allowed inside a distance operator: {q!r} "
+            "(truncated terms need complexPhrase)"
+        )
+
+    def _distance_query(self, op: tuple[int, str], operands) -> Q.Query:
+        n, o = op
+        sources = tuple(
+            self._to_source(x) if isinstance(x, Q.Query) else x for x in operands
+        )
+        cls = IOrdered if o == "W" else IUnordered
+        return Q.IntervalSourceQuery(self.field, cls(sources, max_gaps=n - 1))
+
+    # -- atoms -------------------------------------------------------------
+    def parse_atom(self) -> Q.Query:
+        kind, val = self.peek()
+        if kind == "dist":
+            self.take()
+            n, o = val
+            args = [self.parse_or()]
+            while self.peek()[0] == ",":
+                self.take()
+                args.append(self.parse_or())
+            self.expect(")")
+            return self._distance_query((n, o), args)
+        if kind == "(":
+            self.take()
+            inner = self.parse_or()
+            self.expect(")")
+            return inner
+        if kind == "word":
+            self.take()
+            w = str(val)
+            if "*" in w or "?" in w:
+                body = w.lower()
+                if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+                    return Q.PrefixQuery(self.field, body[:-1])
+                return Q.WildcardQuery(self.field, body)
+            toks = self.analyzer.tokens(w)
+            if not toks:
+                return Q.MatchNoDocsQuery()
+            if len(toks) == 1:
+                return Q.TermQuery(self.field, toks[0].term)
+            return Q.SynonymQuery(self.field, tuple(t.term for t in toks))
+        raise SurroundParseError(f"unexpected token {kind}")
+
+
+def parse_surround(
+    query_string: str, default_field: str = "text", analyzer: str = "standard"
+) -> Q.Query:
+    p = _P(_lex(query_string), default_field, analyzer_for(analyzer))
+    q = p.parse_or()
+    if p.peek()[0] != "end":
+        raise SurroundParseError(f"trailing input at token {p.peek()!r}")
+    return q

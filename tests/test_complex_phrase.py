@@ -1,0 +1,96 @@
+"""ComplexPhraseQueryParser flavor: parse shapes, dictionary expansion at
+rewrite, and search parity vs directly-constructed MultiPhraseQuery
+(reference queryparser/complexPhrase/ComplexPhraseQueryParser.java;
+behavior vectors mirror TestComplexPhraseQuery.java shapes)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import query as Q
+from lucene_spark.search.complex_phrase import parse_complex_phrase
+
+
+def test_parse_shapes():
+    q = parse_complex_phrase('"(john jon) smyth~" AND table')
+    assert isinstance(q, Q.BooleanQuery)
+    cp = q.clauses[0].query
+    assert isinstance(cp, Q.ComplexPhraseQuery)
+    assert cp.slots == ((("term", "john"), ("term", "jon")), (("fuzzy", "smyth", 2),))
+    q2 = parse_complex_phrase('"foo* bar"~2')
+    assert q2.slots[0] == (("prefix", "foo"),) and q2.slop == 2
+    q3 = parse_complex_phrase('"wild?card x"')
+    assert q3.slots[0] == (("wildcard", "wild?card"),)
+    # no complex elements -> classic phrase path
+    assert isinstance(parse_complex_phrase('"plain phrase"'), Q.PhraseQuery)
+    assert isinstance(parse_complex_phrase('"(a b)"'), Q.ComplexPhraseQuery)
+
+
+@pytest.fixture(scope="module")
+def psearcher(spark, tmp_path_factory):
+    """Positions-enabled index (MultiPhraseQuery reads the .pos kernel)."""
+    import shutil
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import pages_from_documents
+    from lucene_spark.search import IndexSearcher
+
+    root = str(tmp_path_factory.mktemp("cp_idx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True)
+    return IndexSearcher(IndexReader(spark, root))
+
+
+@pytest.fixture(scope="module")
+def searcher(psearcher):
+    return psearcher
+
+
+def _hits(searcher, q, k=20):
+    rows = searcher.search(q, k=k, mode="exhaustive").select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_alternative_group_equals_multiphrase(searcher):
+    got = _hits(searcher, parse_complex_phrase('"(table merge) scan"'))
+    want = _hits(searcher, Q.MultiPhraseQuery("text", (("table", "merge"), ("scan",))))
+    assert got == want and got
+
+
+def test_prefix_slot_expands_against_dictionary(searcher, reader, corpus):
+    q = Q.rewrite(parse_complex_phrase('"tab* scan"'), reader, "text")
+    vocab = {t for text in corpus["text"] for t in text.split()}
+    expect = tuple(sorted(t for t in vocab if t.startswith("tab")))
+    assert isinstance(q, (Q.MultiPhraseQuery, Q.PhraseQuery))
+    slot0 = q.slots[0] if isinstance(q, Q.MultiPhraseQuery) else (q.terms[0],)
+    assert tuple(sorted(slot0)) == expect
+    assert _hits(searcher, parse_complex_phrase('"tab* scan"'))  # and it matches
+
+
+def test_fuzzy_slot_contains_edit1_neighbor(searcher, reader):
+    q = Q.rewrite(parse_complex_phrase('"tabel~1 scan"'), reader, "text")
+    slot0 = q.slots[0] if isinstance(q, Q.MultiPhraseQuery) else (q.terms[0],)
+    assert "table" in slot0
+    got = _hits(searcher, parse_complex_phrase('"tabel~1 scan"'))
+    assert got
+
+
+def test_unmatchable_slot_kills_phrase(searcher, reader):
+    q = Q.rewrite(parse_complex_phrase('"zzzqnope* scan"'), reader, "text")
+    assert isinstance(q, Q.MatchNoDocsQuery)
+    assert _hits(searcher, parse_complex_phrase('"zzzqnope* scan"')) == []
+
+
+def test_overflow_raises_too_many_clauses(reader, monkeypatch):
+    monkeypatch.setattr(Q, "MAX_CLAUSE_COUNT", 1)
+    with pytest.raises(ValueError, match="TooManyClauses|expands past"):
+        Q.rewrite(parse_complex_phrase('"t* scan"'), reader, "text")
+
+
+def test_slop_carries_through_rewrite(searcher, reader):
+    q = Q.rewrite(parse_complex_phrase('"(table merge) scan"~3'), reader, "text")
+    assert q.slop == 3
+    loose = _hits(searcher, parse_complex_phrase('"(table merge) scan"~3'), k=500)
+    tight = _hits(searcher, parse_complex_phrase('"(table merge) scan"'), k=500)
+    assert {u for u, _ in tight} <= {u for u, _ in loose}

@@ -1,0 +1,119 @@
+"""BKD points analogue: Z-order multi-dim range index (index/points.py)
+vs brute-force pandas filtering, plus the scan-pushdown plan gate."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.points import (
+    DimSpec,
+    PointsIndex,
+    _interleave,
+    morton_cover,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def test_morton_cover_properties():
+    random.seed(7)
+    bits = 6
+    for trial in range(120):
+        n = random.choice([1, 2, 3])
+        qlo = tuple(random.randint(0, (1 << bits) - 1) for _ in range(n))
+        qhi = tuple(min((1 << bits) - 1, l + random.randint(0, 20)) for l in qlo)
+        cover = morton_cover(qlo, qhi, bits, max_ranges=64)
+        for (a, b), (c, d) in zip(cover, cover[1:]):
+            assert b < c  # sorted, disjoint, merged
+        covered = lambda m: any(a <= m <= b for a, b in cover)
+        for pt in itertools.product(*[range(qlo[i], qhi[i] + 1) for i in range(n)]):
+            assert covered(_interleave(pt, bits)), (trial, pt)  # no false negatives
+
+
+def test_morton_cover_full_box_is_one_range():
+    assert morton_cover((0, 0), (63, 63), 6) == [(0, 4095)]
+
+
+@pytest.fixture(scope="module")
+def pts(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("points"))
+    docs = (
+        spark.read.parquet(f"{TESTDATA}/documents.parquet")
+        .withColumn("ymod", F.col("doc_id") % 256)
+    )
+    PointsIndex.build(
+        spark,
+        docs,
+        root,
+        [DimSpec("n_chars", 0, 4096), DimSpec("ymod", 0, 255)],
+        bits=10,
+        num_files=8,
+        build_id="t0",
+    )
+    return PointsIndex(spark, root)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark):
+    return (
+        spark.read.parquet(f"{TESTDATA}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .toPandas()
+    )
+
+
+@pytest.mark.parametrize(
+    "box",
+    [
+        {"n_chars": (100, 300), "ymod": (32, 96)},
+        {"n_chars": (0, 4096), "ymod": (0, 255)},     # full space
+        {"n_chars": (100, 300)},                       # one dim unbounded
+        {"ymod": (250, 255)},
+        {"n_chars": (4000, 4096)},                     # empty
+        {"n_chars": (150, 150), "ymod": (10, 200)},    # degenerate edge
+    ],
+    ids=["box2d", "full", "open_y", "open_x", "empty", "point_x"],
+)
+def test_box_search_matches_brute(pts, docs_pdf, box):
+    got = sorted(r["doc_id"] for r in pts.box_search(box).collect())
+    pdf = docs_pdf.assign(ymod=docs_pdf["doc_id"] % 256)
+    mask = pdf["doc_id"].notna()
+    for col, (lo, hi) in box.items():
+        mask &= (pdf[col] >= lo) & (pdf[col] <= hi)
+    want = sorted(pdf[mask]["doc_id"].tolist())
+    assert got == want
+
+
+def test_box_count(pts, docs_pdf):
+    n = pts.count({"n_chars": (100, 300), "ymod": (32, 96)})
+    pdf = docs_pdf.assign(ymod=docs_pdf["doc_id"] % 256)
+    assert n == int(
+        ((pdf["n_chars"].between(100, 300)) & (pdf["ymod"].between(32, 96))).sum()
+    )
+
+
+def test_morton_ranges_are_pushed_to_scan(pts):
+    """The Z-interval predicates must reach the parquet scan (row-group
+    stats pruning — the BKD leaf-skip analogue), not sit above it."""
+    plan = pts.box_search({"n_chars": (100, 120), "ymod": (3, 9)})._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("morton" in ln for ln in pushed), pushed[:3]
+
+
+def test_rebuild_is_atomic_swap(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("points2"))
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").withColumn(
+        "ymod", F.col("doc_id") % 256
+    )
+    dims = [DimSpec("n_chars", 0, 4096), DimSpec("ymod", 0, 255)]
+    PointsIndex.build(spark, docs, root, dims, bits=8, build_id="g0")
+    n0 = PointsIndex(spark, root).count({"ymod": (0, 255)})
+    PointsIndex.build(spark, docs.filter(F.col("doc_id") % 2 == 0), root, dims, bits=8, build_id="g1")
+    n1 = PointsIndex(spark, root).count({"ymod": (0, 255)})
+    assert n1 * 2 in (n0, n0 + 2)  # half the docs (parity rounding)
+    # resume: re-running a completed build is a no-op
+    PointsIndex.build(spark, docs, root, dims, bits=8, build_id="g1")
+    assert PointsIndex(spark, root).count({"ymod": (0, 255)}) == n1

@@ -1,0 +1,97 @@
+"""Surround query-language parser: shapes, the distance→intervals
+mapping, and search parity against directly-constructed interval queries
+(reference queryparser/surround grammar; DistanceQuery → SpanNear(slop =
+n−1) becomes IOrdered/IUnordered(max_gaps = n−1) here)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import query as Q
+from lucene_spark.search.intervals import IOr, IOrdered, ITerm, IUnordered
+from lucene_spark.search.surround import SurroundParseError, parse_surround
+
+
+def test_parse_shapes():
+    q = parse_surround("3W(table, scan)")
+    assert q == Q.IntervalSourceQuery(
+        "text", IOrdered((ITerm("table"), ITerm("scan")), max_gaps=2)
+    )
+    q = parse_surround("merge 3N window")
+    assert q.source == IUnordered((ITerm("merge"), ITerm("window")), max_gaps=2)
+    q = parse_surround("a W b W c")  # infix chain folds into one source
+    assert q.source == IOrdered((ITerm("a"), ITerm("b"), ITerm("c")), max_gaps=0)
+    q = parse_surround("4W((merge OR window), scan)")
+    assert q.source.sources[0] == IOr((ITerm("merge"), ITerm("window")))
+    q = parse_surround("table AND NOT scan")
+    assert [c.occur for c in q.clauses] == [Q.MUST, Q.MUST_NOT]
+    q = parse_surround("pre* OR 2W(a, b)")
+    assert isinstance(q.clauses[0].query, Q.PrefixQuery)
+
+
+@pytest.mark.parametrize("bad", ["3W(ta*, b)", "W(", "a AND", "2W(a b"])
+def test_parse_errors(bad):
+    with pytest.raises((SurroundParseError, IndexError)):
+        parse_surround(bad)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    """Positions-enabled index (distance ops read the .pos kernel)."""
+    import shutil
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import pages_from_documents
+    from lucene_spark.search import IndexSearcher
+
+    root = str(tmp_path_factory.mktemp("surround_idx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True)
+    return IndexSearcher(IndexReader(spark, root))
+
+
+def _hits(searcher, q, k=20):
+    rows = searcher.search(q, k=k, mode="exhaustive").select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_ordered_distance_equals_flat_interval_query(searcher):
+    got = _hits(searcher, parse_surround("3W(table, scan)"))
+    want = _hits(searcher, Q.IntervalQuery("text", ("table", "scan"), ordered=True, max_gaps=2))
+    assert got == want and got
+
+
+def test_unordered_distance_equals_flat_interval_query(searcher):
+    got = _hits(searcher, parse_surround("3N(merge, window)"))
+    want = _hits(
+        searcher, Q.IntervalQuery("text", ("merge", "window"), ordered=False, max_gaps=2)
+    )
+    assert got == want and got
+
+
+def test_adjacent_w_is_subset_of_wider_w(searcher):
+    tight = {u for u, _ in _hits(searcher, parse_surround("table W scan"), k=500)}
+    loose = {u for u, _ in _hits(searcher, parse_surround("4W(table, scan)"), k=500)}
+    assert tight and tight <= loose
+
+
+def test_boolean_composition(searcher):
+    got = _hits(searcher, parse_surround("3W(table, scan) AND merge"))
+    want = _hits(
+        searcher,
+        Q.BooleanQuery.build(
+            (Q.MUST, Q.IntervalSourceQuery("text", IOrdered((ITerm("table"), ITerm("scan")), max_gaps=2))),
+            (Q.MUST, Q.TermQuery("text", "merge")),
+        ),
+    )
+    assert got == want
+
+
+def test_or_inside_distance(searcher):
+    """(merge OR window) then scan within 4 ≡ union of the two ordered
+    pairs at the match-set level."""
+    got = {u for u, _ in _hits(searcher, parse_surround("4W((merge OR window), scan)"), k=500)}
+    a = {u for u, _ in _hits(searcher, parse_surround("4W(merge, scan)"), k=500)}
+    b = {u for u, _ in _hits(searcher, parse_surround("4W(window, scan)"), k=500)}
+    assert got == (a | b)
