@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["expr_rescore"] = _pq_expr_rescore
     q["nb_classify"] = _pq_nb_classify
     q["knn_classify"] = _pq_knn_classify
+    q["nb_confusion"] = _pq_nb_confusion
+    q["dataset_split_counts"] = _pq_dataset_split
     q["points_box"] = _pq_points_box
     q["complex_phrase"] = _pq_complex_phrase
     q["surround_near"] = _pq_surround_near
@@ -290,6 +292,9 @@ _R3_DRIVER_CHECKED = [
     # family-redundant variants (suggest_weighted + spell_suggest_topk and
     # five facet oracles remain in-window for their families)
     "suggest_infix", "facet_percentiles_lang",
+    # fuzzy_transposed (Damerau, the r4-critical case) stays in-window;
+    # interval_near + interval_not_containing cover the intervals family
+    "fuzzy_edit1", "interval_or_near",
 ]
 
 
@@ -1381,6 +1386,43 @@ def _pq_knn_classify(spark, sf_dir):
     clf = KNearestNeighborClassifier(s, "lang", k=10)
     rows = [(c, round(float(v), 4)) for c, v in clf.get_classes(url_for_doc_id(0))]
     return spark.createDataFrame(rows, "lang string, score_r double")
+
+
+def _pq_nb_confusion(spark, sf_dir):
+    """ConfusionMatrixGenerator analogue: NB-classify the doc_id%17==0
+    sample of the corpus and cross-tabulate (actual, predicted, n)."""
+    from lucene_spark.classification import (
+        SimpleNaiveBayesClassifier,
+        confusion_matrix,
+    )
+
+    reader = _get_index(spark, sf_dir)
+    clf = SimpleNaiveBayesClassifier(reader, "lang")
+    sample = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % 17 == 0) & (F.length("text") > 0))
+    )
+    mdf, _metrics = confusion_matrix(clf, sample, class_col="lang")
+    return mdf.orderBy("actual", "predicted")
+
+
+def _pq_dataset_split(spark, sf_dir):
+    """DatasetSplitter analogue: deterministic hash train/test/cv split
+    (test 0.2, cv 0.1), per-split per-class counts."""
+    from lucene_spark.classification import dataset_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train, test, cv = dataset_split(docs, test_fraction=0.2, cv_fraction=0.1)
+    allp = (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .unionByName(cv.withColumn("split", F.lit("cv")))
+    )
+    return (
+        allp.groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )
 
 
 def _pq_points_box(spark, sf_dir):
@@ -3240,6 +3282,56 @@ probs AS (
   FROM scores sc JOIN lse l USING (qid)
 )
 SELECT qid, lang, round(p, 4) AS prob_r FROM probs WHERE rn = 1 ORDER BY qid
+"""
+    # ConfusionMatrixGenerator: NB-classify every sampled doc in SQL and
+    # cross-tab actual vs predicted (same NB statistics as nb_classify)
+    o["nb_confusion"] = f"""
+WITH tok AS ({_TOK}),
+sample AS (SELECT doc_id, lang FROM documents
+           WHERE doc_id % 17 = 0 AND length(text) > 0),
+classes AS (SELECT lang, count(*) AS df_c FROM documents GROUP BY lang),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+avgu AS (
+  SELECT count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avg_unique FROM dt
+),
+hits AS (
+  SELECT d.lang, t.term, count(*) AS docs_with
+  FROM dt t JOIN documents d USING (doc_id)
+  GROUP BY d.lang, t.term
+),
+qtok AS (SELECT t.doc_id, t.term FROM tok t JOIN sample s USING (doc_id)),
+contrib AS (
+  SELECT q.doc_id, c.lang,
+         ln(c.df_c) - ln(n.n_docs)
+         + sum(ln((coalesce(h.docs_with, 0) + 1.0)
+                  / (a.avg_unique * c.df_c + n.n_docs))) AS s
+  FROM qtok q
+  CROSS JOIN classes c CROSS JOIN n CROSS JOIN avgu a
+  LEFT JOIN hits h ON h.lang = c.lang AND h.term = q.term
+  GROUP BY q.doc_id, c.lang, c.df_c, n.n_docs
+),
+pred AS (
+  SELECT doc_id, lang AS predicted,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+  FROM contrib
+)
+SELECT s.lang AS actual, p.predicted, count(*) AS n
+FROM sample s JOIN pred p ON p.doc_id = s.doc_id AND p.rn = 1
+GROUP BY s.lang, p.predicted
+ORDER BY actual, predicted
+"""
+    # DatasetSplitter: hash-bucket split boundaries 0.2 -> 0x33, 0.3 -> 0x4d
+    o["dataset_split_counts"] = """
+SELECT CASE WHEN b < '33' THEN 'test'
+            WHEN b < '4d' THEN 'cv'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n
+FROM (SELECT lang,
+             substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents)
+GROUP BY 1, 2
+ORDER BY split, lang
 """
     # KNearestNeighborClassifier: MLT(doc 0) top-25 terms -> BM25
     # disjunction top-10 -> per-class sum(score/max)/k (k/sumdoc rescale

@@ -92,28 +92,40 @@ class SimpleNaiveBayesClassifier:
             name = next(iter(manifests.values())).get("analyzer", "standard")
         return [t.term for t in analyzer_for(name).tokens(text)]
 
-    def get_classes(self, text: str) -> list[tuple[str, float]]:
-        """All classes with softmax-normalized scores, best first."""
-        ct, per_class, avg_unique, docs_with_class = self._ensure_stats()
-        tokens = self._tokenize(text)
-        # one filtered read: only the query tokens' rows come back
-        rows = ct.filter(F.col("term").isin(list(set(tokens)))).collect()
-        hits = {(r[self.class_col], r["term"]): int(r["docs_with"]) for r in rows}
+    def _score_with_hits(self, tokens, hits) -> list[tuple[str, float]]:
+        _, per_class, avg_unique, docs_with_class = self._stats
         scored = []
         for c, df_c in per_class.items():
             prior = math.log(df_c) - math.log(docs_with_class)
             den = avg_unique * df_c + docs_with_class
-            ll = sum(
-                math.log((hits.get((c, w), 0) + 1) / den) for w in tokens
-            )
+            ll = sum(math.log((hits.get((c, w), 0) + 1) / den) for w in tokens)
             scored.append((c, prior + ll))
         return _softmax_norm(scored)
+
+    def _hits_for(self, vocab: set) -> dict:
+        """ONE filtered read of the (class, term) aggregate: only the
+        query-vocabulary rows come back to the driver."""
+        ct = self._ensure_stats()[0]
+        rows = ct.filter(F.col("term").isin(sorted(vocab))).collect()
+        return {(r[self.class_col], r["term"]): int(r["docs_with"]) for r in rows}
+
+    def get_classes(self, text: str) -> list[tuple[str, float]]:
+        """All classes with softmax-normalized scores, best first."""
+        self._ensure_stats()
+        tokens = self._tokenize(text)
+        return self._score_with_hits(tokens, self._hits_for(set(tokens)))
 
     def assign_class(self, text: str) -> tuple[str, float]:
         return self.get_classes(text)[0]
 
     def classify_batch(self, texts: list[str]) -> list[tuple[str, float]]:
-        return [self.assign_class(t) for t in texts]
+        """Batch path: ONE Spark job for the union vocabulary of all
+        texts, then pure-Python scoring per text."""
+        self._ensure_stats()
+        tok_lists = [self._tokenize(t) for t in texts]
+        vocab = {w for toks in tok_lists for w in toks}
+        hits = self._hits_for(vocab) if vocab else {}
+        return [self._score_with_hits(toks, hits)[0] for toks in tok_lists]
 
 
 @dataclass
@@ -177,3 +189,72 @@ class KNearestNeighborClassifier:
         if not classes:
             raise ValueError(f"no neighbors found for {url!r}")
         return classes[0]
+
+
+def dataset_split(
+    df: DataFrame,
+    test_fraction: float = 0.1,
+    cv_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """DatasetSplitter analogue (reference classification/utils/
+    DatasetSplitter.java: split the corpus into train/test/cv
+    sub-corpora). The reference round-robins per-class batches into three
+    sub-indexes; here the assignment is a deterministic per-row hash
+    bucket (pipeline/sampling.py machinery) — uniform within every class
+    by hash independence, reproducible across reruns/partitionings/
+    engines, and each split is a DataFrame ready for ``build_index``.
+    Returns (train, test, cv); the three are disjoint and cover ``df``."""
+    from .pipeline.sampling import _bucket, _threshold
+
+    b = _bucket(id_col, salt)
+    t_test = _threshold(test_fraction)
+    t_cv = _threshold(test_fraction + cv_fraction)
+    test = df.filter(b < F.lit(t_test))
+    cv = df.filter((b >= F.lit(t_test)) & (b < F.lit(t_cv)))
+    train = df.filter(b >= F.lit(t_cv))
+    return train, test, cv
+
+
+def confusion_matrix(
+    clf: SimpleNaiveBayesClassifier,
+    docs: DataFrame,
+    text_col: str = "text",
+    class_col: str | None = None,
+    max_docs: int = 1000,
+) -> tuple[DataFrame, dict]:
+    """ConfusionMatrixGenerator analogue (reference classification/utils/
+    ConfusionMatrixGenerator.java): classify a bounded evaluation sample
+    and cross-tabulate actual vs predicted. Returns (matrix_df with
+    (actual, predicted, n) rows, metrics dict with accuracy and
+    per-class precision/recall/f1).
+
+    The evaluation set is collected (bounded by ``max_docs`` — the
+    reference equally caps at its sample size); classification runs the
+    batch path (one Spark job for the union vocabulary)."""
+    cc = class_col or clf.class_col
+    rows = docs.select(text_col, cc).limit(max_docs).collect()
+    pairs = [(r[text_col], r[cc]) for r in rows if r[text_col] and r[cc]]
+    preds = clf.classify_batch([t for t, _ in pairs])
+    counts: dict[tuple[str, str], int] = {}
+    for (_, actual), (predicted, _p) in zip(pairs, preds):
+        counts[(actual, predicted)] = counts.get((actual, predicted), 0) + 1
+    spark = docs.sparkSession
+    mdf = spark.createDataFrame(
+        [(a, p, n) for (a, p), n in sorted(counts.items())],
+        "actual string, predicted string, n long",
+    )
+    total = sum(counts.values())
+    correct = sum(n for (a, p), n in counts.items() if a == p)
+    classes = sorted({a for a, _ in counts} | {p for _, p in counts})
+    per_class = {}
+    for c in classes:
+        tp = counts.get((c, c), 0)
+        fp = sum(n for (a, p), n in counts.items() if p == c and a != c)
+        fn = sum(n for (a, p), n in counts.items() if a == c and p != c)
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        per_class[c] = {"precision": prec, "recall": rec, "f1": f1}
+    return mdf, {"accuracy": correct / total if total else 0.0, "per_class": per_class}

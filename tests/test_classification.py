@@ -125,3 +125,56 @@ def test_assign_class_is_argmax(reader):
     clf = SimpleNaiveBayesClassifier(reader, "lang")
     classes = clf.get_classes("table scan")
     assert clf.assign_class("table scan") == classes[0]
+
+
+def test_classify_batch_matches_single(reader):
+    clf = SimpleNaiveBayesClassifier(reader, "lang")
+    texts = ["table scan merge", "vector window", "key dup line table"]
+    batch = clf.classify_batch(texts)
+    singles = [clf.assign_class(t) for t in texts]
+    assert [c for c, _ in batch] == [c for c, _ in singles]
+    assert [p for _, p in batch] == pytest.approx([p for _, p in singles], rel=1e-12)
+
+
+def test_dataset_split_partitions_df(spark):
+    from lucene_spark.classification import dataset_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train, test, cv = dataset_split(docs, test_fraction=0.2, cv_fraction=0.1)
+    n = docs.count()
+    nt, ns, nc = train.count(), test.count(), cv.count()
+    assert nt + ns + nc == n  # disjoint cover
+    assert abs(ns / n - 0.2) < 0.08 and abs(nc / n - 0.1) < 0.08
+    # determinism across partitionings (the df.sample failure mode)
+    ids_a = {r["doc_id"] for r in test.collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in dataset_split(docs.repartition(7), 0.2, 0.1)[1].collect()
+    }
+    assert ids_a == ids_b
+
+
+def test_confusion_matrix_consistency(spark, reader, corpus):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.classification import confusion_matrix
+
+    clf = SimpleNaiveBayesClassifier(reader, "lang")
+    sample = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        (F.col("doc_id") % 17 == 0) & (F.length("text") > 0)
+    )
+    mdf, metrics = confusion_matrix(clf, sample, class_col="lang")
+    rows = mdf.collect()
+    total = sum(r["n"] for r in rows)
+    assert total == sample.count()
+    correct = sum(r["n"] for r in rows if r["actual"] == r["predicted"])
+    assert metrics["accuracy"] == pytest.approx(correct / total)
+    # every predicted label must equal the classifier's own batch output
+    texts = [(r["text"], r["lang"]) for r in sample.select("text", "lang").collect()]
+    preds = clf.classify_batch([t for t, _ in texts])
+    recount = {}
+    for (t, a), (p, _s) in zip(texts, preds):
+        recount[(a, p)] = recount.get((a, p), 0) + 1
+    assert recount == {(r["actual"], r["predicted"]): r["n"] for r in rows}
+    for c, m in metrics["per_class"].items():
+        assert 0.0 <= m["precision"] <= 1.0 and 0.0 <= m["f1"] <= 1.0
