@@ -1,8 +1,23 @@
 from . import query
+from .complex_phrase import parse_complex_phrase
+from .expressions import compile_expression, expression_rescore
 from .parser import parse, parse_multi_field
-from .simple_parser import parse_simple
 from .rescorer import rescore
 from .searcher import IndexSearcher
+from .simple_parser import parse_simple
+from .surround import parse_surround
 from .topk import merge_topk
 
-__all__ = ["query", "parse", "parse_multi_field", "parse_simple", "rescore", "IndexSearcher", "merge_topk"]
+__all__ = [
+    "query",
+    "parse",
+    "parse_multi_field",
+    "parse_simple",
+    "parse_complex_phrase",
+    "parse_surround",
+    "compile_expression",
+    "expression_rescore",
+    "rescore",
+    "IndexSearcher",
+    "merge_topk",
+]

@@ -19,6 +19,7 @@ object storage too — reads are O(posting lists touched), not O(index).
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -34,6 +35,70 @@ from .search import query as Q
 from .search.parser import parse
 from .search.topk import merge_topk
 from .search.wand import maxscore_kernel
+
+_PRED_COND_RE = re.compile(
+    r"""^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*
+        (?:
+          (?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)
+        | [Bb][Ee][Tt][Ww][Ee][Ee][Nn]\s+(?P<lo>-?\d+(?:\.\d+)?)\s+
+          [Aa][Nn][Dd]\s+(?P<hi>-?\d+(?:\.\d+)?)
+        | [Ii][Nn]\s*\(\s*(?P<set>'[^']*'(?:\s*,\s*'[^']*')*)\s*\)
+        )\s*$""",
+    re.VERBOSE,
+)
+
+
+def _lit_value(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok or "e" in tok.lower() else int(tok)
+
+
+def _predicate_expr(predicate: str):
+    """Small SQL-predicate -> pyarrow compute expression compiler for the
+    serve tier (conjunctions of col-op-literal / BETWEEN / IN). Anything
+    richer (OR, parens, functions, column-vs-column) raises — those
+    shapes belong on the Spark path where Catalyst owns the predicate."""
+    if re.search(r"\(|\)", predicate) and not re.search(r"[Ii][Nn]\s*\(", predicate):
+        raise NotImplementedError(f"unsupported serve filter: {predicate!r}")
+    if re.search(r"\s[Oo][Rr]\s", predicate):
+        raise NotImplementedError(f"OR filters are not served locally: {predicate!r}")
+    # rewrite BETWEEN before splitting on AND (its inner AND is not a
+    # conjunction boundary)
+    predicate = re.sub(
+        r"([A-Za-z_][A-Za-z0-9_]*)\s+[Bb][Ee][Tt][Ww][Ee][Ee][Nn]\s+"
+        r"(-?\d+(?:\.\d+)?)\s+[Aa][Nn][Dd]\s+(-?\d+(?:\.\d+)?)",
+        r"\1 >= \2 AND \1 <= \3",
+        predicate,
+    )
+    expr = None
+    for cond in re.split(r"\s+[Aa][Nn][Dd]\s+", predicate.strip()):
+        m = _PRED_COND_RE.match(cond)
+        if not m:
+            raise NotImplementedError(f"unsupported serve filter condition: {cond!r}")
+        col = pc.field(m.group("col"))
+        if m.group("op"):
+            lit = _lit_value(m.group("lit"))
+            op = m.group("op")
+            e = {
+                "=": col.__eq__,
+                "!=": col.__ne__,
+                "<>": col.__ne__,
+                "<": col.__lt__,
+                "<=": col.__le__,
+                ">": col.__gt__,
+                ">=": col.__ge__,
+            }[op](lit)
+        elif m.group("set") is not None:
+            vals = [_lit_value(v.strip()) for v in m.group("set").split(",")]
+            e = col.isin(vals)
+        else:
+            e = (col >= _lit_value(m.group("lo"))) & (col <= _lit_value(m.group("hi")))
+        expr = e if expr is None else (expr & e)
+    if expr is None:
+        raise NotImplementedError(f"empty serve filter: {predicate!r}")
+    return expr
+
 
 def _edit_distance_capped(a: str, b: str, cap: int) -> int:
     """Levenshtein with early exit at > cap (DirectSpellChecker bound)."""
@@ -122,6 +187,59 @@ class LocalSearcher:
         agg = pdf.groupby("term")[["doc_freq", "total_term_freq"]].sum()
         return {t: (int(r["doc_freq"]), int(r["total_term_freq"])) for t, r in agg.iterrows()}
 
+    def _filter_docs(self, predicate: str) -> dict[str, "np.ndarray"]:
+        """Matching (seg -> sorted doc array) for a structured filter
+        predicate, evaluated by a PUSHED pyarrow parquet filter over the
+        docs table (row-group stats pruning — the same access path the
+        Spark DocValuesQuery scan gets from Catalyst).
+
+        Supported predicate grammar (serve-tier subset; anything else
+        belongs on the Spark path): conjunctions of ``col OP literal``
+        (=, !=, <>, <, <=, >, >=), ``col BETWEEN a AND b``, and
+        ``col IN ('a', 'b', ...)``."""
+        if any(s.get("dv_gen") for s in self.segments):
+            raise NotImplementedError(
+                "LocalSearcher filters do not see doc-values update "
+                "overlays; use the Spark IndexSearcher on updated indexes"
+            )
+        expr = _predicate_expr(predicate)
+        out: dict[str, np.ndarray] = {}
+        for dset in self._doc_datasets:
+            t = dset.to_table(
+                columns=["seg", "doc"],
+                filter=expr & pc.field("seg").isin(self.seg_names),
+            )
+            pdf = t.to_pandas()
+            for seg, g in pdf.groupby("seg", sort=False):
+                arr = np.sort(g["doc"].to_numpy(np.int64))
+                prev = out.get(seg)
+                out[seg] = np.union1d(prev, arr) if prev is not None else arr
+        return out
+
+    def _filters_to_exclusions(self, filters: list, field: str) -> dict:
+        """FILTER inclusion sets -> per-segment exclusion arrays (the
+        kernel's deletes contract): exclude = segment complement of the
+        filters' intersection, unioned with tombstones."""
+        include: dict[str, np.ndarray] | None = None
+        for f in filters:
+            m = self._filter_docs(f.predicate)
+            if include is None:
+                include = m
+            else:
+                include = {
+                    s: np.intersect1d(include[s], m[s])
+                    for s in include
+                    if s in m
+                }
+        exclude = {s: t.copy() for s, t in self.deletes.items()}
+        for s in self.segments:
+            seg = s["name"]
+            inc = (include or {}).get(seg, np.empty(0, np.int64))
+            comp = np.setdiff1d(np.arange(s["max_doc"], dtype=np.int64), inc)
+            prev = exclude.get(seg)
+            exclude[seg] = np.union1d(prev, comp) if prev is not None else comp
+        return exclude
+
     def _urls(self, hits: list[tuple[str, int]]) -> dict:
         """(seg, doc) -> url via filtered parquet reads (k rows)."""
         by_seg: dict[str, list[int]] = {}
@@ -154,6 +272,30 @@ class LocalSearcher:
         if isinstance(q, str):
             q = parse(q)
         q = Q.rewrite(q, None, field)
+        # structured FILTER clauses (DocValuesQuery / IndexOrDocValuesQuery)
+        # are peeled off here and served as a pushed pyarrow docs-table
+        # filter; the remaining scoring boolean runs the normal kernel with
+        # the filter complement folded into its exclusion sets
+        dv_filters: list = []
+        if isinstance(q, Q.BooleanQuery):
+            rest = []
+            for c in q.clauses:
+                if c.occur == Q.FILTER and isinstance(
+                    c.query, (Q.DocValuesQuery, Q.IndexOrDocValuesQuery)
+                ):
+                    dv_filters.append(c.query)
+                else:
+                    rest.append(c)
+            if dv_filters:
+                if not rest:
+                    return self._search_docvalues_only(dv_filters, k, score=0.0)
+                q = Q.BooleanQuery(tuple(rest), q.minimum_should_match, q.boost)
+        if isinstance(q, (Q.DocValuesQuery, Q.IndexOrDocValuesQuery)):
+            return self._search_docvalues_only([q], k, score=float(q.boost))
+        if isinstance(q, Q.ConstantScoreQuery) and isinstance(
+            q.query, (Q.DocValuesQuery, Q.IndexOrDocValuesQuery)
+        ):
+            return self._search_docvalues_only([q.query], k, score=float(q.boost))
         if isinstance(q, Q.PhraseQuery):
             return self._search_phrase(q, k, field)
         if isinstance(q, Q.SynonymQuery):
@@ -208,8 +350,12 @@ class LocalSearcher:
         if not scorers or any(t not in scorers for t in info["must"]):
             return []
         # MUST_NOT: decode excluded terms into per-seg doc sets, merge with
-        # tombstones, and hand them to the kernel as extra "deletes"
-        exclude = {s: t.copy() for s, t in self.deletes.items()}
+        # tombstones (and any structured-filter complements), and hand them
+        # to the kernel as extra "deletes"
+        if dv_filters:
+            exclude = self._filters_to_exclusions(dv_filters, field)
+        else:
+            exclude = {s: t.copy() for s, t in self.deletes.items()}
         if info["must_not"]:
             nblocks = self._blocks([t for t in info["must_not"]], field)
             from .codecs.docblocks import decode_doc_block
@@ -246,6 +392,29 @@ class LocalSearcher:
         return [
             (urls[gdoc_to_segdoc[g]], s, g) for s, g in merged
         ]
+
+    def _search_docvalues_only(self, filters: list, k: int, score: float):
+        """Filter-only query: the filters' intersection with constant
+        score, ties by global doc order (BooleanWeight's filter-only
+        scorerSupplier semantics on the Spark path)."""
+        include: dict[str, np.ndarray] | None = None
+        for f in filters:
+            m = self._filter_docs(f.predicate)
+            include = m if include is None else {
+                s: np.intersect1d(include[s], m[s]) for s in include if s in m
+            }
+        hits = []
+        for seg in sorted(include or {}):
+            docs = include[seg]
+            tomb = self.deletes.get(seg)
+            if tomb is not None and len(tomb):
+                docs = np.setdiff1d(docs, tomb)
+            base = self.doc_bases[seg]
+            hits.extend((seg, int(d), int(d) + base) for d in docs)
+        hits.sort(key=lambda x: x[2])
+        hits = hits[:k]
+        urls = self._urls([(seg, d) for seg, d, _ in hits])
+        return [(urls[(seg, d)], score, g) for seg, d, g in hits]
 
     def _search_synonym(self, q, k: int, field: str):
         """SynonymQuery serving (reference search/SynonymQuery.java

@@ -35,6 +35,33 @@ def main():
 
     sorted_top_hits_indexed(s, parse("table"), "length", k=10).explain("formatted")
 
+    print("=" * 70, "\npoints box-search plan (PLANS.md §10, Z-order pushdown):")
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.points import DimSpec, PointsIndex
+
+    proot = root + "_points"
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").withColumn(
+        "ymod", F.col("doc_id") % 256
+    )
+    PointsIndex.build(
+        spark, docs, proot,
+        [DimSpec("n_chars", 0, 4096), DimSpec("ymod", 0, 255)],
+        bits=10, build_id="p0",
+    )
+    PointsIndex(spark, proot).box_search(
+        {"n_chars": (100, 300), "ymod": (32, 96)}
+    ).explain("formatted")
+
+    print("=" * 70, "\nIndexOrDocValues verification-path plan (PLANS.md §11):")
+    from lucene_spark.search import query as Q
+
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "merge")),
+        (Q.FILTER, Q.IndexOrDocValuesQuery("lang = 'en'")),
+    )
+    s.search(q, k=10, mode="exhaustive").explain("formatted")
+
 
 if __name__ == "__main__":
     main()

@@ -145,3 +145,63 @@ def test_serve_dismax_matches_spark(local, spark_searcher):
         ]
         got = [(u, float(np.float32(s))) for u, s, _ in local.search(q, k=10)]
         assert got == want, q
+
+
+# ---- structured FILTER serving (round 4) -----------------------------------
+
+def _dv_bool(term, flt):
+    from lucene_spark.search import query as Q
+
+    return Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", term)), (Q.FILTER, flt)
+    )
+
+
+def test_filtered_boolean_matches_spark(local, spark_searcher):
+    from lucene_spark.search import query as Q
+
+    q = _dv_bool("table", Q.DocValuesQuery("lang = 'en'"))
+    want = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in spark_searcher.search(q, k=10, mode="exhaustive").collect()
+    ]
+    got = [(u, float(np.float32(s))) for u, s, _ in local.search(q, k=10)]
+    assert got == want and got
+
+
+def test_filter_between_and_conjunction(local, spark_searcher):
+    from lucene_spark.search import query as Q
+
+    q = _dv_bool("table", Q.DocValuesQuery("length between 30 and 60 and lang = 'en'"))
+    want = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in spark_searcher.search(q, k=10, mode="exhaustive").collect()
+    ]
+    got = [(u, float(np.float32(s))) for u, s, _ in local.search(q, k=10)]
+    assert got == want
+
+
+def test_filter_only_query_matches_spark(local, spark_searcher):
+    from lucene_spark.search import query as Q
+
+    q = Q.BooleanQuery.build((Q.FILTER, Q.DocValuesQuery("lang = 'de'")))
+    want = [r["url"] for r in spark_searcher.search(q, k=50, mode="exhaustive").collect()]
+    got = [u for u, _, _ in local.search(q, k=50)]
+    assert got == want and got
+
+
+def test_iodv_filter_served_like_docvalues(local):
+    from lucene_spark.search import query as Q
+
+    a = local.search(_dv_bool("table", Q.DocValuesQuery("lang = 'en'")), k=10)
+    b = local.search(_dv_bool("table", Q.IndexOrDocValuesQuery("lang = 'en'")), k=10)
+    assert a == b and a
+
+
+def test_unsupported_filter_shapes_raise(local):
+    from lucene_spark.search import query as Q
+
+    with pytest.raises(NotImplementedError):
+        local.search(_dv_bool("table", Q.DocValuesQuery("lang = 'en' OR lang = 'de'")), k=10)
+    with pytest.raises(NotImplementedError):
+        local.search(_dv_bool("table", Q.DocValuesQuery("upper(lang) = 'EN'")), k=10)
