@@ -339,6 +339,43 @@ def main():
     probes = _np.argsort(-(qm @ ivf.centroids.T), axis=1)[:, :nprobe]
     per_q = [sum(cc.get(int(c), 0) for c in row) / total_rows for row in probes]
     union_rows = sum(cc.get(int(c), 0) for c in {int(c) for row in probes for c in row})
+    # points (BKD analogue): Z-order box query over the amplified corpus
+    # doc table — timing + the EXACT row fraction the Morton cover admits
+    # before the re-check (the row-group-skip claim, measured)
+    from lucene_spark.index.points import DimSpec, PointsIndex, morton_cover
+
+    ppath = f"/tmp/lucene_spark_bench_points_{REPLICAS}"
+    pdocs = pages_q.select(
+        F.substring("url", 25, 12).cast("long").alias("doc_id"),
+        F.length("text").alias("n_chars"),
+    ).withColumn("ymod", F.col("doc_id") % 256)
+    _sh.rmtree(ppath, ignore_errors=True)
+    t0 = time.time()
+    PointsIndex.build(
+        spark, pdocs, ppath,
+        [DimSpec("n_chars", 0, 8192), DimSpec("ymod", 0, 255)],
+        bits=10, build_id="bench",
+    )
+    t_pts_build = time.time() - t0
+    pts = PointsIndex(spark, ppath)
+    box = {"n_chars": (100, 400), "ymod": (32, 64)}
+    t_box = float("inf")
+    n_in_box = 0
+    for _ in range(2):
+        t0 = time.time()
+        n_in_box = pts.box_search(box, max_ranges=256).count()
+        t_box = min(t_box, time.time() - t0)
+    qlo = tuple(pts._quantize(d, box[d.col][0]) for d in pts.dims)
+    qhi = tuple(pts._quantize(d, box[d.col][1]) for d in pts.dims)
+    cover = morton_cover(qlo, qhi, pts.bits, max_ranges=256)
+    zcol = F.col("morton")
+    zpred = None
+    for a, b in cover:
+        c = zcol.between(a, b)
+        zpred = c if zpred is None else (zpred | c)
+    cover_rows = spark.read.parquet(pts._path).filter(zpred).count()
+    total_pts = spark.read.parquet(pts._path).count()
+
     t_dedup = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -357,6 +394,10 @@ def main():
         "ann_speedup_1q": round(t_brute1 / t_ivf1, 2),
         "ivf_read_fraction_per_query": round(float(_np.mean(per_q)), 4),
         "ivf_read_fraction_16q_union": round(union_rows / total_rows, 4),
+        "points_build_sec": round(t_pts_build, 2),
+        "points_box_sec": round(t_box, 2),
+        "points_box_rows": n_in_box,
+        "points_cover_fraction": round(cover_rows / max(total_pts, 1), 4),
         "dedup_docs": n_docs,
         "dedup_exact_sec": round(t_dedup, 2),
         "dedup_docs_per_sec": round(n_docs / t_dedup, 1),
