@@ -554,7 +554,7 @@ def main():
         result["scaling"] = measure_pair(1, 4, rounds=2, max_rounds=5)
         # the 4->16 pair rides SMT siblings + a shared turbo budget, so
         # green windows are rare — retry a bounded number of times too
-        result["scaling_4_16"] = measure_pair(4, 16, rounds=2, max_rounds=3)
+        result["scaling_4_16"] = measure_pair(4, 16, rounds=2, max_rounds=6)
 
     result["value"] = round(time.time() - total_t0, 2)
     print(json.dumps(result))
