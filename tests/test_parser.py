@@ -143,3 +143,36 @@ def test_fuzzy_default_transpositions():
 
     q = parse("foo~1")
     assert q.transpositions is True
+
+
+def test_parser_flavors_never_crash_unhandled():
+    """Robustness fuzz across ALL four parser flavors: every input either
+    parses to a Query or raises that flavor's documented error type —
+    no unhandled exceptions on garbage (the SimpleQueryParser contract,
+    extended as a crash-safety floor to the stricter flavors)."""
+    import random
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.complex_phrase import parse_complex_phrase
+    from lucene_spark.search.parser import parse
+    from lucene_spark.search.simple_parser import parse_simple
+    from lucene_spark.search.surround import SurroundParseError, parse_surround
+
+    rng = random.Random(42)
+    alphabet = 'ab c("~*?)+-|&:^0123.WN'
+    flavors = [
+        (parse, (Exception,)),  # classic: lenient, skips junk
+        (parse_simple, ()),     # simple: NEVER raises (error-tolerant)
+        (parse_complex_phrase, (ValueError,)),
+        (parse_surround, (SurroundParseError, IndexError, ValueError)),
+    ]
+    for _ in range(400):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for fn, allowed in flavors:
+            try:
+                out = fn(s)
+            except allowed as _e:  # documented failure modes only
+                continue
+            except Exception as e:  # pragma: no cover - the assertion
+                raise AssertionError(f"{fn.__name__}({s!r}) raised {type(e).__name__}: {e}")
+            assert isinstance(out, Q.Query), (fn.__name__, s, out)
