@@ -37,6 +37,7 @@ QUERY_SET = [
     ("q_and2", "table AND scan", "maxscore"),
     ("q_or3_exhaustive", "merge OR window OR spark", "exhaustive"),
     ("q_phrase", '"table scan"', "exhaustive"),
+    ("q_phrase_sloppy", '"table scan"~2', "exhaustive"),
 ]
 
 
