@@ -129,6 +129,21 @@ def morton_cover(
     return merged
 
 
+def coarsen_intervals(
+    intervals: list[tuple[int, int]], n: int
+) -> list[tuple[int, int]]:
+    """Merge sorted disjoint intervals down to ≤ n by repeatedly closing
+    the SMALLEST gap (loses the least skip selectivity per merge)."""
+    ivs = list(intervals)
+    while len(ivs) > n:
+        gi = min(
+            range(len(ivs) - 1), key=lambda i: ivs[i + 1][0] - ivs[i][1]
+        )
+        ivs[gi] = (ivs[gi][0], ivs[gi + 1][1])
+        del ivs[gi + 1]
+    return ivs
+
+
 class PointsIndex:
     """Catalog-backed persisted points table (same snapshot semantics as
     the inverted/IVF indexes: atomic rebuild, point-in-time reads)."""
@@ -206,19 +221,31 @@ class PointsIndex:
         self,
         ranges: dict[str, tuple[float, float]],
         max_ranges: int = 64,
+        max_push_ranges: int = 8,
     ) -> DataFrame:
         """All points inside the (closed) per-dim ranges — the
         PointRangeQuery box. Dims omitted from ``ranges`` are unbounded.
-        Returns the points rows (id + dim columns)."""
+        Returns the points rows (id + dim columns).
+
+        The pushed predicate is a COARSENED cover (≤ ``max_push_ranges``
+        intervals): Spark re-evaluates pushed filters per ROW after the
+        row-group skip, so a fine K-interval disjunction costs O(K) per
+        admitted row for no extra correctness — the exact per-dim
+        re-check (below) is what makes results right, the Z-intervals
+        only exist to skip row groups, and on a morton-SORTED table a
+        handful of coarse intervals skips almost as many groups as the
+        fine cover (row groups are contiguous morton slices). The fine
+        cover (``max_ranges``) still bounds the coarsening input."""
         qlo, qhi = [], []
         for d in self.dims:
             lo, hi = ranges.get(d.col, (d.lo, d.hi))
             qlo.append(self._quantize(d, lo))
             qhi.append(self._quantize(d, hi))
         cover = morton_cover(tuple(qlo), tuple(qhi), self.bits, max_ranges)
+        pushed = coarsen_intervals(cover, max_push_ranges)
         scan = self.spark.read.parquet(self._path)
         zpred = None
-        for a, b in cover:
+        for a, b in pushed:
             c = F.col("morton").between(F.lit(a), F.lit(b))
             zpred = c if zpred is None else (zpred | c)
         out = scan.filter(zpred) if zpred is not None else scan

@@ -36,6 +36,18 @@ def test_morton_cover_full_box_is_one_range():
     assert morton_cover((0, 0), (63, 63), 6) == [(0, 4095)]
 
 
+def test_coarsen_intervals_merges_smallest_gaps_first():
+    from lucene_spark.index.points import coarsen_intervals
+
+    ivs = [(0, 10), (12, 20), (100, 110), (112, 130), (500, 501)]
+    out = coarsen_intervals(ivs, 3)
+    assert out == [(0, 20), (100, 130), (500, 501)]
+    # coarsening only widens coverage, never drops any original interval
+    for a, b in ivs:
+        assert any(ca <= a and b <= cb for ca, cb in out)
+    assert coarsen_intervals(ivs, 10) == ivs  # no-op when under budget
+
+
 @pytest.fixture(scope="module")
 def pts(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("points"))
