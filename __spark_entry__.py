@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["points_box"] = _pq_points_box
     q["complex_phrase"] = _pq_complex_phrase
     q["surround_near"] = _pq_surround_near
+    q["xml_query"] = _pq_xml_query
     q["fuzzy_edit1"] = _pq_fuzzy
     q["fuzzy_transposed"] = _q("tabel~1", mode="exhaustive")
     q["spell_suggest_topk"] = _pq_spell_suggest
@@ -293,8 +294,10 @@ _R3_DRIVER_CHECKED = [
     # five facet oracles remain in-window for their families)
     "suggest_infix", "facet_percentiles_lang",
     # fuzzy_transposed (Damerau, the r4-critical case) stays in-window;
-    # interval_near + interval_not_containing cover the intervals family
-    "fuzzy_edit1", "interval_or_near",
+    # interval_near + interval_not_containing cover the intervals family;
+    # term_in_set's constant-score-union family is driver-proven via
+    # prefix_constant/term_range (r1-r3) and wildcard_heavy stays in
+    "fuzzy_edit1", "interval_or_near", "term_in_set",
 ]
 
 
@@ -1476,6 +1479,26 @@ def _pq_surround_near(spark, sf_dir):
     )
 
 
+def _pq_xml_query(spark, sf_dir):
+    """XML query parser (reference queryparser/xml CoreParser): a
+    SHOULD-boolean with a boosted clause expressed as an element tree."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search.xml_parser import parse_xml
+
+    s = _searcher(spark, sf_dir)
+    q = parse_xml(
+        '<BooleanQuery fieldName="text">'
+        '<Clause occurs="should"><TermQuery>merge</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery boost="3">window</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_fuzzy(spark, sf_dir):
     """FuzzyQuery (edit distance <= 1, constant-score rewrite)."""
     return _hits_df(_searcher(spark, sf_dir), "tabl~1", mode="exhaustive")
@@ -2325,6 +2348,7 @@ WHERE d.lang = 'en'
 ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
 """
     )
+    o["xml_query"] = _bm25_term_sql([("merge", 1.0), ("window", 3.0)], k=K)
     base_m = _bm25_term_sql([("merge", 1.0)], k=K)
     o["iodv_verified_filter"] = (
         base_m.split("SELECT doc_id, round")[0]

@@ -6,6 +6,7 @@ from .rescorer import rescore
 from .searcher import IndexSearcher
 from .simple_parser import parse_simple
 from .surround import parse_surround
+from .xml_parser import parse_xml
 from .topk import merge_topk
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "parse_simple",
     "parse_complex_phrase",
     "parse_surround",
+    "parse_xml",
     "compile_expression",
     "expression_rescore",
     "rescore",

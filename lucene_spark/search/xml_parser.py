@@ -1,0 +1,160 @@
+"""XML query parser (reference queryparser/xml/CoreParser.java and its
+builders/ package): a query expressed as an XML element tree, one element
+type per Query class, with ``boost`` attributes on any element and
+``fieldName`` inherited from ancestor elements
+(DOMUtils.getAttributeWithInheritanceOrFail).
+
+Supported elements (the CoreParser core set):
+
+- ``<TermQuery fieldName=..>text</TermQuery>`` — raw term (not analyzed,
+  TermQueryBuilder semantics)
+- ``<TermsQuery fieldName=.. minimumNumberShouldMatch=..>text</TermsQuery>``
+  — analyzed text, one SHOULD TermQuery per token (TermsQueryBuilder)
+- ``<BooleanQuery minimumNumberShouldMatch=..><Clause occurs=should|must|
+  mustNot|filter>..one query..</Clause>...</BooleanQuery>``
+- ``<DisjunctionMaxQuery tieBreaker=..>..queries..</DisjunctionMaxQuery>``
+- ``<ConstantScoreQuery>..one query..</ConstantScoreQuery>``
+- ``<MatchAllDocsQuery/>``
+- ``<RangeQuery fieldName=.. lowerTerm=.. upperTerm=.. includeLower=..
+  includeUpper=../>`` (term range, RangeQueryBuilder)
+- ``<PointRangeQuery fieldName=.. lowerTerm=.. upperTerm=../>`` — numeric
+  range served by the doc-values column scan (PointRangeQueryBuilder)
+- ``<UserQuery fieldName=..>classic syntax</UserQuery>`` — delegates to
+  the classic parser (UserInputQueryBuilder)
+
+Span/LikeThis/FuzzyLikeThis/BoostingTerm builders are scoped out (span
+position semantics live in the intervals module; use IntervalSourceQuery
+directly) — using one raises ``XmlParseError``."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from ..analysis.analyzer import analyzer_for
+from . import query as Q
+from .parser import parse as _classic_parse
+
+__all__ = ["XmlParseError", "parse_xml"]
+
+_UNSUPPORTED = {
+    "SpanTerm", "SpanNear", "SpanOr", "SpanOrTerms", "SpanFirst", "SpanNot",
+    "SpanPositionRange", "LikeThisQuery", "FuzzyLikeThisQuery", "BoostingTermQuery",
+}
+
+
+class XmlParseError(ValueError):
+    """Reference throws ParserException."""
+
+
+def _attr_bool(e, name: str, default: bool) -> bool:
+    v = e.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("true", "yes", "1")
+
+
+def _field(e, inherited: str | None, default_field: str) -> str:
+    return e.get("fieldName") or inherited or default_field
+
+
+def _text_or_fail(e) -> str:
+    t = (e.text or "").strip()
+    if not t:
+        raise XmlParseError(f"<{e.tag}> requires non-blank text")
+    return t
+
+
+def _boost(e, q: Q.Query) -> Q.Query:
+    b = float(e.get("boost", "1"))
+    return Q._apply_boost(q, b) if b != 1.0 else q
+
+
+class _XmlParser:
+    def __init__(self, default_field: str, analyzer):
+        self.default_field = default_field
+        self.analyzer = analyzer
+
+    def build(self, e, inherited_field: str | None = None) -> Q.Query:
+        tag = e.tag
+        if tag in _UNSUPPORTED:
+            raise XmlParseError(
+                f"<{tag}> is in the reference CoreParser but scoped out here "
+                "(span shapes map to the intervals module)"
+            )
+        fld = _field(e, inherited_field, self.default_field)
+        if tag == "TermQuery":
+            return _boost(e, Q.TermQuery(fld, _text_or_fail(e)))
+        if tag == "TermsQuery":
+            toks = self.analyzer.tokens(_text_or_fail(e))
+            clauses = tuple(
+                Q.BooleanClause(Q.SHOULD, Q.TermQuery(fld, t.term)) for t in toks
+            )
+            msm = int(e.get("minimumNumberShouldMatch", "0"))
+            return _boost(e, Q.BooleanQuery(clauses, msm))
+        if tag == "BooleanQuery":
+            clauses = []
+            for child in e:
+                if child.tag != "Clause":
+                    continue
+                occs = (child.get("occurs") or "should").strip()
+                occur = {
+                    "should": Q.SHOULD,
+                    "must": Q.MUST,
+                    "mustnot": Q.MUST_NOT,
+                    "filter": Q.FILTER,
+                }.get(occs.lower())
+                if occur is None:
+                    raise XmlParseError(f"invalid occurs value {occs!r}")
+                subs = list(child)
+                if len(subs) != 1:
+                    raise XmlParseError("<Clause> requires exactly one child query")
+                clauses.append(
+                    Q.BooleanClause(occur, self.build(subs[0], fld))
+                )
+            msm = int(e.get("minimumNumberShouldMatch", "0"))
+            return _boost(e, Q.BooleanQuery(tuple(clauses), msm))
+        if tag == "DisjunctionMaxQuery":
+            disjuncts = tuple(self.build(c, fld) for c in e)
+            tie = float(e.get("tieBreaker", "0"))
+            return _boost(e, Q.DisjunctionMaxQuery(disjuncts, tie))
+        if tag == "ConstantScoreQuery":
+            subs = list(e)
+            if len(subs) != 1:
+                raise XmlParseError("<ConstantScoreQuery> requires one child query")
+            return Q.ConstantScoreQuery(self.build(subs[0], fld), float(e.get("boost", "1")))
+        if tag == "MatchAllDocsQuery":
+            return _boost(e, Q.MatchAllDocsQuery())
+        if tag == "RangeQuery":
+            return _boost(
+                e,
+                Q.TermRangeQuery(
+                    fld,
+                    e.get("lowerTerm"),
+                    e.get("upperTerm"),
+                    _attr_bool(e, "includeLower", True),
+                    _attr_bool(e, "includeUpper", True),
+                ),
+            )
+        if tag == "PointRangeQuery":
+            lo, hi = e.get("lowerTerm"), e.get("upperTerm")
+            if lo is None and hi is None:
+                raise XmlParseError("<PointRangeQuery> requires lowerTerm or upperTerm")
+            conds = []
+            if lo is not None:
+                conds.append(f"{fld} >= {float(lo)!r}")
+            if hi is not None:
+                conds.append(f"{fld} <= {float(hi)!r}")
+            return _boost(e, Q.DocValuesQuery(" AND ".join(conds)))
+        if tag == "UserQuery":
+            return _boost(e, _classic_parse(_text_or_fail(e), default_field=fld))
+        raise XmlParseError(f"unknown query element <{tag}>")
+
+
+def parse_xml(
+    xml_string: str, default_field: str = "text", analyzer: str = "standard"
+) -> Q.Query:
+    try:
+        root = ET.fromstring(xml_string)
+    except ET.ParseError as e:
+        raise XmlParseError(f"malformed XML: {e}") from e
+    return _XmlParser(default_field, analyzer_for(analyzer)).build(root)

@@ -1,0 +1,95 @@
+"""XML query parser (reference queryparser/xml CoreParser + builders):
+AST shape vectors, fieldName inheritance, and search parity against the
+classic parser / direct AST on the same index."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import parse
+from lucene_spark.search import query as Q
+from lucene_spark.search.xml_parser import XmlParseError, parse_xml
+
+
+def test_boolean_clause_shapes():
+    q = parse_xml(
+        """
+        <BooleanQuery fieldName="text" minimumNumberShouldMatch="1">
+          <Clause occurs="must"><TermQuery>table</TermQuery></Clause>
+          <Clause occurs="should"><TermQuery boost="2">scan</TermQuery></Clause>
+          <Clause occurs="mustNot"><TermQuery>merge</TermQuery></Clause>
+          <Clause occurs="filter">
+            <PointRangeQuery fieldName="length" lowerTerm="10" upperTerm="90"/>
+          </Clause>
+        </BooleanQuery>"""
+    )
+    assert [c.occur for c in q.clauses] == [Q.MUST, Q.SHOULD, Q.MUST_NOT, Q.FILTER]
+    assert q.minimum_should_match == 1
+    assert q.clauses[1].query.boost == 2.0
+    assert isinstance(q.clauses[3].query, Q.DocValuesQuery)
+    assert "length >= 10.0" in q.clauses[3].query.predicate
+
+
+def test_field_inheritance_and_override():
+    q = parse_xml(
+        '<DisjunctionMaxQuery fieldName="head" tieBreaker="0.3">'
+        "<TermQuery>a</TermQuery>"
+        '<TermQuery fieldName="text">b</TermQuery>'
+        "</DisjunctionMaxQuery>"
+    )
+    assert q.disjuncts[0].field == "head" and q.disjuncts[1].field == "text"
+    assert q.tie_breaker == 0.3
+
+
+def test_terms_query_analyzes_text():
+    q = parse_xml(
+        '<TermsQuery fieldName="text" minimumNumberShouldMatch="2">Table SCAN merge</TermsQuery>'
+    )
+    assert [c.query.term for c in q.clauses] == ["table", "scan", "merge"]
+    assert q.minimum_should_match == 2
+
+
+def test_range_and_user_query():
+    q = parse_xml('<RangeQuery fieldName="text" lowerTerm="table" upperTerm="tap" includeUpper="false"/>')
+    assert q == Q.TermRangeQuery("text", "table", "tap", True, False)
+    u = parse_xml('<UserQuery fieldName="text">"table scan"~2</UserQuery>')
+    assert isinstance(u, Q.PhraseQuery) and u.slop == 2
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["<SpanNear/>", "<Nope/>", "not xml", "<TermQuery/>",
+     "<BooleanQuery><Clause occurs='perhaps'><TermQuery>a</TermQuery></Clause></BooleanQuery>",
+     "<ConstantScoreQuery></ConstantScoreQuery>"],
+)
+def test_errors(bad):
+    with pytest.raises(XmlParseError):
+        parse_xml(bad)
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    from lucene_spark.search import IndexSearcher
+
+    return IndexSearcher(reader)
+
+
+def _hits(searcher, q, k=10):
+    rows = searcher.search(q, k=k, mode="exhaustive").select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_search_parity_with_classic(searcher):
+    xml = (
+        '<BooleanQuery fieldName="text">'
+        '<Clause occurs="must"><TermQuery>table</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery boost="2">scan</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    got = _hits(searcher, parse_xml(xml))
+    want = _hits(searcher, parse("+table scan^2"))
+    assert got == want and got
+
+
+def test_constant_score_and_match_all(searcher):
+    got = _hits(searcher, parse_xml('<ConstantScoreQuery boost="3"><MatchAllDocsQuery/></ConstantScoreQuery>'), k=5)
+    assert got and all(s == 3.0 for _, s in got)
