@@ -2383,17 +2383,31 @@ SELECT lang, count(*) AS sample_count,
        CAST(round(count(*) / 0.25) AS BIGINT) AS est_count
 FROM s GROUP BY lang ORDER BY lang
 """
+    # integer-exact interpolation (mirrors facets.facet_percentiles):
+    # p=num/den -> interpolate order stats lo=(num*(n-1))//den and lo+1
+    # with weight rem=(num*(n-1))%den; ONE final float division, so the
+    # round(,4) value is order-independent and engine-portable
+    _pctl_terms = []
+    for _lbl, _num, _den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        _pctl_terms.append(
+            f"""round(sum(CASE WHEN rn = ({_num}*(n-1))//{_den}
+                 THEN n_tokens*({_den} - ({_num}*(n-1))%{_den})
+                 WHEN rn = ({_num}*(n-1))//{_den} + 1 AND ({_num}*(n-1))%{_den} > 0
+                 THEN n_tokens*(({_num}*(n-1))%{_den})
+                 ELSE 0 END)::DOUBLE / {_den}, 4) AS {_lbl}"""
+        )
     o["facet_percentiles_lang"] = f"""
 WITH tok AS ({_TOK}),
 hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
-lens AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+lens AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+v AS (SELECT lang, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM hit JOIN lens USING (doc_id))
 SELECT lang,
-       round(quantile_cont(n_tokens, 0.5), 4) AS p50,
-       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
-       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+       {', '.join(_pctl_terms)},
        count(*) AS n_hits
-FROM hit JOIN lens USING (doc_id)
-GROUP BY lang ORDER BY lang
+FROM v GROUP BY lang ORDER BY lang
 """
     msm_base = _bm25_term_sql([("merge", 1.0), ("window", 1.0), ("spark", 1.0)], k=K)
     o["bool_min_should_match"] = (
@@ -3018,7 +3032,7 @@ FROM documents
 SELECT 'h' || (doc_id % 7) || '.example.com' AS host,
        count(*) AS n_docs,
        sum(length(text)) AS total_chars,
-       round(avg(length(text)), 4) AS mean_chars
+       round(sum(length(text))::DOUBLE / count(*), 4) AS mean_chars
 FROM documents GROUP BY 1
 """
     o["facet_stats_lang"] = f"""
@@ -3026,7 +3040,7 @@ WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
 hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
 SELECT d.lang AS label, count(*) AS count, sum(dl.len) AS sum_value,
-       round(avg(dl.len), 4) AS mean_value_r
+       round(sum(dl.len)::DOUBLE / count(*), 4) AS mean_value_r
 FROM hit JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
 GROUP BY 1
 """

@@ -35,8 +35,8 @@ def _class_term_stats(reader, class_col: str, field: str = "text"):
     """(class, term) -> docs-containing counts plus per-class doc counts,
     computed in one distributed pass over the docs table. Returns
     (class_term_df, class_counts, avg_unique_terms_per_doc, n_docs)."""
-    docs = reader.docs(["seg", "doc", class_col, "terms", "length"])
-    docs = docs.filter(F.col(class_col).isNotNull())
+    docs_all = reader.docs(["seg", "doc", class_col, "terms", "length"])
+    docs = docs_all.filter(F.col(class_col).isNotNull())
     # per (class, term): number of docs of that class containing the term
     ct = (
         docs.select(class_col, F.explode(F.array_distinct("terms")).alias("term"))
@@ -48,8 +48,12 @@ def _class_term_stats(reader, class_col: str, field: str = "text"):
         for r in docs.groupBy(class_col).agg(F.count("*").alias("n")).collect()
     }
     # sumDocFreq / docCount of the text field (getTextTermFreqForClass):
-    # total distinct (doc, term) pairs over docs with at least one token
-    agg = docs.select(
+    # total distinct (doc, term) pairs over docs with at least one token.
+    # WHOLE-INDEX stats (reference Terms.getSumDocFreq/getDocCount are
+    # field-level, class-blind) — only the per-class counts and priors
+    # above are restricted to labeled docs; restricting these too would
+    # diverge on any corpus with unlabeled docs.
+    agg = docs_all.select(
         F.sum(F.size(F.array_distinct("terms"))).alias("postings"),
         F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
     ).collect()[0]

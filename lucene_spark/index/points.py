@@ -212,9 +212,21 @@ class PointsIndex:
             note=f"points build {build_id}",
         )
 
-    def _quantize(self, dim: DimSpec, v: float) -> int:
+    def _quantize(self, dim: DimSpec, v: float, side: str = "lo") -> int:
+        """Quantize a QUERY bound conservatively: floor for the lower
+        bound, ceil for the upper. The build side (`_quant_col`) rounds
+        HALF_UP via Spark's F.round; a query bound rounded with a
+        different tie rule could land one cell short and prune a point
+        sitting exactly on a .5 scaled boundary BEFORE the exact per-dim
+        re-check (silent missing hit). floor/ceil always covers every
+        build cell of an in-range value (floor(s+0.5) ≤ ceil(s) and
+        ≥ floor(s)); the ≤1 cell of over-coverage per side is removed by
+        the exact re-check."""
+        import math
+
         span = dim.hi - dim.lo
-        q = round((v - dim.lo) / span * ((1 << self.bits) - 1))
+        scaled = (v - dim.lo) / span * ((1 << self.bits) - 1)
+        q = math.floor(scaled) if side == "lo" else math.ceil(scaled)
         return max(0, min((1 << self.bits) - 1, int(q)))
 
     def box_search(
@@ -239,8 +251,8 @@ class PointsIndex:
         qlo, qhi = [], []
         for d in self.dims:
             lo, hi = ranges.get(d.col, (d.lo, d.hi))
-            qlo.append(self._quantize(d, lo))
-            qhi.append(self._quantize(d, hi))
+            qlo.append(self._quantize(d, lo, "lo"))
+            qhi.append(self._quantize(d, hi, "hi"))
         cover = morton_cover(tuple(qlo), tuple(qhi), self.bits, max_ranges)
         pushed = coarsen_intervals(cover, max_push_ranges)
         scan = self.spark.read.parquet(self._path)

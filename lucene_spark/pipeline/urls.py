@@ -76,6 +76,10 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("_len").alias("total_chars"),
-            F.round(F.avg("_len"), 4).alias("mean_chars"),
+        )
+        # derived mean: one division of exact integers (order-independent,
+        # engine-portable) instead of a summation-order-dependent avg()
+        .withColumn(
+            "mean_chars", F.round(F.col("total_chars") / F.col("n_docs"), 4)
         )
     )

@@ -51,6 +51,18 @@ _UNSUPPORTED = {"<<", ">>", ">>>", "&", "^", "|", "~"}
 # JavascriptCompiler.DEFAULT_FUNCTIONS (the Math.* surface + haversin).
 _EARTH_MEAN_RADIUS_M = 6_371_008.7714  # reference util/SloppyMath.java
 
+def _ieee_div(l: str, r: str) -> str:
+    """Portable division with the reference's JS/IEEE zero-divisor
+    semantics (see the '/' renderer below)."""
+    return (
+        f"(CASE WHEN {r} = 0 THEN "
+        f"CASE WHEN {l} > 0 THEN CAST('Infinity' AS DOUBLE) "
+        f"WHEN {l} < 0 THEN CAST('-Infinity' AS DOUBLE) "
+        f"ELSE CAST('NaN' AS DOUBLE) END "
+        f"ELSE ({l} / {r}) END)"
+    )
+
+
 _FUNCS: dict[str, tuple[int, "callable"]] = {
     "abs": (1, lambda a: f"abs({a[0]})"),
     # CAST: Spark's ceil/floor return BIGINT (DuckDB returns the arg type);
@@ -61,7 +73,7 @@ _FUNCS: dict[str, tuple[int, "callable"]] = {
     "ln": (1, lambda a: f"ln({a[0]})"),
     "log10": (1, lambda a: f"log10({a[0]})"),
     # logn(base, v) — reference JavascriptCompiler.DEFAULT_FUNCTIONS
-    "logn": (2, lambda a: f"(ln({a[1]}) / ln({a[0]}))"),
+    "logn": (2, lambda a: _ieee_div(f"ln({a[1]})", f"ln({a[0]})")),
     "sqrt": (1, lambda a: f"sqrt({a[0]})"),
     "pow": (2, lambda a: f"power({a[0]}, {a[1]})"),
     "min": (2, lambda a: f"least({a[0]}, {a[1]})"),
@@ -313,6 +325,15 @@ class JsExpression:
             if node[1] == "%":
                 # JS % on doubles == SQL mod() on doubles in both targets
                 return f"mod({l}, {r})"
+            if node[1] == "/":
+                # pin zero-divisor semantics to the reference's JS/IEEE
+                # result (+/-Infinity, 0/0 -> NaN): Spark's non-ANSI '/'
+                # yields NULL there (silently dropping/reordering rows)
+                # while DuckDB yields IEEE inf — render one CASE both
+                # engines evaluate identically. (-0.0 divisors are folded
+                # into the r=0 branch; sign-of-zero is not distinguishable
+                # portably and never matters for ranking formulas.)
+                return _ieee_div(l, r)
             return f"({l} {node[1]} {r})"
         if kind == "cmp":
             l, r = self._sql(node[2], b), self._sql(node[3], b)

@@ -206,20 +206,44 @@ def facet_percentiles(
     module's numeric-distribution aggregation (flat facets give counts;
     this gives exact linear-interpolated quantiles, one hash agg).
 
-    EXACT percentiles (Spark `percentile`, not approx) so results are
-    engine-independent: DuckDB's quantile_cont uses the same
-    interpolation. At 100 TB swap in percentile_approx for one pass with
-    bounded memory — same plan shape, documented trade."""
+    INTEGER-EXACT interpolation: the percentile p = num/den over n sorted
+    values interpolates between order statistics lo = (num*(n-1)) div den
+    and lo+1 with weight rem = (num*(n-1)) mod den, i.e.
+    (v_lo*(den-rem) + v_hi*rem) / den. All arithmetic stays integral until
+    ONE final division, so for integer value columns the result is
+    bit-identical across engines (Spark `percentile` and DuckDB
+    `quantile_cont` each run their own float interpolation, whose last bit
+    can flip a round(,4) half-way boundary). At 100 TB swap in
+    percentile_approx for one pass with bounded memory — same plan shape,
+    documented trade."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
     m = _matches_with_docs(searcher, q, field)
-    plist = ", ".join(str(p) for p in percentiles)
-    expr = F.expr(f"percentile({value_col}, array({plist}))")
     keys = [group_col] if group_col else []
-    agg = m.groupBy(*keys).agg(expr.alias("_p"), F.count("*").alias("n_hits"))
-    cols = keys + [
-        F.round(F.col("_p")[i], 4).alias(f"p{int(p * 100):02d}")
-        for i, p in enumerate(percentiles)
-    ] + [F.col("n_hits")]
-    return agg.select(*cols)
+    w = Window.partitionBy(*keys).orderBy("_v")
+    v = (
+        m.select(*keys, F.col(value_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(*keys)))
+    )
+    aggs = []
+    for p in percentiles:
+        fr = Fraction(str(p))
+        num, den = fr.numerator, fr.denominator
+        lo = F.expr(f"({num} * (_n - 1)) div {den}")
+        rem = F.expr(f"({num} * (_n - 1)) % {den}")
+        contrib = (
+            F.when(F.col("_rn") == lo, F.col("_v") * (F.lit(den) - rem))
+            .when((F.col("_rn") == lo + 1) & (rem > 0), F.col("_v") * rem)
+            .otherwise(F.lit(0))
+        )
+        aggs.append(
+            F.round(F.sum(contrib) / F.lit(den), 4).alias(f"p{int(p * 100):02d}")
+        )
+    aggs.append(F.count("*").alias("n_hits"))
+    return v.groupBy(*keys).agg(*aggs)
 
 
 def sampled_facet_counts(
@@ -391,8 +415,12 @@ def facet_stats(
         .agg(
             F.count("*").alias("count"),
             F.sum(value_col).alias("sum_value"),
-            F.avg(value_col).alias("mean_value"),
         )
+        # mean derived from the exact integer sum/count by ONE float64
+        # division — order-independent, so it is bit-identical across
+        # engines (a running avg() is summation-order-dependent and can
+        # land on the opposite side of a round(,4) half-way boundary)
+        .withColumn("mean_value", F.col("sum_value") / F.col("count"))
     )
 
 

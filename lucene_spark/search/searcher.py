@@ -887,21 +887,31 @@ class IndexSearcher:
         self.last_iodv_paths: list[str] = []
         cand_bounded = bool(parts) and (n_must > 0 or msm > 0)
         cand_est = None
+        doc_count = None
         for sub in groups[Q.FILTER]:
-            if isinstance(sub, Q.IndexOrDocValuesQuery) and cand_bounded:
-                doc_count, _ = self.reader.collection_stats(field)
-                if cand_est is None:
-                    cand_est = self._candidate_estimate(
-                        groups[Q.MUST], groups[Q.SHOULD], field, doc_count
+            if isinstance(sub, Q.IndexOrDocValuesQuery):
+                if not cand_bounded:
+                    # unbounded candidates: verification is unsound, the
+                    # filter must LEAD — record the path so
+                    # last_iodv_paths stays one entry per IODV filter
+                    self.last_iodv_paths.append("index")
+                else:
+                    if doc_count is None:
+                        doc_count, _ = self.reader.collection_stats(field)
+                    if cand_est is None:
+                        cand_est = self._candidate_estimate(
+                            groups[Q.MUST], groups[Q.SHOULD], field, doc_count
+                        )
+                    est_f = (
+                        sub.est_matches
+                        if sub.est_matches is not None
+                        else doc_count // 2
                     )
-                est_f = (
-                    sub.est_matches if sub.est_matches is not None else doc_count // 2
-                )
-                if cand_est < est_f:
-                    verify_preds.append(sub.predicate)
-                    self.last_iodv_paths.append("docvalues")
-                    continue
-                self.last_iodv_paths.append("index")
+                    if cand_est < est_f:
+                        verify_preds.append(sub.predicate)
+                        self.last_iodv_paths.append("docvalues")
+                        continue
+                    self.last_iodv_paths.append("index")
             m = self._match_docs(sub, field)
             fset = m if fset is None else fset.join(m, ["seg", "doc"], "left_semi")
         if parts:

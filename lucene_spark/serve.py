@@ -289,6 +289,21 @@ class LocalSearcher:
             if dv_filters:
                 if not rest:
                     return self._search_docvalues_only(dv_filters, k, score=0.0)
+                # FILTER + SHOULD-only with msm 0: the Spark path
+                # (IndexSearcher._scored_boolean coalesce) keeps
+                # filter-matching docs that hit NO should clause at score
+                # 0, while this kernel only emits docs with >=1 SHOULD
+                # hit — when SHOULD hits < k the two top-k sets differ.
+                # Route that shape to Spark rather than silently
+                # mis-serving it.
+                has_must = any(c.occur == Q.MUST for c in rest)
+                if not has_must and (q.minimum_should_match or 0) == 0:
+                    raise NotImplementedError(
+                        "LocalSearcher does not serve FILTER + SHOULD-only "
+                        "booleans with minimum_should_match=0 (Spark path "
+                        "backfills score-0 filter-only docs); use the Spark "
+                        "IndexSearcher or set minimum_should_match>=1"
+                    )
                 q = Q.BooleanQuery(tuple(rest), q.minimum_should_match, q.boost)
         if isinstance(q, (Q.DocValuesQuery, Q.IndexOrDocValuesQuery)):
             return self._search_docvalues_only([q], k, score=float(q.boost))

@@ -115,6 +115,27 @@ def test_morton_ranges_are_pushed_to_scan(pts):
     assert any("morton" in ln for ln in pushed), pushed[:3]
 
 
+def test_query_bound_on_half_cell_boundary_is_not_pruned(spark, tmp_path_factory):
+    """Build quantization rounds HALF_UP (Spark F.round); a query bound
+    quantized with a different tie rule (Python round = half-even) can
+    land one cell short and prune an exactly-on-boundary point BEFORE
+    the exact re-check. With lo=0, hi=2*(2^bits - 1) every odd value
+    scales to x.5 exactly: v=5 -> scaled 2.5 -> build cell 3, half-even
+    query cell 2 (silent miss). Query bounds must floor/ceil instead."""
+    root = str(tmp_path_factory.mktemp("points_halfcell"))
+    bits = 4
+    dims = [DimSpec("v", 0, 2 * ((1 << bits) - 1))]
+    df = spark.createDataFrame([(i, i) for i in range(31)], "doc_id long, v long")
+    PointsIndex.build(spark, df, root, dims, bits=bits, build_id="h0", num_files=1)
+    pts = PointsIndex(spark, root)
+    for v in (1, 3, 5, 7, 29):  # all odd values sit on a .5 scaled boundary
+        got = [r["doc_id"] for r in pts.box_search({"v": (v, v)}).collect()]
+        assert got == [v], (v, got)
+    # ranges that END on the boundary must include it too
+    got = sorted(r["doc_id"] for r in pts.box_search({"v": (2, 5)}).collect())
+    assert got == [2, 3, 4, 5]
+
+
 def test_rebuild_is_atomic_swap(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("points2"))
     docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").withColumn(

@@ -205,3 +205,25 @@ def test_unsupported_filter_shapes_raise(local):
         local.search(_dv_bool("table", Q.DocValuesQuery("lang = 'en' OR lang = 'de'")), k=10)
     with pytest.raises(NotImplementedError):
         local.search(_dv_bool("table", Q.DocValuesQuery("upper(lang) = 'EN'")), k=10)
+
+
+def test_filter_plus_should_only_msm0_routes_to_spark(local):
+    """FILTER + SHOULD-only with msm 0: the Spark path backfills
+    filter-matching docs at score 0 (BooleanWeight FILTER-is-mandatory
+    semantics); this kernel only emits docs with >=1 SHOULD hit, so the
+    shape must be refused rather than silently under-served."""
+    from lucene_spark.search import query as Q
+
+    q = Q.BooleanQuery.build(
+        (Q.FILTER, Q.DocValuesQuery("lang = 'de'")),
+        (Q.SHOULD, Q.TermQuery("text", "zqnosuchterm")),
+    )
+    with pytest.raises(NotImplementedError):
+        local.search(q, k=10)
+    # msm>=1 makes SHOULD mandatory again — that shape still serves
+    q2 = Q.BooleanQuery.build(
+        (Q.FILTER, Q.DocValuesQuery("lang = 'de'")),
+        (Q.SHOULD, Q.TermQuery("text", "table")),
+        minimum_should_match=1,
+    )
+    assert local.search(q2, k=10)
