@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nb_confusion"] = _pq_nb_confusion
     q["dataset_split_counts"] = _pq_dataset_split
     q["points_box"] = _pq_points_box
+    q["geo_box"] = _pq_geo_box
+    q["geo_distance_topk"] = _pq_geo_distance_topk
+    q["geo_distance_feature"] = _pq_geo_distance_feature
     q["complex_phrase"] = _pq_complex_phrase
     q["surround_near"] = _pq_surround_near
     q["xml_query"] = _pq_xml_query
@@ -1445,6 +1448,77 @@ def _pq_points_box(spark, sf_dir):
     pts = PointsIndex(spark, root)
     out = pts.box_search({"n_chars": (100, 300), "ymod": (32, 96)})
     return out.select("doc_id", "n_chars", "ymod").orderBy("doc_id")
+
+
+# --- geo pack (LatLonPoint analogue) ---------------------------------
+# deterministic synthetic coordinates from doc_id: integer arithmetic
+# then ONE division, so Spark and DuckDB compute the identical double
+_GEO_ORIGIN = (48.85, 2.35)
+_GEO_PIVOT_M = 1_000_000.0
+
+
+def _geo_lat_lon_sql(did_expr: str) -> tuple[str, str]:
+    lat = f"((({did_expr} * 7919) % 18000) / 100.0 - 90.0)"
+    lon = f"((({did_expr} * 104729) % 36000) / 100.0 - 180.0)"
+    return lat, lon
+
+
+def _geo_index(spark, sf_dir):
+    from lucene_spark.search.geo import GeoPointsIndex
+
+    root = _index_root(sf_dir) + "_geo"
+    lat_sql, lon_sql = _geo_lat_lon_sql("doc_id")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .withColumn("lat", F.expr(lat_sql))
+        .withColumn("lon", F.expr(lon_sql))
+    )
+    GeoPointsIndex.build(spark, docs, root, bits=12, build_id="g0")
+    return GeoPointsIndex(spark, root)
+
+
+def _pq_geo_box(spark, sf_dir):
+    """LatLonPoint.newBoxQuery over the Z-order geo index, including the
+    dateline-crossing shape (minLon > maxLon -> two rectangles, ONE
+    pruned scan via the merged Morton cover)."""
+    geo = _geo_index(spark, sf_dir)
+    out = geo.box_search(-5.0, 25.0, 150.0, -150.0)
+    return out.select("doc_id", "lat", "lon").orderBy("doc_id")
+
+
+def _pq_geo_distance_topk(spark, sf_dir):
+    """LatLonPointSortField nearest-k: 10 closest docs to Paris by
+    haversine meters (expanding-radius pruned probes + one top-k)."""
+    geo = _geo_index(spark, sf_dir)
+    lat, lon = _GEO_ORIGIN
+    out = geo.nearest(lat, lon, k=10)
+    return out.select("doc_id", F.round("distance_m", 4).alias("distance_r"))
+
+
+def _pq_geo_distance_feature(spark, sf_dir):
+    """LatLonPointDistanceFeatureQuery: MUST bm25(table) + SHOULD
+    2 * pivot / (pivot + haversineMeters(origin, doc)) — the proximity
+    boost as pure column algebra over url-derived coordinates."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.geo import haversin_sql
+
+    s = _searcher(spark, sf_dir)
+    lat_sql, lon_sql = _geo_lat_lon_sql("cast(substring(url, 25, 12) as bigint)")
+    dist = haversin_sql(*_GEO_ORIGIN, lat_sql, lon_sql)
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (
+            Q.SHOULD,
+            Q.DistanceFeatureQuery(dist, origin=0.0, pivot=_GEO_PIVOT_M, boost=2.0),
+        ),
+    )
+    hits = s.search(q, k=K)
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_complex_phrase(spark, sf_dir):
@@ -3380,6 +3454,37 @@ FROM documents
 WHERE n_chars BETWEEN 100 AND 300 AND (doc_id % 256) BETWEEN 32 AND 96
 ORDER BY doc_id
 """
+    # geo pack: the SAME rendered haversine SQL string drives engine and
+    # oracle (search/geo.py haversin_sql), coordinates derived from doc_id
+    # by integer arithmetic + one division on both sides
+    from lucene_spark.search.geo import haversin_sql as _hav
+
+    _glat, _glon = _geo_lat_lon_sql("doc_id")
+    o["geo_box"] = f"""
+SELECT doc_id, {_glat} AS lat, {_glon} AS lon
+FROM documents
+WHERE {_glat} BETWEEN -5.0 AND 25.0
+  AND ({_glon} >= 150.0 OR {_glon} <= -150.0)
+ORDER BY doc_id
+"""
+    _gdist = _hav(*_GEO_ORIGIN, _glat, _glon)
+    o["geo_distance_topk"] = f"""
+SELECT doc_id, round({_gdist}, 4) AS distance_r
+FROM documents
+ORDER BY {_gdist} ASC, doc_id ASC
+LIMIT 10
+"""
+    _gfactor = f"(2.0 * {_GEO_PIVOT_M!r} / ({_GEO_PIVOT_M!r} + {_gdist.replace('doc_id', 'agg.doc_id')}))"
+    gdf_base = _bm25_term_sql([("table", 1.0)], k=K)
+    o["geo_distance_feature"] = (
+        gdf_base.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id,
+       round(agg.score + {_gfactor}, 4) AS score_r
+FROM agg
+ORDER BY agg.score + {_gfactor} DESC, agg.doc_id ASC
+LIMIT {K}
+"""
+    )
     _knn_qlen = _qlen("dl.len")
     o["knn_classify"] = (
         _BASE.format(qlen=_knn_qlen)

@@ -248,22 +248,57 @@ class PointsIndex:
         handful of coarse intervals skips almost as many groups as the
         fine cover (row groups are contiguous morton slices). The fine
         cover (``max_ranges``) still bounds the coarsening input."""
-        qlo, qhi = [], []
-        for d in self.dims:
-            lo, hi = ranges.get(d.col, (d.lo, d.hi))
-            qlo.append(self._quantize(d, lo, "lo"))
-            qhi.append(self._quantize(d, hi, "hi"))
-        cover = morton_cover(tuple(qlo), tuple(qhi), self.bits, max_ranges)
-        pushed = coarsen_intervals(cover, max_push_ranges)
+        return self.multi_box_search([ranges], max_ranges, max_push_ranges)
+
+    def multi_box_search(
+        self,
+        boxes: list[dict[str, tuple[float, float]]],
+        max_ranges: int = 64,
+        max_push_ranges: int = 8,
+    ) -> DataFrame:
+        """Union of several boxes served by ONE scan: the Z-covers of all
+        boxes are merged, coarsened once and pushed together, then the
+        exact re-check is the OR of the boxes' per-dim predicates. This
+        is the shape a dateline-crossing geo box needs (LatLonPoint's
+        newBoxQuery splits minLon > maxLon into two rectangles —
+        document/LatLonPoint.java) without scanning twice."""
+        cover: list[tuple[int, int]] = []
+        for ranges in boxes:
+            qlo, qhi = [], []
+            for d in self.dims:
+                lo, hi = ranges.get(d.col, (d.lo, d.hi))
+                qlo.append(self._quantize(d, lo, "lo"))
+                qhi.append(self._quantize(d, hi, "hi"))
+            cover.extend(
+                morton_cover(tuple(qlo), tuple(qhi), self.bits, max_ranges)
+            )
+        cover.sort()
+        merged: list[tuple[int, int]] = []
+        for a, b in cover:
+            if merged and a <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
+        pushed = coarsen_intervals(merged, max_push_ranges)
         scan = self.spark.read.parquet(self._path)
         zpred = None
         for a, b in pushed:
             c = F.col("morton").between(F.lit(a), F.lit(b))
             zpred = c if zpred is None else (zpred | c)
         out = scan.filter(zpred) if zpred is not None else scan
-        # exact re-check (Z-cover and quantization both over-cover)
-        for col, (lo, hi) in ranges.items():
-            out = out.filter(F.col(col).cast("double").between(float(lo), float(hi)))
+        # exact re-check (Z-cover and quantization both over-cover):
+        # OR over boxes of the AND of that box's per-dim predicates
+        bpred = None
+        for ranges in boxes:
+            p = None
+            for col, (lo, hi) in ranges.items():
+                c = F.col(col).cast("double").between(float(lo), float(hi))
+                p = c if p is None else (p & c)
+            if p is None:
+                p = F.lit(True)
+            bpred = p if bpred is None else (bpred | p)
+        if bpred is not None:
+            out = out.filter(bpred)
         return out.drop("morton")
 
     def count(self, ranges: dict[str, tuple[float, float]]) -> int:

@@ -1,0 +1,228 @@
+"""LatLonPoint analogue: geo box / distance / nearest-k queries and
+proximity boosting over the Z-order points index.
+
+Reference surface re-expressed here:
+
+- ``LatLonPoint.newBoxQuery`` (reference core/src/java/org/apache/lucene/
+  document/LatLonPoint.java:210-240): a 2-D BKD box visit; a
+  dateline-crossing box (minLon > maxLon) splits into two rectangles.
+  Here: ``GeoPointsIndex.box_search`` -> one Morton-cover scan over the
+  union of the rectangles (``PointsIndex.multi_box_search``).
+- ``LatLonPoint.newDistanceQuery`` (document/LatLonPoint.java +
+  search/LatLonPointDistanceQuery.java): BKD visit of the circle's
+  bounding box, exact haversine re-check per surviving doc. Here:
+  ``distance_search`` — pushed Z-cover of the bounding box
+  (``bounding_box`` below, the Rectangle.fromPointDistance construction)
+  + an exact ``haversin <= radius`` filter, all column algebra.
+- ``LatLonPointSortField`` / ``LatLonDocValuesField.newDistanceSort``
+  (document/LatLonPointSortField.java): sort by haversine meters. Here:
+  ``nearest`` — expanding-radius probes (each probe a pruned Z-cover
+  scan, the BKD "grow the search radius" pattern used by
+  LatLonPointKnn/NearestNeighbor in lucene/sandbox FloatPointNearestNeighbor
+  style) then one top-k by (distance, id).
+- ``LatLonPoint.newDistanceFeatureQuery`` (search/
+  LatLonPointDistanceFeatureQuery.java:60-120): score = boost * pivot /
+  (pivot + haversineDistance). Here: ``distance_feature_sql`` renders
+  that factor as a portable SQL fragment usable as a SHOULD clause via
+  ``DistanceFeatureQuery``/``FunctionScoreQuery`` or any factor slot.
+
+Distances use the haversine great-circle formula on the mean-earth-radius
+sphere (reference util/SloppyMath.haversinMeters; the radius constant
+lives in search/expressions.py). The SAME rendered SQL string drives the
+Spark engine and the DuckDB oracle, so both engines evaluate an
+identical expression tree.
+
+100 TB design: a box/distance query touches only the parquet row groups
+whose Z-interval intersects the (bounding) box — the measured
+cover-fraction story of index/points.py. No shuffle at query time; the
+one range-partition shuffle happens at build. ``nearest`` issues
+O(log(r_max/r_0)) probe scans, each pruned; the final top-k is a
+TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index.points import DimSpec, PointsIndex
+from .expressions import _EARTH_MEAN_RADIUS_M, _FUNCS
+
+# half the meridian circumference: no two points are farther apart
+MAX_DISTANCE_M = math.pi * _EARTH_MEAN_RADIUS_M
+
+
+def haversin_sql(lat: float, lon: float, lat_col: str, lon_col: str) -> str:
+    """Portable SQL for haversine meters from a fixed origin to the
+    (lat_col, lon_col) columns — the exact fragment the expressions
+    module compiles for ``haversin(...)``, shared so engine == oracle."""
+    return _FUNCS["haversin"][1]([repr(float(lat)), repr(float(lon)), lat_col, lon_col])
+
+
+def distance_feature_sql(
+    lat: float, lon: float, pivot_m: float, lat_col: str = "lat", lon_col: str = "lon"
+) -> str:
+    """The LatLonPointDistanceFeatureQuery score factor
+    pivot / (pivot + distance) as portable SQL (boost applied by the
+    query slot that embeds it)."""
+    d = haversin_sql(lat, lon, lat_col, lon_col)
+    return f"({pivot_m!r} / ({pivot_m!r} + {d}))"
+
+
+def bounding_box(
+    lat: float, lon: float, radius_m: float
+) -> list[tuple[float, float, float, float]]:
+    """Rectangles (min_lat, max_lat, min_lon, max_lon) covering the
+    circle of ``radius_m`` around (lat, lon) on the mean sphere — the
+    Rectangle.fromPointDistance construction (reference geo/Rectangle.java
+    :120-160): lat span is the angular radius; lon span is
+    asin(sin(r)/cos(lat)); a pole-crossing circle covers all longitudes;
+    a dateline-crossing lon span splits into two rectangles."""
+    r = min(float(radius_m), MAX_DISTANCE_M) / _EARTH_MEAN_RADIUS_M  # angular
+    # relative safety margin: the box only PREfilters (exact haversine
+    # re-check follows), so widen by a few ulps rather than risk clipping
+    # a boundary point to float rounding
+    r *= 1.0 + 1e-12
+    lat_r = math.radians(lat)
+    min_lat, max_lat = lat_r - r, lat_r + r
+    if min_lat > -math.pi / 2 and max_lat < math.pi / 2:
+        dlon = math.asin(min(1.0, math.sin(r) / math.cos(lat_r)))
+        lon_r = math.radians(lon)
+        min_lon, max_lon = lon_r - dlon, lon_r + dlon
+        if min_lon < -math.pi:
+            return [
+                (math.degrees(min_lat), math.degrees(max_lat), -180.0, math.degrees(max_lon)),
+                (math.degrees(min_lat), math.degrees(max_lat), math.degrees(min_lon + 2 * math.pi), 180.0),
+            ]
+        if max_lon > math.pi:
+            return [
+                (math.degrees(min_lat), math.degrees(max_lat), math.degrees(min_lon), 180.0),
+                (math.degrees(min_lat), math.degrees(max_lat), -180.0, math.degrees(max_lon - 2 * math.pi)),
+            ]
+        return [(math.degrees(min_lat), math.degrees(max_lat), math.degrees(min_lon), math.degrees(max_lon))]
+    # pole crossed: all longitudes
+    return [
+        (
+            math.degrees(max(min_lat, -math.pi / 2)),
+            math.degrees(min(max_lat, math.pi / 2)),
+            -180.0,
+            180.0,
+        )
+    ]
+
+
+class GeoPointsIndex:
+    """A 2-D (lat, lon) PointsIndex with the LatLonPoint query surface."""
+
+    LAT = DimSpec("lat", -90.0, 90.0)
+    LON = DimSpec("lon", -180.0, 180.0)
+
+    def __init__(self, spark: SparkSession, root: str, snapshot_id: int | None = None):
+        self.pts = PointsIndex(spark, root, snapshot_id)
+        self.spark = spark
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        df: DataFrame,
+        root: str,
+        *,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        id_col: str = "doc_id",
+        bits: int = 16,
+        build_id: str | None = None,
+        num_files: int = 32,
+        extra_cols: tuple[str, ...] = (),
+    ) -> int:
+        """Z-sorted (lat, lon) table. 16 bits/dim keeps cells ~300 m on a
+        side at the equator — row-group pruning resolution, not accuracy
+        (exact re-checks run on the full-precision columns)."""
+        d = df
+        if lat_col != "lat":
+            d = d.withColumn("lat", F.col(lat_col).cast("double"))
+        if lon_col != "lon":
+            d = d.withColumn("lon", F.col(lon_col).cast("double"))
+        return PointsIndex.build(
+            spark,
+            d,
+            root,
+            [GeoPointsIndex.LAT, GeoPointsIndex.LON],
+            id_col=id_col,
+            bits=bits,
+            build_id=build_id,
+            num_files=num_files,
+            extra_cols=extra_cols,
+        )
+
+    # ------------------------------------------------------------ queries
+
+    def box_search(
+        self,
+        min_lat: float,
+        max_lat: float,
+        min_lon: float,
+        max_lon: float,
+    ) -> DataFrame:
+        """LatLonPoint.newBoxQuery: closed box; ``min_lon > max_lon``
+        means the box crosses the dateline (two rectangles, one scan)."""
+        if min_lon <= max_lon:
+            boxes = [{"lat": (min_lat, max_lat), "lon": (min_lon, max_lon)}]
+        else:
+            boxes = [
+                {"lat": (min_lat, max_lat), "lon": (min_lon, 180.0)},
+                {"lat": (min_lat, max_lat), "lon": (-180.0, max_lon)},
+            ]
+        return self.pts.multi_box_search(boxes)
+
+    def _with_distance(self, df: DataFrame, lat: float, lon: float) -> DataFrame:
+        return df.withColumn(
+            "distance_m", F.expr(haversin_sql(lat, lon, "lat", "lon"))
+        )
+
+    def distance_search(self, lat: float, lon: float, radius_m: float) -> DataFrame:
+        """LatLonPoint.newDistanceQuery: bounding-box Z-cover prefilter +
+        exact haversine <= radius re-check. Adds ``distance_m``."""
+        boxes = [
+            {"lat": (a, b), "lon": (c, d)}
+            for a, b, c, d in bounding_box(lat, lon, radius_m)
+        ]
+        cand = self.pts.multi_box_search(boxes)
+        return self._with_distance(cand, lat, lon).filter(
+            F.col("distance_m") <= float(radius_m)
+        )
+
+    def nearest(self, lat: float, lon: float, k: int = 10) -> DataFrame:
+        """k nearest points by haversine meters (ties by id asc) — the
+        LatLonPointSortField / NearestNeighbor result. Expanding-radius
+        probes: each COUNT runs on the pruned bounding-box scan; once a
+        radius holds >= k points the true k-nearest are inside it (their
+        distances are <= radius by construction), so ONE final pruned
+        top-k finishes. Worst case log2(earth/r0) probe rounds."""
+        id_col = self.pts.id_col
+        radius = 10_000.0  # 10 km opening probe
+        while radius < MAX_DISTANCE_M:
+            if self.distance_search(lat, lon, radius).limit(k).count() >= k:
+                break
+            radius *= 4.0
+        radius = min(radius, MAX_DISTANCE_M)
+        cand = self.distance_search(lat, lon, radius)
+        return cand.orderBy(F.col("distance_m").asc(), F.col(id_col).asc()).limit(k)
+
+    def distance_feature_frame(
+        self, lat: float, lon: float, pivot_m: float, boost: float = 1.0
+    ) -> DataFrame:
+        """(id, score) of the LatLonPointDistanceFeatureQuery factor
+        boost * pivot / (pivot + distance) over every indexed point —
+        column algebra on the points table, for joining into a scoring
+        boolean's SHOULD slot."""
+        id_col = self.pts.id_col
+        d = self._with_distance(
+            self.spark.read.parquet(self.pts._path), lat, lon
+        )
+        score = F.lit(float(boost)) * (
+            F.lit(float(pivot_m))
+            / (F.lit(float(pivot_m)) + F.col("distance_m"))
+        )
+        return d.select(F.col(id_col), score.alias("score"))

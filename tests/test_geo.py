@@ -1,0 +1,168 @@
+"""Geo pack (search/geo.py): LatLonPoint box / distance / nearest-k /
+distance-feature vs brute-force numpy haversine, plus the pushdown gate."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search.geo import (
+    GeoPointsIndex,
+    bounding_box,
+    distance_feature_sql,
+    haversin_sql,
+)
+from lucene_spark.search.expressions import _EARTH_MEAN_RADIUS_M
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _synth(spark):
+    """Deterministic lat/lon from doc_id (integer arithmetic then one
+    division — reproducible in any engine)."""
+    return (
+        spark.read.parquet(f"{TESTDATA}/documents.parquet")
+        .select("doc_id")
+        .withColumn("lat", (F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0)
+    )
+
+
+def _haversin_np(lat, lon, lats, lons):
+    la1, lo1 = math.radians(lat), math.radians(lon)
+    la2, lo2 = np.radians(lats), np.radians(lons)
+    h = (
+        np.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+    )
+    return 2 * _EARTH_MEAN_RADIUS_M * np.arcsin(np.sqrt(h))
+
+
+@pytest.fixture(scope="module")
+def geo(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("geo"))
+    GeoPointsIndex.build(spark, _synth(spark), root, bits=12, num_files=8, build_id="g0")
+    return GeoPointsIndex(spark, root)
+
+
+@pytest.fixture(scope="module")
+def pdf(spark):
+    return _synth(spark).toPandas()
+
+
+@pytest.mark.parametrize(
+    "box",
+    [
+        (10.0, 40.0, -60.0, -20.0),
+        (-90.0, 90.0, -180.0, 180.0),       # whole earth
+        (-5.0, 5.0, 170.0, -170.0),         # crosses the dateline
+        (89.0, 90.0, -180.0, 180.0),        # polar cap
+        (0.0, 0.01, 0.0, 0.01),             # sliver (likely empty)
+    ],
+    ids=["box", "all", "dateline", "pole", "sliver"],
+)
+def test_box_matches_brute(geo, pdf, box):
+    min_lat, max_lat, min_lon, max_lon = box
+    got = sorted(r["doc_id"] for r in geo.box_search(*box).collect())
+    m = (pdf["lat"] >= min_lat) & (pdf["lat"] <= max_lat)
+    if min_lon <= max_lon:
+        m &= (pdf["lon"] >= min_lon) & (pdf["lon"] <= max_lon)
+    else:
+        m &= (pdf["lon"] >= min_lon) | (pdf["lon"] <= max_lon)
+    assert got == sorted(pdf[m]["doc_id"].tolist())
+
+
+@pytest.mark.parametrize(
+    "origin,radius",
+    [
+        ((48.85, 2.35), 2_000_000.0),
+        ((0.0, 179.9), 3_000_000.0),        # circle crosses the dateline
+        ((89.5, 0.0), 1_000_000.0),         # circle crosses the pole
+        ((-30.0, 100.0), 50_000.0),         # small (likely empty)
+    ],
+    ids=["paris2000km", "dateline", "pole", "small"],
+)
+def test_distance_matches_brute(geo, pdf, origin, radius):
+    lat, lon = origin
+    got = sorted(r["doc_id"] for r in geo.distance_search(lat, lon, radius).collect())
+    d = _haversin_np(lat, lon, pdf["lat"].values, pdf["lon"].values)
+    want = sorted(pdf["doc_id"].values[d <= radius].tolist())
+    assert got == want
+
+
+def test_distance_values_match_numpy(geo, pdf):
+    rows = geo.distance_search(10.0, 10.0, 5_000_000.0).collect()
+    d = _haversin_np(10.0, 10.0, pdf["lat"].values, pdf["lon"].values)
+    by_id = dict(zip(pdf["doc_id"].values, d))
+    for r in rows:
+        assert abs(r["distance_m"] - by_id[r["doc_id"]]) < 1e-6 * max(1.0, by_id[r["doc_id"]])
+
+
+def test_nearest_matches_brute(geo, pdf):
+    lat, lon, k = 35.0, -100.0, 7
+    got = [(r["doc_id"], r["distance_m"]) for r in geo.nearest(lat, lon, k).collect()]
+    d = _haversin_np(lat, lon, pdf["lat"].values, pdf["lon"].values)
+    order = sorted(zip(d, pdf["doc_id"].values), key=lambda t: (t[0], t[1]))[:k]
+    assert [g[0] for g in got] == [int(i) for _, i in order]
+    for (gi, gd), (wd, wi) in zip(got, order):
+        assert abs(gd - wd) < 1e-6 * max(1.0, wd)
+
+
+def test_bounding_box_covers_circle():
+    """Every point at exactly radius distance must fall inside the box
+    (sampled bearings)."""
+    for lat, lon, r in [(48.85, 2.35, 500_000.0), (-60.0, 170.0, 2_000_000.0)]:
+        boxes = bounding_box(lat, lon, r)
+        ang = r / _EARTH_MEAN_RADIUS_M
+        la1, lo1 = math.radians(lat), math.radians(lon)
+        for b in range(0, 360, 15):
+            br = math.radians(b)
+            la2 = math.asin(
+                math.sin(la1) * math.cos(ang) + math.cos(la1) * math.sin(ang) * math.cos(br)
+            )
+            lo2 = lo1 + math.atan2(
+                math.sin(br) * math.sin(ang) * math.cos(la1),
+                math.cos(ang) - math.sin(la1) * math.sin(la2),
+            )
+            lo2 = (lo2 + math.pi) % (2 * math.pi) - math.pi
+            plat, plon = math.degrees(la2), math.degrees(lo2)
+            ok = any(
+                a - 1e-9 <= plat <= bb + 1e-9
+                and (c - 1e-9 <= plon <= d + 1e-9)
+                for a, bb, c, d in boxes
+            )
+            assert ok, (lat, lon, r, b, plat, plon, boxes)
+
+
+def test_morton_cover_is_pushed(geo):
+    plan = (
+        geo.box_search(10.0, 20.0, -60.0, -50.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("morton" in ln for ln in pushed), pushed[:3]
+
+
+def test_distance_feature_frame(geo, pdf):
+    lat, lon, pivot, boost = 40.0, -3.7, 1_000_000.0, 2.0
+    rows = geo.distance_feature_frame(lat, lon, pivot, boost).collect()
+    d = _haversin_np(lat, lon, pdf["lat"].values, pdf["lon"].values)
+    want = dict(zip(pdf["doc_id"].values, boost * pivot / (pivot + d)))
+    assert len(rows) == len(pdf)
+    for r in rows:
+        assert abs(r["score"] - want[r["doc_id"]]) < 1e-9
+
+
+def test_sql_fragments_are_engine_portable():
+    """The rendered haversine / feature SQL must evaluate in DuckDB too
+    (the oracle side) and agree with numpy."""
+    import duckdb
+
+    sql = haversin_sql(48.85, 2.35, "lat", "lon")
+    got = duckdb.sql(f"SELECT {sql} AS d FROM (SELECT 40.0 AS lat, -3.7 AS lon)").fetchone()[0]
+    want = float(_haversin_np(48.85, 2.35, np.array([40.0]), np.array([-3.7]))[0])
+    assert abs(got - want) < 1e-6
+    fsql = distance_feature_sql(48.85, 2.35, 1000.0)
+    got2 = duckdb.sql(f"SELECT {fsql} AS s FROM (SELECT 40.0 AS lat, -3.7 AS lon)").fetchone()[0]
+    assert abs(got2 - 1000.0 / (1000.0 + want)) < 1e-12
