@@ -245,9 +245,17 @@ class IVFVectorIndex:
 
             qparams = fit_quantizer(df, vec_col, confidence=confidence)
             celled = add_quantized_columns(celled, qparams, vec_col)
-        celled.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(bdir, "vectors")
-        )
+        # repartition BY CELL before the partitioned write: without it
+        # every write task holds rows of ~every cell and partitionBy
+        # fans out one file per (task, cell) — nlist * tasks tiny files
+        # whose open cost alone exceeded a brute-force flat scan
+        # (measured: 3320 files / 400k rows; probing 100 cells cost 0.63s
+        # in file opens vs 0.60s for brute's whole job). Hash-routing
+        # cells to tasks writes ~one file per cell; at 100 TB each cell is
+        # row-group-sized or larger, so the layout stays right.
+        celled.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(bdir, "vectors"))
         n = int(celled.count())
         with open(os.path.join(bdir, "centroids.json"), "w") as f:
             json.dump(cent.tolist(), f)
