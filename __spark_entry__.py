@@ -252,57 +252,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["high_freq_terms"] = _pq_high_freq_terms
     q["facet_dynamic_ranges"] = _pq_dynamic_ranges
     # The driver's correctness artifact covers the FIRST 50 entries in
-    # insertion order. Rotate so the queries CORRECTNESS_r03 did NOT check
-    # (everything added mid-round-3 and in round 4) land inside that window
-    # this round; the already-driver-proven r3 rows follow. All entries keep
-    # full oracles either way — this only chooses which 50 the artifact
-    # re-proves.
-    unchecked = {k: v for k, v in q.items() if k not in _R3_DRIVER_CHECKED}
-    return {**unchecked, **{k: q[k] for k in _R3_DRIVER_CHECKED if k in q}}
+    # insertion order. Rotate so every query that has NEVER had a green
+    # driver row (union of CORRECTNESS_r01..r04 keys, minus the one red
+    # row facet_stats_lang) lands inside that window this round; the
+    # driver-proven rest follows, ordered so entries whose implementation
+    # changed this round (points quantization, classification stats,
+    # expressions division, IODV bookkeeping, IVF layout, MinHash hashing)
+    # fill the window's spare slots and get re-proven first. All entries
+    # keep full oracles either way — this only chooses which 50 the
+    # artifact re-proves.
+    unchecked = {k: v for k, v in q.items() if k not in _DRIVER_PROVEN}
+    return {**unchecked, **{k: q[k] for k in _DRIVER_PROVEN if k in q}}
 
 
-# Keys present in CORRECTNESS_r03.json (the driver's round-3 50-row window),
-# plus simple_query_garbage (its twin simple_query_and already rotates in)
-# and distinct_langs (trivial count-distinct, locally proven) to make room —
-# and minus mm_decode_features, whose oracle was upgraded from rows-only to
-# full values (real WAV decode) after r3 and so deserves a driver re-check.
-_R3_DRIVER_CHECKED = [
+# Every key with a green row in some CORRECTNESS_r01..r04.json artifact
+# (full hash match, or the declared rows-only ann_ivf_* checks), minus
+# facet_stats_lang whose r04 row was red (float boundary, fixed this
+# round — it rotates back to the front for a green re-proof). Ordered
+# changed-this-round-first so the window's spare slots re-prove them.
+_DRIVER_PROVEN = [
+    "points_box", "nb_classify", "knn_classify", "nb_confusion",
+    "dataset_split_counts", "expr_function_score", "expr_rescore", "function_score",
+    "iodv_verified_filter", "knn_bool_filtered", "dedup_minhash_lsh", "ann_brute_topk",
+    "ann_ivf_topk", "ann_quantized_topk", "ann_ivf_quantized", "ann_ivf_append",
+    "ann_deleted", "ann_filtered", "distance_feature_recency", "phrase_sloppy",
+    "mm_decode_features", "mm_bmp_features", "cjk_bigram_counts", "simple_query_and",
+    "facet_range_length", "group_top_hits", "monitor_matches", "sort_by_field",
+    "bool_min_should_match", "wildcard_heavy", "interval_near", "combined_fields",
+    "complex_phrase", "surround_near", "xml_query", "fuzzy_transposed",
+    "spell_suggest_topk", "multi_phrase", "interval_not_containing", "common_terms",
+    "facet_taxonomy_counts", "suggest_weighted", "rescore_topk", "gopher_repetition",
+    "corpus_top_ngrams", "block_join_parents", "term_join_docs", "facet_drill_sideways",
+    "update_replace", "add_indexes_search", "feature_saturation", "synonym_index_search",
+    "shingle_bigram_search", "multi_field_dismax", "dv_update_feature", "facet_dynamic_ranges",
     "bm25_term_topk", "bm25_term_head", "bm25_bool_or", "bm25_bool_and",
     "bm25_bool_and_not", "bm25_term_boost", "bm25_phrase", "prefix_constant",
     "term_range", "hit_count_term", "hit_count_bool", "search_after_page2",
     "filtered_by_lang", "dedup_exact", "decontam_ngram", "pii_scrub",
-    "chunk_documents", "stratified_sample", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_clusters", "dfr_disjunction",
-    "ib_disjunction", "dfi_disjunction", "axiomatic_disjunction",
-    "jm_disjunction", "boolean_disjunction", "events_windowed_counts",
-    "events_sliding_counts", "events_session_counts", "hybrid_rrf",
-    "mlt_terms", "batch_bm25_topk", "dedup_simhash", "embed_near_dup",
-    "ann_brute_topk", "ann_ivf_topk", "ann_quantized_topk",
-    "ann_ivf_quantized", "ann_ivf_append", "ann_deleted", "ann_filtered",
-    "lang_id_counts", "quality_scores", "token_counts", "fingerprint_md5",
-    "mm_media_meta", "mm_frame_counts", "facet_lang_counts",
-    # locally-proven variants whose base operator IS driver-checked,
-    # demoted to make window room for genuinely new round-4 operators:
-    # simple_query_garbage (simple_query_and in), distinct_langs,
-    # quality_filter_pass (quality_scores in r3), facet_sampled_lang
-    # (facet_lang_counts in r3), sort_after_field_page2 (sort_by_field in),
-    # canonical_urls + host_stats (URL-ops family, local oracles green)
-    "simple_query_garbage", "distinct_langs", "quality_filter_pass",
-    "facet_sampled_lang", "sort_after_field_page2", "canonical_urls",
-    "host_stats",
-    # high_freq_terms is a diagnostic tool (misc/HighFreqTerms), the least
-    # operator-like of the locally-proven set — demoted for window room
-    "high_freq_terms",
-    # family-redundant variants (suggest_weighted + spell_suggest_topk and
-    # five facet oracles remain in-window for their families)
-    "suggest_infix", "facet_percentiles_lang",
-    # fuzzy_transposed (Damerau, the r4-critical case) stays in-window;
-    # interval_near + interval_not_containing cover the intervals family;
-    # term_in_set's constant-score-union family is driver-proven via
-    # prefix_constant/term_range (r1-r3) and wildcard_heavy stays in
-    "fuzzy_edit1", "interval_or_near", "term_in_set",
+    "chunk_documents", "stratified_sample", "dedup_ngram_jaccard", "dedup_clusters",
+    "dfr_disjunction", "ib_disjunction", "dfi_disjunction", "axiomatic_disjunction",
+    "jm_disjunction", "boolean_disjunction", "events_windowed_counts", "events_sliding_counts",
+    "events_session_counts", "hybrid_rrf", "mlt_terms", "batch_bm25_topk",
+    "dedup_simhash", "embed_near_dup", "lang_id_counts", "quality_scores",
+    "token_counts", "fingerprint_md5", "mm_media_meta", "mm_frame_counts",
+    "facet_lang_counts", "distinct_langs", "quality_filter_pass", "term_in_set",
 ]
-
 
 def _pq_high_freq_terms(spark, sf_dir):
     """HighFreqTerms tool (reference misc/.../HighFreqTerms.java): top-10
