@@ -25,8 +25,6 @@ crc32 shingle hashes with a fixed seed — deterministic across runs/executors.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -96,25 +94,34 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFra
 def minhash_signatures(
     shingled: DataFrame, num_perm: int = 128, seed: int = 42
 ) -> DataFrame:
-    """(id, sig array<long>) — minhash over crc32 shingle hashes."""
+    """(id, sig array<long>) — minhash over crc32 shingle hashes.
+
+    The shingle hashing runs JVM-side (``crc32`` inside ``transform``,
+    whole-stage codegen — identical values to zlib.crc32, same CRC-32
+    polynomial); the Python side only does the (num_perm, n) affine
+    permutation min, a single vectorized numpy expression. At corpus
+    scale the per-shingle hash is the signature stage's hot loop, and it
+    never touches the interpreter."""
     a, b = _perm_params(num_perm, seed)
 
+    hashed = shingled.withColumn(
+        "hv", F.transform("shingles", lambda s: F.crc32(F.encode(s, "UTF-8")))
+    )
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def mh(shingle_lists: pd.Series) -> pd.Series:
+    def mh(hash_lists: pd.Series) -> pd.Series:
         out = []
-        for shingles in shingle_lists:
-            if shingles is None or len(shingles) == 0:
+        for hvl in hash_lists:
+            if hvl is None or len(hvl) == 0:
                 out.append([int(_MERSENNE)] * num_perm)
                 continue
-            hv = np.array(
-                [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
-            )
+            hv = np.asarray(hvl, dtype=np.uint64)
             # (num_perm, n) affine hashes mod mersenne prime, min over n
             prods = (np.outer(a, hv) + b[:, None]) % np.uint64(_MERSENNE)
             out.append(prods.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return shingled.select("id", "shingles", mh(F.col("shingles")).alias("sig"))
+    return hashed.select("id", "shingles", mh(F.col("hv")).alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -120,16 +120,20 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     MOD = np.uint64((1 << 61) - 1)
     BASE = np.uint64(1_000_003)
 
-    @F.pandas_udf(T.LongType())
-    def winnow(texts: pd.Series) -> pd.Series:
-        import zlib
+    # per-word crc32 runs JVM-side (codegen; same CRC-32 as zlib.crc32) —
+    # Python only sees the int arrays and does the vectorized rolling hash
+    word_hashes = F.transform(
+        F.filter(F.split(norm, " "), lambda w: w != F.lit("")),
+        lambda w: F.crc32(F.encode(w, "UTF-8")),
+    )
 
-        res = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = t.split() if isinstance(t, str) else []
-            if not words:
+    @F.pandas_udf(T.LongType())
+    def winnow(hash_lists: pd.Series) -> pd.Series:
+        res = np.zeros(len(hash_lists), dtype=np.int64)
+        for i, hvl in enumerate(hash_lists):
+            if hvl is None or len(hvl) == 0:
                 continue
-            hv = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+            hv = np.asarray(hvl, dtype=np.uint64)
             if len(hv) <= W:
                 acc = np.uint64(0)
                 for h in hv:
@@ -143,7 +147,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             res[i] = np.int64(acc.min())
         return pd.Series(res)
 
-    return out.withColumn("fp_winnow", winnow(F.col(text_col)))
+    return out.withColumn("fp_winnow", winnow(word_hashes))
 
 
 def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
