@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_after_page2"] = _pq_search_after
     q["filtered_by_lang"] = _pq_filtered_lang
     q["iodv_verified_filter"] = _pq_iodv_verified
+    q["covering_msm_dv"] = _pq_covering_msm
+    q["dv_multi_range"] = _pq_dv_multi_range
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
@@ -824,6 +826,52 @@ def _pq_iodv_verified(spark, sf_dir):
     q = Q.BooleanQuery.build(
         (Q.MUST, Q.TermQuery("text", "merge")),
         (Q.FILTER, Q.IndexOrDocValuesQuery("lang = 'en'")),
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_covering_msm(spark, sf_dir):
+    """CoveringQuery (reference sandbox/search/CoveringQuery.java): the
+    minimum number of SHOULD clauses each doc must match is read from a
+    doc-values expression — here (length % 4) - 1 over the analyzed
+    length, exercising the values-below-1-count-as-1 rule. Score = sum of
+    matching clause BM25 scores."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.CoveringQuery(
+        (
+            Q.TermQuery("text", "table"),
+            Q.TermQuery("text", "scan"),
+            Q.TermQuery("text", "merge"),
+        ),
+        "(length % 4) - 1",
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_dv_multi_range(spark, sf_dir):
+    """DocValuesMultiRangeQuery (reference sandbox/search/
+    SortedNumericDocValuesMultiRangeQuery.java): a union of value ranges
+    over a doc-values column as a FILTER clause — overlapping ranges
+    merged up front (resolveOverlaps), rendered as one pushdown-able OR
+    of BETWEENs."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.FILTER, Q.dv_multi_range("length", [(20, 30), (25, 40), (60, 70)])),
     )
     hits = s.search(q, k=K, mode="exhaustive")
     return hits.select(
@@ -2006,8 +2054,10 @@ inv AS (
 """
 
 
-def _bm25_term_sql(terms_scores: list[tuple[str, float]], k: int = K) -> str:
-    """Disjunctive (sum-of-scores) BM25 over explicit (term, boost) pairs."""
+def _bm25_union_ctes(terms_scores: list[tuple[str, float]]) -> str:
+    """Shared CTE prefix for BM25 oracles: _BASE + one t{i} per (term,
+    boost) + u (the union of per-term score rows, <= 1 row per doc per
+    clause). Callers append their own agg/finish."""
     per_term = []
     for i, (t, boost) in enumerate(terms_scores):
         per_term.append(
@@ -2020,13 +2070,20 @@ def _bm25_term_sql(terms_scores: list[tuple[str, float]], k: int = K) -> str:
 )"""
         )
     unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms_scores)))
-    qlen = _qlen("dl.len")
     return (
-        _BASE.format(qlen=qlen)
+        _BASE.format(qlen=_qlen("dl.len"))
         + ", "
         + ", ".join(per_term)
         + f""",
-u AS ({unions}),
+u AS ({unions})"""
+    )
+
+
+def _bm25_term_sql(terms_scores: list[tuple[str, float]], k: int = K) -> str:
+    """Disjunctive (sum-of-scores) BM25 over explicit (term, boost) pairs."""
+    return (
+        _bm25_union_ctes(terms_scores)
+        + f""",
 agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
 SELECT doc_id, round(score, 4) AS score_r
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
@@ -2423,6 +2480,27 @@ ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
         + f"""SELECT agg.doc_id AS doc_id, round(score, 4) AS score_r
 FROM agg JOIN documents d ON d.doc_id = agg.doc_id
 WHERE d.lang = 'en'
+ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
+    # CoveringQuery: n_hit counts matching clauses (each t{i} emits <= 1
+    # row per doc); min-match (length % 4) - 1 with values < 1 treated
+    # as 1, docs lacking a value excluded (none here — len always set)
+    o["covering_msm_dv"] = (
+        _bm25_union_ctes([("table", 1.0), ("scan", 1.0), ("merge", 1.0)])
+        + f""",
+agg AS (SELECT doc_id, sum(s) AS score, count(*) AS n_hit FROM u GROUP BY doc_id)
+SELECT agg.doc_id AS doc_id, round(score, 4) AS score_r
+FROM agg JOIN dl ON dl.doc_id = agg.doc_id
+WHERE n_hit >= greatest((dl.len % 4) - 1, 1)
+ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
+    o["dv_multi_range"] = (
+        base_t.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id, round(score, 4) AS score_r
+FROM agg JOIN dl ON dl.doc_id = agg.doc_id
+WHERE (dl.len BETWEEN 20 AND 40) OR (dl.len BETWEEN 60 AND 70)
 ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
 """
     )

@@ -414,6 +414,73 @@ class DistanceFeatureQuery(Query):
             raise ValueError("pivot distance must be > 0")
 
 
+@dataclass(frozen=True)
+class CoveringQuery(Query):
+    """Per-document dynamic minimum-should-match (reference
+    sandbox/src/java/org/apache/lucene/sandbox/search/CoveringQuery.java):
+    a disjunction whose required match count comes from a LongValuesSource
+    — here a SQL long expression over docs-table columns (doc values ARE
+    columns in this engine). Semantics mirrored from CoveringQuery.java /
+    CoveringScorer.java:
+
+    - values < 1 are treated as 1 (only docs with >= 1 matching clause
+      can match);
+    - docs with a NULL ``min_match`` value never match
+      (CoveringWeight.matches: advanceExact == false -> no match);
+    - score = sum of ALL matching clause scores (CoveringScorer.score);
+    - a CONSTANT min_match rewrites to a plain BooleanQuery with
+      minimum_should_match = max(c, 1), or MatchNoDocsQuery when the
+      constant exceeds the clause count (CoveringQuery.rewrite).
+
+    ``queries`` is a multiset: duplicate clauses each count toward the
+    match tally, as in the reference."""
+
+    queries: tuple[Query, ...]
+    min_match: str | int
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if len(self.queries) > MAX_CLAUSE_COUNT:
+            raise ValueError("too many clauses (IndexSearcher.TooManyClauses)")
+
+
+def dv_multi_range(
+    field: str,
+    ranges: list[tuple[float | int, float | int]],
+    *,
+    multi_valued: bool = False,
+    boost: float = 1.0,
+) -> Query:
+    """Union-of-ranges doc-values filter (reference sandbox
+    DocValuesMultiRangeQuery.java / SortedNumericDocValuesMultiRangeQuery
+    .java): doc matches when any of its values for ``field`` falls inside
+    any [lower, upper] range (bounds inclusive, like the reference's
+    LongRange).
+
+    Overlapping or adjacent ranges are merged first (the reference's
+    resolveOverlaps) so the rendered predicate is a minimal OR of
+    BETWEENs; an empty or all-inverted range list yields MatchNoDocs.
+    The result is a plain DocValuesQuery, so it composes with the whole
+    FILTER machinery including the IndexOrDocValuesQuery access-path
+    choice; ``multi_valued=True`` renders an EXISTS over an array column
+    (SortedNumericDocValues' multi-valued semantics)."""
+    kept = sorted((lo, hi) for lo, hi in ranges if lo <= hi)
+    if not kept:
+        return MatchNoDocsQuery()
+    merged: list[list] = [list(kept[0])]
+    for lo, hi in kept[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if multi_valued:
+        clauses = " OR ".join(f"x BETWEEN {lo} AND {hi}" for lo, hi in merged)
+        pred = f"exists({field}, x -> {clauses})"
+    else:
+        pred = " OR ".join(f"({field} BETWEEN {lo} AND {hi})" for lo, hi in merged)
+    return DocValuesQuery(pred, boost=boost)
+
+
 # ---------------------------------------------------------------------------
 # rewrite (logical optimizer) — BooleanQuery.java:269-647 equivalents
 # ---------------------------------------------------------------------------
@@ -495,6 +562,28 @@ def _rewrite_once(q: Query, reader, field: str) -> Query:
             return MatchNoDocsQuery()
         if ni is not q.query:
             return dataclasses.replace(q, query=ni)
+    if isinstance(q, CoveringQuery):
+        # constant minimumNumberMatch -> plain boolean with msm
+        # (CoveringQuery.rewrite, sandbox/search/CoveringQuery.java:128-145)
+        sub = tuple(_rewrite_once(s, reader, field) for s in q.queries)
+        mm = q.min_match
+        if isinstance(mm, str):
+            try:
+                mm = int(mm.strip())
+            except ValueError:
+                mm = q.min_match
+        if isinstance(mm, int):
+            if mm > len(sub):
+                return MatchNoDocsQuery()
+            return BooleanQuery(
+                tuple(BooleanClause(SHOULD, s) for s in sub),
+                minimum_should_match=max(mm, 1),
+                boost=q.boost,
+            )
+        if sub != q.queries:
+            import dataclasses
+
+            return dataclasses.replace(q, queries=sub)
     if isinstance(q, BooleanQuery):
         return _rewrite_boolean(q, reader, field)
     return q

@@ -479,9 +479,47 @@ class IndexSearcher:
             )
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, field)
+        if isinstance(q, Q.CoveringQuery):
+            return self._scored_covering(q, field)
         if isinstance(q, Q.CombinedFieldQuery):
             return self._scored_combined(q)
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    def _scored_covering(self, q: Q.CoveringQuery, field: str) -> DataFrame | None:
+        """CoveringQuery scorer (reference sandbox/search/CoveringQuery.java
+        createWeight + CoveringScorer.java): per-doc dynamic
+        minimumNumberMatch read from a doc-values expression. One union of
+        the clause scorers, one hash-agg counting clause hits, one join to
+        the (column-pruned) docs table to evaluate the min-match
+        expression — the match condition n_hit >= greatest(mm, 1) AND mm
+        IS NOT NULL runs in whole-stage codegen. Score = sum of matching
+        clause scores (CoveringScorer.score sums all matching subscorers).
+
+        Constant min_match never reaches here (rewrite turns it into a
+        plain msm boolean)."""
+        parts = []
+        for i, sub in enumerate(q.queries):
+            p = self._scored_docs(sub, field)
+            if p is not None:
+                parts.append(p.withColumn("cid", F.lit(i)))
+        if not parts:
+            return None
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        agg = union.groupBy("seg", "doc").agg(
+            F.sum("score").alias("raw"), F.count("*").alias("n_hit")
+        )
+        mm = F.expr(str(q.min_match)).cast("long")
+        dv = self.reader.docs().select("seg", "doc", mm.alias("_mm"))
+        return (
+            agg.join(dv, ["seg", "doc"])
+            .filter(
+                F.col("_mm").isNotNull()
+                & (F.col("n_hit") >= F.greatest(F.col("_mm"), F.lit(1)))
+            )
+            .select("seg", "doc", (F.col("raw") * F.lit(float(q.boost))).alias("score"))
+        )
 
     # ------------------------------------------------------- feature queries
 

@@ -1,0 +1,178 @@
+"""CoveringQuery (per-doc dynamic minimumNumberMatch from a doc-values
+expression — reference sandbox/search/CoveringQuery.java +
+CoveringScorer.java) and DocValuesMultiRangeQuery (union-of-ranges DV
+filter — sandbox/search/SortedNumericDocValuesMultiRangeQuery.java,
+DocValuesMultiRangeQuery.java)."""
+
+import numpy as np
+import pytest
+from oracle import BruteForceIndex
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+TERMS = ("table", "scan", "merge")
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+def _expected_covering(oracle, min_match_fn, terms=TERMS, k=50):
+    """Brute-force covering: score = sum of matching clause scores, doc
+    matches when n_matching >= max(min_match(doc), 1); NULL min -> no
+    match. Ties break by url asc like the engine."""
+    masks = [oracle.term_mask(t) for t in terms]
+    scores = [oracle.term_scores(t) for t in terms]
+    n_hit = np.sum(masks, axis=0)
+    total = np.sum(
+        [np.float32(s) * m for s, m in zip(scores, masks)], axis=0, dtype=np.float64
+    )
+    rows = []
+    for i in range(oracle.n):
+        mm = min_match_fn(int(oracle.lengths[i]))
+        if mm is None or n_hit[i] < max(mm, 1):
+            continue
+        rows.append((oracle.urls[i], float(np.float32(total[i]))))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def _hits(searcher, q, k=50):
+    rows = searcher.search(q, k=k).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_dynamic_min_match_matches_oracle(searcher, oracle):
+    q = Q.CoveringQuery(
+        tuple(Q.TermQuery("text", t) for t in TERMS), "1 + (length % 3)"
+    )
+    got = _hits(searcher, q)
+    want = _expected_covering(oracle, lambda n: 1 + (n % 3))
+    assert got == want and got
+
+
+def test_min_match_below_one_treated_as_one(searcher, oracle):
+    """Values < 1 behave like 1 (CoveringQuery.java constructor doc)."""
+    q = Q.CoveringQuery(
+        tuple(Q.TermQuery("text", t) for t in TERMS), "(length % 4) - 1"
+    )
+    got = _hits(searcher, q)
+    want = _expected_covering(oracle, lambda n: (n % 4) - 1)
+    assert got == want and got
+
+
+def test_null_min_match_never_matches(searcher, oracle):
+    """Docs without a min-match value do not match (CoveringWeight.matches:
+    advanceExact == false)."""
+    q = Q.CoveringQuery(
+        tuple(Q.TermQuery("text", t) for t in TERMS),
+        "CASE WHEN length % 2 = 0 THEN 1 ELSE NULL END",
+    )
+    got = _hits(searcher, q)
+    want = _expected_covering(oracle, lambda n: 1 if n % 2 == 0 else None)
+    assert got == want and got
+
+
+def test_constant_min_match_rewrites_to_boolean_msm(searcher):
+    """CoveringQuery.rewrite: a constant min rewrites to a SHOULD boolean
+    with minimumNumberShouldMatch = max(c, 1)."""
+    cov = Q.rewrite(
+        Q.CoveringQuery(tuple(Q.TermQuery("text", t) for t in TERMS), 2),
+        searcher.reader,
+    )
+    assert isinstance(cov, Q.BooleanQuery)
+    assert cov.minimum_should_match == 2
+    got = _hits(searcher, Q.CoveringQuery(tuple(Q.TermQuery("text", t) for t in TERMS), 2))
+    want = _hits(
+        searcher,
+        Q.BooleanQuery.build(
+            *((Q.SHOULD, Q.TermQuery("text", t)) for t in TERMS),
+            minimum_should_match=2,
+        ),
+    )
+    assert got == want and got
+
+
+def test_constant_above_clause_count_matches_nothing(searcher):
+    q = Q.CoveringQuery(tuple(Q.TermQuery("text", t) for t in TERMS), 4)
+    assert isinstance(Q.rewrite(q, searcher.reader), Q.MatchNoDocsQuery)
+    assert _hits(searcher, q) == []
+
+
+def test_duplicate_clauses_count_twice(searcher, oracle):
+    """queries is a multiset: a duplicated clause contributes to the tally
+    (and the score) once per occurrence."""
+    q = Q.CoveringQuery(
+        (
+            Q.TermQuery("text", "table"),
+            Q.TermQuery("text", "table"),
+            Q.TermQuery("text", "scan"),
+        ),
+        "3",  # only docs with both 'table' (x2) and 'scan' survive
+    )
+    got = _hits(searcher, q)
+    m = oracle.term_mask("table") & oracle.term_mask("scan")
+    s = np.float32(2.0 * oracle.term_scores("table") + oracle.term_scores("scan"))
+    want = sorted(
+        ((u, float(sc)) for u, sc, ok in zip(oracle.urls, s, m) if ok),
+        key=lambda r: (-r[1], r[0]),
+    )[:50]
+    assert got == want and got
+
+
+def test_too_many_clauses_rejected():
+    with pytest.raises(ValueError, match="clauses"):
+        Q.CoveringQuery(
+            tuple(Q.TermQuery("text", f"t{i}") for i in range(1025)), "1"
+        )
+
+
+# ---------------------------------------------------------------- multi-range
+
+
+def test_dv_multi_range_merges_overlaps():
+    q = Q.dv_multi_range("length", [(20, 30), (25, 40), (60, 70), (5, 5)])
+    assert isinstance(q, Q.DocValuesQuery)
+    assert q.predicate == (
+        "(length BETWEEN 5 AND 5) OR (length BETWEEN 20 AND 40)"
+        " OR (length BETWEEN 60 AND 70)"
+    )
+    assert isinstance(Q.dv_multi_range("length", []), Q.MatchNoDocsQuery)
+    assert isinstance(Q.dv_multi_range("length", [(7, 3)]), Q.MatchNoDocsQuery)
+
+
+def test_dv_multi_range_filter_matches_oracle(searcher, oracle):
+    flt = Q.dv_multi_range("length", [(20, 30), (25, 40), (60, 70)])
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")), (Q.FILTER, flt)
+    )
+    got = _hits(searcher, q)
+    lens = oracle.lengths
+    in_rng = ((lens >= 20) & (lens <= 40)) | ((lens >= 60) & (lens <= 70))
+    m = oracle.term_mask("table") & in_rng
+    s = np.float32(oracle.term_scores("table"))
+    want = sorted(
+        ((u, float(sc)) for u, sc, ok in zip(oracle.urls, s, m) if ok),
+        key=lambda r: (-r[1], r[0]),
+    )[:50]
+    assert got == want and got
+
+
+def test_dv_multi_range_multi_valued(spark, searcher):
+    """SortedNumericDocValues are multi-valued: with multi_valued=True the
+    predicate is an EXISTS over an array column — any value in any range
+    matches the doc."""
+    q = Q.dv_multi_range("vals", [(10, 20)], multi_valued=True)
+    df = spark.createDataFrame(
+        [(1, [1, 15]), (2, [3, 4]), (3, [20]), (4, [])],
+        "id long, vals array<long>",
+    )
+    got = sorted(r["id"] for r in df.filter(q.predicate).collect())
+    assert got == [1, 3]
