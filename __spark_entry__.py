@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["iodv_verified_filter"] = _pq_iodv_verified
     q["covering_msm_dv"] = _pq_covering_msm
     q["dv_multi_range"] = _pq_dv_multi_range
+    q["payload_score"] = _pq_payload_score
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
@@ -827,6 +828,41 @@ def _pq_iodv_verified(spark, sf_dir):
         (Q.MUST, Q.TermQuery("text", "merge")),
         (Q.FILTER, Q.IndexOrDocValuesQuery("lang = 'en'")),
     )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_payload_score(spark, sf_dir):
+    """PayloadScoreQuery (reference queries/payloads/PayloadScoreQuery.java
+    + AveragePayloadFunction + DelimitedPayloadTokenFilter): every token
+    carries payload (token_index % 7) + 1 via 'word|p' decoration, indexed
+    with whitespace+dpayload; score = BM25('table') * avg payload over the
+    term's occurrences. The avg derives from one division of the exact
+    integer sum, so round(,4) is engine-portable."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_pay_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "text",
+        F.expr(
+            "array_join(transform(split(text, ' '), (w, i) ->"
+            " concat(w, '|', cast(i % 7 + 1 as string))), ' ')"
+        ),
+    )
+    build_index(spark, pages, root, build_id="b0000", num_segments=3,
+                num_buckets=4, analyzer="whitespace+dpayload",
+                stored_cols=("text",))
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    q = Q.PayloadScoreQuery(Q.TermQuery("text", "table"), function="avg")
     hits = s.search(q, k=K, mode="exhaustive")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
@@ -2502,6 +2538,19 @@ ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
 FROM agg JOIN dl ON dl.doc_id = agg.doc_id
 WHERE (dl.len BETWEEN 20 AND 40) OR (dl.len BETWEEN 60 AND 70)
 ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
+"""
+    )
+    # PayloadScoreQuery: BM25('table') * avg payload, payload of the token
+    # at 1-based position pos = (pos - 1) % 7 + 1; the avg is one division
+    # of the exact integer sum (order-independent round(,4))
+    o["payload_score"] = (
+        base_t.split("SELECT doc_id, round")[0]
+        + f"""SELECT agg.doc_id AS doc_id, round(score * pf, 4) AS score_r
+FROM agg JOIN (
+  SELECT doc_id, CAST(sum((pos - 1) % 7 + 1) AS DOUBLE) / count(*) AS pf
+  FROM ({_TOKP}) WHERE term = 'table' GROUP BY doc_id
+) pay ON pay.doc_id = agg.doc_id
+ORDER BY score * pf DESC, agg.doc_id ASC LIMIT {K}
 """
     )
     o["sort_by_field"] = f"""

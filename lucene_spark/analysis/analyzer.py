@@ -228,9 +228,26 @@ class Analyzer:
     # analysis/core/WhitespaceTokenizer.java: split on Character
     # .isWhitespace, keep everything else verbatim)
     whitespace: bool = False
+    # DelimitedPayloadTokenFilter analogue (reference analysis/common/
+    # payloads/DelimitedPayloadTokenFilter.java + FloatEncoder.java): when
+    # set, each token is split at the FIRST delimiter occurrence — the
+    # prefix is the term, the suffix parses as the float payload (a
+    # non-numeric suffix raises, like Float.parseFloat). Use with the
+    # whitespace tokenizer: the UAX#29 scanner splits on punctuation and
+    # would never deliver the delimiter (the reference carries the same
+    # caveat in its class doc).
+    payload_delimiter: str = ""
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
+
+    def _split_payload(self, term: str) -> tuple[str, float | None]:
+        d = self.payload_delimiter
+        if d:
+            cut = term.find(d)
+            if cut >= 0:
+                return term[:cut], float(term[cut + len(d):])
+        return term, None
 
     def _raw_stream(self, text: str) -> list[tuple]:
         """(term, start, end, pos_increment) tuples, post-tokenizer and
@@ -251,6 +268,7 @@ class Analyzer:
         acc = 0
         syn = self._syn
         for term, start, end, incr in self._raw_stream(text):
+            term, payload = self._split_payload(term)
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
@@ -263,7 +281,7 @@ class Analyzer:
                 term = self.stemmer(term)
             pos += incr + acc
             acc = 0
-            out.append(Token(term, pos, start, end))
+            out.append(Token(term, pos, start, end, payload))
             if syn is not None:
                 for alt in syn.get(term, ()):
                     # stacked token: same position (posIncr == 0)
@@ -325,6 +343,7 @@ class Analyzer:
         norm_count = 0
         syn = self._syn
         for term, _start, _end, incr in self._raw_stream(text):
+            term, _ = self._split_payload(term)
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
@@ -361,6 +380,7 @@ class Analyzer:
         acc = 0
         syn = self._syn
         for term, _start, _end, incr in self._raw_stream(text):
+            term, _ = self._split_payload(term)
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
@@ -381,6 +401,18 @@ class Analyzer:
                     hit = out.get(alt)
                     if hit is not None:
                         hit.append(pos)  # stacked: same position
+        return out
+
+    def term_occurrences(self, text: str, wanted) -> dict[str, tuple[list, list]]:
+        """(positions, payloads) of ``wanted`` terms — the PayloadScoreQuery
+        verify path. Payload lists align with position lists; None where a
+        position carries no payload."""
+        out: dict[str, tuple[list, list]] = {t: ([], []) for t in wanted}
+        for t in self.tokens(text):
+            hit = out.get(t.term)
+            if hit is not None:
+                hit[0].append(t.position)
+                hit[1].append(t.payload)
         return out
 
 
@@ -421,6 +453,8 @@ def analyzer_for(name) -> Analyzer:
       - ``+cjk`` — CJKBigramFilter (all scripts, bigrams only, the
         CJKAnalyzer default); ``+cjk:uni`` adds stacked unigrams;
         ``+cjk:han`` / ``+cjk:han_uni`` restrict to Han
+      - ``+dpayload`` — DelimitedPayloadTokenFilter ('|' + float encoder);
+        use with the ``whitespace`` base
 
     e.g. ``"standard+folding+syn:fast=quick|rapid"``. An ``Analyzer``
     instance passes through unchanged (for programmatic chains; note a
@@ -461,6 +495,11 @@ def analyzer_for(name) -> Analyzer:
                     raise ValueError(f"bad synonym rule {pair!r} in analyzer {name!r}")
                 entries.append((src, tuple(alts.split("|"))))
             a = replace(a, synonyms=tuple(entries))
+        elif mod == "dpayload":
+            # DelimitedPayloadTokenFilter with the reference's default '|'
+            # delimiter and float encoding; pair with the whitespace base
+            # (the UAX#29 scanner splits on '|' and would eat the payload)
+            a = replace(a, payload_delimiter="|")
         else:
             raise KeyError(f"unknown analyzer modifier {mod!r} in {name!r}")
     _ANALYZER_CACHE[name] = a

@@ -137,6 +137,9 @@ class Token:
     position: int
     start: int
     end: int
+    # per-position payload (PayloadAttribute analogue), set by the
+    # delimited-payload step; None = no payload at this position
+    payload: float | None = None
 
 
 def _scan(text: str, base_offset: int, out: list[tuple[str, int, int]]) -> None:

@@ -1,0 +1,128 @@
+"""PayloadScoreQuery scorer (reference queries/payloads/
+PayloadScoreQuery.java): per-position payload values feed a min/max/avg/
+sum function that scales (or replaces) the wrapped span query's score.
+
+Plan shape: the wrapped query's scorer bounds the candidate set (its
+match set IS the span match set for TermQuery / exact PhraseQuery), then
+one narrow mapInPandas re-analyzes the candidates' stored text to
+collect per-occurrence payloads — the same positions-from-stored-text
+design as the phrase verifier (`phrase.py` module docstring): no payload
+bytes are ever indexed or shuffled, and the re-analysis cost is bounded
+by the candidate count, not the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import query as Q
+
+_OUT = T.StructType(
+    [
+        T.StructField("seg", T.StringType()),
+        T.StructField("doc", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _doc_payload_score(fn: str, factors: list[float]) -> float:
+    """PayloadFunction.docScore: 1.0 with no payloads seen; negative or
+    NaN results clamp to 0 (PayloadSpanScorer.getPayloadScore)."""
+    if not factors:
+        return 1.0
+    if fn == "min":
+        s = min(factors)
+    elif fn == "max":
+        s = max(factors)
+    elif fn == "sum":
+        s = math.fsum(factors)
+    else:  # avg — ONE division of the exact sum (order-independent)
+        s = math.fsum(factors) / len(factors)
+    if s < 0 or math.isnan(s):
+        return 0.0
+    return float(s)
+
+
+def scored_payload_query(searcher, q: Q.PayloadScoreQuery, field: str) -> DataFrame | None:
+    """(seg, doc, score) for a PayloadScoreQuery."""
+    inner = q.query
+    if isinstance(inner, Q.TermQuery):
+        phrase_terms = None
+        wanted = [inner.term]
+        fld = inner.field or field
+    elif isinstance(inner, Q.PhraseQuery) and inner.slop == 0:
+        phrase_terms = list(inner.terms)
+        wanted = list(dict.fromkeys(inner.terms))
+        fld = field
+    else:
+        raise NotImplementedError(
+            "PayloadScoreQuery spans: TermQuery or exact PhraseQuery only "
+            "(sloppy/ordered span algebra out of scope)"
+        )
+    reader = searcher.reader
+    span = searcher._scored_docs(inner, field)  # boost rides on the inner weight
+    if span is None:
+        return None
+    docs = reader.docs()
+    if "text" not in docs.columns:
+        raise ValueError(
+            "PayloadScoreQuery needs the text stored (stored_cols=('text',...))"
+        )
+    analyzer_name = reader._manifests[reader._builds[0]].get("analyzer", "standard")
+    joined = span.join(docs.select("seg", "doc", "text"), ["seg", "doc"])
+    fn_name, include = q.function, q.include_span_score
+    outer_boost = float(q.boost)
+
+    def verify(iterator):
+        from ..analysis.analyzer import analyzer_for
+
+        analyzer = analyzer_for(analyzer_name)
+        wset = frozenset(wanted)
+        for pdf in iterator:
+            segs, docs_, scores = [], [], []
+            for row in pdf.itertuples(index=False):
+                occ = analyzer.term_occurrences(row.text or "", wset)
+                if phrase_terms is None:
+                    pays = occ[wanted[0]][1]
+                    factors = [1.0 if p is None else float(p) for p in pays]
+                else:
+                    # exact phrase spans: base positions where every slot
+                    # aligns; collect each constituent position's payload
+                    # (PayloadSpans.doCurrentSpans -> collectLeaf per leaf)
+                    pay_at = {
+                        t: dict(zip(occ[t][0], occ[t][1])) for t in wset
+                    }
+                    base = None
+                    for j, t in enumerate(phrase_terms):
+                        sl = {p - j for p in occ[t][0]}
+                        base = sl if base is None else (base & sl)
+                        if not base:
+                            break
+                    factors = []
+                    for b in sorted(base or ()):
+                        for j, t in enumerate(phrase_terms):
+                            p = pay_at[t].get(b + j)
+                            factors.append(1.0 if p is None else float(p))
+                ps = _doc_payload_score(fn_name, factors)
+                # boost rides on the inner span weight (createWeight):
+                # payload-only scoring returns the bare payload score
+                s = float(row.score) * outer_boost * ps if include else ps
+                segs.append(row.seg)
+                docs_.append(row.doc)
+                scores.append(s)
+            yield pd.DataFrame(
+                {
+                    "seg": pd.Series(segs, dtype=object),
+                    "doc": pd.Series(docs_, dtype=np.int64),
+                    "score": pd.Series(scores, dtype=np.float64),
+                }
+            )
+
+    return joined.mapInPandas(verify, _OUT)

@@ -415,6 +415,41 @@ class DistanceFeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """Score from per-position payloads (reference queries/payloads/
+    PayloadScoreQuery.java + {Min,Max,Average,Sum}PayloadFunction.java +
+    PayloadDecoder.java FLOAT_DECODER):
+
+    - ``query`` is the span source: a TermQuery (every occurrence is a
+      span) or an exact PhraseQuery (each matching phrase span collects
+      the payloads of every constituent position — PayloadSpans
+      .collectLeaf per leaf). Sloppy/ordered span algebra is out of scope.
+    - every collected position contributes a payload factor; positions
+      without a payload decode to 1.0 (FLOAT_DECODER's null contract) and
+      still count into numPayloadsSeen;
+    - per-doc payload score = function(factors) for min/max/avg/sum, 1.0
+      when no payloads were seen, clamped to 0 when negative or NaN
+      (PayloadSpanScorer.getPayloadScore);
+    - final score = span_score * payload_score when include_span_score,
+      else the payload score alone (scoreCurrentDoc). The boost rides on
+      the inner span weight, as in createWeight.
+
+    Payloads are produced at analysis time by the ``+dpayload`` analyzer
+    step (DelimitedPayloadTokenFilter) and recovered at query time by
+    re-analyzing the stored text of the candidate docs — the same
+    positions-from-stored-text design the phrase verifier uses."""
+
+    query: Query
+    function: str = "avg"  # min | max | avg | sum
+    include_span_score: bool = True
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.function not in ("min", "max", "avg", "sum"):
+            raise ValueError(f"unknown payload function {self.function!r}")
+
+
+@dataclass(frozen=True)
 class CoveringQuery(Query):
     """Per-document dynamic minimum-should-match (reference
     sandbox/src/java/org/apache/lucene/sandbox/search/CoveringQuery.java):

@@ -479,6 +479,10 @@ class IndexSearcher:
             )
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, field)
+        if isinstance(q, Q.PayloadScoreQuery):
+            from .payloads import scored_payload_query
+
+            return scored_payload_query(self, q, field)
         if isinstance(q, Q.CoveringQuery):
             return self._scored_covering(q, field)
         if isinstance(q, Q.CombinedFieldQuery):

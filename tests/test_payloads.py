@@ -1,0 +1,169 @@
+"""Payload positions + PayloadScoreQuery (reference queries/payloads/
+PayloadScoreQuery.java, {Min,Max,Average,Sum}PayloadFunction.java,
+PayloadDecoder.java FLOAT_DECODER; analysis/common/payloads/
+DelimitedPayloadTokenFilter.java + FloatEncoder.java).
+
+The payload corpus decorates every whitespace token with '|' + a
+deterministic float ((token_index % 7) + 1), indexed with the
+whitespace+dpayload analyzer — the DelimitedPayloadTokenFilter setup."""
+
+import math
+import shutil
+
+import numpy as np
+import pytest
+from oracle import BruteForceIndex
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+ANALYZER = "whitespace+dpayload"
+DECORATE = (
+    "array_join(transform(split(text, ' '), (w, i) ->"
+    " concat(w, '|', cast(i % 7 + 1 as string))), ' ')"
+)
+
+
+@pytest.fixture(scope="module")
+def pay_searcher(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("payidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA).withColumn(
+        "text", F.expr(DECORATE)
+    )
+    build_index(spark, pages, root, num_segments=2, num_buckets=4,
+                analyzer=ANALYZER, stored_cols=("text",))
+    return IndexSearcher(IndexReader(spark, root))
+
+
+@pytest.fixture(scope="module")
+def pay_oracle(corpus):
+    pdf = corpus.copy()
+    pdf["text"] = [
+        " ".join(f"{w}|{i % 7 + 1}" for i, w in enumerate((t or "").split()))
+        for t in pdf["text"]
+    ]
+    return BruteForceIndex(pdf, analyzer=ANALYZER), pdf
+
+
+def _payload_factors(text, term):
+    an = analyzer_for(ANALYZER)
+    _pos, pays = an.term_occurrences(text or "", frozenset([term]))[term]
+    return [1.0 if p is None else float(p) for p in pays]
+
+
+def _fn(fn, factors):
+    if not factors:
+        return 1.0
+    if fn == "min":
+        return min(factors)
+    if fn == "max":
+        return max(factors)
+    if fn == "sum":
+        return math.fsum(factors)
+    return math.fsum(factors) / len(factors)
+
+
+def _expected(oracle_pair, term, fn, include=True, k=50):
+    oracle, pdf = oracle_pair
+    scores = oracle.term_scores(term)
+    mask = oracle.term_mask(term)
+    rows = []
+    for i in range(oracle.n):
+        if not mask[i]:
+            continue
+        ps = _fn(fn, _payload_factors(pdf["text"][i], term))
+        s = float(np.float32(scores[i])) * ps if include else ps
+        rows.append((oracle.urls[i], float(np.float32(s))))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def _hits(searcher, q, k=50):
+    rows = searcher.search(q, k=k).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+@pytest.mark.parametrize("fn", ["min", "max", "avg", "sum"])
+def test_term_payload_functions(pay_searcher, pay_oracle, fn):
+    q = Q.PayloadScoreQuery(Q.TermQuery("text", "table"), function=fn)
+    assert _hits(pay_searcher, q) == _expected(pay_oracle, "table", fn)
+
+
+def test_payload_only_score(pay_searcher, pay_oracle):
+    """include_span_score=False: the payload score alone (the reference's
+    payload-only constructor path)."""
+    q = Q.PayloadScoreQuery(
+        Q.TermQuery("text", "scan"), function="max", include_span_score=False
+    )
+    got = _hits(pay_searcher, q)
+    want = _expected(pay_oracle, "scan", "max", include=False)
+    assert got == want and got
+
+
+def test_phrase_span_payloads(pay_searcher, pay_oracle):
+    """Exact phrase spans collect every constituent position's payload
+    (PayloadSpans.collectLeaf per leaf)."""
+    oracle, pdf = pay_oracle
+    q = Q.PayloadScoreQuery(
+        Q.PhraseQuery("text", ("table", "scan")), function="sum",
+        include_span_score=False
+    )
+    got = dict(_hits(pay_searcher, q, k=1000))
+    an = analyzer_for(ANALYZER)
+    n_checked = 0
+    for i in range(oracle.n):
+        occ = an.term_occurrences(pdf["text"][i] or "", frozenset(["table", "scan"]))
+        base = {p for p in occ["table"][0]} & {p - 1 for p in occ["scan"][0]}
+        if not base:
+            continue
+        pay = {t: dict(zip(occ[t][0], occ[t][1])) for t in ("table", "scan")}
+        factors = []
+        for b in sorted(base):
+            factors.append(float(pay["table"][b]))
+            factors.append(float(pay["scan"][b + 1]))
+        want = float(np.float32(math.fsum(factors)))
+        assert got[oracle.urls[i]] == pytest.approx(want, rel=1e-6)
+        n_checked += 1
+    assert n_checked > 0 and len(got) == n_checked
+
+
+def test_tokens_without_delimiter_decode_to_one(spark, tmp_path_factory):
+    """FLOAT_DECODER's null contract: a position without a payload
+    contributes factor 1.0 and counts into numPayloadsSeen."""
+    an = analyzer_for(ANALYZER)
+    toks = an.tokens("alpha|2.5 alpha beta|4")
+    assert [(t.term, t.payload) for t in toks] == [
+        ("alpha", 2.5), ("alpha", None), ("beta", 4.0)
+    ]
+    assert _fn("avg", [1.0 if t.payload is None else t.payload
+                       for t in toks if t.term == "alpha"]) == 1.75
+
+
+def test_norms_and_terms_ignore_payload_suffix():
+    """The payload split happens before lowercase/stop/stem: terms, length
+    and norms are identical to analyzing the undecorated text."""
+    an = analyzer_for(ANALYZER)
+    plain = analyzer_for("whitespace")
+    assert an.invert("Foo|1 BAR|2 baz|3") == plain.invert("Foo BAR baz")
+    assert an.term_positions("a|1 b|2 a|3", frozenset(["a", "b"])) == (
+        plain.term_positions("a b a", frozenset(["a", "b"]))
+    )
+
+
+def test_unparseable_payload_raises():
+    """Float.parseFloat semantics (FloatEncoder.java:31): a non-numeric
+    suffix after the delimiter is an error, not a silent pass-through."""
+    an = analyzer_for(ANALYZER)
+    with pytest.raises(ValueError):
+        an.tokens("word|notafloat")
+
+
+def test_unknown_function_rejected():
+    with pytest.raises(ValueError, match="payload function"):
+        Q.PayloadScoreQuery(Q.TermQuery("text", "x"), function="median")
