@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["covering_msm_dv"] = _pq_covering_msm
     q["dv_multi_range"] = _pq_dv_multi_range
     q["payload_score"] = _pq_payload_score
+    q["icu_fold_terms"] = _pq_icu_fold_terms
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
@@ -832,6 +833,47 @@ def _pq_iodv_verified(spark, sf_dir):
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+_ICU_VOCAB = [
+    "Ｆｕｌｌｗｉｄｔｈ", "ﬁnance", "ＫＡＦＫＡ", "straße", "ΣΊΣΥΦΟΣ",
+    "Ｃａｆé", "①②③", "ｶﾀｶﾅ", "Ⅻ", "ﬀable",
+    "soft­hyphen", "zero​width",
+]
+# hand-verified ICU nfkc_cf goldens for the vocab (tests/test_icu.py) —
+# the oracle embeds these literals; the Spark side derives them through
+# the real analyzer chain, so a folding regression breaks the match
+_ICU_GOLDEN = [
+    "fullwidth", "finance", "kafka", "strasse", "σίσυφοσ",
+    "café", "123", "カタカナ", "xii", "ffable",
+    "softhyphen", "zerowidth",
+]
+
+
+def _pq_icu_fold_terms(spark, sf_dir):
+    """ICUNormalizer2Filter nfkc_cf folding (reference analysis/icu/.../
+    ICUNormalizer2Filter.java) over a seeded mixed-script corpus slice:
+    each doc is decorated with _ICU_VOCAB[doc_id % 12]; the decoration is
+    folded through the whitespace+icu analyzer chain (driver-side query
+    analysis, like Lucene's query-time chain) and counted per folded
+    term. The oracle recomputes counts against the hand-verified golden
+    foldings."""
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("whitespace+icu")
+    folded = [an.terms(v)[0] for v in _ICU_VOCAB]
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.element_at(
+                F.array(*[F.lit(x) for x in folded]),
+                (F.col("doc_id") % 12 + 1).cast("int"),
+            ).alias("folded")
+        )
+        .groupBy("folded")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("folded")
     )
 
 
@@ -2540,6 +2582,15 @@ WHERE (dl.len BETWEEN 20 AND 40) OR (dl.len BETWEEN 60 AND 70)
 ORDER BY score DESC, agg.doc_id ASC LIMIT {K}
 """
     )
+    icu_vals = ", ".join(
+        f"({i}, '{g}')" for i, g in enumerate(_ICU_GOLDEN)
+    )
+    o["icu_fold_terms"] = f"""
+WITH v(vi, folded) AS (VALUES {icu_vals})
+SELECT v.folded AS folded, count(*) AS n_docs
+FROM documents d JOIN v ON v.vi = d.doc_id % 12
+GROUP BY v.folded ORDER BY folded
+"""
     # PayloadScoreQuery: BM25('table') * avg payload, payload of the token
     # at 1-based position pos = (pos - 1) % 7 + 1; the avg is one division
     # of the exact integer sum (order-independent round(,4))

@@ -26,6 +26,7 @@ from dataclasses import dataclass, replace
 
 import pandas as pd
 
+from .icu import nfkc_cf
 from .tokenizer import MAX_TOKEN_LENGTH, Token, tokenize
 
 # Java Character.toLowerCase uses the *simple* per-codepoint mapping; Python
@@ -228,6 +229,11 @@ class Analyzer:
     # analysis/core/WhitespaceTokenizer.java: split on Character
     # .isWhitespace, keep everything else verbatim)
     whitespace: bool = False
+    # ICUNormalizer2Filter analogue (reference analysis/icu/.../
+    # ICUNormalizer2Filter.java, default nfkc_cf mode): NFKC compatibility
+    # fold + full case fold + default-ignorable removal per token, applied
+    # where LowerCaseFilter sits (it subsumes lowercasing)
+    icu_fold: bool = False
     # DelimitedPayloadTokenFilter analogue (reference analysis/common/
     # payloads/DelimitedPayloadTokenFilter.java + FloatEncoder.java): when
     # set, each token is split at the FIRST delimiter occurrence — the
@@ -272,6 +278,8 @@ class Analyzer:
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
+            if self.icu_fold:
+                term = nfkc_cf(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
@@ -347,6 +355,8 @@ class Analyzer:
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
+            if self.icu_fold:
+                term = nfkc_cf(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
@@ -384,6 +394,8 @@ class Analyzer:
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
+            if self.icu_fold:
+                term = nfkc_cf(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
@@ -453,6 +465,8 @@ def analyzer_for(name) -> Analyzer:
       - ``+cjk`` — CJKBigramFilter (all scripts, bigrams only, the
         CJKAnalyzer default); ``+cjk:uni`` adds stacked unigrams;
         ``+cjk:han`` / ``+cjk:han_uni`` restrict to Han
+      - ``+icu`` — ICUNormalizer2Filter default mode (Unicode nfkc_cf:
+        NFKC + case fold + default-ignorable strip)
       - ``+dpayload`` — DelimitedPayloadTokenFilter ('|' + float encoder);
         use with the ``whitespace`` base
 
@@ -495,6 +509,10 @@ def analyzer_for(name) -> Analyzer:
                     raise ValueError(f"bad synonym rule {pair!r} in analyzer {name!r}")
                 entries.append((src, tuple(alts.split("|"))))
             a = replace(a, synonyms=tuple(entries))
+        elif mod == "icu":
+            # ICUNormalizer2Filter default mode (nfkc_cf): compatibility
+            # fold + case fold + default-ignorable strip per token
+            a = replace(a, icu_fold=True)
         elif mod == "dpayload":
             # DelimitedPayloadTokenFilter with the reference's default '|'
             # delimiter and float encoding; pair with the whitespace base

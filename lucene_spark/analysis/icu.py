@@ -1,0 +1,68 @@
+"""ICU-style Unicode normalization (reference analysis/icu/src/java/org/
+apache/lucene/analysis/icu/ICUNormalizer2Filter.java — whose default mode
+is ICU's ``nfkc_cf`` normalizer, and ICUFoldingFilter's close cousin).
+
+``nfkc_cf(s)`` mirrors ICU's NFKC_Casefold composition (Unicode UAX #31
+/ ICU Normalizer2.getNFKCCasefoldInstance): NFKC compatibility
+decomposition+composition, full Unicode case folding, re-normalization
+(case folding can denormalize), and removal of Default_Ignorable_
+Code_Point characters (soft hyphen, zero-width space/joiners, BiDi
+controls, variation selectors, ...), which plain NFKC preserves.
+
+The folding therefore maps e.g. full-width ＫＡＦＫＡ -> kafka, ligature
+ﬁnance -> finance, straße -> strasse, circled ①②③ -> 123, half-width
+ｶﾀｶﾅ -> カタカナ, Roman numeral Ⅻ -> xii, final-form Σ/ς -> σ, and strips
+U+00AD/U+200B-class invisibles — the normalizations a multilingual
+web corpus needs before term matching.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# Default_Ignorable_Code_Point (DerivedCoreProperties.txt) — the ranges a
+# web corpus actually encounters; kept explicit (unicodedata exposes no
+# property API). ICU removes these under nfkc_cf.
+_IGNORABLE_RANGES = (
+    (0x00AD, 0x00AD),  # soft hyphen
+    (0x034F, 0x034F),  # combining grapheme joiner
+    (0x061C, 0x061C),  # arabic letter mark
+    (0x115F, 0x1160),  # hangul fillers
+    (0x17B4, 0x17B5),  # khmer inherent vowels
+    (0x180B, 0x180F),  # mongolian variation selectors + vowel separator
+    (0x200B, 0x200F),  # zero-width space/joiners, LRM/RLM
+    (0x202A, 0x202E),  # bidi embedding controls
+    (0x2060, 0x2064),  # word joiner, invisible operators
+    (0x2066, 0x206F),  # bidi isolates, deprecated format chars
+    (0x3164, 0x3164),  # hangul filler
+    (0xFE00, 0xFE0F),  # variation selectors
+    (0xFEFF, 0xFEFF),  # zero-width no-break space / BOM
+    (0xFFA0, 0xFFA0),  # halfwidth hangul filler
+    (0xFFF0, 0xFFF8),  # specials
+    (0x1BCA0, 0x1BCA3),  # shorthand format controls
+    (0x1D173, 0x1D17A),  # musical format controls
+    (0xE0000, 0xE0FFF),  # tags + plane-14 variation selectors
+)
+
+
+def _is_ignorable(ch: str) -> bool:
+    cp = ord(ch)
+    for lo, hi in _IGNORABLE_RANGES:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+def nfkc_cf(s: str) -> str:
+    """ICU NFKC_Casefold: drop default-ignorable code points, then NFKC ->
+    full case fold -> NFKC (case folding can denormalize). Ignorables are
+    removed FIRST so characters they separated may compose, matching
+    ICU's treatment of them as map-to-nothing inside the normalization.
+    Idempotent."""
+    if not s:
+        return s
+    if any(_is_ignorable(c) for c in s):
+        s = "".join(c for c in s if not _is_ignorable(c))
+    return unicodedata.normalize(
+        "NFKC", unicodedata.normalize("NFKC", s).casefold()
+    )

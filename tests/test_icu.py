@@ -1,0 +1,82 @@
+"""ICU-style NFKC_Casefold normalization (reference analysis/icu/src/
+java/org/apache/lucene/analysis/icu/ICUNormalizer2Filter.java — default
+nfkc_cf mode): golden vectors + analyzer-chain integration + an indexed
+search round-trip over mixed-script text."""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.icu import nfkc_cf
+
+# hand-verified against ICU's nfkc_cf mappings (UAX #15 + case folding +
+# Default_Ignorable_Code_Point removal)
+GOLDEN = [
+    ("Ｆｕｌｌｗｉｄｔｈ", "fullwidth"),      # full-width Latin
+    ("ﬁnance", "finance"),                    # fi ligature
+    ("ＫＡＦＫＡ", "kafka"),                  # full-width + case
+    ("straße", "strasse"),                    # sharp s full fold
+    ("ΣΊΣΥΦΟΣ", "σίσυφοσ"),                  # Greek, final-form sigma
+    ("①②③", "123"),                           # circled digits
+    ("ｶﾀｶﾅ", "カタカナ"),                     # half-width katakana
+    ("Ⅻ", "xii"),                             # Roman numeral
+    ("ﬀable", "ffable"),                      # ff ligature
+    ("Ω", "ω"),                               # Ohm sign -> omega
+    ("soft­hyphen", "softhyphen"),       # soft hyphen stripped
+    ("zero​width", "zerowidth"),         # zero-width space stripped
+    ("bi‪di‬", "bidi"),             # BiDi controls stripped
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,want", GOLDEN)
+def test_golden_vectors(raw, want):
+    assert nfkc_cf(raw) == want
+
+
+def test_idempotent():
+    for raw, want in GOLDEN:
+        assert nfkc_cf(want) == want
+        assert nfkc_cf(nfkc_cf(raw)) == nfkc_cf(raw)
+
+
+def test_analyzer_modifier_folds_terms():
+    an = analyzer_for("whitespace+icu")
+    assert an.terms("ＫＡＦＫＡ straße ﬁnance") == ["kafka", "strasse", "finance"]
+    # norms/positions unaffected by the fold
+    terms, norm = an.invert("Ｃａｆé ①②③")
+    assert terms == ["café", "123"] and norm == 2
+
+
+def test_standard_chain_composes():
+    """+icu composes with the UAX#29 base: the fold sits where
+    LowerCaseFilter does, so downstream stop/stem see folded terms."""
+    an = analyzer_for("english+icu")
+    # full-width THE folds to 'the' and is then stop-filtered
+    assert an.terms("ＴＨＥ ﬁnances") == ["financ"]  # Porter stems the fold
+
+
+def test_indexed_search_roundtrip(spark, tmp_path_factory):
+    """Mixed-script documents indexed with +icu match folded query terms."""
+    import shutil
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    root = str(tmp_path_factory.mktemp("icuidx"))
+    shutil.rmtree(root, ignore_errors=True)
+    rows = [
+        ("u/0001", "ＫＡＦＫＡ pipeline straße"),
+        ("u/0002", "kafka topics"),
+        ("u/0003", "unrelated ﬁnance text"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    build_index(spark, pages, root, num_segments=1, num_buckets=2,
+                analyzer="whitespace+icu", stored_cols=("text",))
+    s = IndexSearcher(IndexReader(spark, root))
+    got = {r["url"] for r in s.search(Q.TermQuery("text", "kafka"), k=10).collect()}
+    assert got == {"u/0001", "u/0002"}
+    got2 = {r["url"] for r in s.search(Q.TermQuery("text", "strasse"), k=10).collect()}
+    assert got2 == {"u/0001"}
+    got3 = {r["url"] for r in s.search(Q.TermQuery("text", "finance"), k=10).collect()}
+    assert got3 == {"u/0003"}
