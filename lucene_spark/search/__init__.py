@@ -2,6 +2,7 @@ from . import query
 from .complex_phrase import parse_complex_phrase
 from .expressions import compile_expression, expression_rescore
 from .parser import parse, parse_multi_field
+from .profiler import ProfiledIndexSearcher, QueryProfilerResult
 from .rescorer import rescore
 from .searcher import IndexSearcher
 from .simple_parser import parse_simple
@@ -21,5 +22,7 @@ __all__ = [
     "expression_rescore",
     "rescore",
     "IndexSearcher",
+    "ProfiledIndexSearcher",
+    "QueryProfilerResult",
     "merge_topk",
 ]

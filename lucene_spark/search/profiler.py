@@ -1,0 +1,214 @@
+"""Per-query wall-time profiler — the QueryProfiler* sandbox analogue.
+
+Reference surface:
+- sandbox/src/java/org/apache/lucene/sandbox/search/QueryProfilerIndexSearcher.java
+  (wraps an IndexSearcher, times rewrite + createWeight per tree node, wraps
+  every Weight/Scorer to time the scorer micro-steps)
+- QueryProfilerTimingType.java:24-40 — the timed sections
+- QueryProfilerResult.java — the reported tree node shape: query name,
+  description, per-section breakdown, children, total time
+- QueryProfilerTree.java — tree construction from nested createWeight calls
+
+Engine mapping. Lucene can time NEXT_DOC / ADVANCE / MATCH / SCORE per leaf
+because its execution is pull-based, one doc at a time. Here matching,
+scoring and per-segment top-k run as ONE fused Spark job (whole-stage
+codegen + Arrow kernels); slicing timers into that job would break the
+fusion the engine's throughput depends on. So the leaf-level scorer
+sections collapse into a single ``execute`` section on the root node, and
+everything that IS separable driver-side is timed per node:
+
+============== =========================================================
+section        what it times (reference section it corresponds to)
+============== =========================================================
+rewrite        Query.rewrite fixpoint: multi-term expansion, boolean
+               simplification (QueryProfilerIndexSearcher.rewrite).
+               Root node only.
+create_weight  collection + term statistics fetch and SimScorer
+               construction for this node (CREATE_WEIGHT). Timed per
+               tree node: term-bearing leaves fetch their own stats.
+build_scorer   assembling the lazy DataFrame plan — IndexSearcher.search
+               up to (not including) the Spark action (BUILD_SCORER).
+               Root node only.
+execute        the Spark action: posting scan, block decode, match,
+               score, per-segment top-k, global merge. NEXT_DOC +
+               ADVANCE + MATCH + SCORE + SHALLOW_ADVANCE +
+               COMPUTE_MAX_SCORE + SET_MIN_COMPETITIVE_SCORE, fused.
+               Root node only.
+finalize       driver-side materialization of the k hit rows.
+============== =========================================================
+
+Row counts ride along per node (``rows``): term leaves report their
+``doc_freq`` / ``total_term_freq`` cost estimate (what Weight#count /
+ScorerSupplier#cost feeds on), the root reports ``hits``.
+
+Every section is wall-clock ns from ``time.perf_counter_ns``, and a node's
+``total_time`` is exactly the sum of its own breakdown (children are
+reported separately, as in QueryProfilerResult.getTotalTime's per-node
+contract).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from . import query as Q
+
+SECTIONS = ("rewrite", "create_weight", "build_scorer", "execute", "finalize")
+
+
+@dataclass
+class QueryProfilerResult:
+    """One profiled query-tree node (QueryProfilerResult.java:33-90)."""
+
+    type: str
+    description: str
+    breakdown: dict = dc_field(default_factory=dict)
+    rows: dict = dc_field(default_factory=dict)
+    children: list = dc_field(default_factory=list)
+
+    def __post_init__(self):
+        for s in SECTIONS:
+            self.breakdown.setdefault(s, 0)
+
+    @property
+    def total_time(self) -> int:
+        """ns spent in THIS node's sections (excludes children)."""
+        return sum(self.breakdown.values())
+
+    def total_time_inclusive(self) -> int:
+        """ns including every descendant (the tree's wall-clock cost)."""
+        return self.total_time + sum(c.total_time_inclusive() for c in self.children)
+
+    def to_dict(self) -> dict:
+        return {
+            "type": self.type,
+            "description": self.description,
+            "time_ns": self.total_time,
+            "breakdown": dict(self.breakdown),
+            "rows": dict(self.rows),
+            "children": [c.to_dict() for c in self.children],
+        }
+
+    def pretty(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        ms = self.total_time / 1e6
+        hot = ", ".join(
+            f"{k}={v / 1e6:.2f}ms" for k, v in self.breakdown.items() if v
+        ) or "-"
+        rows = (" " + " ".join(f"{k}={v}" for k, v in self.rows.items())) if self.rows else ""
+        out = [f"{pad}{self.type} [{self.description}] {ms:.2f}ms ({hot}){rows}"]
+        out.extend(c.pretty(indent + 1) for c in self.children)
+        return "\n".join(out)
+
+
+class _Timer:
+    def __init__(self, node: QueryProfilerResult, section: str):
+        self.node, self.section = node, section
+
+    def __enter__(self):
+        self._t0 = time.perf_counter_ns()
+        return self
+
+    def __exit__(self, *exc):
+        self.node.breakdown[self.section] += time.perf_counter_ns() - self._t0
+
+
+def _describe(q: Q.Query) -> str:
+    if isinstance(q, Q.TermQuery):
+        return f"{q.field}:{q.term}"
+    if isinstance(q, Q.PhraseQuery):
+        return f'{q.field}:"{" ".join(q.terms)}"~{q.slop}'
+    if isinstance(q, Q.SynonymQuery):
+        return f"{q.field}:({' | '.join(q.terms)})"
+    if isinstance(q, Q.BooleanQuery):
+        marks = {"MUST": "+", "MUST_NOT": "-", "FILTER": "#", "SHOULD": ""}
+        return " ".join(
+            marks[c.occur] + _describe(c.query) for c in q.clauses
+        ) + (f" msm={q.minimum_should_match}" if q.minimum_should_match else "")
+    if isinstance(q, Q.KnnQuery):
+        return f"knn({q.field}, k={q.k})"
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return f"({_describe(q.query)})^{getattr(q, 'boost', 1.0)}"
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return "(" + " | ".join(_describe(d) for d in q.disjuncts) + f")~{q.tie_breaker}"
+    # generic fallback: dataclass repr without the class name spam
+    return repr(q)
+
+
+def _children(q: Q.Query) -> list[Q.Query]:
+    if isinstance(q, Q.BooleanQuery):
+        return [c.query for c in q.clauses]
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery, Q.FunctionScoreQuery)):
+        return [q.query]
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return list(q.disjuncts)
+    if isinstance(q, Q.SynonymQuery):
+        return [Q.TermQuery(q.field, t) for t in q.terms]
+    if isinstance(q, Q.CoveringQuery):
+        return list(q.queries)
+    if isinstance(q, Q.PayloadScoreQuery):
+        return [q.query]
+    if isinstance(q, Q.KnnQuery) and q.filter is not None:
+        return [q.filter]
+    return []
+
+
+class ProfiledIndexSearcher:
+    """QueryProfilerIndexSearcher analogue: same results as the wrapped
+    ``IndexSearcher``, plus a per-node timing tree.
+
+    >>> hits, prof = ProfiledIndexSearcher(searcher).profile(q, k=10)
+    >>> print(prof.pretty())
+    """
+
+    def __init__(self, searcher):
+        self.searcher = searcher
+
+    # -- per-node create_weight: stats fetch + scorer build ---------------
+    def _weigh(self, q: Q.Query, node: QueryProfilerResult, field: str):
+        reader = self.searcher.reader
+        terms = None
+        if isinstance(q, Q.TermQuery):
+            terms, f = [q.term], (q.field or field)
+        elif isinstance(q, Q.PhraseQuery):
+            terms, f = list(q.terms), (q.field or field)
+        elif isinstance(q, Q.SynonymQuery):
+            # blended stats fetched here; the per-term children re-report
+            # their own doc_freq (SynonymQuery.java blended weight)
+            terms, f = list(q.terms), (q.field or field)
+        if terms is not None:
+            with _Timer(node, "create_weight"):
+                doc_count, sum_ttf = reader.collection_stats(f)
+                stats = reader.term_stats(terms, f)
+            node.rows["doc_freq"] = int(sum(s[0] for s in stats.values()))
+            node.rows["total_term_freq"] = int(sum(s[1] for s in stats.values()))
+
+    def _build_tree(self, q: Q.Query, field: str) -> QueryProfilerResult:
+        node = QueryProfilerResult(type(q).__name__, _describe(q))
+        self._weigh(q, node, field)
+        node.children = [self._build_tree(c, field) for c in _children(q)]
+        return node
+
+    def profile(self, q: Q.Query, k: int = 10, field: str = "text",
+                mode: str = "auto"):
+        """Run the query and return ``(hit_rows, QueryProfilerResult)``.
+
+        ``hit_rows`` is the collected list of Rows (url, score, ...) —
+        identical to ``searcher.search(...).collect()``; the profile tree
+        hangs off the returned root node.
+        """
+        root = QueryProfilerResult("root", "")
+        with _Timer(root, "rewrite"):
+            rq = Q.rewrite(q, self.searcher.reader, field)
+        tree = self._build_tree(rq, field)
+        # graft the rewrite timing onto the (post-rewrite) root query node
+        tree.breakdown["rewrite"] = root.breakdown["rewrite"]
+        with _Timer(tree, "build_scorer"):
+            df = self.searcher.search(rq, k=k, field=field, mode=mode)
+        with _Timer(tree, "execute"):
+            rows = df.collect()
+        with _Timer(tree, "finalize"):
+            hits = [r.asDict() for r in rows]
+        tree.rows["hits"] = len(hits)
+        return hits, tree

@@ -1,0 +1,112 @@
+"""QueryProfiler analogue (reference sandbox/.../QueryProfilerIndexSearcher.java,
+QueryProfilerTimingType.java, QueryProfilerResult.java; tests mirror
+sandbox/src/test/.../TestQueryProfilerIndexSearcher.java's shape checks)."""
+
+import pytest
+
+from lucene_spark.search import IndexSearcher, ProfiledIndexSearcher
+from lucene_spark.search import query as Q
+from lucene_spark.search.profiler import SECTIONS
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+@pytest.fixture(scope="module")
+def prof_searcher(searcher):
+    return ProfiledIndexSearcher(searcher)
+
+
+def _term_df(reader, term, field="text"):
+    stats = reader.term_stats([term], field)
+    return stats[term][0] if term in stats else 0
+
+
+def _pick_terms(reader, n=3):
+    # deterministic common terms straight from the dictionary
+    td = reader.term_dict(field="text").toPandas()
+    agg = td.groupby("term")["doc_freq"].sum().sort_values(ascending=False)
+    return list(agg.index[:n])
+
+
+def test_sections_named_and_sum_to_total(prof_searcher, reader):
+    t = _pick_terms(reader, 1)[0]
+    hits, prof = prof_searcher.profile(Q.TermQuery("text", t), k=5)
+    # every section named, nothing else (QueryProfilerTimingType contract)
+    assert set(prof.breakdown.keys()) == set(SECTIONS)
+    # breakdown sums exactly to the node's total
+    assert prof.total_time == sum(prof.breakdown.values())
+    # the Spark action dominates and every driver phase was actually timed
+    assert prof.breakdown["execute"] > 0
+    assert prof.breakdown["build_scorer"] > 0
+    assert prof.breakdown["create_weight"] > 0
+    assert prof.rows["hits"] == len(hits) == 5
+
+
+def test_profile_matches_plain_search(prof_searcher, searcher, reader):
+    t1, t2 = _pick_terms(reader, 2)
+    q = Q.BooleanQuery.build(("SHOULD", Q.TermQuery("text", t1)),
+                             ("SHOULD", Q.TermQuery("text", t2)))
+    hits, _ = prof_searcher.profile(q, k=10)
+    plain = [r.asDict() for r in searcher.search(q, k=10).collect()]
+    assert [(h["url"], round(h["score"], 6)) for h in hits] == \
+           [(h["url"], round(h["score"], 6)) for h in plain]
+
+
+def test_tree_shape_boolean(prof_searcher, reader):
+    t1, t2, t3 = _pick_terms(reader, 3)
+    q = Q.BooleanQuery.build(
+        ("MUST", Q.TermQuery("text", t1)),
+        ("SHOULD", Q.TermQuery("text", t2)),
+        ("MUST_NOT", Q.TermQuery("text", t3)),
+    )
+    _, prof = prof_searcher.profile(q, k=5)
+    assert prof.type == "BooleanQuery"
+    assert [c.type for c in prof.children] == ["TermQuery"] * 3
+    # per-leaf create_weight was timed and cost (doc_freq) reported
+    for child, term in zip(prof.children, (t1, t2, t3)):
+        assert child.breakdown["create_weight"] > 0
+        assert child.rows["doc_freq"] == _term_df(reader, term)
+        # leaves never run their own Spark action
+        assert child.breakdown["execute"] == 0
+    # inclusive total >= own total and equals own + children
+    assert prof.total_time_inclusive() == prof.total_time + sum(
+        c.total_time_inclusive() for c in prof.children
+    )
+
+
+def test_rewrite_section_on_multiterm(prof_searcher, reader):
+    t = _pick_terms(reader, 1)[0]
+    q = Q.PrefixQuery("text", t[:3])
+    _, prof = prof_searcher.profile(q, k=5)
+    # multi-term expansion happens in rewrite; the profiled tree is the
+    # POST-rewrite query (QueryProfilerIndexSearcher profiles rewritten
+    # queries), so the root is no longer a PrefixQuery
+    assert prof.breakdown["rewrite"] > 0
+    assert prof.type != "PrefixQuery"
+
+
+def test_to_dict_and_pretty(prof_searcher, reader):
+    t1, t2 = _pick_terms(reader, 2)
+    q = Q.BooleanQuery.build(("SHOULD", Q.TermQuery("text", t1)),
+                             ("SHOULD", Q.TermQuery("text", t2)))
+    _, prof = prof_searcher.profile(q, k=3)
+    d = prof.to_dict()
+    assert d["type"] == "BooleanQuery"
+    assert len(d["children"]) == 2
+    assert d["time_ns"] == prof.total_time
+    assert set(d["breakdown"]) == set(SECTIONS)
+    text = prof.pretty()
+    assert "BooleanQuery" in text and "TermQuery" in text
+    assert text.count("\n") == 2  # root + two leaves
+
+
+def test_empty_result_profiles(prof_searcher):
+    hits, prof = prof_searcher.profile(
+        Q.TermQuery("text", "zzz_no_such_term_zzz"), k=5
+    )
+    assert hits == []
+    assert prof.rows["hits"] == 0
+    assert prof.total_time == sum(prof.breakdown.values())
