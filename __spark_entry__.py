@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["covering_msm_dv"] = _pq_covering_msm
     q["dv_multi_range"] = _pq_dv_multi_range
     q["payload_score"] = _pq_payload_score
+    q["term_automaton"] = _pq_term_automaton
     q["icu_fold_terms"] = _pq_icu_fold_terms
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
@@ -906,6 +907,37 @@ def _pq_payload_score(spark, sf_dir):
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     q = Q.PayloadScoreQuery(Q.TermQuery("text", "table"), function="avg")
     hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _term_automaton_query():
+    """The driver's TermAutomatonQuery: 'table scan' OR 'table ? scan' as
+    one graph — 0 --table--> 1, 1 --scan--> 3, 1 --ANY--> 2,
+    2 --scan--> 3, accept {3} (reference sandbox/search/
+    TermAutomatonQuery.java builder surface)."""
+    from lucene_spark.search.term_automaton import build_automaton
+
+    return build_automaton(
+        "text",
+        num_states=4,
+        accepts=[3],
+        transitions=[(0, 1, "table"), (1, 3, "scan"), (1, 2, None), (2, 3, "scan")],
+    )
+
+
+def _pq_term_automaton(spark, sf_dir):
+    """TermAutomatonQuery (reference sandbox/search/TermAutomatonQuery.java
+    + TermAutomatonScorer.java): proximity automaton matched by the
+    run-advance loop over indexed positions; BM25 with the distinct-term
+    idf sum and tf = accept-state arrivals. The oracle walks the same
+    determinized arc table as a recursive-CTE path enumeration."""
+    from lucene_spark.pages import doc_id_for_url_col
+
+    s = _searcher(spark, sf_dir)
+    hits = s.search(_term_automaton_query(), k=K, mode="exhaustive")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -2503,6 +2535,63 @@ ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT 
 """
 
 
+def _term_automaton_sql(k: int = K) -> str:
+    """TermAutomatonQuery oracle — the determinized automaton's arc table
+    inlined as VALUES and walked as a recursive-CTE path enumeration
+    (validated equivalent to the scorer's run loop in
+    tests/test_term_automaton.py::test_run_loop_matches_path_enumeration
+    _random): a path seeds at every query-term position via the start
+    state's term arc, consumes one position per step — a term position
+    may step via its term arc AND via the ANY arc (both rows of the OR
+    join: the scorer's dual interpretation), other tokens step via ANY
+    only — and freq counts every arrival on an accept state. BM25 with
+    the distinct-term idf sum finishes, same expression as the engine's
+    float64 mode."""
+    from lucene_spark.search.term_automaton import determinize
+
+    q = _term_automaton_query()
+    dfa, accepts = determinize(q)
+    arcs = ", ".join(
+        f"({s}, {'NULL' if sym is None else repr(sym)}, {d})"
+        for (s, sym), d in sorted(dfa.items(), key=lambda kv: (kv[0][0], kv[0][1] or ""))
+    )
+    acc = ", ".join(str(s) for s in sorted(accepts))
+    qlen = _qlen("dl.len")
+    idf = " + ".join(
+        f"""(SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}') n)"""
+        for t in q.terms
+    )
+    return f"""
+WITH RECURSIVE tokp AS ({_TOKP}),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+arcs AS (SELECT * FROM (VALUES {arcs}) v(src, sym, dst)),
+walk AS (
+  SELECT t.doc_id, t.pos, a.dst AS state
+  FROM tokp t JOIN arcs a ON a.src = 0 AND a.sym = t.term
+  UNION ALL
+  SELECT w.doc_id, t.pos, a.dst
+  FROM walk w
+  JOIN tokp t ON t.doc_id = w.doc_id AND t.pos = w.pos + 1
+  JOIN arcs a ON a.src = w.state AND (a.sym = t.term OR a.sym IS NULL)
+),
+pf AS (
+  SELECT doc_id, count(*) AS freq FROM walk WHERE state IN ({acc}) GROUP BY doc_id
+),
+w AS (SELECT {idf} AS w FROM stats)
+SELECT pf.doc_id AS doc_id, round(w.w - w.w / (1.0 + pf.freq * inv.norm_inv), 4) AS score_r
+FROM pf JOIN inv ON inv.doc_id = pf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT {k}
+"""
+
+
 def _constant_match_sql(pred: str, k: int = K) -> str:
     return f"""
 WITH tok AS ({_TOK})
@@ -2526,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
     o["simple_query_and"] = _bm25_conj_sql(["table", "scan"])
     o["simple_query_garbage"] = _phrase_sql("table", "scan")
     o["phrase_sloppy"] = _phrase_sloppy_sql("table", "scan", 3)
+    o["term_automaton"] = _term_automaton_sql()
     o["prefix_constant"] = _constant_match_sql("term LIKE 'tab%'")
     o["term_range"] = _constant_match_sql("term >= 'table' AND term <= 'tap'")
     o["hit_count_term"] = (

@@ -4,6 +4,7 @@ from .expressions import compile_expression, expression_rescore
 from .parser import parse, parse_multi_field
 from .profiler import ProfiledIndexSearcher, QueryProfilerResult
 from .rescorer import rescore
+from .term_automaton import build_automaton
 from .searcher import IndexSearcher
 from .simple_parser import parse_simple
 from .surround import parse_surround
@@ -21,6 +22,7 @@ __all__ = [
     "compile_expression",
     "expression_rescore",
     "rescore",
+    "build_automaton",
     "IndexSearcher",
     "ProfiledIndexSearcher",
     "QueryProfilerResult",

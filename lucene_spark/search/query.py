@@ -479,6 +479,62 @@ class CoveringQuery(Query):
             raise ValueError("too many clauses (IndexSearcher.TooManyClauses)")
 
 
+@dataclass(frozen=True)
+class TermAutomatonQuery(Query):
+    """Proximity automaton over terms (reference sandbox/src/java/org/
+    apache/lucene/sandbox/search/TermAutomatonQuery.java +
+    TermAutomatonScorer.java): states are token positions, transitions
+    are terms (or ANY = any token), and a doc's frequency is the number
+    of accept-state arrivals when every run of the determinized automaton
+    is advanced over the doc's token positions — a generalization of
+    PhraseQuery / MultiPhraseQuery ("this is a graph intersection").
+
+    Semantics mirrored exactly (see search/term_automaton.py for the
+    matcher): it acts as a DISJUNCTION over its terms (any doc containing
+    any term is a candidate, TermAutomatonQuery javadoc), a new run
+    starts at every query-term position via step(0, term), gap positions
+    (tokens that are not query terms, and position holes) advance live
+    runs via the ANY symbol when the automaton uses ANY transitions, and
+    BM25 scores with the idf sum over the distinct terms present in the
+    index (TermAutomatonWeight's allTermStats) and tf = accept count.
+
+    ``transitions`` are (src_state, dst_state, term) with ``term=None``
+    meaning ANY (addAnyTransition). State 0 is the start state. The
+    reference's finish() validation applies: an automaton may not lead
+    with an ANY transition out of the start state nor end with an ANY
+    transition into an accept state."""
+
+    field: str
+    num_states: int
+    accepts: tuple[int, ...]
+    transitions: tuple[tuple[int, int, str | None], ...]
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.num_states < 1:
+            raise ValueError("automaton needs at least the start state 0")
+        for s in self.accepts:
+            if not (0 <= s < self.num_states):
+                raise ValueError(f"accept state {s} out of range")
+        acc = frozenset(self.accepts)
+        for src, dst, term in self.transitions:
+            if not (0 <= src < self.num_states and 0 <= dst < self.num_states):
+                raise ValueError(f"transition ({src},{dst}) out of range")
+            if term is None and src == 0:
+                raise IllegalAutomaton("automaton cannot lead with an ANY transition")
+            if term is None and dst in acc:
+                raise IllegalAutomaton("automaton cannot end with an ANY transition")
+
+    @property
+    def terms(self) -> tuple[str, ...]:
+        """Distinct term alphabet, first-use order (idToTerm)."""
+        return tuple(dict.fromkeys(t for _, _, t in self.transitions if t is not None))
+
+
+class IllegalAutomaton(ValueError):
+    """finish()'s IllegalStateException analogue (leading/trailing ANY)."""
+
+
 def dv_multi_range(
     field: str,
     ranges: list[tuple[float | int, float | int]],

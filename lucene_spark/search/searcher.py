@@ -483,6 +483,10 @@ class IndexSearcher:
             from .payloads import scored_payload_query
 
             return scored_payload_query(self, q, field)
+        if isinstance(q, Q.TermAutomatonQuery):
+            from .term_automaton import scored_term_automaton
+
+            return scored_term_automaton(self, q, field)
         if isinstance(q, Q.CoveringQuery):
             return self._scored_covering(q, field)
         if isinstance(q, Q.CombinedFieldQuery):

@@ -1,0 +1,229 @@
+"""TermAutomatonQuery matcher — the sandbox proximity-automaton scorer.
+
+Reference surface:
+- sandbox/src/java/org/apache/lucene/sandbox/search/TermAutomatonQuery.java
+  (builder, finish() ANY translation + determinize, TermAutomatonWeight's
+  blended per-term statistics, rewrite() to MatchNone/TermQuery)
+- TermAutomatonScorer.java:215-340 (countMatches: the run-advance loop
+  this module replicates event-for-event)
+
+Model. The automaton's transitions are labeled with terms, plus ANY
+(match any token). finish() translates every ANY arc to match the whole
+alphabet INCLUDING the ANY sentinel, then determinizes; the scorer then
+walks each candidate doc's query-term positions in order:
+
+- a new run starts at every query-term position via step(0, term)
+  (leading ANY is forbidden, so runs can only start on terms);
+- every live run at that position steps via the term's symbol;
+- gap positions between events (tokens that are not query terms, and
+  position holes) advance live runs via the ANY symbol, one position at
+  a time — pure position arithmetic, no token content needed;
+- every step that lands on an accept state counts one freq (trailing
+  ANY is forbidden, so ANY steps never land on accepts).
+
+Runs are a LIST, not a set: when a state has both a term arc and an ANY
+arc for the same token (two interpretations of that position), both are
+followed and both arrivals count — the reference keeps duplicate states
+in PosState and counts each (TermAutomatonScorer.PosState.add does not
+dedup). freq therefore counts accepting PATHS, and the DuckDB oracle
+reproduces it as a recursive-CTE path walk over the same determinized
+arc table.
+
+Scoring (TermAutomatonWeight:379-399): similarity stats blend over the
+distinct automaton terms that exist in the index (df > 0) — for BM25
+that is the per-term idf sum — and score(freq, norm) finishes. Terms
+missing from the index contribute no events and no idf, but do NOT
+veto the doc (the query acts like a disjunction, not a conjunction).
+
+Plan shape: exactly the phrase kernel's (scored_positions_kernel) with a
+single one-of-ANY term group — one groupBy-segment shuffle of encoded
+postings blocks, union-of-terms candidates, candidate-pruned position
+decode, then this matcher per candidate. At 100 TB the cost is bounded
+by the disjunction's candidate count — the reference's own cost model
+("it is likely slow, since it ... acts like a disjunction").
+"""
+
+from __future__ import annotations
+
+from . import query as Q
+
+ANY = None  # transition label for addAnyTransition
+
+
+def build_automaton(
+    field: str,
+    *,
+    num_states: int,
+    accepts: list[int],
+    transitions: list[tuple[int, int, str | None]],
+    boost: float = 1.0,
+) -> Q.TermAutomatonQuery:
+    """Convenience mirror of createState/setAccept/addTransition/finish."""
+    return Q.TermAutomatonQuery(
+        field=field,
+        num_states=int(num_states),
+        accepts=tuple(accepts),
+        transitions=tuple(transitions),
+        boost=float(boost),
+    )
+
+
+def determinize(q: Q.TermAutomatonQuery):
+    """Subset construction over the alphabet terms + [ANY], with ANY arcs
+    first translated to match every symbol (finish():176-199's "carefully
+    translate these transitions so automaton realizes they also match all
+    other terms"). Returns (dfa, accepts, start_dead):
+
+    - ``dfa``: dict[(state, symbol)] -> state over int DFA states
+      (0 = start), symbol is a term string or ANY;
+    - ``accepts``: frozenset of accepting DFA states;
+    - deterministic by construction, so one run is one path.
+    """
+    terms = q.terms
+    symbols: list[str | None] = list(terms) + [ANY]
+    # NFA arcs: ANY-labeled arcs match every symbol (the translation)
+    nfa: dict[tuple[int, str | None], set[int]] = {}
+    for src, dst, term in q.transitions:
+        if term is None:
+            for sym in symbols:
+                nfa.setdefault((src, sym), set()).add(dst)
+        else:
+            nfa.setdefault((src, term), set()).add(dst)
+    nfa_accepts = frozenset(q.accepts)
+
+    start = frozenset([0])
+    subset_id = {start: 0}
+    order = [start]
+    dfa: dict[tuple[int, str | None], int] = {}
+    i = 0
+    while i < len(order):
+        subset = order[i]
+        for sym in symbols:
+            nxt = frozenset(
+                d for s in subset for d in nfa.get((s, sym), ())
+            )
+            if not nxt:
+                continue
+            if nxt not in subset_id:
+                subset_id[nxt] = len(order)
+                order.append(nxt)
+            dfa[(i, sym)] = subset_id[nxt]
+        i += 1
+    accepts = frozenset(
+        subset_id[s] for s in order if s & nfa_accepts
+    )
+    return dfa, accepts
+
+
+def rewrite(q: Q.TermAutomatonQuery):
+    """TermAutomatonQuery.rewrite():494-502 — an automaton accepting
+    nothing becomes MatchNoDocs; one accepting exactly one length-1 term
+    string becomes that TermQuery (identical scores either way: freq and
+    the blended idf coincide for the singleton — the rewrite is a speed
+    path, as in the reference). Sausage-to-PhraseQuery rewriting is left
+    to the matcher: phrase freq equals automaton freq for a sausage, so
+    scores are already identical."""
+    dfa, accepts = determinize(q)
+    if not accepts:
+        return Q.MatchNoDocsQuery()
+    if len(q.terms) == 1 and len(accepts) == 1:
+        # singleton check: exactly one arc chain of length 1 on the term
+        arcs = [(k, v) for k, v in dfa.items()]
+        if len(arcs) == 1 and arcs[0][0] == (0, q.terms[0]) and arcs[0][1] in accepts:
+            return Q.TermQuery(q.field, q.terms[0], boost=q.boost)
+    return q
+
+
+def automaton_freq(
+    dfa: dict,
+    accepts: frozenset,
+    has_any: bool,
+    events: list[tuple[int, str]],
+) -> int:
+    """countMatches (TermAutomatonScorer.java:215-340) over one doc's
+    (position, term) events, sorted by position. Lists, not sets: every
+    run arrival is kept, duplicates included."""
+    positions: dict[int, list[int]] = {}
+    last_pos = -1
+    freq = 0
+    for pos, term in events:
+        # advance live runs over the gap via ANY, one position at a time
+        # (the "Maybe advance ANY matches" loop — including re-stepping
+        # the states AT the previous event position, the second
+        # interpretation of that token)
+        if has_any and last_pos != -1:
+            start = last_pos
+            lp = last_pos
+            while lp < pos:
+                cur = positions.get(lp)
+                if not cur and lp > start:
+                    break  # petered out
+                if cur:
+                    nxt = positions.setdefault(lp + 1, [])
+                    for s in cur:
+                        d = dfa.get((s, ANY))
+                        if d is not None:
+                            nxt.append(d)  # ANY never lands on accept
+                lp += 1
+        nxt = positions.setdefault(pos + 1, [])
+        for s in positions.get(pos, ()):
+            d = dfa.get((s, term))
+            if d is not None:
+                nxt.append(d)
+                if d in accepts:
+                    freq += 1
+        d = dfa.get((0, term))  # start a new run at this position
+        if d is not None:
+            nxt.append(d)
+            if d in accepts:
+                freq += 1
+        last_pos = pos
+    return freq
+
+
+def scored_term_automaton(searcher, q: Q.TermAutomatonQuery, field: str):
+    """(seg, doc, score) frame for a TermAutomatonQuery over the indexed
+    positions — or None when no automaton term exists in the index."""
+    import numpy as np
+
+    from .phrase import scored_positions_kernel
+    from ..functions.bm25 import make_scorer
+
+    rq = rewrite(q)
+    if isinstance(rq, Q.MatchNoDocsQuery):
+        return None
+    if isinstance(rq, Q.TermQuery):
+        return searcher._scored_docs(rq, field)
+    fld = q.field or field
+    reader = searcher.reader
+    doc_count, sum_ttf = reader.collection_stats(fld)
+    stats = reader.term_stats(list(q.terms), fld)
+    present = [t for t in q.terms if t in stats and stats[t][0] > 0]
+    if not present:
+        return None
+    dfa, accepts = determinize(q)
+    has_any = any(t is None for _, _, t in q.transitions)
+    scorer = make_scorer(
+        [stats[t][0] for t in present], doc_count, sum_ttf,
+        boost=q.boost, dtype=searcher.dtype,
+    )
+    cache, w = scorer.cache, scorer.weight
+    dt = cache.dtype.type
+
+    def score_doc(pos_by_uniq, norm_byte):
+        events = sorted(
+            (int(p), t)
+            for t, plist in zip(present, pos_by_uniq)
+            for p in (plist if plist is not None else ())
+        )
+        freq = automaton_freq(dfa, accepts, has_any, events)
+        if freq <= 0:
+            return None
+        inv = cache[int(norm_byte) & 0xFF]
+        return float(w - w / (dt(1.0) + dt(freq) * inv))
+
+    rarest = sorted(present, key=lambda t: stats[t][0])
+    return scored_positions_kernel(
+        searcher, present, rarest, fld, score_doc,
+        term_groups=[list(present)],  # one-of-any: the disjunction
+    )

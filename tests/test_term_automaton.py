@@ -1,0 +1,282 @@
+"""TermAutomatonQuery (reference sandbox/search/TermAutomatonQuery.java +
+TermAutomatonScorer.java): determinization, the run-advance matcher vs an
+independent path-enumeration model, reference validation rules, rewrite,
+and engine-vs-brute-force parity over the positions index.
+
+The path model (also the shape of the DuckDB oracle's recursive CTE): a
+match event is a path through the determinized automaton that starts at
+a query-term position via step(0, term), consumes one position per step
+— term positions may step via the term symbol OR the ANY symbol (both
+branches when both arcs exist, the scorer's dual interpretation), gaps
+and holes step via ANY only — and every arrival on an accept state
+counts one freq.
+"""
+
+import random
+import shutil
+
+import numpy as np
+import pytest
+from oracle import BruteForceIndex
+from conftest import TESTDATA
+
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+from lucene_spark.search.term_automaton import (
+    ANY,
+    automaton_freq,
+    build_automaton,
+    determinize,
+    rewrite,
+)
+
+
+def path_freq(dfa, accepts, has_any, pos2term, term_set):
+    """Independent path-enumeration model of countMatches (see module
+    docstring). Bounded at the last query-term position: accepts are
+    only reachable via term arcs, so longer paths cannot add freq."""
+    events = sorted(p for p, t in pos2term.items() if t in term_set)
+    if not events:
+        return 0
+    last = events[-1]
+    freq = 0
+
+    def walk(pos, state):
+        nonlocal freq
+        if pos > last:
+            return
+        t = pos2term.get(pos)
+        branches = []
+        if t in term_set:
+            d = dfa.get((state, t))
+            if d is not None:
+                branches.append(d)
+            if has_any:
+                d = dfa.get((state, ANY))
+                if d is not None:
+                    branches.append(d)
+        elif has_any:
+            d = dfa.get((state, ANY))
+            if d is not None:
+                branches.append(d)
+        for d in branches:
+            if d in accepts:
+                freq += 1
+            walk(pos + 1, d)
+
+    for p in events:
+        d = dfa.get((0, pos2term[p]))
+        if d is not None:
+            if d in accepts:
+                freq += 1
+            walk(p + 1, d)
+    return freq
+
+
+def _freq_both(q, tokens):
+    """(run-loop freq, path-model freq) over a token sequence; tokens may
+    contain None entries for position holes."""
+    dfa, accepts = determinize(q)
+    has_any = any(t is None for _, _, t in q.transitions)
+    term_set = set(q.terms)
+    pos2term = {i: t for i, t in enumerate(tokens) if t is not None}
+    events = sorted((p, t) for p, t in pos2term.items() if t in term_set)
+    run = automaton_freq(dfa, accepts, has_any, events)
+    path = path_freq(dfa, accepts, has_any, pos2term, term_set)
+    return run, path
+
+
+# --------------------------------------------------------------- units
+
+
+def test_validation_rules():
+    # leading ANY (from the start state) is rejected (finish():154-161)
+    with pytest.raises(ValueError):
+        build_automaton("text", num_states=3, accepts=[2],
+                        transitions=[(0, 1, None), (1, 2, "a")])
+    # trailing ANY (into an accept state) is rejected (finish():163-172)
+    with pytest.raises(ValueError):
+        build_automaton("text", num_states=3, accepts=[2],
+                        transitions=[(0, 1, "a"), (1, 2, None)])
+
+
+def test_rewrite_empty_and_singleton():
+    # no accept reachable -> MatchNoDocs (rewrite():495-497)
+    q = build_automaton("text", num_states=2, accepts=[], transitions=[(0, 1, "a")])
+    assert isinstance(rewrite(q), Q.MatchNoDocsQuery)
+    # single length-1 term string -> TermQuery (rewrite():499-502)
+    q = build_automaton("text", num_states=2, accepts=[1], transitions=[(0, 1, "a")])
+    rq = rewrite(q)
+    assert isinstance(rq, Q.TermQuery) and rq.term == "a"
+    # a two-term sausage stays an automaton (executed by the matcher)
+    q = build_automaton("text", num_states=3, accepts=[2],
+                        transitions=[(0, 1, "a"), (1, 2, "b")])
+    assert isinstance(rewrite(q), Q.TermAutomatonQuery)
+
+
+def test_phrase_shaped_automaton_counts_adjacent_pairs():
+    q = build_automaton("text", num_states=3, accepts=[2],
+                        transitions=[(0, 1, "a"), (1, 2, "b")])
+    run, path = _freq_both(q, ["a", "b", "x", "a", "a", "b"])
+    assert run == path == 2
+    run, path = _freq_both(q, ["b", "a"])  # order matters
+    assert run == path == 0
+    # overlapping starts both count: "a a b" has one a..b adjacency
+    run, path = _freq_both(q, ["a", "a", "b"])
+    assert run == path == 1
+
+
+def test_any_gap_and_holes():
+    # a . b (exactly one any token between)
+    q = build_automaton("text", num_states=4, accepts=[3],
+                        transitions=[(0, 1, "a"), (1, 2, None), (2, 3, "b")])
+    assert _freq_both(q, ["a", "x", "b"]) == (1, 1)
+    assert _freq_both(q, ["a", "b"]) == (0, 0)          # gap required
+    assert _freq_both(q, ["a", None, "b"]) == (1, 1)    # position hole = ANY
+    # a query term filling the ANY slot is interpreted BOTH as its term
+    # (the translated ANY arc matches every symbol) and as ANY (the
+    # advance loop re-steps the previous event position) — two runs, so
+    # the one textual occurrence counts twice (reference run accounting,
+    # same mechanism as test_dual_interpretation_duplicate_count)
+    assert _freq_both(q, ["a", "a", "b"]) == (2, 2)
+
+
+def test_dual_interpretation_duplicate_count():
+    """When a state has both a term arc and an ANY arc for the same token,
+    the scorer follows BOTH (the ANY-advance loop re-steps the states at
+    the previous event position — TermAutomatonScorer.java:262-287 with
+    startLastPos == lastPos), so the same occurrence counts twice. Pinned
+    here so the matcher, the path model, and the SQL oracle all agree on
+    the reference's exact run accounting."""
+    q = build_automaton("text", num_states=4, accepts=[3],
+                        transitions=[(0, 1, "a"), (1, 2, "b"), (1, 2, None),
+                                     (2, 3, "c")])
+    assert _freq_both(q, ["a", "b", "c"]) == (2, 2)
+    assert _freq_both(q, ["a", "x", "c"]) == (1, 1)
+
+
+def test_self_loop_any():
+    # a ANY* b  (self-loop: 1 --ANY--> 1, 1 --b--> 2)
+    q = build_automaton("text", num_states=3, accepts=[2],
+                        transitions=[(0, 1, "a"), (1, 1, None), (1, 2, "b")])
+    assert _freq_both(q, ["a", "b"]) == (1, 1)
+    assert _freq_both(q, ["a", "x", "x", "b"]) == (1, 1)
+    # two a-starts reach the one b; the a@0 run ALSO passes a@1 under
+    # both interpretations (term via the translated self-loop + ANY via
+    # the advance loop), so it contributes two runs: 3 total
+    assert _freq_both(q, ["a", "a", "x", "b"]) == (3, 3)
+
+
+def test_run_loop_matches_path_enumeration_random():
+    """Randomized equivalence: the event-driven run loop (the scorer's
+    countMatches) and the path-enumeration model count identically."""
+    rng = random.Random(42)
+    alphabet = ["a", "b", "c"]
+    for trial in range(300):
+        n_states = rng.randint(2, 4)
+        accepts = [s for s in range(1, n_states) if rng.random() < 0.5]
+        transitions = []
+        for _ in range(rng.randint(1, 6)):
+            src = rng.randrange(n_states)
+            dst = rng.randrange(n_states)
+            sym = rng.choice(alphabet + [None])
+            if sym is None and (src == 0 or dst in accepts):
+                continue
+            transitions.append((src, dst, sym))
+        if not any(t is not None for _, _, t in transitions):
+            continue
+        q = build_automaton("text", num_states=n_states, accepts=accepts,
+                            transitions=transitions)
+        toks = [
+            rng.choice(alphabet + ["x", None]) for _ in range(rng.randint(0, 10))
+        ]
+        run, path = _freq_both(q, toks)
+        assert run == path, (trial, transitions, accepts, toks, run, path)
+
+
+# --------------------------------------------------- engine-level parity
+
+
+@pytest.fixture(scope="module")
+def tax_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("taq"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True)
+    return root
+
+
+def _brute_topk(corpus, q, k=10):
+    """BM25 over path_freq: idf sums over the distinct present terms
+    (TermAutomatonWeight:379-399), tf = the automaton accept count."""
+    from lucene_spark.functions.bm25 import make_scorer
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    bf = BruteForceIndex(corpus)
+    dfa, accepts = determinize(q)
+    has_any = any(t is None for _, _, t in q.transitions)
+    term_set = set(q.terms)
+    present = [t for t in q.terms if bf.df.get(t, 0) > 0]
+    if not present:
+        return []
+    scorer = make_scorer([bf.df[t] for t in present], bf.doc_count, bf.sum_ttf,
+                         boost=q.boost)
+    an = analyzer_for("standard")
+    out = []
+    for i, text in enumerate(corpus["text"]):
+        pos2term = {}
+        for tok in an.tokens(text if isinstance(text, str) else ""):
+            pos2term[tok.position] = tok.term
+        freq = path_freq(dfa, accepts, has_any, pos2term, term_set)
+        if freq > 0:
+            s = float(scorer.score(np.array([freq]), np.array([bf.norms[i]]))[0])
+            out.append((corpus["url"][i], s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:10]
+
+
+def test_engine_matches_brute_force(spark, tax_root, corpus):
+    """table (scan | ANY scan): the 'table scan' / 'table ? scan' graph."""
+    q = build_automaton(
+        "text", num_states=4, accepts=[3],
+        transitions=[(0, 1, "table"), (1, 3, "scan"), (1, 2, None), (2, 3, "scan")],
+    )
+    want = _brute_topk(corpus, q)
+    assert want, "corpus should contain table..scan matches"
+    s = IndexSearcher(IndexReader(spark, tax_root))
+    rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+    got = [(r["url"], float(r["score"])) for r in rows]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), gu
+
+
+def test_engine_sausage_equals_phrase(spark, tax_root):
+    """A sausage automaton scores exactly like the PhraseQuery it encodes
+    (same freq, same distinct-term idf sum) — cross-machinery check."""
+    q = build_automaton("text", num_states=3, accepts=[2],
+                        transitions=[(0, 1, "table"), (1, 2, "scan")])
+    s = IndexSearcher(IndexReader(spark, tax_root))
+    auto = [(r["url"], float(r["score"]))
+            for r in s.search(q, k=10, mode="exhaustive").select("url", "score").collect()]
+    ph = [(r["url"], float(r["score"]))
+          for r in s.search(Q.PhraseQuery("text", ("table", "scan")), k=10,
+                            mode="exhaustive").select("url", "score").collect()]
+    assert auto == ph
+
+
+def test_missing_terms_do_not_veto(spark, tax_root, corpus):
+    """Terms absent from the index contribute no events and no idf but do
+    not veto the doc (disjunction semantics, unlike PhraseQuery)."""
+    q = build_automaton(
+        "text", num_states=3, accepts=[1, 2],
+        transitions=[(0, 1, "table"), (1, 2, "zzzznotaterm")],
+    )
+    want = _brute_topk(corpus, q)
+    s = IndexSearcher(IndexReader(spark, tax_root))
+    rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+    got = [(r["url"], float(r["score"])) for r in rows]
+    assert [u for u, _ in got] == [u for u, _ in want] and got
