@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_split_counts"] = _pq_dataset_split
     q["points_box"] = _pq_points_box
     q["geo_box"] = _pq_geo_box
+    q["geo_polygon"] = _pq_geo_polygon
     q["geo_distance_topk"] = _pq_geo_distance_topk
     q["geo_distance_feature"] = _pq_geo_distance_feature
     q["complex_phrase"] = _pq_complex_phrase
@@ -1636,6 +1637,20 @@ def _pq_geo_box(spark, sf_dir):
     pruned scan via the merged Morton cover)."""
     geo = _geo_index(spark, sf_dir)
     out = geo.box_search(-5.0, 25.0, 150.0, -150.0)
+    return out.select("doc_id", "lat", "lon").orderBy("doc_id")
+
+
+_GEO_POLY = [(0.0, 0.0), (30.0, 10.0), (5.0, 20.0), (30.0, 30.0), (0.0, 40.0)]
+
+
+def _pq_geo_polygon(spark, sf_dir):
+    """LatLonPoint.newPolygonQuery (reference document/LatLonPoint.java ->
+    LatLonPointInPolygonQuery + geo/Polygon2D.java): pushed Z-cover of the
+    polygon's bounding box + the exact ray-crossing re-check, over a
+    concave 5-vertex polygon. The oracle evaluates the IDENTICAL rendered
+    predicate string in DuckDB."""
+    geo = _geo_index(spark, sf_dir)
+    out = geo.polygon_search(_GEO_POLY)
     return out.select("doc_id", "lat", "lon").orderBy("doc_id")
 
 
@@ -3727,6 +3742,14 @@ SELECT doc_id, {_glat} AS lat, {_glon} AS lon
 FROM documents
 WHERE {_glat} BETWEEN -5.0 AND 25.0
   AND ({_glon} >= 150.0 OR {_glon} <= -150.0)
+ORDER BY doc_id
+"""
+    from lucene_spark.search.geo import point_in_polygon_sql as _pip
+
+    o["geo_polygon"] = f"""
+SELECT doc_id, {_glat} AS lat, {_glon} AS lon
+FROM documents
+WHERE {_pip(_GEO_POLY, _glat, _glon)}
 ORDER BY doc_id
 """
     _gdist = _hav(*_GEO_ORIGIN, _glat, _glon)

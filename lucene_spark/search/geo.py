@@ -112,6 +112,47 @@ def bounding_box(
     ]
 
 
+def point_in_polygon_sql(
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    holes: tuple[list[tuple[float, float]], ...] = (),
+) -> str:
+    """Portable SQL predicate: ray-crossing (even-odd) point-in-polygon
+    for a fixed polygon of (lat, lon) vertices — the exact per-point
+    re-check of LatLonPoint.newPolygonQuery (reference document/
+    LatLonPoint.java newPolygonQuery -> LatLonPointInPolygonQuery; the
+    crossing walk is geo/Polygon2D.java's contains test). Hole rings
+    simply extend the crossing parity (even-odd handles holes natively).
+
+    One CASE term per edge; each term's divisor-guarding conjunct
+    ``(lat1 > p) != (lat2 > p)`` is false whenever lat2 == lat1, so the
+    slope division can never make the term count (NULL/inf compare to a
+    non-matching AND in both Spark and DuckDB). The SAME string drives
+    the Spark engine and the DuckDB oracle, so both engines evaluate an
+    identical expression tree. Boundary behavior follows the crossing
+    convention (half-open edges); the reference additionally forces
+    boundary points to match, a measure-zero difference documented here.
+
+    The polygon must not cross the dateline (split it first, as the
+    reference requires: "Polygon instances must not cross the dateline").
+    """
+    terms = []
+    for ring in (vertices, *holes):
+        n = len(ring)
+        if n < 3:
+            raise ValueError("a polygon ring needs at least 3 vertices")
+        for i in range(n):
+            y1, x1 = (float(v) for v in ring[i])
+            y2, x2 = (float(v) for v in ring[(i + 1) % n])
+            terms.append(
+                f"(CASE WHEN (({y1!r} > {lat_col}) != ({y2!r} > {lat_col}))"
+                f" AND ({lon_col} < ({x2!r} - {x1!r}) * ({lat_col} - {y1!r})"
+                f" / ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)"
+            )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 class GeoPointsIndex:
     """A 2-D (lat, lon) PointsIndex with the LatLonPoint query surface."""
 
@@ -175,6 +216,22 @@ class GeoPointsIndex:
                 {"lat": (min_lat, max_lat), "lon": (-180.0, max_lon)},
             ]
         return self.pts.multi_box_search(boxes)
+
+    def polygon_search(
+        self,
+        vertices: list[tuple[float, float]],
+        holes: tuple[list[tuple[float, float]], ...] = (),
+    ) -> DataFrame:
+        """LatLonPoint.newPolygonQuery: pushed Z-cover of the polygon's
+        bounding box (the BKD visit of Polygon2D's bounding rectangle),
+        then the exact ray-crossing re-check per surviving point — the
+        same prefilter+verify shape as distance_search."""
+        lats = [v[0] for v in vertices]
+        lons = [v[1] for v in vertices]
+        cand = self.pts.multi_box_search(
+            [{"lat": (min(lats), max(lats)), "lon": (min(lons), max(lons))}]
+        )
+        return cand.filter(F.expr(point_in_polygon_sql(vertices, holes=holes)))
 
     def _with_distance(self, df: DataFrame, lat: float, lon: float) -> DataFrame:
         return df.withColumn(

@@ -166,3 +166,62 @@ def test_sql_fragments_are_engine_portable():
     fsql = distance_feature_sql(48.85, 2.35, 1000.0)
     got2 = duckdb.sql(f"SELECT {fsql} AS s FROM (SELECT 40.0 AS lat, -3.7 AS lon)").fetchone()[0]
     assert abs(got2 - 1000.0 / (1000.0 + want)) < 1e-12
+
+
+# --------------------------------------------------------------- polygon
+
+
+def _pip_np(vertices, lats, lons, holes=()):
+    """Reference even-odd ray cast in numpy (independent model)."""
+    inside = np.zeros(len(lats), dtype=np.int64)
+    for ring in (vertices, *holes):
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % n]
+            crosses = (y1 > lats) != (y2 > lats)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2 - x1) * (lats - y1) / (y2 - y1) + x1
+            inside += (crosses & (lons < xint)).astype(np.int64)
+    return inside % 2 == 1
+
+
+_TRIANGLE = [(-20.0, -40.0), (40.0, 0.0), (-20.0, 40.0)]
+_CONCAVE = [(0.0, 0.0), (30.0, 10.0), (5.0, 20.0), (30.0, 30.0), (0.0, 40.0)]
+
+
+@pytest.mark.parametrize("poly", [_TRIANGLE, _CONCAVE], ids=["triangle", "concave"])
+def test_polygon_matches_brute(geo, pdf, poly):
+    got = sorted(r["doc_id"] for r in geo.polygon_search(poly).collect())
+    m = _pip_np(poly, pdf["lat"].values, pdf["lon"].values)
+    assert got == sorted(pdf["doc_id"].values[m].tolist()) and got
+
+
+def test_polygon_with_hole(geo, pdf):
+    hole = [(-10.0, -15.0), (15.0, 0.0), (-10.0, 15.0)]
+    got = sorted(r["doc_id"] for r in geo.polygon_search(_TRIANGLE, holes=(hole,)).collect())
+    m = _pip_np(_TRIANGLE, pdf["lat"].values, pdf["lon"].values, holes=(hole,))
+    want = sorted(pdf["doc_id"].values[m].tolist())
+    assert got == want
+    # the hole actually excludes someone
+    full = {r["doc_id"] for r in geo.polygon_search(_TRIANGLE).collect()}
+    assert set(got) < full
+
+
+def test_polygon_subset_of_bbox_and_pushed(geo):
+    from lucene_spark.search.geo import point_in_polygon_sql
+
+    rows = geo.polygon_search(_TRIANGLE)
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("morton" in ln for ln in pushed), pushed[:3]
+    box = {r["doc_id"] for r in geo.box_search(-20.0, 40.0, -40.0, 40.0).collect()}
+    assert {r["doc_id"] for r in rows.collect()} <= box
+    # horizontal edges never divide by a zero lat span (guarding conjunct)
+    sql = point_in_polygon_sql([(0.0, 0.0), (0.0, 10.0), (10.0, 5.0)])
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT {sql} AS hit FROM (SELECT 3.0 AS lat, 5.0 AS lon)"
+    ).fetchone()[0]
+    assert bool(got) is True
