@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dv_multi_range"] = _pq_dv_multi_range
     q["payload_score"] = _pq_payload_score
     q["term_automaton"] = _pq_term_automaton
+    q["phrase_wildcard"] = _pq_phrase_wildcard
     q["icu_fold_terms"] = _pq_icu_fold_terms
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nb_confusion"] = _pq_nb_confusion
     q["dataset_split_counts"] = _pq_dataset_split
     q["points_box"] = _pq_points_box
+    q["points_multi_box"] = _pq_points_multi_box
     q["geo_box"] = _pq_geo_box
     q["geo_polygon"] = _pq_geo_polygon
     q["geo_distance_topk"] = _pq_geo_distance_topk
@@ -945,6 +947,27 @@ def _pq_term_automaton(spark, sf_dir):
     )
 
 
+def _pq_phrase_wildcard(spark, sf_dir):
+    """PhraseWildcardQuery (reference sandbox/search/PhraseWildcardQuery
+    .java): phrase 'table s*' where the prefix slot expands under a GLOBAL
+    budget of 3 — the lexicographically first 3 dictionary terms (the
+    reference's remainingExpansions allocation), then MultiPhraseQuery
+    blended-stats scoring. The oracle reproduces the capped expansion
+    with ORDER BY term LIMIT 3."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.PhraseWildcardQuery(
+        "text", (("term", "table"), ("prefix", "s")), max_multi_term_expansions=3
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_covering_msm(spark, sf_dir):
     """CoveringQuery (reference sandbox/search/CoveringQuery.java): the
     minimum number of SHOULD clauses each doc must match is read from a
@@ -1600,6 +1623,35 @@ def _pq_points_box(spark, sf_dir):
     )
     pts = PointsIndex(spark, root)
     out = pts.box_search({"n_chars": (100, 300), "ymod": (32, 96)})
+    return out.select("doc_id", "n_chars", "ymod").orderBy("doc_id")
+
+
+def _pq_points_multi_box(spark, sf_dir):
+    """MultiRangeQuery (reference sandbox/src/java/org/apache/lucene/
+    sandbox/search/MultiRangeQuery.java): a DISJUNCTION of point ranges
+    served by ONE scan — the boxes' Z-covers are merged and coarsened
+    together, then the exact re-check is the OR of the per-box predicates
+    (PointsIndex.multi_box_search, the same machinery the dateline geo
+    box uses). Reuses the points_box index."""
+    from lucene_spark.index.points import DimSpec, PointsIndex
+
+    root = _index_root(sf_dir) + "_points"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ymod", F.col("doc_id") % 256
+    )
+    PointsIndex.build(
+        spark, docs, root,
+        [DimSpec("n_chars", 0, 4096), DimSpec("ymod", 0, 255)],
+        bits=10, build_id="p0",
+    )
+    pts = PointsIndex(spark, root)
+    out = pts.multi_box_search(
+        [
+            {"n_chars": (100, 200), "ymod": (0, 40)},
+            {"n_chars": (150, 400), "ymod": (200, 230)},
+            {"n_chars": (3000, 4096)},  # open ymod: whole second dim
+        ]
+    )
     return out.select("doc_id", "n_chars", "ymod").orderBy("doc_id")
 
 
@@ -2631,6 +2683,40 @@ def oracle_sql() -> dict[str, str]:
     o["simple_query_garbage"] = _phrase_sql("table", "scan")
     o["phrase_sloppy"] = _phrase_sloppy_sql("table", "scan", 3)
     o["term_automaton"] = _term_automaton_sql()
+    # PhraseWildcardQuery 'table s*' budget 3: the expansion is the
+    # lexicographically FIRST 3 dictionary terms with the prefix (the
+    # budget truncates, unlike complexPhrase's TooManyClauses), idf sums
+    # over 'table' + the 3 expanded terms (MultiPhraseQuery.getStats)
+    qlen_pw = _qlen("dl.len")
+    o["phrase_wildcard"] = f"""
+WITH tokp AS ({_TOKP}),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen_pw}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+exp AS (SELECT DISTINCT term FROM tok WHERE term LIKE 's%' ORDER BY term LIMIT 3),
+pf AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term IN (SELECT term FROM exp)
+  GROUP BY a.doc_id
+),
+w AS (
+  SELECT (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5))
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'table') n)
+       + (SELECT coalesce(sum(ln(1 + (stats2.doc_count - n.df + 0.5) / (n.df + 0.5))), 0)
+          FROM (SELECT tok.term, count(DISTINCT doc_id) AS df FROM tok
+                JOIN exp ON exp.term = tok.term GROUP BY tok.term) n, stats stats2) AS w
+  FROM stats
+)
+SELECT pf.doc_id AS doc_id, round(w.w - w.w / (1.0 + pf.freq * inv.norm_inv), 4) AS score_r
+FROM pf JOIN inv ON inv.doc_id = pf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + pf.freq * inv.norm_inv)) DESC, pf.doc_id ASC LIMIT {K}
+"""
     o["prefix_constant"] = _constant_match_sql("term LIKE 'tab%'")
     o["term_range"] = _constant_match_sql("term >= 'table' AND term <= 'tap'")
     o["hit_count_term"] = (
@@ -3729,6 +3815,14 @@ ORDER BY split, lang
 SELECT doc_id, n_chars, doc_id % 256 AS ymod
 FROM documents
 WHERE n_chars BETWEEN 100 AND 300 AND (doc_id % 256) BETWEEN 32 AND 96
+ORDER BY doc_id
+"""
+    o["points_multi_box"] = """
+SELECT doc_id, n_chars, doc_id % 256 AS ymod
+FROM documents
+WHERE (n_chars BETWEEN 100 AND 200 AND (doc_id % 256) BETWEEN 0 AND 40)
+   OR (n_chars BETWEEN 150 AND 400 AND (doc_id % 256) BETWEEN 200 AND 230)
+   OR (n_chars BETWEEN 3000 AND 4096)
 ORDER BY doc_id
 """
     # geo pack: the SAME rendered haversine SQL string drives engine and

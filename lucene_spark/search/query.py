@@ -480,6 +480,81 @@ class CoveringQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhraseWildcardQuery(Query):
+    """Phrase with single-term and multi-term (prefix/wildcard) slots under
+    ONE global expansion budget (reference sandbox/src/java/org/apache/
+    lucene/sandbox/search/PhraseWildcardQuery.java): unlike
+    ComplexPhraseQuery's per-element TooManyClauses, the budget TRUNCATES
+    — expansions are allocated sequentially slot-by-slot from
+    ``max_multi_term_expansions`` (createWeight's remainingExpansions,
+    :180-235), each multi-term keeping the lexicographically first terms
+    the remaining budget allows (TermsEnum order). The reference's
+    early-stop also applies: a single-term slot whose term is absent, or
+    a multi-term slot whose (budget-capped) expansion is empty, makes the
+    whole phrase NO_MATCH_QUERY. Rewrites to PhraseQuery /
+    MultiPhraseQuery, whose blended per-slot-union stats match
+    PhraseWildcardQuery's collected TermStatistics (both sum idf over the
+    matched expanded terms). Segment-level expansion pruning
+    (segmentOptimizationEnabled) is an execution-order concern the
+    engine's bucket-pruned single dictionary scan replaces.
+
+    ``slots``: one element per position —
+    ("term", t) | ("prefix", p) | ("wildcard", pattern)."""
+
+    field: str
+    slots: tuple[tuple, ...]
+    slop: int = 0
+    max_multi_term_expansions: int = 1024
+    boost: float = 1.0
+
+    def __post_init__(self):
+        for el in self.slots:
+            if el[0] not in ("term", "prefix", "wildcard"):
+                raise ValueError(f"unknown phrase slot kind {el[0]!r}")
+        if self.max_multi_term_expansions < 0:
+            raise ValueError("max_multi_term_expansions must be >= 0")
+
+
+def _rewrite_phrase_wildcard(q: PhraseWildcardQuery, reader) -> Query:
+    """createWeight's two-pass resolution: single terms first (early stop
+    when one is absent), then sequential multi-term expansion under the
+    shared budget."""
+    from pyspark.sql import functions as F
+
+    singles = [el[1] for el in q.slots if el[0] == "term"]
+    if singles:
+        stats = reader.term_stats(singles, q.field)
+        if any(t not in stats or stats[t][0] == 0 for t in singles):
+            return MatchNoDocsQuery()
+    remaining = q.max_multi_term_expansions
+    out_slots: list[tuple[str, ...]] = []
+    for el in q.slots:
+        if el[0] == "term":
+            out_slots.append((el[1],))
+            continue
+        if remaining <= 0:
+            return MatchNoDocsQuery()  # budget exhausted -> empty expansion
+        pat = (
+            PrefixQuery(q.field, el[1])
+            if el[0] == "prefix"
+            else WildcardQuery(q.field, el[1])
+        )
+        got, _truncated = reader.expand_terms(
+            F.expr(_pattern_sql(pat)), field=q.field,
+            limit=min(remaining, MAX_CLAUSE_COUNT),
+        )
+        if not got:
+            return MatchNoDocsQuery()  # a multi-term that does not match
+        remaining -= len(got)
+        out_slots.append(tuple(got))
+    if all(len(g) == 1 for g in out_slots):
+        return _apply_boost(
+            PhraseQuery(q.field, tuple(g[0] for g in out_slots), q.slop), q.boost
+        )
+    return _apply_boost(MultiPhraseQuery(q.field, tuple(out_slots), q.slop), q.boost)
+
+
+@dataclass(frozen=True)
 class TermAutomatonQuery(Query):
     """Proximity automaton over terms (reference sandbox/src/java/org/
     apache/lucene/sandbox/search/TermAutomatonQuery.java +
@@ -637,6 +712,10 @@ def _rewrite_once(q: Query, reader, field: str) -> Query:
         if reader is None:
             return q
         return _rewrite_complex_phrase(q, reader)
+    if isinstance(q, PhraseWildcardQuery):
+        if reader is None:
+            return q
+        return _rewrite_phrase_wildcard(q, reader)
     if isinstance(q, KnnQuery) and q.filter is not None:
         import dataclasses
 

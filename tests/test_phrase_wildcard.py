@@ -1,0 +1,116 @@
+"""PhraseWildcardQuery (reference sandbox/search/PhraseWildcardQuery.java):
+the global multi-term expansion budget, single-term early stop, and
+engine parity against an independently-expanded MultiPhraseQuery."""
+
+import shutil
+
+import pytest
+from conftest import TESTDATA
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.index import IndexReader, build_index
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+
+@pytest.fixture(scope="module")
+def pwx(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pwx"))
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(spark, TESTDATA)
+    build_index(spark, pages, root, num_segments=3, num_buckets=4,
+                stored_cols=("lang", "text"), positions=True)
+    return IndexSearcher(IndexReader(spark, root))
+
+
+@pytest.fixture(scope="module")
+def vocab(corpus):
+    """Corpus vocabulary (independent of the index) for expected expansions."""
+    an = analyzer_for("standard")
+    terms = set()
+    for text in corpus["text"]:
+        terms.update(t for t in an.terms(text if isinstance(text, str) else ""))
+    return sorted(terms)
+
+
+def _expected_expansion(vocab, prefix, budget):
+    return [t for t in vocab if t.startswith(prefix)][:budget]
+
+
+def test_budget_truncates_lexicographically(pwx, vocab):
+    full = _expected_expansion(vocab, "s", 10**9)
+    assert len(full) > 3, "corpus should have >3 s-terms"
+    q = Q.PhraseWildcardQuery(
+        "text", (("term", "table"), ("prefix", "s")), max_multi_term_expansions=3
+    )
+    rq = Q.rewrite(q, pwx.reader, "text")
+    assert isinstance(rq, Q.MultiPhraseQuery)
+    assert list(rq.slots[1]) == full[:3]
+    assert rq.slots[0] == ("table",)
+
+
+def test_budget_spans_multiterms_sequentially(pwx, vocab):
+    """remainingExpansions is shared: the first multi-term spends, the
+    second gets what is left; an exhausted budget means no match."""
+    n_s = len(_expected_expansion(vocab, "s", 10**9))
+    q = Q.PhraseWildcardQuery(
+        "text", (("prefix", "s"), ("prefix", "t")),
+        max_multi_term_expansions=n_s + 2,
+    )
+    rq = Q.rewrite(q, pwx.reader, "text")
+    assert isinstance(rq, Q.MultiPhraseQuery)
+    assert list(rq.slots[0]) == _expected_expansion(vocab, "s", 10**9)
+    assert list(rq.slots[1]) == _expected_expansion(vocab, "t", 2)
+    # exactly exhausted by slot 0 -> slot 1 expands empty -> NO_MATCH
+    q0 = Q.PhraseWildcardQuery(
+        "text", (("prefix", "s"), ("prefix", "t")), max_multi_term_expansions=n_s
+    )
+    assert isinstance(Q.rewrite(q0, pwx.reader, "text"), Q.MatchNoDocsQuery)
+
+
+def test_single_term_early_stop(pwx):
+    q = Q.PhraseWildcardQuery(
+        "text", (("term", "zzzznotaterm"), ("prefix", "s"))
+    )
+    assert isinstance(Q.rewrite(q, pwx.reader, "text"), Q.MatchNoDocsQuery)
+    q2 = Q.PhraseWildcardQuery("text", (("term", "table"), ("prefix", "zzzzno")))
+    assert isinstance(Q.rewrite(q2, pwx.reader, "text"), Q.MatchNoDocsQuery)
+
+
+def test_all_single_terms_becomes_phrase(pwx):
+    q = Q.PhraseWildcardQuery("text", (("term", "table"), ("term", "scan")))
+    rq = Q.rewrite(q, pwx.reader, "text")
+    assert isinstance(rq, Q.PhraseQuery) and rq.terms == ("table", "scan")
+
+
+def test_engine_matches_explicit_multiphrase(pwx, vocab):
+    """Top-k through the budgeted rewrite equals an explicitly-built
+    MultiPhraseQuery over the independently computed expansion."""
+    budget = 4
+    q = Q.PhraseWildcardQuery(
+        "text", (("term", "table"), ("prefix", "s")),
+        max_multi_term_expansions=budget,
+    )
+    exp = _expected_expansion(vocab, "s", budget)
+    mq = Q.MultiPhraseQuery("text", (("table",), tuple(exp)))
+    got = [(r["url"], float(r["score"]))
+           for r in pwx.search(q, k=10, mode="exhaustive").select("url", "score").collect()]
+    want = [(r["url"], float(r["score"]))
+            for r in pwx.search(mq, k=10, mode="exhaustive").select("url", "score").collect()]
+    assert got == want and got
+
+
+def test_wildcard_slot_and_slop(pwx, vocab):
+    q = Q.PhraseWildcardQuery(
+        "text", (("term", "table"), ("wildcard", "sc*n")), slop=1,
+        max_multi_term_expansions=8,
+    )
+    rq = Q.rewrite(q, pwx.reader, "text")
+    exp = [t for t in vocab if len(t) >= 3 and t.startswith("sc") and t.endswith("n")][:8]
+    if isinstance(rq, Q.MultiPhraseQuery):
+        assert list(rq.slots[1]) == exp and rq.slop == 1
+    else:
+        assert isinstance(rq, Q.PhraseQuery) and list(rq.terms) == ["table"] + exp
+    hits = pwx.search(q, k=10, mode="exhaustive").collect()
+    assert hits  # 'table scan' docs at minimum
