@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_lang_counts"] = _pq_facet_lang
     q["facet_range_length"] = _pq_facet_range
     q["group_top_hits"] = _pq_group_top
+    q["diversified_topk"] = _pq_diversified_topk
     q["distinct_langs"] = _pq_distinct_langs
     q["monitor_matches"] = _pq_monitor
     q["sort_by_field"] = _pq_sort_by_field
@@ -761,6 +762,24 @@ def _pq_group_top(spark, sf_dir):
         doc_id_for_url_col().alias("doc_id"),
         F.round("score", 4).alias("score_r"),
         "rank_in_group",
+    )
+
+
+def _pq_diversified_topk(spark, sf_dir):
+    """DiversifiedTopDocsCollector (reference misc/src/java/org/apache/
+    lucene/misc/search/DiversifiedTopDocsCollector.java): global BM25
+    top-10 for 'table' with at most 2 hits per lang — one per-key window
+    + TakeOrderedAndProject, no driver queueing."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import diversified_top_hits
+
+    s = _searcher(spark, sf_dir)
+    out = diversified_top_hits(s, parse("table"), "lang", k=K, max_hits_per_key=2)
+    return out.select(
+        "lang",
+        doc_id_for_url_col().alias("doc_id"),
+        F.round("score", 4).alias("score_r"),
     )
 
 
@@ -4134,6 +4153,17 @@ SELECT lang, doc_id, round(score, 4) AS score_r, rn AS rank_in_group FROM (
          row_number() OVER (PARTITION BY d.lang ORDER BY agg.score DESC, agg.doc_id ASC) AS rn
   FROM agg JOIN documents d USING (doc_id)
 ) WHERE rn <= 2
+"""
+    )
+    o["diversified_topk"] = (
+        _bm25_term_sql([("table", 1.0)], k=10).split("SELECT doc_id, round")[0]
+        + """
+SELECT lang, doc_id, round(score, 4) AS score_r FROM (
+  SELECT d.lang, agg.doc_id, agg.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY agg.score DESC, agg.doc_id ASC) AS rn
+  FROM agg JOIN documents d USING (doc_id)
+) WHERE rn <= 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     )
     o["distinct_langs"] = f"""

@@ -91,6 +91,36 @@ def grouped_top_hits(
     )
 
 
+def diversified_top_hits(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    key_col: str,
+    k: int = 10,
+    max_hits_per_key: int = 1,
+    field: str = "text",
+) -> DataFrame:
+    """DiversifiedTopDocsCollector (reference misc/src/java/org/apache/
+    lucene/misc/search/DiversifiedTopDocsCollector.java): global top-k by
+    (score desc, doc asc) under a per-key cap — at most
+    ``max_hits_per_key`` hits sharing a key value survive. The reference
+    collects greedily in score order with per-key sub-queues; the greedy
+    outcome equals: rank hits within each key by (score desc, url asc),
+    keep rank <= cap, then one global top-k — a doc inside its key's cap
+    always outranks the same key's over-cap docs, so the filtered global
+    order IS the greedy selection. One window + TakeOrderedAndProject,
+    no driver-side queueing."""
+    m = _matches_with_docs(searcher, q, field)
+    w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("url"))
+    return (
+        m.withColumn("_kr", F.row_number().over(w))
+        .filter(F.col("_kr") <= max_hits_per_key)
+        .drop("_kr")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+        .select(key_col, "url", "score")
+    )
+
+
 def sorted_top_hits(
     searcher: IndexSearcher,
     q: Q.Query,

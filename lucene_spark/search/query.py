@@ -629,7 +629,17 @@ def dv_multi_range(
     The result is a plain DocValuesQuery, so it composes with the whole
     FILTER machinery including the IndexOrDocValuesQuery access-path
     choice; ``multi_valued=True`` renders an EXISTS over an array column
-    (SortedNumericDocValues' multi-valued semantics)."""
+    (SortedNumericDocValues' multi-valued semantics).
+
+    String bounds (all-str ranges) give the SortedSetDocValues variant
+    (reference sandbox SortedSetDocValuesMultiRangeQuery.java): the same
+    overlap merge in lexicographic BytesRef order, rendered as quoted
+    string BETWEENs. Mixing str and numeric bounds raises."""
+    is_str = [isinstance(lo, str) or isinstance(hi, str) for lo, hi in ranges]
+    if any(is_str) and not all(
+        isinstance(lo, str) and isinstance(hi, str) for lo, hi in ranges
+    ):
+        raise TypeError("dv_multi_range bounds must be all-numeric or all-string")
     kept = sorted((lo, hi) for lo, hi in ranges if lo <= hi)
     if not kept:
         return MatchNoDocsQuery()
@@ -639,11 +649,17 @@ def dv_multi_range(
             merged[-1][1] = max(merged[-1][1], hi)
         else:
             merged.append([lo, hi])
+
+    def lit(v):
+        return "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
+
     if multi_valued:
-        clauses = " OR ".join(f"x BETWEEN {lo} AND {hi}" for lo, hi in merged)
+        clauses = " OR ".join(f"x BETWEEN {lit(lo)} AND {lit(hi)}" for lo, hi in merged)
         pred = f"exists({field}, x -> {clauses})"
     else:
-        pred = " OR ".join(f"({field} BETWEEN {lo} AND {hi})" for lo, hi in merged)
+        pred = " OR ".join(
+            f"({field} BETWEEN {lit(lo)} AND {lit(hi)})" for lo, hi in merged
+        )
     return DocValuesQuery(pred, boost=boost)
 
 

@@ -68,6 +68,42 @@ def build_automaton(
     )
 
 
+def automaton_from_tokens(
+    field: str, tokens, *, boost: float = 1.0
+) -> Q.TermAutomatonQuery:
+    """TokenStreamToTermAutomatonQuery.toQuery (reference sandbox/search/
+    TokenStreamToTermAutomatonQuery.java:56-110): each token adds a
+    transition state[pos] -> state[pos+1]; the literal term ``*`` adds an
+    ANY transition; position holes raise ("cannot handle holes; to accept
+    any term, use '*' term"); the last state is the only accept.
+
+    ``tokens``: an iterable of analyzer Token objects (``.term`` /
+    ``.position``) or plain ``(term, position)`` pairs — same-position
+    entries (posIncrement == 0 graph tokens, e.g. synonyms) become
+    parallel arcs."""
+    pairs = []
+    for t in tokens:
+        term, pos = (t.term, t.position) if hasattr(t, "term") else (t[0], t[1])
+        pairs.append((str(term), int(pos)))
+    if not pairs:
+        raise ValueError("empty token stream")
+    positions = sorted({p for _, p in pairs})
+    if positions[0] != 0 or positions[-1] != len(positions) - 1:
+        raise ValueError(
+            "cannot handle holes; to accept any term, use '*' term"
+        )
+    last = positions[-1] + 1
+    return Q.TermAutomatonQuery(
+        field=field,
+        num_states=last + 1,
+        accepts=(last,),
+        transitions=tuple(
+            (p, p + 1, None if term == "*" else term) for term, p in pairs
+        ),
+        boost=float(boost),
+    )
+
+
 def determinize(q: Q.TermAutomatonQuery):
     """Subset construction over the alphabet terms + [ANY], with ANY arcs
     first translated to match every symbol (finish():176-199's "carefully

@@ -176,3 +176,36 @@ def test_dv_multi_range_multi_valued(spark, searcher):
     )
     got = sorted(r["id"] for r in df.filter(q.predicate).collect())
     assert got == [1, 3]
+
+
+def test_dv_multi_range_strings():
+    """SortedSetDocValuesMultiRangeQuery analogue: lexicographic BytesRef
+    ranges, same overlap merge, quoted rendering."""
+    q = Q.dv_multi_range("lang", [("aa", "ee"), ("dd", "ff"), ("zz", "zz")])
+    assert q.predicate == (
+        "(lang BETWEEN 'aa' AND 'ff') OR (lang BETWEEN 'zz' AND 'zz')"
+    )
+    # quoting: embedded single quote escapes
+    q2 = Q.dv_multi_range("s", [("a'b", "c")])
+    assert q2.predicate == "(s BETWEEN 'a''b' AND 'c')"
+    with pytest.raises(TypeError):
+        Q.dv_multi_range("x", [("a", 3)])
+    with pytest.raises(TypeError):
+        Q.dv_multi_range("x", [("a", "b"), (1, 2)])
+
+
+def test_dv_multi_range_string_filter_matches_oracle(searcher, oracle):
+    flt = Q.dv_multi_range("lang", [("de", "en"), ("pt", "zz")])
+    q = Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")), (Q.FILTER, flt)
+    )
+    got = _hits(searcher, q)
+    langs = np.array(oracle.langs)
+    in_rng = ((langs >= "de") & (langs <= "en")) | ((langs >= "pt") & (langs <= "zz"))
+    m = oracle.term_mask("table") & in_rng
+    s = np.float32(oracle.term_scores("table"))
+    want = sorted(
+        ((u, float(sc)) for u, sc, ok in zip(oracle.urls, s, m) if ok),
+        key=lambda r: (-r[1], r[0]),
+    )[:50]
+    assert got == want and got

@@ -1,0 +1,55 @@
+"""DiversifiedTopDocsCollector analogue (reference misc/src/java/org/
+apache/lucene/misc/search/DiversifiedTopDocsCollector.java): global top-k
+under a per-key cap — engine window plan vs a brute-force greedy
+selection in score order."""
+
+import numpy as np
+import pytest
+from oracle import BruteForceIndex
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+from lucene_spark.search.facets import diversified_top_hits
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+def _greedy(oracle, term, key_of, k, cap):
+    """The reference's collector semantics: walk hits in (score desc,
+    doc asc) order, keep a hit unless its key already holds `cap` kept
+    hits, stop at k."""
+    mask = oracle.term_mask(term)
+    scores = np.float32(oracle.term_scores(term))
+    order = sorted(
+        (i for i in range(oracle.n) if mask[i]),
+        key=lambda i: (-scores[i], oracle.urls[i]),
+    )
+    kept, per_key = [], {}
+    for i in order:
+        key = key_of(i)
+        if per_key.get(key, 0) >= cap:
+            continue
+        per_key[key] = per_key.get(key, 0) + 1
+        kept.append((oracle.urls[i], float(scores[i])))
+        if len(kept) == k:
+            break
+    return kept
+
+
+@pytest.mark.parametrize("cap,k", [(1, 5), (2, 10), (3, 25)])
+def test_diversified_matches_greedy(searcher, corpus, cap, k):
+    oracle = BruteForceIndex(corpus)
+    lang_of = dict(zip(range(oracle.n), oracle.langs))
+    want = _greedy(oracle, "table", lambda i: lang_of[i], k, cap)
+    out = diversified_top_hits(
+        searcher, Q.TermQuery("text", "table"), "lang", k=k, max_hits_per_key=cap
+    )
+    got = [(r["url"], float(np.float32(r["score"])))
+           for r in out.select("url", "score").collect()]
+    assert got == want and got
+    # the cap actually binds somewhere
+    langs = [r["lang"] for r in out.collect()]
+    assert max(langs.count(x) for x in set(langs)) <= cap

@@ -280,3 +280,23 @@ def test_missing_terms_do_not_veto(spark, tax_root, corpus):
     rows = s.search(q, k=10, mode="exhaustive").select("url", "score").collect()
     got = [(r["url"], float(r["score"])) for r in rows]
     assert [u for u, _ in got] == [u for u, _ in want] and got
+
+
+def test_automaton_from_tokens():
+    """TokenStreamToTermAutomatonQuery.toQuery mapping: pos -> pos+1 arcs,
+    '*' = ANY, last state accepts, holes raise."""
+    from lucene_spark.search.term_automaton import automaton_from_tokens
+
+    q = automaton_from_tokens("text", [("a", 0), ("*", 1), ("b", 2)])
+    assert q.accepts == (3,) and q.num_states == 4
+    assert q.transitions == ((0, 1, "a"), (1, 2, None), (2, 3, "b"))
+    assert _freq_both(q, ["a", "x", "b"]) == (1, 1)
+    # same-position graph tokens (posIncrement 0) become parallel arcs
+    q2 = automaton_from_tokens("text", [("a", 0), ("b", 1), ("c", 1)])
+    assert set(q2.transitions) == {(0, 1, "a"), (1, 2, "b"), (1, 2, "c")}
+    assert _freq_both(q2, ["a", "b"]) == (1, 1)
+    assert _freq_both(q2, ["a", "c"]) == (1, 1)
+    with pytest.raises(ValueError, match="holes"):
+        automaton_from_tokens("text", [("a", 0), ("b", 2)])
+    with pytest.raises(ValueError):
+        automaton_from_tokens("text", [])
