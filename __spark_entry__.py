@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wildcard_heavy"] = _pq_wildcard_heavy
     q["interval_near"] = _pq_interval_near
     q["combined_fields"] = _pq_combined_fields
+    q["blended_cross_field"] = _pq_blended_cross_field
     # -- round 3: knn AST node, function score, fuzzy, distributed spell --
     q["knn_bool_filtered"] = _pq_knn_bool_filtered
     q["function_score"] = _pq_function_score
@@ -566,6 +567,25 @@ def _pq_add_indexes(spark, sf_dir):
     add_indexes(dest, [srcb], build_id="x0001")
     s = IndexSearcher(IndexReader(spark, dest), dtype=np.float64)
     hits = s.search(parse("table OR scan"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_blended_cross_field(spark, sf_dir):
+    """BlendedTermQuery (reference core/search/BlendedTermQuery.java):
+    'table' scored in BOTH text and head with the dfs blended to their
+    max (adjustFrequencies :282-291), per-field norms, DisjunctionMax
+    combine (tie 0.1) — the cross-field multi_match building block."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+
+    s = _searcher(spark, sf_dir)
+    q = Q.BlendedTermQuery(
+        (("text", "table", 1.0), ("head", "table", 1.0)), tie_breaker=0.1
+    )
+    hits = s.search(q, k=K, mode="exhaustive")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -3212,6 +3232,52 @@ SELECT doc_id, round(score, 4) AS score_r
 FROM agg2 WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     )
+    # BlendedTermQuery: df blended to max(df_text, df_head) in BOTH legs'
+    # idf; norms stay per-field; dismax(tie 0.1) combines
+    bl_qlen, bl_qlen_h = _qlen("dl.len"), _qlen("dlh.len")
+    o["blended_cross_field"] = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({bl_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+tokh AS (SELECT doc_id, unnest(a[1:8]) AS term
+         FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents)),
+dlh AS (SELECT doc_id, count(*) AS len FROM tokh GROUP BY doc_id),
+stats_h AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dlh WHERE len > 0),
+inv_h AS (
+  SELECT dlh.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({bl_qlen_h}) / (stats_h.sum_ttf / CAST(stats_h.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dlh, stats_h
+),
+dfb AS (
+  SELECT greatest(
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'table'),
+    (SELECT count(DISTINCT doc_id) FROM tokh WHERE term = 'table')) AS df
+),
+s_t AS (
+  SELECT tf.doc_id,
+         (ln(1 + (stats.doc_count - dfb.df + 0.5) / (dfb.df + 0.5))) * (1.0 - 1.0 / (1.0 + tf.f * inv.norm_inv)) AS s
+  FROM (SELECT doc_id, count(*) AS f FROM tok WHERE term = 'table' GROUP BY doc_id) tf
+  JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN stats CROSS JOIN dfb
+),
+s_h AS (
+  SELECT tf.doc_id,
+         (ln(1 + (stats_h.doc_count - dfb.df + 0.5) / (dfb.df + 0.5))) * (1.0 - 1.0 / (1.0 + tf.f * inv_h.norm_inv)) AS s
+  FROM (SELECT doc_id, count(*) AS f FROM tokh WHERE term = 'table' GROUP BY doc_id) tf
+  JOIN inv_h ON inv_h.doc_id = tf.doc_id CROSS JOIN stats_h CROSS JOIN dfb
+),
+u AS (SELECT doc_id, s FROM s_t UNION ALL SELECT doc_id, s FROM s_h),
+agg AS (
+  SELECT doc_id, max(s) + 0.1 * (sum(s) - max(s)) AS score
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
+"""
     # ShingleFilter bigrams: term 'table scan' = adjacent (table, scan)
     # pairs; per-doc length gains len-1 stacked shingles (sum_ttf side),
     # the norm stays the unigram count

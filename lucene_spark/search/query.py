@@ -480,6 +480,35 @@ class CoveringQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """BlendedTermQuery (reference core/src/java/org/apache/lucene/search/
+    BlendedTermQuery.java): scores each (field, term) as a TermQuery whose
+    term statistics are ARTIFICIALLY blended across all the query's terms
+    — docFreq = max over terms, totalTermFreq = sum (:282-291,
+    adjustFrequencies) — so no term dominates just because it is rarer in
+    its field (the cross-field "multi_match" building block). Collection
+    statistics (docCount, avg field length → norms) stay per-field, as
+    createWeight's searcher.collectionStatistics(term.field()) does.
+
+    ``terms``: (field_or_None, term, per_term_boost) triples; a term
+    absent from its field contributes nothing (its TermStates stay
+    empty) but does not veto the rest. ``rewrite_method``: "dismax"
+    (DisjunctionMaxRewrite with ``tie_breaker``, the default) or "bool"
+    (BooleanQueryRewrite: SHOULD sum)."""
+
+    terms: tuple[tuple[str | None, str, float], ...]
+    rewrite_method: str = "dismax"
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.terms:
+            raise ValueError("BlendedTermQuery needs at least one term")
+        if self.rewrite_method not in ("dismax", "bool"):
+            raise ValueError(f"unknown rewrite method {self.rewrite_method!r}")
+
+
+@dataclass(frozen=True)
 class PhraseWildcardQuery(Query):
     """Phrase with single-term and multi-term (prefix/wildcard) slots under
     ONE global expansion budget (reference sandbox/src/java/org/apache/

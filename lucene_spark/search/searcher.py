@@ -487,6 +487,8 @@ class IndexSearcher:
             from .term_automaton import scored_term_automaton
 
             return scored_term_automaton(self, q, field)
+        if isinstance(q, Q.BlendedTermQuery):
+            return self._scored_blended(q, field)
         if isinstance(q, Q.CoveringQuery):
             return self._scored_covering(q, field)
         if isinstance(q, Q.CombinedFieldQuery):
@@ -530,6 +532,60 @@ class IndexSearcher:
         )
 
     # ------------------------------------------------------- feature queries
+
+    def _scored_blended(self, q: Q.BlendedTermQuery, field: str) -> DataFrame | None:
+        """BlendedTermQuery scorer (core search/BlendedTermQuery.java:
+        274-312): blended df = max / ttf = sum across the terms, each
+        (field, term) scored through the normal decode kernel with the
+        ARTIFICIAL stats substituted into its SimScorer (adjustFrequencies
+        + accumulateStatistics), per-field collection stats for the norm,
+        then the rewrite method combines (dismax or SHOULD-sum)."""
+        from ..functions.registry import scorer_for
+
+        specs = [(f or field, t, float(b)) for f, t, b in q.terms]
+        st: dict[tuple[str, str], tuple[int, int] | None] = {}
+        df_b, ttf_b = 0, 0
+        for fld, t, _b in specs:
+            if (fld, t) not in st:
+                st[(fld, t)] = self.reader.term_stats([t], fld).get(t)
+            s = st[(fld, t)]
+            if s:
+                df_b = max(df_b, s[0])
+                ttf_b += s[1]
+        if df_b == 0:
+            return None
+        parts = []
+        for fld, t, b in specs:
+            if st[(fld, t)] is None:
+                continue  # empty TermStates: contributes nothing, no veto
+            doc_count, sum_ttf = self.reader.collection_stats(fld)
+            scorer = scorer_for(
+                self.similarity, df_b, ttf_b, doc_count, sum_ttf,
+                boost=b, dtype=self.dtype,
+            )
+            parts.append(
+                self._decoded([t], {t: scorer}, fld).select("seg", "doc", "score")
+            )
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        boost = float(q.boost)
+        if q.rewrite_method == "bool":
+            agg = union.groupBy("seg", "doc").agg(F.sum("score").alias("score"))
+            return agg.select(
+                "seg", "doc", (F.col("score") * F.lit(boost)).alias("score")
+            )
+        tb = float(q.tie_breaker)
+        agg = union.groupBy("seg", "doc").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        return agg.select(
+            "seg",
+            "doc",
+            (
+                (F.col("mx") + F.lit(tb) * (F.col("sm") - F.col("mx"))) * F.lit(boost)
+            ).alias("score"),
+        )
 
     def _scored_feature(self, q: Q.FeatureQuery) -> DataFrame:
         """FeatureField query scorer (FeatureField.java:355-470): the

@@ -1,0 +1,108 @@
+"""BlendedTermQuery (reference core/search/BlendedTermQuery.java):
+artificially blended term statistics (df = max, ttf = sum) vs a brute
+force that applies the same substitution through the shared SimScorer."""
+
+import numpy as np
+import pytest
+from oracle import BruteForceIndex
+
+from lucene_spark.functions.bm25 import make_scorer
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BruteForceIndex(corpus)
+
+
+def _blended_parts(oracle, terms, boosts):
+    """Per-term float32 score arrays under the blended (max-df, sum-ttf)
+    statistics — the adjustFrequencies substitution."""
+    present = [t for t in terms if oracle.df.get(t, 0) > 0]
+    df_b = max(oracle.df[t] for t in present)
+    out = {}
+    for t, b in zip(terms, boosts):
+        if t not in present:
+            continue
+        scorer = make_scorer([df_b], oracle.doc_count, oracle.sum_ttf, boost=b)
+        freqs = np.array([tf.get(t, 0) for tf in oracle.tfs], dtype=np.int64)
+        s = np.zeros(oracle.n)
+        m = freqs > 0
+        s[m] = scorer.score(freqs[m], oracle.norms[m]).astype(np.float64)
+        out[t] = s
+    return out
+
+
+def _topk(rows, k=10):
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def test_blended_dismax_matches_brute(searcher, oracle):
+    terms, boosts, tb = ("table", "merge"), (1.0, 2.0), 0.1
+    parts = _blended_parts(oracle, terms, boosts)
+    rows = []
+    for i in range(oracle.n):
+        ss = [float(np.float32(parts[t][i])) for t in parts if parts[t][i] > 0]
+        if not ss:
+            continue
+        rows.append((oracle.urls[i], max(ss) + tb * (sum(ss) - max(ss))))
+    want = _topk(rows)
+    q = Q.BlendedTermQuery(
+        ((None, "table", 1.0), (None, "merge", 2.0)), tie_breaker=tb
+    )
+    got = [(r["url"], float(r["score"]))
+           for r in searcher.search(q, k=10).select("url", "score").collect()]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-6), gu
+
+
+def test_blended_bool_rewrite_sums(searcher, oracle):
+    terms, boosts = ("table", "scan"), (1.0, 1.0)
+    parts = _blended_parts(oracle, terms, boosts)
+    rows = []
+    for i in range(oracle.n):
+        ss = [float(np.float32(parts[t][i])) for t in parts if parts[t][i] > 0]
+        if ss:
+            rows.append((oracle.urls[i], sum(ss)))
+    want = _topk(rows)
+    q = Q.BlendedTermQuery(
+        ((None, "table", 1.0), (None, "scan", 1.0)), rewrite_method="bool"
+    )
+    got = [(r["url"], float(r["score"]))
+           for r in searcher.search(q, k=10).select("url", "score").collect()]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (wu, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-6), gu
+
+
+def test_blending_actually_changes_scores(searcher, oracle):
+    """The rarer term inherits the common term's df: its blended score is
+    LOWER than its plain TermQuery score (idf shrinks)."""
+    rare, common = "dup", "the"
+    assert oracle.df[rare] < oracle.df[common]
+    plain = {r["url"]: r["score"]
+             for r in searcher.search(Q.TermQuery("text", rare), k=5)
+             .select("url", "score").collect()}
+    blended = {r["url"]: r["score"]
+               for r in searcher.search(
+                   Q.BlendedTermQuery(((None, rare, 1.0), (None, common, 1.0))),
+                   k=1000).select("url", "score").collect()}
+    assert plain and all(blended[u] < s for u, s in plain.items() if u in blended)
+
+
+def test_absent_term_no_veto(searcher, oracle):
+    q = Q.BlendedTermQuery(((None, "table", 1.0), (None, "zzzznotaterm", 1.0)))
+    got = searcher.search(q, k=10).collect()
+    # blended df for 'table' alone == its own df -> equals plain TermQuery
+    plain = searcher.search(Q.TermQuery("text", "table"), k=10).collect()
+    assert [(r["url"], r["score"]) for r in got] == [
+        (r["url"], r["score"]) for r in plain
+    ]
