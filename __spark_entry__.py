@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["axiomatic_disjunction"] = _pq_axiomatic_disjunction
     q["jm_disjunction"] = _pq_jm_disjunction
     q["boolean_disjunction"] = _pq_boolean_disjunction
+    q["sweetspot_disjunction"] = _pq_sweetspot_disjunction
     q["events_windowed_counts"] = _pq_events_windowed
     q["events_sliding_counts"] = _pq_events_sliding
     q["events_session_counts"] = _pq_events_sessions
@@ -242,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
     q["suggest_infix"] = _pq_suggest_infix
+    q["suggest_freetext"] = _pq_suggest_freetext
     q["rescore_topk"] = _pq_rescore
     q["gopher_repetition"] = _pq_gopher_repetition
     q["corpus_top_ngrams"] = _pq_corpus_top_ngrams
@@ -1171,6 +1173,29 @@ def _pq_dfr_disjunction(spark, sf_dir):
     )
 
 
+def _pq_sweetspot_disjunction(spark, sf_dir):
+    """SweetSpotSimilarity disjunctive top-k with a length-norm plateau
+    [20, 60] and a baseline-tf floor (base=1.0, min=2.0) — exercises the
+    NON-monotone length norm through the pruned path (the scorer's
+    max_score scans the whole quantized-length domain, so block-max
+    pruning stays lossless; reference misc/SweetSpotSimilarity.java)."""
+    import numpy as np
+
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import IndexSearcher, parse
+
+    s = IndexSearcher(
+        _get_index(spark, sf_dir),
+        dtype=np.float64,
+        similarity="sweetspot:l=20,h=60,s=0.5,b=1.0,m=2.0",
+    )
+    hits = s.search(parse("merge OR window OR spark"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_batch_bm25(spark, sf_dir):
     """Workload-shaped serving: three queries scored by ONE pruned postings
     scan + one aggregation + one per-query top-k window (search/batch.py);
@@ -2018,6 +2043,20 @@ def _pq_suggest_infix(spark, sf_dir):
     return infix_complete_frame(reader, "er", k=5)
 
 
+def _pq_suggest_freetext(spark, sf_dir):
+    """FreeTextSuggester: stupid-backoff n-gram language-model suggestions
+    for the partial input 'merge s' (bigram model). The indexed
+    continuations of 'merge' fill the bigram level; the unigram backoff
+    level must then dedup away every s* word the bigram level already
+    suggested — a broken seen-set or backoff union would surface as extra
+    unigram rows inside the 10-row limit."""
+    from lucene_spark.search.freetext import FreeTextSuggester
+
+    sug = FreeTextSuggester(_docs(spark, sf_dir), grams=2)
+    out = sug.lookup_frame("merge s", 10)
+    return out.select("key", "cnt", F.round("score", 4).alias("score_r"))
+
+
 def _pq_gopher_repetition(spark, sf_dir):
     """Gopher repetition filters: per-doc duplicate-word and duplicate-
     trigram fractions — pure column algebra, no UDF."""
@@ -2327,6 +2366,58 @@ def _dfr_term_sql(terms: list[str], k: int = K) -> str:
     SELECT log2((stats.doc_count + 1.0) /
                 (stats.doc_count * (1.0 - pow((stats.doc_count - 1.0) / stats.doc_count, n.f)) + 0.5)) AS A
     FROM stats, (SELECT count(*) AS f FROM tok WHERE term = '{t}') n) w
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
+    return (
+        f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+q AS (SELECT doc_id, CAST(({qlen}) AS DOUBLE) AS d FROM dl),
+"""
+        + ", ".join(per)
+        + f""",
+u AS ({unions}),
+agg AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def _sweetspot_term_sql(
+    terms: list[str],
+    k: int = K,
+    *,
+    l: int = 20,
+    h: int = 60,
+    s: float = 0.5,
+    b: float = 1.0,
+    m: float = 2.0,
+) -> str:
+    """Disjunctive SweetSpotSimilarity (misc/SweetSpotSimilarity.java):
+    score = tf(f) * idf * lengthNorm(dl) with
+    tf(f) = b if f <= m else sqrt(f + b^2 - m) (:134-147),
+    lengthNorm(dl) = 1/sqrt(s*(|dl-l|+|dl-h|-(h-l))+1) (:100-119),
+    idf = ln((N+1)/(df+1)) + 1 (ClassicSimilarity), dl = the
+    SmallFloat-quantized length. Multiplication order matches the engine:
+    (tf * query_weight) * lengthNorm."""
+    qlen = _qlen("dl.len")
+    bb = b * b
+    per = []
+    for i, t in enumerate(terms):
+        per.append(
+            f"""t{i} AS (
+  SELECT tf.doc_id,
+         ((CASE WHEN tf.freq <= {m} THEN CAST({b} AS DOUBLE)
+                ELSE sqrt(tf.freq + {bb} - {m}) END) * w.qw)
+         * (1.0 / sqrt({s} * (abs(q.d - {l}) + abs(q.d - {h}) - ({h} - {l})) + 1.0)) AS s
+  FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{t}' GROUP BY doc_id) tf
+  JOIN q ON q.doc_id = tf.doc_id
+  CROSS JOIN (
+    SELECT ln((stats.doc_count + 1.0) / (n.df + 1.0)) + 1.0 AS qw
+    FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}') n) w
 )"""
         )
     unions = " UNION ALL ".join(f"SELECT doc_id, s FROM t{i}" for i in range(len(terms)))
@@ -3482,6 +3573,35 @@ WITH tok AS ({_TOK})
 SELECT term, count(*) AS weight FROM tok WHERE term LIKE '%er%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5
 """
+    # FreeTextSuggester stupid-backoff lookup for key 'merge s', grams=2,
+    # num=10: bigram level scores (1.0*cnt)/count('merge'); unigram level
+    # scores (0.4*cnt)/totTokens and excludes last tokens the bigram level
+    # already suggested. Arithmetic is rendered with the engine's exact
+    # operation order (double multiply then divide) for bit parity.
+    o["suggest_freetext"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+uni AS (SELECT term AS gram, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t FROM uni),
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+big AS (
+  SELECT a[i] || ' ' || a[i+1] AS gram, count(*) AS cnt
+  FROM arr, unnest(range(1, len(a))) AS r(i) GROUP BY 1
+),
+l1 AS (
+  SELECT gram, cnt,
+         (CAST(1.0 AS DOUBLE) * cnt) / (SELECT cnt FROM uni WHERE gram = 'merge') AS score
+  FROM big WHERE gram LIKE 'merge s%' ORDER BY cnt DESC, gram LIMIT 10
+),
+l0 AS (
+  SELECT gram, cnt, (CAST(0.4 AS DOUBLE) * cnt) / (SELECT t FROM tot) AS score
+  FROM uni WHERE gram LIKE 's%'
+    AND gram NOT IN (SELECT string_split(gram, ' ')[2] FROM l1)
+  ORDER BY cnt DESC, gram LIMIT 10
+)
+SELECT gram AS key, cnt, round(score, 4) AS score_r
+FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l0)
+ORDER BY score DESC, key LIMIT 10
+"""
     # ToParentBlockJoin: BM25(table OR scan) children -> max per source
     bj_base = _bm25_term_sql([("table", 1.0), ("scan", 1.0)], k=K)
     o["block_join_parents"] = (
@@ -3737,6 +3857,7 @@ reach(u, v) AS (
 SELECT u AS id, min(v) AS component FROM reach GROUP BY u
 """
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
+    o["sweetspot_disjunction"] = _sweetspot_term_sql(["merge", "window", "spark"])
     o["ib_disjunction"] = _ib_term_sql(["merge", "window", "spark"])
     o["dfi_disjunction"] = _dfi_term_sql(["merge", "window", "spark"])
     o["axiomatic_disjunction"] = _axiomatic_term_sql(["merge", "window", "spark"])

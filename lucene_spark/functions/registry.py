@@ -26,6 +26,7 @@ SIMILARITIES = (
     "dfi",
     "axiomatic",
     "boolean",
+    "sweetspot",  # also accepts "sweetspot:l=..,h=..,s=..,b=..,m=.."
 )
 
 
@@ -71,6 +72,13 @@ def scorer_for(
         from .booleansim import make_boolean_scorer
 
         return make_boolean_scorer(df_t, doc_count, sum_ttf, boost=boost, dtype=dtype)
+    if similarity == "sweetspot" or similarity.startswith("sweetspot:"):
+        from .sweetspot import make_sweetspot_scorer, parse_sweetspot_params
+
+        return make_sweetspot_scorer(
+            df_t, doc_count, boost=boost, dtype=dtype,
+            **parse_sweetspot_params(similarity),
+        )
     if similarity == "bm25":
         from .bm25 import make_scorer
 

@@ -1,0 +1,122 @@
+"""SweetSpotSimilarity — ClassicSimilarity with a length-norm plateau and
+a baseline tf floor.
+
+Reference semantics
+(/root/reference/lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java):
+
+  lengthNorm(x) = 1 / sqrt(steep * (|x-min| + |x-max| - (max-min)) + 1)
+                  (:100-119; == 1.0 on the [min, max] plateau, sqrt-decay
+                  outside; degrades to 1/sqrt(x) at min=max=1, steep=0.5)
+  tf(f)         = baselineTf: 0 if f == 0; tf_base if f <= tf_min;
+                  sqrt(f + tf_base^2 - tf_min) otherwise (:134-147;
+                  degrades to sqrt(f) at base=min=0)
+  idf           = ClassicSimilarity's ln((docCount+1)/(docFreq+1)) + 1
+  score         = tf(f) * (boost * idf) * lengthNorm(dl)
+
+``dl`` is the SmallFloat-quantized length decoded from the norm byte, like
+every similarity in this engine. The hyperbolicTf helper (:149-180) is a
+convenience for subclasses, not wired into tf() — scoped out accordingly.
+
+Block-max admissibility: lengthNorm is NOT monotone in dl (it rises up to
+the plateau), so the (max freq, min norm) pareto corner is not the
+score maximum. ``max_score`` instead evaluates the scorer at max_freq
+against EVERY norm byte >= the block's minimum (256 table entries) and
+takes the max — exact over the quantized length domain, so the WAND /
+MAXSCORE pruning stays lossless for any plateau placement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+
+@dataclass(frozen=True)
+class SweetSpotScorer:
+    query_weight: float  # boost * idf
+    ln_min: int = 1
+    ln_max: int = 1
+    ln_steep: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+    dtype: object = np.float32
+    _dl: np.ndarray = field(default_factory=lambda: LENGTH_TABLE.astype(np.float64))
+
+    def _length_norm(self, dl: np.ndarray) -> np.ndarray:
+        return 1.0 / np.sqrt(
+            self.ln_steep
+            * (
+                np.abs(dl - self.ln_min)
+                + np.abs(dl - self.ln_max)
+                - (self.ln_max - self.ln_min)
+            )
+            + 1.0
+        )
+
+    def _tf(self, f: np.ndarray) -> np.ndarray:
+        grown = np.sqrt(np.maximum(f + self.tf_base * self.tf_base - self.tf_min, 0.0))
+        out = np.where(f <= self.tf_min, self.tf_base, grown)
+        return np.where(f == 0.0, 0.0, out)
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = self._dl[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        s = self._tf(f) * self.query_weight * self._length_norm(dl)
+        return s.astype(self.dtype)
+
+    def max_score(self, max_freq: int | None = None, min_norm_byte: int = 1) -> float:
+        if max_freq is None:
+            max_freq = 2**31 - 1
+        lo = min_norm_byte & 0xFF
+        bytes_ = np.arange(lo, 256, dtype=np.int64)
+        s = self.score(np.full(bytes_.shape, max_freq, dtype=np.float64), bytes_)
+        return float(s.max())
+
+
+def make_sweetspot_scorer(
+    doc_freq: int,
+    doc_count: int,
+    boost: float = 1.0,
+    dtype=np.float32,
+    *,
+    ln_min: int = 1,
+    ln_max: int = 1,
+    ln_steep: float = 0.5,
+    tf_base: float = 0.0,
+    tf_min: float = 0.0,
+) -> SweetSpotScorer:
+    idf = np.log((np.float64(doc_count) + 1.0) / (np.float64(doc_freq) + 1.0)) + 1.0
+    return SweetSpotScorer(
+        query_weight=float(boost) * float(idf),
+        ln_min=ln_min,
+        ln_max=ln_max,
+        ln_steep=ln_steep,
+        tf_base=tf_base,
+        tf_min=tf_min,
+        dtype=dtype,
+    )
+
+
+_PARAM_KEYS = {"l": "ln_min", "h": "ln_max", "s": "ln_steep", "b": "tf_base", "m": "tf_min"}
+
+
+def parse_sweetspot_params(name: str) -> dict:
+    """``sweetspot`` or ``sweetspot:l=40,h=100,s=0.5,b=1.0,m=2.0`` —
+    the parameterized-name convention the analyzer registry also uses."""
+    if name == "sweetspot":
+        return {}
+    spec = name.split(":", 1)[1]
+    out: dict = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in _PARAM_KEYS:
+            raise ValueError(
+                f"unknown sweetspot parameter {k!r}; one of {sorted(_PARAM_KEYS)}"
+            )
+        attr = _PARAM_KEYS[k]
+        out[attr] = int(v) if attr in ("ln_min", "ln_max") else float(v)
+    return out

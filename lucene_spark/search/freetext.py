@@ -1,0 +1,197 @@
+"""FreeTextSuggester — n-gram language-model ("free text") suggestions
+with stupid-backoff smoothing.
+
+Reference semantics (/root/reference/lucene/suggest/src/java/org/apache/
+lucene/search/suggest/analyzing/FreeTextSuggester.java):
+
+- build (FreeTextSuggester.java:238-345): shingle the corpus into all
+  1..grams word n-grams (ShingleFilter with outputUnigrams=true) and store
+  each gram's total occurrence count; ``totTokens`` = sum of unigram
+  counts. Here the model is ONE distributed explode + hash aggregate over
+  the corpus (map-side partial agg, shuffle O(distinct grams)) — the
+  reference builds a throwaway Lucene index and walks its TermsEnum into
+  an FST; the census table is the Spark-native equivalent.
+- lookup (FreeTextSuggester.java:424-714): analyze the key, keep the LAST
+  i-gram for every i <= grams (``lastTokens``); a trailing separator
+  "upgrades" each context so "foo " predicts continuations of foo rather
+  than completions of the token "foo" (:497-512). Then walk models from
+  highest order down with backoff ALPHA = 0.4 (:122-128): at each
+  attempted level the candidates are the model's grams extending the
+  level's prefix without crossing another separator (the TopNSearcher
+  rejects separator arcs, :613-618 — equivalently: grams with exactly
+  level+1 tokens), ranked by occurrence count (FST outputs encode
+  Long.MAX_VALUE - count, so top-N by output = top-N by count; ties break
+  in input byte order = gram ascending); each level keeps its top ``num``
+  candidates whose LAST token no higher-order model already suggested
+  (``seen`` dedup, :640-676); score = backoff * count / contextCount where
+  contextCount is the model count of the prefix's context tokens, or
+  totTokens at the unigram level (:565-581). backoff multiplies by ALPHA
+  after every ATTEMPTED level — including levels whose prefix was never
+  indexed (:555-559) but NOT levels skipped for lacking input tokens
+  (:527-533). Final results sort by (score desc, key asc — UTF16 tie
+  break, :697-705) truncated to num.
+
+The whole lookup is ONE declarative DataFrame plan: per attempted level a
+pushed prefix filter on the census (n = level order AND startswith), a
+bounded rank window, an anti-join against the higher levels' selections
+(the ``seen`` set), a broadcast 1-row join for the context/total counts,
+then a global ordered take. Nothing is collected; driver footprint is the
+top-k rows. Scores are float64 with the multiply-then-divide order the
+reference uses, so the same expression reproduces bit-identically in any
+IEEE SQL engine (the DuckDB oracle runs the identical arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.4
+DEFAULT_GRAMS = 2
+
+
+def build_gram_model(
+    df: DataFrame, text_col: str = "text", grams: int = DEFAULT_GRAMS, sep: str = " "
+) -> DataFrame:
+    """The n-gram census: one row per distinct 1..grams-gram with its
+    corpus occurrence count. Columns: gram (sep-joined), n, cnt."""
+    if grams < 1:
+        raise ValueError("grams must be >= 1")
+    words = F.split(F.col(text_col), sep)
+    size = F.size(words)
+
+    def shingles(n: int):
+        # NB: the transform lambda must stay single-argument — a second
+        # parameter (even a default) makes pyspark pass (element, index).
+        return F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.concat_ws(sep, F.slice(words, i, F.lit(n))),
+        )
+
+    levels = []
+    for n in range(1, grams + 1):
+        gram_arr = F.when(size >= n, shingles(n)).otherwise(
+            F.array().cast("array<string>")
+        )
+        levels.append(
+            df.select(F.explode(gram_arr).alias("gram")).withColumn("n", F.lit(n))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("gram", "n").agg(F.count("*").alias("cnt"))
+
+
+def _last_tokens(key: str, grams: int, sep: str) -> tuple[list[str | None], bool]:
+    """The reference's lastTokens array: last i-gram of the analyzed key
+    per model order, with the trailing-separator upgrade
+    (FreeTextSuggester.java:460-512)."""
+    tokens = [t for t in key.split(sep) if t]
+    last: list[str | None] = [None] * grams
+    for i in range(grams):
+        if len(tokens) >= i + 1:
+            last[i] = sep.join(tokens[len(tokens) - i - 1 :])
+    ended = key.endswith(sep) or key == ""
+    if ended:
+        for i in range(grams - 1, 0, -1):
+            if last[i - 1] is not None:
+                last[i] = last[i - 1] + sep
+        last[0] = ""
+    return last, ended
+
+
+class FreeTextSuggester:
+    """Stupid-backoff n-gram suggester over a document corpus.
+
+    ``model`` may be a pre-built census DataFrame (``build_gram_model``
+    output, e.g. persisted parquet at scale); otherwise pass the corpus
+    ``df`` and the census plan is embedded in every lookup.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame | None = None,
+        *,
+        model: DataFrame | None = None,
+        text_col: str = "text",
+        grams: int = DEFAULT_GRAMS,
+        sep: str = " ",
+    ):
+        if (df is None) == (model is None):
+            raise ValueError("pass exactly one of df / model")
+        self.grams = grams
+        self.sep = sep
+        self.model = (
+            model if model is not None else build_gram_model(df, text_col, grams, sep)
+        )
+
+    def lookup_frame(self, key: str, num: int = 10) -> DataFrame:
+        """The suggestion plan: columns (key, cnt, score) sorted by
+        (score desc, key asc), <= num rows. ``key`` of each row is the
+        full suggested gram (context + completed last token), exactly the
+        reference's LookupResult key."""
+        sep, grams, model = self.sep, self.grams, self.model
+        last, _ = _last_tokens(key, grams, sep)
+        tot = model.filter(F.col("n") == 1).agg(F.sum("cnt").alias("_ctx"))
+
+        selections: list[DataFrame] = []  # higher-order levels first
+        backoff = 1.0
+        for level in range(grams - 1, -1, -1):
+            token = last[level]
+            if token is None or (token == "" and key != ""):
+                continue  # not enough input: no backoff spent (:527-533)
+            lvl_backoff = backoff
+            backoff *= ALPHA  # spent whether or not the prefix is indexed
+            cand = model.filter(
+                (F.col("n") == level + 1) & F.col("gram").startswith(token)
+            )
+            if sep in token:
+                context = token.rsplit(sep, 1)[0]
+                ctx = (
+                    model.filter((F.col("n") == level) & (F.col("gram") == context))
+                    .select(F.col("cnt").alias("_ctx"))
+                )
+            else:
+                ctx = tot
+            # ``seen`` dedup joins by a NAMED last-token column — the
+            # selections share lineage with ``cand`` (same census
+            # DataFrame), and column-object conditions mis-resolve on
+            # self-joins. A level-0 gram IS its own last token, so one
+            # substring_index covers every level.
+            cand = cand.withColumn(
+                "_lt", F.substring_index("gram", sep, -1)
+            )
+            for prev in selections:
+                seen = prev.select(
+                    F.substring_index("gram", sep, -1).alias("_lt")
+                )
+                cand = cand.join(F.broadcast(seen), on="_lt", how="left_anti")
+            sel = (
+                cand.drop("_lt")
+                .orderBy(F.desc("cnt"), F.asc("gram"))
+                .limit(num)
+                .crossJoin(F.broadcast(ctx))
+                .select(
+                    F.col("gram"),
+                    F.col("cnt"),
+                    (
+                        (F.lit(lvl_backoff) * F.col("cnt")) / F.col("_ctx")
+                    ).alias("score"),
+                )
+            )
+            selections.append(sel)
+
+        if not selections:
+            raise ValueError("no tokens produced from the lookup key")
+        out = selections[0]
+        for sel in selections[1:]:
+            out = out.unionByName(sel)
+        return (
+            out.orderBy(F.desc("score"), F.asc("gram"))
+            .limit(num)
+            .select(F.col("gram").alias("key"), "cnt", "score")
+        )
+
+    def lookup(self, key: str, num: int = 10) -> list[tuple[str, float]]:
+        rows = self.lookup_frame(key, num).collect()
+        return [(r["key"], float(r["score"])) for r in rows]

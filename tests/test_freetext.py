@@ -1,0 +1,147 @@
+"""FreeTextSuggester vs a definitional python port of the reference loop
+(/root/reference/lucene/suggest/src/java/org/apache/lucene/search/suggest/
+analyzing/FreeTextSuggester.java lookup, :424-714)."""
+
+from collections import Counter
+
+import pytest
+
+from lucene_spark.search.freetext import (
+    ALPHA,
+    FreeTextSuggester,
+    _last_tokens,
+    build_gram_model,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown cat sleeps",
+    "the quiet brown fox runs",
+    "quick brown foxes jump high",
+    "the lazy dog sleeps all day",
+    "a quick fix for the lazy build",
+    "the quick silver fox",
+    "quick quick quick brown",
+]
+
+
+def brute_model(texts, grams):
+    counts = Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        for n in range(1, grams + 1):
+            for i in range(len(toks) - n + 1):
+                counts[" ".join(toks[i : i + n])] += 1
+    return counts
+
+
+def brute_lookup(texts, key, num, grams):
+    """Line-by-line port of the reference lookup loop."""
+    model = brute_model(texts, grams)
+    tot = sum(c for g, c in model.items() if " " not in g)
+    last, _ = _last_tokens(key, grams, " ")
+    seen: set[str] = set()
+    results: list[tuple[str, float]] = []
+    backoff = 1.0
+    for level in range(grams - 1, -1, -1):
+        token = last[level]
+        if token is None or (token == "" and key != ""):
+            continue
+        lvl_backoff = backoff
+        backoff *= ALPHA
+        cands = [
+            (g, c)
+            for g, c in model.items()
+            if g.count(" ") == level and g.startswith(token)
+        ]
+        if " " in token:
+            ctx = model.get(token.rsplit(" ", 1)[0], 0)
+        else:
+            ctx = tot
+        cands.sort(key=lambda gc: (-gc[1], gc[0]))
+        taken = 0
+        for g, c in cands:
+            if taken >= num:
+                break
+            lt = g.rsplit(" ", 1)[-1]
+            if lt in seen:
+                continue
+            seen.add(lt)
+            results.append((g, lvl_backoff * c / ctx))
+            taken += 1
+    results.sort(key=lambda kv: (-kv[1], kv[0]))
+    return results[:num]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(t,) for t in CORPUS], "text string")
+
+
+KEYS = [
+    ("the qu", 5, 2),          # mid-token, bigram + backoff unigram
+    ("quick ", 5, 2),          # trailing space: bigram continuations only
+    ("qu", 5, 2),              # single partial token: unigram model only
+    ("purple mush", 5, 2),     # unseen context: bigram empty, backoff 0.4
+    ("the l", 3, 2),           # small num exercises per-level truncation
+    ("quick brown f", 4, 3),   # trigram model with backoff chain
+    ("the quick ", 4, 3),      # trigram continuation, trailing space
+]
+
+
+@pytest.mark.parametrize("key,num,grams", KEYS)
+def test_lookup_matches_reference_port(spark, corpus_df, key, num, grams):
+    sug = FreeTextSuggester(corpus_df, grams=grams)
+    got = sug.lookup(key, num)
+    want = brute_lookup(CORPUS, key, num, grams)
+    assert [k for k, _ in got] == [k for k, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_seen_dedup_prefers_higher_order(spark, corpus_df):
+    # "the qu" -> bigram model suggests "the quick"/"the quiet"; the
+    # unigram backoff must then skip "quick" and "quiet" (their last
+    # tokens are seen) even though they are the most frequent qu* words.
+    sug = FreeTextSuggester(corpus_df, grams=2)
+    keys = [k for k, _ in sug.lookup("the qu", 10)]
+    assert "the quick" in keys and "the quiet" in keys
+    assert "quick" not in keys and "quiet" not in keys
+
+
+def test_trailing_space_upgrades_context(spark, corpus_df):
+    # "quick " must predict continuations of quick, never quick* unigrams.
+    sug = FreeTextSuggester(corpus_df, grams=2)
+    keys = [k for k, _ in sug.lookup("quick ", 10)]
+    assert all(k.startswith("quick ") for k in keys)
+    # most frequent continuation first: "quick brown" (4 occurrences)
+    assert keys[0] == "quick brown"
+
+
+def test_unseen_context_backs_off(spark, corpus_df):
+    # bigram context "purple" was never indexed -> only unigram
+    # predictions, and their scores carry the 0.4 backoff.
+    sug = FreeTextSuggester(corpus_df, grams=2)
+    model = brute_model(CORPUS, 2)
+    tot = sum(c for g, c in model.items() if " " not in g)
+    got = sug.lookup("purple qu", 5)
+    assert all(" " not in k for k, _ in got)
+    for k, s in got:
+        assert s == pytest.approx(ALPHA * model[k] / tot, rel=1e-12)
+
+
+def test_model_census_counts(spark, corpus_df):
+    rows = build_gram_model(corpus_df, grams=2).collect()
+    got = {r["gram"]: r["cnt"] for r in rows}
+    assert got == dict(brute_model(CORPUS, 2))
+
+
+def test_empty_key_rejected(spark, corpus_df):
+    sug = FreeTextSuggester(corpus_df, grams=2)
+    # key "" analyzes to no tokens; the empty unigram prefix is allowed by
+    # the reference only for empty input, which we surface as the full
+    # unigram ranking.
+    got = sug.lookup("", 3)
+    model = brute_model(CORPUS, 1)
+    best = sorted(model.items(), key=lambda gc: (-gc[1], gc[0]))[:3]
+    assert [k for k, _ in got] == [k for k, _ in best]

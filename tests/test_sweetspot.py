@@ -1,0 +1,192 @@
+"""SweetSpotSimilarity: hand-computed vectors against the reference
+formulas (/root/reference/lucene/misc/src/java/org/apache/lucene/misc/
+SweetSpotSimilarity.java), plateau/baseline behavior, block-max
+admissibility despite the NON-monotone length norm, parameterized-name
+parsing, and end-to-end rank parity on both physical paths."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4_np
+from lucene_spark.functions.sweetspot import (
+    make_sweetspot_scorer,
+    parse_sweetspot_params,
+)
+from lucene_spark.search import IndexSearcher, parse
+
+
+def _hand(f, dl, df, N, boost=1.0, l=1, h=1, s=0.5, b=0.0, m=0.0):
+    """Line-for-line SweetSpotSimilarity: tf = baselineTf (:134-147),
+    lengthNorm plateau (:100-119), idf = ClassicSimilarity's ln+1."""
+    idf = math.log((N + 1) / (df + 1)) + 1.0
+    if f == 0:
+        tf = 0.0
+    elif f <= m:
+        tf = b
+    else:
+        tf = math.sqrt(f + b * b - m)
+    ln = 1.0 / math.sqrt(s * (abs(dl - l) + abs(dl - h) - (h - l)) + 1.0)
+    return tf * (boost * idf) * ln
+
+
+def _qdl(dl):
+    norm = int(int_to_byte4_np(np.array([dl]))[0]) & 0xFF
+    return float(LENGTH_TABLE[norm]), norm
+
+
+def test_hand_computed_vectors_default_params():
+    """Defaults (l=h=1, s=0.5, b=m=0) degrade to ClassicSimilarity:
+    sqrt(f) * idf / sqrt(dl) (SweetSpotSimilarity.java:102-104,140)."""
+    df, N = 42, 500
+    sc = make_sweetspot_scorer(df, N, dtype=np.float64)
+    for f, dl in [(1, 10), (3, 10), (5, 100), (1, 200), (7, 1)]:
+        qdl, norm = _qdl(dl)
+        want = _hand(f, qdl, df, N)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12), (f, dl)
+        classic = math.sqrt(f) * (math.log((N + 1) / (df + 1)) + 1) / math.sqrt(qdl)
+        assert got == pytest.approx(classic, rel=1e-12)
+
+
+def test_hand_computed_vectors_plateau_and_baseline():
+    df, N, boost = 10, 400, 1.5
+    params = dict(l=30, h=90, s=0.4, b=1.2, m=2.0)
+    sc = make_sweetspot_scorer(
+        df, N, boost=boost, dtype=np.float64,
+        ln_min=30, ln_max=90, ln_steep=0.4, tf_base=1.2, tf_min=2.0,
+    )
+    for f, dl in [(1, 5), (2, 31), (3, 64), (9, 90), (4, 300), (2, 300)]:
+        qdl, norm = _qdl(dl)
+        want = _hand(f, qdl, df, N, boost=boost, **params)
+        got = float(sc.score(np.array([f]), np.array([norm]))[0])
+        assert got == pytest.approx(want, rel=1e-12), (f, dl)
+
+
+def test_length_norm_plateau_is_flat_and_decays_outside():
+    sc = make_sweetspot_scorer(
+        5, 100, dtype=np.float64, ln_min=30, ln_max=90, ln_steep=0.5
+    )
+    # dl values quantized inside the plateau all norm to exactly 1.0
+    inside = [31, 40, 64, 88]
+    scores = []
+    for dl in inside:
+        qdl, norm = _qdl(dl)
+        assert 30 <= qdl <= 90
+        scores.append(float(sc.score(np.array([2]), np.array([norm]))[0]))
+    assert len(set(scores)) == 1  # flat plateau
+    # shorter-than-plateau and longer-than-plateau both score lower
+    for dl in (4, 1000):
+        _, norm = _qdl(dl)
+        assert float(sc.score(np.array([2]), np.array([norm]))[0]) < scores[0]
+
+
+def test_baseline_tf_floor_and_zero():
+    sc = make_sweetspot_scorer(
+        5, 100, dtype=np.float64, tf_base=1.5, tf_min=3.0
+    )
+    _, norm = _qdl(50)
+    s = sc.score(np.array([0, 1, 2, 3, 4, 10]), np.full(6, norm))
+    assert s[0] == 0.0
+    # f in (0, tf_min] all hit the tf_base floor
+    assert s[1] == s[2] == s[3] and s[1] > 0
+    # above tf_min: sqrt growth, continuous at the boundary
+    assert s[4] > s[3] and s[5] > s[4]
+
+
+def test_max_score_admissible_despite_nonmonotone_norm():
+    """lengthNorm RISES toward the plateau, so the (max freq, min norm)
+    corner is not the max — max_score must still bound every
+    (f <= max_freq, byte >= min) cell."""
+    sc = make_sweetspot_scorer(
+        7, 300, dtype=np.float64, ln_min=40, ln_max=100, ln_steep=0.5,
+        tf_base=1.0, tf_min=2.0,
+    )
+    rng = np.random.default_rng(7)
+    for min_byte in (1, 20, 24, 60, 130, 255):
+        ms = sc.max_score(max_freq=50, min_norm_byte=min_byte)
+        freqs = rng.integers(1, 51, size=500)
+        bytes_ = rng.integers(min_byte, 256, size=500)
+        grid = sc.score(freqs, bytes_)
+        assert ms >= grid.max() - 1e-12, min_byte
+        # and the bound is attained (exact, not just admissible)
+        all_b = np.arange(min_byte, 256)
+        assert ms == pytest.approx(
+            float(sc.score(np.full(all_b.shape, 50), all_b).max()), rel=0
+        )
+
+
+def test_param_name_parsing():
+    assert parse_sweetspot_params("sweetspot") == {}
+    got = parse_sweetspot_params("sweetspot:l=40,h=100,s=0.3,b=1.0,m=2.0")
+    assert got == {
+        "ln_min": 40, "ln_max": 100, "ln_steep": 0.3,
+        "tf_base": 1.0, "tf_min": 2.0,
+    }
+    assert isinstance(got["ln_min"], int)
+    with pytest.raises(ValueError):
+        parse_sweetspot_params("sweetspot:zz=1")
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(corpus):
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    tfs, lengths = [], []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        tfs.append(Counter(toks))
+        lengths.append(len(toks))
+    lengths = np.array(lengths)
+    return tfs, lengths, int_to_byte4_np(lengths)
+
+
+SS = dict(l=20, h=60, s=0.5, b=1.0, m=2.0)
+SS_NAME = "sweetspot:l=20,h=60,s=0.5,b=1.0,m=2.0"
+
+
+def _brute_topk(corpus, corpus_stats, terms, k=10):
+    tfs, lengths, norms = corpus_stats
+    N = int((lengths > 0).sum())
+    dfc = Counter()
+    for tf in tfs:
+        dfc.update(tf.keys())
+    score = np.zeros(len(tfs))
+    mask = np.zeros(len(tfs), bool)
+    for t in terms:
+        df = max(dfc.get(t, 0), 1)
+        for i, tf in enumerate(tfs):
+            f = tf.get(t, 0)
+            if f > 0:
+                qdl = float(LENGTH_TABLE[int(norms[i]) & 0xFF])
+                score[i] += _hand(f, qdl, df, N, **SS)
+                mask[i] = True
+    idx = np.nonzero(mask)[0]
+    order = sorted(idx, key=lambda i: (-score[i], i))[:k]
+    return [(corpus["url"][i], float(score[i])) for i in order]
+
+
+@pytest.mark.parametrize("qs,terms", [
+    ("table", ["table"]),
+    ("merge OR window OR spark", ["merge", "window", "spark"]),
+    ("table AND scan", ["table", "scan"]),
+])
+def test_end_to_end_both_paths(reader, corpus, corpus_stats, qs, terms):
+    s = IndexSearcher(reader, dtype=np.float64, similarity=SS_NAME)
+    want = _brute_topk(corpus, corpus_stats, terms)
+    if "AND" in qs:
+        # conjunction: only docs containing every term
+        tfs, _, _ = corpus_stats
+        want = [
+            (u, sc) for u, sc in want
+            if all(tfs[list(corpus["url"]).index(u)].get(t, 0) > 0 for t in terms)
+        ]
+    for mode in ("exhaustive", "maxscore"):
+        rows = s.search(parse(qs), k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], (qs, mode)
+        for (gu, gs), (wu, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12), (qs, mode)
