@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_weighted"] = _pq_suggest_weighted
     q["suggest_infix"] = _pq_suggest_infix
     q["suggest_freetext"] = _pq_suggest_freetext
+    q["dv_stats_length"] = _pq_dv_stats
     q["rescore_topk"] = _pq_rescore
     q["gopher_repetition"] = _pq_gopher_repetition
     q["corpus_top_ngrams"] = _pq_corpus_top_ngrams
@@ -2034,6 +2035,28 @@ def _pq_facet_stats(spark, sf_dir):
     ).drop("mean_value")
 
 
+def _pq_dv_stats(spark, sf_dir):
+    """DocValuesStats over the hits of 'table': one row of count/missing/
+    min/max/sum plus mean/variance/stdev derived from the exact integer
+    moments (misc/search/DocValuesStats.java — Welford's online result,
+    made order-independent for the distributed contract)."""
+    from lucene_spark.search import parse
+    from lucene_spark.search.facets import doc_values_stats
+
+    s = _searcher(spark, sf_dir)
+    out = doc_values_stats(s, parse("table"), "length")
+    return out.select(
+        "count",
+        "missing",
+        "min_value",
+        "max_value",
+        "sum_value",
+        F.round("mean_value", 4).alias("mean_r"),
+        F.round("variance", 4).alias("variance_r"),
+        F.round("stdev", 4).alias("stdev_r"),
+    )
+
+
 def _pq_suggest_infix(spark, sf_dir):
     """Infix completion: terms containing 'er' ranked by total term freq
     (AnalyzingInfixSuggester's anywhere-in-token match + weight rank)."""
@@ -3685,6 +3708,26 @@ SELECT d.lang AS label, count(*) AS count, sum(dl.len) AS sum_value,
        round(sum(dl.len)::DOUBLE / count(*), 4) AS mean_value_r
 FROM hit JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
 GROUP BY 1
+"""
+    # DocValuesStats over the 'table' hits: moments derived from the exact
+    # integer sum / sum-of-squares with the engine's expression order —
+    # mean = s/c; var = (ss - (s::DOUBLE * s)/c)/c; stdev = sqrt(var).
+    o["dv_stats_length"] = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+a AS (
+  SELECT count(dl.len) AS cnt, count(*) - count(dl.len) AS miss,
+         min(dl.len) AS mn, max(dl.len) AS mx,
+         sum(dl.len) AS s, sum(dl.len * dl.len) AS ss
+  FROM hit JOIN dl USING (doc_id)
+)
+SELECT cnt AS count, miss AS missing, mn AS min_value, mx AS max_value,
+       s AS sum_value,
+       round(CAST(s AS DOUBLE) / cnt, 4) AS mean_r,
+       round((ss - (CAST(s AS DOUBLE) * s) / cnt) / cnt, 4) AS variance_r,
+       round(sqrt((ss - (CAST(s AS DOUBLE) * s) / cnt) / cnt), 4) AS stdev_r
+FROM a
 """
     # update_replace: after the expunging merge, the index is exactly a
     # fresh build over the corpus with the three texts swapped — plain BM25

@@ -454,6 +454,92 @@ def facet_stats(
     )
 
 
+def doc_values_stats(
+    searcher: IndexSearcher,
+    q: Q.Query,
+    value_col: str,
+    field: str = "text",
+) -> DataFrame:
+    """DocValuesStats over the hits of ``q`` (reference misc/src/java/org/
+    apache/lucene/misc/search/DocValuesStats.java + DocValuesStatsCollector
+    .java): one row with count (docs carrying a value), missing (matched
+    docs without one), min, max, sum, mean, variance (population), stdev.
+
+    The reference accumulates mean/variance with Welford's online update
+    (DocValuesStats.java:166-169); mathematically that IS the population
+    variance, but its float value depends on visit order — useless as a
+    distributed contract. Here both moments derive from the exact integer
+    aggregates (sum, sum of squares) by a fixed float64 expression —
+    order-independent, so any IEEE engine reproduces them bit-identically:
+
+      mean     = sum / count
+      variance = (sumsq - (sum * sum) / count) / count
+      stdev    = sqrt(variance)
+
+    String (SortedDocValues) columns get count/missing/min/max only, like
+    the reference's SortedDocValuesStats. Array columns (the SortedSet /
+    SortedNumeric shapes) aggregate value stats over the exploded values
+    and add values_count, with count/missing still per-document.
+    One scan, one hash aggregate; the driver sees a single row."""
+    return _dv_stats_frame(_matches_with_docs(searcher, q, field), value_col)
+
+
+def _dv_stats_frame(m: DataFrame, value_col: str) -> DataFrame:
+    dtype = dict(m.dtypes)[value_col]
+    col = F.col(value_col)
+    is_array = dtype.startswith("array")
+    if is_array:
+        vals = F.explode(col).alias("_v")
+        per_doc = m.select(
+            col.isNull().cast("int").alias("_miss"),
+            F.when(col.isNotNull(), F.size(col)).otherwise(F.lit(0)).alias("_n"),
+        )
+        doc_agg = per_doc.agg(
+            F.sum(F.lit(1) - F.col("_miss")).alias("count"),
+            F.sum("_miss").alias("missing"),
+            F.sum("_n").alias("values_count"),
+        )
+        v = m.select(vals).select(F.col("_v"))
+        elem_numeric = not dtype.startswith("array<string")
+        aggs = [F.min("_v").alias("min_value"), F.max("_v").alias("max_value")]
+        if elem_numeric:
+            aggs += [
+                F.sum("_v").alias("sum_value"),
+                F.sum(F.col("_v") * F.col("_v")).alias("_sumsq"),
+            ]
+        val_agg = v.agg(*aggs)
+        out = doc_agg.crossJoin(val_agg)
+        if elem_numeric:
+            out = _derive_moments(out, count_col="values_count")
+        return out
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float", "double", "long")
+    aggs = [
+        F.count(value_col).alias("count"),
+        F.sum(col.isNull().cast("int")).alias("missing"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+    if numeric:
+        aggs += [
+            F.sum(value_col).alias("sum_value"),
+            F.sum(col * col).alias("_sumsq"),
+        ]
+    out = m.agg(*aggs)
+    return _derive_moments(out) if numeric else out
+
+
+def _derive_moments(out: DataFrame, count_col: str = "count") -> DataFrame:
+    s = F.col("sum_value").cast("double")
+    c = F.col(count_col)
+    var = (F.col("_sumsq") - (s * F.col("sum_value")) / c) / c
+    return (
+        out.withColumn("mean_value", s / c)
+        .withColumn("variance", var)
+        .withColumn("stdev", F.sqrt(var))
+        .drop("_sumsq")
+    )
+
+
 def high_freq_terms(reader, k: int = 10, field: str = "text", by: str = "doc_freq") -> DataFrame:
     """HighFreqTerms tool (reference misc/src/java/org/apache/lucene/misc/
     HighFreqTerms.java): top-k terms of a field by docFreq or

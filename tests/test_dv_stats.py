@@ -1,0 +1,109 @@
+"""DocValuesStats analogue (reference misc/src/java/org/apache/lucene/misc/
+search/DocValuesStats.java + DocValuesStatsCollector.java): numeric stats
+over real query hits vs a brute-force recomputation, plus the string
+(SortedDocValues), missing-value, and array (SortedNumeric/SortedSet)
+shapes on synthetic frames."""
+
+import math
+import statistics
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher, parse
+from lucene_spark.search.facets import _dv_stats_frame, doc_values_stats
+
+
+def _brute_lengths(corpus, term):
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    out = []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        if term in toks:
+            out.append(len(toks))
+    return out
+
+
+def test_numeric_stats_match_brute(reader, corpus):
+    s = IndexSearcher(reader, dtype=np.float64)
+    row = doc_values_stats(s, parse("table"), "length").collect()[0]
+    lens = _brute_lengths(corpus, "table")
+    assert row["count"] == len(lens)
+    assert row["missing"] == 0
+    assert row["min_value"] == min(lens)
+    assert row["max_value"] == max(lens)
+    assert row["sum_value"] == sum(lens)
+    assert row["mean_value"] == pytest.approx(statistics.fmean(lens), rel=1e-12)
+    # population variance, like the reference's variance/count
+    assert row["variance"] == pytest.approx(statistics.pvariance(lens), rel=1e-9)
+    assert row["stdev"] == pytest.approx(math.sqrt(statistics.pvariance(lens)), rel=1e-9)
+
+
+def test_numeric_stats_over_boolean_query(reader, corpus):
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    an = analyzer_for("standard")
+    lens = []
+    for text in corpus["text"]:
+        toks = an.terms(text if isinstance(text, str) else "")
+        if "table" in toks and "scan" in toks:
+            lens.append(len(toks))
+    s = IndexSearcher(reader, dtype=np.float64)
+    row = doc_values_stats(s, parse("table AND scan"), "length").collect()[0]
+    assert row["count"] == len(lens) and row["sum_value"] == sum(lens)
+
+
+def test_string_stats_min_max_only(reader):
+    """SortedDocValuesStats: count/missing/min/max, no numeric moments."""
+    s = IndexSearcher(reader, dtype=np.float64)
+    df = doc_values_stats(s, parse("table"), "lang")
+    assert set(df.columns) == {"count", "missing", "min_value", "max_value"}
+    row = df.collect()[0]
+    assert row["count"] > 0 and row["missing"] == 0
+    assert isinstance(row["min_value"], str) and row["min_value"] <= row["max_value"]
+
+
+def test_missing_values_counted(spark):
+    m = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 20)],
+        "doc long, v long",
+    )
+    row = _dv_stats_frame(m, "v").collect()[0]
+    assert row["count"] == 3 and row["missing"] == 2
+    assert row["min_value"] == 10 and row["max_value"] == 30
+    assert row["sum_value"] == 60
+    assert row["mean_value"] == pytest.approx(20.0)
+    assert row["variance"] == pytest.approx(statistics.pvariance([10, 30, 20]))
+
+
+def test_array_numeric_stats(spark):
+    """SortedNumericDocValuesStats: per-doc count/missing, value stats over
+    the exploded values, plus values_count."""
+    m = spark.createDataFrame(
+        [(1, [1, 5]), (2, None), (3, [2, 2, 8])],
+        "doc long, v array<long>",
+    )
+    row = _dv_stats_frame(m, "v").collect()[0]
+    assert row["count"] == 2 and row["missing"] == 1
+    assert row["values_count"] == 5
+    vals = [1, 5, 2, 2, 8]
+    assert row["min_value"] == 1 and row["max_value"] == 8
+    assert row["sum_value"] == sum(vals)
+    assert row["mean_value"] == pytest.approx(statistics.fmean(vals))
+    assert row["variance"] == pytest.approx(statistics.pvariance(vals))
+
+
+def test_array_string_stats(spark):
+    """SortedSetDocValuesStats: min/max over exploded strings, no moments."""
+    m = spark.createDataFrame(
+        [(1, ["b", "d"]), (2, ["a"]), (3, None)],
+        "doc long, v array<string>",
+    )
+    df = _dv_stats_frame(m, "v")
+    row = df.collect()[0]
+    assert row["count"] == 2 and row["missing"] == 1
+    assert row["values_count"] == 3
+    assert row["min_value"] == "a" and row["max_value"] == "d"
+    assert "sum_value" not in df.columns
