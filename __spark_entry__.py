@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_infix"] = _pq_suggest_infix
     q["suggest_freetext"] = _pq_suggest_freetext
     q["dv_stats_length"] = _pq_dv_stats
+    q["pk_split_search"] = _pq_pk_split
     q["rescore_topk"] = _pq_rescore
     q["gopher_repetition"] = _pq_gopher_repetition
     q["corpus_top_ngrams"] = _pq_corpus_top_ngrams
@@ -534,6 +535,38 @@ def _pq_update_replace(spark, sf_dir):
     force_merge(spark, root)
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     hits = s.search(parse("zqupdated OR table"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_pk_split(spark, sf_dir):
+    """PKIndexSplitter: split a dedicated index into (docs matching
+    'table', rest), then BM25-search 'scan' over the MATCH side. After the
+    expunging split, that side is exactly a fresh build over the matching
+    sub-corpus — its collection statistics (doc_count, sum_ttf, df) must
+    all shrink to the subset, which plain BM25 SQL over the filtered
+    corpus expresses. Every step replays as a no-op (split notes are
+    memoized; stale-segment victims are skipped; expunge finds no
+    tombstones)."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.index.split import split_by_query
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher, parse
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/lucene_spark_pksrc_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(spark, pages, src, build_id="b0000", num_segments=3,
+                num_buckets=4, stored_cols=("lang",))
+    dm = f"/tmp/lucene_spark_pkmatch_{_INDEX_VERSION}_{tag}"
+    dr = f"/tmp/lucene_spark_pkrest_{_INDEX_VERSION}_{tag}"
+    split_by_query(spark, src, dm, dr, parse("table"))
+    s = IndexSearcher(IndexReader(spark, dm), dtype=np.float64)
+    hits = s.search(parse("scan"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -3899,6 +3932,19 @@ reach(u, v) AS (
 )
 SELECT u AS id, min(v) AS component FROM reach GROUP BY u
 """
+    # PKIndexSplitter: the expunged match side of a 'table' split IS a
+    # fresh index over the matching sub-corpus, so BM25('scan') over it ==
+    # the standard BM25 SQL evaluated on the filtered documents view (all
+    # collection stats — doc_count, sum_ttf, df — shrink to the subset).
+    pk_sql = _bm25_term_sql([("scan", 1.0)]).replace("FROM documents", "FROM split_docs")
+    o["pk_split_search"] = pk_sql.replace(
+        "WITH ",
+        "WITH split_docs AS (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN (SELECT DISTINCT doc_id FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS term FROM documents) t "
+        "WHERE term = 'table') m USING (doc_id)), ",
+        1,
+    )
     o["dfr_disjunction"] = _dfr_term_sql(["merge", "window", "spark"])
     o["sweetspot_disjunction"] = _sweetspot_term_sql(["merge", "window", "spark"])
     o["ib_disjunction"] = _ib_term_sql(["merge", "window", "spark"])

@@ -4,6 +4,7 @@ from .catalog import Catalog
 from .expire import expire_snapshots
 from .reader import IndexReader
 from .dv_updates import update_doc_values
+from .split import split_by_query, split_round_robin, split_segments
 from .update import update_documents
 
 __all__ = [
@@ -14,6 +15,9 @@ __all__ = [
     "Catalog",
     "expire_snapshots",
     "IndexReader",
+    "split_by_query",
+    "split_round_robin",
+    "split_segments",
     "update_documents",
     "update_doc_values",
 ]

@@ -1,0 +1,205 @@
+"""Index splitting tools — IndexSplitter / PKIndexSplitter /
+MultiPassIndexSplitter analogues.
+
+Reference semantics (/root/reference/lucene/misc/src/java/org/apache/
+lucene/misc/index/):
+
+- ``IndexSplitter.java`` (:36-45,114-136): extract NAMED segments of a
+  source index into a new standalone index by copying their files and
+  writing a fresh SegmentInfos — pure metadata + bytes, no re-indexing.
+  -> ``split_segments``: the selected segments' parquet directories are
+  hard-linked (copied across filesystems) into the destination root under
+  their original build ids, manifests travel with them, and one atomic
+  catalog commit publishes the subset. Segment names, doc ids, tombstone
+  and doc-values-update generations are all preserved verbatim.
+- ``PKIndexSplitter.java`` (:38-52,83-105): split one index into two by a
+  Query — the passing docs become one index, the rest the other, realized
+  by addIndexes over readers whose liveDocs are masked by the filter (so
+  the outputs come out compacted).
+  -> ``split_by_query``: link-copy the whole index to both destinations
+  (cheap: same-filesystem links move zero bytes), distribute the match
+  set as tombstones (one shuffle, ``deletes.delete_docs``), then expunge
+  with the ordinary singleton merges so each output is physically compact
+  with fresh statistics — exactly the state PKIndexSplitter's
+  addIndexes(filtered reader) produces. Scale shape: no driver-side doc
+  movement anywhere — the filter evaluates as a distributed query, the
+  tombstone write is per-segment, and the expunge is the same distributed
+  merge kernel every merge uses.
+- ``MultiPassIndexSplitter.java`` (:40-50,76-118): split into N parts
+  round-robin by global doc id (pass ``seq=false``: doc i -> part
+  i % N), each pass re-reading the source with the complement deleted.
+  -> ``split_round_robin``: part k link-copies the source and deletes
+  every doc whose global id (docBase + local doc, url order) is not
+  ``% n == k``. N passes like the reference — each pass is metadata +
+  one distributed delete + expunge, never a re-index.
+
+Hard links keep all of these O(metadata) on one filesystem; build
+directories are write-once by the two-phase commit protocol, so sharing
+the underlying parquet bytes between catalogs is safe (a later merge or
+delete in either index writes NEW generations/builds, never in place).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .deletes import _tomb_dir, _tomb_path, delete_docs, load_tombstones
+from .reader import IndexReader
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def _link_tree(src_dir: str, dst_dir: str) -> None:
+    if os.path.isdir(dst_dir):  # crashed prior attempt: restart clean
+        shutil.rmtree(dst_dir)
+    shutil.copytree(src_dir, dst_dir, copy_function=_link_or_copy)
+
+
+def split_segments(
+    src_root: str,
+    dest_root: str,
+    segment_names: list[str],
+    note: str = "split",
+) -> int:
+    """IndexSplitter: publish the named live segments of ``src_root`` as a
+    standalone index at ``dest_root``; returns the committed snapshot id.
+
+    Driver-side metadata + hard links only (bytes copied only across
+    filesystems). Idempotent per (dest, note): a committed identical split
+    is a no-op; a crashed one redoes the links and converges."""
+    src_cat = Catalog(src_root)
+    live = {e["name"]: e for e in src_cat.live_segments()}
+    missing = [n for n in segment_names if n not in live]
+    if missing:
+        raise ValueError(f"split_segments: not live in source: {missing}")
+    sel = [live[n] for n in sorted(set(segment_names))]
+    dest_cat = Catalog(dest_root)
+    for snap in dest_cat.load()["snapshots"]:
+        if snap.get("note") == note:
+            return snap["id"]
+
+    by_build: dict[str, list[dict]] = {}
+    for e in sel:
+        by_build.setdefault(e["build"], []).append(e)
+    for build, entries in sorted(by_build.items()):
+        bdir = dest_cat.build_dir(build)
+        for e in entries:
+            name = e["name"]
+            for table in ("docs", "postings"):
+                _link_tree(
+                    os.path.join(src_root, "builds", build, table, f"seg={name}"),
+                    os.path.join(bdir, table, f"seg={name}"),
+                )
+            gen = e.get("del_gen", 0)
+            if gen:
+                os.makedirs(_tomb_dir(dest_root, name), exist_ok=True)
+                _link_or_copy(
+                    _tomb_path(src_root, name, gen), _tomb_path(dest_root, name, gen)
+                )
+            dvg = e.get("dv_gen", 0)
+            if dvg:
+                from .dv_updates import _dv_dir, _dv_path
+
+                os.makedirs(_dv_dir(dest_root, name), exist_ok=True)
+                _link_or_copy(
+                    _dv_path(src_root, name, dvg), _dv_path(dest_root, name, dvg)
+                )
+        # manifest last: its presence marks the build completed in dest
+        m = dict(src_cat.read_manifest(build))
+        keep = {e["name"] for e in entries}
+        m["partitions"] = {
+            k: v for k, v in m.get("partitions", {}).items() if k in keep
+        }
+        m["num_segments"] = len(entries)
+        dest_cat.write_manifest(build, m)
+    return dest_cat.commit([dict(e) for e in sel], note=note)
+
+
+def _expunge_deletes(spark: SparkSession, root: str) -> None:
+    """Singleton-merge every segment that carries tombstones: deleted docs
+    drop, ids compact (url order preserved), statistics refresh — the
+    per-segment equivalent of the reference splitters' addIndexes pass."""
+    from .merge import merge_segments
+
+    for entry in list(Catalog(root).live_segments()):
+        if len(load_tombstones(root, entry)):
+            merge_segments(spark, root, [entry["name"]])
+
+
+def split_by_query(
+    spark: SparkSession,
+    src_root: str,
+    dest_match_root: str,
+    dest_rest_root: str,
+    q,
+    field: str = "text",
+    expunge: bool = True,
+) -> tuple[int, int]:
+    """PKIndexSplitter: split ``src_root`` into (docs matching ``q``,
+    everything else). Returns the two committed snapshot ids. The source
+    is never modified; already-deleted docs appear in neither output."""
+    from ..search import query as Q
+    from ..search.searcher import IndexSearcher
+
+    reader = IndexReader(spark, src_root)
+    names = [e["name"] for e in reader.segments]
+    split_segments(src_root, dest_match_root, names, note="pk_split match")
+    split_segments(src_root, dest_rest_root, names, note="pk_split rest")
+
+    searcher = IndexSearcher(reader)
+    matches = searcher._match_docs(
+        Q.rewrite(q, reader, field), field
+    ).select("seg", "doc")
+    complement = (
+        reader.docs(["seg", "doc"]).join(matches, ["seg", "doc"], "left_anti")
+    )
+    delete_docs(spark, dest_match_root, complement, note="pk_split drop rest")
+    delete_docs(spark, dest_rest_root, matches, note="pk_split drop matching")
+    if expunge:
+        _expunge_deletes(spark, dest_match_root)
+        _expunge_deletes(spark, dest_rest_root)
+    cm = Catalog(dest_match_root).load()["current"]
+    cr = Catalog(dest_rest_root).load()["current"]
+    return cm, cr
+
+
+def split_round_robin(
+    spark: SparkSession,
+    src_root: str,
+    dest_roots: list[str],
+    expunge: bool = True,
+) -> list[int]:
+    """MultiPassIndexSplitter (seq=false): part k keeps exactly the docs
+    whose GLOBAL doc id (docBase + local doc == url rank) satisfies
+    ``id % n == k``. Returns one committed snapshot id per part.
+
+    N passes like the reference; each is links + one distributed delete +
+    expunge. For a range split at scale prefer ``split_by_query`` with a
+    range query — one pass per part and the tombstone sets stay sparse."""
+    n = len(dest_roots)
+    if n < 2:
+        raise ValueError("need at least 2 destination roots")
+    reader = IndexReader(spark, src_root)
+    names = [e["name"] for e in reader.segments]
+    bases = Catalog(src_root).doc_bases()
+    base_map = F.create_map(*[F.lit(x) for p in bases.items() for x in p])
+    gid = F.col("doc") + base_map[F.col("seg")]
+    snaps = []
+    for k, dest in enumerate(dest_roots):
+        split_segments(src_root, dest, names, note=f"round_robin part {k}/{n}")
+        victims = reader.docs(["seg", "doc"]).filter((gid % n) != k)
+        delete_docs(spark, dest, victims, note=f"round_robin part {k}/{n}")
+        if expunge:
+            _expunge_deletes(spark, dest)
+        snaps.append(Catalog(dest).load()["current"])
+    return snaps

@@ -1,0 +1,115 @@
+"""Index splitters (IndexSplitter / PKIndexSplitter / MultiPassIndexSplitter
+analogues, reference misc/src/java/org/apache/lucene/misc/index/): each
+output must be a standalone, searchable index whose results are rank- and
+score-identical to a brute-force index over exactly its slice of the
+corpus, and the slices must partition the source."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.index import Catalog, IndexReader
+from lucene_spark.index.split import (
+    split_by_query,
+    split_round_robin,
+    split_segments,
+)
+from lucene_spark.search import IndexSearcher, parse
+
+from oracle import BruteForceIndex
+
+
+def _urls(spark, root):
+    """Live urls of an index: docs table minus tombstones."""
+    from lucene_spark.index.deletes import load_tombstones
+
+    reader = IndexReader(spark, root)
+    dead = {
+        (e["name"], int(d))
+        for e in reader.segments
+        for d in load_tombstones(root, e)
+    }
+    return {
+        r["url"]
+        for r in reader.docs(["seg", "doc", "url"]).collect()
+        if (r["seg"], int(r["doc"])) not in dead
+    }
+
+
+def _topk(spark, root, qs, k=10):
+    s = IndexSearcher(IndexReader(spark, root))
+    rows = s.search(parse(qs), k=k).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def _brute_topk(corpus, keep_urls, qs, k=10):
+    sub = corpus[corpus["url"].isin(keep_urls)].reset_index(drop=True)
+    brute = BruteForceIndex(sub)
+    return [(u, float(np.float32(s))) for u, s in brute.topk(parse(qs), k)]
+
+
+def test_split_segments_subset(spark, index_root, corpus, tmp_path):
+    src = IndexReader(spark, index_root)
+    names = [e["name"] for e in src.segments][:2]
+    dest = str(tmp_path / "subset")
+    snap = split_segments(index_root, dest, names, note="take2")
+    # idempotent replay
+    assert split_segments(index_root, dest, names, note="take2") == snap
+
+    out = IndexReader(spark, dest)
+    assert [e["name"] for e in out.segments] == sorted(names)
+    want_urls = {
+        r["url"]
+        for r in src.docs(["seg", "url"]).filter(F_isin(names)).collect()
+    }
+    assert _urls(spark, dest) == want_urls
+    for qs in ("table", "merge OR window OR spark"):
+        assert _topk(spark, dest, qs) == _brute_topk(corpus, want_urls, qs), qs
+
+
+def F_isin(names):
+    from pyspark.sql import functions as F
+
+    return F.col("seg").isin(names)
+
+
+def test_split_segments_unknown_name_rejected(spark, index_root, tmp_path):
+    with pytest.raises(ValueError):
+        split_segments(index_root, str(tmp_path / "x"), ["nope"], note="bad")
+
+
+def test_pk_split_partition_and_parity(spark, index_root, corpus, tmp_path):
+    dm, dr = str(tmp_path / "match"), str(tmp_path / "rest")
+    split_by_query(spark, index_root, dm, dr, parse("table"))
+
+    brute = BruteForceIndex(corpus)
+    mask = brute.term_mask("table")
+    match_urls = {u for u, m in zip(brute.urls, mask) if m}
+    rest_urls = set(brute.urls) - match_urls
+    assert _urls(spark, dm) == match_urls
+    assert _urls(spark, dr) == rest_urls
+    # outputs are expunged: no tombstones, fresh stats
+    for root in (dm, dr):
+        assert all(
+            not e.get("del_count") for e in Catalog(root).live_segments()
+        )
+    # searches over each side == brute force over exactly that slice
+    for qs in ("scan", "merge OR window OR spark"):
+        assert _topk(spark, dm, qs) == _brute_topk(corpus, match_urls, qs), qs
+        assert _topk(spark, dr, qs) == _brute_topk(corpus, rest_urls, qs), qs
+    # source untouched
+    assert _urls(spark, index_root) == set(brute.urls)
+
+
+def test_round_robin_parts(spark, index_root, corpus, tmp_path):
+    n = 3
+    dests = [str(tmp_path / f"part{k}") for k in range(n)]
+    split_round_robin(spark, index_root, dests)
+    all_urls = sorted(corpus["url"])
+    parts = [_urls(spark, d) for d in dests]
+    # global doc id == url rank: part k holds exactly ranks k, k+n, ...
+    for k in range(n):
+        assert parts[k] == set(all_urls[k::n]), k
+    # and each part is independently searchable with correct ranking
+    assert _topk(spark, dests[1], "table") == _brute_topk(
+        corpus, parts[1], "table"
+    )
