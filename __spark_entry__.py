@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_freetext"] = _pq_suggest_freetext
     q["dv_stats_length"] = _pq_dv_stats
     q["pk_split_search"] = _pq_pk_split
+    # deterministic but iterative (recursive graph bisection) — not
+    # SQL-expressible, rows-only like the ann_ivf_* entries; the pytest
+    # gate is a line-by-line parity port of the reference loop
+    q["bp_reorder_gain"] = _pq_bp_reorder
     q["rescore_topk"] = _pq_rescore
     q["gopher_repetition"] = _pq_gopher_repetition
     q["corpus_top_ngrams"] = _pq_corpus_top_ngrams
@@ -2087,6 +2091,35 @@ def _pq_dv_stats(spark, sf_dir):
         F.round("mean_value", 4).alias("mean_r"),
         F.round("variance", 4).alias("variance_r"),
         F.round("stdev", 4).alias("stdev_r"),
+    )
+
+
+def _pq_bp_reorder(spark, sf_dir):
+    """BPIndexReorderer: compute the recursive-graph-bisection doc
+    permutation per segment and MEASURE its objective — total log2-gap
+    postings cost under url order vs BP order (misc/index/
+    BPIndexReorderer.java; Dhulipala et al.). One numpy task per segment
+    + two (seg, term)-window cost jobs. Deterministic output; rows-only
+    driver check because the iterative bisection is not SQL-expressible
+    (the kernel is parity-tested against a port of the reference loop in
+    tests/test_bp.py)."""
+    from lucene_spark.index.bp import bp_permutation, log2_gap_cost
+
+    reader = _get_index(spark, sf_dir)
+    docs = reader.docs(["seg", "doc", "terms"])
+    perm = bp_permutation(docs, min_doc_freq=8, min_partition_size=32)
+    before = log2_gap_cost(docs).select(
+        "postings", F.col("cost").alias("cost_url_order")
+    )
+    after = log2_gap_cost(docs, perm).select(F.col("cost").alias("cost_bp"))
+    return (
+        before.crossJoin(after)
+        .select(
+            "postings",
+            F.round("cost_url_order", 2).alias("cost_url_order_r"),
+            F.round("cost_bp", 2).alias("cost_bp_r"),
+            F.round(F.col("cost_bp") / F.col("cost_url_order"), 4).alias("ratio_r"),
+        )
     )
 
 

@@ -1,4 +1,5 @@
 from .add_indexes import add_indexes
+from .bp import bp_permutation, log2_gap_cost
 from .builder import BLOCK_SIZE, build_index, term_bucket
 from .catalog import Catalog
 from .expire import expire_snapshots
@@ -10,7 +11,9 @@ from .update import update_documents
 __all__ = [
     "BLOCK_SIZE",
     "add_indexes",
+    "bp_permutation",
     "build_index",
+    "log2_gap_cost",
     "term_bucket",
     "Catalog",
     "expire_snapshots",

@@ -1,0 +1,201 @@
+"""BP reordering (recursive graph bisection): the vectorized kernel must
+reproduce a line-by-line python port of the reference loop
+(/root/reference/lucene/misc/src/java/org/apache/lucene/misc/index/
+BPIndexReorderer.java IndexReorderingTask.call/shuffle/computeBias)
+permutation-for-permutation, and the measured log2-gap objective must
+actually improve on clustered data."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_spark.index.bp import (
+    _forward_index,
+    bp_order,
+    bp_permutation,
+    log2_gap_cost,
+)
+
+
+def brute_bp(doc_terms, max_iters=20, min_partition_size=2):
+    """Line-by-line port of the reference recursion (sort slice at depth>0,
+    midpoint split, bias = sum log2(rightDf)-log2(leftDf), annealing stop
+    gain <= iter, re-partition by (bias, doc id))."""
+    n = len(doc_terms)
+    order = list(range(n))
+
+    def recurse(lo, hi, depth):
+        length = hi - lo
+        half = length // 2
+        if half < min_partition_size:
+            return
+        if depth > 0:
+            order[lo:hi] = sorted(order[lo:hi])
+        for it in range(max_iters):
+            ds = order[lo:hi]
+            left, right = ds[:half], ds[half:]
+            ldf, rdf = Counter(), Counter()
+            for d in left:
+                ldf.update(doc_terms[d])
+            for d in right:
+                rdf.update(doc_terms[d])
+            bias = []
+            for d in ds:
+                b = 0.0
+                for t in doc_terms[d]:
+                    b += (math.log2(rdf[t]) if rdf[t] else 0.0) - (
+                        math.log2(ldf[t]) if ldf[t] else 0.0
+                    )
+                bias.append(b)
+            gain = max(bias[:half]) - min(bias[half:])
+            if gain <= it:
+                break
+            order[lo:hi] = [
+                d for _, d in sorted(zip(bias, ds), key=lambda bd: (bd[0], bd[1]))
+            ]
+        recurse(lo, lo + half, depth + 1)
+        recurse(lo + half, hi, depth + 1)
+
+    recurse(0, n, 0)
+    return order
+
+
+def _csr(doc_terms, n_terms):
+    flat = np.array([t for ts in doc_terms for t in ts], dtype=np.int64)
+    indptr = np.zeros(len(doc_terms) + 1, dtype=np.int64)
+    np.cumsum([len(ts) for ts in doc_terms], out=indptr[1:])
+    return flat, indptr, n_terms
+
+
+def _random_corpus(rng, n_docs, n_terms, max_len=12):
+    hi = min(max_len, n_terms)
+    return [
+        sorted(rng.choice(n_terms, size=rng.integers(1, hi + 1), replace=False))
+        for _ in range(n_docs)
+    ]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 42, 1234])
+def test_kernel_matches_reference_port(seed):
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(16, 90))
+    n_terms = int(rng.integers(5, 40))
+    corpus = _random_corpus(rng, n_docs, n_terms)
+    got = bp_order(*_csr(corpus, n_terms), max_iters=20, min_partition_size=2)
+    want = brute_bp(corpus, max_iters=20, min_partition_size=2)
+    assert got.tolist() == want, (n_docs, n_terms)
+
+
+def test_kernel_is_deterministic_and_bijective():
+    rng = np.random.default_rng(3)
+    corpus = _random_corpus(rng, 64, 20)
+    a = bp_order(*_csr(corpus, 20), min_partition_size=2)
+    b = bp_order(*_csr(corpus, 20), min_partition_size=2)
+    assert a.tolist() == b.tolist()
+    assert sorted(a.tolist()) == list(range(64))
+
+
+def test_min_partition_size_stops_recursion():
+    rng = np.random.default_rng(5)
+    corpus = _random_corpus(rng, 40, 10)
+    # a partition floor of the whole corpus: nothing may move
+    got = bp_order(*_csr(corpus, 10), min_partition_size=40)
+    assert got.tolist() == list(range(40))
+
+
+def _clustered_corpus(n_per=40):
+    """Two disjoint-vocabulary topics interleaved by doc id — the
+    worst-case identity order, the best case for BP."""
+    docs = []
+    for i in range(2 * n_per):
+        base = 0 if i % 2 == 0 else 10
+        docs.append([base + (i // 2 + j) % 10 for j in range(4)])
+    return docs
+
+
+def _np_cost(doc_terms, order, n_terms):
+    pos = np.empty(len(order), dtype=np.int64)
+    pos[order] = np.arange(len(order))
+    cost = 0.0
+    posting_lists = [[] for _ in range(n_terms)]
+    for d, ts in enumerate(doc_terms):
+        for t in ts:
+            posting_lists[t].append(pos[d])
+    for pl in posting_lists:
+        pl.sort()
+        prev = -1
+        for p in pl:
+            cost += math.log2(p - prev if prev >= 0 else p + 1)
+            prev = p
+    return cost
+
+
+def test_bp_reduces_gap_cost_on_clustered_corpus():
+    corpus = _clustered_corpus()
+    order = bp_order(*_csr(corpus, 20), min_partition_size=2)
+    before = _np_cost(corpus, list(range(len(corpus))), 20)
+    after = _np_cost(corpus, order.tolist(), 20)
+    assert after < 0.8 * before, (before, after)
+
+
+def test_forward_index_df_filter():
+    lists = [["a", "b"], ["a"], ["a", "c"], ["b"]]
+    term_ids, indptr, n_terms = _forward_index(lists, min_doc_freq=2, max_doc_freq=1.0)
+    # df: a=3, b=2, c=1 -> keep a,b (ids 0,1 in sorted order)
+    assert n_terms == 2
+    assert indptr.tolist() == [0, 2, 3, 4, 5]
+    assert term_ids.tolist() == [0, 1, 0, 0, 1]
+    # max_doc_freq drops the stop-wordish 'a' (df 3 > 0.6*4)
+    t2, ip2, nt2 = _forward_index(lists, min_doc_freq=1, max_doc_freq=0.6)
+    assert nt2 == 2  # b, c survive
+    assert ip2.tolist() == [0, 1, 1, 2, 3]
+
+
+def test_spark_permutation_and_measured_cost(spark):
+    import pandas as pd
+
+    corpus = _clustered_corpus()
+    pdf = pd.DataFrame(
+        {
+            "seg": "s0",
+            "doc": np.arange(len(corpus), dtype=np.int64),
+            "terms": [[str(t) for t in ts] for ts in corpus],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    perm = bp_permutation(docs, min_doc_freq=1, min_partition_size=2)
+    rows = perm.collect()
+    assert sorted(r["new_doc"] for r in rows) == list(range(len(corpus)))
+    before = log2_gap_cost(docs).collect()[0]
+    after = log2_gap_cost(docs, perm).collect()[0]
+    assert before["postings"] == after["postings"] == sum(len(t) for t in corpus)
+    assert after["cost"] < 0.8 * before["cost"]
+    # the distributed permutation equals the kernel run locally
+    want = bp_order(*_csr(corpus, 20), min_partition_size=2)
+    new = {r["doc"]: r["new_doc"] for r in rows}
+    got_order = sorted(range(len(corpus)), key=lambda d: new[d])
+    assert got_order == want.tolist()
+
+
+def test_real_index_reorder_does_not_regress(spark, reader):
+    """On the real sf0.001 segments: permutation valid per segment and the
+    measured objective does not get worse (url order is already
+    locality-friendly on this corpus, so assert <=, record the ratio)."""
+    from pyspark.sql import functions as F
+
+    docs = reader.docs(["seg", "doc", "terms"])
+    perm = bp_permutation(docs, min_doc_freq=2, min_partition_size=4)
+    sizes = {
+        r["seg"]: r["n"]
+        for r in docs.groupBy("seg").agg(F.count("*").alias("n")).collect()
+    }
+    by_seg = {}
+    for r in perm.collect():
+        by_seg.setdefault(r["seg"], []).append(r["new_doc"])
+    for seg, ids in by_seg.items():
+        assert sorted(ids) == list(range(sizes[seg])), seg
+    before = log2_gap_cost(docs).collect()[0]["cost"]
+    after = log2_gap_cost(docs, perm).collect()[0]["cost"]
+    assert after <= before * 1.0 + 1e-6, (before, after)
