@@ -136,6 +136,25 @@ def test_model_census_counts(spark, corpus_df):
     assert got == dict(brute_model(CORPUS, 2))
 
 
+def test_persisted_model_pushes_prefix_filter(spark, corpus_df, tmp_path):
+    """The scale path: census persisted once, every lookup's per-level
+    candidate filter (n == L AND startswith(prefix)) reaches the parquet
+    scan as PushedFilters, and the whole plan is declarative (no Python
+    evaluation nodes)."""
+    path = str(tmp_path / "census")
+    build_gram_model(corpus_df, grams=2).write.parquet(path)
+    sug = FreeTextSuggester(model=spark.read.parquet(path), grams=2)
+    out = sug.lookup_frame("the qu", 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("StartsWith(gram,the qu" in ln for ln in pushed), pushed[:4]  # StringStartsWith(gram,the qu…)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and the persisted model answers identically to the embedded plan
+    got = [(r["key"], r["score"]) for r in out.collect()]
+    want = FreeTextSuggester(corpus_df, grams=2).lookup("the qu", 5)
+    assert [k for k, _ in got] == [k for k, _ in want]
+
+
 def test_empty_key_rejected(spark, corpus_df):
     sug = FreeTextSuggester(corpus_df, grams=2)
     # key "" analyzes to no tokens; the empty unigram prefix is allowed by
