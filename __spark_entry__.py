@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["xml_query"] = _pq_xml_query
     q["fuzzy_edit1"] = _pq_fuzzy
     q["fuzzy_transposed"] = _q("tabel~1", mode="exhaustive")
+    q["fuzzy_like_this"] = _pq_fuzzy_like_this
     q["spell_suggest_topk"] = _pq_spell_suggest
     q["multi_phrase"] = _pq_multi_phrase
     q["interval_or_near"] = _pq_interval_or_near
@@ -1899,6 +1900,26 @@ def _pq_fuzzy(spark, sf_dir):
     return _hits_df(_searcher(spark, sf_dir), "tabl~1", mode="exhaustive")
 
 
+def _pq_fuzzy_like_this(spark, sf_dir):
+    """FuzzyLikeThisQuery 'tabl scann' (max_edits 1, prefix 1, global cap
+    24): fuzzify both tokens against the dictionary, top-50 variants per
+    token by 1-ed/minlen boost, rescore boost^2*idf(df_source) with the
+    mean-variant-df fallback, keep the best 24 overall, then SHOULD-sum
+    BM25 with artificial df=ttf=1 per variant (sandbox/queries/
+    FuzzyLikeThisQuery.java)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search.fuzzy_like_this import FuzzyLikeThisQuery
+
+    s = _searcher(spark, sf_dir)
+    q = FuzzyLikeThisQuery(
+        field_vals=(("text", "tabl scann", 1, 1),), max_num_terms=24
+    )
+    return s.search(q, k=K).select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_spell_suggest(spark, sf_dir):
     """Distributed DirectSpellChecker: JVM-side levenshtein inside the
     dictionary scan, TakeOrderedAndProject top-k (driver sees k rows)."""
@@ -3530,6 +3551,71 @@ FROM s ORDER BY s DESC, doc_id ASC LIMIT {K}
     o["fuzzy_transposed"] = _constant_match_sql(
         "damerau_levenshtein(term, 'tabel') <= 1"
     )
+    # FuzzyLikeThisQuery 'tabl scann' k=1 prefix=1 cap=24: full selection
+    # pipeline in SQL — variant boost 1-ed/minlen (exact term 1.0), top-50
+    # per source by (boost desc, term asc), score boost^2 * ClassicSim idf
+    # of the SOURCE df (integer-mean variant df when absent), global
+    # top-24 by (score desc, term asc), then BM25 with ARTIFICIAL df=1 per
+    # selected variant, SHOULD-summed (duplicate variants merge by boost
+    # sum; disjoint prefixes here, so none arise). OSA == unrestricted
+    # Damerau at max_edits 1, same argument as fuzzy_edit1 above.
+    qlen_flt = _qlen("dl.len")
+    o["fuzzy_like_this"] = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen_flt}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+nd AS (SELECT count(*) AS n FROM documents),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+src(tok) AS (VALUES ('tabl'), ('scann')),
+var AS (
+  SELECT s.tok AS src, d.term, d.df,
+         CASE WHEN d.term = s.tok THEN 1.0
+              ELSE 1.0 - CAST(damerau_levenshtein(d.term, s.tok) AS DOUBLE)
+                         / least(length(d.term), length(s.tok)) END AS vboost
+  FROM src s JOIN dict d
+    ON length(d.term) BETWEEN length(s.tok) - 1 AND length(s.tok) + 1
+   AND substr(d.term, 1, 1) = substr(s.tok, 1, 1)
+   AND damerau_levenshtein(d.term, s.tok) <= 1
+),
+srcdf AS (
+  SELECT v.src,
+         coalesce(max(CASE WHEN v.term = v.src THEN v.df END),
+                  CAST(sum(v.df) // count(*) AS BIGINT)) AS df
+  FROM var v GROUP BY v.src
+),
+ranked AS (
+  SELECT v.src, v.term, v.vboost,
+         row_number() OVER (PARTITION BY v.src ORDER BY v.vboost DESC, v.term ASC) AS rn
+  FROM var v
+),
+scored_terms AS (
+  SELECT r.term,
+         r.vboost * r.vboost * (1.0 + ln((nd.n + 1.0) / (sd.df + 1.0))) AS s
+  FROM ranked r JOIN srcdf sd ON sd.src = r.src CROSS JOIN nd
+  WHERE r.rn <= 50
+),
+topn AS (
+  SELECT term, s, row_number() OVER (ORDER BY s DESC, term ASC) AS rn
+  FROM scored_terms
+),
+w AS (SELECT term, sum(s) AS b FROM topn WHERE rn <= 24 GROUP BY term),
+per AS (
+  SELECT tf.doc_id,
+         w.b * (i1.idf1 - i1.idf1 / (1.0 + tf.freq * inv.norm_inv)) AS s
+  FROM (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term) tf
+  JOIN w ON w.term = tf.term
+  JOIN inv ON inv.doc_id = tf.doc_id
+  CROSS JOIN (SELECT ln(1 + (stats.doc_count - 1 + 0.5) / (1 + 0.5)) AS idf1 FROM stats) i1
+),
+agg AS (SELECT doc_id, sum(s) AS score FROM per GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
+"""
     # distributed DirectSpellChecker: dist asc, df desc, term asc top-5
     o["spell_suggest_topk"] = f"""
 WITH tok AS ({_TOK}),

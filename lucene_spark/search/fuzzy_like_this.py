@@ -1,0 +1,136 @@
+"""FuzzyLikeThisQuery — fuzzify every source term, keep the best
+differentiating variants, search them as one zero-coord disjunction.
+
+Reference: sandbox/src/java/org/apache/lucene/sandbox/queries/
+FuzzyLikeThisQuery.java. Semantics re-derived for this engine:
+
+- ``add_terms(query_string, field, max_edits, prefix_length)`` records a
+  field/value pair; at rewrite each value is analyzed and every distinct
+  token is fuzzified against the term dictionary (:194-259 addTerms).
+- Each variant's first-pass score is the FuzzyTermsEnum boost
+  (FuzzyTermsEnum.java:251-258): 1.0 for the exact term, else
+  ``1 - ed / min(|token|, |variant|)`` in code points, with ed the OSA
+  (transpositions=true) distance. Only the best ``MAX_VARIANTS_PER_TERM``
+  (50) variants per source token survive, ties broken toward the
+  lexicographically smaller term (the PriorityQueue comparator
+  :353-358 evicts equal-score larger terms first).
+- Surviving variants are rescored ``boost^2 * idf(df, numDocs)``
+  (:249-253) with ClassicSimilarity idf = 1 + ln((numDocs+1)/(df+1))
+  and df = the SOURCE token's doc freq — so every variant of one token
+  ranks by the same idf and rare misspellings are not favoured. A token
+  absent from the index uses the mean variant df instead (:238-243,
+  integer division). The global best ``max_num_terms`` variants win.
+- The rewritten query is a SHOULD disjunction where each variant is a
+  TermQuery with ARTIFICIAL df = ttf = 1 (:261-278 newTermQuery builds a
+  TermStates totalling 1) boosted by its selection score; with
+  ``ignore_tf`` each variant is a constant-score query instead. Nested
+  per-source grouping (:294-332) is score-neutral under sum-of-SHOULD
+  scoring, so the engine executes the flat union, merging duplicate
+  variants by summing their boosts (scores are linear in boost).
+
+Deviation (documented): when a source token is absent from the index the
+reference averages docfreqs only over the variants its PQ-competitive
+enumeration happened to visit; this engine averages over ALL variants
+within the edit window — deterministic, and identical whenever the
+variant set is not truncated mid-enumeration.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from ..analysis.analyzer import analyzer_for
+from .query import Query, _edit_distance_le
+
+MAX_VARIANTS_PER_TERM = 50  # FuzzyLikeThisQuery.java:76
+
+
+@dataclass(frozen=True)
+class FuzzyLikeThisQuery(Query):
+    """``field_vals``: (field, query_string, max_edits, prefix_length)
+    tuples — one per addTerms() call. ``analyzer``: registry name resolved
+    via ``analyzer_for`` (the reference takes an Analyzer instance)."""
+
+    field_vals: tuple[tuple[str, str, int, int], ...]
+    max_num_terms: int = 32
+    ignore_tf: bool = False
+    analyzer: str = "standard"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.field_vals:
+            raise ValueError("FuzzyLikeThisQuery needs at least one addTerms")
+        for _f, _qs, max_edits, prefix_len in self.field_vals:
+            if not (0 <= max_edits <= 2):
+                # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE parity
+                raise ValueError(
+                    f"max_edits must be 0..2 inclusive; got {max_edits}"
+                )
+            if prefix_len < 0:
+                raise ValueError("prefix_length must be >= 0")
+
+
+def _osa_distance(a: str, b: str, k: int) -> int | None:
+    """Exact OSA edit distance if <= k else None (k <= 2 keeps this a
+    couple of bounded DP probes; the enum computes the same minimal ed by
+    descending automaton checks, FuzzyTermsEnum.java:240-247)."""
+    for ed in range(k + 1):
+        if _edit_distance_le(a, b, ed, transpositions=True):
+            return ed
+    return None
+
+
+def select_terms(reader, q: FuzzyLikeThisQuery) -> list[tuple[str, str, float]]:
+    """Driver-side term selection (rewrite step 1): returns the global
+    top ``max_num_terms`` [(field, variant_term, score)] — bounded work:
+    one dictionary scan + one stats lookup per source token, each capped
+    like any multi-term rewrite."""
+    from .query import MAX_CLAUSE_COUNT
+
+    import pyspark.sql.functions as F
+
+    analyzer = analyzer_for(q.analyzer)
+    num_docs = reader.max_doc() - reader.num_deleted()
+    candidates: list[tuple[float, str, str]] = []  # (score, term, field)
+    for field, query_string, max_edits, prefix_len in q.field_vals:
+        if not query_string:
+            continue
+        processed: set[str] = set()
+        for token in analyzer.terms(query_string):
+            if token in processed:
+                continue
+            processed.add(token)
+            pred = F.length(F.col("term")).between(
+                max(0, len(token) - max_edits), len(token) + max_edits
+            ) & F.col("term").startswith(token[:prefix_len])
+            terms, truncated = reader.expand_terms(
+                pred, field=field, limit=MAX_CLAUSE_COUNT * 8
+            )
+            if truncated:
+                raise ValueError(
+                    f"fuzzy variants of {token!r} overflow the expansion cap"
+                )
+            variants: list[tuple[str, float]] = []
+            for t in terms:
+                ed = _osa_distance(token, t, max_edits)
+                if ed is None:
+                    continue
+                if ed == 0:
+                    variants.append((t, 1.0))
+                else:
+                    variants.append((t, 1.0 - ed / min(len(token), len(t))))
+            if not variants:
+                continue
+            stats = reader.term_stats([t for t, _ in variants], field)
+            total_df = sum(stats.get(t, (0, 0))[0] for t, _ in variants)
+            df = stats.get(token, (0, 0))[0]
+            if df == 0:
+                df = total_df // len(variants)
+            # top MAX_VARIANTS_PER_TERM by (boost desc, term asc)
+            variants.sort(key=lambda tb: (-tb[1], tb[0]))
+            idf = 1.0 + math.log((num_docs + 1) / (df + 1))
+            for t, b in variants[:MAX_VARIANTS_PER_TERM]:
+                candidates.append((b * b * idf, t, field))
+    # global top max_num_terms by (score desc, term asc)
+    candidates.sort(key=lambda c: (-c[0], c[1]))
+    return [(f, t, s) for s, t, f in candidates[: q.max_num_terms]]

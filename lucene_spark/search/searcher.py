@@ -493,7 +493,59 @@ class IndexSearcher:
             return self._scored_covering(q, field)
         if isinstance(q, Q.CombinedFieldQuery):
             return self._scored_combined(q)
+        from .fuzzy_like_this import FuzzyLikeThisQuery
+
+        if isinstance(q, FuzzyLikeThisQuery):
+            return self._scored_fuzzy_like_this(q, field)
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    def _scored_fuzzy_like_this(self, q, field: str) -> DataFrame | None:
+        """FuzzyLikeThisQuery scorer (sandbox/queries/FuzzyLikeThisQuery.
+        java rewrite, :286-336): the selected variants run as one flat
+        SHOULD sum — each variant a TermQuery with ARTIFICIAL df = ttf = 1
+        (:261-278 newTermQuery) under the searcher similarity, boosted by
+        its selection score; ``ignore_tf`` makes each variant constant
+        score instead. Duplicate variants (same term picked for two source
+        tokens) merge by summing boosts — score-identical to the
+        reference's duplicate SHOULD clauses since every scorer is linear
+        in its boost. One decode kernel per field."""
+        from collections import defaultdict
+
+        from ..functions.registry import scorer_for
+        from .fuzzy_like_this import select_terms
+
+        selected = select_terms(self.reader, q)
+        if not selected:
+            return None
+        by_field: dict[str, dict[str, float]] = defaultdict(dict)
+        for fld, t, s in selected:
+            by_field[fld][t] = by_field[fld].get(t, 0.0) + s
+        parts = []
+        for fld, tmap in by_field.items():
+            terms = list(tmap)
+            if q.ignore_tf:
+                part = self._decoded(terms, {}, fld, constant_terms=tmap)
+            else:
+                doc_count, sum_ttf = self.reader.collection_stats(fld)
+                scorers = {
+                    t: scorer_for(
+                        self.similarity, 1, 1, doc_count, sum_ttf,
+                        boost=b, dtype=self.dtype,
+                    )
+                    for t, b in tmap.items()
+                }
+                part = self._decoded(terms, scorers, fld)
+            parts.append(part.select("seg", "doc", "score"))
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        return (
+            union.groupBy("seg", "doc")
+            .agg(F.sum("score").alias("score"))
+            .select(
+                "seg", "doc", (F.col("score") * F.lit(float(q.boost))).alias("score")
+            )
+        )
 
     def _scored_covering(self, q: Q.CoveringQuery, field: str) -> DataFrame | None:
         """CoveringQuery scorer (reference sandbox/search/CoveringQuery.java

@@ -1,0 +1,165 @@
+"""FuzzyLikeThisQuery vs a first-principles oracle (reference
+sandbox/queries/FuzzyLikeThisQuery.java): fuzzify each source token,
+keep top-50 variants per token by FuzzyTermsEnum boost, rescore
+boost^2 * ClassicSimilarity.idf(df_source), keep global top
+max_num_terms, then SHOULD-sum each variant as a TermQuery with
+artificial df = ttf = 1."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.bm25 import make_scorer
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search.fuzzy_like_this import FuzzyLikeThisQuery
+
+from oracle import BruteForceIndex
+
+
+@pytest.fixture(scope="module")
+def searcher(reader):
+    return IndexSearcher(reader)
+
+
+@pytest.fixture(scope="module")
+def brute(corpus):
+    return BruteForceIndex(corpus)
+
+
+def _osa(a: str, b: str) -> int:
+    """Plain OSA DP — written out independently of the engine's
+    bounded-k variant."""
+    d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        d[i][0] = i
+    for j in range(len(b) + 1):
+        d[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            cost = a[i - 1] != b[j - 1]
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return d[len(a)][len(b)]
+
+
+def _select(brute, tokens, max_edits, prefix_len, max_num_terms):
+    """Reference term selection from first principles over the brute
+    index's dictionary."""
+    num_docs = brute.n
+    cands = []
+    seen = set()
+    for tok in tokens:
+        if tok in seen:
+            continue
+        seen.add(tok)
+        variants = []
+        for t in brute.df:
+            if prefix_len and not t.startswith(tok[:prefix_len]):
+                continue
+            if abs(len(t) - len(tok)) > max_edits:
+                continue
+            ed = _osa(tok, t)
+            if ed > max_edits:
+                continue
+            boost = 1.0 if ed == 0 else 1.0 - ed / min(len(tok), len(t))
+            variants.append((t, boost))
+        if not variants:
+            continue
+        df = brute.df.get(tok, 0)
+        if df == 0:
+            df = sum(brute.df[t] for t, _ in variants) // len(variants)
+        idf = 1.0 + math.log((num_docs + 1) / (df + 1))
+        variants.sort(key=lambda tb: (-tb[1], tb[0]))
+        for t, b in variants[:50]:
+            cands.append((b * b * idf, t))
+    cands.sort(key=lambda c: (-c[0], c[1]))
+    return cands[:max_num_terms]
+
+
+def _expected_topk(brute, selected, k, ignore_tf=False):
+    merged = {}
+    for s, t in selected:
+        merged[t] = merged.get(t, 0.0) + s
+    total = np.zeros(brute.n, dtype=np.float64)
+    for t, b in merged.items():
+        freqs = np.array([tf.get(t, 0) for tf in brute.tfs], dtype=np.int64)
+        mask = freqs > 0
+        if ignore_tf:
+            total[mask] += b
+        else:
+            scorer = make_scorer([1], brute.doc_count, brute.sum_ttf, boost=b)
+            total[mask] += scorer.score(freqs[mask], brute.norms[mask]).astype(
+                np.float64
+            )
+    order = np.lexsort((np.arange(brute.n), -total))
+    out = []
+    for i in order:
+        if total[i] <= 0:
+            continue
+        out.append((brute.urls[i], float(np.float32(total[i]))))
+        if len(out) == k:
+            break
+    return out
+
+
+def _hits(searcher, q, k=10):
+    rows = searcher.search(q, k=k).select("url", "score").collect()
+    return [(r["url"], float(np.float32(r["score"]))) for r in rows]
+
+
+def test_flt_matches_oracle(searcher, brute):
+    q = FuzzyLikeThisQuery(
+        field_vals=(("text", "tabl scann", 1, 1),), max_num_terms=24
+    )
+    sel = _select(brute, ["tabl", "scann"], 1, 1, 24)
+    assert sel, "test corpus must yield fuzzy variants"
+    exp = _expected_topk(brute, sel, 10)
+    got = _hits(searcher, q)
+    assert got == exp
+
+
+def test_flt_ignore_tf_constant_scores(searcher, brute):
+    q = FuzzyLikeThisQuery(
+        field_vals=(("text", "tabl", 1, 1),), max_num_terms=8, ignore_tf=True
+    )
+    sel = _select(brute, ["tabl"], 1, 1, 8)
+    exp = _expected_topk(brute, sel, 10, ignore_tf=True)
+    got = _hits(searcher, q)
+    assert got == exp
+
+
+def test_flt_absent_token_uses_avg_variant_df(searcher, brute):
+    """'tabl' itself is absent from the dictionary: df falls back to the
+    integer mean of the variant docfreqs (FuzzyLikeThisQuery.java:238-243)."""
+    assert brute.df.get("tabl", 0) == 0
+    q = FuzzyLikeThisQuery(field_vals=(("text", "tabl", 1, 1),), max_num_terms=8)
+    sel = _select(brute, ["tabl"], 1, 1, 8)
+    exp = _expected_topk(brute, sel, 10)
+    assert _hits(searcher, q) == exp
+
+
+def test_flt_global_cap_truncates(searcher, brute):
+    """max_num_terms=2 keeps only the two best-scored variants overall."""
+    q = FuzzyLikeThisQuery(
+        field_vals=(("text", "tabl scann", 1, 1),), max_num_terms=2
+    )
+    sel = _select(brute, ["tabl", "scann"], 1, 1, 2)
+    assert len(sel) == 2
+    exp = _expected_topk(brute, sel, 10)
+    assert _hits(searcher, q) == exp
+
+
+def test_flt_validation():
+    with pytest.raises(ValueError):
+        FuzzyLikeThisQuery(field_vals=())
+    with pytest.raises(ValueError):
+        FuzzyLikeThisQuery(field_vals=(("text", "x", 3, 0),))
+    with pytest.raises(ValueError):
+        FuzzyLikeThisQuery(field_vals=(("text", "x", 1, -1),))
