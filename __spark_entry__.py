@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["expr_function_score"] = _pq_expr_function_score
     q["expr_rescore"] = _pq_expr_rescore
     q["nb_classify"] = _pq_nb_classify
+    q["bm25_nb_classify"] = _pq_bm25_nb_classify
     q["knn_classify"] = _pq_knn_classify
     q["nb_confusion"] = _pq_nb_confusion
     q["dataset_split_counts"] = _pq_dataset_split
@@ -1653,6 +1654,23 @@ def _pq_nb_classify(spark, sf_dir):
 
     reader = _get_index(spark, sf_dir)
     clf = SimpleNaiveBayesClassifier(reader, "lang")
+    rows = []
+    for qid, text in _NB_SNIPPETS:
+        c, p = clf.assign_class(text)
+        rows.append((qid, c, round(float(p), 4)))
+    return spark.createDataFrame(rows, "qid long, lang string, prob_r double")
+
+
+def _pq_bm25_nb_classify(spark, sf_dir):
+    """BM25NBClassifier (reference classification/BM25NBClassifier.java):
+    NB approximated by pure BM25 queries — per class, prior = the class
+    keyword term's constant BM25 s_c = idf/(1+k1), likelihood of token w
+    = ln(s_c + max BM25 of w over the class's docs); softmax across
+    classes, argmax per snippet."""
+    from lucene_spark.classification import BM25NBClassifier
+
+    s = _searcher(spark, sf_dir)
+    clf = BM25NBClassifier(s, "lang")
     rows = []
     for qid, text in _NB_SNIPPETS:
         c, p = clf.assign_class(text)
@@ -4169,6 +4187,68 @@ probs AS (
   SELECT sc.qid, sc.lang, exp(sc.s - l.loga) AS p,
          row_number() OVER (PARTITION BY sc.qid ORDER BY sc.s DESC, sc.lang ASC) AS rn
   FROM scores sc JOIN lse l USING (qid)
+)
+SELECT qid, lang, round(p, 4) AS prob_r FROM probs WHERE rn = 1 ORDER BY qid
+"""
+    # BM25NBClassifier: NB approximated by pure BM25 queries
+    # (classification/BM25NBClassifier.java) — prior = ln(s_c) with
+    # s_c = idf(df_c, n_labeled)/(1+k1) (class keyword term: freq=1,
+    # dl=avgdl=1), likelihood of each token OCCURRENCE =
+    # ln(s_c + max over the class's docs of the token's text-field BM25
+    # — whole-index stats, the MUST clause filters docs not statistics);
+    # log-sum-exp softmax, argmax per snippet
+    qlen_bnb = _qlen("dl.len")
+    o["bm25_nb_classify"] = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen_bnb}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+qtok AS (SELECT * FROM (VALUES {_nb_vals}) AS v(qid, term)),
+classes AS (SELECT lang, count(*) AS df_c FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+nlab AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+vocab AS (SELECT DISTINCT term FROM qtok),
+dfv AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT term FROM vocab) GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id, tf.term,
+         w.w - w.w / (1.0 + tf.freq * inv.norm_inv) AS s
+  FROM (SELECT doc_id, term, count(*) AS freq FROM tok
+        WHERE term IN (SELECT term FROM vocab) GROUP BY doc_id, term) tf
+  JOIN inv ON inv.doc_id = tf.doc_id
+  JOIN (SELECT dfv.term, ln(1 + (stats.doc_count - dfv.df + 0.5) / (dfv.df + 0.5)) AS w
+        FROM dfv, stats) w ON w.term = tf.term
+),
+mx AS (
+  SELECT d.lang, b.term, max(b.s) AS mx
+  FROM bm b JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL GROUP BY d.lang, b.term
+),
+sc AS (
+  SELECT c.lang, ln(1 + (nlab.n - c.df_c + 0.5) / (c.df_c + 0.5)) / (1.0 + 1.2) AS s_c
+  FROM classes c CROSS JOIN nlab
+),
+scores AS (
+  SELECT q.qid, s.lang,
+         ln(s.s_c) + sum(ln(s.s_c + coalesce(m.mx, 0.0))) AS s
+  FROM qtok q CROSS JOIN sc s
+  LEFT JOIN mx m ON m.lang = s.lang AND m.term = q.term
+  GROUP BY q.qid, s.lang, s.s_c
+),
+mxs AS (SELECT qid, max(s) AS smax FROM scores GROUP BY qid),
+lse AS (
+  SELECT sc2.qid, m.smax + ln(sum(exp(sc2.s - m.smax))) AS loga
+  FROM scores sc2 JOIN mxs m USING (qid) GROUP BY sc2.qid, m.smax
+),
+probs AS (
+  SELECT sc2.qid, sc2.lang, exp(sc2.s - l.loga) AS p,
+         row_number() OVER (PARTITION BY sc2.qid ORDER BY sc2.s DESC, sc2.lang ASC) AS rn
+  FROM scores sc2 JOIN lse l USING (qid)
 )
 SELECT qid, lang, round(p, 4) AS prob_r FROM probs WHERE rn = 1 ORDER BY qid
 """

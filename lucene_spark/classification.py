@@ -133,6 +133,124 @@ class SimpleNaiveBayesClassifier:
 
 
 @dataclass
+class BM25NBClassifier:
+    """BM25NBClassifier (reference classification/src/java/org/apache/
+    lucene/classification/BM25NBClassifier.java): naive bayes approximated
+    by PURE BM25 QUERIES — no frequency counting. For each class c:
+
+      score(c) = log(prior) + Σ_w log P(w|c)        (duplicates counted)
+      prior    = top-1 score of  MUST class:c        (:222-231)
+      P(w|c)   = top-1 score of  MUST class:c SHOULD text:w   (:205-220)
+
+    The class field is a keyword (one token, freq = 1, dl = avgdl = 1),
+    so the class term scores the SAME BM25 value s_c for every doc of the
+    class: s_c = idf(df_c, n_labeled) / (1 + k1) analytically, with
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)). The SHOULD clause adds the
+    text-field BM25 of w, so top-1 = s_c + max over the class's docs of
+    bm25(w, doc) (0 when absent). Results are softmax-normalized with the
+    same log-sum-exp as SimpleNaiveBayes (:147-173).
+
+    Spark shape: ONE decode kernel scores every query token over the
+    whole index (the same `_decoded` path term queries use), joins the
+    class column and reduces to per-(class, term) maxima — O(classes ×
+    query vocab) rows to the driver, never the corpus. Text-field
+    statistics are whole-index (the MUST clause filters docs, not stats);
+    only df_c / n_labeled restrict to labeled docs, as the reference's
+    class-field enumeration does."""
+
+    searcher: object
+    class_col: str
+    field: str = "text"
+
+    def __post_init__(self):
+        self._cls = None
+
+    def _ensure_classes(self):
+        if self._cls is None:
+            docs = self.searcher.reader.docs(["seg", "doc", self.class_col]).filter(
+                F.col(self.class_col).isNotNull()
+            )
+            per_class = {
+                r[self.class_col]: int(r["n"])
+                for r in docs.groupBy(self.class_col)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            self._cls = (per_class, sum(per_class.values()))
+        return self._cls
+
+    @property
+    def reader(self):
+        return self.searcher.reader
+
+    def _tokenize(self, text: str) -> list[str]:
+        return SimpleNaiveBayesClassifier._tokenize(self, text)
+
+    def _max_bm25(self, vocab: list[str]) -> dict[tuple[str, str], float]:
+        """per (class, term) max text-field BM25 — one decode kernel +
+        one class join + one agg; only the maxima come back."""
+        from .functions.registry import scorer_for
+
+        searcher = self.searcher
+        reader = searcher.reader
+        stats = reader.term_stats(vocab, self.field)
+        present = [t for t in vocab if t in stats]
+        if not present:
+            return {}
+        doc_count, sum_ttf = reader.collection_stats(self.field)
+        scorers = {
+            t: scorer_for(
+                "bm25", *stats[t], doc_count, sum_ttf, dtype=searcher.dtype
+            )
+            for t in present
+        }
+        dec = searcher._drop_deleted(searcher._decoded(present, scorers, self.field))
+        docs = reader.docs(["seg", "doc", self.class_col]).filter(
+            F.col(self.class_col).isNotNull()
+        )
+        rows = (
+            dec.join(docs, ["seg", "doc"])
+            .groupBy(self.class_col, "term")
+            .agg(F.max("score").alias("mx"))
+            .collect()
+        )
+        return {(r[self.class_col], r["term"]): float(r["mx"]) for r in rows}
+
+    @staticmethod
+    def _class_term_score(df_c: int, n_labeled: int) -> float:
+        """Analytic BM25 of the class keyword term: freq = 1 and
+        dl = avgdl = 1 make the tf part exactly 1/(1 + k1)."""
+        idf = math.log(1.0 + (n_labeled - df_c + 0.5) / (df_c + 0.5))
+        return idf / (1.0 + 1.2)
+
+    def _score_with_max(self, tokens, mx) -> list[tuple[str, float]]:
+        per_class, n_labeled = self._ensure_classes()
+        scored = []
+        for c, df_c in per_class.items():
+            s_c = self._class_term_score(df_c, n_labeled)
+            s = math.log(s_c) + sum(
+                math.log(s_c + mx.get((c, w), 0.0)) for w in tokens
+            )
+            scored.append((c, s))
+        return _softmax_norm(scored)
+
+    def get_classes(self, text: str) -> list[tuple[str, float]]:
+        """All classes with softmax-normalized scores, best first."""
+        tokens = self._tokenize(text)
+        return self._score_with_max(tokens, self._max_bm25(sorted(set(tokens))))
+
+    def assign_class(self, text: str) -> tuple[str, float]:
+        return self.get_classes(text)[0]
+
+    def classify_batch(self, texts: list[str]) -> list[tuple[str, float]]:
+        """ONE Spark job for the union vocabulary, then local scoring."""
+        tok_lists = [self._tokenize(t) for t in texts]
+        vocab = sorted({w for toks in tok_lists for w in toks})
+        mx = self._max_bm25(vocab) if vocab else {}
+        return [self._score_with_max(toks, mx)[0] for toks in tok_lists]
+
+
+@dataclass
 class KNearestNeighborClassifier:
     """See module docstring. Neighbors come from the engine's MLT query
     (search/morelikethis.py) over an indexed example document, or from a

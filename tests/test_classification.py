@@ -178,3 +178,84 @@ def test_confusion_matrix_consistency(spark, reader, corpus):
     assert recount == {(r["actual"], r["predicted"]): r["n"] for r in rows}
     for c, m in metrics["per_class"].items():
         assert 0.0 <= m["precision"] <= 1.0 and 0.0 <= m["f1"] <= 1.0
+
+
+# ---------------------------------------------------------------- BM25 NB
+
+
+def _bm25nb_expected(brute, corpus, tokens: list[str]) -> list[tuple[str, float]]:
+    """Brute-force BM25NBClassifier (reference BM25NBClassifier.java):
+    score(c) = ln(s_c) + sum_w ln(s_c + max_{doc in c} bm25(w, doc)),
+    s_c = idf(df_c, n_labeled)/(1 + k1) — the class keyword term's
+    constant BM25 (freq = 1, dl = avgdl = 1); softmax-normalized."""
+    langs = corpus["lang"]
+    n_lab = int(langs.notna().sum())
+    out = []
+    for c, grp in corpus.groupby("lang"):
+        df_c = len(grp)
+        s_c = math.log(1.0 + (n_lab - df_c + 0.5) / (df_c + 0.5)) / (1.0 + 1.2)
+        s = math.log(s_c)
+        for w in tokens:
+            per_doc = brute.term_scores(w)[grp.index.to_numpy()]
+            s += math.log(s_c + (float(per_doc.max()) if len(per_doc) else 0.0))
+        out.append((c, s))
+    smax = max(s for _, s in out)
+    loga = smax + math.log(sum(math.exp(s - smax) for _, s in out))
+    res = [(c, math.exp(s - loga)) for c, s in out]
+    res.sort(key=lambda cs: (-cs[1], cs[0]))
+    return res
+
+
+@pytest.fixture(scope="module")
+def bm25_brute(corpus):
+    from oracle import BruteForceIndex
+
+    return BruteForceIndex(corpus)
+
+
+def test_bm25_nb_matches_brute_force(searcher, corpus, bm25_brute):
+    from lucene_spark.classification import BM25NBClassifier
+
+    clf = BM25NBClassifier(searcher, "lang")
+    got = clf.get_classes("table scan merge")
+    exp = _bm25nb_expected(bm25_brute, corpus, ["table", "scan", "merge"])
+    assert [c for c, _ in got] == [c for c, _ in exp]
+    assert np.allclose([p for _, p in got], [p for _, p in exp], atol=1e-9)
+    assert abs(sum(p for _, p in got) - 1.0) < 1e-9
+
+
+def test_bm25_nb_counts_duplicate_tokens(searcher, corpus, bm25_brute):
+    """'dup dup' must weigh the token twice (calculateLogLikelihood
+    iterates occurrences)."""
+    from lucene_spark.classification import BM25NBClassifier
+
+    clf = BM25NBClassifier(searcher, "lang")
+    got = clf.get_classes("dup dup line")
+    exp = _bm25nb_expected(bm25_brute, corpus, ["dup", "dup", "line"])
+    exp_single = _bm25nb_expected(bm25_brute, corpus, ["dup", "line"])
+    assert np.allclose([p for _, p in got], [p for _, p in exp], atol=1e-9)
+    assert not np.allclose(
+        [p for _, p in exp], [p for _, p in exp_single], atol=1e-12
+    )
+
+
+def test_bm25_nb_absent_token_is_neutral(searcher, corpus, bm25_brute):
+    """A token absent from the corpus contributes ln(s_c) to every class
+    (the reference's zero-hit SHOULD clause)."""
+    from lucene_spark.classification import BM25NBClassifier
+
+    clf = BM25NBClassifier(searcher, "lang")
+    got = clf.get_classes("table zzzmissingzzz")
+    exp = _bm25nb_expected(bm25_brute, corpus, ["table", "zzzmissingzzz"])
+    assert np.allclose([p for _, p in got], [p for _, p in exp], atol=1e-9)
+
+
+def test_bm25_nb_batch_matches_single(searcher):
+    from lucene_spark.classification import BM25NBClassifier
+
+    clf = BM25NBClassifier(searcher, "lang")
+    texts = ["table scan merge", "vector window"]
+    batch = clf.classify_batch(texts)
+    singles = [clf.assign_class(t) for t in texts]
+    assert [c for c, _ in batch] == [c for c, _ in singles]
+    assert np.allclose([p for _, p in batch], [p for _, p in singles], atol=1e-12)
