@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nb_classify"] = _pq_nb_classify
     q["bm25_nb_classify"] = _pq_bm25_nb_classify
     q["knn_classify"] = _pq_knn_classify
+    q["knn_fuzzy_classify"] = _pq_knn_fuzzy_classify
     q["nb_confusion"] = _pq_nb_confusion
     q["dataset_split_counts"] = _pq_dataset_split
     q["points_box"] = _pq_points_box
@@ -1688,6 +1689,22 @@ def _pq_knn_classify(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     clf = KNearestNeighborClassifier(s, "lang", k=10)
     rows = [(c, round(float(v), 4)) for c, v in clf.get_classes(url_for_doc_id(0))]
+    return spark.createDataFrame(rows, "lang string, score_r double")
+
+
+def _pq_knn_fuzzy_classify(spark, sf_dir):
+    """KNearestFuzzyClassifier (reference classification/
+    KNearestFuzzyClassifier.java): NearestFuzzyQuery('tabl scann merge',
+    maxEdits=1, prefix=2, cap 300) -> BM25 top-10 labeled neighbors ->
+    the same per-class vote as knn_classify."""
+    from lucene_spark.classification import KNearestFuzzyClassifier
+
+    s = _searcher(spark, sf_dir)
+    clf = KNearestFuzzyClassifier(s, "lang", k=10)
+    rows = [
+        (c, round(float(v), 4))
+        for c, v in clf.get_classes("tabl scann merge")
+    ]
     return spark.createDataFrame(rows, "lang string, score_r double")
 
 
@@ -3633,6 +3650,87 @@ per AS (
 agg AS (SELECT doc_id, sum(s) AS score FROM per GROUP BY doc_id)
 SELECT doc_id, round(score, 4) AS score_r
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
+"""
+    # KNearestFuzzyClassifier: the NearestFuzzyQuery selection pipeline
+    # (maxEdits=1, prefixLength=2, top-50 variants/token, global cap 300,
+    # boost^2*idf(df_source) with integer-mean fallback), artificial-df=1
+    # BM25 SHOULD-sum over labeled docs, top-10 neighbors, then the
+    # buildListFromTopDocs vote: score(c) = (count*(boost/count))/k with
+    # the k/sumdoc correction when fewer than k hits exist.
+    qlen_kfz = _qlen("dl.len")
+    o["knn_fuzzy_classify"] = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({qlen_kfz}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+nd AS (SELECT count(*) AS n FROM documents),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+src(tok) AS (VALUES ('tabl'), ('scann'), ('merge')),
+var AS (
+  SELECT s.tok AS src, d.term, d.df,
+         CASE WHEN d.term = s.tok THEN 1.0
+              ELSE 1.0 - CAST(damerau_levenshtein(d.term, s.tok) AS DOUBLE)
+                         / least(length(d.term), length(s.tok)) END AS vboost
+  FROM src s JOIN dict d
+    ON length(d.term) BETWEEN length(s.tok) - 1 AND length(s.tok) + 1
+   AND substr(d.term, 1, 2) = substr(s.tok, 1, 2)
+   AND damerau_levenshtein(d.term, s.tok) <= 1
+),
+srcdf AS (
+  SELECT v.src,
+         coalesce(max(CASE WHEN v.term = v.src THEN v.df END),
+                  CAST(sum(v.df) // count(*) AS BIGINT)) AS df
+  FROM var v GROUP BY v.src
+),
+ranked AS (
+  SELECT v.src, v.term, v.vboost,
+         row_number() OVER (PARTITION BY v.src ORDER BY v.vboost DESC, v.term ASC) AS rn
+  FROM var v
+),
+scored_terms AS (
+  SELECT r.term,
+         r.vboost * r.vboost * (1.0 + ln((nd.n + 1.0) / (sd.df + 1.0))) AS s
+  FROM ranked r JOIN srcdf sd ON sd.src = r.src CROSS JOIN nd
+  WHERE r.rn <= 50
+),
+topn AS (
+  SELECT term, s, row_number() OVER (ORDER BY s DESC, term ASC) AS rn
+  FROM scored_terms
+),
+w AS (SELECT term, sum(s) AS b FROM topn WHERE rn <= 300 GROUP BY term),
+per AS (
+  SELECT tf.doc_id,
+         w.b * (i1.idf1 - i1.idf1 / (1.0 + tf.freq * inv.norm_inv)) AS s
+  FROM (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term) tf
+  JOIN w ON w.term = tf.term
+  JOIN inv ON inv.doc_id = tf.doc_id
+  CROSS JOIN (SELECT ln(1 + (stats.doc_count - 1 + 0.5) / (1 + 0.5)) AS idf1 FROM stats) i1
+),
+agg AS (
+  SELECT p.doc_id, sum(p.s) AS score
+  FROM per p JOIN documents d ON d.doc_id = p.doc_id AND d.lang IS NOT NULL
+  GROUP BY p.doc_id
+),
+topk AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10),
+mx AS (SELECT max(score) AS m FROM topk),
+votes AS (
+  SELECT d.lang, count(*) AS nn, sum(t.score / mx.m) AS boost
+  FROM topk t JOIN documents d USING (doc_id), mx
+  GROUP BY d.lang
+),
+tot AS (SELECT sum(nn) AS sumdoc FROM votes)
+SELECT lang,
+       round(CASE WHEN tot.sumdoc < 10
+                  THEN (boost / 10.0) * 10.0 / tot.sumdoc
+                  ELSE boost / 10.0 END, 4) AS score_r
+FROM votes, tot
+ORDER BY (CASE WHEN tot.sumdoc < 10
+               THEN (boost / 10.0) * 10.0 / tot.sumdoc
+               ELSE boost / 10.0 END) DESC, lang ASC
 """
     # distributed DirectSpellChecker: dist asc, df desc, term asc top-5
     o["spell_suggest_topk"] = f"""

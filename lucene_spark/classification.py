@@ -313,6 +313,56 @@ class KNearestNeighborClassifier:
         return classes[0]
 
 
+@dataclass
+class KNearestFuzzyClassifier(KNearestNeighborClassifier):
+    """KNearestFuzzyClassifier (reference classification/
+    KNearestFuzzyClassifier.java): neighbors come from a NearestFuzzyQuery
+    over the input text instead of MoreLikeThis. NearestFuzzyQuery
+    (classification/utils/NearestFuzzyQuery.java) is FuzzyLikeThisQuery
+    with pinned parameters — maxEdits=1 (:119 MIN_SIMILARITY cast),
+    prefixLength=2 (:57), MAX_NUM_TERMS=300 (:58), MAX_VARIANTS_PER_TERM=50
+    (:55) — and the same selection pipeline: per-token fuzzy variants
+    boosted 1-ed/minlen, rescored boost²·idf(df_source) with the
+    mean-variant-df fallback (:173-187), executed as a SHOULD sum of
+    artificial-df=1 TermQueries (:202-215 newTermQuery).
+
+    The reference ANDs a ``WildcardQuery(classField, "*")`` MUST clause
+    (:141-143) to restrict hits to labeled docs; this engine expresses it
+    as a score-neutral FILTER (``class_col IS NOT NULL``) — a documented
+    deviation: the reference's constant-score wildcard clause adds the
+    same constant to every hit, which cancels in ranking but shifts the
+    score/maxScore vote ratios. The vote itself (buildListFromTopDocs,
+    :157-204) is shared with KNearestNeighborClassifier verbatim."""
+
+    max_edits: int = 1       # NearestFuzzyQuery.java:119
+    prefix_length: int = 2   # NearestFuzzyQuery.java:57
+    max_num_terms: int = 300  # NearestFuzzyQuery.java:58
+
+    def get_classes(self, text: str) -> list[tuple[str, float]]:
+        """Classify free text by its k fuzzy-nearest neighbors."""
+        from .search import query as Q
+        from .search.fuzzy_like_this import FuzzyLikeThisQuery
+
+        flt = FuzzyLikeThisQuery(
+            field_vals=(
+                (self.field, text, self.max_edits, self.prefix_length),
+            ),
+            max_num_terms=self.max_num_terms,
+        )
+        q = Q.BooleanQuery.build(
+            ("MUST", flt),
+            ("FILTER", Q.DocValuesQuery(f"{self.class_col} IS NOT NULL")),
+        )
+        hits = self.searcher.search(q, k=self.k, mode="exhaustive")
+        return self._classify_hits(hits)
+
+    def assign_class(self, text: str) -> tuple[str, float]:
+        classes = self.get_classes(text)
+        if not classes:
+            raise ValueError("no fuzzy neighbors found for the input text")
+        return classes[0]
+
+
 def dataset_split(
     df: DataFrame,
     test_fraction: float = 0.1,

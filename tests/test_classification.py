@@ -121,6 +121,74 @@ def test_knn_classifier_short_topdocs_rescale(searcher, reader, corpus):
     assert total == pytest.approx(boost_sum / len(hits), rel=1e-9)
 
 
+def test_knn_fuzzy_classifier_matches_vote_formula(searcher, corpus):
+    """KNearestFuzzyClassifier (reference KNearestFuzzyClassifier.java):
+    NearestFuzzyQuery neighbors (maxEdits=1, prefix=2, cap 300) + the same
+    buildListFromTopDocs vote, computed independently here from the
+    engine's (oracle-gated) FuzzyLikeThisQuery hits."""
+    from lucene_spark.classification import KNearestFuzzyClassifier
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.fuzzy_like_this import FuzzyLikeThisQuery
+
+    text = "tabl scann merge"
+    clf = KNearestFuzzyClassifier(searcher, "lang", k=10)
+    got = clf.get_classes(text)
+    flt = FuzzyLikeThisQuery(
+        field_vals=(("text", text, 1, 2),), max_num_terms=300
+    )
+    q = Q.BooleanQuery.build(
+        ("MUST", flt), ("FILTER", Q.DocValuesQuery("lang IS NOT NULL"))
+    )
+    hits = (
+        searcher.search(q, k=10, mode="exhaustive")
+        .select("url", "score")
+        .toPandas()
+    )
+    lang_by_url = dict(zip(corpus["url"], corpus["lang"]))
+    want = _knn_expected(hits, lang_by_url, k=10)
+    assert [c for c, _ in got] == [c for c, _ in want]
+    assert [s for _, s in got] == pytest.approx([s for _, s in want], rel=1e-9)
+
+
+def test_knn_fuzzy_prefix_gates_variants(searcher, corpus):
+    """prefix_length=2 must drop variants that diverge in the first two
+    chars: classify with prefix 0 vs the pinned prefix 2 and check the
+    neighbor sets differ when the corpus has such variants — guards
+    against the prefix being silently ignored."""
+    from lucene_spark.search.fuzzy_like_this import (
+        FuzzyLikeThisQuery,
+        select_terms,
+    )
+
+    # 'xcan' ~1 'scan' (x->s substitution) but its 2-char prefix 'xc'
+    # diverges, so prefix 2 must yield nothing while prefix 0 finds it
+    sel2 = {
+        t
+        for _f, t, _s in select_terms(
+            searcher.reader,
+            FuzzyLikeThisQuery(field_vals=(("text", "xcan", 1, 2),)),
+        )
+    }
+    sel0 = {
+        t
+        for _f, t, _s in select_terms(
+            searcher.reader,
+            FuzzyLikeThisQuery(field_vals=(("text", "xcan", 1, 0),)),
+        )
+    }
+    assert sel2 == set()
+    assert "scan" in sel0
+    # and a same-prefix variant still survives prefix 2: scann -> scan
+    sel_keep = {
+        t
+        for _f, t, _s in select_terms(
+            searcher.reader,
+            FuzzyLikeThisQuery(field_vals=(("text", "scann", 1, 2),)),
+        )
+    }
+    assert "scan" in sel_keep
+
+
 def test_assign_class_is_argmax(reader):
     clf = SimpleNaiveBayesClassifier(reader, "lang")
     classes = clf.get_classes("table scan")
