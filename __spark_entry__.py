@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["points_box"] = _pq_points_box
     q["points_multi_box"] = _pq_points_multi_box
     q["geo_box"] = _pq_geo_box
+    q["shape_box_intersects"] = _pq_shape_box_intersects
+    q["shape_box_contains"] = _pq_shape_box_contains
+    q["shape_polygon_within"] = _pq_shape_polygon_within
     q["geo_polygon"] = _pq_geo_polygon
     q["geo_distance_topk"] = _pq_geo_distance_topk
     q["geo_distance_feature"] = _pq_geo_distance_feature
@@ -1819,6 +1822,55 @@ def _geo_index(spark, sf_dir):
     )
     GeoPointsIndex.build(spark, docs, root, bits=12, build_id="g0")
     return GeoPointsIndex(spark, root)
+
+
+def _shape_index(spark, sf_dir):
+    """Z-ordered LatLonShape table over the deterministic synthetic
+    shapes (one per doc_id), cached per sf like the other indexes."""
+    import os
+
+    from lucene_spark.search.shapes import ShapeIndex, synthetic_shapes
+
+    root = _index_root(sf_dir) + "_shapes"
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        ShapeIndex.build(spark, synthetic_shapes(docs), root)
+    return ShapeIndex(spark, root)
+
+
+_SHAPE_BOX = (10.1, 30.3, -40.7, -10.9)
+_SHAPE_CONTAINS_BOX = (21.67, 21.87, -67.97, -67.77)
+_SHAPE_QRING = [(5.1, -30.2), (45.3, -25.7), (40.9, 20.3), (-10.6, 10.1)]
+
+
+def _pq_shape_box_intersects(spark, sf_dir):
+    """LatLonShape.newBoxQuery INTERSECTS (reference document/
+    LatLonShape.java + ShapeField.QueryRelation): pushed bbox-overlap
+    prefilter + exact per-kind predicate (vertex-in-box, segment-vs-box
+    separating axis, box-corner ray-cast into polygon rings)."""
+    from lucene_spark.search.shapes import Box
+
+    idx = _shape_index(spark, sf_dir)
+    out = idx.box_query("INTERSECTS", Box(*_SHAPE_BOX))
+    return out.select(F.col("id").alias("doc_id"), "kind").orderBy("doc_id")
+
+
+def _pq_shape_box_contains(spark, sf_dir):
+    """LatLonShape.newBoxQuery CONTAINS: polygons whose ring holds all
+    four box corners with no ring edge intersecting the box."""
+    from lucene_spark.search.shapes import Box
+
+    idx = _shape_index(spark, sf_dir)
+    out = idx.box_query("CONTAINS", Box(*_SHAPE_CONTAINS_BOX))
+    return out.select(F.col("id").alias("doc_id"), "kind").orderBy("doc_id")
+
+
+def _pq_shape_polygon_within(spark, sf_dir):
+    """LatLonShape.newPolygonQuery WITHIN: every shape vertex inside the
+    query ring and no shape edge properly crossing a ring edge."""
+    idx = _shape_index(spark, sf_dir)
+    out = idx.polygon_query("WITHIN", _SHAPE_QRING)
+    return out.select(F.col("id").alias("doc_id"), "kind").orderBy("doc_id")
 
 
 def _pq_geo_box(spark, sf_dir):
@@ -4456,6 +4508,142 @@ ORDER BY agg.score + {_gfactor} DESC, agg.doc_id ASC
 LIMIT {K}
 """
     )
+    # LatLonShape analogue — the geometry predicates are re-derived here
+    # in DuckDB's row algebra (unnest vertices + self-join edges), an
+    # independent formulation from the engine's array higher-order
+    # functions. The shared synthetic generator is the data contract.
+    _shape_base = """
+g AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 160 AS DOUBLE) - 80 + 0.25 AS lat0,
+         CAST((doc_id * 73) % 340 AS DOUBLE) - 170 + 0.5 AS lon0,
+         CAST((doc_id % 7) + 1 AS DOUBLE) * 0.5 AS s,
+         ['point', 'line', 'polygon'][CAST(doc_id % 3 AS INT) + 1] AS kind
+  FROM documents
+),
+arr AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'point' THEN [lat0]
+              WHEN kind = 'line' THEN [lat0, lat0 + s * 0.5, lat0 + s]
+              ELSE [lat0, lat0 + s * 0.3, lat0 + s] END AS lats,
+         CASE WHEN kind = 'point' THEN [lon0]
+              WHEN kind = 'line' THEN [lon0, lon0 + s, lon0 + s * 1.5]
+              ELSE [lon0, lon0 + s, lon0 + s * 0.4] END AS lons
+  FROM g
+),
+verts AS (
+  SELECT doc_id, kind, unnest(lats) AS y, unnest(lons) AS x,
+         generate_subscripts(lats, 1) AS i, len(lats) AS n
+  FROM arr
+),
+edges AS (
+  SELECT a.doc_id, a.kind, a.y AS y1, a.x AS x1, b.y AS y2, b.x AS x2
+  FROM verts a JOIN verts b ON b.doc_id = a.doc_id
+   AND b.i = CASE WHEN a.kind = 'polygon' THEN 1 + a.i % a.n ELSE a.i + 1 END
+  WHERE a.n > 1
+)"""
+
+    def _shp_side(px, py):
+        return f"((x2 - x1) * ({py} - y1) - (y2 - y1) * ({px} - x1))"
+
+    def _shp_seg_box(b):
+        mnla, mxla, mnlo, mxlo = b
+        sides = [
+            _shp_side(repr(x), repr(y))
+            for y in (mnla, mxla)
+            for x in (mnlo, mxlo)
+        ]
+        pos = " AND ".join(f"{sc} > 0" for sc in sides)
+        neg = " AND ".join(f"{sc} < 0" for sc in sides)
+        return (
+            f"greatest(y1, y2) >= {mnla!r} AND least(y1, y2) <= {mxla!r}"
+            f" AND greatest(x1, x2) >= {mnlo!r} AND least(x1, x2) <= {mxlo!r}"
+            f" AND NOT ({pos}) AND NOT ({neg})"
+        )
+
+    def _shp_corner_parity(y, x):
+        return (
+            f"sum(CASE WHEN ((y1 > {y!r}) <> (y2 > {y!r}))"
+            f" AND ({x!r} < (x2 - x1) * ({y!r} - y1) / (y2 - y1) + x1)"
+            f" THEN 1 ELSE 0 END) % 2 = 1"
+        )
+
+    _sb = _SHAPE_BOX
+    o["shape_box_intersects"] = f"""
+WITH {_shape_base},
+vin AS (
+  SELECT DISTINCT doc_id FROM verts
+  WHERE y BETWEEN {_sb[0]!r} AND {_sb[1]!r} AND x BETWEEN {_sb[2]!r} AND {_sb[3]!r}
+),
+ehit AS (SELECT DISTINCT doc_id FROM edges WHERE {_shp_seg_box(_sb)}),
+cinp AS (
+  SELECT doc_id FROM edges WHERE kind = 'polygon'
+  GROUP BY doc_id HAVING {_shp_corner_parity(_sb[0], _sb[2])}
+),
+hits AS (SELECT doc_id FROM vin UNION SELECT doc_id FROM ehit UNION SELECT doc_id FROM cinp)
+SELECT g.doc_id, g.kind FROM g JOIN hits USING (doc_id) ORDER BY g.doc_id
+"""
+    _cb = _SHAPE_CONTAINS_BOX
+    _corner_checks = "\n".join(
+        f"c{i} AS (SELECT doc_id FROM edges WHERE kind = 'polygon'"
+        f" GROUP BY doc_id HAVING {_shp_corner_parity(y, x)}),"
+        for i, (y, x) in enumerate(
+            (y, x) for y in (_cb[0], _cb[1]) for x in (_cb[2], _cb[3])
+        )
+    )
+    o["shape_box_contains"] = f"""
+WITH {_shape_base},
+{_corner_checks}
+ehit AS (SELECT DISTINCT doc_id FROM edges WHERE {_shp_seg_box(_cb)})
+SELECT g.doc_id, g.kind FROM g
+JOIN c0 USING (doc_id) JOIN c1 USING (doc_id)
+JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
+WHERE g.doc_id NOT IN (SELECT doc_id FROM ehit)
+ORDER BY g.doc_id
+"""
+    # WITHIN a query ring: every vertex inside (ray-cast vs the constant
+    # ring) and no shape edge properly crossing a ring edge
+    _qr = _SHAPE_QRING
+    _nq = len(_qr)
+    _pnp_terms = " + ".join(
+        f"(CASE WHEN (({_qr[i][0]!r} > y) <> ({_qr[(i + 1) % _nq][0]!r} > y))"
+        f" AND (x < ({_qr[(i + 1) % _nq][1]!r} - {_qr[i][1]!r}) * (y - {_qr[i][0]!r})"
+        f" / ({_qr[(i + 1) % _nq][0]!r} - {_qr[i][0]!r}) + {_qr[i][1]!r}) THEN 1 ELSE 0 END)"
+        for i in range(_nq)
+    )
+
+    def _shp_seg_seg(qy1, qx1, qy2, qx2):
+        def cr(ax, ay, bx, by, px, py):
+            return f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
+
+        d1 = cr(repr(qx1), repr(qy1), repr(qx2), repr(qy2), "x1", "y1")
+        d2 = cr(repr(qx1), repr(qy1), repr(qx2), repr(qy2), "x2", "y2")
+        d3 = cr("x1", "y1", "x2", "y2", repr(qx1), repr(qy1))
+        d4 = cr("x1", "y1", "x2", "y2", repr(qx2), repr(qy2))
+        return (
+            f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+            f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+        )
+
+    _cross_any = " OR ".join(
+        _shp_seg_seg(
+            _qr[i][0], _qr[i][1], _qr[(i + 1) % _nq][0], _qr[(i + 1) % _nq][1]
+        )
+        for i in range(_nq)
+    )
+    o["shape_polygon_within"] = f"""
+WITH {_shape_base},
+allin AS (
+  SELECT doc_id FROM verts
+  GROUP BY doc_id
+  HAVING bool_and(({_pnp_terms}) % 2 = 1)
+),
+xing AS (SELECT DISTINCT doc_id FROM edges WHERE {_cross_any})
+SELECT g.doc_id, g.kind FROM g
+JOIN allin USING (doc_id)
+WHERE g.doc_id NOT IN (SELECT doc_id FROM xing)
+ORDER BY g.doc_id
+"""
     _knn_qlen = _qlen("dl.len")
     o["knn_classify"] = (
         _BASE.format(qlen=_knn_qlen)
