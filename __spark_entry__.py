@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["feature_saturation"] = _pq_feature_saturation
     q["distance_feature_recency"] = _pq_distance_feature
     q["synonym_index_search"] = _pq_synonym_search
+    q["phonetic_search"] = _pq_phonetic_search
     q["shingle_bigram_search"] = _pq_shingle_search
     q["multi_field_dismax"] = _pq_multi_field
     q["dv_update_feature"] = _pq_dv_update
@@ -451,6 +452,35 @@ def _pq_synonym_search(spark, sf_dir):
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     # parse with the plain analyzer: the expansion happened at index time
     hits = s.search(parse("tbl OR quick"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_phonetic_search(spark, sf_dir):
+    """PhoneticFilter(Soundex, inject=true) index (reference analysis/
+    phonetic/.../PhoneticFilter.java): every token also indexes its
+    4-char Soundex code as a posIncr==0 stacked token. Searching the
+    CODE T140 finds every same-sounding spelling (table/tabel/...), BM25
+    fed by overlap-discounted norms while sumTotalTermFreq counts the
+    stacked codes."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_ph_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        analyzer="standard+phonetic",
+    )
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(Q.TermQuery("text", "T140"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -3436,6 +3466,55 @@ SELECT doc_id, round(score, 4) AS score_r
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     )
+    # PhoneticFilter(Soundex, inject) index search: the commons-codec
+    # US_ENGLISH Soundex re-derived in DuckDB string algebra (uppercase
+    # letter strip, H/W deletion after the first letter so duplicates
+    # fuse across them, code translate, run collapse via 7 chained
+    # digit-specific regexp_replace — RE2 has no backrefs — first-code
+    # drop, zero strip, pad). Every encodable token injects one stacked
+    # code: tl = len + injected, norms stay on the primary count nl.
+    _ph_collapse = (
+        "translate(substr(up,1,1) || "
+        "replace(replace(substr(up,2),'H',''),'W',''),"
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    )
+    for _d in "0123456":
+        _ph_collapse = (
+            "regexp_replace(" + _ph_collapse
+            + ", '" + _d + "{2,}', '" + _d + "', 'g')"
+        )
+    ph_qlen = _qlen("tot.nl")
+    o["phonetic_search"] = f"""
+WITH tok AS ({_TOK}),
+enc AS (
+  SELECT doc_id, term, regexp_replace(upper(term), '[^A-Z]', '', 'g') AS up
+  FROM tok
+),
+code AS (
+  SELECT doc_id,
+         substr(up, 1, 1) ||
+         substr(replace(substr({_ph_collapse}, 2), '0', '') || '000', 1, 3) AS code
+  FROM enc WHERE up <> ''
+),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+extra AS (SELECT doc_id, count(*) AS x FROM code GROUP BY doc_id),
+tot AS (SELECT dl.doc_id, dl.len + coalesce(extra.x, 0) AS tl, dl.len AS nl
+        FROM dl LEFT JOIN extra ON extra.doc_id = dl.doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(tl) AS sum_ttf FROM tot WHERE tl > 0),
+inv AS (
+  SELECT tot.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({ph_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM tot, stats
+),
+tf AS (SELECT doc_id, count(*) AS freq FROM code WHERE code = 'T140' GROUP BY doc_id),
+w AS (
+  SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+  FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM code WHERE code = 'T140') n
+)
+SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
+FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + tf.freq * inv.norm_inv)) DESC, tf.doc_id ASC LIMIT {K}
+"""
     # HighFreqTerms: top-10 by docFreq, ties term asc
     o["high_freq_terms"] = f"""
 WITH tok AS ({_TOK})

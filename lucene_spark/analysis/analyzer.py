@@ -27,6 +27,7 @@ from dataclasses import dataclass, replace
 import pandas as pd
 
 from .icu import nfkc_cf
+from .phonetic import soundex as _soundex
 from .tokenizer import MAX_TOKEN_LENGTH, Token, tokenize
 
 # Java Character.toLowerCase uses the *simple* per-codepoint mapping; Python
@@ -243,6 +244,13 @@ class Analyzer:
     # would never deliver the delimiter (the reference carries the same
     # caveat in its class doc).
     payload_delimiter: str = ""
+    # PhoneticFilter analogue (reference analysis/phonetic/.../
+    # PhoneticFilter.java with the Soundex encoder): "inject" emits the
+    # 4-char Soundex code STACKED at the token's position (posIncr == 0,
+    # inject=true — the reference default), "replace" substitutes it
+    # (inject=false). Unencodable tokens (no A-Z letters) pass through.
+    # Applied post-stem, where the reference chain usually places it.
+    phonetic: str = ""
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -287,9 +295,15 @@ class Analyzer:
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
+            code = _soundex(term) if self.phonetic else None
+            if self.phonetic == "replace" and code is not None:
+                term = code
             pos += incr + acc
             acc = 0
             out.append(Token(term, pos, start, end, payload))
+            if self.phonetic == "inject" and code is not None and code != term:
+                # stacked phonetic token (PhoneticFilter.java inject=true)
+                out.append(Token(code, pos, start, end))
             if syn is not None:
                 for alt in syn.get(term, ()):
                     # stacked token: same position (posIncr == 0)
@@ -363,9 +377,14 @@ class Analyzer:
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
+            code = _soundex(term) if self.phonetic else None
+            if self.phonetic == "replace" and code is not None:
+                term = code
             terms.append(term)
             if incr:  # posIncr==0 stacked tokens don't count into the norm
                 norm_count += 1
+            if self.phonetic == "inject" and code is not None and code != term:
+                terms.append(code)  # stacked: counts into length, not norm
             if syn is not None:
                 for alt in syn.get(term, ()):
                     terms.append(alt)
@@ -403,11 +422,18 @@ class Analyzer:
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
+            code = _soundex(term) if self.phonetic else None
+            if self.phonetic == "replace" and code is not None:
+                term = code
             pos += incr + acc
             acc = 0
             hit = out.get(term)
             if hit is not None:
                 hit.append(pos)
+            if self.phonetic == "inject" and code is not None and code != term:
+                hit = out.get(code)
+                if hit is not None:
+                    hit.append(pos)  # stacked: same position
             if syn is not None:
                 for alt in syn.get(term, ()):
                     hit = out.get(alt)
@@ -469,6 +495,9 @@ def analyzer_for(name) -> Analyzer:
         NFKC + case fold + default-ignorable strip)
       - ``+dpayload`` — DelimitedPayloadTokenFilter ('|' + float encoder);
         use with the ``whitespace`` base
+      - ``+phonetic`` — PhoneticFilter with the Soundex encoder,
+        inject=true (code stacked at the token's position);
+        ``+phonetic:replace`` substitutes the code instead
 
     e.g. ``"standard+folding+syn:fast=quick|rapid"``. An ``Analyzer``
     instance passes through unchanged (for programmatic chains; note a
@@ -518,6 +547,12 @@ def analyzer_for(name) -> Analyzer:
             # delimiter and float encoding; pair with the whitespace base
             # (the UAX#29 scanner splits on '|' and would eat the payload)
             a = replace(a, payload_delimiter="|")
+        elif mod == "phonetic":
+            # PhoneticFilter(Soundex, inject=true): stacked codes
+            a = replace(a, phonetic="inject")
+        elif mod == "phonetic:replace":
+            # inject=false: the code replaces the token
+            a = replace(a, phonetic="replace")
         else:
             raise KeyError(f"unknown analyzer modifier {mod!r} in {name!r}")
     _ANALYZER_CACHE[name] = a

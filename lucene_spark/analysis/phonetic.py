@@ -1,0 +1,46 @@
+"""Soundex encoder — the PhoneticFilter's default-style encoder
+(reference analysis/phonetic/src/java/org/apache/lucene/analysis/
+phonetic/PhoneticFilter.java delegates to commons-codec; this module
+re-derives the commons-codec US_ENGLISH Soundex semantics from the
+published algorithm so no third-party dependency is needed):
+
+- letters only, uppercased; the first letter is kept verbatim
+- H and W are skipped entirely WITHOUT breaking duplicate adjacency
+  (the commons-codec specialCaseHW rule: 'Ashcraft' -> A261, not A226)
+- vowels (code 0) emit nothing but DO break duplicate adjacency
+- consecutive identical codes collapse (including against the first
+  letter's own code: 'Pfister' -> P236)
+- padded/truncated to 4 chars (letter + 3 digits)
+
+Deviation (documented): commons-codec throws on non-ASCII letters; this
+encoder strips every non-A-Z character first and returns ``None`` when
+nothing is left — the filter then passes the token through unencoded,
+the right behavior for a mixed-script web corpus.
+"""
+
+from __future__ import annotations
+
+# A..Z -> code characters ('0' = vowel/silent), the commons-codec
+# US_ENGLISH_MAPPING_STRING
+_MAPPING = "01230120022455012623010202"
+_CODE = {chr(ord("A") + i): _MAPPING[i] for i in range(26)}
+
+
+def soundex(term: str) -> str | None:
+    """4-char Soundex code of ``term``, or None if it has no A-Z letters
+    after upper-casing (pass the token through unencoded then)."""
+    letters = [c for c in term.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return None
+    out = [letters[0]]
+    last = _CODE[letters[0]]
+    for ch in letters[1:]:
+        if ch in ("H", "W"):
+            continue  # skipped entirely; last stays (duplicates fuse)
+        code = _CODE[ch]
+        if code != "0" and code != last and len(out) < 4:
+            out.append(code)
+        last = code
+        if len(out) == 4:
+            break
+    return "".join(out) + "0" * (4 - len(out))

@@ -1,0 +1,143 @@
+"""PhoneticFilter + Soundex (reference analysis/phonetic/.../
+PhoneticFilter.java with the commons-codec US_ENGLISH Soundex): encoder
+golden vectors, stacked-token stream semantics, norm discount, and
+engine == brute-force search parity through a phonetic index."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.phonetic import soundex
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search import query as Q
+
+from oracle import BruteForceIndex
+
+PH = "standard+phonetic"
+
+
+# ---------------------------------------------------------------- encoder
+
+@pytest.mark.parametrize(
+    "term,code",
+    [
+        # commons-codec documented vectors (SoundexTest.java examples)
+        ("Robert", "R163"),
+        ("Rupert", "R163"),
+        ("Ashcraft", "A261"),   # the specialCaseHW rule (classic gives A226)
+        ("Ashcroft", "A261"),
+        ("Tymczak", "T522"),
+        ("Pfister", "P236"),    # first-letter code suppresses the F
+        ("Washington", "W252"),
+        ("Jackson", "J250"),
+        ("gauss", "G200"),
+        ("ghosh", "G200"),
+        ("hilbert", "H416"),
+        ("heilbronn", "H416"),
+        ("lee", "L000"),
+        ("a", "A000"),
+        ("table", "T140"),
+        ("tabel", "T140"),      # the misspelling lands on the same code
+    ],
+)
+def test_soundex_golden_vectors(term, code):
+    assert soundex(term) == code
+    assert soundex(term.lower()) == code  # case-blind
+
+
+def test_soundex_strips_non_letters_and_passes_through():
+    assert soundex("o'brien") == soundex("obrien") == "O165"
+    assert soundex("x123y") == soundex("xy")
+    assert soundex("12345") is None   # nothing encodable: pass through
+    assert soundex("日本語") is None  # non-ASCII letters stripped (documented)
+
+
+# ----------------------------------------------------------------- stream
+
+def test_phonetic_tokens_are_stacked():
+    an = analyzer_for(PH)
+    toks = an.tokens("table scan")
+    assert [(t.term, t.position) for t in toks] == [
+        ("table", 0), ("T140", 0),
+        ("scan", 1), ("S500", 1),
+    ]
+    terms, norm_cnt = an.invert("table scan")
+    assert terms == ["table", "T140", "scan", "S500"]
+    assert norm_cnt == 2  # stacked codes are posIncr==0 overlaps
+
+
+def test_phonetic_replace_mode():
+    an = analyzer_for("standard+phonetic:replace")
+    assert an.terms("table scan") == ["T140", "S500"]
+    terms, norm_cnt = an.invert("table scan")
+    assert terms == ["T140", "S500"] and norm_cnt == 2
+
+
+def test_phonetic_positions_for_phrase_verify():
+    an = analyzer_for(PH)
+    pos = an.term_positions("table merge scan", {"T140", "merge", "S500"})
+    assert pos == {"T140": [0], "merge": [1], "S500": [2]}
+
+
+def test_unencodable_token_passes_through():
+    an = analyzer_for("whitespace+phonetic")
+    # pure digits: no code injected, token kept
+    assert an.terms("42 table") == ["42", "table", "T140"]
+
+
+# --------------------------------------------------- end-to-end index build
+
+@pytest.fixture(scope="module")
+def ph_index(spark, corpus, tmp_path_factory):
+    from lucene_spark.index import IndexReader, build_index
+
+    sub = corpus.head(80)
+    pages = spark.createDataFrame(sub[["url", "text", "lang"]])
+    root = str(tmp_path_factory.mktemp("ph_idx"))
+    build_index(
+        spark, pages, root,
+        num_segments=2, num_buckets=2,
+        analyzer=PH, positions=True, stored_cols=("lang", "text"),
+    )
+    return IndexReader(spark, root), sub
+
+
+def test_phonetic_index_engine_matches_oracle(ph_index):
+    """Searching a Soundex code finds every same-sounding spelling with
+    BM25 fed by overlap-discounted norms, on both physical paths."""
+    reader, sub = ph_index
+    searcher = IndexSearcher(reader)
+    oracle = BruteForceIndex(sub, analyzer=PH)
+    for q in (
+        Q.TermQuery("text", "T140"),
+        Q.BooleanQuery.build(
+            ("SHOULD", Q.TermQuery("text", "T140")),
+            ("SHOULD", Q.TermQuery("text", "merge")),
+        ),
+    ):
+        want = oracle.topk(q, 10)
+        assert want  # non-degenerate
+        for mode in ("exhaustive", "maxscore"):
+            rows = searcher.search(q, k=10, mode=mode).select("url", "score").collect()
+            got = [(r["url"], float(r["score"])) for r in rows]
+            assert [u for u, _ in got] == [u for u, _ in want], mode
+            for (gu, gs), (_, ws) in zip(got, want):
+                assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), gu
+
+
+def test_phonetic_norm_discount(ph_index):
+    from lucene_spark.functions.smallfloat import int_to_byte4_np
+
+    reader, sub = ph_index
+    an = analyzer_for(PH)
+    rows = reader.docs(["url", "norm", "length"]).collect()
+    by_url = {r["url"]: (r["norm"], r["length"]) for r in rows}
+    discounted = 0
+    for _, row in sub.iterrows():
+        terms, norm_cnt = an.invert(row["text"])
+        norm, length = by_url[row["url"]]
+        assert length == len(terms)
+        assert norm == int(int_to_byte4_np(np.array([norm_cnt]))[0])
+        if len(terms) != norm_cnt:
+            discounted += 1
+    assert discounted > 0
