@@ -251,6 +251,13 @@ class Analyzer:
     # (inject=false). Unencodable tokens (no A-Z letters) pass through.
     # Applied post-stem, where the reference chain usually places it.
     phonetic: str = ""
+    # ReverseStringFilter (reference analysis/common/.../reverse/
+    # ReverseStringFilter.java): reverse each term's codepoints. Indexing
+    # a parallel reversed field turns a LEADING wildcard (*suffix) into a
+    # pushed PREFIX scan of the reversed dictionary — the Solr
+    # ReversedWildcardFilter trick, the difference between a full
+    # dictionary scan and a row-group-pruned prefix read at 100 TB vocab.
+    reverse_terms: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -295,6 +302,8 @@ class Analyzer:
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
+            if self.reverse_terms:
+                term = term[::-1]
             code = _soundex(term) if self.phonetic else None
             if self.phonetic == "replace" and code is not None:
                 term = code
@@ -377,6 +386,8 @@ class Analyzer:
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
+            if self.reverse_terms:
+                term = term[::-1]
             code = _soundex(term) if self.phonetic else None
             if self.phonetic == "replace" and code is not None:
                 term = code
@@ -422,6 +433,8 @@ class Analyzer:
                 continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
+            if self.reverse_terms:
+                term = term[::-1]
             code = _soundex(term) if self.phonetic else None
             if self.phonetic == "replace" and code is not None:
                 term = code
@@ -495,6 +508,9 @@ def analyzer_for(name) -> Analyzer:
         NFKC + case fold + default-ignorable strip)
       - ``+dpayload`` — DelimitedPayloadTokenFilter ('|' + float encoder);
         use with the ``whitespace`` base
+      - ``+reverse`` — ReverseStringFilter (reversed terms; index a
+        parallel reversed field to serve leading wildcards as pushed
+        prefix scans)
       - ``+phonetic`` — PhoneticFilter with the Soundex encoder,
         inject=true (code stacked at the token's position);
         ``+phonetic:replace`` substitutes the code instead
@@ -547,6 +563,9 @@ def analyzer_for(name) -> Analyzer:
             # delimiter and float encoding; pair with the whitespace base
             # (the UAX#29 scanner splits on '|' and would eat the payload)
             a = replace(a, payload_delimiter="|")
+        elif mod == "reverse":
+            # ReverseStringFilter: reversed terms (leading-wildcard field)
+            a = replace(a, reverse_terms=True)
         elif mod == "phonetic":
             # PhoneticFilter(Soundex, inject=true): stacked codes
             a = replace(a, phonetic="inject")

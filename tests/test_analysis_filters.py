@@ -246,3 +246,47 @@ def test_dv_guard_rejects_per_field_internals(spark, tmp_path_factory, corpus):
             spark, root,
             spark.createDataFrame([("u", 3)], "url string, length_head long"),
         )
+
+
+# ------------------------------------------------- ReverseStringFilter
+
+def test_reverse_filter_tokens():
+    """ReverseStringFilter (reference analysis/common/.../reverse/
+    ReverseStringFilter.java): terms reversed per codepoint, applied
+    post-stem so english+reverse reverses the stemmed form."""
+    assert analyzer_for("standard+reverse").terms("Table merge") == [
+        "elbat", "egrem"
+    ]
+    assert analyzer_for("english+reverse").terms("tables") == ["lbat"]
+
+
+def test_reversed_field_serves_leading_wildcard(spark, corpus, tmp_path_factory):
+    """The ReversedWildcardFilter pattern: a parallel reversed field turns
+    a LEADING wildcard (*ble) into a pushed PREFIX scan (elb*) of the
+    reversed dictionary — same match set, no full dictionary regex scan."""
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.search.query import _pattern_sql
+
+    sub = corpus.head(60)
+    pages = spark.createDataFrame(sub[["url", "text", "lang"]])
+    root = str(tmp_path_factory.mktemp("rev_idx"))
+    build_index(
+        spark, pages, root, num_segments=2, num_buckets=2,
+        text_fields={"rtext": ("text", "standard+reverse")},
+    )
+    reader = IndexReader(spark, root)
+    searcher = IndexSearcher(reader)
+    # leading wildcard on the normal field (full-dict regex scan)
+    slow = searcher.search(
+        Q.rewrite(Q.WildcardQuery("text", "*ble"), reader), k=500
+    )
+    # prefix scan on the reversed field (pushed startswith)
+    fast = searcher.search(
+        Q.rewrite(Q.PrefixQuery("rtext", "elb"), reader), k=500
+    )
+    slow_urls = {r["url"] for r in slow.select("url").collect()}
+    fast_urls = {r["url"] for r in fast.select("url").collect()}
+    assert slow_urls and slow_urls == fast_urls
+    # the reversed plan is a sargable prefix, not a regex
+    assert _pattern_sql(Q.PrefixQuery("rtext", "elb")).startswith("startswith")
+    assert "RLIKE" in _pattern_sql(Q.WildcardQuery("text", "*ble"))

@@ -141,3 +141,13 @@ def test_phonetic_norm_discount(ph_index):
         if len(terms) != norm_cnt:
             discounted += 1
     assert discounted > 0
+
+
+def test_parser_groups_phonetic_stack_into_synonym_query():
+    """Query-time PhoneticFilter: the parser's same-position grouping
+    (QueryBuilder.analyzeGraphBoolean) turns the stacked code into a
+    SynonymQuery — a misspelling matches its sound-alikes."""
+    from lucene_spark.search import parse
+
+    q = parse("tabel", analyzer=PH)
+    assert q == Q.SynonymQuery("text", ("tabel", "T140"))
