@@ -62,6 +62,17 @@ def main():
     )
     s.search(q, k=10, mode="exhaustive").explain("formatted")
 
+    print("=" * 70, "\nshape box INTERSECTS plan (PLANS.md §14, pushed bbox):")
+    from lucene_spark.search.shapes import Box, ShapeIndex, synthetic_shapes
+
+    sroot = root + "_shapes"
+    ShapeIndex.build(
+        spark, synthetic_shapes(docs.select("doc_id")), sroot, num_files=4
+    )
+    ShapeIndex(spark, sroot).box_query(
+        "INTERSECTS", Box(10.1, 30.3, -40.7, -10.9)
+    ).explain("formatted")
+
 
 if __name__ == "__main__":
     main()
