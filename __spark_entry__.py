@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
     q["suggest_infix"] = _pq_suggest_infix
+    q["suggest_blended_infix"] = _pq_suggest_blended_infix
     q["suggest_freetext"] = _pq_suggest_freetext
     q["dv_stats_length"] = _pq_dv_stats
     q["pk_split_search"] = _pq_pk_split
@@ -2270,6 +2271,23 @@ def _pq_suggest_infix(spark, sf_dir):
     return infix_complete_frame(reader, "er", k=5)
 
 
+def _pq_suggest_blended_infix(spark, sf_dir):
+    """BlendedInfixSuggester (reference suggest/analyzing/
+    BlendedInfixSuggester.java): stored docs are the suggestion entries,
+    weight = char length, blended POSITION_RECIPROCAL — score =
+    weight / (1 + first matching token position) for fragment 'tab'."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search.suggest import blended_infix_frame
+
+    reader = _get_index(spark, sf_dir)
+    out = blended_infix_frame(reader, "tab", k=K, blender="reciprocal")
+    return out.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.col("p").cast("long").alias("p"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_suggest_freetext(spark, sf_dir):
     """FreeTextSuggester: stupid-backoff n-gram language-model suggestions
     for the partial input 'merge s' (bigram model). The indexed
@@ -3994,6 +4012,24 @@ GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5
 WITH tok AS ({_TOK})
 SELECT term, count(*) AS weight FROM tok WHERE term LIKE '%er%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5
+"""
+    # BlendedInfixSuggester POSITION_RECIPROCAL over stored docs: score =
+    # length(text) / (1 + p) with p the 0-based position of the first
+    # token starting with 'tab' (list_position is 1-based, 0 = no match)
+    o["suggest_blended_infix"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_position(list_transform(string_split(text, ' '),
+                                      x -> starts_with(x, 'tab')), true) AS pos1
+  FROM documents
+),
+m AS (
+  SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS p,
+         length(text) * (1.0 / (1.0 + (pos1 - 1))) AS score
+  FROM t WHERE pos1 > 0
+)
+SELECT doc_id, p, round(score, 4) AS score_r
+FROM m ORDER BY score DESC, doc_id ASC LIMIT {K}
 """
     # FreeTextSuggester stupid-backoff lookup for key 'merge s', grams=2,
     # num=10: bigram level scores (1.0*cnt)/count('merge'); unigram level

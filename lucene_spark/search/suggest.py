@@ -160,3 +160,59 @@ def infix_complete_frame(
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(k)
     )
+
+
+def blended_infix_frame(
+    reader: IndexReader,
+    fragment: str,
+    k: int = 5,
+    blender: str = "linear",
+    exponent: float = 2.0,
+    field: str = "text",
+    weight_col: str | None = None,
+) -> "DataFrame":
+    """BlendedInfixSuggester analogue (reference suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/BlendedInfixSuggester.java):
+    suggestion entries are the index's STORED documents (the reference's
+    suggester is itself a small Lucene index of suggestion texts — here
+    the docs table plays that role); each entry's weight is blended by
+    the position of the FIRST token matching the typed prefix
+    (createCoefficient :319-347 finds the closest matching token's first
+    position; calculateCoefficient :357-381):
+
+      - ``linear``:      weight * (1 - 0.10 * position)
+      - ``reciprocal``:  weight / (1 + position)
+      - ``exponential``: weight / (1 + position) ** exponent
+
+    ``weight_col`` defaults to the suggestion text's char length (the
+    reference stores caller-supplied weights; pass a stored column to use
+    one). Token positions come from a whitespace split of the stored
+    text — the suggester's own analyzer seam; the engine's corpora are
+    pre-normalized, and a custom analyzer plugs in by storing an
+    analyzed column. The whole lookup is one column-pruned scan of the
+    docs table + TakeOrderedAndProject: k rows reach the driver, no
+    shuffle, no UDF."""
+    esc = fragment.replace("\\", "\\\\").replace("'", "''")
+    w = weight_col or f"length({field})"
+    pos1 = (
+        f"array_position(transform(split({field}, ' '), "
+        f"t -> startswith(t, '{esc}')), true)"
+    )
+    if blender == "linear":
+        coeff = "(1.0 - 0.10 * p)"
+    elif blender == "reciprocal":
+        coeff = "(1.0 / (1.0 + p))"
+    elif blender == "exponential":
+        coeff = f"(1.0 / power(1.0 + p, {float(exponent)!r}))"
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    docs = reader.docs(["url", field])
+    return (
+        docs.withColumn("p", F.expr(pos1) - F.lit(1))
+        .filter(F.col("p") >= 0)
+        .withColumn("weight", F.expr(w).cast("double"))
+        .withColumn("score", F.expr(f"weight * {coeff}"))
+        .select("url", field, "p", "score")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )

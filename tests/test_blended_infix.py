@@ -1,0 +1,59 @@
+"""BlendedInfixSuggester analogue vs a pandas re-derivation (reference
+suggest/analyzing/BlendedInfixSuggester.java: position-blended weights,
+coefficient from the first matching token's position)."""
+
+import pytest
+
+from lucene_spark.search.suggest import blended_infix_frame
+
+
+def _expected(corpus, fragment, blender, k=5, exponent=2.0):
+    rows = []
+    for _, r in corpus.iterrows():
+        toks = r["text"].split(" ") if r["text"] else []
+        p = next((i for i, t in enumerate(toks) if t.startswith(fragment)), None)
+        if p is None:
+            continue
+        w = float(len(r["text"]))
+        if blender == "linear":
+            c = 1.0 - 0.10 * p
+        elif blender == "reciprocal":
+            c = 1.0 / (1.0 + p)
+        else:
+            c = 1.0 / (1.0 + p) ** exponent
+        rows.append((r["url"], p, w * c))
+    rows.sort(key=lambda x: (-x[2], x[0]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("blender", ["linear", "reciprocal", "exponential"])
+def test_blended_infix_matches_pandas(reader, corpus, blender):
+    got = [
+        (r["url"], int(r["p"]), float(r["score"]))
+        for r in blended_infix_frame(reader, "tab", k=5, blender=blender).collect()
+    ]
+    want = _expected(corpus, "tab", blender)
+    assert [(u, p) for u, p, _ in got] == [(u, p) for u, p, _ in want]
+    assert [s for _, _, s in got] == pytest.approx([s for _, _, s in want], rel=1e-12)
+
+
+def test_blended_order_differs_from_unblended(reader, corpus):
+    """Position genuinely reorders: the linear blend must disagree with
+    pure-weight order somewhere in the corpus (guards a no-op blend)."""
+    blended = _expected(corpus, "tab", "linear", k=200)
+    pure = sorted(
+        ((u, p, float(len(corpus.set_index('url').loc[u, 'text']))) for u, p, _ in blended),
+        key=lambda x: (-x[2], x[0]),
+    )
+    assert [u for u, _, _ in blended] != [u for u, _, _ in pure]
+
+
+def test_blended_plan_is_ordered_take(reader):
+    df = blended_infix_frame(reader, "tab", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_blended_rejects_unknown_blender(reader):
+    with pytest.raises(ValueError):
+        blended_infix_frame(reader, "tab", blender="nope")
