@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shape_box_intersects"] = _pq_shape_box_intersects
     q["shape_box_contains"] = _pq_shape_box_contains
     q["shape_polygon_within"] = _pq_shape_polygon_within
+    q["shape_distance_intersects"] = _pq_shape_distance
     q["geo_polygon"] = _pq_geo_polygon
     q["geo_distance_topk"] = _pq_geo_distance_topk
     q["geo_distance_feature"] = _pq_geo_distance_feature
@@ -1901,6 +1902,18 @@ def _pq_shape_polygon_within(spark, sf_dir):
     query ring and no shape edge properly crossing a ring edge."""
     idx = _shape_index(spark, sf_dir)
     out = idx.polygon_query("WITHIN", _SHAPE_QRING)
+    return out.select(F.col("id").alias("doc_id"), "kind").orderBy("doc_id")
+
+
+_SHAPE_CIRCLE = (22.3, -55.7, 2_345_000.0)
+
+
+def _pq_shape_distance(spark, sf_dir):
+    """LatLonShape.newDistanceQuery INTERSECTS: haversine vertex checks,
+    closest-point-of-edge re-checks, and the center-in-ring ray cast."""
+    idx = _shape_index(spark, sf_dir)
+    clat, clon, r = _SHAPE_CIRCLE
+    out = idx.distance_query("INTERSECTS", clat, clon, r)
     return out.select(F.col("id").alias("doc_id"), "kind").orderBy("doc_id")
 
 
@@ -4758,6 +4771,37 @@ SELECT g.doc_id, g.kind FROM g
 JOIN allin USING (doc_id)
 WHERE g.doc_id NOT IN (SELECT doc_id FROM xing)
 ORDER BY g.doc_id
+"""
+    # LatLonShape distance query (Circle INTERSECTS): vertex haversine,
+    # closest-point-of-edge haversine (planar-in-degrees projection with
+    # the engine's exact formula text), center-in-ring parity
+    from lucene_spark.search.geo import haversin_sql as _shav
+
+    _cy, _cx, _cr = _SHAPE_CIRCLE
+    _vhav = _shav(_cy, _cx, "y", "x")
+    _ed2 = "((y2 - y1) * (y2 - y1) + (x2 - x1) * (x2 - x1))"
+    _et = (
+        f"(CASE WHEN {_ed2} = 0 THEN 0.0 ELSE greatest(0.0, least(1.0, "
+        f"(({_cy!r} - y1) * (y2 - y1) + ({_cx!r} - x1) * (x2 - x1))"
+        f" / {_ed2})) END)"
+    )
+    _phav = _shav(_cy, _cx, "py", "px")
+    o["shape_distance_intersects"] = f"""
+WITH {_shape_base},
+vnear AS (SELECT DISTINCT doc_id FROM verts WHERE {_vhav} <= {_cr!r}),
+cp AS (
+  SELECT doc_id,
+         y1 + {_et} * (y2 - y1) AS py,
+         x1 + {_et} * (x2 - x1) AS px
+  FROM edges
+),
+enear AS (SELECT DISTINCT doc_id FROM cp WHERE {_phav} <= {_cr!r}),
+cin AS (
+  SELECT doc_id FROM edges WHERE kind = 'polygon'
+  GROUP BY doc_id HAVING {_shp_corner_parity(_cy, _cx)}
+),
+hits AS (SELECT doc_id FROM vnear UNION SELECT doc_id FROM enear UNION SELECT doc_id FROM cin)
+SELECT g.doc_id, g.kind FROM g JOIN hits USING (doc_id) ORDER BY g.doc_id
 """
     _knn_qlen = _qlen("dl.len")
     o["knn_classify"] = (

@@ -335,7 +335,66 @@ class ShapeIndex:
             & F.expr(f"({corners}) AND NOT ({edge_hit})")
         )
 
-    # ------------------------------------------------------------ polygon
+    # ------------------------------------------------------------ distance
+
+    def distance_query(
+        self, relation: str, lat: float, lon: float, radius_m: float
+    ) -> DataFrame:
+        """LatLonShape.newDistanceQuery (Circle geometry; reference
+        document/LatLonShape.java newDistanceQuery -> LatLonShapeQuery
+        over geo/Circle2D). Relations: INTERSECTS / WITHIN / DISJOINT.
+
+        Distances are haversine meters (the same rendered SQL the geo
+        pack and the DuckDB oracles share). Edge proximity uses the
+        closest point of the edge in (lat, lon) degree space, then the
+        haversine from the center to that point — exact for the engine's
+        planar-in-degrees shape definition; vs the reference's encoded
+        Circle2D this is the documented small-circle approximation (the
+        reference's own edges are planar in encoded space). WITHIN tests
+        every vertex (exact wherever the degree-space ball is convex over
+        the shape's extent, i.e. away from the poles — documented)."""
+        from .geo import bounding_box, haversin_sql
+
+        if relation not in ("INTERSECTS", "WITHIN", "DISJOINT"):
+            raise ValueError(f"distance_query does not support {relation!r}")
+        r = float(radius_m)
+        vdist = haversin_sql(lat, lon, "v.lat", "v.lon")
+        v_near, all_near = _vertex_pred_sql(f"{vdist} <= {r!r}")
+        # closest point of each edge in degree space, haversine re-check
+        d2 = "((e.y2 - e.y1) * (e.y2 - e.y1) + (e.x2 - e.x1) * (e.x2 - e.x1))"
+        t = (
+            f"(CASE WHEN {d2} = 0 THEN 0.0 ELSE greatest(0.0, least(1.0, "
+            f"(({lat!r} - e.y1) * (e.y2 - e.y1) + ({lon!r} - e.x1) * (e.x2 - e.x1))"
+            f" / {d2})) END)"
+        )
+        closest = (
+            f"transform({_EDGES}, e -> struct("
+            f"e.y1 + {t} * (e.y2 - e.y1) AS py, "
+            f"e.x1 + {t} * (e.x2 - e.x1) AS px))"
+        )
+        edge_near = (
+            f"exists({closest}, c -> "
+            + haversin_sql(lat, lon, "c.py", "c.px")
+            + f" <= {r!r})"
+        )
+        center_in = _const_point_in_ring_sql(lat, lon)
+        intersects = (
+            f"(CASE WHEN kind = 'point' THEN {v_near}"
+            f" WHEN kind = 'line' THEN ({v_near} OR {edge_near})"
+            f" ELSE ({v_near} OR {edge_near} OR {center_in}) END)"
+        )
+        if relation == "DISJOINT":
+            return self._scan().filter(~F.expr(intersects))
+        # prefilter: bbox of the circle (1-2 rectangles near the dateline)
+        rects = bounding_box(lat, lon, r)
+        cand = None
+        for mnla, mxla, mnlo, mxlo in rects:
+            c = self._box_candidates(Box(mnla, mxla, mnlo, mxlo))
+            cand = c if cand is None else cand.unionByName(c)
+        cand = cand.dropDuplicates(["id"])
+        if relation == "WITHIN":
+            return cand.filter(F.expr(all_near))
+        return cand.filter(F.expr(intersects))
 
     def polygon_query(
         self, relation: str, vertices: list[tuple[float, float]]

@@ -249,3 +249,65 @@ def test_generator_stays_in_bounds():
         for la, lo in verts:
             assert -90 < la < 90 and -180 < lo < 180, (d, kind)
     assert math.isfinite(_gen_py(123)[1][0][0])
+
+
+# ------------------------------------------------------------ distance
+
+_R_EARTH = 6371008.7714  # mean earth radius (expressions module constant)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    from math import asin, cos, radians, sin, sqrt
+
+    h = (
+        sin((radians(lat2) - radians(lat1)) / 2) ** 2
+        + cos(radians(lat1)) * cos(radians(lat2))
+        * sin((radians(lon2) - radians(lon1)) / 2) ** 2
+    )
+    return 2.0 * _R_EARTH * asin(sqrt(h))
+
+
+def _edge_near(a, b, c, r):
+    (y1, x1), (y2, x2), (cy, cx) = a, b, c
+    d2 = (y2 - y1) ** 2 + (x2 - x1) ** 2
+    t = 0.0 if d2 == 0 else max(0.0, min(1.0, ((cy - y1) * (y2 - y1) + (cx - x1) * (x2 - x1)) / d2))
+    return _hav(cy, cx, y1 + t * (y2 - y1), x1 + t * (x2 - x1)) <= r
+
+
+def _circle_intersects(kind, verts, center, r):
+    if any(_hav(center[0], center[1], v[0], v[1]) <= r for v in verts):
+        return True
+    if kind == "point":
+        return False
+    if any(_edge_near(a, b, center, r) for a, b in _edges(kind, verts)):
+        return True
+    return kind == "polygon" and _pt_in_poly(center, verts)
+
+
+CIRCLES = [((22.3, -55.7), 2_345_000.0), ((-40.6, 120.2), 900_000.0)]
+
+
+@pytest.mark.parametrize("relation", ["INTERSECTS", "WITHIN", "DISJOINT"])
+def test_distance_relations_match_brute_force(shape_index, shapes_py, relation):
+    for center, r in CIRCLES:
+        got = _ids(shape_index.distance_query(relation, center[0], center[1], r))
+        want = set()
+        for sid, kind, verts in shapes_py:
+            hit = _circle_intersects(kind, verts, center, r)
+            if relation == "INTERSECTS" and hit:
+                want.add(sid)
+            elif relation == "DISJOINT" and not hit:
+                want.add(sid)
+            elif relation == "WITHIN" and all(
+                _hav(center[0], center[1], v[0], v[1]) <= r for v in verts
+            ):
+                want.add(sid)
+        assert got == want, (relation, center, r)
+
+
+def test_distance_relations_nonvacuous(shape_index):
+    (clat, clon), r = CIRCLES[0]
+    total = shape_index._scan().count()
+    for relation in ("INTERSECTS", "WITHIN", "DISJOINT"):
+        n = shape_index.distance_query(relation, clat, clon, r).count()
+        assert 0 < n < total, relation
