@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["distance_feature_recency"] = _pq_distance_feature
     q["synonym_index_search"] = _pq_synonym_search
     q["phonetic_search"] = _pq_phonetic_search
+    q["edgengram_search"] = _pq_edgengram_search
     q["shingle_bigram_search"] = _pq_shingle_search
     q["multi_field_dismax"] = _pq_multi_field
     q["dv_update_feature"] = _pq_dv_update
@@ -483,6 +484,34 @@ def _pq_phonetic_search(spark, sf_dir):
     )
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     hits = s.search(Q.TermQuery("text", "T140"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_edgengram_search(spark, sf_dir):
+    """EdgeNGramTokenFilter index (reference analysis/common/.../ngram/
+    EdgeNGramTokenFilter.java): every token indexes its edge grams of
+    sizes 2..4 stacked at ONE position (search-as-you-type). TermQuery
+    for the typed prefix 'tab' scores with one-position-per-token norms
+    while sumTotalTermFreq counts all grams."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_eg_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        analyzer="standard+edgengram:2-4",
+    )
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(Q.TermQuery("text", "tab"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -3541,6 +3570,41 @@ tf AS (SELECT doc_id, count(*) AS freq FROM code WHERE code = 'T140' GROUP BY do
 w AS (
   SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
   FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM code WHERE code = 'T140') n
+)
+SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
+FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + tf.freq * inv.norm_inv)) DESC, tf.doc_id ASC LIMIT {K}
+"""
+    # EdgeNGram (2..4) index search for the typed prefix 'tab': a token
+    # of length n contributes max(0, min(4, n) - 1) grams to the field
+    # length; the norm counts one position per token of length >= 2;
+    # freq('tab') = tokens of length >= 3 starting with 'tab'
+    eg_qlen = _qlen("tot.nl")
+    o["edgengram_search"] = f"""
+WITH tok AS ({_TOK}),
+pertok AS (
+  SELECT doc_id, term, length(term) AS n FROM tok
+),
+tot AS (
+  SELECT doc_id,
+         sum(CASE WHEN n >= 2 THEN least(4, n) - 1 ELSE 0 END) AS tl,
+         sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS nl
+  FROM pertok GROUP BY doc_id
+),
+stats AS (SELECT count(*) AS doc_count, sum(tl) AS sum_ttf FROM tot WHERE tl > 0),
+inv AS (
+  SELECT tot.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({eg_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM tot, stats
+),
+tf AS (
+  SELECT doc_id, count(*) AS freq FROM pertok
+  WHERE n >= 3 AND starts_with(term, 'tab') GROUP BY doc_id
+),
+w AS (
+  SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+  FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM pertok
+               WHERE n >= 3 AND starts_with(term, 'tab')) n
 )
 SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
 FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w

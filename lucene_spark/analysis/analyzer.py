@@ -258,9 +258,31 @@ class Analyzer:
     # ReversedWildcardFilter trick, the difference between a full
     # dictionary scan and a row-group-pruned prefix read at 100 TB vocab.
     reverse_terms: bool = False
+    # EdgeNGramTokenFilter (reference analysis/common/.../ngram/
+    # EdgeNGramTokenFilter.java): (min, max, preserve_original). Each
+    # token emits edge grams of sizes min..max STACKED at one position
+    # (the first gram takes the accumulated posIncr, the rest posIncr 0 —
+    # incrementToken :113-124); tokens shorter than min are DROPPED with
+    # posIncr accumulation unless preserve_original (:102-107), which
+    # also stacks the original beside the grams of over-max tokens
+    # (:125-131). Search-as-you-type indexing. Incompatible with the
+    # other stacking filters (synonyms/phonetic/shingles) by validation.
+    edge_ngram: tuple = ()
+    # LengthFilter (reference analysis/common/.../miscellaneous/
+    # LengthFilter.java): (min, max) codepoint bounds; out-of-range
+    # tokens drop with posIncr accumulation (FilteringTokenFilter).
+    length_bounds: tuple = ()
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
+        if self.edge_ngram:
+            mn, mx, _pre = self.edge_ngram
+            if mn < 1 or mn > mx:
+                raise ValueError("edge_ngram needs 1 <= min <= max")
+            if self.synonyms or self.phonetic or self.shingle > 1:
+                raise ValueError(
+                    "edge_ngram does not compose with other stacking filters"
+                )
 
     def _split_payload(self, term: str) -> tuple[str, float | None]:
         d = self.payload_delimiter
@@ -300,10 +322,26 @@ class Analyzer:
             if term in self.stopwords:
                 acc += incr  # posIncr accumulates (FilteringTokenFilter.java:49-58)
                 continue
+            if self.length_bounds and not (
+                self.length_bounds[0] <= len(term) <= self.length_bounds[1]
+            ):
+                acc += incr  # LengthFilter: FilteringTokenFilter semantics
+                continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
             if self.reverse_terms:
                 term = term[::-1]
+            if self.edge_ngram:
+                gl = _edge_grams(term, *self.edge_ngram)
+                if not gl:
+                    acc += incr  # short token dropped, posIncr accumulates
+                    continue
+                pos += incr + acc
+                acc = 0
+                out.append(Token(gl[0], pos, start, end, payload))
+                for g in gl[1:]:
+                    out.append(Token(g, pos, start, end))  # stacked grams
+                continue
             code = _soundex(term) if self.phonetic else None
             if self.phonetic == "replace" and code is not None:
                 term = code
@@ -384,10 +422,22 @@ class Analyzer:
                 term = fold_ascii(term)
             if term in self.stopwords:
                 continue
+            if self.length_bounds and not (
+                self.length_bounds[0] <= len(term) <= self.length_bounds[1]
+            ):
+                continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
             if self.reverse_terms:
                 term = term[::-1]
+            if self.edge_ngram:
+                gl = _edge_grams(term, *self.edge_ngram)
+                if not gl:
+                    continue
+                terms.extend(gl)
+                if incr:
+                    norm_count += 1  # grams share ONE position
+                continue
             code = _soundex(term) if self.phonetic else None
             if self.phonetic == "replace" and code is not None:
                 term = code
@@ -431,10 +481,27 @@ class Analyzer:
             if term in self.stopwords:
                 acc += incr
                 continue
+            if self.length_bounds and not (
+                self.length_bounds[0] <= len(term) <= self.length_bounds[1]
+            ):
+                acc += incr
+                continue
             if self.stemmer is not None:
                 term = self.stemmer(term)
             if self.reverse_terms:
                 term = term[::-1]
+            if self.edge_ngram:
+                gl = _edge_grams(term, *self.edge_ngram)
+                if not gl:
+                    acc += incr
+                    continue
+                pos += incr + acc
+                acc = 0
+                for g in gl:
+                    hit = out.get(g)
+                    if hit is not None:
+                        hit.append(pos)  # all grams share the position
+                continue
             code = _soundex(term) if self.phonetic else None
             if self.phonetic == "replace" and code is not None:
                 term = code
@@ -465,6 +532,19 @@ class Analyzer:
                 hit[0].append(t.position)
                 hit[1].append(t.payload)
         return out
+
+
+def _edge_grams(term: str, mn: int, mx: int, preserve: bool) -> list[str]:
+    """EdgeNGramTokenFilter gram list for one token: sizes mn..mx (capped
+    by the token length); short tokens keep the original or drop, over-max
+    tokens optionally stack the original (incrementToken :102-131)."""
+    n = len(term)
+    if n < mn:
+        return [term] if preserve else []
+    gl = [term[:k] for k in range(mn, min(mx, n) + 1)]
+    if preserve and n > mx:
+        gl.append(term)
+    return gl
 
 
 def _porter(term: str) -> str:
@@ -563,6 +643,17 @@ def analyzer_for(name) -> Analyzer:
             # delimiter and float encoding; pair with the whitespace base
             # (the UAX#29 scanner splits on '|' and would eat the payload)
             a = replace(a, payload_delimiter="|")
+        elif mod.startswith("edgengram:"):
+            # EdgeNGramTokenFilter: min-max[,orig keeps out-of-range tokens]
+            spec = mod[10:]
+            pre = spec.endswith(":orig")
+            if pre:
+                spec = spec[:-5]
+            mn, _, mx = spec.partition("-")
+            a = replace(a, edge_ngram=(int(mn), int(mx), pre))
+        elif mod.startswith("length:"):
+            mn, _, mx = mod[7:].partition("-")
+            a = replace(a, length_bounds=(int(mn), int(mx)))
         elif mod == "reverse":
             # ReverseStringFilter: reversed terms (leading-wildcard field)
             a = replace(a, reverse_terms=True)

@@ -290,3 +290,65 @@ def test_reversed_field_serves_leading_wildcard(spark, corpus, tmp_path_factory)
     # the reversed plan is a sargable prefix, not a regex
     assert _pattern_sql(Q.PrefixQuery("rtext", "elb")).startswith("startswith")
     assert "RLIKE" in _pattern_sql(Q.WildcardQuery("text", "*ble"))
+
+
+# --------------------------------------- EdgeNGram / Length filters
+
+def test_edge_ngram_token_stream():
+    """EdgeNGramTokenFilter (reference analysis/common/.../ngram/
+    EdgeNGramTokenFilter.java): grams min..max stacked at ONE position,
+    short tokens dropped with posIncr accumulation, :orig preserves
+    out-of-range tokens."""
+    an = analyzer_for("standard+edgengram:2-4")
+    assert [(t.term, t.position) for t in an.tokens("a table scan")] == [
+        ("ta", 1), ("tab", 1), ("tabl", 1),   # 'a' dropped -> hole at 0
+        ("sc", 2), ("sca", 2), ("scan", 2),
+    ]
+    terms, norm = an.invert("a table scan")
+    assert terms == ["ta", "tab", "tabl", "sc", "sca", "scan"] and norm == 2
+    # preserve_original: short token kept, over-max original stacked
+    assert analyzer_for("standard+edgengram:2-3:orig").terms("a table") == [
+        "a", "ta", "tab", "table"
+    ]
+    pos = an.term_positions("a table scan", {"tab", "scan"})
+    assert pos == {"tab": [1], "scan": [2]}
+
+
+def test_length_filter_drops_with_accumulation():
+    """LengthFilter (reference analysis/common/.../miscellaneous/
+    LengthFilter.java): out-of-range tokens drop, posIncr accumulates."""
+    an = analyzer_for("standard+length:3-5")
+    assert [(t.term, t.position) for t in an.tokens("to scan the tables")] == [
+        ("scan", 1), ("the", 2)
+    ]
+
+
+def test_edge_ngram_rejects_stacking_combos():
+    with pytest.raises(ValueError):
+        analyzer_for("standard+phonetic+edgengram:2-4").tokens
+    with pytest.raises(ValueError):
+        analyzer_for("standard+edgengram:0-4")
+
+
+def test_edge_ngram_index_search_as_you_type(spark, corpus, tmp_path_factory):
+    """Search-as-you-type: a TermQuery for the typed prefix 'tab' over an
+    edge-ngram index matches docs with any token starting 'tab', BM25 fed
+    by one-position-per-token norms — parity vs brute force."""
+    from lucene_spark.index import IndexReader, build_index
+
+    EN = "standard+edgengram:2-4"
+    sub = corpus.head(60)
+    pages = spark.createDataFrame(sub[["url", "text", "lang"]])
+    root = str(tmp_path_factory.mktemp("eg_idx"))
+    build_index(spark, pages, root, num_segments=2, num_buckets=2, analyzer=EN)
+    searcher = IndexSearcher(IndexReader(spark, root))
+    oracle = BruteForceIndex(sub, analyzer=EN)
+    q = Q.TermQuery("text", "tab")
+    want = oracle.topk(q, 10)
+    assert want
+    for mode in ("exhaustive", "maxscore"):
+        rows = searcher.search(q, k=10, mode=mode).select("url", "score").collect()
+        got = [(r["url"], float(r["score"])) for r in rows]
+        assert [u for u, _ in got] == [u for u, _ in want], mode
+        for (gu, gs), (_, ws) in zip(got, want):
+            assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), gu
