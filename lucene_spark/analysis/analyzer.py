@@ -272,17 +272,25 @@ class Analyzer:
     # LengthFilter.java): (min, max) codepoint bounds; out-of-range
     # tokens drop with posIncr accumulation (FilteringTokenFilter).
     length_bounds: tuple = ()
+    # NGramTokenFilter (reference analysis/common/.../ngram/
+    # NGramTokenFilter.java:100-146): ALL grams, ordered by start
+    # position then size, stacked at one position like edge_ngram; the
+    # preserved over-max original comes last. Substring-search indexing.
+    ngram: tuple = ()
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
-        if self.edge_ngram:
-            mn, mx, _pre = self.edge_ngram
-            if mn < 1 or mn > mx:
-                raise ValueError("edge_ngram needs 1 <= min <= max")
-            if self.synonyms or self.phonetic or self.shingle > 1:
-                raise ValueError(
-                    "edge_ngram does not compose with other stacking filters"
-                )
+        if self.edge_ngram and self.ngram:
+            raise ValueError("edge_ngram and ngram are mutually exclusive")
+        for spec in (self.edge_ngram, self.ngram):
+            if spec:
+                mn, mx, _pre = spec
+                if mn < 1 or mn > mx:
+                    raise ValueError("ngram filters need 1 <= min <= max")
+                if self.synonyms or self.phonetic or self.shingle > 1:
+                    raise ValueError(
+                        "ngram filters do not compose with other stacking filters"
+                    )
 
     def _split_payload(self, term: str) -> tuple[str, float | None]:
         d = self.payload_delimiter
@@ -291,6 +299,11 @@ class Analyzer:
             if cut >= 0:
                 return term[:cut], float(term[cut + len(d):])
         return term, None
+
+    def _grams(self, term: str) -> list[str]:
+        if self.edge_ngram:
+            return _edge_grams(term, *self.edge_ngram)
+        return _all_grams(term, *self.ngram)
 
     def _raw_stream(self, text: str) -> list[tuple]:
         """(term, start, end, pos_increment) tuples, post-tokenizer and
@@ -331,8 +344,8 @@ class Analyzer:
                 term = self.stemmer(term)
             if self.reverse_terms:
                 term = term[::-1]
-            if self.edge_ngram:
-                gl = _edge_grams(term, *self.edge_ngram)
+            if self.edge_ngram or self.ngram:
+                gl = self._grams(term)
                 if not gl:
                     acc += incr  # short token dropped, posIncr accumulates
                     continue
@@ -430,8 +443,8 @@ class Analyzer:
                 term = self.stemmer(term)
             if self.reverse_terms:
                 term = term[::-1]
-            if self.edge_ngram:
-                gl = _edge_grams(term, *self.edge_ngram)
+            if self.edge_ngram or self.ngram:
+                gl = self._grams(term)
                 if not gl:
                     continue
                 terms.extend(gl)
@@ -490,8 +503,8 @@ class Analyzer:
                 term = self.stemmer(term)
             if self.reverse_terms:
                 term = term[::-1]
-            if self.edge_ngram:
-                gl = _edge_grams(term, *self.edge_ngram)
+            if self.edge_ngram or self.ngram:
+                gl = self._grams(term)
                 if not gl:
                     acc += incr
                     continue
@@ -542,6 +555,23 @@ def _edge_grams(term: str, mn: int, mx: int, preserve: bool) -> list[str]:
     if n < mn:
         return [term] if preserve else []
     gl = [term[:k] for k in range(mn, min(mx, n) + 1)]
+    if preserve and n > mx:
+        gl.append(term)
+    return gl
+
+
+def _all_grams(term: str, mn: int, mx: int, preserve: bool) -> list[str]:
+    """NGramTokenFilter gram list: by start position, then size
+    (incrementToken :100-146); preserved over-max original LAST."""
+    n = len(term)
+    if n < mn:
+        return [term] if preserve else []
+    gl = [
+        term[p : p + k]
+        for p in range(0, n - mn + 1)
+        for k in range(mn, mx + 1)
+        if p + k <= n
+    ]
     if preserve and n > mx:
         gl.append(term)
     return gl
@@ -651,6 +681,13 @@ def analyzer_for(name) -> Analyzer:
                 spec = spec[:-5]
             mn, _, mx = spec.partition("-")
             a = replace(a, edge_ngram=(int(mn), int(mx), pre))
+        elif mod.startswith("ngram:"):
+            spec = mod[6:]
+            pre = spec.endswith(":orig")
+            if pre:
+                spec = spec[:-5]
+            mn, _, mx = spec.partition("-")
+            a = replace(a, ngram=(int(mn), int(mx), pre))
         elif mod.startswith("length:"):
             mn, _, mx = mod[7:].partition("-")
             a = replace(a, length_bounds=(int(mn), int(mx)))

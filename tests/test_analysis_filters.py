@@ -352,3 +352,21 @@ def test_edge_ngram_index_search_as_you_type(spark, corpus, tmp_path_factory):
         assert [u for u, _ in got] == [u for u, _ in want], mode
         for (gu, gs), (_, ws) in zip(got, want):
             assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), gu
+
+
+def test_ngram_token_stream():
+    """NGramTokenFilter (reference analysis/common/.../ngram/
+    NGramTokenFilter.java:100-146): ALL grams by start position then
+    size, stacked at one position; :orig keeps out-of-range tokens, the
+    preserved over-max original coming LAST."""
+    an = analyzer_for("standard+ngram:2-3")
+    assert [(t.term, t.position) for t in an.tokens("abcd x")] == [
+        ("ab", 0), ("abc", 0), ("bc", 0), ("bcd", 0), ("cd", 0)
+    ]
+    terms, norm = an.invert("abcd x")
+    assert terms == ["ab", "abc", "bc", "bcd", "cd"] and norm == 1
+    assert analyzer_for("standard+ngram:2-3:orig").terms("abcd x") == [
+        "ab", "abc", "bc", "bcd", "cd", "abcd", "x"
+    ]
+    with pytest.raises(ValueError):
+        analyzer_for("standard+ngram:2-3+edgengram:2-3").tokens
