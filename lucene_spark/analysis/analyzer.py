@@ -174,6 +174,116 @@ def _cjk_stream(toks, flags: int, unigrams: bool) -> list[tuple]:
     return out
 
 
+# WordDelimiterGraphFilter flag bits (index-time flattened subset)
+WD_CASE, WD_NUM, WD_POSS, WD_CAT, WD_ORIG = 1, 2, 4, 8, 16
+WD_DEFAULT = WD_CASE | WD_NUM | WD_POSS
+
+
+def _wd_parts(term: str, flags: int) -> list[tuple[str, int]]:
+    """Sub-words of one raw token with their char offsets — the
+    WordDelimiterIterator walk (reference analysis/common/.../
+    miscellaneous/WordDelimiterIterator.java next()/isBreak():229-247):
+    non-alphanumerics always delimit; lower->UPPER breaks iff WD_CASE
+    (UPPER->lower never breaks: 'WIFIRouter' stays whole); alpha<->digit
+    breaks iff WD_NUM. Trailing possessive ('s) is stripped per subword
+    when WD_POSS (endsWithPossessive :280-300)."""
+
+    def ctype(ch: str) -> int:
+        if ch.isalpha():
+            return 2 if ch.isupper() else 1  # UPPER / lower-ish alpha
+        if ch.isdigit():
+            return 4
+        return 0  # delimiter
+
+    parts: list[tuple[str, int]] = []
+    i, n = 0, len(term)
+    while i < n:
+        if ctype(term[i]) == 0:
+            i += 1
+            continue
+        start = i
+        last = ctype(term[i])
+        i += 1
+        while i < n:
+            t = ctype(term[i])
+            if t == 0:
+                break
+            brk = False
+            if t != last:
+                if last == 2 and t in (1, 2):
+                    brk = False  # UPPER -> letter: don't split
+                elif (flags & WD_CASE) and last == 1 and t == 2:
+                    brk = True  # lower -> UPPER
+                elif (flags & WD_NUM) and (
+                    (last in (1, 2)) != (t in (1, 2))
+                ):
+                    brk = True  # alpha <-> digit
+            if brk:
+                break
+            last = t
+            i += 1
+        parts.append((term[start:i], start))
+    if flags & WD_POSS:
+        # strip a possessive marker: a part followed by <'s> in the raw
+        # token collapses to the part (the 's' run would otherwise emit)
+        out: list[tuple[str, int]] = []
+        k = 0
+        while k < len(parts):
+            sub, off = parts[k]
+            nxt = off + len(sub)
+            if (
+                k + 1 < len(parts)
+                and parts[k + 1][0].lower() == "s"
+                and parts[k + 1][1] == nxt + 1
+                and term[nxt] in _APOSTROPHES
+            ):
+                out.append((sub, off))
+                k += 2
+                continue
+            out.append((sub, off))
+            k += 1
+        parts = out
+    return parts
+
+
+def _word_delim_stream(toks: list[tuple], flags: int) -> list[tuple]:
+    """Flattened WordDelimiterGraphFilter over (term, start, end, incr)
+    tuples: parts advance positions (the first takes the accumulated
+    posIncr), WD_ORIG stacks the raw token and WD_CAT the concatenation
+    at the first part's position; tokens with no parts drop with posIncr
+    accumulation (FlattenGraphFilter's rendering of the WDGF graph)."""
+    out: list[tuple] = []
+    pending = 0
+    for term, start, end, incr in toks:
+        parts = _wd_parts(term, flags)
+        if not parts:
+            pending += incr
+            continue
+        if len(parts) == 1 and parts[0][0] == term:
+            out.append((term, start, end, incr + pending))
+            pending = 0
+            continue
+        if flags & WD_ORIG:
+            out.append((term, start, end, incr + pending))
+            pending = 0
+            first_incr = 0
+        else:
+            first_incr = incr + pending
+            pending = 0
+        for j, (sub, off) in enumerate(parts):
+            out.append(
+                (sub, start + off, start + off + len(sub),
+                 first_incr if j == 0 else 1)
+            )
+        if (flags & WD_CAT) and len(parts) > 1:
+            cat = "".join(p for p, _ in parts)
+            # stacked at the LAST emitted position (flatten renders the
+            # spanning catenation at its arrival state; stacking keeps it
+            # one norm-neutral overlap)
+            out.append((cat, start, end, 0))
+    return out
+
+
 def _ws_tokenize(text: str, max_len: int) -> list[Token]:
     """WhitespaceTokenizer: maximal runs of non-whitespace codepoints
     (tokens longer than max_len split, like CharTokenizer's buffer)."""
@@ -277,6 +387,8 @@ class Analyzer:
     # position then size, stacked at one position like edge_ngram; the
     # preserved over-max original comes last. Substring-search indexing.
     ngram: tuple = ()
+    # WordDelimiterGraphFilter (flattened index-time subset; flags above)
+    word_delimiter: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -315,8 +427,12 @@ class Analyzer:
         else:
             toks = tokenize(text, self.max_token_length)
         if self.cjk_flags:
-            return _cjk_stream(toks, self.cjk_flags, self.cjk_unigrams)
-        return [(t.term, t.start, t.end, 1) for t in toks]
+            stream = _cjk_stream(toks, self.cjk_flags, self.cjk_unigrams)
+        else:
+            stream = [(t.term, t.start, t.end, 1) for t in toks]
+        if self.word_delimiter:
+            stream = _word_delim_stream(stream, self.word_delimiter)
+        return stream
 
     def tokens(self, text: str) -> list[Token]:
         out: list[Token] = []
@@ -681,6 +797,16 @@ def analyzer_for(name) -> Analyzer:
                 spec = spec[:-5]
             mn, _, mx = spec.partition("-")
             a = replace(a, edge_ngram=(int(mn), int(mx), pre))
+        elif mod == "worddelim" or mod.startswith("worddelim:"):
+            wd = WD_DEFAULT
+            for arg in (mod[10:].split(",") if ":" in mod else []):
+                if arg == "cat":
+                    wd |= WD_CAT
+                elif arg == "orig":
+                    wd |= WD_ORIG
+                elif arg:
+                    raise ValueError(f"unknown worddelim option {arg!r}")
+            a = replace(a, word_delimiter=wd)
         elif mod.startswith("ngram:"):
             spec = mod[6:]
             pre = spec.endswith(":orig")

@@ -370,3 +370,69 @@ def test_ngram_token_stream():
     ]
     with pytest.raises(ValueError):
         analyzer_for("standard+ngram:2-3+edgengram:2-3").tokens
+
+
+# --------------------------------------- WordDelimiterGraphFilter
+
+def test_word_delimiter_golden_splits():
+    """Flattened WordDelimiterGraphFilter (reference analysis/common/...
+    /miscellaneous/WordDelimiterGraphFilter.java + WordDelimiterIterator
+    isBreak :229-247): delimiters always split; lower->UPPER splits;
+    UPPER->lower does NOT ('WIFIRouter' stays whole); alpha<->digit
+    splits; trailing possessives strip."""
+    an = analyzer_for("whitespace+worddelim")
+    cases = {
+        "PowerShotPlus": ["power", "shot", "plus"],
+        "SD500": ["sd", "500"],
+        "wi-fi": ["wi", "fi"],
+        "O'Neil's": ["o", "neil"],
+        "WIFIRouter": ["wifirouter"],   # UPPER->letter never breaks
+        "j2se": ["j", "2", "se"],
+        "500-42": ["500", "42"],
+    }
+    for raw, want in cases.items():
+        assert an.terms(raw) == want, raw
+    # parts advance positions (each counts into the norm)
+    toks = an.tokens("PowerShot go")
+    assert [(t.term, t.position) for t in toks] == [
+        ("power", 0), ("shot", 1), ("go", 2)
+    ]
+
+
+def test_word_delimiter_catenate_and_original():
+    an = analyzer_for("whitespace+worddelim:cat,orig")
+    toks = an.tokens("wi-fi-4000")
+    assert [(t.term, t.position) for t in toks] == [
+        ("wi-fi-4000", 0),   # preserved original, stacked on first part
+        ("wi", 0), ("fi", 1), ("4000", 2),
+        ("wifi4000", 2),     # catenation, stacked (norm-neutral)
+    ]
+    terms, norm = an.invert("wi-fi-4000")
+    assert norm == 3 and len(terms) == 5
+    # all-delimiter tokens drop with posIncr accumulation
+    assert [(t.term, t.position) for t in analyzer_for("whitespace+worddelim").tokens("-- scan")] == [
+        ("scan", 1)
+    ]
+
+
+def test_word_delimiter_index_parity(spark, corpus, tmp_path_factory):
+    """engine == brute force through a worddelim chain (the corpus is
+    pre-normalized so splits come from the synthetic hyphens/digits;
+    parity checks the posIncr/norm accounting end-to-end)."""
+    from lucene_spark.index import IndexReader, build_index
+
+    WD = "whitespace+worddelim:cat"
+    sub = corpus.head(60)
+    pages = spark.createDataFrame(sub[["url", "text", "lang"]])
+    root = str(tmp_path_factory.mktemp("wd_idx"))
+    build_index(spark, pages, root, num_segments=2, num_buckets=2, analyzer=WD)
+    searcher = IndexSearcher(IndexReader(spark, root))
+    oracle = BruteForceIndex(sub, analyzer=WD)
+    q = Q.TermQuery("text", "table")
+    want = oracle.topk(q, 10)
+    assert want
+    rows = searcher.search(q, k=10, mode="exhaustive").select("url", "score").collect()
+    got = [(r["url"], float(r["score"])) for r in rows]
+    assert [u for u, _ in got] == [u for u, _ in want]
+    for (gu, gs), (_, ws) in zip(got, want):
+        assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), gu
