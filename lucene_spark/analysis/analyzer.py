@@ -389,11 +389,24 @@ class Analyzer:
     ngram: tuple = ()
     # WordDelimiterGraphFilter (flattened index-time subset; flags above)
     word_delimiter: int = 0
+    # KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+    # (reference analysis/common/.../miscellaneous/KeywordRepeatFilter.java
+    # pattern): when the stem differs from the surface form, index BOTH —
+    # the surface term keeps the position, the stem stacks (posIncr 0);
+    # identical stems collapse to one token (the duplicate remover).
+    keyword_repeat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
         if self.edge_ngram and self.ngram:
             raise ValueError("edge_ngram and ngram are mutually exclusive")
+        if self.keyword_repeat and (
+            self.stemmer is None or self.phonetic or self.edge_ngram or self.ngram
+        ):
+            raise ValueError(
+                "keyword_repeat needs a stemmer and does not compose with "
+                "phonetic/ngram stacking filters"
+            )
         for spec in (self.edge_ngram, self.ngram):
             if spec:
                 mn, mx, _pre = spec
@@ -456,8 +469,13 @@ class Analyzer:
             ):
                 acc += incr  # LengthFilter: FilteringTokenFilter semantics
                 continue
+            stem_stack = None
             if self.stemmer is not None:
-                term = self.stemmer(term)
+                st = self.stemmer(term)
+                if self.keyword_repeat and st != term:
+                    stem_stack = st  # surface keeps the position
+                else:
+                    term = st
             if self.reverse_terms:
                 term = term[::-1]
             if self.edge_ngram or self.ngram:
@@ -477,6 +495,8 @@ class Analyzer:
             pos += incr + acc
             acc = 0
             out.append(Token(term, pos, start, end, payload))
+            if stem_stack is not None:
+                out.append(Token(stem_stack, pos, start, end))
             if self.phonetic == "inject" and code is not None and code != term:
                 # stacked phonetic token (PhoneticFilter.java inject=true)
                 out.append(Token(code, pos, start, end))
@@ -555,8 +575,13 @@ class Analyzer:
                 self.length_bounds[0] <= len(term) <= self.length_bounds[1]
             ):
                 continue
+            stem_stack = None
             if self.stemmer is not None:
-                term = self.stemmer(term)
+                st = self.stemmer(term)
+                if self.keyword_repeat and st != term:
+                    stem_stack = st  # surface keeps the position
+                else:
+                    term = st
             if self.reverse_terms:
                 term = term[::-1]
             if self.edge_ngram or self.ngram:
@@ -571,6 +596,8 @@ class Analyzer:
             if self.phonetic == "replace" and code is not None:
                 term = code
             terms.append(term)
+            if stem_stack is not None:
+                terms.append(stem_stack)  # stacked: length, not norm
             if incr:  # posIncr==0 stacked tokens don't count into the norm
                 norm_count += 1
             if self.phonetic == "inject" and code is not None and code != term:
@@ -615,8 +642,13 @@ class Analyzer:
             ):
                 acc += incr
                 continue
+            stem_stack = None
             if self.stemmer is not None:
-                term = self.stemmer(term)
+                st = self.stemmer(term)
+                if self.keyword_repeat and st != term:
+                    stem_stack = st  # surface keeps the position
+                else:
+                    term = st
             if self.reverse_terms:
                 term = term[::-1]
             if self.edge_ngram or self.ngram:
@@ -639,6 +671,10 @@ class Analyzer:
             hit = out.get(term)
             if hit is not None:
                 hit.append(pos)
+            if stem_stack is not None:
+                hit2 = out.get(stem_stack)
+                if hit2 is not None:
+                    hit2.append(pos)
             if self.phonetic == "inject" and code is not None and code != term:
                 hit = out.get(code)
                 if hit is not None:
@@ -797,6 +833,8 @@ def analyzer_for(name) -> Analyzer:
                 spec = spec[:-5]
             mn, _, mx = spec.partition("-")
             a = replace(a, edge_ngram=(int(mn), int(mx), pre))
+        elif mod == "keywordrepeat":
+            a = replace(a, keyword_repeat=True)
         elif mod == "worddelim" or mod.startswith("worddelim:"):
             wd = WD_DEFAULT
             for arg in (mod[10:].split(",") if ":" in mod else []):

@@ -436,3 +436,23 @@ def test_word_delimiter_index_parity(spark, corpus, tmp_path_factory):
     assert [u for u, _ in got] == [u for u, _ in want]
     for (gu, gs), (_, ws) in zip(got, want):
         assert np.float32(gs) == pytest.approx(np.float32(ws), abs=1e-6), gu
+
+
+def test_keyword_repeat_stacks_surface_and_stem():
+    """KeywordRepeatFilter + stem + RemoveDuplicates (reference
+    analysis/common/.../miscellaneous/KeywordRepeatFilter.java): surface
+    form keeps the position, the differing stem stacks; identical stems
+    collapse to one token."""
+    an = analyzer_for("english+keywordrepeat")
+    assert [(t.term, t.position) for t in an.tokens("tables running scan")] == [
+        ("tables", 0), ("tabl", 0),
+        ("running", 1), ("run", 1),
+        ("scan", 2),
+    ]
+    terms, norm = an.invert("tables running scan")
+    assert terms == ["tables", "tabl", "running", "run", "scan"] and norm == 3
+    assert an.term_positions("tables running", {"tabl", "run"}) == {
+        "tabl": [0], "run": [1]
+    }
+    with pytest.raises(ValueError):
+        analyzer_for("standard+keywordrepeat").tokens  # needs a stemmer
