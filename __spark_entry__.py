@@ -282,7 +282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness artifact covers the FIRST 50 entries in
     # insertion order. Rotate so every query that has NEVER had a green
     # driver row (union of CORRECTNESS_r01..r04 keys, minus the one red
-    # row facet_stats_lang) lands inside that window this round; the
+    # row facet_stats_lang) lands inside that window this round — that
+    # includes everything ADDED this round (fuzzy classifier, shapes box/
+    # contains/within/distance, phonetic, edgengram, blended infix, which
+    # are not in _DRIVER_PROVEN and so sort first automatically); the
     # driver-proven rest follows, ordered so entries whose implementation
     # changed this round (points quantization, classification stats,
     # expressions division, IODV bookkeeping, IVF layout, MinHash hashing)
