@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["synonym_index_search"] = _pq_synonym_search
     q["phonetic_search"] = _pq_phonetic_search
     q["edgengram_search"] = _pq_edgengram_search
+    q["german_search"] = _pq_german_search
     q["shingle_bigram_search"] = _pq_shingle_search
     q["multi_field_dismax"] = _pq_multi_field
     q["dv_update_feature"] = _pq_dv_update
@@ -515,6 +516,32 @@ def _pq_edgengram_search(spark, sf_dir):
     )
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     hits = s.search(Q.TermQuery("text", "tab"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_german_search(spark, sf_dir):
+    """GermanAnalyzer index (reference analysis/common/.../de/
+    GermanAnalyzer.java: lowercase -> snowball stop set ->
+    GermanNormalizationFilter -> GermanLightStemFilter): searching
+    'tables' matches every token that light-stems to 'tabl'."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher, parse
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_de_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        analyzer="german",
+    )
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(parse("tables", analyzer="german"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -3608,6 +3635,62 @@ w AS (
   SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
   FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM pertok
                WHERE n >= 3 AND starts_with(term, 'tab')) n
+)
+SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
+FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + tf.freq * inv.norm_inv)) DESC, tf.doc_id ASC LIMIT {K}
+"""
+    # GermanAnalyzer search: the snowball stop set + the
+    # GermanNormalizationFilter e-deletion (single-pass ae->a, oe->o,
+    # consonant-ue->u — one-pass regex replicates the reference FSM on
+    # the ASCII corpus) + the two UniNE light-stem suffix steps, all in
+    # SQL; BM25 over tokens stemming to 'tabl'
+    from lucene_spark.analysis.german import GERMAN_STOP_WORDS as _DE_STOPS
+
+    _de_stop_list = ", ".join(f"'{w}'" for w in sorted(_DE_STOPS))
+    _de_st = "('b','d','f','g','h','k','l','m','n','t')"
+    de_qlen = _qlen("dl.len")
+    o["german_search"] = f"""
+WITH tok AS ({_TOK}),
+kept AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({_de_stop_list})),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(term,
+           'ae', 'a', 'g'), 'oe', 'o', 'g'),
+           '(^|[^aeiouqy])ue', '\\1u', 'g') AS t
+  FROM kept
+),
+s1 AS (
+  SELECT doc_id, CASE
+    WHEN length(t) > 5 AND right(t, 3) = 'ern' THEN left(t, length(t) - 3)
+    WHEN length(t) > 4 AND substr(t, length(t) - 1, 1) = 'e'
+         AND right(t, 1) IN ('m', 'n', 'r', 's') THEN left(t, length(t) - 2)
+    WHEN length(t) > 3 AND right(t, 1) = 'e' THEN left(t, length(t) - 1)
+    WHEN length(t) > 3 AND right(t, 1) = 's'
+         AND substr(t, length(t) - 1, 1) IN {_de_st} THEN left(t, length(t) - 1)
+    ELSE t END AS t
+  FROM norm
+),
+stems AS (
+  SELECT doc_id, CASE
+    WHEN length(t) > 5 AND right(t, 3) = 'est' THEN left(t, length(t) - 3)
+    WHEN length(t) > 4 AND right(t, 2) IN ('er', 'en') THEN left(t, length(t) - 2)
+    WHEN length(t) > 4 AND right(t, 2) = 'st'
+         AND substr(t, length(t) - 2, 1) IN {_de_st} THEN left(t, length(t) - 2)
+    ELSE t END AS stem
+  FROM s1
+),
+dl AS (SELECT doc_id, count(*) AS len FROM kept GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({de_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+tf AS (SELECT doc_id, count(*) AS freq FROM stems WHERE stem = 'tabl' GROUP BY doc_id),
+w AS (
+  SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+  FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM stems WHERE stem = 'tabl') n
 )
 SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
 FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w

@@ -744,11 +744,31 @@ ENGLISH = Analyzer(
 
 WHITESPACE = Analyzer(whitespace=True)  # WhitespaceAnalyzer + LowerCaseFilter
 
+
+def _german_stem(term: str) -> str:
+    from .german import german_stem_chain
+
+    return german_stem_chain(term)
+
+
+# GermanAnalyzer (reference analysis/common/.../de/GermanAnalyzer.java
+# createComponents): lowercase -> snowball stop set ->
+# GermanNormalizationFilter -> GermanLightStemFilter (both in the
+# stemmer slot, which runs exactly there in this chain)
+def _make_german():
+    from .german import GERMAN_STOP_WORDS
+
+    return Analyzer(stopwords=GERMAN_STOP_WORDS, stemmer=_german_stem)
+
+
+GERMAN = _make_german()
+
 _BASE_ANALYZERS = {
     "standard": STANDARD,
     "english_stops": ENGLISH_STOPS,
     "english": ENGLISH,
     "whitespace": WHITESPACE,
+    "german": GERMAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

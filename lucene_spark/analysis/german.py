@@ -1,0 +1,125 @@
+"""German analysis pack: GermanNormalizationFilter + GermanLightStemmer
+(Savoy's UniNE light stemmer) + the snowball German stop set — the
+default GermanAnalyzer chain (reference analysis/common/src/java/org/
+apache/lucene/analysis/de/GermanAnalyzer.java createComponents: standard
+tokenizer -> lowercase -> stop -> GermanNormalizationFilter ->
+GermanLightStemFilter).
+
+- ``normalize_german`` ports the 3-state FSM of
+  GermanNormalizationFilter.java:41-100: ß->ss; ä/ö/ü->a/o/u; the 'e' of
+  ae/oe is deleted, and of ue too unless the u follows a vowel or q
+  (the V state blocks re-entering the umlaut state).
+- ``stem_german_light`` ports GermanLightStemmer.java:63-140 (accent
+  fold, then plural/case suffix removal step1 and superlative/inflection
+  step2). Verified against the reference's 35k-word UniNE vocabulary
+  (delighttestdata.zip) in tests.
+"""
+
+from __future__ import annotations
+
+_ACCENT = str.maketrans(
+    {
+        "ä": "a", "à": "a", "á": "a", "â": "a",
+        "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+        "ï": "i", "ì": "i", "í": "i", "î": "i",
+        "ü": "u", "ù": "u", "ú": "u", "û": "u",
+    }
+)
+
+_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def normalize_german(term: str) -> str:
+    """GermanNormalizationFilter FSM (states N/V/U)."""
+    out: list[str] = []
+    state = 0  # N
+    for c in term:
+        if c in ("a", "o"):
+            out.append(c)
+            state = 2  # U
+        elif c == "u":
+            out.append(c)
+            state = 2 if state == 0 else 1
+        elif c == "e":
+            if state == 2:
+                state = 1  # delete the e, leave umlaut state
+                continue
+            out.append(c)
+            state = 1
+        elif c in ("i", "q", "y"):
+            out.append(c)
+            state = 1
+        elif c == "ä":
+            out.append("a")
+            state = 1
+        elif c == "ö":
+            out.append("o")
+            state = 1
+        elif c == "ü":
+            out.append("u")
+            state = 1
+        elif c == "ß":
+            out.append("ss")
+            state = 0
+        else:
+            out.append(c)
+            state = 0
+    return "".join(out)
+
+
+def stem_german_light(term: str) -> str:
+    """GermanLightStemmer.stem (accent fold + step1 + step2)."""
+    s = term.translate(_ACCENT)
+
+    # step1 (GermanLightStemmer.java:113-130)
+    n = len(s)
+    if n > 5 and s.endswith("ern"):
+        s = s[:-3]
+    elif n > 4 and n >= 2 and s[-2] == "e" and s[-1] in ("m", "n", "r", "s"):
+        s = s[:-2]
+    elif n > 3 and s[-1] == "e":
+        s = s[:-1]
+    elif n > 3 and s[-1] == "s" and s[-2] in _ST_ENDING:
+        s = s[:-1]
+
+    # step2 (:132-140)
+    n = len(s)
+    if n > 5 and s.endswith("est"):
+        s = s[:-3]
+    elif n > 4 and (s.endswith("er") or s.endswith("en")):
+        s = s[:-2]
+    elif n > 4 and s.endswith("st") and s[-3] in _ST_ENDING:
+        s = s[:-2]
+    return s
+
+
+def german_stem_chain(term: str) -> str:
+    """normalization -> light stem, the GermanAnalyzer stemmer slot."""
+    return stem_german_light(normalize_german(term))
+
+
+# snowball german_stop.txt (reference analysis/common/src/resources/org/
+# apache/lucene/analysis/snowball/german_stop.txt — the public snowball
+# project stop list GermanAnalyzer.getDefaultStopSet loads)
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle allem allen aller alles als also am an ander andere anderem
+    anderen anderer anderes anderm andern anderr anders auch auf aus bei
+    bin bis bist da damit dann der den des dem die das daß derselbe
+    derselben denselben desselben demselben dieselbe dieselben dasselbe
+    dazu dein deine deinem deinen deiner deines denn derer dessen dich dir
+    du dies diese diesem diesen dieser dieses doch dort durch ein eine
+    einem einen einer eines einig einige einigem einigen einiger einiges
+    einmal er ihn ihm es etwas euer eure eurem euren eurer eures für gegen
+    gewesen hab habe haben hat hatte hatten hier hin hinter ich mich mir
+    ihr ihre ihrem ihren ihrer ihres euch im in indem ins ist jede jedem
+    jeden jeder jedes jene jenem jenen jener jenes jetzt kann kein keine
+    keinem keinen keiner keines können könnte machen man manche manchem
+    manchen mancher manches mein meine meinem meinen meiner meines mit
+    muss musste nach nicht nichts noch nun nur ob oder ohne sehr sein
+    seine seinem seinen seiner seines selbst sich sie ihnen sind so solche
+    solchem solchen solcher solches soll sollte sondern sonst über um und
+    uns unse unsem unsen unser unses unter viel vom von vor während war
+    waren warst was weg weil weiter welche welchem welchen welcher welches
+    wenn werde werden wie wieder will wir wird wirst wo wollen wollte
+    würde würden zu zum zur zwar zwischen""".split()
+)

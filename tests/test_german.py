@@ -1,0 +1,89 @@
+"""German analysis pack vs the reference's own vocabularies (reference
+analysis/common/.../de/GermanNormalizationFilter.java,
+GermanLightStemmer.java, GermanAnalyzer.java; vocabulary
+delighttestdata.zip — the UniNE reference-implementation word list)."""
+
+import os
+import zipfile
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.german import (
+    GERMAN_STOP_WORDS,
+    german_stem_chain,
+    normalize_german,
+    stem_german_light,
+)
+
+_REF_ZIP = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/de/delighttestdata.zip"
+)
+
+
+@pytest.mark.parametrize(
+    "raw,norm",
+    [
+        # TestGermanNormalizationFilter golden vectors
+        ("schaltflächen", "schaltflachen"),
+        ("schaltflaechen", "schaltflachen"),
+        ("dauer", "dauer"),          # ue after a: kept
+        ("weißbier", "weissbier"),
+        ("quelle", "quelle"),        # ue after q: kept
+        ("value", "valu"),           # consonant-ue: e deleted
+        ("aeae", "aa"),
+    ],
+)
+def test_normalization_vectors(raw, norm):
+    assert normalize_german(raw) == norm
+
+
+@pytest.mark.parametrize(
+    "raw,stem",
+    [
+        # sampled from the reference vocabulary (delight.txt)
+        ("aalglatten", "aalglatt"),
+        ("aasen", "aas"),
+        ("aashöllen", "aasholl"),
+        ("häuser", "haus"),
+        ("laufen", "lauf"),
+        ("größte", "grosst"),
+        ("tische", "tisch"),
+        ("bücher", "buch"),
+        ("kleinsten", "klein"),  # en, then st after stEnding 'n'
+    ],
+)
+def test_light_stem_vectors(raw, stem):
+    assert german_stem_chain(raw) == stem
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_ZIP), reason="reference data absent")
+def test_light_stem_full_vocabulary(tmp_path):
+    """ALL 35k pairs of the reference's UniNE vocabulary (the same gate
+    TestGermanLightStemFilter.testVocabulary runs)."""
+    with zipfile.ZipFile(_REF_ZIP) as z:
+        data = z.read("delight.txt").decode("utf-8")
+    bad = []
+    n = 0
+    for line in data.splitlines():
+        if not line:
+            continue
+        raw, want = line.split("\t")
+        n += 1
+        if stem_german_light(raw) != want:
+            bad.append((raw, want))
+    assert n > 30000 and not bad, bad[:5]
+
+
+def test_german_analyzer_chain():
+    an = analyzer_for("german")
+    assert an.terms("Die Häuser laufen über die Straße") == [
+        "haus", "lauf", "strass"
+    ]
+    # stopword holes accumulate positions like every FilteringTokenFilter
+    toks = an.tokens("die Häuser")
+    assert [(t.term, t.position) for t in toks] == [("haus", 1)]
+    assert len(GERMAN_STOP_WORDS) == 231  # the snowball list, verbatim
+    # composes with modifiers like any base
+    assert analyzer_for("german+folding").terms("Häuser") == ["haus"]
