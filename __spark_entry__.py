@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["phonetic_search"] = _pq_phonetic_search
     q["edgengram_search"] = _pq_edgengram_search
     q["german_search"] = _pq_german_search
+    q["spanish_search"] = _pq_spanish_search
     q["shingle_bigram_search"] = _pq_shingle_search
     q["multi_field_dismax"] = _pq_multi_field
     q["dv_update_feature"] = _pq_dv_update
@@ -542,6 +543,31 @@ def _pq_german_search(spark, sf_dir):
     )
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     hits = s.search(parse("tables", analyzer="german"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_spanish_search(spark, sf_dir):
+    """SpanishAnalyzer-style index (reference analysis/common/.../es/
+    SpanishLightStemmer.java + the snowball stop set): searching 'tablas'
+    matches every token that light-stems to 'tabl'."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher, parse
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_es_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        analyzer="spanish",
+    )
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(parse("tablas", analyzer="spanish"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -3685,6 +3711,49 @@ stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 
 inv AS (
   SELECT dl.doc_id,
          1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({de_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+tf AS (SELECT doc_id, count(*) AS freq FROM stems WHERE stem = 'tabl' GROUP BY doc_id),
+w AS (
+  SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+  FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM stems WHERE stem = 'tabl') n
+)
+SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
+FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + tf.freq * inv.norm_inv)) DESC, tf.doc_id ASC LIMIT {K}
+"""
+    # SpanishAnalyzer search: snowball stop set + the CLEF light-stem
+    # CASE (the whole stemmer is one suffix switch) in SQL; BM25 over
+    # tokens stemming to 'tabl'
+    from lucene_spark.analysis.spanish import SPANISH_STOP_WORDS as _ES_STOPS
+
+    _es_stop_list = ", ".join(f"'{w}'" for w in sorted(_ES_STOPS))
+    es_qlen = _qlen("dl.len")
+    o["spanish_search"] = f"""
+WITH tok AS ({_TOK}),
+kept AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({_es_stop_list})),
+stems AS (
+  SELECT doc_id, CASE
+    WHEN length(term) < 5 THEN term
+    WHEN right(term, 1) IN ('o', 'a', 'e') THEN left(term, length(term) - 1)
+    WHEN right(term, 1) = 's' AND substr(term, length(term) - 1, 1) = 'e'
+         AND substr(term, length(term) - 2, 1) = 's'
+         AND substr(term, length(term) - 3, 1) = 'e'
+      THEN left(term, length(term) - 2)
+    WHEN right(term, 1) = 's' AND substr(term, length(term) - 1, 1) = 'e'
+         AND substr(term, length(term) - 2, 1) = 'c'
+      THEN left(term, length(term) - 3) || 'z'
+    WHEN right(term, 1) = 's'
+         AND substr(term, length(term) - 1, 1) IN ('o', 'a', 'e')
+      THEN left(term, length(term) - 2)
+    ELSE term END AS stem
+  FROM kept
+),
+dl AS (SELECT doc_id, count(*) AS len FROM kept GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({es_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
   FROM dl, stats
 ),
 tf AS (SELECT doc_id, count(*) AS freq FROM stems WHERE stem = 'tabl' GROUP BY doc_id),

@@ -395,6 +395,11 @@ class Analyzer:
     # the surface term keeps the position, the stem stacks (posIncr 0);
     # identical stems collapse to one token (the duplicate remover).
     keyword_repeat: bool = False
+    # ElisionFilter (reference analysis/common/.../util/ElisionFilter.java
+    # + FrenchAnalyzer.DEFAULT_ARTICLES): strip a leading <article>'
+    # contraction (l'avion -> avion); articles match case-insensitively,
+    # applied before lowercasing like the reference chain.
+    elision: frozenset = frozenset()
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -454,6 +459,8 @@ class Analyzer:
         syn = self._syn
         for term, start, end, incr in self._raw_stream(text):
             term, payload = self._split_payload(term)
+            if self.elision:
+                term = _elide(term, self.elision)
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
@@ -562,6 +569,8 @@ class Analyzer:
         syn = self._syn
         for term, _start, _end, incr in self._raw_stream(text):
             term, _ = self._split_payload(term)
+            if self.elision:
+                term = _elide(term, self.elision)
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
@@ -627,6 +636,8 @@ class Analyzer:
         syn = self._syn
         for term, _start, _end, incr in self._raw_stream(text):
             term, _ = self._split_payload(term)
+            if self.elision:
+                term = _elide(term, self.elision)
             if self.possessive:
                 term = strip_possessive(term)
             term = lowercase(term)
@@ -729,6 +740,18 @@ def _all_grams(term: str, mn: int, mx: int, preserve: bool) -> list[str]:
     return gl
 
 
+def _elide(term: str, articles: frozenset) -> str:
+    """ElisionFilter: cut at the FIRST apostrophe when the prefix is a
+    configured article and a suffix remains."""
+    for apo in _APOSTROPHES:
+        cut = term.find(apo)
+        if cut > 0:
+            if term[:cut].lower() in articles and cut + 1 < len(term):
+                return term[cut + 1 :]
+            return term
+    return term
+
+
 def _porter(term: str) -> str:
     from .porter import stem
 
@@ -763,12 +786,51 @@ def _make_german():
 
 GERMAN = _make_german()
 
+
+def _french_stem(term: str) -> str:
+    from .french import stem_french_light
+
+    return stem_french_light(term)
+
+
+def _spanish_stem(term: str) -> str:
+    from .spanish import stem_spanish_light
+
+    return stem_spanish_light(term)
+
+
+# FrenchAnalyzer (reference analysis/common/.../fr/FrenchAnalyzer.java
+# createComponents): ElisionFilter(DEFAULT_ARTICLES) -> lowercase ->
+# snowball stop set -> FrenchLightStemFilter
+def _make_french():
+    from .french import FRENCH_ELISION_ARTICLES, FRENCH_STOP_WORDS
+
+    return Analyzer(
+        stopwords=FRENCH_STOP_WORDS,
+        stemmer=_french_stem,
+        elision=FRENCH_ELISION_ARTICLES,
+    )
+
+
+# SpanishAnalyzer chain with the reference's light stemmer
+# (analysis/common/.../es/SpanishAnalyzer.java + SpanishLightStemmer)
+def _make_spanish():
+    from .spanish import SPANISH_STOP_WORDS
+
+    return Analyzer(stopwords=SPANISH_STOP_WORDS, stemmer=_spanish_stem)
+
+
+FRENCH = _make_french()
+SPANISH = _make_spanish()
+
 _BASE_ANALYZERS = {
     "standard": STANDARD,
     "english_stops": ENGLISH_STOPS,
     "english": ENGLISH,
     "whitespace": WHITESPACE,
     "german": GERMAN,
+    "french": FRENCH,
+    "spanish": SPANISH,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

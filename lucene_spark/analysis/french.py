@@ -1,0 +1,189 @@
+"""French analysis pack: ElisionFilter articles + FrenchLightStemmer
+(Savoy's UniNE light stemmer) + the snowball French stop set — the
+default FrenchAnalyzer chain (reference analysis/common/src/java/org/
+apache/lucene/analysis/fr/FrenchAnalyzer.java createComponents: standard
+tokenizer -> ElisionFilter(DEFAULT_ARTICLES) -> lowercase -> stop ->
+FrenchLightStemFilter).
+
+``stem_french_light`` ports FrenchLightStemmer.java:67-260 rule for
+rule, including the fall-through (non-returning) rules and the norm()
+epilogue (accent fold above length 4, consecutive-duplicate-letter
+collapse, ie/r/e/e strip, final double-letter strip). Verified against
+the reference's 20k-word UniNE vocabulary (frlighttestdata.zip) in
+tests.
+"""
+
+from __future__ import annotations
+
+# FrenchAnalyzer.DEFAULT_ARTICLES (FrenchAnalyzer.java:56-62)
+FRENCH_ELISION_ARTICLES = frozenset(
+    ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu")
+)
+
+_NORM_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ô": "o", "è": "e", "é": "e",
+     "ê": "e", "ù": "u", "û": "u", "î": "i", "ç": "c"}
+)
+
+
+def _norm(s: list[str]) -> str:
+    if len(s) > 4:
+        s = list("".join(s).translate(_NORM_FOLD))
+        # collapse consecutive duplicate letters anywhere
+        out = [s[0]]
+        for c in s[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        s = out
+    if len(s) > 4 and s[-2] == "i" and s[-1] == "e":
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return "".join(s)
+
+
+def stem_french_light(term: str) -> str:
+    """FrenchLightStemmer.stem, rule for rule."""
+    s = list(term)
+
+    def ew(suf: str) -> bool:
+        return len(s) >= len(suf) and s[-len(suf):] == list(suf)
+
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s[-2] = "l"
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 9 and ew("issement"):
+        s = s[:-6]
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 8 and ew("issant"):
+        s = s[:-4]
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 6 and ew("ement"):
+        s = s[:-4]
+        if len(s) > 3 and ew("ive"):
+            s = s[:-1]
+            s[-1] = "f"
+        return _norm(s)
+    if len(s) > 11 and ew("ficatrice"):
+        s = s[:-5]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 10 and ew("ficateur"):
+        s = s[:-4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 9 and ew("catrice"):
+        s = s[:-3]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"
+        return _norm(s)
+    if len(s) > 8 and ew("cateur"):
+        s = s[:-2]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 8 and ew("atrice"):
+        s = s[:-4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 7 and ew("ateur"):
+        s = s[:-3]
+        s[-2] = "e"
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 6 and ew("trice"):
+        s = s[:-1]
+        s[-3] = "e"
+        s[-2] = "u"
+        s[-1] = "r"
+        # fall through (no return — FrenchLightStemmer.java:146-151)
+    if len(s) > 5 and ew("ième"):
+        return _norm(s[:-4])
+    if len(s) > 7 and ew("teuse"):
+        s = s[:-2]
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 6 and ew("teur"):
+        s = s[:-1]
+        s[-1] = "r"
+        return _norm(s)
+    if len(s) > 5 and ew("euse"):
+        return _norm(s[:-2])
+    if len(s) > 8 and ew("ère"):
+        s = s[:-1]
+        s[-2] = "e"
+        return _norm(s)
+    if len(s) > 7 and ew("ive"):
+        s = s[:-1]
+        s[-1] = "f"
+        return _norm(s)
+    if len(s) > 4 and (ew("folle") or ew("molle")):
+        s = s[:-2]
+        s[-1] = "u"
+        return _norm(s)
+    if len(s) > 9 and ew("nnelle"):
+        return _norm(s[:-5])
+    if len(s) > 9 and ew("nnel"):
+        return _norm(s[:-3])
+    if len(s) > 4 and ew("ète"):
+        s = s[:-1]
+        s[-2] = "e"
+        # fall through (:192-195)
+    if len(s) > 8 and ew("ique"):
+        s = s[:-4]
+        # fall through (:197)
+    if len(s) > 8 and ew("esse"):
+        return _norm(s[:-3])
+    if len(s) > 7 and ew("inage"):
+        return _norm(s[:-3])
+    if len(s) > 9 and ew("isation"):
+        s = s[:-7]
+        if len(s) > 5 and ew("ual"):
+            s[-2] = "e"
+        return _norm(s)
+    if len(s) > 9 and ew("isateur"):
+        return _norm(s[:-7])
+    if len(s) > 8 and ew("ation"):
+        return _norm(s[:-5])
+    if len(s) > 8 and ew("ition"):
+        return _norm(s[:-5])
+    return _norm(s)
+
+
+# snowball french_stop.txt (reference analysis/common/src/resources/
+# org/apache/lucene/analysis/snowball/french_stop.txt)
+FRENCH_STOP_WORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il je la le leur lui
+    ma mais me même mes moi mon ne nos notre nous on ou par pas pour qu
+    que qui sa se ses sur ta te tes toi ton tu un une vos votre vous c d j
+    l à m n s t y étée étées étant suis es êtes sont serai seras sera
+    serons serez seront serais serait serions seriez seraient étais était
+    étions étiez étaient fus fut fûmes fûtes furent sois soit soyons soyez
+    soient fusse fusses fussions fussiez fussent ayant eu eue eues eus ai
+    avons avez ont aurai aurons aurez auront aurais aurait aurions auriez
+    auraient avais avait aviez avaient eut eûmes eûtes eurent aie aies ait
+    ayons ayez aient eusse eusses eût eussions eussiez eussent ceci cela
+    celà cet cette ici ils les leurs quel quels quelle quelles sans soi""".split()
+)

@@ -1,0 +1,73 @@
+"""Spanish analysis pack: SpanishLightStemmer (Savoy CLEF-2001 light
+stemmer) + the snowball Spanish stop set — the default SpanishAnalyzer
+chain minus its (snowball) stemmer choice, using the light stemmer the
+reference ships alongside it (reference analysis/common/src/java/org/
+apache/lucene/analysis/es/SpanishLightStemmer.java:62-115; verified
+against the reference's 28k-word vocabulary in tests).
+"""
+
+from __future__ import annotations
+
+_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a",
+     "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+     "è": "e", "é": "e", "ê": "e", "ë": "e",
+     "ù": "u", "ú": "u", "û": "u", "ü": "u",
+     "ì": "i", "í": "i", "î": "i", "ï": "i"}
+)
+
+
+def stem_spanish_light(term: str) -> str:
+    """SpanishLightStemmer.stem: accent fold, then one plural/gender
+    suffix rule (words shorter than 5 pass through)."""
+    if len(term) < 5:
+        return term
+    s = term.translate(_FOLD)
+    last = s[-1]
+    if last in ("o", "a", "e"):
+        return s[:-1]
+    if last == "s":
+        if s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return s[:-2]
+        if s[-2] == "e" and s[-3] == "c":
+            return s[:-3] + "z"
+        if s[-2] in ("o", "a", "e"):
+            return s[:-2]
+    return s
+
+
+# snowball spanish_stop.txt (reference analysis/common/src/resources/
+# org/apache/lucene/analysis/snowball/spanish_stop.txt)
+SPANISH_STOP_WORDS = frozenset(
+    """de la que el en y a los del se las por un para con no una su al lo
+    como más pero sus le ya o este sí porque esta entre cuando muy sin
+    sobre también me hasta hay donde quien desde todo nos durante todos
+    uno les ni contra otros ese eso ante ellos e esto mí antes algunos qué
+    unos yo otro otras otra él tanto esa estos mucho quienes nada muchos
+    cual poco ella estar estas algunas algo nosotros mi mis tú te ti tu
+    tus ellas nosotras vosotros vosotras os mío mía míos mías tuyo tuya
+    tuyos tuyas suyo suya suyos suyas nuestro nuestra nuestros nuestras
+    vuestro vuestra vuestros vuestras esos esas estoy estás está estamos
+    estáis están esté estés estemos estéis estén estaré estarás estará
+    estaremos estaréis estarán estaría estarías estaríamos estaríais
+    estarían estaba estabas estábamos estabais estaban estuve estuviste
+    estuvo estuvimos estuvisteis estuvieron estuviera estuvieras
+    estuviéramos estuvierais estuvieran estuviese estuvieses estuviésemos
+    estuvieseis estuviesen estando estado estada estados estadas estad he
+    has ha hemos habéis han haya hayas hayamos hayáis hayan habré habrás
+    habrá habremos habréis habrán habría habrías habríamos habríais
+    habrían había habías habíamos habíais habían hube hubiste hubo hubimos
+    hubisteis hubieron hubiera hubieras hubiéramos hubierais hubieran
+    hubiese hubieses hubiésemos hubieseis hubiesen habiendo habido habida
+    habidos habidas soy eres es somos sois son sea seas seamos seáis sean
+    seré serás será seremos seréis serán sería serías seríamos seríais
+    serían era eras éramos erais eran fui fuiste fue fuimos fuisteis
+    fueron fuera fueras fuéramos fuerais fueran fuese fueses fuésemos
+    fueseis fuesen siendo sido tengo tienes tiene tenemos tenéis tienen
+    tenga tengas tengamos tengáis tengan tendré tendrás tendrá tendremos
+    tendréis tendrán tendría tendrías tendríamos tendríais tendrían tenía
+    tenías teníamos teníais tenían tuve tuviste tuvo tuvimos tuvisteis
+    tuvieron tuviera tuvieras tuviéramos tuvierais tuvieran tuviese
+    tuvieses tuviésemos tuvieseis tuviesen teniendo tenido tenida tenidos
+    tenidas tened""".split()
+)

@@ -1,0 +1,100 @@
+"""French + Spanish analysis packs vs the reference's own vocabularies
+(reference analysis/common/.../fr/FrenchLightStemmer.java + FrenchAnalyzer
+ElisionFilter articles, es/SpanishLightStemmer.java; vocabularies
+frlighttestdata.zip / eslighttestdata.zip)."""
+
+import os
+import zipfile
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.french import (
+    FRENCH_STOP_WORDS,
+    stem_french_light,
+)
+from lucene_spark.analysis.spanish import (
+    SPANISH_STOP_WORDS,
+    stem_spanish_light,
+)
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+
+
+def _vocab(zip_path, name):
+    with zipfile.ZipFile(zip_path) as z:
+        data = z.read(name).decode("utf-8")
+    return [line.split("\t") for line in data.splitlines() if line]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{_REF}/fr/frlighttestdata.zip"), reason="no reference data"
+)
+def test_french_light_full_vocabulary():
+    """ALL 20k pairs of the reference's UniNE French vocabulary."""
+    pairs = _vocab(f"{_REF}/fr/frlighttestdata.zip", "frlight.txt")
+    bad = [(w, want, stem_french_light(w)) for w, want in pairs if stem_french_light(w) != want]
+    assert len(pairs) > 20000 and not bad, bad[:5]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{_REF}/es/eslighttestdata.zip"), reason="no reference data"
+)
+def test_spanish_light_full_vocabulary():
+    """ALL 28k pairs of the reference's CLEF Spanish vocabulary."""
+    pairs = _vocab(f"{_REF}/es/eslighttestdata.zip", "eslight.txt")
+    bad = [(w, want, stem_spanish_light(w)) for w, want in pairs if stem_spanish_light(w) != want]
+    assert len(pairs) > 28000 and not bad, bad[:5]
+
+
+@pytest.mark.parametrize(
+    "raw,stem",
+    [
+        ("chevaux", "cheval"),       # aux -> al + norm
+        ("montagnes", "montagn"),
+        ("issement", "isse"),        # too short for issement; ement fires
+        ("blessement", "bles"),      # ement + ss collapse + e strip
+        ("sérieusement", "serieus"),  # ement + accent fold + e strip
+    ],
+)
+def test_french_light_vectors(raw, stem):
+    assert stem_french_light(raw) == stem
+
+
+@pytest.mark.parametrize(
+    "raw,stem",
+    [
+        ("tablas", "tabl"),
+        ("grandes", "grand"),
+        ("libros", "libr"),
+        ("casa", "casa"),     # len < 5: untouched
+        ("casas", "cas"),
+        ("veces", "vez"),     # ces -> z
+        ("casi", "casi"),     # ends 'i': untouched
+        ("niño", "niño"),     # ñ unfolded, len 4 < 5 untouched
+    ],
+)
+def test_spanish_light_vectors(raw, stem):
+    assert stem_spanish_light(raw) == stem
+
+
+def test_french_elision_and_chain():
+    an = analyzer_for("french")
+    # ElisionFilter articles strip before lowercase; stopwords drop
+    assert an.terms("L'avion vole") == ["avion", "vole"]
+    # jusqu' elides to ici, which the snowball stop set then drops
+    assert an.terms("jusqu'ici tout va bien") == ["tout", "va", "bien"]
+    # non-article apostrophe prefixes survive
+    assert an.terms("aujourd'hui") == ["aujourd'hui"]
+    assert len(FRENCH_STOP_WORDS) == 154  # snowball list, verbatim
+    toks = an.tokens("le chat")  # stop hole accumulates position
+    assert [(t.term, t.position) for t in toks] == [("chat", 1)]
+
+
+def test_spanish_chain():
+    an = analyzer_for("spanish")
+    assert an.terms("las tablas grandes de los libros") == [
+        "tabl", "grand", "libr"
+    ]
+    assert len(SPANISH_STOP_WORDS) == 308
+    assert analyzer_for("spanish+folding").terms("canción") == ["cancion"]
