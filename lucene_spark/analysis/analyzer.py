@@ -823,6 +823,38 @@ def _make_spanish():
 FRENCH = _make_french()
 SPANISH = _make_spanish()
 
+
+
+def _make_light(lang, stemmer_name, elision=frozenset()):
+    # Language packs on the Savoy light stemmers: lowercase -> snowball
+    # stop set [-> elision] -> light stem (the reference
+    # {Italian,Portuguese,Russian,Swedish}Analyzer chains with their
+    # light-stem option)
+    from . import light_stemmers, stop_sets
+
+    fn = getattr(light_stemmers, stemmer_name)
+
+    def _stem(term: str) -> str:
+        return fn(term)
+
+    return Analyzer(
+        stopwords=getattr(stop_sets, lang.upper() + "_STOP_WORDS"),
+        stemmer=_stem,
+        elision=elision,
+    )
+
+
+def _make_italian():
+    from .light_stemmers import ITALIAN_ELISION_ARTICLES
+
+    return _make_light("italian", "stem_italian_light", ITALIAN_ELISION_ARTICLES)
+
+
+ITALIAN = _make_italian()
+PORTUGUESE = _make_light("portuguese", "stem_portuguese_light")
+RUSSIAN = _make_light("russian", "stem_russian_light")
+SWEDISH = _make_light("swedish", "stem_swedish_light")
+
 _BASE_ANALYZERS = {
     "standard": STANDARD,
     "english_stops": ENGLISH_STOPS,
@@ -831,6 +863,10 @@ _BASE_ANALYZERS = {
     "german": GERMAN,
     "french": FRENCH,
     "spanish": SPANISH,
+    "italian": ITALIAN,
+    "portuguese": PORTUGUESE,
+    "russian": RUSSIAN,
+    "swedish": SWEDISH,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

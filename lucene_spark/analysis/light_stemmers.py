@@ -1,0 +1,155 @@
+"""Italian / Portuguese / Russian / Swedish light stemmers (the Savoy
+UniNE / CLEF family the reference ships beside its snowball options) —
+reference analysis/common/src/java/org/apache/lucene/analysis/
+{it/ItalianLightStemmer.java:62-116, pt/PortugueseLightStemmer.java:
+63-210, ru/RussianLightStemmer.java:62-150, sv/SwedishLightStemmer.java:
+63-101}. Each port is verified against the reference's complete
+vocabulary file (itlight/ptlight/rulight/svlighttestdata.zip) in tests.
+
+Stop sets are the snowball project lists the corresponding analyzers
+load (analysis/snowball/*_stop.txt), regenerated verbatim in
+``stop_sets.py``. Italian adds the ItalianAnalyzer elision articles
+(ItalianAnalyzer.java DEFAULT_ARTICLES).
+"""
+
+from __future__ import annotations
+
+ITALIAN_ELISION_ARTICLES = frozenset(
+    ("c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+     "v", "d")
+)
+
+_IT_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a",
+     "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+     "è": "e", "é": "e", "ê": "e", "ë": "e",
+     "ù": "u", "ú": "u", "û": "u", "ü": "u",
+     "ì": "i", "í": "i", "î": "i", "ï": "i"}
+)
+
+
+def stem_italian_light(term: str) -> str:
+    """ItalianLightStemmer.stem (CLEF-2001)."""
+    if len(term) < 6:
+        return term
+    s = term.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in ("i", "h") else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in ("h", "i") else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+def stem_swedish_light(term: str) -> str:
+    """SwedishLightStemmer.stem (CLEF-2003)."""
+    s = term
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("arne", "erna", "ande", "else", "aste", "orna", "aren"):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in ("t", "a", "e", "n"):
+        return s[:-1]
+    return s
+
+
+_RU_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+         "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+         "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+         "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def stem_russian_light(term: str) -> str:
+    """RussianLightStemmer.stem (Dolamic & Savoy)."""
+    s = term
+    # removeCase
+    if len(s) > 6 and (s.endswith("иями") or s.endswith("оями")):
+        s = s[:-4]
+    elif len(s) > 5 and s[-3:] in _RU_3:
+        s = s[:-3]
+    elif len(s) > 4 and s[-2:] in _RU_2:
+        s = s[:-2]
+    elif len(s) > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    # normalize
+    if len(s) > 3:
+        if s[-1] in ("ь", "и"):
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+_PT_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+     "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+     "è": "e", "é": "e", "ê": "e", "ë": "e",
+     "ù": "u", "ú": "u", "û": "u", "ü": "u",
+     "ì": "i", "í": "i", "î": "i", "ï": "i", "ç": "c"}
+)
+
+
+def _pt_remove_suffix(s: str) -> str:
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[-3] in ("r", "s", "l", "z"):
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if n > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    n = len(s)
+    if n > 7 and (s.endswith("inha") or s.endswith("iaca") or s.endswith("eira")):
+        return s[:-1] + "o"
+    if n > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def stem_portuguese_light(term: str) -> str:
+    """PortugueseLightStemmer.stem (UniNE)."""
+    if len(term) < 4:
+        return term
+    s = _pt_remove_suffix(term)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in ("e", "a", "o"):
+        s = s[:-1]
+    return s.translate(_PT_FOLD)

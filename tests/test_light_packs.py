@@ -1,0 +1,77 @@
+"""Italian / Portuguese / Russian / Swedish light-stemmer packs vs the
+reference's complete vocabulary files (reference analysis/common/.../
+{it,pt,ru,sv}/*LightStemmer.java + *lighttestdata.zip)."""
+
+import os
+import zipfile
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.light_stemmers import (
+    stem_italian_light,
+    stem_portuguese_light,
+    stem_russian_light,
+    stem_swedish_light,
+)
+from lucene_spark.analysis import stop_sets
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+
+_PACKS = [
+    ("it", "itlight", stem_italian_light, 35000),
+    ("pt", "ptlight", stem_portuguese_light, 32000),
+    ("ru", "rulight", stem_russian_light, 49000),
+    ("sv", "svlight", stem_swedish_light, 30000),
+]
+
+
+@pytest.mark.parametrize("lang,name,fn,atleast", _PACKS)
+def test_full_vocabulary(lang, name, fn, atleast):
+    zp = f"{_REF}/{lang}/{name}testdata.zip"
+    if not os.path.exists(zp):
+        pytest.skip("no reference data")
+    with zipfile.ZipFile(zp) as z:
+        data = z.read(f"{name}.txt").decode("utf-8")
+    pairs = [line.split("\t") for line in data.splitlines() if line]
+    bad = [(w, want, fn(w)) for w, want in pairs if fn(w) != want]
+    assert len(pairs) > atleast and not bad, bad[:5]
+
+
+def test_chains():
+    assert analyzer_for("italian").terms("L'architettura delle tabelle grandi") == [
+        "architettur", "tabell", "grand"
+    ]
+    assert analyzer_for("portuguese").terms("as tabelas grandes dos livros") == [
+        "tabel", "grand", "livr"
+    ]
+    assert analyzer_for("russian").terms("большие таблицы в книгах") == [
+        "больш", "таблиц", "книг"
+    ]
+    assert analyzer_for("swedish").terms("de stora tabellerna i böckerna") == [
+        "stor", "tabell", "böck"
+    ]
+
+
+def test_stop_sets_are_the_snowball_lists():
+    assert len(stop_sets.ITALIAN_STOP_WORDS) == 279
+    assert len(stop_sets.PORTUGUESE_STOP_WORDS) == 203
+    assert len(stop_sets.RUSSIAN_STOP_WORDS) == 159
+    assert len(stop_sets.SWEDISH_STOP_WORDS) == 114
+    assert "и" in stop_sets.RUSSIAN_STOP_WORDS
+    assert "och" in stop_sets.SWEDISH_STOP_WORDS
+
+
+@pytest.mark.parametrize(
+    "fn,raw,stem",
+    [
+        (stem_italian_light, "tabelle", "tabell"),
+        (stem_italian_light, "vecchi", "vecc"),     # hi -> -2
+        (stem_portuguese_light, "corações", "coraca"),  # ões->ão, o-strip, fold
+        (stem_portuguese_light, "meninas", "menin"),
+        (stem_russian_light, "книгами", "книг"),
+        (stem_swedish_light, "flickorna", "flick"),
+    ],
+)
+def test_light_stem_vectors(fn, raw, stem):
+    assert fn(raw) == stem
