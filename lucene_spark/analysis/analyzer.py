@@ -854,6 +854,8 @@ ITALIAN = _make_italian()
 PORTUGUESE = _make_light("portuguese", "stem_portuguese_light")
 RUSSIAN = _make_light("russian", "stem_russian_light")
 SWEDISH = _make_light("swedish", "stem_swedish_light")
+FINNISH = _make_light("finnish", "stem_finnish_light")
+HUNGARIAN = _make_light("hungarian", "stem_hungarian_light")
 
 _BASE_ANALYZERS = {
     "standard": STANDARD,
@@ -867,6 +869,8 @@ _BASE_ANALYZERS = {
     "portuguese": PORTUGUESE,
     "russian": RUSSIAN,
     "swedish": SWEDISH,
+    "finnish": FINNISH,
+    "hungarian": HUNGARIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

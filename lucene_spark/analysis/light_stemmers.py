@@ -153,3 +153,191 @@ def stem_portuguese_light(term: str) -> str:
     if len(s) > 4 and s[-1] in ("e", "a", "o"):
         s = s[:-1]
     return s.translate(_PT_FOLD)
+
+
+_FI_FOLD = str.maketrans({"ä": "a", "å": "a", "ö": "o"})
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: str) -> str:
+    if len(s) > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:-3])
+        if s.endswith("ko"):
+            return _fi_step1(s[:-2])
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    if len(s) > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+            return s[:-3]
+    if n > 5:
+        if s[-2:] in ("na", "ne"):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"
+    if len(s) > 4 and (s.endswith("ei") or s.endswith("at")):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in ("e", "o", "u"):
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse consecutive duplicate k/p/t
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in ("k", "p", "t"):
+                    continue
+                out.append(c)
+            s = "".join(out)
+    return s
+
+
+def stem_finnish_light(term: str) -> str:
+    """FinnishLightStemmer.stem (CLEF-2003; reference analysis/common/
+    .../fi/FinnishLightStemmer.java:66-235)."""
+    if len(term) < 4:
+        return term
+    s = term.translate(_FI_FOLD)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
+_HU_FOLD = str.maketrans(
+    {"á": "a", "ë": "e", "é": "e", "í": "i",
+     "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+     "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u"}
+)
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                      "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+            return s[:-3]
+        if (s.endswith("al") or s.endswith("el")) and (
+            s[-3] not in _HU_VOWELS and s[-3] == s[-4]
+        ):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                      "be", "ul", "ig"):
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in ("t", "n"):
+            return s[:-1]
+        if s[-1] in ("a", "e") and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s.endswith("juk"):
+            return s[:-3]
+        if s.endswith("ink"):
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s[-2:] in (
+            "am", "em", "om", "ad", "ed", "od", "uk"
+        ):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if n > 3:
+        if s[-1] in ("a", "e") and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in ("m", "d") and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def _hu_remove_plural(s: str) -> str:
+    if len(s) > 3 and s[-1] == "k":
+        if s[-2] in ("a", "o", "e") and len(s) > 4:
+            return s[:-2]
+        return s[:-1]  # the reference's intentional fallthrough
+    return s
+
+
+def stem_hungarian_light(term: str) -> str:
+    """HungarianLightStemmer.stem (UniNE; reference analysis/common/
+    .../hu/HungarianLightStemmer.java:64-243)."""
+    s = term.translate(_HU_FOLD)
+    s = _hu_remove_plural(_hu_remove_possessive(_hu_remove_case(s)))
+    if len(s) > 3 and s[-1] in "aeio":
+        return s[:-1]
+    return s

@@ -9,6 +9,8 @@ import pytest
 
 from lucene_spark.analysis.analyzer import analyzer_for
 from lucene_spark.analysis.light_stemmers import (
+    stem_finnish_light,
+    stem_hungarian_light,
     stem_italian_light,
     stem_portuguese_light,
     stem_russian_light,
@@ -23,6 +25,8 @@ _PACKS = [
     ("pt", "ptlight", stem_portuguese_light, 32000),
     ("ru", "rulight", stem_russian_light, 49000),
     ("sv", "svlight", stem_swedish_light, 30000),
+    ("fi", "filight", stem_finnish_light, 49000),
+    ("hu", "hulight", stem_hungarian_light, 29000),
 ]
 
 
@@ -51,6 +55,12 @@ def test_chains():
     assert analyzer_for("swedish").terms("de stora tabellerna i böckerna") == [
         "stor", "tabell", "böck"
     ]
+    assert analyzer_for("finnish").terms("suuret taulukot ja kirjat") == [
+        "suure", "tauluko", "kirj"
+    ]
+    assert analyzer_for("hungarian").terms("a nagy táblázatok és könyvek") == [
+        "tablaz", "konyv"
+    ]
 
 
 def test_stop_sets_are_the_snowball_lists():
@@ -60,6 +70,10 @@ def test_stop_sets_are_the_snowball_lists():
     assert len(stop_sets.SWEDISH_STOP_WORDS) == 114
     assert "и" in stop_sets.RUSSIAN_STOP_WORDS
     assert "och" in stop_sets.SWEDISH_STOP_WORDS
+    # snowball lines may carry several forms before the '|' comment —
+    # the loader (like WordlistLoader.getSnowballWordSet) takes them all
+    assert len(stop_sets.FINNISH_STOP_WORDS) == 229
+    assert len(stop_sets.HUNGARIAN_STOP_WORDS) == 198
 
 
 @pytest.mark.parametrize(
