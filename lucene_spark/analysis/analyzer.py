@@ -856,6 +856,7 @@ RUSSIAN = _make_light("russian", "stem_russian_light")
 SWEDISH = _make_light("swedish", "stem_swedish_light")
 FINNISH = _make_light("finnish", "stem_finnish_light")
 HUNGARIAN = _make_light("hungarian", "stem_hungarian_light")
+CZECH = _make_light("czech", "stem_czech")
 
 _BASE_ANALYZERS = {
     "standard": STANDARD,
@@ -871,6 +872,7 @@ _BASE_ANALYZERS = {
     "swedish": SWEDISH,
     "finnish": FINNISH,
     "hungarian": HUNGARIAN,
+    "czech": CZECH,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

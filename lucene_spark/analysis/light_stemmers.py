@@ -341,3 +341,47 @@ def stem_hungarian_light(term: str) -> str:
     if len(s) > 3 and s[-1] in "aeio":
         return s[:-1]
     return s
+
+
+_CZ_3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+         "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+         "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+         "mi", "ou")
+
+
+def stem_czech(term: str) -> str:
+    """CzechStemmer.stem (the reference's own light Czech algorithm —
+    analysis/common/.../cz/CzechStemmer.java:37-157): case removal,
+    possessive removal, then palatalization-aware normalization."""
+    s = term
+    # removeCase
+    if len(s) > 7 and s.endswith("atech"):
+        s = s[:-5]
+    elif len(s) > 6 and s[-4:] in ("ětem", "etem", "atům"):
+        s = s[:-4]
+    elif len(s) > 5 and s[-3:] in _CZ_3:
+        s = s[:-3]
+    elif len(s) > 4 and s[-2:] in _CZ_2:
+        s = s[:-2]
+    elif len(s) > 3 and s[-1] in "aeiouůyáéíýě":
+        s = s[:-1]
+    # removePossessives
+    if len(s) > 5 and s[-2:] in ("ov", "in", "ův"):
+        s = s[:-2]
+    # normalize
+    if not s:
+        return s
+    if s.endswith("čt"):
+        return s[:-2] + "ck"
+    if s.endswith("št"):
+        return s[:-2] + "sk"
+    if s[-1] in ("c", "č"):
+        return s[:-1] + "k"
+    if s[-1] in ("z", "ž"):
+        return s[:-1] + "h"
+    if len(s) > 1 and s[-2] == "e":
+        return s[:-2] + s[-1]
+    if len(s) > 2 and s[-2] == "ů":
+        return s[:-2] + "o" + s[-1]
+    return s

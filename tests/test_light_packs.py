@@ -89,3 +89,39 @@ def test_stop_sets_are_the_snowball_lists():
 )
 def test_light_stem_vectors(fn, raw, stem):
     assert fn(raw) == stem
+
+
+def test_czech_stemmer_against_reference_vectors():
+    """ALL of TestCzechStemmer's checkOneTerm-style golden vectors
+    (reference analysis/common/.../cz/TestCzechStemmer.java, extracted
+    programmatically; inputs lowercased first like the CzechAnalyzer
+    chain)."""
+    import re
+
+    from lucene_spark.analysis.light_stemmers import stem_czech
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/cz/TestCzechStemmer.java"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no reference data")
+    src = open(path, encoding="utf-8").read()
+    pairs = re.findall(
+        r'assertAnalyzesTo\(\w+,\s*"([^"]+)",\s*new String\[\]\s*\{"([^"]+)"\}\)',
+        src,
+    )
+    assert len(pairs) > 130
+    bad = [
+        (w, want, stem_czech(w.lower()))
+        for w, want in pairs
+        if stem_czech(w.lower()) != want.lower()
+    ]
+    assert not bad, bad[:5]
+
+
+def test_czech_chain():
+    assert analyzer_for("czech").terms("Karlův most a páni") == [
+        "karl", "most", "pán"
+    ]
+    assert len(stop_sets.CZECH_STOP_WORDS) == 171  # one duplicate in the file collapses
