@@ -857,6 +857,7 @@ SWEDISH = _make_light("swedish", "stem_swedish_light")
 FINNISH = _make_light("finnish", "stem_finnish_light")
 HUNGARIAN = _make_light("hungarian", "stem_hungarian_light")
 CZECH = _make_light("czech", "stem_czech")
+ARABIC = _make_light("arabic", "arabic_chain")
 
 _BASE_ANALYZERS = {
     "standard": STANDARD,
@@ -873,6 +874,7 @@ _BASE_ANALYZERS = {
     "finnish": FINNISH,
     "hungarian": HUNGARIAN,
     "czech": CZECH,
+    "arabic": ARABIC,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

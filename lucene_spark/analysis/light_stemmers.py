@@ -385,3 +385,58 @@ def stem_czech(term: str) -> str:
     if len(s) > 2 and s[-2] == "ů":
         return s[:-2] + "o" + s[-1]
     return s
+
+
+# ------------------------- Arabic (reference analysis/common/.../ar) --
+
+_AR_ALEF, _AR_YEH, _AR_HEH = "\u0627", "\u064a", "\u0647"
+_AR_NORM_MAP = str.maketrans(
+    {"\u0622": _AR_ALEF, "\u0623": _AR_ALEF, "\u0625": _AR_ALEF,  # hamza seats
+     "\u0649": _AR_YEH,                                            # dotless yeh
+     "\u0629": _AR_HEH}                                            # teh marbuta
+)
+_AR_DELETE = set("\u0640\u064b\u064c\u064d\u064e\u064f\u0650\u0651\u0652")
+
+_AR_PREFIXES = ("\u0627\u0644", "\u0648\u0627\u0644", "\u0628\u0627\u0644",
+                "\u0643\u0627\u0644", "\u0641\u0627\u0644", "\u0644\u0644",
+                "\u0648")
+_AR_SUFFIXES = ("\u0647\u0627", "\u0627\u0646", "\u0627\u062a",
+                "\u0648\u0646", "\u064a\u0646", "\u064a\u0647",
+                "\u064a\u0629", "\u0647", "\u0629", "\u064a")
+
+
+def normalize_arabic(term: str) -> str:
+    """ArabicNormalizer (analysis/common/.../ar/ArabicNormalizer.java):
+    hamza seats -> bare alef, teh marbuta -> heh, dotless yeh -> yeh,
+    harakat + tatweel removed."""
+    return "".join(
+        c for c in term.translate(_AR_NORM_MAP) if c not in _AR_DELETE
+    )
+
+
+def stem_arabic(term: str) -> str:
+    """ArabicStemmer (analysis/common/.../ar/ArabicStemmer.java): one
+    definite-article/conjunction prefix (waw needs length >= 4, others
+    length >= prefix+2), then EVERY matching suffix in list order (each
+    needs 2 chars left)."""
+    s = term
+    for p in _AR_PREFIXES:
+        if len(p) == 1:
+            if len(s) < 4:
+                continue
+        elif len(s) < len(p) + 2:
+            continue
+        if s.startswith(p):
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[: -len(suf)]
+    return s
+
+
+def arabic_chain(term: str) -> str:
+    """normalization -> stem (the ArabicAnalyzer stemmer slot; the stop
+    list is checked on the UN-normalized term, like the reference chain
+    notes)."""
+    return stem_arabic(normalize_arabic(term))

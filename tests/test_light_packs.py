@@ -125,3 +125,39 @@ def test_czech_chain():
         "karl", "most", "pán"
     ]
     assert len(stop_sets.CZECH_STOP_WORDS) == 171  # one duplicate in the file collapses
+
+
+def test_arabic_against_reference_vectors():
+    """ALL check() vectors from TestArabicStemFilter +
+    TestArabicNormalizationFilter (reference analysis/common/.../ar/),
+    extracted programmatically."""
+    import re
+
+    from lucene_spark.analysis.light_stemmers import (
+        normalize_arabic,
+        stem_arabic,
+    )
+
+    base = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/ar"
+    )
+    if not os.path.exists(base):
+        pytest.skip("no reference data")
+    n = 0
+    src = open(f"{base}/TestArabicStemFilter.java", encoding="utf-8").read()
+    for w, want in re.findall(r'check\("([^"]+)",\s*"([^"]+)"\)', src):
+        assert stem_arabic(w) == want, w
+        n += 1
+    src = open(f"{base}/TestArabicNormalizationFilter.java", encoding="utf-8").read()
+    for w, want in re.findall(r'check\("([^"]+)",\s*"([^"]+)"\)', src):
+        assert normalize_arabic(w) == want, w
+        n += 1
+    assert n >= 35
+
+
+def test_arabic_chain():
+    from lucene_spark.analysis import stop_sets as ss
+
+    assert analyzer_for("arabic").terms("الحسن") == ["حسن"]
+    assert len(ss.ARABIC_STOP_WORDS) > 100
