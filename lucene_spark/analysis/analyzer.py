@@ -400,6 +400,10 @@ class Analyzer:
     # contraction (l'avion -> avion); articles match case-insensitively,
     # applied before lowercasing like the reference chain.
     elision: frozenset = frozenset()
+    # pre-stop-filter normalizer hook (callable term -> term), applied
+    # where the icu fold sits — for chains whose stop list is normalized
+    # (the reference Persian/Hindi analyzers normalize BEFORE StopFilter)
+    normalizer: object = None
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -466,6 +470,8 @@ class Analyzer:
             term = lowercase(term)
             if self.icu_fold:
                 term = nfkc_cf(term)
+            if self.normalizer is not None:
+                term = self.normalizer(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
@@ -576,6 +582,8 @@ class Analyzer:
             term = lowercase(term)
             if self.icu_fold:
                 term = nfkc_cf(term)
+            if self.normalizer is not None:
+                term = self.normalizer(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
@@ -643,6 +651,8 @@ class Analyzer:
             term = lowercase(term)
             if self.icu_fold:
                 term = nfkc_cf(term)
+            if self.normalizer is not None:
+                term = self.normalizer(term)
             if self.ascii_folding:
                 term = fold_ascii(term)
             if term in self.stopwords:
@@ -859,6 +869,49 @@ HUNGARIAN = _make_light("hungarian", "stem_hungarian_light")
 CZECH = _make_light("czech", "stem_czech")
 ARABIC = _make_light("arabic", "arabic_chain")
 
+
+def _persian_normalize(term: str) -> str:
+    # PersianAnalyzer: ArabicNormalizationFilter then
+    # PersianNormalizationFilter, BEFORE the (normalized) stop list
+    from .light_stemmers import normalize_arabic, normalize_persian
+
+    return normalize_persian(normalize_arabic(term))
+
+
+def _persian_stem(term: str) -> str:
+    from .light_stemmers import stem_persian
+
+    return stem_persian(term)
+
+
+def _hindi_normalize(term: str) -> str:
+    # HindiAnalyzer: HindiNormalizationFilter before the stop list
+    # (IndicNormalizationFilter's script-generic composition is scoped
+    # out — documented)
+    from .light_stemmers import normalize_hindi
+
+    return normalize_hindi(term)
+
+
+def _hindi_stem(term: str) -> str:
+    from .light_stemmers import stem_hindi
+
+    return stem_hindi(term)
+
+
+def _make_normalized(lang, normalizer, stemmer):
+    from . import stop_sets
+
+    return Analyzer(
+        stopwords=getattr(stop_sets, lang.upper() + "_STOP_WORDS"),
+        normalizer=normalizer,
+        stemmer=stemmer,
+    )
+
+
+PERSIAN = _make_normalized("persian", _persian_normalize, _persian_stem)
+HINDI = _make_normalized("hindi", _hindi_normalize, _hindi_stem)
+
 _BASE_ANALYZERS = {
     "standard": STANDARD,
     "english_stops": ENGLISH_STOPS,
@@ -875,6 +928,8 @@ _BASE_ANALYZERS = {
     "hungarian": HUNGARIAN,
     "czech": CZECH,
     "arabic": ARABIC,
+    "persian": PERSIAN,
+    "hindi": HINDI,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -440,3 +440,128 @@ def arabic_chain(term: str) -> str:
     list is checked on the UN-normalized term, like the reference chain
     notes)."""
     return stem_arabic(normalize_arabic(term))
+
+
+# ---------------------- Persian (reference analysis/common/.../fa) ----
+
+_FA_NORM_MAP = str.maketrans(
+    {"\u06cc": "\u064a", "\u06d2": "\u064a",  # farsi yeh / yeh barree -> yeh
+     "\u06a9": "\u0643",                        # keheh -> kaf
+     "\u06c0": "\u0647", "\u06c1": "\u0647"}  # heh variants -> heh
+)
+
+
+def normalize_persian(term: str) -> str:
+    """PersianNormalizer (analysis/common/.../fa/PersianNormalizer.java):
+    farsi yeh/yeh barree -> yeh, keheh -> kaf, heh+yeh/heh goal -> heh,
+    hamza-above removed."""
+    return term.translate(_FA_NORM_MAP).replace("\u0654", "")
+
+
+_FA_SUFFIXES = ("\u0627\u062a", "\u0627\u0646",
+                "\u062a\u0631\u064a\u0646", "\u062a\u0631",
+                "\u064a\u064a", "\u064a", "\u0647\u0627", "\u200c")
+
+
+def stem_persian(term: str) -> str:
+    """PersianStemmer (analysis/common/.../fa/PersianStemmer.java): every
+    matching suffix in list order, each needing 2 chars left."""
+    s = term
+    for suf in _FA_SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[: -len(suf)]
+    return s
+
+
+def persian_chain(term: str) -> str:
+    return stem_persian(normalize_persian(term))
+
+
+# ------------------------ Hindi (reference analysis/common/.../hi) ----
+
+_HI_NORM_MAP = str.maketrans({
+    "\u0901": "\u0902",                          # candrabindu -> bindu
+    "\u0929": "\u0928", "\u0931": "\u0930",    # nukta consonants
+    "\u0934": "\u0933", "\u0958": "\u0915",
+    "\u0959": "\u0916", "\u095a": "\u0917",
+    "\u095b": "\u091c", "\u095c": "\u0921",
+    "\u095d": "\u0922", "\u095e": "\u092b",
+    "\u095f": "\u092f",
+    "\u0945": "\u0947", "\u0946": "\u0947",    # chandra/short e
+    "\u0949": "\u094b", "\u094a": "\u094b",
+    "\u090d": "\u090f", "\u090e": "\u090f",
+    "\u0911": "\u0913", "\u0912": "\u0913",
+    "\u0972": "\u0905",
+    "\u0906": "\u0905", "\u0908": "\u0907",    # long -> short ind.
+    "\u090a": "\u0909", "\u0960": "\u090b",
+    "\u0961": "\u090c", "\u0910": "\u090f",
+    "\u0914": "\u0913",
+    "\u0940": "\u093f", "\u0942": "\u0941",    # long -> short dep.
+    "\u0944": "\u0943", "\u0963": "\u0962",
+    "\u0948": "\u0947", "\u094c": "\u094b",
+})
+
+
+def normalize_hindi(term: str) -> str:
+    """HindiNormalizer (analysis/common/.../hi/HindiNormalizer.java):
+    dead-n -> bindu, candrabindu -> bindu, nukta folds, zwj/zwnj/virama/
+    nukta deletion, chandra + long-vowel shortening."""
+    s = term.replace("\u0928\u094d", "\u0902")  # dead n -> bindu
+    s = s.translate(_HI_NORM_MAP)
+    for ch in ("\u093c", "\u200d", "\u200c", "\u094d"):
+        s = s.replace(ch, "")
+    return s
+
+
+_HI_5 = ("\u093e\u090f\u0902\u0917\u0940", "\u093e\u090f\u0902\u0917\u0947",
+         "\u093e\u090a\u0902\u0917\u0940", "\u093e\u090a\u0902\u0917\u093e",
+         "\u093e\u0907\u092f\u093e\u0901", "\u093e\u0907\u092f\u094b\u0902",
+         "\u093e\u0907\u092f\u093e\u0902")
+_HI_4 = ("\u093e\u090f\u0917\u0940", "\u093e\u090f\u0917\u093e",
+         "\u093e\u0913\u0917\u0940", "\u093e\u0913\u0917\u0947",
+         "\u090f\u0902\u0917\u0940", "\u0947\u0902\u0917\u0940",
+         "\u090f\u0902\u0917\u0947", "\u0947\u0902\u0917\u0947",
+         "\u0942\u0902\u0917\u0940", "\u0942\u0902\u0917\u093e",
+         "\u093e\u0924\u0940\u0902", "\u0928\u093e\u0913\u0902",
+         "\u0928\u093e\u090f\u0902", "\u0924\u093e\u0913\u0902",
+         "\u0924\u093e\u090f\u0902", "\u093f\u092f\u093e\u0901",
+         "\u093f\u092f\u094b\u0902", "\u093f\u092f\u093e\u0902")
+_HI_3 = ("\u093e\u0915\u0930", "\u093e\u0907\u090f",
+         "\u093e\u0908\u0902", "\u093e\u092f\u093e",
+         "\u0947\u0917\u0940", "\u0947\u0917\u093e",
+         "\u094b\u0917\u0940", "\u094b\u0917\u0947",
+         "\u093e\u0928\u0947", "\u093e\u0928\u093e",
+         "\u093e\u0924\u0947", "\u093e\u0924\u0940",
+         "\u093e\u0924\u093e", "\u0924\u0940\u0902",
+         "\u093e\u0913\u0902", "\u093e\u090f\u0902",
+         "\u0941\u0913\u0902", "\u0941\u090f\u0902",
+         "\u0941\u0906\u0902")
+_HI_2 = ("\u0915\u0930", "\u093e\u0913", "\u093f\u090f",
+         "\u093e\u0908", "\u093e\u090f", "\u0928\u0947",
+         "\u0928\u0940", "\u0928\u093e", "\u0924\u0947",
+         "\u0940\u0902", "\u0924\u0940", "\u0924\u093e",
+         "\u093e\u0901", "\u093e\u0902", "\u094b\u0902",
+         "\u0947\u0902")
+_HI_1 = ("\u094b", "\u0947", "\u0942", "\u0941",
+         "\u0940", "\u093f", "\u093e")
+
+
+def stem_hindi(term: str) -> str:
+    """HindiStemmer (analysis/common/.../hi/HindiStemmer.java): the
+    lightweight Ramanathan & Rao suffix table, longest class first."""
+    s = term
+    if len(s) > 6 and s[-5:] in _HI_5:
+        return s[:-5]
+    if len(s) > 5 and s[-4:] in _HI_4:
+        return s[:-4]
+    if len(s) > 4 and s[-3:] in _HI_3:
+        return s[:-3]
+    if len(s) > 3 and s[-2:] in _HI_2:
+        return s[:-2]
+    if len(s) > 2 and s[-1] in _HI_1:
+        return s[:-1]
+    return s
+
+
+def hindi_chain(term: str) -> str:
+    return stem_hindi(normalize_hindi(term))

@@ -150,3 +150,47 @@ ARABIC_STOP_WORDS = frozenset(
     حيث الان الآن خلال بعد قبل حتى عند عندما لدى جميع""".split()
 )
 
+PERSIAN_STOP_WORDS = frozenset(
+    """انان نداشته سراسر خياه ايشان وي تاكنون بيشتري دوم پس ناشي وگو يا
+    داشتند سپس هنگام هرگز پنج نشان امسال ديگر گروهي شدند چطور ده و دو
+    نخستين ولي چرا چه وسط ه كدام قابل يك رفت هفت همچنين در هزار بله بلي
+    شايد اما شناسي گرفته دهد داشته دانست داشتن خواهيم ميليارد وقتيكه امد
+    خواهد جز اورده شده بلكه خدمات شدن برخي نبود بسياري جلوگيري حق كردند
+    نوعي بعري نكرده نظير نبايد بوده بودن داد اورد هست جايي شود دنبال داده
+    بايد سابق هيچ همان انجا كمتر كجاست گردد كسي تر مردم تان دادن بودند سري
+    جدا ندارند مگر يكديگر دارد دهند بنابراين هنگامي سمت جا انچه خود دادند
+    زياد دارند اثر بدون بهترين بيشتر البته به براساس بيرون كرد بعضي گرفت
+    توي اي ميليون او جريان تول بر مانند برابر باشيم مدتي گويند اكنون تا
+    تنها جديد چند بي نشده كردن كردم گويد كرده كنيم نمي نزد روي قصد فقط
+    بالاي ديگران اين ديروز توسط سوم ايم دانند سوي استفاده شما كنار داريم
+    ساخته طور امده رفته نخست بيست نزديك طي كنيد از انها تمامي داشت يكي
+    طريق اش چيست روب نمايد گفت چندين چيزي تواند ام ايا با ان ايد ترين
+    اينكه ديگري راه هايي بروز همچنان پاعين كس حدود مختلف مقابل چيز گيرد
+    ندارد ضد همچون سازي شان مورد باره مرسي خويش برخوردار چون خارج شش هنوز
+    تحت ضمن هستيم گفته فكر بسيار پيش براي روزهاي انكه نخواهد بالا كل وقتي
+    كي چنين كه گيري نيست است كجا كند نيز يابد بندي حتي توانند عقب خواست
+    كنند بين تمام همه ما باشند مثل شد اري باشد اره طبق بعد اگر صورت غير
+    جاي بيش ريزي اند زيرا چگونه بار لطفا مي درباره من ديده همين گذاري
+    برداري علت گذاشته هم فوق نه ها شوند اباد همواره هر اول خواهند چهار نام
+    امروز مان هاي قبل كنم سعي تازه را هستند زير جلوي عنوان بود""".split()
+)
+
+HINDI_STOP_WORDS = frozenset(
+    """अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन इनका इन्हीं इन्हें इन्हों
+    इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी उनके उनको उन्हीं उन्हें
+    उन्हों उस उसके उसी उसे एक एवं एस ऐसे और कई कर करता करते करना करने करें
+    कहते कहा का काफ़ी कि कितना किन्हें किन्हों किया किर किस किसी किसे की
+    कुछ कुल के को कोई कौन कौनसा गया घर जब जहाँ जा जितना जिन जिन्हें
+    जिन्हों जिस जिसे जीधर जैसा जैसे जो तक तब तरह तिन तिन्हें तिन्हों तिस
+    तिसे तो था थी थे दबारा दिया दुसरा दूसरे दो द्वारा न नहीं ना निहायत
+    नीचे ने पर पर पहले पूरा पे फिर बनी बही बहुत बाद बाला बिलकुल भी भीतर
+    मगर मानो मे में यदि यह यहाँ यही या यिह ये रखें रहा रहे ऱ्वासा लिए लिये
+    लेकिन व वर्ग वह वह वहाँ वहीं वाले वुह वे वग़ैरह संग सकता सकते सबसे सभी
+    साथ साबुत साभ सारा से सो ही हुआ हुई हुए है हैं हो होता होती होते होना
+    होने अपनि जेसे होति सभि तिंहों इंहों दवारा इसि किंहें थि उंहों ओर
+    जिंहें वहिं अभि बनि हि उंहिं उंहें हें वगेरह एसे रवासा कोन निचे काफि
+    उसि पुरा भितर हे बहि वहां कोइ यहां जिंहों तिंहें किसि कइ यहि इंहिं
+    जिधर इंहें अदि इतयादि हुइ कोनसा इसकि दुसरे जहां अप किंहों उनकि भि वरग
+    हुअ जेसा नहिं""".split()
+)
+

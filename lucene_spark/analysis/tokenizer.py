@@ -10,9 +10,11 @@ Reference semantics: /root/reference/lucene/core/src/java/org/apache/lucene/anal
 This is a from-scratch Python implementation of the core UAX#29 rules
 (WB5-WB13b) over the word-break classes that occur in web text: ALetter,
 Numeric, Katakana, ExtendNumLet (connector punctuation), MidLetter, MidNum,
-MidNumLet, plus single-codepoint Ideographic/Hiragana/Hangul tokens. Extend/
-Format/regional-indicator handling is out of scope for the corpus (documented
-gap; golden tests pin the implemented behavior).
+MidNumLet, plus single-codepoint Ideographic/Hiragana/Hangul tokens, plus the
+WB4 Extend/Format rule (combining marks, ZWNJ/ZWJ and other Cf attach to the
+preceding character and are transparent to the join rules — required for
+Indic scripts and Perso-Arabic ZWNJ words). Regional-indicator/emoji
+sequences remain out of scope (documented gap; golden tests pin behavior).
 
 Hot path: an ASCII fast path splits on a compiled regex and only falls back
 to the per-codepoint scanner for candidate runs containing mid-punctuation or
@@ -39,6 +41,7 @@ _MB = 7  # MidNumLet (both)
 _ID = 8  # Ideographic (single-char token)
 _HI = 9  # Hiragana (single-char token)
 _HG = 10  # Hangul syllables (treated as a joining run, like ALetter)
+_XT = 11  # Extend/Format (combining marks, ZWNJ/ZWJ etc.) — WB4 transparent
 _OTHER = 0
 
 _MIDLETTER = set(":··״‧︓﹕：")
@@ -93,6 +96,8 @@ def _classify(ch: str) -> int:
         return _NU
     if cat == "Pc":
         return _EX
+    if cat in ("Mn", "Mc", "Me", "Cf"):
+        return _XT  # UAX#29 WB4: Extend/Format attach to the preceding char
     return _OTHER
 
 
@@ -148,9 +153,12 @@ def _scan(text: str, base_offset: int, out: list[tuple[str, int, int]]) -> None:
     i = 0
     while i < n:
         cls = _classify(text[i])
-        if cls in (_ID, _HI):  # single-codepoint tokens
-            out.append((text[i], base_offset + i, base_offset + i + 1))
-            i += 1
+        if cls in (_ID, _HI):  # single-codepoint tokens (+ trailing Extends)
+            j = i + 1
+            while j < n and _classify(text[j]) == _XT:
+                j += 1
+            out.append((text[i:j], base_offset + i, base_offset + j))
+            i = j
             continue
         if cls not in _RUN:
             i += 1
@@ -160,7 +168,9 @@ def _scan(text: str, base_offset: int, out: list[tuple[str, int, int]]) -> None:
         i += 1
         while i < n:
             c = _classify(text[i])
-            if c in _RUN and _joins(prev_cls, c):
+            if c == _XT:  # WB4: transparent, absorbed into the token
+                i += 1
+            elif c in _RUN and _joins(prev_cls, c):
                 prev_cls = c
                 i += 1
             elif c in (_ML, _MN, _MB) and i + 1 < n:
@@ -197,19 +207,35 @@ def _scan_vectorized(text: str, base_offset: int, out: list[tuple[str, int, int]
     lut = np.array([_classify(chr(int(c))) for c in uniq], dtype=np.int8)
     cls = lut[inv]
 
+    ext = cls == _XT
+    # WB4: Extend/Format are transparent — each position sees the class of
+    # the nearest non-Extend char before it (forward fill), and Extends
+    # attach to a preceding word char
+    if ext.any():
+        idxs = np.arange(n)
+        last_base = np.where(~ext, idxs, -1)
+        np.maximum.accumulate(last_base, out=last_base)
+        filled = np.where(last_base >= 0, cls[np.maximum(last_base, 0)], _OTHER)
+    else:
+        filled = cls
+
     run = (cls == _AL) | (cls == _NU) | (cls == _KA) | (cls == _EX) | (cls == _HG)
     single = (cls == _ID) | (cls == _HI)
+    base_run = (filled == _AL) | (filled == _NU) | (filled == _KA) | (filled == _EX) | (filled == _HG)
+    base_single = (filled == _ID) | (filled == _HI)
 
     connected = np.zeros(n, dtype=bool)
     if n >= 2:
-        a, b = cls[:-1], cls[1:]
+        a, b = filled[:-1], cls[1:]
         joins = (a == _EX) | (b == _EX)
         joins |= (a == _AL) & ((b == _AL) | (b == _NU))
         joins |= (a == _NU) & ((b == _NU) | (b == _AL))
         joins |= (a == _KA) & (b == _KA)
         joins |= (a == _HG) & ((b == _HG) | (b == _AL) | (b == _NU))
         joins |= ((a == _AL) | (a == _NU)) & (b == _HG)
-        connected[1:] = joins & run[:-1] & run[1:]
+        connected[1:] = joins & base_run[:-1] & run[1:]
+        # Extend chars attach to any preceding word char (run or single)
+        connected[1:] |= ext[1:] & (base_run[:-1] | base_single[:-1])
     if n >= 3:
         # mid bridges (WB6/7, WB11/12): prev MID next joins prev..next
         p, m_, x = cls[:-2], cls[1:-1], cls[2:]

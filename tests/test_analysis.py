@@ -151,3 +151,21 @@ def test_analyze_series_batch():
     s = pd.Series(["Hello World", None, "", "it's"])
     out = analyze_series(s).tolist()
     assert out == [["hello", "world"], [], [], ["it's"]]
+
+
+def test_wb4_extend_and_format_attach():
+    """UAX#29 WB4: combining marks (Mn/Mc/Me) and format chars (Cf, e.g.
+    ZWNJ) attach to the preceding character and are transparent to the
+    join rules — Devanagari nukta/matra words and Perso-Arabic ZWNJ
+    compounds stay single tokens (reference StandardTokenizerImpl.jflex
+    includes Extend/Format in every rule's trailing context)."""
+    from lucene_spark.analysis.tokenizer import tokenize
+
+    assert [t.term for t in tokenize("लड़के और लड़कियों")] == [
+        "लड़के", "और", "लड़कियों"
+    ]
+    assert [t.term for t in tokenize("کتاب‌ها")] == ["کتاب‌ها"]
+    # leading extend attaches to nothing and never starts a token
+    assert [t.term for t in tokenize("́abc")] == ["abc"]
+    # a single-codepoint ideograph token absorbs its trailing marks
+    assert [t.term for t in tokenize("中́中")] == ["中́", "中"]

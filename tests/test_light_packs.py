@@ -161,3 +161,19 @@ def test_arabic_chain():
 
     assert analyzer_for("arabic").terms("الحسن") == ["حسن"]
     assert len(ss.ARABIC_STOP_WORDS) > 100
+
+
+def test_persian_and_hindi_chains():
+    """PersianAnalyzer / HindiAnalyzer chains: normalization BEFORE the
+    (normalized) stop list, then the suffix stemmers — inflected and
+    ZWNJ-compound forms conflate (reference fa/PersianAnalyzer.java:
+    128-142, hi/HindiAnalyzer.java:121-131; IndicNormalizationFilter's
+    script-generic composition is scoped out, documented)."""
+    fa = analyzer_for("persian")
+    assert fa.terms("کتاب‌ها و کتابی") == ["كتاب", "كتاب"]
+    hi = analyzer_for("hindi")
+    assert hi.terms("लड़के और लड़कियों") == ["लडक", "लडक"]
+    from lucene_spark.analysis import stop_sets as ss
+
+    assert len(ss.PERSIAN_STOP_WORDS) > 300
+    assert len(ss.HINDI_STOP_WORDS) > 200
