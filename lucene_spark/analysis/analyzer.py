@@ -868,6 +868,7 @@ FINNISH = _make_light("finnish", "stem_finnish_light")
 HUNGARIAN = _make_light("hungarian", "stem_hungarian_light")
 CZECH = _make_light("czech", "stem_czech")
 ARABIC = _make_light("arabic", "arabic_chain")
+BULGARIAN = _make_light("bulgarian", "stem_bulgarian")
 
 
 def _persian_normalize(term: str) -> str:
@@ -930,6 +931,7 @@ _BASE_ANALYZERS = {
     "arabic": ARABIC,
     "persian": PERSIAN,
     "hindi": HINDI,
+    "bulgarian": BULGARIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -565,3 +565,66 @@ def stem_hindi(term: str) -> str:
 
 def hindi_chain(term: str) -> str:
     return stem_hindi(normalize_hindi(term))
+
+
+# --------------------- Bulgarian (reference analysis/common/.../bg) ---
+
+
+def _bg_remove_article(s: str) -> str:
+    if len(s) > 6 and s.endswith("\u0438\u044f\u0442"):   # ият
+        return s[:-3]
+    if len(s) > 5 and s[-2:] in ("\u044a\u0442", "\u0442\u043e", "\u0442\u0435",
+                                 "\u0442\u0430", "\u0438\u044f"):  # ът то те та ия
+        return s[:-2]
+    if len(s) > 4 and s.endswith("\u044f\u0442"):           # ят
+        return s[:-2]
+    return s
+
+
+def _bg_remove_plural(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s.endswith("\u043e\u0432\u0446\u0438"):        # овци
+            return s[:-3]
+        if s.endswith("\u043e\u0432\u0435"):               # ове
+            return s[:-3]
+        if s.endswith("\u0435\u0432\u0435"):               # еве -> й
+            return s[:-3] + "\u0439"
+    if n > 5:
+        if s.endswith("\u0438\u0449\u0430"):               # ища
+            return s[:-3]
+        if s.endswith("\u0442\u0430"):                      # та
+            return s[:-2]
+        if s.endswith("\u0446\u0438"):                      # ци -> к
+            return s[:-2] + "\u043a"
+        if s.endswith("\u0437\u0438"):                      # зи -> г
+            return s[:-2] + "\u0433"
+        if s[-3] == "\u0435" and s[-1] == "\u0438":         # еXи -> яX
+            return s[:-3] + "\u044f" + s[-2]
+    if n > 4:
+        if s.endswith("\u0441\u0438"):                      # си -> х
+            return s[:-2] + "\u0445"
+        if s.endswith("\u0438"):                             # и
+            return s[:-1]
+    return s
+
+
+def stem_bulgarian(term: str) -> str:
+    """BulgarianStemmer (analysis/common/.../bg/BulgarianStemmer.java:
+    36-136 — the BulStem algorithm with the reference's ен->н fix)."""
+    s = term
+    if len(s) < 4:
+        return s
+    if len(s) > 5 and s.endswith("\u0438\u0449\u0430"):    # ища
+        return s[:-3]
+    s = _bg_remove_plural(_bg_remove_article(s))
+    if len(s) > 3:
+        if s.endswith("\u044f"):                             # я
+            s = s[:-1]
+        if s and s[-1] in ("\u0430", "\u043e", "\u0435"):  # а о е
+            s = s[:-1]
+    if len(s) > 4 and s.endswith("\u0435\u043d"):           # ен -> н
+        s = s[:-2] + "\u043d"
+    if len(s) > 5 and s[-2] == "\u044a":                     # ъN -> N
+        s = s[:-2] + s[-1]
+    return s

@@ -177,3 +177,30 @@ def test_persian_and_hindi_chains():
 
     assert len(ss.PERSIAN_STOP_WORDS) > 300
     assert len(ss.HINDI_STOP_WORDS) > 200
+
+
+def test_bulgarian_against_reference_vectors():
+    """ALL assertAnalyzesTo vectors from TestBulgarianStemmer (reference
+    analysis/common/.../bg/), extracted programmatically."""
+    import re
+
+    from lucene_spark.analysis.light_stemmers import stem_bulgarian
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/bg/TestBulgarianStemmer.java"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no reference data")
+    src = open(path, encoding="utf-8").read()
+    pairs = re.findall(
+        r'assertAnalyzesTo\(\w+,\s*"([^"]+)",\s*new String\[\]\s*\{"([^"]+)"\}\)',
+        src,
+    )
+    assert len(pairs) > 95
+    bad = [(w, want, stem_bulgarian(w)) for w, want in pairs if stem_bulgarian(w) != want]
+    assert not bad, bad[:5]
+    from lucene_spark.analysis import stop_sets as ss
+
+    assert analyzer_for("bulgarian").terms("хубави градове") == ["хубав", "град"]
+    assert len(ss.BULGARIAN_STOP_WORDS) > 150
