@@ -869,6 +869,7 @@ HUNGARIAN = _make_light("hungarian", "stem_hungarian_light")
 CZECH = _make_light("czech", "stem_czech")
 ARABIC = _make_light("arabic", "arabic_chain")
 BULGARIAN = _make_light("bulgarian", "stem_bulgarian")
+INDONESIAN = _make_light("indonesian", "stem_indonesian")
 
 
 def _persian_normalize(term: str) -> str:
@@ -932,6 +933,7 @@ _BASE_ANALYZERS = {
     "persian": PERSIAN,
     "hindi": HINDI,
     "bulgarian": BULGARIAN,
+    "indonesian": INDONESIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

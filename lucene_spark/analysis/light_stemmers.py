@@ -628,3 +628,151 @@ def stem_bulgarian(term: str) -> str:
     if len(s) > 5 and s[-2] == "\u044a":                     # ъN -> N
         s = s[:-2] + s[-1]
     return s
+
+
+# ------------------- Indonesian (reference analysis/common/.../id) ----
+
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64
+)
+_ID_VOWELS = frozenset("aeiou")
+
+
+class _IdState:
+    __slots__ = ("syll", "flags")
+
+
+def stem_indonesian(term: str, stem_derivational: bool = True) -> str:
+    """IndonesianStemmer (analysis/common/.../id/IndonesianStemmer.java:
+    48-271 — Tala's algorithm): particles, possessive pronouns, then the
+    first/second-order prefix + suffix machine with its rule-fired
+    ordering and flag guards; every removal decrements the syllable
+    budget (rules only fire above 2 syllables)."""
+    st = _IdState()
+    st.flags = 0
+    st.syll = sum(1 for c in term if c in _ID_VOWELS)
+    s = term
+    if st.syll > 2:
+        s = _id_particle(s, st)
+    if st.syll > 2:
+        s = _id_possessive(s, st)
+    if stem_derivational:
+        old = s
+        if st.syll > 2:
+            s = _id_prefix1(s, st)
+        if s != old:  # a rule fired
+            old = s
+            if st.syll > 2:
+                s = _id_suffix(s, st)
+            if s != old:
+                if st.syll > 2:
+                    s = _id_prefix2(s, st)
+        else:
+            if st.syll > 2:
+                s = _id_prefix2(s, st)
+            if st.syll > 2:
+                s = _id_suffix(s, st)
+    return s
+
+
+def _id_particle(s: str, st) -> str:
+    if s[-3:] in ("kah", "lah", "pun"):
+        st.syll -= 1
+        return s[:-3]
+    return s
+
+
+def _id_possessive(s: str, st) -> str:
+    if s[-2:] in ("ku", "mu"):
+        st.syll -= 1
+        return s[:-2]
+    if s.endswith("nya"):
+        st.syll -= 1
+        return s[:-3]
+    return s
+
+
+def _id_prefix1(s: str, st) -> str:
+    if s.startswith("meng"):
+        st.flags |= _ID_MENG; st.syll -= 1
+        return s[4:]
+    if s.startswith("meny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        st.flags |= _ID_MENG; st.syll -= 1
+        return "s" + s[4:]
+    if s.startswith("men"):
+        st.flags |= _ID_MENG; st.syll -= 1
+        return s[3:]
+    if s.startswith("mem"):
+        st.flags |= _ID_MENG; st.syll -= 1
+        return s[3:]
+    if s.startswith("me"):
+        st.flags |= _ID_MENG; st.syll -= 1
+        return s[2:]
+    if s.startswith("peng"):
+        st.flags |= _ID_PENG; st.syll -= 1
+        return s[4:]
+    if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        st.flags |= _ID_PENG; st.syll -= 1
+        return "s" + s[4:]
+    if s.startswith("peny"):
+        st.flags |= _ID_PENG; st.syll -= 1
+        return s[4:]
+    if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+        st.flags |= _ID_PENG; st.syll -= 1
+        return "t" + s[3:]
+    if s.startswith("pen"):
+        st.flags |= _ID_PENG; st.syll -= 1
+        return s[3:]
+    if s.startswith("pem"):
+        st.flags |= _ID_PENG; st.syll -= 1
+        return s[3:]
+    if s.startswith("di"):
+        st.flags |= _ID_DI; st.syll -= 1
+        return s[2:]
+    if s.startswith("ter"):
+        st.flags |= _ID_TER; st.syll -= 1
+        return s[3:]
+    if s.startswith("ke"):
+        st.flags |= _ID_KE; st.syll -= 1
+        return s[2:]
+    return s
+
+
+def _id_prefix2(s: str, st) -> str:
+    if s.startswith("ber"):
+        st.flags |= _ID_BER; st.syll -= 1
+        return s[3:]
+    if s == "belajar":
+        st.flags |= _ID_BER; st.syll -= 1
+        return s[3:]
+    if (s.startswith("be") and len(s) > 4 and s[2] not in _ID_VOWELS
+            and s[3] == "e" and s[4] == "r"):
+        st.flags |= _ID_BER; st.syll -= 1
+        return s[2:]
+    if s.startswith("per"):
+        st.syll -= 1
+        return s[3:]
+    if s == "pelajar":
+        st.syll -= 1
+        return s[3:]
+    if s.startswith("pe"):
+        st.flags |= _ID_PE; st.syll -= 1
+        return s[2:]
+    return s
+
+
+def _id_suffix(s: str, st) -> str:
+    if (s.endswith("kan") and not st.flags & _ID_KE
+            and not st.flags & _ID_PENG and not st.flags & _ID_PE):
+        st.syll -= 1
+        return s[:-3]
+    if (s.endswith("an") and not st.flags & _ID_DI
+            and not st.flags & _ID_MENG and not st.flags & _ID_TER):
+        st.syll -= 1
+        return s[:-2]
+    if (s.endswith("i") and not s.endswith("si")
+            and not st.flags & _ID_BER and not st.flags & _ID_KE
+            and not st.flags & _ID_PENG):
+        st.syll -= 1
+        return s[:-1]
+    return s

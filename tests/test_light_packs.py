@@ -204,3 +204,39 @@ def test_bulgarian_against_reference_vectors():
 
     assert analyzer_for("bulgarian").terms("хубави градове") == ["хубав", "град"]
     assert len(ss.BULGARIAN_STOP_WORDS) > 150
+
+
+def test_indonesian_against_reference_vectors():
+    """ALL checkOneTerm vectors from TestIndonesianStemmer (reference
+    analysis/common/.../id/; analyzer 'b' there is the
+    inflectional-only variant)."""
+    import re
+
+    from lucene_spark.analysis.light_stemmers import stem_indonesian
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/id/TestIndonesianStemmer.java"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no reference data")
+    src = open(path, encoding="utf-8").read()
+    pairs = re.findall(r'checkOneTerm\((\w+),\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    assert len(pairs) > 60
+    bad = [
+        (w, want, stem_indonesian(w, stem_derivational=an != "b"))
+        for an, w, want in pairs
+        if stem_indonesian(w, stem_derivational=an != "b") != want
+    ]
+    assert not bad, bad[:5]
+
+
+def test_indonesian_chain():
+    from lucene_spark.analysis import stop_sets as ss
+
+    # bukunya -> buku (possessive); membaca -> baca (mem- prefix);
+    # 'dan' is a stopword
+    assert analyzer_for("indonesian").terms("bukunya dan membaca") == [
+        "buku", "baca"
+    ]
+    assert len(ss.INDONESIAN_STOP_WORDS) > 300
