@@ -914,6 +914,23 @@ def _make_normalized(lang, normalizer, stemmer):
 PERSIAN = _make_normalized("persian", _persian_normalize, _persian_stem)
 HINDI = _make_normalized("hindi", _hindi_normalize, _hindi_stem)
 
+
+def _sorani_normalize(term: str) -> str:
+    from .light_stemmers import normalize_sorani
+
+    return normalize_sorani(term)
+
+
+def _sorani_stem(term: str) -> str:
+    from .light_stemmers import stem_sorani
+
+    return stem_sorani(term)
+
+
+# SoraniAnalyzer (analysis/common/.../ckb/SoraniAnalyzer.java):
+# normalization before the stop list, then the suffix stemmer
+SORANI = _make_normalized("sorani", _sorani_normalize, _sorani_stem)
+
 _BASE_ANALYZERS = {
     "standard": STANDARD,
     "english_stops": ENGLISH_STOPS,
@@ -934,6 +951,7 @@ _BASE_ANALYZERS = {
     "hindi": HINDI,
     "bulgarian": BULGARIAN,
     "indonesian": INDONESIAN,
+    "sorani": SORANI,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -776,3 +776,109 @@ def _id_suffix(s: str, st) -> str:
         st.syll -= 1
         return s[:-1]
     return s
+
+
+# ------------------- Sorani Kurdish (reference analysis/.../ckb) ------
+
+_CKB_DEL = set("\u0640\u064b\u064c\u064d\u064e\u064f\u0650\u0651\u0652")
+
+
+def normalize_sorani(term: str) -> str:
+    """SoraniNormalizer (analysis/common/.../ckb/SoraniNormalizer.java:
+    59-128), ported as the same single in-place pass: yeh variants ->
+    farsi yeh, kaf -> keheh, heh+ZWNJ -> ae, heh-at-current-buffer-end ->
+    ae, teh marbuta -> ae, heh doachashmee -> heh (not re-examined),
+    initial reh -> rreh, rreh-above -> rreh, harakat/tatweel/format
+    removed."""
+    import unicodedata
+
+    buf = list(term)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in ("\u064a", "\u0649"):
+            buf[i] = "\u06cc"
+        elif c == "\u0643":
+            buf[i] = "\u06a9"
+        elif c == "\u200c":
+            if i > 0 and buf[i - 1] == "\u0647":
+                buf[i - 1] = "\u06d5"
+            del buf[i]
+            continue
+        elif c == "\u0647":
+            if i == len(buf) - 1:
+                buf[i] = "\u06d5"
+        elif c == "\u0629":
+            buf[i] = "\u06d5"
+        elif c == "\u06be":
+            buf[i] = "\u0647"
+        elif c == "\u0631":
+            if i == 0:
+                buf[i] = "\u0695"
+        elif c == "\u0692":
+            buf[i] = "\u0695"
+        elif c in _CKB_DEL or unicodedata.category(c) == "Cf":
+            del buf[i]
+            continue
+        i += 1
+    return "".join(buf)
+
+
+def stem_sorani(term: str) -> str:
+    """SoraniStemmer (analysis/common/.../ckb/SoraniStemmer.java:36-108):
+    postposition, possessive pronoun, then ONE ezafe/definiteness/number
+    suffix from the else-if ladder."""
+    s = term
+    # postposition
+    if len(s) > 5 and s.endswith("\u062f\u0627"):            # دا
+        s = s[:-2]
+    elif len(s) > 4 and s.endswith("\u0646\u0627"):          # نا
+        s = s[:-1]
+    elif len(s) > 6 and s.endswith("\u06d5\u0648\u06d5"):   # ەوە
+        s = s[:-3]
+    # possessive pronoun
+    if len(s) > 6 and s[-3:] in ("\u0645\u0627\u0646", "\u06cc\u0627\u0646",
+                                 "\u062a\u0627\u0646"):     # مان یان تان
+        s = s[:-3]
+    # the else-if ladder
+    n = len(s)
+    if n > 6 and s.endswith("\u06ce\u06a9\u06cc"):          # ێکی
+        return s[:-3]
+    if n > 7 and s.endswith("\u06cc\u06d5\u06a9\u06cc"):   # یەکی
+        return s[:-4]
+    if n > 5 and s.endswith("\u06ce\u06a9"):                 # ێک
+        return s[:-2]
+    if n > 6 and s.endswith("\u06cc\u06d5\u06a9"):          # یەک
+        return s[:-3]
+    if n > 6 and s.endswith("\u06d5\u06a9\u06d5"):          # ەکە
+        return s[:-3]
+    if n > 5 and s.endswith("\u06a9\u06d5"):                 # کە
+        return s[:-2]
+    if n > 7 and s.endswith("\u06d5\u06a9\u0627\u0646"):   # ەکان
+        return s[:-4]
+    if n > 6 and s.endswith("\u06a9\u0627\u0646"):          # کان
+        return s[:-3]
+    if n > 7 and s.endswith("\u06cc\u0627\u0646\u06cc"):   # یانی
+        return s[:-4]
+    if n > 6 and s.endswith("\u0627\u0646\u06cc"):          # انی
+        return s[:-3]
+    if n > 6 and s.endswith("\u06cc\u0627\u0646"):          # یان
+        return s[:-3]
+    if n > 5 and s.endswith("\u0627\u0646"):                 # ان
+        return s[:-2]
+    if n > 7 and s.endswith("\u06cc\u0627\u0646\u06d5"):   # یانە
+        return s[:-4]
+    if n > 6 and s.endswith("\u0627\u0646\u06d5"):          # انە
+        return s[:-3]
+    if n > 5 and (s.endswith("\u0627\u06cc\u06d5")
+                  or s.endswith("\u06d5\u06cc\u06d5")):     # ایە ەیە
+        return s[:-2]
+    if n > 4 and s.endswith("\u06d5"):                        # ە
+        return s[:-1]
+    if n > 4 and s.endswith("\u06cc"):                        # ی
+        return s[:-1]
+    return s
+
+
+def sorani_chain(term: str) -> str:
+    return stem_sorani(normalize_sorani(term))

@@ -254,3 +254,11 @@ INDONESIAN_STOP_WORDS = frozenset(
     toh waduh wah wahai sewaktu walau walaupun wong yaitu yakni yang""".split()
 )
 
+SORANI_STOP_WORDS = frozenset(
+    """و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم من ئێمە تۆ
+    ئێوە ئەو ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە بەرەوی بەرەوە بەردەم
+    بێ بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ لەبەر لەبەینی لەبابەت لەبارەی
+    لەباتی لەبن لەبرێتی لەدەم لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی
+    لەرێ لەرێگا لەسەر لەژێر ناو نێوان پاش پێش وەک""".split()
+)
+

@@ -240,3 +240,42 @@ def test_indonesian_chain():
         "buku", "baca"
     ]
     assert len(ss.INDONESIAN_STOP_WORDS) > 300
+
+
+def test_sorani_against_reference_vectors():
+    """ALL checkOneTerm vectors from TestSoraniNormalizationFilter +
+    TestSoraniStemFilter (reference analysis/common/.../ckb/), with Java
+    unicode escapes decoded."""
+    import re
+
+    from lucene_spark.analysis.light_stemmers import (
+        normalize_sorani,
+        sorani_chain,
+    )
+
+    base = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/ckb"
+    )
+    if not os.path.exists(base):
+        pytest.skip("no reference data")
+
+    def dec(x):
+        return re.sub(
+            r"\\u([0-9a-fA-F]{4})", lambda m: chr(int(m.group(1), 16)), x
+        )
+
+    n = 0
+    for fname, fn in (
+        ("TestSoraniNormalizationFilter.java", normalize_sorani),
+        ("TestSoraniStemFilter.java", sorani_chain),
+    ):
+        src = open(f"{base}/{fname}", encoding="utf-8").read()
+        for w, want in re.findall(r'checkOneTerm\(\w+,\s*"([^"]*)",\s*"([^"]*)"\)', src):
+            assert fn(dec(w)) == dec(want), (fname, w)
+            n += 1
+    assert n >= 45
+    from lucene_spark.analysis import stop_sets as ss
+
+    assert len(ss.SORANI_STOP_WORDS) == 62
+    assert analyzer_for("sorani").terms("پیاوەکان") == ["پیاو"]
