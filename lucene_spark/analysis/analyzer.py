@@ -931,6 +931,35 @@ def _sorani_stem(term: str) -> str:
 # normalization before the stop list, then the suffix stemmer
 SORANI = _make_normalized("sorani", _sorani_normalize, _sorani_stem)
 
+
+def _greek_normalize(term: str) -> str:
+    from .greek import greek_normalize
+
+    return greek_normalize(term)
+
+
+def _greek_stem(term: str) -> str:
+    from .greek import stem_greek
+
+    return stem_greek(term)
+
+
+# GreekAnalyzer (analysis/common/.../el/GreekAnalyzer.java
+# createComponents): GreekLowerCaseFilter (the fold half sits in the
+# normalizer slot, after the simple lowercase) -> stop set (bundled
+# el/stopwords.txt, pre-folded) -> GreekStemFilter
+def _make_greek():
+    from .greek import GREEK_STOP_WORDS
+
+    return Analyzer(
+        stopwords=GREEK_STOP_WORDS,
+        normalizer=_greek_normalize,
+        stemmer=_greek_stem,
+    )
+
+
+GREEK = _make_greek()
+
 _BASE_ANALYZERS = {
     "standard": STANDARD,
     "english_stops": ENGLISH_STOPS,
@@ -952,6 +981,7 @@ _BASE_ANALYZERS = {
     "bulgarian": BULGARIAN,
     "indonesian": INDONESIAN,
     "sorani": SORANI,
+    "greek": GREEK,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -1,0 +1,80 @@
+"""Greek pack vs the reference: every TestGreekStemmer.java
+checkOneTerm vector (parsed from the Java test, run through the full
+analyzer chain exactly like the reference test does) plus the
+TestGreekAnalyzer.java chain vectors and GreekLowerCaseFilter golden
+folds."""
+
+import os
+import re
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for, lowercase
+from lucene_spark.analysis.greek import (
+    GREEK_STOP_WORDS,
+    greek_normalize,
+    stem_greek,
+)
+
+_TEST = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+         "lucene/analysis/el/TestGreekStemmer.java")
+
+
+def test_all_reference_stemmer_vectors():
+    if not os.path.exists(_TEST):
+        pytest.skip("no reference data")
+    src = open(_TEST, encoding="utf-8").read()
+    vecs = re.findall(r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    assert len(vecs) > 300  # ~342 vectors in the reference test
+    a = analyzer_for("greek")
+    bad = [(w, want, a.terms(w)) for w, want in vecs if a.terms(w) != [want]]
+    assert not bad, bad[:5]
+
+
+def test_analyzer_chain_vectors():
+    # TestGreekAnalyzer.java testAnalyzer: case folding, diaeresis,
+    # punctuation, stop removal
+    a = analyzer_for("greek")
+    assert a.terms(
+        "Μία εξαιρετικά καλή και πλούσια σειρά χαρακτήρων "
+        "της Ελληνικής γλώσσας"
+    ) == ["μια", "εξαιρετ", "καλ", "πλουσ", "σειρ", "χαρακτηρ",
+          "ελληνικ", "γλωσσ"]
+    assert a.terms("Προϊόντα (και)     [πολλαπλές] - ΑΝΑΓΚΕΣ") == [
+        "προιοντ", "πολλαπλ", "αναγκ"]
+    assert a.terms("ΠΡΟΫΠΟΘΕΣΕΙΣ  Άψογος, ο μεστός και οι άλλοι") == [
+        "προυποθεσ", "αψογ", "μεστ", "αλλ"]
+
+
+def test_lowercase_fold_goldens():
+    # GreekLowerCaseFilter: final sigma, tonos, dialytika combinations
+    assert greek_normalize(lowercase("ΜΆΪΟΣ")) == "μαιοσ"
+    assert greek_normalize(lowercase("ΜΑΪΟΣ")) == "μαιοσ"
+    assert greek_normalize(lowercase("Άψογος")) == "αψογοσ"
+    assert greek_normalize(lowercase("ΰ")) == "υ"
+    assert greek_normalize(lowercase("ΐ")) == "ι"
+    # the fold is one pass: the reserved U+03A2 back-compat mapping
+    # lands on final sigma and stays there (GreekLowerCaseFilter.java
+    # maps it to U+03C2, not onward to U+03C3)
+    assert greek_normalize("΢") == "ς"
+
+
+def test_stemmer_rule8_guard_quirk():
+    # GreekStemmer.java:365-384 — the length guard binds only to the
+    # first suffix of each else-if chain, so a bare 7-char "ουντανε"
+    # strips to empty; the faithful port preserves that
+    assert stem_greek("ουντανε") == ""
+    assert stem_greek("ησανε") == ""
+
+
+def test_short_words_untouched():
+    assert stem_greek("και") == "και"
+    assert stem_greek("απο") == "απο"
+
+
+def test_stop_set():
+    assert len(GREEK_STOP_WORDS) == 75
+    a = analyzer_for("greek")
+    # stop entries are pre-folded; surface forms with tonos/final sigma
+    # still stop out because the fold runs before the stop filter
+    assert a.terms("της καί") == []
