@@ -870,6 +870,14 @@ CZECH = _make_light("czech", "stem_czech")
 ARABIC = _make_light("arabic", "arabic_chain")
 BULGARIAN = _make_light("bulgarian", "stem_bulgarian")
 INDONESIAN = _make_light("indonesian", "stem_indonesian")
+# NorwegianAnalyzer chain (analysis/common/.../no/NorwegianAnalyzer.java)
+# with the reference's own hand-crafted light stemmer in the stem slot
+# (NorwegianLightStemFilter's BOKMAAL default) — same light-for-snowball
+# convention as the sv/fi/hu packs. The _nynorsk/_minimal bases are the
+# filter's NYNORSK flag and the known-plurals-only NorwegianMinimalStemmer.
+NORWEGIAN = _make_light("norwegian", "stem_norwegian_light")
+NORWEGIAN_NYNORSK = _make_light("norwegian", "stem_norwegian_light_nn")
+NORWEGIAN_MINIMAL = _make_light("norwegian", "stem_norwegian_minimal")
 
 
 def _persian_normalize(term: str) -> str:
@@ -982,6 +990,9 @@ _BASE_ANALYZERS = {
     "indonesian": INDONESIAN,
     "sorani": SORANI,
     "greek": GREEK,
+    "norwegian": NORWEGIAN,
+    "norwegian_nynorsk": NORWEGIAN_NYNORSK,
+    "norwegian_minimal": NORWEGIAN_MINIMAL,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 
@@ -1006,6 +1017,8 @@ def analyzer_for(name) -> Analyzer:
       - ``+reverse`` — ReverseStringFilter (reversed terms; index a
         parallel reversed field to serve leading wildcards as pushed
         prefix scans)
+      - ``+scandinavian`` — ScandinavianNormalizationFilter (all å/æ/ø
+        foldings); ``+scandinavian:no`` the Norwegian AE/OE/AA subset
       - ``+phonetic`` — PhoneticFilter with the Soundex encoder,
         inject=true (code stacked at the token's position);
         ``+phonetic:replace`` substitutes the code instead
@@ -1097,6 +1110,23 @@ def analyzer_for(name) -> Analyzer:
         elif mod == "phonetic:replace":
             # inject=false: the code replaces the token
             a = replace(a, phonetic="replace")
+        elif mod in ("scandinavian", "scandinavian:no"):
+            # ScandinavianNormalizationFilter (ALL_FOLDINGS) /
+            # NorwegianNormalizationFilter (AE/OE/AA subset) — reference
+            # miscellaneous/ScandinavianNormalizer.java + no/
+            # NorwegianNormalizationFilter.java; sits where the filter
+            # does in reference chains (after lowercase, before stop)
+            from .light_stemmers import (
+                normalize_norwegian,
+                normalize_scandinavian,
+            )
+
+            fold = (normalize_norwegian if mod.endswith(":no")
+                    else normalize_scandinavian)
+            prev = a.normalizer
+            fn = (fold if prev is None
+                  else (lambda t, _p=prev, _f=fold: _f(_p(t))))
+            a = replace(a, normalizer=fn)
         else:
             raise KeyError(f"unknown analyzer modifier {mod!r} in {name!r}")
     _ANALYZER_CACHE[name] = a

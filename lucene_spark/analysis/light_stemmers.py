@@ -882,3 +882,158 @@ def stem_sorani(term: str) -> str:
 
 def sorani_chain(term: str) -> str:
     return stem_sorani(normalize_sorani(term))
+
+
+# ---------------------------------------------------------------------------
+# Norwegian (reference analysis/common/.../no/) + the Scandinavian
+# normalizer it builds on (miscellaneous/ScandinavianNormalizer.java)
+# ---------------------------------------------------------------------------
+
+NO_BOKMAAL = 1   # NorwegianLightStemmer.BOKMAAL
+NO_NYNORSK = 2   # NorwegianLightStemmer.NYNORSK
+
+
+def scandinavian_normalize(term: str, foldings: frozenset) -> str:
+    """ScandinavianNormalizer.processToken (reference analysis/common/
+    .../miscellaneous/ScandinavianNormalizer.java:75-140): in-place
+    single pass mapping the interchangeable Scandinavian characters and
+    digraph foldings to the canonical å/æ/ø forms. ``foldings`` is a set
+    drawn from {"AA","AO","AE","OE","OO"} (the enum). The scan mirrors
+    the reference exactly: a digraph deletion consumes the second char
+    and the cursor moves past the folded char, so overlapping digraphs
+    resolve left-to-right ("aeae" -> "ææ", never "aæe")."""
+    buf = list(term)
+    length = len(buf)
+    i = 0
+    while i < length:
+        c = buf[i]
+        if c == "ä":       # ä
+            buf[i] = "æ"   # æ
+        elif c == "Ä":     # Ä
+            buf[i] = "Æ"   # Æ
+        elif c == "ö":     # ö
+            buf[i] = "ø"   # ø
+        elif c == "Ö":     # Ö
+            buf[i] = "Ø"   # Ø
+        elif length - 1 > i:
+            n = buf[i + 1]
+            if c == "a" and (("AA" in foldings and n in "aA")
+                             or ("AO" in foldings and n in "oO")):
+                del buf[i + 1]; length -= 1
+                buf[i] = "å"   # å
+            elif c == "A" and (("AA" in foldings and n in "aA")
+                               or ("AO" in foldings and n in "oO")):
+                del buf[i + 1]; length -= 1
+                buf[i] = "Å"   # Å
+            elif c == "a" and "AE" in foldings and n in "eE":
+                del buf[i + 1]; length -= 1
+                buf[i] = "æ"   # æ
+            elif c == "A" and "AE" in foldings and n in "eE":
+                del buf[i + 1]; length -= 1
+                buf[i] = "Æ"   # Æ
+            elif c == "o" and (("OE" in foldings and n in "eE")
+                               or ("OO" in foldings and n in "oO")):
+                del buf[i + 1]; length -= 1
+                buf[i] = "ø"   # ø
+            elif c == "O" and (("OE" in foldings and n in "eE")
+                               or ("OO" in foldings and n in "oO")):
+                del buf[i + 1]; length -= 1
+                buf[i] = "Ø"   # Ø
+        i += 1
+    return "".join(buf)
+
+
+_SCAND_ALL = frozenset(("AA", "AO", "AE", "OE", "OO"))
+_SCAND_NO = frozenset(("AE", "OE", "AA"))
+
+
+def normalize_scandinavian(term: str) -> str:
+    """ScandinavianNormalizationFilter (ALL_FOLDINGS)."""
+    return scandinavian_normalize(term, _SCAND_ALL)
+
+
+def normalize_norwegian(term: str) -> str:
+    """NorwegianNormalizationFilter: the AE/OE/AA folding subset
+    customized for Norwegian (no ao/oo digraphs — reference
+    no/NorwegianNormalizationFilter.java:41)."""
+    return scandinavian_normalize(term, _SCAND_NO)
+
+
+def stem_norwegian_light(term: str, flags: int = NO_BOKMAAL) -> str:
+    """NorwegianLightStemmer.stem (reference analysis/common/.../no/
+    NorwegianLightStemmer.java:90-180, hand-crafted UniNE-style rules):
+    genitive -s strip then ONE longest-flavor-gated suffix removal.
+    Default flags = BOKMAAL, matching NorwegianLightStemFilter's
+    one-arg constructor."""
+    bm = bool(flags & NO_BOKMAAL)
+    nn = bool(flags & NO_NYNORSK)
+    s = term
+    n = len(s)
+    if n > 4 and s[-1] == "s":      # possessive (bilens -> bilen)
+        s = s[:-1]
+        n -= 1
+    if n > 7 and ((s.endswith("heter") and bm)
+                  or (s.endswith("heten") and bm)
+                  or (s.endswith("heita") and nn)):
+        return s[:-5]
+    if n > 8 and nn and (s.endswith("heiter") or s.endswith("leiken")
+                         or s.endswith("leikar")):
+        return s[:-6]
+    if n > 5 and (s.endswith("dom") or (s.endswith("het") and bm)):
+        return s[:-3]
+    if n > 6 and nn and (s.endswith("heit") or s.endswith("semd")
+                         or s.endswith("leik")):
+        return s[:-4]
+    if n > 7 and (s.endswith("elser") or s.endswith("elsen")):
+        return s[:-5]
+    if n > 6 and ((s.endswith("ende") and bm)
+                  or (s.endswith("ande") and nn)
+                  or s.endswith("else")
+                  or (s.endswith("este") and bm)
+                  or (s.endswith("aste") and nn)
+                  or (s.endswith("eren") and bm)
+                  or (s.endswith("aren") and nn)):
+        return s[:-4]
+    if n > 5 and ((s.endswith("ere") and bm)
+                  or (s.endswith("are") and nn)
+                  or (s.endswith("est") and bm)
+                  or (s.endswith("ast") and nn)
+                  or s.endswith("ene")
+                  or (s.endswith("ane") and nn)):
+        return s[:-3]
+    if n > 4 and (s.endswith("er") or s.endswith("en") or s.endswith("et")
+                  or (s.endswith("ar") and nn)
+                  or (s.endswith("st") and bm)
+                  or s.endswith("te")):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+def stem_norwegian_light_nn(term: str) -> str:
+    return stem_norwegian_light(term, NO_NYNORSK)
+
+
+def stem_norwegian_minimal(term: str, flags: int = NO_BOKMAAL) -> str:
+    """NorwegianMinimalStemmer.stem (reference analysis/common/.../no/
+    NorwegianMinimalStemmer.java:82-110): known noun plurals + genitive
+    -s only."""
+    nn = bool(flags & NO_NYNORSK)
+    s = term
+    n = len(s)
+    if n > 4 and s[-1] == "s":      # genitive
+        s = s[:-1]
+        n -= 1
+    if n > 5 and (s.endswith("ene") or (s.endswith("ane") and nn)):
+        return s[:-3]
+    if n > 4 and (s.endswith("er") or s.endswith("en") or s.endswith("et")
+                  or (s.endswith("ar") and nn)):
+        return s[:-2]
+    if n > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s
+
+
+def stem_norwegian_minimal_nn(term: str) -> str:
+    return stem_norwegian_minimal(term, NO_NYNORSK)

@@ -1,0 +1,138 @@
+"""Norwegian pack vs the reference's complete vocabulary files
+(reference analysis/common/src/test/.../no/{nb,nn}_{light,minimal}.txt)
+plus the Scandinavian normalizer golden vectors
+(TestNorwegianNormalizationFilter / ScandinavianNormalizer.java)."""
+
+import os
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.light_stemmers import (
+    NO_BOKMAAL,
+    NO_NYNORSK,
+    normalize_norwegian,
+    normalize_scandinavian,
+    stem_norwegian_light,
+    stem_norwegian_minimal,
+)
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis/no"
+
+_VOCABS = [
+    ("nb_light.txt", stem_norwegian_light, NO_BOKMAAL),
+    ("nn_light.txt", stem_norwegian_light, NO_NYNORSK),
+    ("nb_minimal.txt", stem_norwegian_minimal, NO_BOKMAAL),
+    ("nn_minimal.txt", stem_norwegian_minimal, NO_NYNORSK),
+]
+
+
+@pytest.mark.parametrize("name,fn,flags", _VOCABS)
+def test_full_vocabulary(name, fn, flags):
+    path = os.path.join(_REF, name)
+    if not os.path.exists(path):
+        pytest.skip("no reference data")
+    pairs = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            w, want = line.split("\t")
+            pairs.append((w, want))
+    bad = [(w, want, fn(w, flags)) for w, want in pairs if fn(w, flags) != want]
+    assert len(pairs) > 50 and not bad, bad[:5]
+
+
+def test_norwegian_normalization_golden():
+    # TestNorwegianNormalizationFilter.java vectors (AE/OE/AA subset)
+    vec = [
+        ("aeäaeeea", "æææeea"),
+        ("aeäaeeeae", "æææeeæ"),
+        ("aeaeeeae", "ææeeæ"),
+        ("bøen", "bøen"),
+        ("bOEen", "bØen"),
+        ("åene", "åene"),
+        ("blåbærsyltetøj", "blåbærsyltetøj"),
+        ("blaabaersyltetöj", "blåbærsyltetøj"),
+        ("räksmörgås", "ræksmørgås"),
+        ("raeksmörgaas", "ræksmørgås"),
+        ("raeksmoergås", "ræksmørgås"),
+        ("ab", "ab"),
+        ("ob", "ob"),
+        ("Ab", "Ab"),
+        ("Ob", "Ob"),
+        ("å", "å"),
+        ("aa", "å"),
+        ("aA", "å"),
+        ("ao", "ao"),
+        ("aO", "aO"),
+        ("AA", "Å"),
+        ("Aa", "Å"),
+        ("Ao", "Ao"),
+        ("AO", "AO"),
+        ("æ", "æ"),
+        ("ä", "æ"),
+        ("Æ", "Æ"),
+        ("Ä", "Æ"),
+        ("ae", "æ"),
+        ("aE", "æ"),
+        ("Ae", "Æ"),
+        ("AE", "Æ"),
+        ("ö", "ø"),
+        ("ø", "ø"),
+        ("Ö", "Ø"),
+        ("Ø", "Ø"),
+        ("oo", "oo"),
+        ("oe", "ø"),
+        ("oO", "oO"),
+        ("oE", "ø"),
+        ("Oo", "Oo"),
+        ("Oe", "Ø"),
+        ("OO", "OO"),
+        ("OE", "Ø"),
+        ("", ""),
+    ]
+    bad = [(w, want, normalize_norwegian(w))
+           for w, want in vec if normalize_norwegian(w) != want]
+    assert not bad, bad[:5]
+
+
+def test_scandinavian_all_foldings():
+    # ALL_FOLDINGS adds the ao/oo digraphs the Norwegian subset skips
+    assert normalize_scandinavian("ao") == "å"
+    assert normalize_scandinavian("oo") == "ø"
+    assert normalize_scandinavian("AO") == "Å"
+    assert normalize_scandinavian("OO") == "Ø"
+    # TestScandinavianNormalizationFilter.java headline vector
+    assert normalize_scandinavian("blaabaersyltetoej") == "blåbærsyltetøj"
+    assert normalize_norwegian("blaabaersyltetoej") == "blåbærsyltetøj"
+
+
+def test_chains():
+    # stop word removal + bokmål light stemming
+    assert analyzer_for("norwegian").terms("de store tabellene i bøkene") == [
+        "stor", "tabell", "bøk"
+    ]
+    # nynorsk flavor strips -ane; bokmål does not
+    assert analyzer_for("norwegian_nynorsk").terms("gutane") == ["gut"]
+    assert analyzer_for("norwegian").terms("gutane") == ["gutan"]
+    # minimal touches known noun plurals + final -a/-e only: the
+    # adjective superlative -este survives minus its final vowel
+    assert analyzer_for("norwegian_minimal").terms("husene fineste") == [
+        "hus", "finest"
+    ]
+    # the +scandinavian:no modifier folds digraphs before stop/stem
+    assert analyzer_for("norwegian+scandinavian:no").terms("blaabaerene") == [
+        "blåbær"
+    ]
+    assert analyzer_for("standard+scandinavian").terms("raeksmoergaas") == [
+        "ræksmørgås"
+    ]
+
+
+def test_stop_set_is_the_snowball_list():
+    from lucene_spark.analysis.stop_sets import NORWEGIAN_STOP_WORDS
+
+    assert len(NORWEGIAN_STOP_WORDS) == 172
+    assert "ikke" in NORWEGIAN_STOP_WORDS and "ikkje" in NORWEGIAN_STOP_WORDS
