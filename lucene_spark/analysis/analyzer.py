@@ -878,6 +878,9 @@ INDONESIAN = _make_light("indonesian", "stem_indonesian")
 NORWEGIAN = _make_light("norwegian", "stem_norwegian_light")
 NORWEGIAN_NYNORSK = _make_light("norwegian", "stem_norwegian_light_nn")
 NORWEGIAN_MINIMAL = _make_light("norwegian", "stem_norwegian_minimal")
+# LatvianAnalyzer chain (analysis/common/.../lv/LatvianAnalyzer.java):
+# lowercase -> Kreslins stop list -> the reference's own LatvianStemmer
+LATVIAN = _make_light("latvian", "stem_latvian")
 
 
 def _persian_normalize(term: str) -> str:
@@ -993,6 +996,7 @@ _BASE_ANALYZERS = {
     "norwegian": NORWEGIAN,
     "norwegian_nynorsk": NORWEGIAN_NYNORSK,
     "norwegian_minimal": NORWEGIAN_MINIMAL,
+    "latvian": LATVIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -1037,3 +1037,76 @@ def stem_norwegian_minimal(term: str, flags: int = NO_BOKMAAL) -> str:
 
 def stem_norwegian_minimal_nn(term: str) -> str:
     return stem_norwegian_minimal(term, NO_NYNORSK)
+
+
+# ---------------------------------------------------------------------------
+# Latvian (reference analysis/common/.../lv/LatvianStemmer.java — the
+# light version of Kreslins' thesis algorithm: noun/adjective primary
+# inflection only, vowel-count guards, palatalization undone only after
+# a decl II/V/VI suffix)
+# ---------------------------------------------------------------------------
+
+_LV_VOWELS = frozenset("aeiouāīēū")  # a e i o u ā ī ē ū
+
+# (affix, vowel count of the affix, fires unpalatalization) — the
+# reference's exact table order; first match wins
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+
+
+def _lv_unpalatalize(s: str, removed: str) -> str:
+    """LatvianStemmer.unpalatalize: ``removed`` is the first stripped
+    char (the reference peeks at s[len] past the new length) — -u means
+    gen. pl. of decl 2/5/6, where kš->kst and ņņ->nn apply."""
+    if removed == "u":
+        if s.endswith("kš"):
+            return s[:-1] + "st"     # kš -> kst
+        if s.endswith("ņņ"):
+            return s[:-2] + "nn"
+    if s.endswith(("pj", "bj", "mj", "vj")):   # labial consonant
+        return s[:-1]
+    if s.endswith("šņ"):
+        return s[:-2] + "sn"
+    if s.endswith("žņ"):
+        return s[:-2] + "zn"
+    if s.endswith("šļ"):
+        return s[:-2] + "sl"
+    if s.endswith("žļ"):
+        return s[:-2] + "zl"
+    if s.endswith("ļņ"):
+        return s[:-2] + "ln"
+    if s.endswith("ļļ"):
+        return s[:-2] + "ll"
+    if s.endswith("č"):
+        return s[:-1] + "c"
+    if s.endswith("ļ"):
+        return s[:-1] + "l"
+    if s.endswith("ņ"):
+        return s[:-1] + "n"
+    return s
+
+
+def stem_latvian(term: str) -> str:
+    """LatvianStemmer.stem: ONE affix strip, gated on the WHOLE word's
+    vowel count exceeding the affix's own (so ≥1 vowel stays in the
+    stem) and a 3-char minimum stem."""
+    num_vowels = sum(1 for c in term if c in _LV_VOWELS)
+    n = len(term)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if num_vowels > vc and n >= len(affix) + 3 and term.endswith(affix):
+            stem = term[: n - len(affix)]
+            return _lv_unpalatalize(stem, term[n - len(affix)]) if palatalizes else stem
+    return term

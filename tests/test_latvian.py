@@ -1,0 +1,52 @@
+"""Latvian pack vs every TestLatvianStemmer.java checkOneTerm vector
+(reference analysis/common/src/test/.../lv/TestLatvianStemmer.java)."""
+
+import os
+import re
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.light_stemmers import stem_latvian
+
+_REF = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/lv/TestLatvianStemmer.java")
+
+
+def test_all_reference_vectors():
+    if not os.path.exists(_REF):
+        pytest.skip("no reference data")
+    src = open(_REF, encoding="utf-8").read()
+    # .strip(): the Java test tokenizes, so "govi " reaches the stemmer
+    # without its trailing space
+    vecs = [(w.strip(), want) for w, want in
+            re.findall(r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)', src)]
+    assert len(vecs) > 150
+    bad = [(w, want, stem_latvian(w)) for w, want in vecs
+           if stem_latvian(w) != want]
+    assert not bad, (len(bad), bad[:8])
+
+
+def test_guards():
+    # 3-char minimum stem blocks every affix on short words
+    assert stem_latvian("usa") == "usa"
+    # no vowels at all: even the vc=0 "s" affix needs numVowels > 0
+    assert stem_latvian("ssss") == "ssss"
+    # "ais" needs len >= 6 so it can't fire on "kais" — but the vc=0
+    # "s" fallback can (first match in table order wins)
+    assert stem_latvian("kais") == "kai"
+    assert stem_latvian("") == ""
+
+
+def test_chain():
+    # lowercase -> stop (un = and) -> stem
+    assert analyzer_for("latvian").terms("Tēvi un lāči mežos") == [
+        "tēv", "lāc", "mež"
+    ]
+
+
+def test_stop_set_is_the_kreslins_list():
+    from lucene_spark.analysis.stop_sets import LATVIAN_STOP_WORDS
+
+    assert len(LATVIAN_STOP_WORDS) == 161
+    assert "un" in LATVIAN_STOP_WORDS and "kļūt" in LATVIAN_STOP_WORDS
