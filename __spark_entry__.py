@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_automaton"] = _pq_term_automaton
     q["phrase_wildcard"] = _pq_phrase_wildcard
     q["icu_fold_terms"] = _pq_icu_fold_terms
+    q["html_strip_tokens"] = _pq_html_strip
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
@@ -1081,6 +1082,56 @@ def _pq_icu_fold_terms(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("folded")
     )
+
+
+def _pq_html_strip(spark, sf_dir):
+    """HTMLStripCharFilter (reference analysis/common/charfilter/
+    HTMLStripCharFilter.jflex) over seeded markup: each doc's first 60
+    chars are wrapped in block/inline tags plus a <script> element, an
+    HTML comment, and three entities (&auml; inside a word, &amp;, &#33;).
+    The standard+html analyzer strips markup, drops script content, and
+    decodes entities BEFORE tokenizing; the oracle rebuilds the stripped
+    text in closed form (the strip contract applied to the known seed)
+    and tokenizes it in SQL. Any mis-strip (leaked 'div'/'script'/'auml'
+    tokens, lost 'bär') shifts the per-doc counts."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_uniq", T.LongType()),
+        ]
+    )
+
+    def kernel(iterator):
+        an = analyzer_for("standard+html")
+        for pdf in iterator:
+            n_tok, n_uniq = [], []
+            for text, lang in zip(pdf["text"], pdf["lang"]):
+                base = (text or "")[:60]
+                html = (
+                    f'<div class="c">{base}</div><script>var x=1;</script>'
+                    f"<p>b&auml;r &amp; {lang}</p><!-- n --><b>tail</b>&#33;"
+                )
+                terms = an.terms(html)
+                n_tok.append(len(terms))
+                n_uniq.append(len(set(terms)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_tokens": n_tok,
+                    "n_uniq": n_uniq,
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema).orderBy("doc_id")
 
 
 def _pq_payload_score(spark, sf_dir):
@@ -3254,6 +3305,26 @@ WITH v(vi, folded) AS (VALUES {icu_vals})
 SELECT v.folded AS folded, count(*) AS n_docs
 FROM documents d JOIN v ON v.vi = d.doc_id % 12
 GROUP BY v.folded ORDER BY folded
+"""
+    # HTMLStripCharFilter: rebuild the stripped text in closed form from
+    # the same seed (block tags -> newline, inline tags -> nothing, script
+    # element -> newline, comment -> nothing, &auml;/&amp;/&#33; decoded)
+    # and tokenize it with a unicode split — any strip divergence on the
+    # Spark side shifts the per-doc token counts
+    o["html_strip_tokens"] = r"""
+WITH seed AS (
+  SELECT doc_id,
+         chr(10) || substr(text, 1, 60) || chr(10) || chr(10) || chr(10)
+           || 'bär & ' || lang || chr(10) || 'tail!' AS s
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split_regex(s, '[^\p{L}\p{N}]+')) AS t FROM seed)
+  WHERE t <> ''
+)
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq
+FROM tok GROUP BY doc_id ORDER BY doc_id
 """
     # PayloadScoreQuery: BM25('table') * avg payload, payload of the token
     # at 1-based position pos = (pos - 1) % 7 + 1; the avg is one division

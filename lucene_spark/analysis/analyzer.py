@@ -404,6 +404,12 @@ class Analyzer:
     # where the icu fold sits — for chains whose stop list is normalized
     # (the reference Persian/Hindi analyzers normalize BEFORE StopFilter)
     normalizer: object = None
+    # HTMLStripCharFilter analogue (reference analysis/common/charfilter/
+    # HTMLStripCharFilter.jflex): strip markup + decode entities BEFORE
+    # the tokenizer, like Analyzer.initReader char filters. Token offsets
+    # downstream refer to the STRIPPED text (this engine re-analyzes
+    # stored text wherever offsets matter, so the contract is internal).
+    html_strip: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -444,6 +450,10 @@ class Analyzer:
         post-CJK-bigram (the bigram filter sits right after the tokenizer,
         like CJKAnalyzer's chain — CJK codepoints are untouched by the
         case/possessive/stem steps downstream)."""
+        if self.html_strip:
+            from .htmlstrip import html_strip as _hstrip
+
+            text = _hstrip(text)
         if self.whitespace:
             toks = _ws_tokenize(text, self.max_token_length)
         else:
@@ -1016,6 +1026,8 @@ def analyzer_for(name) -> Analyzer:
         ``+cjk:han`` / ``+cjk:han_uni`` restrict to Han
       - ``+icu`` — ICUNormalizer2Filter default mode (Unicode nfkc_cf:
         NFKC + case fold + default-ignorable strip)
+      - ``+html`` — HTMLStripCharFilter: strip tags/comments/script/style
+        and decode HTML-4 entities before the tokenizer
       - ``+dpayload`` — DelimitedPayloadTokenFilter ('|' + float encoder);
         use with the ``whitespace`` base
       - ``+reverse`` — ReverseStringFilter (reversed terms; index a
@@ -1041,6 +1053,8 @@ def analyzer_for(name) -> Analyzer:
     for mod in mods:
         if mod == "folding":
             a = replace(a, ascii_folding=True)
+        elif mod == "html":
+            a = replace(a, html_strip=True)
         elif mod.startswith("shingle:"):
             n = int(mod[8:])
             if n < 2:

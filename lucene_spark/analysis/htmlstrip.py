@@ -1,0 +1,195 @@
+"""HTMLStripCharFilter analogue: strip HTML/XML markup from text
+before tokenization, decoding character entities.
+
+Reference (/root/reference/lucene/analysis/common/src/java/org/apache/
+lucene/analysis/charfilter/HTMLStripCharFilter.jflex, HTMLCharacterEntities
+.jflex): a JFlex scanner that removes tags and comments, decodes the HTML 4
+named entity set plus numeric references, replaces BLOCK-level start/end
+tags (and <br>) with '\n' and INLINE-element tags (the jflex InlineElment
+list, HTMLStripCharFilter.jflex:117-142) with nothing, emits '\n' for
+whole <script>/<style> elements, preserves CDATA section contents
+verbatim, and passes user-supplied escapedTags through unstripped.
+
+This is a faithful port of those documented behaviors as one compiled
+regex alternation (disjoint-first-char branches, no backtracking blowup)
+scanned left to right, exactly the reference's longest-match order:
+CDATA > comment > <!...> > <?...?> > script/style element > tag > entity.
+Verified against the reference's golden vectors (TestHTMLStripCharFilter
+.java test/testEntities/testMoreEntities/testComment/testReserved/
+testCDATA and the well-formed half of testMalformedHTML).
+
+Documented deviations (all on MALFORMED markup only): the reference's
+generated scanner recovers from some broken-attribute shapes this
+grammar treats as literal text (e.g. '<a href=">' strips there, passes
+through here — an unclosed quote never ends a tag in this grammar);
+escaped <script>/<style> tags preserve the whole element verbatim here.
+Offsets downstream refer to the STRIPPED text (this engine re-analyzes
+stored text for highlighting, so passages come from stripped text too;
+the reference corrects offsets back into the raw input instead).
+
+Unlike the reference's per-character pushback reader, the whole document
+is scanned in one pass per doc inside the analysis Arrow batch (the
+analyzer chain already runs in mapInPandas) — no per-char Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["html_strip", "HTML_ENTITIES"]
+
+# HTML 4 named character references (reference HTMLCharacterEntities.jflex
+# entity table, 253 entries) plus the uppercase variants the reference
+# accepts (upperCaseVariantsAccepted: quot/copy/gt/lt/reg/amp).
+HTML_ENTITIES: dict[str, str] = {
+    'AElig': 'Æ', 'Aacute': 'Á', 'Acirc': 'Â', 'Agrave': 'À',
+    'Alpha': 'Α', 'Aring': 'Å', 'Atilde': 'Ã', 'Auml': 'Ä',
+    'Beta': 'Β', 'Ccedil': 'Ç', 'Chi': 'Χ', 'Dagger': '‡',
+    'Delta': 'Δ', 'ETH': 'Ð', 'Eacute': 'É', 'Ecirc': 'Ê',
+    'Egrave': 'È', 'Epsilon': 'Ε', 'Eta': 'Η', 'Euml': 'Ë',
+    'Gamma': 'Γ', 'Iacute': 'Í', 'Icirc': 'Î', 'Igrave': 'Ì',
+    'Iota': 'Ι', 'Iuml': 'Ï', 'Kappa': 'Κ', 'Lambda': 'Λ',
+    'Mu': 'Μ', 'Ntilde': 'Ñ', 'Nu': 'Ν', 'OElig': 'Œ',
+    'Oacute': 'Ó', 'Ocirc': 'Ô', 'Ograve': 'Ò', 'Omega': 'Ω',
+    'Omicron': 'Ο', 'Oslash': 'Ø', 'Otilde': 'Õ', 'Ouml': 'Ö',
+    'Phi': 'Φ', 'Pi': 'Π', 'Prime': '″', 'Psi': 'Ψ',
+    'Rho': 'Ρ', 'Scaron': 'Š', 'Sigma': 'Σ', 'THORN': 'Þ',
+    'Tau': 'Τ', 'Theta': 'Θ', 'Uacute': 'Ú', 'Ucirc': 'Û',
+    'Ugrave': 'Ù', 'Upsilon': 'Υ', 'Uuml': 'Ü', 'Xi': 'Ξ',
+    'Yacute': 'Ý', 'Yuml': 'Ÿ', 'Zeta': 'Ζ', 'aacute': 'á',
+    'acirc': 'â', 'acute': '´', 'aelig': 'æ', 'agrave': 'à',
+    'alefsym': 'ℵ', 'alpha': 'α', 'amp': '&', 'and': '∧',
+    'ang': '∠', 'apos': "'", 'aring': 'å', 'asymp': '≈',
+    'atilde': 'ã', 'auml': 'ä', 'bdquo': '„', 'beta': 'β',
+    'brvbar': '¦', 'bull': '•', 'cap': '∩', 'ccedil': 'ç',
+    'cedil': '¸', 'cent': '¢', 'chi': 'χ', 'circ': 'ˆ',
+    'clubs': '♣', 'cong': '≅', 'copy': '©', 'crarr': '↵',
+    'cup': '∪', 'curren': '¤', 'dArr': '⇓', 'dagger': '†',
+    'darr': '↓', 'deg': '°', 'delta': 'δ', 'diams': '♦',
+    'divide': '÷', 'eacute': 'é', 'ecirc': 'ê', 'egrave': 'è',
+    'empty': '∅', 'emsp': '\u2003', 'ensp': '\u2002', 'epsilon': 'ε',
+    'equiv': '≡', 'eta': 'η', 'eth': 'ð', 'euml': 'ë',
+    'euro': '€', 'exist': '∃', 'fnof': 'ƒ', 'forall': '∀',
+    'frac12': '½', 'frac14': '¼', 'frac34': '¾', 'frasl': '⁄',
+    'gamma': 'γ', 'ge': '≥', 'gt': '>', 'hArr': '⇔',
+    'harr': '↔', 'hearts': '♥', 'hellip': '…', 'iacute': 'í',
+    'icirc': 'î', 'iexcl': '¡', 'igrave': 'ì', 'image': 'ℑ',
+    'infin': '∞', 'int': '∫', 'iota': 'ι', 'iquest': '¿',
+    'isin': '∈', 'iuml': 'ï', 'kappa': 'κ', 'lArr': '⇐',
+    'lambda': 'λ', 'lang': '〈', 'laquo': '«', 'larr': '←',
+    'lceil': '⌈', 'ldquo': '“', 'le': '≤', 'lfloor': '⌊',
+    'lowast': '∗', 'loz': '◊', 'lrm': '\u200e', 'lsaquo': '‹',
+    'lsquo': '‘', 'lt': '<', 'macr': '¯', 'mdash': '—',
+    'micro': 'µ', 'middot': '·', 'minus': '−', 'mu': 'μ',
+    'nabla': '∇', 'nbsp': ' ', 'ndash': '–', 'ne': '≠',
+    'ni': '∋', 'not': '¬', 'notin': '∉', 'nsub': '⊄',
+    'ntilde': 'ñ', 'nu': 'ν', 'oacute': 'ó', 'ocirc': 'ô',
+    'oelig': 'œ', 'ograve': 'ò', 'oline': '‾', 'omega': 'ω',
+    'omicron': 'ο', 'oplus': '⊕', 'or': '∨', 'ordf': 'ª',
+    'ordm': 'º', 'oslash': 'ø', 'otilde': 'õ', 'otimes': '⊗',
+    'ouml': 'ö', 'para': '¶', 'part': '∂', 'permil': '‰',
+    'perp': '⊥', 'phi': 'φ', 'pi': 'π', 'piv': 'ϖ',
+    'plusmn': '±', 'pound': '£', 'prime': '′', 'prod': '∏',
+    'prop': '∝', 'psi': 'ψ', 'quot': '"', 'rArr': '⇒',
+    'radic': '√', 'rang': '〉', 'raquo': '»', 'rarr': '→',
+    'rceil': '⌉', 'rdquo': '”', 'real': 'ℜ', 'reg': '®',
+    'rfloor': '⌋', 'rho': 'ρ', 'rlm': '\u200f', 'rsaquo': '›',
+    'rsquo': '’', 'sbquo': '‚', 'scaron': 'š', 'sdot': '⋅',
+    'sect': '§', 'shy': '\xad', 'sigma': 'σ', 'sigmaf': 'ς',
+    'sim': '∼', 'spades': '♠', 'sub': '⊂', 'sube': '⊆',
+    'sum': '∑', 'sup': '⊃', 'sup1': '¹', 'sup2': '²',
+    'sup3': '³', 'supe': '⊇', 'szlig': 'ß', 'tau': 'τ',
+    'there4': '∴', 'theta': 'θ', 'thetasym': 'ϑ', 'thinsp': '\u2009',
+    'thorn': 'þ', 'tilde': '˜', 'times': '×', 'trade': '™',
+    'uArr': '⇑', 'uacute': 'ú', 'uarr': '↑', 'ucirc': 'û',
+    'ugrave': 'ù', 'uml': '¨', 'upsih': 'ϒ', 'upsilon': 'υ',
+    'uuml': 'ü', 'weierp': '℘', 'xi': 'ξ', 'yacute': 'ý',
+    'yen': '¥', 'yuml': 'ÿ', 'zeta': 'ζ', 'zwj': '\u200d',
+    'zwnj': '\u200c',
+}
+for _lc in ("quot", "copy", "gt", "lt", "reg", "amp"):
+    HTML_ENTITIES[_lc.upper()] = HTML_ENTITIES[_lc]
+
+# InlineElment list (HTMLStripCharFilter.jflex:117-142): tags replaced by
+# nothing; every other element is block-level and becomes '\n'.
+INLINE_ELEMENTS = frozenset((
+    "a", "b", "i", "q", "s", "u", "abbr", "acronym", "basefont", "bdo",
+    "big", "cite", "code", "dfn", "em", "font", "img", "input", "kbd",
+    "label", "samp", "select", "small", "span", "strike", "strong",
+    "sub", "sup", "textarea", "tt", "var",
+))
+
+# Tag body: unquoted runs never contain < > " ' (an unquoted '<' before
+# the closing '>' inhibits tag recognition, per the reference tests);
+# quoted attribute values may contain anything but their quote, including
+# '<' and '>' (LUCENE-10520).
+_TAG_BODY = r"""(?:[^<>"']|"[^"]*"|'[^']*')*"""
+
+_SCANNER = re.compile(
+    rf"""
+      <!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|\Z)
+    | <!--(?P<comment>.*?)(?:-->|\Z)
+    | <!(?P<bang>[^>]*)>
+    | <\?(?P<pi>.*?)\?>
+    | <(?P<sname>script|style)(?![a-zA-Z0-9])(?P<sbody>{_TAG_BODY})>
+          (?P<scontent>.*?)(?:</(?P=sname)\s*>|\Z)
+    | <(?P<close>/?)(?P<name>[a-zA-Z][a-zA-Z0-9]*)(?P<attrs>{_TAG_BODY})>
+    | &(?:(?P<ename>[a-zA-Z][a-zA-Z0-9]*)|\#(?P<dec>[0-9]+)|\#[xX](?P<hex>[0-9a-fA-F]+));
+    """,
+    re.X | re.S | re.I,
+)
+
+_REPLACEMENT = "\ufffd"  # REPLACEMENT_CHARACTER (HTMLStripCharFilter.jflex:155)
+
+
+def _decode_numeric(code: int) -> str:
+    # Character references above the Unicode range emit U+FFFD
+    # (the jflex scanner's REPLACEMENT_CHARACTER branch).
+    if code > 0x10FFFF:
+        return _REPLACEMENT
+    return chr(code)
+
+
+def html_strip(text: str, escaped_tags=None) -> str:
+    """Strip HTML markup from ``text``; see the module docstring for the
+    exact contract. ``escaped_tags`` is an optional iterable of tag names
+    (case-insensitive) to pass through unstripped, like the reference's
+    ``escapedTags`` constructor arg."""
+    if not text or ("<" not in text and "&" not in text):
+        return text
+    escaped = (
+        frozenset(t.lower() for t in escaped_tags) if escaped_tags else frozenset()
+    )
+
+    def repl(m: re.Match) -> str:
+        if m.group("cdata") is not None:
+            return m.group("cdata")
+        if m.group("comment") is not None or m.group("bang") is not None:
+            return ""
+        if m.group("pi") is not None:
+            return ""
+        sname = m.group("sname")
+        if sname is not None:
+            if sname.lower() in escaped:
+                return m.group(0)
+            return "\n"
+        name = m.group("name")
+        if name is not None:
+            low = name.lower()
+            if low in escaped:
+                return m.group(0)
+            if low == "br":
+                return "\n"
+            if low in INLINE_ELEMENTS:
+                return ""
+            return "\n"
+        ename = m.group("ename")
+        if ename is not None:
+            got = HTML_ENTITIES.get(ename)
+            return got if got is not None else m.group(0)
+        dec = m.group("dec")
+        if dec is not None:
+            return _decode_numeric(int(dec)) if len(dec) <= 8 else _REPLACEMENT
+        return _decode_numeric(int(m.group("hex"), 16)) if len(m.group("hex")) <= 7 else _REPLACEMENT
+
+    return _SCANNER.sub(repl, text)

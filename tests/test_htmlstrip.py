@@ -1,0 +1,134 @@
+"""HTMLStripCharFilter golden vectors.
+
+Every (input, gold) pair below comes from the reference test suite
+(/root/reference/lucene/analysis/common/src/test/org/apache/lucene/
+analysis/charfilter/TestHTMLStripCharFilter.java) — test(), testEntities,
+testMoreEntities, testGamma, testComment, testCDATA, testReserved,
+testMalformedHTML (the vectors whose behavior the documented subset
+grammar covers; the odd-quote-count recovery family is an explicitly
+documented deviation in lucene_spark/analysis/htmlstrip.py).
+"""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.htmlstrip import HTML_ENTITIES, html_strip
+
+GOLD = [
+    # TestHTMLStripCharFilter.test()
+    (
+        '<div class="foo">this is some text</div> here is a <a href="#bar">link</a> and '
+        'another <a href="http://lucene.apache.org/">link</a>. '
+        "This is an entity: &amp; plus a &lt;.  Here is an &. <!-- is a comment -->",
+        "\nthis is some text\n here is a link and "
+        "another link. "
+        "This is an entity: & plus a <.  Here is an &. ",
+    ),
+    # testGamma / testEntities / testMoreEntities
+    ("&Gamma;", "Γ"),
+    (
+        "&nbsp; &lt;foo&gt; &Uuml;bermensch &#61; &Gamma; bar &#x393;",
+        "  <foo> Übermensch = Γ bar Γ",
+    ),
+    ("&nbsp; &lt;junk/&gt; &nbsp; &#33; &#64; and &#8217;", "  <junk/>   ! @ and ’"),
+    # testComment
+    ("<!--- three dashes, still a valid comment ---> ", " "),
+    ("<! -- blah > ", " "),
+    ("<!--" + "a " * 300, ""),
+    # testCDATA (fixed-vector subset)
+    (
+        "one<![CDATA[<one><two>three<four></four></two></one>]]>two",
+        "one<one><two>three<four></four></two></one>two",
+    ),
+    (
+        "one<![CDATA[two<![CDATA[three]]]]><![CDATA[>four]]>five",
+        "onetwo<![CDATA[three]]>fourfive",
+    ),
+    ("<! [CDATA[&]]>", ""),
+    ("<! [CDATA[&] ] >", ""),
+    ("<! [CDATA[&]]", "<! [CDATA[&]]"),  # unclosed angle bang: passthrough
+    ("<![CDATA[", ""),
+    # testMalformedHTML (subset covered by the documented grammar)
+    ("a <a hr<ef=aa<a>> </close</a>", "a <a hr<ef=aa> </close"),
+    ('<a href="#postcomment" title=""Leave a comment";">?', "?"),
+    (
+        'The <a href=<a href="http://www.advancedmd.com>medical">'
+        "http://www.advancedmd.com>medical</a> practice software</a>",
+        "The <a href=http://www.advancedmd.com>medical practice software",
+    ),
+    ("<a href=#Services & Support>", ""),
+    # LUCENE-10520: < and > are legal inside quoted attribute values
+    ('<input type="text" value="<search here>">', ""),
+    ('<input type="text" value="<search here">', ""),
+    ('<input type="text" value="search here>">', ""),
+    ("<ahref=http:..", "<ahref=http:.."),
+    ("<ahref=http:..>", "\n"),
+    ("<a href=  >", ""),
+    ('<href="http://anbportal.com/mms/login.asp">', "\n"),
+    ('<a href="', '<a href="'),
+    (
+        '<![if ! IE]>\n<link href="http://i.deviantart.com/icons/favicon.png" '
+        'rel="shortcut icon"/>\n<![endif]>',
+        "\n\n\n",
+    ),
+]
+
+
+@pytest.mark.parametrize("html,gold", GOLD, ids=range(len(GOLD)))
+def test_reference_golden(html, gold):
+    assert html_strip(html) == gold
+
+
+def test_script_style_become_newline():
+    assert html_strip("a<script>var x = '<b>1</b>';</script>b") == "a\nb"
+    assert html_strip("a<style type='text/css'>p { color: red }</style>b") == "a\nb"
+    # case-insensitive element names, unterminated strips to end
+    assert html_strip("a<SCRIPT>\nnever closed") == "a\n"
+    assert html_strip("a<ScRiPt src='x'>y</sCrIpT >b") == "a\nb"
+
+
+def test_br_and_blocks():
+    assert html_strip("x<br>y<br/>z") == "x\ny\nz"
+    assert html_strip("<p>para</p><span>in</span>") == "\npara\nin"
+
+
+def test_processing_instruction():
+    assert html_strip("a<?php echo '>' ?>b") == "ab"
+    # unterminated PI passes through (the reference's buffer-overflow
+    # fallback emits the input as-is)
+    assert html_strip("ah<?> ??????") == "ah<?> ??????"
+
+
+def test_entity_edge_cases():
+    # bare '&' and unknown/unterminated references pass through
+    assert html_strip("5 &gt 3 & x &unknown; &#x110000;") == "5 &gt 3 & x &unknown; �"
+    # uppercase variants the reference accepts
+    assert html_strip("&AMP;&LT;&GT;&QUOT;") == '&<>"'
+    # case matters for the rest: &GAMMA; is not an entity
+    assert html_strip("&GAMMA;") == "&GAMMA;"
+    # absurdly long numerics do not overflow int parsing semantics
+    assert html_strip("&#999999999999999999999;") == "�"
+    assert HTML_ENTITIES["nbsp"] == " "  # reference maps nbsp to a plain space
+
+
+def test_escaped_tags_preserved():
+    t = 'aaa bbb <reserved ccc="ddddd"> eeee </reserved> ffff <reserved ggg="hhhh"/> <other/>'
+    r = html_strip(t, {"reserved"})
+    assert "<reserved" in r and "</reserved>" in r
+    assert "other" not in r
+
+
+def test_analyzer_html_modifier():
+    an = analyzer_for("standard+html")
+    terms = an.terms(
+        "<p>B&auml;r flies</p><script>ignore me entirely</script> &amp; <b>wins</b>"
+    )
+    # entity decoded INSIDE a word -> one token; script content dropped
+    assert terms == ["bär", "flies", "wins"]
+    plain = analyzer_for("standard").terms("no markup here")
+    assert analyzer_for("standard+html").terms("no markup here") == plain
+
+
+def test_analyzer_html_composes_with_english():
+    an = analyzer_for("english+html")
+    assert an.terms("<div>The running <i>dogs</i></div>") == ["run", "dog"]
