@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["phrase_wildcard"] = _pq_phrase_wildcard
     q["icu_fold_terms"] = _pq_icu_fold_terms
     q["html_strip_tokens"] = _pq_html_strip
+    q["url_email_tokens"] = _pq_url_email
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
@@ -1128,6 +1129,61 @@ def _pq_html_strip(spark, sf_dir):
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_tokens": n_tok,
                     "n_uniq": n_uniq,
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema).orderBy("doc_id")
+
+
+def _pq_url_email(spark, sf_dir):
+    """UAX29URLEmailTokenizer (reference analysis/common/email/
+    UAX29URLEmailTokenizerImpl.jflex) over seeded web text: each doc's
+    first two words parameterize an e-mail, a full https URL with path/
+    query, and a bare strict-domain host. The standard+urlemail analyzer
+    must emit each as ONE token (and lowercase them); the oracle builds
+    the same expected tokens in closed form. Any tokenizer divergence
+    (URL split at '/', e-mail split at '@', domain split at '.') breaks
+    the per-doc token values and count."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("email_tok", T.StringType()),
+            T.StructField("url_tok", T.StringType()),
+            T.StructField("host_tok", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def kernel(iterator):
+        an = analyzer_for("standard+urlemail")
+        for pdf in iterator:
+            emails, urls, hosts, counts = [], [], [], []
+            for text in pdf["text"]:
+                words = (text or "").split()
+                w = words[0] if words else "doc"
+                w2 = words[1] if len(words) > 1 else "x"
+                seed = (
+                    f"Contact {w}@example.org or see "
+                    f"https://{w2}.example.com/{w}?q={w2} and www.{w}.net soon"
+                )
+                terms = an.terms(seed)
+                emails.append(terms[1] if len(terms) > 1 else None)
+                urls.append(terms[4] if len(terms) > 4 else None)
+                hosts.append(terms[6] if len(terms) > 6 else None)
+                counts.append(len(terms))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "email_tok": emails,
+                    "url_tok": urls,
+                    "host_tok": hosts,
+                    "n_tokens": counts,
                 }
             )
 
@@ -3325,6 +3381,25 @@ tok AS (
 )
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq
 FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+    # UAX29URLEmailTokenizer: the expected single-token e-mail/URL/host
+    # values in closed form from the same two seed words; n_tokens is 8
+    # exactly when the three web tokens each stay whole
+    o["url_email_tokens"] = """
+WITH w AS (
+  SELECT doc_id,
+         COALESCE(NULLIF(arr[1], ''), 'doc') AS w1,
+         COALESCE(NULLIF(arr[2], ''), 'x') AS w2
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents)
+)
+SELECT doc_id,
+       w1 || '@example.org' AS email_tok,
+       'https://' || w2 || '.example.com/' || w1 || '?q=' || w2 AS url_tok,
+       'www.' || w1 || '.net' AS host_tok,
+       CAST(8 AS BIGINT) AS n_tokens
+FROM w ORDER BY doc_id
 """
     # PayloadScoreQuery: BM25('table') * avg payload, payload of the token
     # at 1-based position pos = (pos - 1) % 7 + 1; the avg is one division

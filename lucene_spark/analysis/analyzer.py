@@ -410,6 +410,10 @@ class Analyzer:
     # downstream refer to the STRIPPED text (this engine re-analyzes
     # stored text wherever offsets matter, so the contract is internal).
     html_strip: bool = False
+    # UAX29URLEmailTokenizer analogue (reference analysis/common/email/
+    # UAX29URLEmailTokenizerImpl.jflex): swap the standard scanner for
+    # the variant that keeps URLs and e-mail addresses as single tokens.
+    url_email: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -456,6 +460,10 @@ class Analyzer:
             text = _hstrip(text)
         if self.whitespace:
             toks = _ws_tokenize(text, self.max_token_length)
+        elif self.url_email:
+            from .urlemail import url_email_tokenize
+
+            toks = url_email_tokenize(text, self.max_token_length)
         else:
             toks = tokenize(text, self.max_token_length)
         if self.cjk_flags:
@@ -1028,6 +1036,9 @@ def analyzer_for(name) -> Analyzer:
         NFKC + case fold + default-ignorable strip)
       - ``+html`` — HTMLStripCharFilter: strip tags/comments/script/style
         and decode HTML-4 entities before the tokenizer
+      - ``+urlemail`` — UAX29URLEmailTokenizer: URLs and e-mail
+        addresses stay single tokens (composes with ``+html`` for raw
+        web pages)
       - ``+dpayload`` — DelimitedPayloadTokenFilter ('|' + float encoder);
         use with the ``whitespace`` base
       - ``+reverse`` — ReverseStringFilter (reversed terms; index a
@@ -1055,6 +1066,8 @@ def analyzer_for(name) -> Analyzer:
             a = replace(a, ascii_folding=True)
         elif mod == "html":
             a = replace(a, html_strip=True)
+        elif mod == "urlemail":
+            a = replace(a, url_email=True)
         elif mod.startswith("shingle:"):
             n = int(mod[8:])
             if n < 2:

@@ -1,0 +1,102 @@
+"""UAX29URLEmailTokenizer parity tests.
+
+Reference: /root/reference/lucene/analysis/common/src/java/org/apache/
+lucene/analysis/email/UAX29URLEmailTokenizerImpl.jflex and its test
+fixtures (random.text.with.{urls,email.addresses}.txt + expected
+extractions). The fixture test below reproduces the reference's
+testURLs/testEmails: every expected URL/e-mail must come out as one
+token; it runs only when the reference checkout is present.
+"""
+
+import os
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.urlemail import ASCII_TLDS, url_email_tokenize
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis/email/"
+
+
+def terms(s, **kw):
+    return [t.term for t in url_email_tokenize(s, **kw)]
+
+
+def test_basic_shapes():
+    assert terms("Contact bob.smith@example.com or visit https://lucene.apache.org/core?q=x#f now") == [
+        "Contact", "bob.smith@example.com", "or", "visit",
+        "https://lucene.apache.org/core?q=x#f", "now",
+    ]
+    assert terms("see lucene.apache.org today") == ["see", "lucene.apache.org", "today"]
+    assert terms("ping 192.168.1.254 now") == ["ping", "192.168.1.254", "now"]
+    assert terms("host example.com:8080/a?b=1 end") == ["host", "example.com:8080/a?b=1", "end"]
+    assert terms("ftp://user@ftp.foo.com/dir/file;type=i") == ["ftp://user@ftp.foo.com/dir/file;type=i"]
+    assert terms("file:///etc/hosts") == ["file:///etc/hosts"]
+    assert terms('mail "john doe"@example.com ok') == ["mail", '"john doe"@example.com', "ok"]
+    assert terms("addr x@[192.168.0.1] ok") == ["addr", "x@[192.168.0.1]", "ok"]
+    assert terms("UPPER.EXAMPLE.COM/Path ok") == ["UPPER.EXAMPLE.COM/Path", "ok"]
+
+
+def test_plain_text_untouched():
+    # identical to the standard scanner when no URL/e-mail is present
+    an_std = analyzer_for("standard")
+    an_url = analyzer_for("standard+urlemail")
+    s = "some-dashed-phrase dogs,chase,cats ac/dc you're 21.35 R2D2 C3PO"
+    assert an_url.terms(s) == an_std.terms(s)
+
+
+def test_mid_word_not_recognized():
+    # the scanner only enters URL rules at token boundaries
+    assert terms("xhttp://foo.com stays") == ["xhttp", "foo.com", "stays"]
+
+
+def test_lucene_5391_guard():
+    # a no-scheme domain followed by a word char is NOT a URL
+    got = terms("see lucene.apache.orgx today")
+    assert "lucene.apache.org" not in got
+
+
+def test_tld_list_complete():
+    # union of ASCIITLD + both TLDprefix sections (1438 entries)
+    assert len(ASCII_TLDS) > 1400
+    for t in ("com", "org", "gm", "eu", "se", "community", "xn--3e0b707e"):
+        assert t in ASCII_TLDS
+
+
+def test_overlong_url_falls_back():
+    url = "http://example.com/" + "a" * 300
+    got = terms("x " + url + " y", max_token_length=255)
+    assert url not in got  # split by the standard scanner instead
+    assert url in terms("x " + url + " y", max_token_length=1000)
+
+
+def test_analyzer_modifier_and_lowercase():
+    an = analyzer_for("standard+urlemail")
+    assert an.terms("Visit HTTPS://Lucene.Apache.ORG/Core now") == [
+        "visit", "https://lucene.apache.org/core", "now",
+    ]
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference fixtures not present")
+def test_reference_fixture_parity():
+    # reproduces TestUAX29URLEmailTokenizer.testEmails/testURLs: every
+    # expected extraction surfaces as exactly one token (multiset match)
+    for textf, goldf in (
+        (
+            "random.text.with.email.addresses.txt",
+            "email.addresses.from.random.text.with.email.addresses.txt",
+        ),
+        ("random.text.with.urls.txt", "urls.from.random.text.with.urls.txt"),
+    ):
+        with open(_REF + textf, encoding="utf-8") as f:
+            text = f.read()
+        with open(_REF + goldf, encoding="utf-8") as f:
+            gold = [l for l in f.read().split("\n") if l.strip()]
+        got = {}
+        for t in url_email_tokenize(text, max_token_length=10**6):
+            got[t.term] = got.get(t.term, 0) + 1
+        want = {}
+        for g in gold:
+            want[g] = want.get(g, 0) + 1
+        missed = {g: c for g, c in want.items() if got.get(g, 0) < c}
+        assert not missed, f"{goldf}: {len(missed)} missed, e.g. {list(missed)[:3]}"
