@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["icu_fold_terms"] = _pq_icu_fold_terms
     q["html_strip_tokens"] = _pq_html_strip
     q["url_email_tokens"] = _pq_url_email
+    q["common_grams_phrase"] = _pq_common_grams
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
     q["decontam_ngram"] = _pq_decontam_ngram
@@ -1133,6 +1134,40 @@ def _pq_html_strip(spark, sf_dir):
             )
 
     return docs.mapInPandas(kernel, schema).orderBy("doc_id")
+
+
+def _pq_common_grams(spark, sf_dir):
+    """CommonGramsFilter + CommonGramsQueryFilter (reference analysis/
+    common/commongrams/CommonGramsFilter.java, CommonGramsQueryFilter
+    .java): the index stacks '_'-joined bigrams over every adjacent pair
+    containing a common word (the/a/of); the phrase 'the fast' analyzed
+    through the query filter collapses to the single gram term the_fast,
+    served as ONE postings term — no positions decoded, the point of the
+    filter. Stacked grams inflate sumTotalTermFreq (avgdl) but not the
+    per-doc norm (posIncr 0, numOverlap discount)."""
+    import numpy as np
+
+    from lucene_spark.analysis.analyzer import analyzer_for
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_cg_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        analyzer="standard+commongrams:the|a|of",
+    )
+    qterms = analyzer_for("standard+commongramsq:the|a|of").terms("the fast")
+    assert qterms == ["the_fast"], qterms
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(Q.TermQuery("text", qterms[0]), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
 
 
 def _pq_url_email(spark, sf_dir):
@@ -3381,6 +3416,47 @@ tok AS (
 )
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq
 FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+    # CommonGrams: BM25 over the stacked-gram index — tl (field length)
+    # adds one gram per adjacent pair containing a common word, the norm
+    # stays the unigram count, tf/df count (the,fast) adjacencies
+    cg_qlen = _qlen("tot.nl")
+    o["common_grams_phrase"] = f"""
+WITH u AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+  FROM u
+),
+dl AS (SELECT doc_id, count(*) AS len FROM u GROUP BY doc_id),
+g AS (
+  SELECT doc_id, count(*) AS extra FROM pairs
+  WHERE nxt IS NOT NULL AND (term IN ('the','a','of') OR nxt IN ('the','a','of'))
+  GROUP BY doc_id
+),
+tot AS (
+  SELECT dl.doc_id, dl.len + COALESCE(g.extra, 0) AS tl, dl.len AS nl
+  FROM dl LEFT JOIN g USING (doc_id)
+),
+stats AS (SELECT count(*) AS doc_count, sum(tl) AS sum_ttf FROM tot WHERE tl > 0),
+inv AS (
+  SELECT tot.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({cg_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM tot, stats
+),
+tf AS (SELECT doc_id, count(*) AS freq FROM pairs WHERE term = 'the' AND nxt = 'fast' GROUP BY doc_id),
+w AS (SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+      FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM pairs WHERE term = 'the' AND nxt = 'fast') n),
+t0 AS (
+  SELECT tf.doc_id, w.w - w.w / (1.0 + tf.freq * inv.norm_inv) AS s
+  FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM t0 ORDER BY s DESC, doc_id ASC LIMIT {K}
 """
     # UAX29URLEmailTokenizer: the expected single-token e-mail/URL/host
     # values in closed form from the same two seed words; n_tokens is 8

@@ -414,6 +414,18 @@ class Analyzer:
     # UAX29URLEmailTokenizerImpl.jflex): swap the standard scanner for
     # the variant that keeps URLs and e-mail addresses as single tokens.
     url_email: bool = False
+    # CommonGramsFilter (reference analysis/common/commongrams/
+    # CommonGramsFilter.java): the set of common words. Every adjacent
+    # token pair with >= 1 common word also emits the '_'-joined bigram
+    # STACKED at the first word's position (posIncr 0, GRAM_TYPE) —
+    # unigrams stay indexed, grams overlay them. Use with a base chain
+    # that does NOT stop-filter the common words.
+    common_grams: frozenset = frozenset()
+    # CommonGramsQueryFilter (CommonGramsQueryFilter.java): query-time
+    # variant — ONE token per position: the gram when the pair has one,
+    # else the unigram; the trailing unigram drops when the last pair
+    # emitted a gram (it is already covered).
+    common_grams_query: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_syn", dict(self.synonyms) if self.synonyms else None)
@@ -435,6 +447,15 @@ class Analyzer:
                     raise ValueError(
                         "ngram filters do not compose with other stacking filters"
                     )
+        if self.common_grams and (
+            self.synonyms or self.phonetic or self.shingle > 1
+            or self.edge_ngram or self.ngram or self.keyword_repeat
+        ):
+            raise ValueError(
+                "common_grams does not compose with other stacking filters"
+            )
+        if self.common_grams_query and not self.common_grams:
+            raise ValueError("common_grams_query needs a common_grams word set")
 
     def _split_payload(self, term: str) -> tuple[str, float | None]:
         d = self.payload_delimiter
@@ -537,6 +558,41 @@ class Analyzer:
                     out.append(Token(alt, pos, start, end))
         if self.shingle > 1:
             out = self._weave_shingles(out)
+        if self.common_grams:
+            out = self._weave_common_grams(out)
+        return out
+
+    def _weave_common_grams(self, toks: list[Token]) -> list[Token]:
+        """CommonGramsFilter / CommonGramsQueryFilter weaving over the
+        primary stream (validation forbids other stacking filters, so
+        the stream IS primary). Reference vectors: 'the fox' indexes as
+        the(1) the_fox(0) fox(1); as a query it becomes the_fox alone."""
+        cg = self.common_grams
+        if not toks:
+            return toks
+        if self.common_grams_query:
+            out: list[Token] = []
+            last_was_gram = False
+            for i in range(len(toks) - 1):
+                a, b = toks[i], toks[i + 1]
+                if a.term in cg or b.term in cg:
+                    out.append(Token(a.term + "_" + b.term, len(out), a.start, b.end))
+                    last_was_gram = True
+                else:
+                    out.append(Token(a.term, len(out), a.start, a.end, a.payload))
+                    last_was_gram = False
+            if not last_was_gram:
+                t = toks[-1]
+                out.append(Token(t.term, len(out), t.start, t.end, t.payload))
+            return out
+        out = []
+        for i, t in enumerate(toks):
+            out.append(t)
+            if i + 1 < len(toks):
+                b = toks[i + 1]
+                if t.term in cg or b.term in cg:
+                    # stacked gram: same position as its first word
+                    out.append(Token(t.term + "_" + b.term, t.position, t.start, b.end))
         return out
 
     def _weave_shingles(self, toks: list[Token]) -> list[Token]:
@@ -578,7 +634,7 @@ class Analyzer:
         computeNorm encodes (length - numOverlap, discountOverlaps=true,
         Similarity.java:153-163); ``len(terms)`` is the field length that
         feeds sumTotalTermFreq."""
-        if self.shingle > 1:
+        if self.shingle > 1 or self.common_grams:
             terms2: list[str] = []
             norm2 = 0
             last = -1
@@ -1039,6 +1095,11 @@ def analyzer_for(name) -> Analyzer:
       - ``+urlemail`` — UAX29URLEmailTokenizer: URLs and e-mail
         addresses stay single tokens (composes with ``+html`` for raw
         web pages)
+      - ``+commongrams:the|of`` — CommonGramsFilter: '_'-joined bigrams
+        stacked over every adjacent pair containing a common word
+        (index side); ``+commongramsq:the|of`` — the
+        CommonGramsQueryFilter variant (one token per position, gram
+        preferred) for analyzing phrase queries against such an index
       - ``+dpayload`` — DelimitedPayloadTokenFilter ('|' + float encoder);
         use with the ``whitespace`` base
       - ``+reverse`` — ReverseStringFilter (reversed terms; index a
@@ -1068,6 +1129,16 @@ def analyzer_for(name) -> Analyzer:
             a = replace(a, html_strip=True)
         elif mod == "urlemail":
             a = replace(a, url_email=True)
+        elif mod.startswith("commongramsq:"):
+            words = frozenset(w for w in mod[13:].split("|") if w)
+            if not words:
+                raise ValueError(f"empty common-grams set in analyzer {name!r}")
+            a = replace(a, common_grams=words, common_grams_query=True)
+        elif mod.startswith("commongrams:"):
+            words = frozenset(w for w in mod[12:].split("|") if w)
+            if not words:
+                raise ValueError(f"empty common-grams set in analyzer {name!r}")
+            a = replace(a, common_grams=words)
         elif mod.startswith("shingle:"):
             n = int(mod[8:])
             if n < 2:

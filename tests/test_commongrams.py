@@ -1,0 +1,84 @@
+"""CommonGramsFilter / CommonGramsQueryFilter reference vectors.
+
+All (input, expected) pairs come from the reference test suite
+(/root/reference/lucene/analysis/common/src/test/org/apache/lucene/
+analysis/commongrams/TestCommonGramsFilter.java) with its common-word
+set {s, a, b, c, d, the, of}.
+"""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+
+IDX = analyzer_for("whitespace+commongrams:s|a|b|c|d|the|of")
+QRY = analyzer_for("whitespace+commongramsq:s|a|b|c|d|the|of")
+
+
+def terms_incr(an, s):
+    out, last = [], -1
+    for t in an.tokens(s):
+        out.append((t.term, 1 if t.position != last else 0))
+        last = t.position
+    return out
+
+
+INDEX_GOLD = [
+    ("the", [("the", 1)]),
+    ("foo", [("foo", 1)]),
+    ("brown fox", [("brown", 1), ("fox", 1)]),
+    ("the fox", [("the", 1), ("the_fox", 0), ("fox", 1)]),
+    ("fox of", [("fox", 1), ("fox_of", 0), ("of", 1)]),
+    ("of the", [("of", 1), ("of_the", 0), ("the", 1)]),
+    ("n n n", [("n", 1), ("n", 1), ("n", 1)]),
+    ("n n s", [("n", 1), ("n", 1), ("n_s", 0), ("s", 1)]),
+    ("n s n", [("n", 1), ("n_s", 0), ("s", 1), ("s_n", 0), ("n", 1)]),
+    ("n s s", [("n", 1), ("n_s", 0), ("s", 1), ("s_s", 0), ("s", 1)]),
+    ("s n n", [("s", 1), ("s_n", 0), ("n", 1), ("n", 1)]),
+    ("s n s", [("s", 1), ("s_n", 0), ("n", 1), ("n_s", 0), ("s", 1)]),
+]
+
+QUERY_GOLD = [
+    ("brown fox", ["brown", "fox"]),
+    ("the fox", ["the_fox"]),
+    ("fox of", ["fox_of"]),
+    ("of the", ["of_the"]),
+    ("the", ["the"]),
+    ("foo", ["foo"]),
+    ("n n n", ["n", "n", "n"]),
+    ("n n s", ["n", "n_s"]),
+    ("n s n", ["n_s", "s_n"]),
+    ("n s s", ["n_s", "s_s"]),
+    ("s n n", ["s_n", "n", "n"]),
+    ("s n s", ["s_n", "n_s"]),
+    ("s s n", ["s_s", "s_n"]),
+    ("s s s", ["s_s", "s_s"]),
+]
+
+
+@pytest.mark.parametrize("inp,gold", INDEX_GOLD, ids=[g[0] for g in INDEX_GOLD])
+def test_index_filter(inp, gold):
+    assert terms_incr(IDX, inp) == gold
+
+
+@pytest.mark.parametrize("inp,gold", QUERY_GOLD, ids=[g[0] for g in QUERY_GOLD])
+def test_query_filter(inp, gold):
+    assert QRY.terms(inp) == gold
+
+
+def test_query_positions_sequential():
+    toks = QRY.tokens("n s n")
+    assert [(t.term, t.position) for t in toks] == [("n_s", 0), ("s_n", 1)]
+
+
+def test_invert_norm_excludes_grams():
+    # grams stack (posIncr 0): field length counts them, the norm does not
+    terms, norm = IDX.invert("the fox")
+    assert terms == ["the", "the_fox", "fox"]
+    assert norm == 2
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        analyzer_for("standard+shingle:2+commongrams:the")
+    with pytest.raises(ValueError):
+        analyzer_for("standard+commongrams:")
