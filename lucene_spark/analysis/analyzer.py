@@ -1000,6 +1000,25 @@ PERSIAN = _make_normalized("persian", _persian_normalize, _persian_stem)
 HINDI = _make_normalized("hindi", _hindi_normalize, _hindi_stem)
 
 
+def _bengali_normalize(term: str) -> str:
+    from .light_stemmers import bengali_chain
+
+    return bengali_chain(term)
+
+
+def _bengali_stem(term: str) -> str:
+    from .light_stemmers import stem_bengali
+
+    return stem_bengali(term)
+
+
+# BengaliAnalyzer (reference analysis/common/.../bn/BengaliAnalyzer.java):
+# lowercase -> DecimalDigitFilter -> BengaliNormalizer (the normalizer
+# hook, BEFORE the stop list like the reference chain) -> stop -> stem.
+# IndicNormalizationFilter scoped out (documented, like the Hindi pack).
+BENGALI = _make_normalized("bengali", _bengali_normalize, _bengali_stem)
+
+
 def _sorani_normalize(term: str) -> str:
     from .light_stemmers import normalize_sorani
 
@@ -1071,6 +1090,7 @@ _BASE_ANALYZERS = {
     "norwegian_nynorsk": NORWEGIAN_NYNORSK,
     "norwegian_minimal": NORWEGIAN_MINIMAL,
     "latvian": LATVIAN,
+    "bengali": BENGALI,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 
@@ -1107,6 +1127,10 @@ def analyzer_for(name) -> Analyzer:
         prefix scans)
       - ``+scandinavian`` — ScandinavianNormalizationFilter (all å/æ/ø
         foldings); ``+scandinavian:no`` the Norwegian AE/OE/AA subset
+      - ``+serbian`` — SerbianNormalizationFilter: Serbian Cyrillic and
+        Latin to "bald" Latin (đ→dj, љ→lj, њ→nj, џ→dz; the reference
+        SerbianAnalyzer's Snowball stemmer is scoped out, so this ships
+        as the standalone filter the reference also exposes)
       - ``+phonetic`` — PhoneticFilter with the Soundex encoder,
         inject=true (code stacked at the token's position);
         ``+phonetic:replace`` substitutes the code instead
@@ -1228,6 +1252,17 @@ def analyzer_for(name) -> Analyzer:
             prev = a.normalizer
             fn = (fold if prev is None
                   else (lambda t, _p=prev, _f=fold: _f(_p(t))))
+            a = replace(a, normalizer=fn)
+        elif mod == "serbian":
+            # SerbianNormalizationFilter (reference sr/
+            # SerbianNormalizationFilter.java): Cyrillic+Latin to bald
+            # Latin; the reference chain places it last (post-stem), but
+            # as a standalone modifier it sits at the normalizer hook
+            from .light_stemmers import normalize_serbian
+
+            prev = a.normalizer
+            fn = (normalize_serbian if prev is None
+                  else (lambda t, _p=prev: normalize_serbian(_p(t))))
             a = replace(a, normalizer=fn)
         else:
             raise KeyError(f"unknown analyzer modifier {mod!r} in {name!r}")

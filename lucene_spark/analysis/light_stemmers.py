@@ -1110,3 +1110,169 @@ def stem_latvian(term: str) -> str:
             stem = term[: n - len(affix)]
             return _lv_unpalatalize(stem, term[n - len(affix)]) if palatalizes else stem
     return term
+
+# --------------------- Bengali (reference analysis/common/.../bn) -----
+
+
+_BN_SUFFIX_GROUPS = (
+    (9, 8, frozenset(('িয়াছিলাম', 'িতেছিলাম', 'িতেছিলেন', 'ইতেছিলেন', 'িয়াছিলেন', 'ইয়াছিলেন',))),
+    (8, 7, frozenset(('িতেছিলি', 'িতেছিলে', 'িয়াছিলা', 'িয়াছিলে', 'িতেছিলা', 'িয়াছিলি', 'য়েদেরকে',))),
+    (7, 6, frozenset(('িতেছিস', 'িতেছেন', 'িয়াছিস', 'িয়াছেন', 'েছিলাম', 'েছিলেন', 'েদেরকে',))),
+    (6, 5, frozenset(('িতেছি', 'িতেছা', 'িতেছে', 'ছিলাম', 'ছিলেন', 'িয়াছি', 'িয়াছা', 'িয়াছে', 'েছিলে', 'েছিলা', 'য়েদের', 'দেরকে',))),
+    (5, 4, frozenset(('িলাম', 'িলেন', 'িতাম', 'িতেন', 'িবেন', 'ছিলি', 'ছিলে', 'ছিলা', 'তেছে', 'িতেছ', 'খানা', 'খানি', 'গুলো', 'গুলি', 'য়েরা', 'েদের',))),
+    (4, 3, frozenset(('লাম', 'িলি', 'ইলি', 'িলে', 'ইলে', 'লেন', 'িলা', 'ইলা', 'তাম', 'িতি', 'ইতি', 'িতে', 'ইতে', 'তেন', 'িতা', 'িবা', 'ইবা', 'িবি', 'ইবি', 'বেন', 'িবে', 'ইবে', 'ছেন', 'য়োন', 'য়ের', 'েরা', 'দের',))),
+    (3, 2, frozenset(('িস', 'েন', 'লি', 'লে', 'লা', 'তি', 'তে', 'তা', 'বি', 'বে', 'বা', 'ছি', 'ছা', 'ছে', 'ুন', 'ুক', 'টা', 'টি', 'নি', 'ের', 'তে', 'রা', 'কে',))),
+    (2, 1, frozenset(('ি', 'ী', 'া', 'ো', 'ে', 'ব', 'ত',))),
+)
+
+
+def fold_decimal_digits(term: str) -> str:
+    """DecimalDigitFilter (reference analysis/common/.../core/
+    DecimalDigitFilter.java): fold every Unicode decimal digit (general
+    category Nd) to its 0-9 ASCII value."""
+    if not any(c.isdigit() and not ("0" <= c <= "9") for c in term):
+        return term
+    import unicodedata
+
+    out = []
+    for c in term:
+        d = unicodedata.digit(c, None)
+        out.append(chr(0x30 + d) if d is not None and not ("0" <= c <= "9") else c)
+    return "".join(out)
+
+
+def normalize_bengali(term: str) -> str:
+    """BengaliNormalizer (reference analysis/common/.../bn/
+    BengaliNormalizer.java, the UzZaman & Khan double-metaphone folds):
+    chandrabindu deletion, long->short vowel kars, khio/nga/ja-phala/
+    ba-phalaa rewrites, visarga handling, sh/na/ra conflation. A faithful
+    port of the positional scan, index arithmetic included."""
+    s = list(term)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\u0981":  # delete Chandrabindu
+            del s[i]
+            continue
+        elif c == "\u09c0":  # DirghoI kar -> RosshoI kar
+            s[i] = "\u09bf"
+        elif c == "\u09c2":  # DirghoU kar -> RosshoU kar
+            s[i] = "\u09c1"
+        elif c == "\u0995":  # Khio (Ka + Hoshonto + Murdorno Sh)
+            if i + 2 < len(s) and s[i + 1] == "\u09cd" and s[i + 2] == "\u09bf":
+                if i == 0:
+                    s[i] = "\u0996"
+                    del s[i + 2]
+                    del s[i + 1]
+                else:
+                    s[i + 1] = "\u0996"
+                    del s[i + 2]
+        elif c == "\u0999":  # Nga -> Anusvara
+            s[i] = "\u0982"
+        elif c == "\u09af":  # Ja Phala
+            if i - 2 == 0 and s[i - 1] == "\u09cd":
+                s[i - 1] = "\u09c7"
+                if i + 1 < len(s) and s[i + 1] == "\u09be":
+                    del s[i + 1]
+                del s[i]
+                continue  # Java i--/i++ net: same index
+            elif i - 1 >= 0 and s[i - 1] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                i -= 1  # Java i -= 2 / i++ net: i - 1
+                continue
+        elif c == "\u09ac":  # Ba Phalaa
+            if i == 0 or s[i - 1] != "\u09cd":
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 5 >= 0 and s[i - 3] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                continue  # Java i--/i++ net: same index
+        elif c == "\u0983":  # Visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "\u09b9"
+                else:
+                    del s[i]
+                    continue
+            else:
+                s[i] = s[i + 1]
+        elif c in ("\u09b6", "\u09b7"):  # all sh -> sa
+            s[i] = "\u09b8"
+        elif c == "\u09a3":  # retroflex na -> na
+            s[i] = "\u09a8"
+        elif c in ("\u09dc", "\u09dd"):  # rra/rha -> ra
+            s[i] = "\u09b0"
+        elif c == "\u09ce":  # khanda ta -> ta
+            s[i] = "\u09a4"
+        i += 1
+    return "".join(s)
+
+
+def stem_bengali(term: str) -> str:
+    """BengaliStemmer (reference analysis/common/.../bn/
+    BengaliStemmer.java, Sengupta & Chaudhuri verb-phrase suffixes):
+    longest suffix class first; every suffix in a class has the class's
+    length, so a hit strips exactly that many chars."""
+    for min_len, cut, sufs in _BN_SUFFIX_GROUPS:
+        if len(term) > min_len and term[-cut:] in sufs:
+            return term[:-cut]
+    return term
+
+
+def bengali_chain(term: str) -> str:
+    """Full per-term Bengali chain minus the stop filter (lowercase is
+    upstream): DecimalDigitFilter + BengaliNormalizer; the stemmer runs
+    post-stop via the Analyzer.stemmer hook. IndicNormalizationFilter is
+    scoped out like the Hindi pack (its script-generic table targets
+    mixed-script edge cases; documented deviation)."""
+    return normalize_bengali(fold_decimal_digits(term))
+
+
+# ----------------- Serbian (reference analysis/common/.../sr) ---------
+
+
+_SR_ONE = {
+    "\u0430": "a", "\u0431": "b", "\u0432": "v", "\u0433": "g",
+    "\u0434": "d", "\u0435": "e", "\u0436": "z", "\u0437": "z",
+    "\u017e": "z", "\u0438": "i", "\u0458": "j", "\u043a": "k",
+    "\u043b": "l", "\u043c": "m", "\u043d": "n", "\u043e": "o",
+    "\u043f": "p", "\u0440": "r", "\u0441": "s", "\u0442": "t",
+    "\u045b": "c", "\u0446": "c", "\u0447": "c", "\u010d": "c",
+    "\u0107": "c", "\u0443": "u", "\u0444": "f", "\u0445": "h",
+    "\u0448": "s", "\u0161": "s",
+}
+_SR_TWO = {
+    "\u0452": "dj", "\u0111": "dj",   # ђ / đ
+    "\u0459": "lj",                    # љ
+    "\u045a": "nj",                    # њ
+    "\u045f": "dz",                    # џ
+}
+
+
+def normalize_serbian(term: str) -> str:
+    """SerbianNormalizationFilter (reference analysis/common/.../sr/
+    SerbianNormalizationFilter.java): Serbian Cyrillic and Latin to
+    "bald" Latin — Cyrillic transliterated, diacritics stripped, with
+    the digraph expansions dj/lj/nj/dz. Expects lowercased input, like
+    the reference filter."""
+    if not any(c in _SR_ONE or c in _SR_TWO for c in term):
+        return term
+    out = []
+    for c in term:
+        two = _SR_TWO.get(c)
+        if two is not None:
+            out.append(two)
+        else:
+            out.append(_SR_ONE.get(c, c))
+    return "".join(out)

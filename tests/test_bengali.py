@@ -1,0 +1,86 @@
+"""Bengali analysis pack golden vectors.
+
+Every pair is extracted byte-faithfully from the reference tests
+(/root/reference/lucene/analysis/common/src/test/org/apache/lucene/
+analysis/bn/TestBengaliNormalizer.java, TestBengaliStemmer.java) —
+ascii-escaped so editor/terminal Unicode normalization can't corrupt
+the precomposed-vs-decomposed nukta forms the algorithm distinguishes.
+"""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.light_stemmers import (
+    fold_decimal_digits,
+    normalize_bengali,
+    stem_bengali,
+)
+
+NORM = [
+    ('\u099a\u09be\u0981\u09a6', '\u099a\u09be\u09a6'),
+    ('\u09ac\u09be\u09dc\u09c0', '\u09ac\u09be\u09b0\u09bf'),
+    ('\u09a4\u09c0\u09b0', '\u09a4\u09bf\u09b0'),
+    ('\u09ad\u09c2\u09b2', '\u09ad\u09c1\u09b2'),
+    ('\u0985\u09a8\u09c2\u09aa', '\u0985\u09a8\u09c1\u09aa'),
+    ('\u09ac\u09be\u0999\u09b2\u09be', '\u09ac\u09be\u0982\u09b2\u09be'),
+    ('\u09ac\u09cd\u09af\u09be\u0995\u09cd\u09a4\u09bf', '\u09ac\u09c7\u0995\u09cd\u09a4\u09bf'),
+    ('\u09b8\u09a8\u09cd\u09a7\u09cd\u09af\u09be', '\u09b8\u09a8\u09cd\u09a7\u09be'),
+    ('\u09b8\u09cd\u09ac\u09a6\u09c7\u09b6', '\u09b8\u09a6\u09c7\u09b8'),
+    ('\u09a4\u09a4\u09cd\u09a4\u09cd\u09ac', '\u09a4\u09a4\u09cd\u09a4'),
+    ('\u09ac\u09bf\u09b6\u09cd\u09ac', '\u09ac\u09bf\u09b8\u09b8'),
+    ('\u09a6\u09c1\u0983\u0996', '\u09a6\u09c1\u0996\u0996'),
+    ('\u0989\u0983', '\u0989\u09b9'),
+    ('\u09aa\u09c1\u09a8\u0983', '\u09aa\u09c1\u09a8'),
+    ('\u0995\u09a3\u09be', '\u0995\u09a8\u09be'),
+    ('\u09b6\u09b0\u09c0\u09b0', '\u09b8\u09b0\u09bf\u09b0'),
+    ('\u09ac\u09be\u09dc\u09bf', '\u09ac\u09be\u09b0\u09bf'),
+]
+
+STEM = [
+    ('\u0995\u09b0\u09c7\u099b\u09bf\u09b2\u09be\u09ae', '\u0995\u09b0'),
+    ('\u0995\u09b0\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7', '\u0995\u09b0'),
+    ('\u0996\u09be\u0987\u09a4\u09be\u09ae', '\u0996\u09be\u0987'),
+    ('\u09af\u09be\u0987\u09ac\u09c7', '\u09af\u09be'),
+    ('\u0995\u09b0\u099b\u09bf\u09b2\u09be\u09ae', '\u0995\u09b0'),
+    ('\u0995\u09b0\u099b\u09bf\u09b2\u09c7', '\u0995\u09b0'),
+    ('\u0995\u09b0\u09a4\u09be\u09ae', '\u0995\u09b0'),
+    ('\u09af\u09be\u09ac', '\u09af\u09be'),
+    ('\u09af\u09be\u09ac\u09c7', '\u09af\u09be'),
+    ('\u0995\u09b0\u09bf', '\u0995\u09b0'),
+    ('\u0995\u09b0\u09cb', '\u0995\u09b0'),
+    ('\u09ae\u09c7\u09df\u09c7\u09b0\u09be', '\u09ae\u09c7'),
+    ('\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0\u0995\u09c7', '\u09ae\u09c7'),
+    ('\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0', '\u09ae\u09c7'),
+    ('\u098f\u0995\u099f\u09bf', '\u098f\u0995'),
+    ('\u09ae\u09be\u09a8\u09c1\u09b7\u0997\u09c1\u09b2\u09bf', '\u09ae\u09be\u09a8\u09c1\u09b7'),
+]
+
+
+@pytest.mark.parametrize("inp,gold", NORM)
+def test_normalizer(inp, gold):
+    assert normalize_bengali(inp) == gold
+
+
+@pytest.mark.parametrize("inp,gold", STEM)
+def test_stemmer(inp, gold):
+    assert stem_bengali(inp) == gold
+
+
+def test_decimal_digit_fold():
+    # DecimalDigitFilter: Bengali digits fold to ASCII
+    assert fold_decimal_digits("\u09e7\u09e8\u09e9") == "123"
+    assert fold_decimal_digits("abc123") == "abc123"
+
+
+def test_chain_conflates_inflections():
+    an = analyzer_for("bengali")
+    # the analyzer conflates inflected verb forms to one stem
+    a = an.terms("\u0995\u09b0\u09c7\u099b\u09bf\u09b2\u09be\u09ae")  # করেছিলাম
+    b = an.terms("\u0995\u09b0\u09bf")  # করি
+    assert a == b == ["\u0995\u09b0"]  # কর
+
+
+def test_stopword_dropped():
+    an = analyzer_for("bengali")
+    # এই is a stop word
+    assert an.terms("\u098f\u0987") == []

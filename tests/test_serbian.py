@@ -1,0 +1,40 @@
+"""Serbian normalization golden vectors.
+
+Reference: /root/reference/lucene/analysis/common/src/test/org/apache/
+lucene/analysis/sr/TestSerbianNormalizationFilter.java (testCyrillic,
+testLatin, testEmptyTerm).
+"""
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.light_stemmers import normalize_serbian
+
+
+def test_cyrillic():
+    assert (
+        normalize_serbian("абвгдђеж"
+                          "зијклљмн"
+                          "њопрстћу"
+                          "фхцчџш")
+        == "abvgddjezzijklljmnnjoprstcufhccdzs"
+    )
+
+
+def test_latin():
+    assert (
+        normalize_serbian("abcčćddžđefghijklljmnnjoprs"
+                          "štuvzž")
+        == "abcccddzdjefghijklljmnnjoprsstuvzz"
+    )
+
+
+def test_empty_and_passthrough():
+    assert normalize_serbian("") == ""
+    assert normalize_serbian("plain") == "plain"
+
+
+def test_analyzer_modifier():
+    an = analyzer_for("standard+serbian")
+    # Cyrillic and bald-Latin spellings of the same word conflate
+    assert an.terms("чоколада") == an.terms(
+        "čokolada"
+    )
