@@ -1012,6 +1012,23 @@ def _bengali_stem(term: str) -> str:
     return stem_bengali(term)
 
 
+def _brazilian_stem(term: str) -> str:
+    from .brazilian import brazilian_stem_filter
+
+    return brazilian_stem_filter(term)
+
+
+def _brazilian_stops():
+    from .brazilian import BRAZILIAN_STOP_WORDS
+
+    return BRAZILIAN_STOP_WORDS
+
+
+# BrazilianAnalyzer (reference analysis/common/.../br/BrazilianAnalyzer
+# .java): StandardTokenizer -> lowercase -> stop -> BrazilianStemFilter.
+BRAZILIAN = Analyzer(stopwords=_brazilian_stops(), stemmer=_brazilian_stem)
+
+
 # BengaliAnalyzer (reference analysis/common/.../bn/BengaliAnalyzer.java):
 # lowercase -> DecimalDigitFilter -> BengaliNormalizer (the normalizer
 # hook, BEFORE the stop list like the reference chain) -> stop -> stem.
@@ -1091,6 +1108,7 @@ _BASE_ANALYZERS = {
     "norwegian_minimal": NORWEGIAN_MINIMAL,
     "latvian": LATVIAN,
     "bengali": BENGALI,
+    "brazilian": BRAZILIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

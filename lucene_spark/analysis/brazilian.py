@@ -1,0 +1,352 @@
+"""BrazilianAnalyzer pack: the Lucene Brazilian Portuguese stemmer.
+
+Reference (/root/reference/lucene/analysis/common/src/java/org/apache/
+lucene/analysis/br/BrazilianStemmer.java): an RSLP-flavored five-step
+suffix stemmer over a "changed term" (lowercased, accents folded) with
+R1/R2/RV regions computed ONCE up front — steps 2-5 deliberately test
+suffixes against the STALE region strings, and two reference quirks are
+preserved bit-for-bit: the step-1 'logias' branch whose replaceSuffix
+result is discarded (the rule matches, alters nothing, and still counts
+as altered), and the step-2 rule that matches RV suffix 'ira' but
+removes 'ava' (usually a no-op that still routes to step 3). stem()
+returns None for non-indexable terms (len <= 2 or >= 30 after folding)
+and the folded term unchanged for non-letter terms, exactly like the
+reference; BrazilianStemFilter keeps the ORIGINAL token in both cases.
+
+Rule tables are extracted programmatically from the Java source (42
+step-1 rules, 114 step-2 rules — counts equal the source's return-true
+count), not transcribed by hand.
+"""
+
+from __future__ import annotations
+
+__all__ = ["BRAZILIAN_STOP_WORDS", "stem_brazilian", "brazilian_stem_filter"]
+
+# analysis/common/src/resources/org/apache/lucene/analysis/br/
+# stopwords.txt (128 entries)
+BRAZILIAN_STOP_WORDS = frozenset(
+    """
+    a ainda alem ambas ambos antes ao aonde aos apos aquele aqueles
+    as assim com como contra contudo cuja cujas cujo cujos da das de
+    dela dele deles demais depois desde desta deste dispoe dispoem
+    diversa diversas diversos do dos durante e ela elas ele eles em
+    entao entre essa essas esse esses esta estas este estes ha isso
+    isto logo mais mas mediante menos mesma mesmas mesmo mesmos na
+    no nao nas nem nesse neste nos o os ou outra outras outro outros
+    pelas pelas pelo pelos perante pois por porque portanto proprio
+    propios quais qual qualquer quando quanto que quem quer se seja
+    sem sendo seu seus sob sobre sua suas tal tambem teu teus toda
+    todas todo todos tua tuas tudo um uma umas uns""".split()
+)
+
+_FOLD = {
+    "\u00e1": "a", "\u00e2": "a", "\u00e3": "a",
+    "\u00e9": "e", "\u00ea": "e",
+    "\u00ed": "i",
+    "\u00f3": "o", "\u00f4": "o", "\u00f5": "o",
+    "\u00fa": "u", "\u00fc": "u",
+    "\u00e7": "c",
+    "\u00f1": "n",
+}
+
+_PUNCT = set("\"'-,;.?!")
+
+_VOWELS = frozenset("aeiou")
+
+# (suffix, region, min CT length, action, replacement, preceded-by)
+_STEP1 = (
+    ('uciones', 'R2', 0, 'repl', 'u', None),
+    ('imentos', 'R2', 6, 'rm', None, None),
+    ('amentos', 'R2', 6, 'rm', None, None),
+    ('adores', 'R2', 6, 'rm', None, None),
+    ('adoras', 'R2', 6, 'rm', None, None),
+    ('logias', 'R2', 6, 'noop', None, None),
+    ('encias', 'R2', 6, 'repl', 'ente', None),
+    ('amente', 'R1', 6, 'rm', None, None),
+    ('idades', 'R2', 6, 'rm', None, None),
+    ('acoes', 'R2', 5, 'rm', None, None),
+    ('imento', 'R2', 5, 'rm', None, None),
+    ('amento', 'R2', 5, 'rm', None, None),
+    ('adora', 'R2', 5, 'rm', None, None),
+    ('ismos', 'R2', 5, 'rm', None, None),
+    ('istas', 'R2', 5, 'rm', None, None),
+    ('logia', 'R2', 5, 'repl', 'log', None),
+    ('ucion', 'R2', 5, 'repl', 'u', None),
+    ('encia', 'R2', 5, 'repl', 'ente', None),
+    ('mente', 'R2', 5, 'rm', None, None),
+    ('idade', 'R2', 5, 'rm', None, None),
+    ('acao', 'R2', 4, 'rm', None, None),
+    ('ezas', 'R2', 4, 'rm', None, None),
+    ('icos', 'R2', 4, 'rm', None, None),
+    ('icas', 'R2', 4, 'rm', None, None),
+    ('ismo', 'R2', 4, 'rm', None, None),
+    ('avel', 'R2', 4, 'rm', None, None),
+    ('ivel', 'R2', 4, 'rm', None, None),
+    ('ista', 'R2', 4, 'rm', None, None),
+    ('osos', 'R2', 4, 'rm', None, None),
+    ('osas', 'R2', 4, 'rm', None, None),
+    ('ador', 'R2', 4, 'rm', None, None),
+    ('ivas', 'R2', 4, 'rm', None, None),
+    ('ivos', 'R2', 4, 'rm', None, None),
+    ('iras', 'RV', 4, 'repl', 'ir', 'e'),
+    ('eza', 'R2', 3, 'rm', None, None),
+    ('ico', 'R2', 3, 'rm', None, None),
+    ('ica', 'R2', 3, 'rm', None, None),
+    ('oso', 'R2', 3, 'rm', None, None),
+    ('osa', 'R2', 3, 'rm', None, None),
+    ('iva', 'R2', 3, 'rm', None, None),
+    ('ivo', 'R2', 3, 'rm', None, None),
+    ('ira', 'RV', 3, 'repl', 'ir', 'e'),
+)
+
+# (RV suffix matched, CT suffix removed, min RV length)
+_STEP2 = (
+    ('issemos', 'issemos', 7),
+    ('essemos', 'essemos', 7),
+    ('assemos', 'assemos', 7),
+    ('ariamos', 'ariamos', 7),
+    ('eriamos', 'eriamos', 7),
+    ('iriamos', 'iriamos', 7),
+    ('iremos', 'iremos', 6),
+    ('eremos', 'eremos', 6),
+    ('aremos', 'aremos', 6),
+    ('avamos', 'avamos', 6),
+    ('iramos', 'iramos', 6),
+    ('eramos', 'eramos', 6),
+    ('aramos', 'aramos', 6),
+    ('asseis', 'asseis', 6),
+    ('esseis', 'esseis', 6),
+    ('isseis', 'isseis', 6),
+    ('arieis', 'arieis', 6),
+    ('erieis', 'erieis', 6),
+    ('irieis', 'irieis', 6),
+    ('irmos', 'irmos', 5),
+    ('iamos', 'iamos', 5),
+    ('armos', 'armos', 5),
+    ('ermos', 'ermos', 5),
+    ('areis', 'areis', 5),
+    ('ereis', 'ereis', 5),
+    ('ireis', 'ireis', 5),
+    ('asses', 'asses', 5),
+    ('esses', 'esses', 5),
+    ('isses', 'isses', 5),
+    ('astes', 'astes', 5),
+    ('assem', 'assem', 5),
+    ('essem', 'essem', 5),
+    ('issem', 'issem', 5),
+    ('ardes', 'ardes', 5),
+    ('erdes', 'erdes', 5),
+    ('irdes', 'irdes', 5),
+    ('ariam', 'ariam', 5),
+    ('eriam', 'eriam', 5),
+    ('iriam', 'iriam', 5),
+    ('arias', 'arias', 5),
+    ('erias', 'erias', 5),
+    ('irias', 'irias', 5),
+    ('estes', 'estes', 5),
+    ('istes', 'istes', 5),
+    ('areis', 'areis', 5),
+    ('aveis', 'aveis', 5),
+    ('aria', 'aria', 4),
+    ('eria', 'eria', 4),
+    ('iria', 'iria', 4),
+    ('asse', 'asse', 4),
+    ('esse', 'esse', 4),
+    ('isse', 'isse', 4),
+    ('aste', 'aste', 4),
+    ('este', 'este', 4),
+    ('iste', 'iste', 4),
+    ('arei', 'arei', 4),
+    ('erei', 'erei', 4),
+    ('irei', 'irei', 4),
+    ('aram', 'aram', 4),
+    ('eram', 'eram', 4),
+    ('iram', 'iram', 4),
+    ('avam', 'avam', 4),
+    ('arem', 'arem', 4),
+    ('erem', 'erem', 4),
+    ('irem', 'irem', 4),
+    ('ando', 'ando', 4),
+    ('endo', 'endo', 4),
+    ('indo', 'indo', 4),
+    ('arao', 'arao', 4),
+    ('erao', 'erao', 4),
+    ('irao', 'irao', 4),
+    ('adas', 'adas', 4),
+    ('idas', 'idas', 4),
+    ('aras', 'aras', 4),
+    ('eras', 'eras', 4),
+    ('iras', 'iras', 4),
+    ('avas', 'avas', 4),
+    ('ares', 'ares', 4),
+    ('eres', 'eres', 4),
+    ('ires', 'ires', 4),
+    ('ados', 'ados', 4),
+    ('idos', 'idos', 4),
+    ('amos', 'amos', 4),
+    ('emos', 'emos', 4),
+    ('imos', 'imos', 4),
+    ('iras', 'iras', 4),
+    ('ieis', 'ieis', 4),
+    ('ada', 'ada', 3),
+    ('ida', 'ida', 3),
+    ('ara', 'ara', 3),
+    ('era', 'era', 3),
+    ('ira', 'ava', 3),
+    ('iam', 'iam', 3),
+    ('ado', 'ado', 3),
+    ('ido', 'ido', 3),
+    ('ias', 'ias', 3),
+    ('ais', 'ais', 3),
+    ('eis', 'eis', 3),
+    ('ira', 'ira', 3),
+    ('ear', 'ear', 3),
+    ('ia', 'ia', 2),
+    ('ei', 'ei', 2),
+    ('am', 'am', 2),
+    ('em', 'em', 2),
+    ('ar', 'ar', 2),
+    ('er', 'er', 2),
+    ('ir', 'ir', 2),
+    ('as', 'as', 2),
+    ('es', 'es', 2),
+    ('is', 'is', 2),
+    ('eu', 'eu', 2),
+    ('iu', 'iu', 2),
+    ('iu', 'iu', 2),
+    ('ou', 'ou', 2),
+)
+
+
+def _change_term(value: str) -> str:
+    value = value.lower()
+    return "".join(_FOLD.get(c, c) for c in value)
+
+
+def _create_ct(term: str) -> str:
+    ct = _change_term(term)
+    if len(ct) < 2:
+        return ct
+    if ct[0] in _PUNCT:
+        ct = ct[1:]
+    if len(ct) < 2:
+        return ct
+    if ct[-1] in _PUNCT:
+        ct = ct[:-1]
+    return ct
+
+
+def _get_r1(value):
+    """R1: the region after the first non-vowel following a vowel (the
+    reference scans only to length-1, so a final-position boundary
+    yields None — kept exactly)."""
+    if value is None:
+        return None
+    i = len(value) - 1
+    j = 0
+    while j < i and value[j] not in _VOWELS:
+        j += 1
+    if not j < i:
+        return None
+    while j < i and value[j] in _VOWELS:
+        j += 1
+    if not j < i:
+        return None
+    return value[j + 1:]
+
+
+def _get_rv(value):
+    """RV per the reference's three-case scan (same off-by-the-last-char
+    boundaries as getRV)."""
+    if value is None:
+        return None
+    i = len(value) - 1
+    if i > 0 and value[1] not in _VOWELS:
+        j = 2
+        while j < i and value[j] not in _VOWELS:
+            j += 1
+        if j < i:
+            return value[j + 1:]
+    if i > 1 and value[0] in _VOWELS and value[1] in _VOWELS:
+        j = 2
+        while j < i and value[j] in _VOWELS:
+            j += 1
+        if j < i:
+            return value[j + 1:]
+    if i > 2:
+        return value[3:]
+    return None
+
+
+def _sfx(v, s):
+    return v is not None and len(v) >= len(s) and v.endswith(s)
+
+
+def _rm(v, s):
+    return v[: -len(s)] if _sfx(v, s) else v
+
+
+def _preceded(v, s, p):
+    return _sfx(v, s) and _sfx(v[: -len(s)], p)
+
+
+def stem_brazilian(term: str):
+    """Port of BrazilianStemmer.stem: returns None (non-indexable), the
+    folded term (non-stemmable), or the stemmed discriminator."""
+    ct = _create_ct(term)
+    if not (2 < len(ct) < 30):
+        return None
+    if not all(c.isalpha() for c in ct):
+        return ct
+    r1 = _get_r1(ct)
+    r2 = _get_r1(r1)
+    rv = _get_rv(ct)
+
+    altered = False
+    # step 1 (regions are the ORIGINAL ones throughout, like the Java)
+    for suf, reg, mn, act, arg, prec in _STEP1:
+        if mn and len(ct) < mn:
+            continue
+        regv = r1 if reg == "R1" else (r2 if reg == "R2" else rv)
+        if _sfx(ct, suf) and _sfx(regv, suf) and (prec is None or _preceded(ct, suf, prec)):
+            if act == "rm":
+                ct = _rm(ct, suf)
+            elif act == "repl":
+                ct = _rm(ct, suf) + arg
+            # 'noop': the reference discards the replaceSuffix result
+            altered = True
+            break
+    if not altered and rv is not None:
+        # step 2: suffixes tested against the stale RV, removed from CT
+        for msuf, rsuf, mn in _STEP2:
+            if len(rv) >= mn and rv.endswith(msuf):
+                ct = _rm(ct, rsuf)
+                altered = True
+                break
+    if altered:
+        # step 3
+        if rv is not None and _preceded(rv, "i", "c"):
+            ct = _rm(ct, "i")
+    else:
+        # step 4
+        if rv is not None:
+            for s in ("os", "a", "i", "o"):
+                if rv.endswith(s):
+                    ct = _rm(ct, s)
+                    break
+    # step 5
+    if rv is not None and rv.endswith("e"):
+        if _preceded(rv, "e", "gu"):
+            ct = _rm(_rm(ct, "e"), "u")
+        elif _preceded(rv, "e", "ci"):
+            ct = _rm(_rm(ct, "e"), "i")
+        else:
+            ct = _rm(ct, "e")
+    return ct
+
+
+def brazilian_stem_filter(term: str) -> str:
+    """BrazilianStemFilter contract (br/BrazilianStemFilter.java:60-62):
+    keep the original token when stem() returns None or the same term."""
+    s = stem_brazilian(term)
+    return term if s is None or s == term else s

@@ -1,0 +1,132 @@
+"""Brazilian Portuguese stemmer golden vectors.
+
+All 84 pairs are the reference's own check() vectors, extracted
+programmatically from /root/reference/lucene/analysis/common/src/test/
+org/apache/lucene/analysis/br/TestBrazilianAnalyzer.java (ascii-escaped
+to survive editor transcoding).
+"""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.brazilian import brazilian_stem_filter, stem_brazilian
+
+VECS = [
+    ('boa', 'boa'),
+    ('boainain', 'boainain'),
+    ('boas', 'boas'),
+    ('b\xf4as', 'boas'),
+    ('boassu', 'boassu'),
+    ('boataria', 'boat'),
+    ('boate', 'boat'),
+    ('boates', 'boat'),
+    ('boatos', 'boat'),
+    ('bob', 'bob'),
+    ('boba', 'bob'),
+    ('bobagem', 'bobag'),
+    ('bobagens', 'bobagens'),
+    ('bobalh\xf5es', 'bobalho'),
+    ('bobear', 'bob'),
+    ('bobeira', 'bobeir'),
+    ('bobinho', 'bobinh'),
+    ('bobinhos', 'bobinh'),
+    ('bobo', 'bob'),
+    ('bobs', 'bobs'),
+    ('boca', 'boc'),
+    ('bocadas', 'boc'),
+    ('bocadinho', 'bocadinh'),
+    ('bocado', 'boc'),
+    ('bocai\xfava', 'bocaiuv'),
+    ('bo\xe7al', 'bocal'),
+    ('bocarra', 'bocarr'),
+    ('bocas', 'boc'),
+    ('bode', 'bod'),
+    ('bodoque', 'bodoqu'),
+    ('body', 'body'),
+    ('boeing', 'boeing'),
+    ('boem', 'boem'),
+    ('boemia', 'boem'),
+    ('bo\xeamio', 'boemi'),
+    ('bogot\xe1', 'bogot'),
+    ('boi', 'boi'),
+    ('b\xf3ia', 'boi'),
+    ('boiando', 'boi'),
+    ('quiabo', 'quiab'),
+    ('quicaram', 'quic'),
+    ('quickly', 'quickly'),
+    ('quieto', 'quiet'),
+    ('quietos', 'quiet'),
+    ('quilate', 'quilat'),
+    ('quilates', 'quilat'),
+    ('quilinhos', 'quilinh'),
+    ('quilo', 'quil'),
+    ('quilombo', 'quilomb'),
+    ('quilom\xe9tricas', 'quilometr'),
+    ('quilom\xe9tricos', 'quilometr'),
+    ('quil\xf4metro', 'quilometr'),
+    ('quil\xf4metros', 'quilometr'),
+    ('quilos', 'quil'),
+    ('quimica', 'quimic'),
+    ('quilos', 'quil'),
+    ('quimica', 'quimic'),
+    ('quimicas', 'quimic'),
+    ('quimico', 'quimic'),
+    ('quimicos', 'quimic'),
+    ('quimioterapia', 'quimioterap'),
+    ('quimono', 'quimon'),
+    ('quincas', 'quinc'),
+    ('quinh\xe3o', 'quinha'),
+    ('quinhentos', 'quinhent'),
+    ('quinn', 'quinn'),
+    ('quino', 'quin'),
+    ('quinta', 'quint'),
+    ('quintal', 'quintal'),
+    ('quintana', 'quintan'),
+    ('quintanilha', 'quintanilh'),
+    ('quint\xe3o', 'quinta'),
+    ('quintess\xeancia', 'quintessente'),
+    ('quintino', 'quintin'),
+    ('quinto', 'quint'),
+    ('quintos', 'quint'),
+    ('quintuplicou', 'quintuplic'),
+    ('quinze', 'quinz'),
+    ('quinzena', 'quinzen'),
+    ('quiosque', 'quiosqu'),
+    ('Brasil', 'brasil'),
+    ('Bras\xedlia', 'brasil'),
+    ('\xe1\xe1', '\xe1\xe1'),
+    ('\xe1\xe1\xe1', 'aaa'),
+]
+
+
+@pytest.mark.parametrize("inp,gold", VECS)
+def test_reference_vectors(inp, gold):
+    assert brazilian_stem_filter(inp.lower()) == gold
+
+
+def test_non_indexable_keeps_original():
+    # len(CT) <= 2 or >= 30: stem() returns None, the filter keeps the token
+    assert stem_brazilian("ab") is None
+    assert stem_brazilian("x" * 30) is None
+    assert brazilian_stem_filter("ab") == "ab"
+
+
+def test_non_letters_return_folded():
+    # isStemmable false: the CHANGED term comes back (accents folded)
+    assert stem_brazilian("ab3c") == "ab3c"
+
+
+def test_reference_quirks_preserved():
+    # step-1 'logias': the replaceSuffix result is discarded in the Java —
+    # when R2 ends with 'logias' the branch matches, alters NOTHING, and
+    # still counts as altered (routes to step 3, skipping step 4)
+    assert brazilian_stem_filter("metodologias") == "metodologias"
+    # its singular twin 'logia' DOES assign
+    assert brazilian_stem_filter("metodologia") == "metodolog"
+
+
+def test_analyzer_chain():
+    an = analyzer_for("brazilian")
+    # stop word dropped, inflections conflate
+    assert an.terms("uma quintessência") == ["quintessente"]
+    assert an.terms("quintessências") == an.terms("quintessência")
