@@ -1029,6 +1029,46 @@ def _brazilian_stops():
 BRAZILIAN = Analyzer(stopwords=_brazilian_stops(), stemmer=_brazilian_stem)
 
 
+def _galician_stem(term: str) -> str:
+    from .rslp import stem_galician_rslp
+
+    return stem_galician_rslp(term)
+
+
+def _galician_minimal_stem(term: str) -> str:
+    from .rslp import stem_galician_minimal
+
+    return stem_galician_minimal(term)
+
+
+def _portuguese_rslp_stem(term: str) -> str:
+    from .rslp import stem_portuguese_rslp
+
+    return stem_portuguese_rslp(term)
+
+
+def _stops(name):
+    from . import stop_sets
+
+    return getattr(stop_sets, name)
+
+
+# GalicianAnalyzer (reference analysis/common/.../gl/GalicianAnalyzer
+# .java): StandardTokenizer -> lowercase -> stop -> GalicianStemFilter
+# (the full RSLP-G stemmer, rules parsed from galician.rslp).
+GALICIAN = Analyzer(
+    stopwords=_stops("GALICIAN_STOP_WORDS"), stemmer=_galician_stem
+)
+# GalicianMinimalStemFilter: the plural-only RSLP-S step, for custom
+# chains (the reference ships it as a filter, not an analyzer — no stops)
+GALICIAN_MINIMAL = Analyzer(stemmer=_galician_minimal_stem)
+# PortugueseStemFilter: the full RSLP stemmer as an alternative to the
+# light stemmer PortugueseAnalyzer defaults to (our "portuguese" base)
+PORTUGUESE_RSLP = Analyzer(
+    stopwords=_stops("PORTUGUESE_STOP_WORDS"), stemmer=_portuguese_rslp_stem
+)
+
+
 # BengaliAnalyzer (reference analysis/common/.../bn/BengaliAnalyzer.java):
 # lowercase -> DecimalDigitFilter -> BengaliNormalizer (the normalizer
 # hook, BEFORE the stop list like the reference chain) -> stop -> stem.
@@ -1109,6 +1149,9 @@ _BASE_ANALYZERS = {
     "latvian": LATVIAN,
     "bengali": BENGALI,
     "brazilian": BRAZILIAN,
+    "galician": GALICIAN,
+    "galician_minimal": GALICIAN_MINIMAL,
+    "portuguese_rslp": PORTUGUESE_RSLP,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -1,0 +1,215 @@
+"""RSLP stemming machinery + the Galician and Portuguese RSLP stemmers.
+
+Reference (/root/reference/lucene/analysis/common/src/java/org/apache/
+lucene/analysis/pt/RSLPStemmerBase.java): parses `.rslp` step files —
+each step is `{ "name", minWordLen, exceptionFlag, {conds...},` followed
+by ordered rules `{"suffix", minStemLen [, "replacement" [, {exc...}]]}`
+— and applies the FIRST matching rule of a step. Exceptions match
+whole-word (flag 1) or ends-with (flag 0). Step conds are an entry
+optimization: a word must end with one of them or the step is skipped.
+A step header's minWordLen of 0 means min(rule.min + len(rule.suffix)).
+
+GalicianStemmer (gl/GalicianStemmer.java): plural → unification →
+adverb → augmentative-to-fixpoint → noun (else verb) → vowel, then the
+RSLG accent removal. GalicianMinimalStemmer: the Plural step alone.
+PortugueseStemmer (pt/PortugueseStemmer.java): plural → adverb →
+feminine → augmentative → noun / verb / vowel cascade (each next step
+only when the previous removed nothing), then full accent folding.
+
+The step files themselves are embedded verbatim in rslp_resources.py.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+__all__ = [
+    "parse_rslp",
+    "stem_galician_rslp",
+    "stem_galician_minimal",
+    "stem_portuguese_rslp",
+]
+
+_HEADER = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+),\s*(0|1),\s*\{(.*)\},\s*$')
+_STRIP = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+)\s*\}\s*(,|(\}\s*;))$')
+_REP = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+),\s*"([^"]*)"\}\s*(,|(\}\s*;))$')
+_EXC = re.compile(
+    r'^\{\s*"([^"]*)",\s*([0-9]+),\s*"([^"]*)",\s*\{(.*)\}\s*\}\s*(,|(\}\s*;))$'
+)
+
+
+class _Rule:
+    __slots__ = ("suffix", "min", "replacement", "exc_set", "exc_suffixes")
+
+    def __init__(self, suffix, mn, replacement, exc_set=None, exc_suffixes=None):
+        self.suffix = suffix
+        self.min = mn
+        self.replacement = replacement
+        self.exc_set = exc_set
+        self.exc_suffixes = exc_suffixes
+
+    def matches(self, word: str) -> bool:
+        if len(word) - len(self.suffix) < self.min or not word.endswith(self.suffix):
+            return False
+        if self.exc_set is not None and word in self.exc_set:
+            return False
+        if self.exc_suffixes is not None:
+            for e in self.exc_suffixes:
+                if word.endswith(e):
+                    return False
+        return True
+
+    def replace(self, word: str) -> str:
+        return word[: len(word) - len(self.suffix)] + self.replacement
+
+
+class _Step:
+    __slots__ = ("name", "rules", "min", "suffixes")
+
+    def __init__(self, name, rules, mn, suffixes):
+        self.name = name
+        self.rules = rules
+        if mn == 0:
+            mn = min(r.min + len(r.suffix) for r in rules)
+        self.min = mn
+        self.suffixes = tuple(suffixes) if suffixes else None
+
+    def apply(self, word: str) -> str:
+        if len(word) < self.min:
+            return word
+        if self.suffixes is not None and not word.endswith(self.suffixes):
+            return word
+        for r in self.rules:
+            if r.matches(word):
+                return r.replace(word)
+        return word
+
+
+def _parse_list(s: str):
+    if not s:
+        return None
+    return [x.strip()[1:-1] for x in s.split(",")]
+
+
+def parse_rslp(text: str) -> dict:
+    """Parse an RSLP step file into {step name: _Step} — the same
+    grammar as RSLPStemmerBase.parse (comments start with '#', a step's
+    rule list ends at the line ending in ';')."""
+    lines = [
+        ln.strip()
+        for ln in text.splitlines()
+        if ln.strip() and not ln.strip().startswith("#")
+    ]
+    steps = {}
+    i = 0
+    while i < len(lines):
+        m = _HEADER.match(lines[i])
+        if not m:
+            raise ValueError(f"illegal step header: {lines[i]!r}")
+        name, mn, flag = m.group(1), int(m.group(2)), int(m.group(3))
+        conds = _parse_list(m.group(4))
+        rules = []
+        i += 1
+        while i < len(lines):
+            ln = lines[i]
+            r = _STRIP.match(ln)
+            if r:
+                rules.append(_Rule(r.group(1), int(r.group(2)), ""))
+            else:
+                r = _REP.match(ln)
+                if r:
+                    rules.append(_Rule(r.group(1), int(r.group(2)), r.group(3)))
+                else:
+                    r = _EXC.match(ln)
+                    if not r:
+                        raise ValueError(f"illegal rule: {ln!r}")
+                    exc = _parse_list(r.group(4)) or []
+                    for e in exc:
+                        if not e.endswith(r.group(1)):
+                            raise ValueError(
+                                f"useless exception {e!r} does not end with {r.group(1)!r}"
+                            )
+                    if flag == 1:
+                        rules.append(
+                            _Rule(r.group(1), int(r.group(2)), r.group(3),
+                                  exc_set=frozenset(exc))
+                        )
+                    else:
+                        rules.append(
+                            _Rule(r.group(1), int(r.group(2)), r.group(3),
+                                  exc_suffixes=tuple(exc))
+                        )
+            i += 1
+            if ln.endswith(";"):
+                break
+        steps[name] = _Step(name, rules, mn, conds)
+    return steps
+
+
+@lru_cache(maxsize=None)
+def _galician_steps():
+    from .rslp_resources import GALICIAN_RSLP
+
+    return parse_rslp(GALICIAN_RSLP)
+
+
+@lru_cache(maxsize=None)
+def _portuguese_steps():
+    from .rslp_resources import PORTUGUESE_RSLP
+
+    return parse_rslp(PORTUGUESE_RSLP)
+
+
+_GL_ACCENTS = str.maketrans({"á": "a", "é": "e", "ê": "e", "í": "i", "ó": "o", "ú": "u"})
+
+_PT_ACCENTS = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a",
+    "ç": "c",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ñ": "n",
+    "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ý": "y", "ÿ": "y",
+})
+
+
+def stem_galician_rslp(term: str) -> str:
+    """GalicianStemmer.stem (gl/GalicianStemmer.java:52-88)."""
+    st = _galician_steps()
+    w = st["Plural"].apply(term)
+    w = st["Unification"].apply(w)
+    w = st["Adverb"].apply(w)
+    while True:
+        old = w
+        w = st["Augmentative"].apply(w)
+        if w == old:
+            break
+    old = w
+    w = st["Noun"].apply(w)
+    if w == old:
+        w = st["Verb"].apply(w)
+    w = st["Vowel"].apply(w)
+    return w.translate(_GL_ACCENTS)
+
+
+def stem_galician_minimal(term: str) -> str:
+    """GalicianMinimalStemmer: the Plural step alone (plural-only RSLP-S)."""
+    return _galician_steps()["Plural"].apply(term)
+
+
+def stem_portuguese_rslp(term: str) -> str:
+    """PortugueseStemmer.stem (pt/PortugueseStemmer.java:47-120)."""
+    st = _portuguese_steps()
+    w = st["Plural"].apply(term)
+    w = st["Adverb"].apply(w)
+    w = st["Feminine"].apply(w)
+    w = st["Augmentative"].apply(w)
+    old = w
+    w = st["Noun"].apply(w)
+    if w == old:
+        w = st["Verb"].apply(w)
+        if w == old:
+            w = st["Vowel"].apply(w)
+    return w.translate(_PT_ACCENTS)

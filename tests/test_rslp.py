@@ -1,0 +1,86 @@
+"""RSLP machinery + Galician/Portuguese RSLP stemmer golden vectors.
+
+Vectors come from the reference tests (gl/TestGalicianAnalyzer.java,
+gl/TestGalicianMinimalStemFilter.java, pt/TestPortugueseStemFilter.java
+— including its full 31-token example sentence from the Orengo et al.
+paper abstract).
+"""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.rslp import (
+    parse_rslp,
+    stem_galician_minimal,
+    stem_galician_rslp,
+    stem_portuguese_rslp,
+)
+from lucene_spark.analysis.tokenizer import tokenize
+
+GL = [
+    ("correspondente", "correspond"),
+    ("corresponderá", "correspond"),
+]
+
+GL_MIN = [
+    ("elefantes", "elefante"),
+    ("elefante", "elefante"),
+    ("kalóres", "kalór"),
+    ("kalór", "kalór"),
+    ("mas", "mas"),
+    ("barcelonês", "barcelonês"),
+]
+
+PT_SENT = (
+    "O debate político, pelo menos o que vem a público, parece, de modo nada "
+    "surpreendente, restrito a temas menores. Mas há, evidentemente, "
+    "grandes questões em jogo nas eleições que se aproximam."
+)
+PT_GOLD = [
+    "o", "debat", "politic", "pel", "menos", "o", "que", "vem", "a",
+    "public", "parec", "de", "mod", "nad", "surpreend", "restrit", "a",
+    "tem", "men", "mas", "ha", "evid", "grand", "quest", "em", "jog",
+    "na", "eleic", "que", "se", "aproxim",
+]
+
+
+@pytest.mark.parametrize("inp,gold", GL)
+def test_galician(inp, gold):
+    assert stem_galician_rslp(inp) == gold
+
+
+@pytest.mark.parametrize("inp,gold", GL_MIN)
+def test_galician_minimal(inp, gold):
+    assert stem_galician_minimal(inp) == gold
+
+
+def test_portuguese_rslp_sentence():
+    toks = [t.term.lower() for t in tokenize(PT_SENT)]
+    assert [stem_portuguese_rslp(t) for t in toks] == PT_GOLD
+
+
+def test_parse_shapes():
+    from lucene_spark.analysis.rslp_resources import GALICIAN_RSLP, PORTUGUESE_RSLP
+
+    gl = parse_rslp(GALICIAN_RSLP)
+    pt = parse_rslp(PORTUGUESE_RSLP)
+    assert set(gl) == {
+        "Plural", "Unification", "Adverb", "Augmentative", "Noun", "Verb", "Vowel",
+    }
+    assert set(pt) == {
+        "Plural", "Feminine", "Adverb", "Augmentative", "Noun", "Verb", "Vowel",
+    }
+    # whole-word exception honored on the 'ns' rule ('luns' is listed)
+    ns_rule = gl["Plural"].rules[0]
+    assert ns_rule.suffix == "ns"
+    assert ns_rule.matches("bons") and not ns_rule.matches("luns")
+    assert gl["Plural"].apply("bons") == "bon"
+    assert gl["Plural"].apply("normais") == "normal"
+
+
+def test_analyzer_chains():
+    an = analyzer_for("galician")
+    # stop word dropped, inflections conflate
+    assert an.terms("unha correspondente") == ["correspond"]
+    assert analyzer_for("portuguese_rslp").terms("questões") == ["quest"]
+    assert analyzer_for("galician_minimal").terms("elefantes") == ["elefante"]
