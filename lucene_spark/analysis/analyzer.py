@@ -1076,6 +1076,25 @@ PORTUGUESE_RSLP = Analyzer(
 BENGALI = _make_normalized("bengali", _bengali_normalize, _bengali_stem)
 
 
+def _telugu_normalize(term: str) -> str:
+    from .light_stemmers import telugu_chain
+
+    return telugu_chain(term)
+
+
+def _telugu_stem(term: str) -> str:
+    from .light_stemmers import stem_telugu
+
+    return stem_telugu(term)
+
+
+# TeluguAnalyzer (reference analysis/common/.../te/TeluguAnalyzer.java):
+# DecimalDigitFilter -> TeluguNormalizer -> stop -> stem (the reference
+# chain has no LowerCaseFilter; Telugu is caseless so the engine's
+# standard lowercase is an identity). IndicNormalization scoped out.
+TELUGU = _make_normalized("telugu", _telugu_normalize, _telugu_stem)
+
+
 def _sorani_normalize(term: str) -> str:
     from .light_stemmers import normalize_sorani
 
@@ -1152,6 +1171,7 @@ _BASE_ANALYZERS = {
     "galician": GALICIAN,
     "galician_minimal": GALICIAN_MINIMAL,
     "portuguese_rslp": PORTUGUESE_RSLP,
+    "telugu": TELUGU,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -1276,3 +1276,78 @@ def normalize_serbian(term: str) -> str:
         else:
             out.append(_SR_ONE.get(c, c))
     return "".join(out)
+
+
+# --------------------- Telugu (reference analysis/common/.../te) ------
+
+
+_TE_SUFFIX_GROUPS = (
+    (5, 4, frozenset(('డ్లు', 'ళ్ళు',))),
+    (3, 2, frozenset(('కి', 'కై', 'చే', 'డు', 'ది', 'ని', 'ను', 'పై', 'ము', 'లు', 'లో', 'వు', 'వై', 'సు',))),
+    (2, 1, frozenset(('ా', 'ి', 'ీ', 'ు', 'ూ', 'ె', 'ే', 'ొ', 'ో',))),
+)
+
+
+def normalize_telugu(term: str) -> str:
+    """TeluguNormalizer (reference analysis/common/.../te/
+    TeluguNormalizer.java): anusvara folds, visarga/ZWJ/ZWNJ deletion,
+    long->short vowel and matra folds, and the two-char ai/o/au vowel
+    compositions."""
+    s = list(term)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in ("\u0c00", "\u0c01"):
+            s[i] = "\u0c02"
+        elif c in ("\u0c03", "\u200d", "\u200c"):
+            del s[i]
+            continue
+        elif c == "\u0c14":
+            s[i] = "\u0c13"
+        elif c == "\u0c10":
+            s[i] = "\u0c0f"
+        elif c == "\u0c06":
+            s[i] = "\u0c05"
+        elif c == "\u0c08":
+            s[i] = "\u0c07"
+        elif c == "\u0c0a":
+            s[i] = "\u0c09"
+        elif c == "\u0c40":
+            s[i] = "\u0c3f"
+        elif c == "\u0c42":
+            s[i] = "\u0c41"
+        elif c == "\u0c47":
+            s[i] = "\u0c46"
+        elif c == "\u0c4b":
+            s[i] = "\u0c4a"
+        elif c == "\u0c46":
+            if i + 1 < len(s) and s[i + 1] == "\u0c56":
+                s[i] = "\u0c48"
+                del s[i + 1]
+        elif c == "\u0c12":
+            if i + 1 < len(s) and s[i + 1] == "\u0c55":
+                s[i] = "\u0c13"
+                del s[i + 1]
+            elif i + 1 < len(s) and s[i + 1] == "\u0c4c":
+                s[i] = "\u0c14"
+                del s[i + 1]
+        i += 1
+    return "".join(s)
+
+
+def stem_telugu(term: str) -> str:
+    """TeluguStemmer (reference analysis/common/.../te/TeluguStemmer
+    .java): three suffix classes, longest first."""
+    for min_len, cut, sufs in _TE_SUFFIX_GROUPS:
+        if len(term) > min_len and term[-cut:] in sufs:
+            return term[:-cut]
+    return term
+
+
+def telugu_chain(term: str) -> str:
+    """TeluguAnalyzer per-term chain minus stop/stem: DecimalDigitFilter
+    + TeluguNormalizer (IndicNormalizationFilter scoped out like the
+    Bengali/Hindi packs; the reference chain has no LowerCaseFilter —
+    Telugu script is caseless, so the engine's standard lowercase step
+    upstream is an identity on it)."""
+    return normalize_telugu(fold_decimal_digits(term))

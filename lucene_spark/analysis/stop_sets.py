@@ -333,3 +333,17 @@ GALICIAN_STOP_WORDS = frozenset(
     teu teus ti tido tiña tiven túa túas un unha unhas uns vos vosa
     vosas voso vosos vós""".split()
 )
+
+
+# Reference analysis/common/src/resources/org/apache/lucene/analysis/te/
+# stopwords.txt (50 entries), matched after TeluguNormalizer
+# like the reference chain.
+TELUGU_STOP_WORDS = frozenset(
+    """
+    చేయగలిగింది గురించి పై ప్రకారం అనుగుణంగా అడ్డంగా నిజంగా తర్వాత
+    తర్వాత మళ్ళీ వ్యతిరేకంగా కాదు అందరూ అనుమతించు అనుమతిస్తుంది
+    దాదాపు మాత్రమే వెంట ఇప్పటికే కూడా అయితే ఎప్పుడు వద్ద మధ్య మధ్య
+    ఒక మరియు మరొక ఏ ఎవరో ఒకరు ఏమైనప్పటికి ఎవరైనా ఏదైనా ఏమైనప్పటికి
+    ఎక్కడైనా వేరుగా కనిపిస్తాయి మెచ్చుకో తగిన ఉన్నారు కాదు చుట్టూ గా
+    ఒక ప్రక్కన అడగండి అడగడం సంబంధం వద్ద అందుబాటులో దూరంగా""".split()
+)

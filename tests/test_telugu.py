@@ -1,0 +1,50 @@
+"""Telugu analysis pack golden vectors (reference te/
+TestTeluguNormalizer.java + TestTeluguStemmer.java, extracted
+programmatically and ascii-escaped)."""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.light_stemmers import (
+    fold_decimal_digits,
+    normalize_telugu,
+    stem_telugu,
+)
+
+NORM = [
+    ('\u0c2a\u0c26\u0c3e\u0c32\u0c42', '\u0c2a\u0c26\u0c3e\u0c32\u0c41'),
+    ('\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c40', '\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c3f'),
+    ('\u0c03\u0c4c\u0c48\u0c3e\u0c3f\u0c41', '\u0c4c\u0c48\u0c3e\u0c3f\u0c41'),
+    ('\u0c14\u0c10\u0c06\u0c08\u0c0a', '\u0c13\u0c0f\u0c05\u0c07\u0c09'),
+]
+
+STEM = [
+    ('\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c32\u0c41', '\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41'),
+    ('\u0c2a\u0c28\u0c4d\u0c28\u0c41\u0c32\u0c41', '\u0c2a\u0c28\u0c4d\u0c28\u0c41'),
+    ('\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c26\u0c3f', '\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28'),
+    ('\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c21\u0c41', '\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28'),
+]
+
+
+@pytest.mark.parametrize("inp,gold", NORM)
+def test_normalizer(inp, gold):
+    assert normalize_telugu(inp) == gold
+
+
+@pytest.mark.parametrize("inp,gold", STEM)
+def test_stemmer(inp, gold):
+    assert stem_telugu(inp) == gold
+
+
+def test_digits_fold():
+    assert fold_decimal_digits("\u0c67\u0c68") == "12"  # Telugu digits
+
+
+def test_chain():
+    an = analyzer_for("telugu")
+    # the single-pass stemmer strips the plural suffix -lu
+    assert an.terms("\u0c2a\u0c41\u0c38\u0c4d\u0c24\u0c15\u0c3e\u0c32\u0c41") == [
+        "\u0c2a\u0c41\u0c38\u0c4d\u0c24\u0c15\u0c3e"
+    ]
+    # long vowel matra folds conflate spellings BEFORE stemming
+    assert an.terms("\u0c15\u0c40") == an.terms("\u0c15\u0c3f")
