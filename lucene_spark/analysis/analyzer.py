@@ -414,6 +414,11 @@ class Analyzer:
     # UAX29URLEmailTokenizerImpl.jflex): swap the standard scanner for
     # the variant that keeps URLs and e-mail addresses as single tokens.
     url_email: bool = False
+    # MappingCharFilter analogue (reference analysis/common/charfilter/
+    # MappingCharFilter.java): (match, replacement) pairs applied
+    # greedily longest-first over the text AFTER html_strip and before
+    # the tokenizer; replacements are not rescanned.
+    char_map: tuple = ()
     # CommonGramsFilter (reference analysis/common/commongrams/
     # CommonGramsFilter.java): the set of common words. Every adjacent
     # token pair with >= 1 common word also emits the '_'-joined bigram
@@ -479,6 +484,14 @@ class Analyzer:
             from .htmlstrip import html_strip as _hstrip
 
             text = _hstrip(text)
+        if self.char_map:
+            mapper = getattr(self, "_char_mapper", None)
+            if mapper is None:
+                from .charmap import make_char_mapper
+
+                mapper = make_char_mapper(self.char_map)
+                object.__setattr__(self, "_char_mapper", mapper)
+            text = mapper(text)
         if self.whitespace:
             toks = _ws_tokenize(text, self.max_token_length)
         elif self.url_email:
@@ -1196,6 +1209,9 @@ def analyzer_for(name) -> Analyzer:
       - ``+urlemail`` — UAX29URLEmailTokenizer: URLs and e-mail
         addresses stay single tokens (composes with ``+html`` for raw
         web pages)
+      - ``+mapchar:aa=a;bbb=b`` — MappingCharFilter: greedy
+        longest-match text rewriting before the tokenizer (after
+        ``+html`` when both are present)
       - ``+commongrams:the|of`` — CommonGramsFilter: '_'-joined bigrams
         stacked over every adjacent pair containing a common word
         (index side); ``+commongramsq:the|of`` — the
@@ -1234,6 +1250,14 @@ def analyzer_for(name) -> Analyzer:
             a = replace(a, html_strip=True)
         elif mod == "urlemail":
             a = replace(a, url_email=True)
+        elif mod.startswith("mapchar:"):
+            pairs = []
+            for kv in mod[8:].split(";"):
+                k, eq, v = kv.partition("=")
+                if not k or not eq:
+                    raise ValueError(f"bad mapchar rule {kv!r} in analyzer {name!r}")
+                pairs.append((k, v))
+            a = replace(a, char_map=tuple(pairs))
         elif mod.startswith("commongramsq:"):
             words = frozenset(w for w in mod[13:].split("|") if w)
             if not words:

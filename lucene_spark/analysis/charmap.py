@@ -1,0 +1,57 @@
+"""MappingCharFilter analogue: greedy longest-match text rewriting
+before the tokenizer.
+
+Reference (/root/reference/lucene/analysis/common/src/java/org/apache/
+lucene/analysis/charfilter/MappingCharFilter.java + NormalizeCharMap
+.java): an FST of (match -> replacement) strings applied greedily,
+longest match first, left-to-right; replacement output is NOT rescanned
+(matches are found only in the original input). Offsets downstream
+refer to the rewritten text, like the html_strip filter (this engine
+re-analyzes stored text wherever offsets matter).
+
+The FST is replaced by a first-char bucketed longest-first probe —
+the same match semantics, O(alternatives at position) per char.
+"""
+
+from __future__ import annotations
+
+__all__ = ["make_char_mapper"]
+
+
+def make_char_mapper(pairs):
+    """Build a callable text->text from (match, replacement) pairs.
+    Longest match wins at each position (NormalizeCharMap FST order);
+    empty matches are rejected, empty replacements delete."""
+    by_first: dict[str, list[tuple[str, str]]] = {}
+    for k, v in pairs:
+        if not k:
+            raise ValueError("cannot match the empty string")
+        by_first.setdefault(k[0], []).append((k, v))
+    for lst in by_first.values():
+        lst.sort(key=lambda kv: -len(kv[0]))
+    firsts = frozenset(by_first)
+
+    def apply(text: str) -> str:
+        if not any(c in firsts for c in text):
+            return text
+        out = []
+        i = 0
+        n = len(text)
+        while i < n:
+            c = text[i]
+            lst = by_first.get(c)
+            if lst is not None:
+                for k, v in lst:
+                    if text.startswith(k, i):
+                        out.append(v)
+                        i += len(k)
+                        break
+                else:
+                    out.append(c)
+                    i += 1
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    return apply

@@ -1,0 +1,54 @@
+"""MappingCharFilter golden vectors.
+
+The mapping set and expectations come from the reference test
+(/root/reference/lucene/analysis/common/src/test/org/apache/lucene/
+analysis/charfilter/TestMappingCharFilter.java): aa→a, bbb→b, cccc→cc,
+h→i, j→jj, k→kkk, ll→llll, empty→"", ！→full-width-exclamation.
+"""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.charmap import make_char_mapper
+
+MAP = make_char_mapper([
+    ("aa", "a"), ("bbb", "b"), ("cccc", "cc"),
+    ("h", "i"), ("j", "jj"), ("k", "kkk"), ("ll", "llll"),
+    ("empty", ""), ("！", "full-width-exclamation"),
+])
+
+GOLD = [
+    ("x", "x"),            # testNothingChange
+    ("h", "i"),            # test1to1
+    ("j", "jj"),           # test1to2
+    ("k", "kkk"),          # test1to3
+    ("ll", "llll"),        # test2to4
+    ("aa", "a"),           # test2to1
+    ("bbb", "b"),          # test3to1
+    ("cccc", "cc"),        # test4to2
+    ("empty", ""),         # test5to0
+    ("！", "full-width-exclamation"),
+    # longest match wins; replacement output is not rescanned
+    ("aaaa", "aa"),
+    ("aaa", "aa"),         # aa -> a, then lone a
+    ("abcde", "abcde"),
+    ("hij", "iijj"),
+]
+
+
+@pytest.mark.parametrize("inp,gold", GOLD)
+def test_vectors(inp, gold):
+    assert MAP(inp) == gold
+
+
+def test_empty_match_rejected():
+    with pytest.raises(ValueError):
+        make_char_mapper([("", "x")])
+
+
+def test_analyzer_modifier():
+    an = analyzer_for("standard+mapchar:ph=f;ae=e")
+    assert an.terms("phase aether") == ["fase", "ether"]
+    # composes after +html
+    an2 = analyzer_for("standard+html+mapchar:ph=f")
+    assert an2.terms("<b>phone</b>") == ["fone"]
