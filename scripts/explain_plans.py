@@ -73,6 +73,27 @@ def main():
         "INTERSECTS", Box(10.1, 30.3, -40.7, -10.9)
     ).explain("formatted")
 
+    print("=" * 70, "\ncommon-grams phrase-as-one-term plan (PLANS.md §15):")
+    # a stopword phrase over a +commongrams index is ONE pushed term
+    # equality on the gram — same bucket-pruned scan as any TermQuery,
+    # no positions read (contrast with the §4 phrase plan)
+    from lucene_spark.index import build_index
+    from lucene_spark.pages import pages_from_documents
+
+    cg_root = root + "_cg"
+    build_index(
+        spark,
+        pages_from_documents(spark, "/root/testdata/sf0.01").select(
+            "url", "text", "lang"
+        ),
+        cg_root, build_id="b0000", num_segments=2,
+        num_buckets=4, analyzer="standard+commongrams:the|a|of",
+    )
+    cs = IndexSearcher(IndexReader(spark, cg_root))
+    cs.search(Q.TermQuery("text", "the_fast"), k=10, mode="maxscore").explain(
+        "formatted"
+    )
+
 
 if __name__ == "__main__":
     main()
