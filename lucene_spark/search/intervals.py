@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from bisect import bisect_left, bisect_right
 from dataclasses import dataclass
+from dataclasses import replace as replace_dc
 
 import numpy as np
 
@@ -224,21 +225,194 @@ class IFirst(ISource):
     end: int
 
 
+@dataclass(frozen=True)
+class IExtend(ISource):
+    """Intervals of ``source`` widened ``before`` positions left and
+    ``after`` right, start clamped at 0 (Intervals.extend ->
+    ExtendedIntervalsSource). The within/notWithin factories compose
+    from this exactly like the reference."""
+
+    source: ISource
+    before: int
+    after: int
+
+
+@dataclass(frozen=True)
+class IBlock(ISource):
+    """Sub-sources in order with NO gaps: each child starts exactly one
+    position after the previous child ends (Intervals.phrase ->
+    BlockIntervalsSource)."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IAtLeast(ISource):
+    """Minimal spans containing one interval from at least
+    ``min_should_match`` DISTINCT sub-sources (Intervals.atLeast ->
+    MinimumShouldMatchIntervalsSource; the factory's msm==n case
+    rewrites to unordered and msm>n to no-match, mirrored in
+    ``at_least``)."""
+
+    sources: tuple
+    min_should_match: int
+
+
+@dataclass(frozen=True)
+class IBefore(ISource):
+    """Intervals of ``source`` that end before the START of some
+    ``reference`` interval (Intervals.before == containedBy(source,
+    extend(offset(reference, start), MAX, 0)) — the union of those
+    extended windows is [0, max reference start - 1])."""
+
+    source: ISource
+    reference: ISource
+
+
+@dataclass(frozen=True)
+class IAfter(ISource):
+    """Intervals of ``source`` that start after the END of some
+    ``reference`` interval (Intervals.after, the dual composition)."""
+
+    source: ISource
+    reference: ISource
+
+
+@dataclass(frozen=True)
+class IOverlapping(ISource):
+    """Intervals of ``source`` that overlap an interval of ``reference``
+    (Intervals.overlapping -> OverlappingIntervalsSource; the reference
+    side is required, unlike nonOverlapping's subtrahend)."""
+
+    source: ISource
+    reference: ISource
+
+
+@dataclass(frozen=True)
+class IMultiTerm(ISource):
+    """Multi-term interval leaf (Intervals.prefix / wildcard / regexp /
+    range / fuzzyTerm, reference queries/intervals/Intervals.java:150-
+    390): expands against the term dictionary into an IOr of ITerm at
+    query time (``expand_multiterms``), capped at ``max_expansions``
+    (Intervals' default 128) — exceeding the cap raises, matching the
+    reference's too-many-terms IllegalStateException. ``pattern`` is
+    the prefix / wildcard pattern / regexp / fuzzy term / range lower
+    bound depending on ``kind``."""
+
+    kind: str  # 'prefix' | 'wildcard' | 'regexp' | 'range' | 'fuzzy'
+    pattern: str
+    upper: str | None = None  # range only
+    max_edits: int = 2  # fuzzy only (FuzzyQuery default)
+    max_expansions: int = 128
+
+
+def expand_multiterms(src: ISource, reader, field: str) -> ISource:
+    """Rewrite every IMultiTerm leaf to an IOr of ITerm via the term
+    dictionary (bucket/row-group-pruned scan, ordered take). Trees
+    without multiterm leaves return unchanged (no dictionary scans)."""
+    if isinstance(src, IMultiTerm):
+        from pyspark.sql import functions as F
+
+        from . import query as Q
+
+        if src.kind == "fuzzy":
+            terms, trunc = Q._expand_fuzzy(
+                Q.FuzzyQuery(field, src.pattern, max_edits=src.max_edits), reader
+            )
+            if trunc or len(terms) > src.max_expansions:
+                raise ValueError(
+                    f"fuzzy interval source expanded to > {src.max_expansions} terms"
+                )
+        else:
+            if src.kind == "prefix":
+                pq = Q.PrefixQuery(field, src.pattern)
+            elif src.kind == "wildcard":
+                pq = Q.WildcardQuery(field, src.pattern)
+            elif src.kind == "regexp":
+                pq = Q.RegexpQuery(field, src.pattern)
+            elif src.kind == "range":
+                pq = Q.TermRangeQuery(field, src.pattern, src.upper)
+            else:
+                raise ValueError(f"unknown multiterm kind {src.kind!r}")
+            terms, trunc = reader.expand_terms(
+                F.expr(Q._pattern_sql(pq)), field=field, limit=src.max_expansions
+            )
+            if trunc:
+                raise ValueError(
+                    f"{src.kind} interval source {src.pattern!r} expanded to "
+                    f"> {src.max_expansions} terms"
+                )
+        return IOr(tuple(ITerm(t) for t in sorted(terms)))
+    if isinstance(src, (ITerm, ITermField)):
+        return src
+    if isinstance(src, (IOr, IOrdered, IUnordered, IBlock, IAtLeast)):
+        kids = tuple(expand_multiterms(s, reader, field) for s in src.sources)
+        return replace_dc(src, sources=kids)
+    if isinstance(src, (IFirst, IExtend)):
+        return replace_dc(src, source=expand_multiterms(src.source, reader, field))
+    if isinstance(src, IContaining):
+        return replace_dc(
+            src,
+            big=expand_multiterms(src.big, reader, field),
+            small=expand_multiterms(src.small, reader, field),
+        )
+    if isinstance(src, (IContainedBy, INotContainedBy)):
+        return replace_dc(
+            src,
+            small=expand_multiterms(src.small, reader, field),
+            big=expand_multiterms(src.big, reader, field),
+        )
+    if isinstance(src, (INotContaining, INonOverlapping)):
+        return replace_dc(
+            src,
+            minuend=expand_multiterms(src.minuend, reader, field),
+            subtrahend=expand_multiterms(src.subtrahend, reader, field),
+        )
+    if isinstance(src, (IBefore, IAfter, IOverlapping)):
+        return replace_dc(
+            src,
+            source=expand_multiterms(src.source, reader, field),
+            reference=expand_multiterms(src.reference, reader, field),
+        )
+    raise TypeError(type(src))  # pragma: no cover
+
+
+def within(source: ISource, positions: int, reference: ISource) -> ISource:
+    """Intervals.within: containedBy(source, extend(reference, n, n))."""
+    return IContainedBy(source, IExtend(reference, positions, positions))
+
+
+def not_within(minuend: ISource, positions: int, subtrahend: ISource) -> ISource:
+    """Intervals.notWithin: nonOverlapping(minuend, extend(sub, n, n))."""
+    return INonOverlapping(minuend, IExtend(subtrahend, positions, positions))
+
+
+def at_least(min_should_match: int, *sources: ISource) -> ISource:
+    """Intervals.atLeast factory rewrites (Intervals.java:567-580)."""
+    if min_should_match == len(sources):
+        return IUnordered(tuple(sources))
+    # msm > n stays an IAtLeast that can never produce an interval
+    # (NoMatchIntervalsSource behavior)
+    return IAtLeast(tuple(sources), min_should_match)
+
+
 def leaf_terms(src: ISource) -> list[str]:
     """Unique leaf KEYS, order-preserving (a key is the term for primary-
     field leaves, ``field\\x1fterm`` for masked leaves)."""
     if isinstance(src, (ITerm, ITermField)):
         return [src.key]
-    if isinstance(src, (IOr, IOrdered, IUnordered)):
+    if isinstance(src, (IOr, IOrdered, IUnordered, IBlock, IAtLeast)):
         out: list[str] = []
         for s in src.sources:
             for t in leaf_terms(s):
                 if t not in out:
                     out.append(t)
         return out
-    if isinstance(src, IFirst):
+    if isinstance(src, (IFirst, IExtend)):
         return leaf_terms(src.source)
-    if isinstance(src, IContaining):
+    if isinstance(src, (IBefore, IAfter, IOverlapping)):
+        kids = [src.source, src.reference]
+    elif isinstance(src, IContaining):
         kids = [src.big, src.small]
     elif isinstance(src, IContainedBy):
         kids = [src.small, src.big]
@@ -266,7 +440,7 @@ def leaf_specs(src: ISource) -> list[tuple[str, str, str | None]]:
         elif isinstance(s, ITermField):
             spec = (s.key, s.term, s.field)
         else:
-            if isinstance(s, (IOr, IOrdered, IUnordered)):
+            if isinstance(s, (IOr, IOrdered, IUnordered, IBlock, IAtLeast)):
                 kids = s.sources
             elif isinstance(s, IContaining):
                 kids = (s.big, s.small)
@@ -276,8 +450,10 @@ def leaf_specs(src: ISource) -> list[tuple[str, str, str | None]]:
                 kids = (s.minuend, s.subtrahend)
             elif isinstance(s, INotContainedBy):
                 kids = (s.small, s.big)
-            elif isinstance(s, IFirst):
+            elif isinstance(s, (IFirst, IExtend)):
                 kids = (s.source,)
+            elif isinstance(s, (IBefore, IAfter, IOverlapping)):
+                kids = (s.source, s.reference)
             else:  # pragma: no cover
                 raise TypeError(type(s))
             for k in kids:
@@ -300,11 +476,15 @@ def required_terms(src: ISource) -> list[list[str]]:
     if isinstance(src, IOr):
         # a doc needs ANY leaf of any branch
         return [leaf_terms(src)]
-    if isinstance(src, (IOrdered, IUnordered)):
+    if isinstance(src, (IOrdered, IUnordered, IBlock)):
         groups: list[list[str]] = []
         for s in src.sources:
             groups.extend(required_terms(s))
         return groups
+    if isinstance(src, IAtLeast):
+        # admissible weakening: a doc needs at least one leaf of some
+        # branch (the exact >=msm-distinct-sources check happens in eval)
+        return [leaf_terms(src)] if src.sources else [[]]
     if isinstance(src, IContaining):
         return required_terms(src.big) + required_terms(src.small)
     if isinstance(src, IContainedBy):
@@ -315,8 +495,11 @@ def required_terms(src: ISource) -> list[list[str]]:
         return required_terms(src.minuend)
     if isinstance(src, INotContainedBy):
         return required_terms(src.small)
-    if isinstance(src, IFirst):
+    if isinstance(src, (IFirst, IExtend)):
         return required_terms(src.source)
+    if isinstance(src, (IBefore, IAfter, IOverlapping)):
+        # both sides required: an absent reference yields no intervals
+        return required_terms(src.source) + required_terms(src.reference)
     raise TypeError(type(src))  # pragma: no cover
 
 
@@ -326,15 +509,23 @@ def min_extent(src: ISource) -> int:
         return 1
     if isinstance(src, IOr):
         return min(min_extent(s) for s in src.sources)
-    if isinstance(src, (IOrdered, IUnordered)):
+    if isinstance(src, (IOrdered, IUnordered, IBlock)):
         return sum(min_extent(s) for s in src.sources)
+    if isinstance(src, IAtLeast):
+        # MinimumShouldMatchIntervalsSource.minExtent: sum of the msm
+        # smallest sub-extents
+        exts = sorted(min_extent(s) for s in src.sources)
+        return sum(exts[: src.min_should_match])
+    if isinstance(src, IExtend):
+        # ExtendedIntervalsSource.minExtent (overflow-clamped in Java)
+        return src.before + min_extent(src.source) + src.after
     if isinstance(src, IContaining):
         return min_extent(src.big)
     if isinstance(src, (IContainedBy, INotContainedBy)):
         return min_extent(src.small)
     if isinstance(src, (INotContaining, INonOverlapping)):
         return min_extent(src.minuend)
-    if isinstance(src, IFirst):
+    if isinstance(src, (IFirst, IBefore, IAfter, IOverlapping)):
         return min_extent(src.source)
     raise TypeError(type(src))  # pragma: no cover
 
@@ -485,6 +676,88 @@ def eval_source(src: ISource, pos: dict[str, list]) -> list[tuple[int, int]]:
         return out
     if isinstance(src, IFirst):
         return [(s, e) for s, e in eval_source(src.source, pos) if e < src.end]
+    if isinstance(src, IExtend):
+        ivs = [
+            (max(0, s - src.before), e + src.after)
+            for s, e in eval_source(src.source, pos)
+        ]
+        # extension can create containment (clamped starts) — re-minimalize
+        return _minimalize(ivs)
+    if isinstance(src, IBlock):
+        kids = [eval_source(s, pos) for s in src.sources]
+        if any(not k for k in kids):
+            return []
+        # chain adjacency left-to-right: child i+1 starts at child i's
+        # end + 1 (BlockIntervalsSource)
+        chains = list(kids[0])
+        for nxt in kids[1:]:
+            starts = [s for s, _ in nxt]
+            out2 = []
+            for s0, e0 in chains:
+                j = bisect_left(starts, e0 + 1)
+                # containment-free lists can hold several intervals with
+                # the same start only never — starts are unique; check
+                # the one candidate
+                if j < len(nxt) and nxt[j][0] == e0 + 1:
+                    out2.append((s0, nxt[j][1]))
+            chains = out2
+            if not chains:
+                return []
+        return _minimalize(chains)
+    if isinstance(src, IAtLeast):
+        msm = src.min_should_match
+        if msm <= 0 or msm > len(src.sources):
+            return []
+        kids = [eval_source(s, pos) for s in src.sources]
+        if sum(1 for k in kids if k) < msm:
+            return []
+        # for every candidate right boundary E (an interval end), take
+        # each source's latest-starting interval with end <= E; the span
+        # hull of the msm largest starts is the minimal span ending <= E
+        # (non-minimal duplicates are swept by _minimalize)
+        kid_ends = [[e for _, e in k] for k in kids]
+        all_ends = sorted({e for k in kids for _, e in k})
+        cands = []
+        for E in all_ends:
+            picks = []
+            for ci, k in enumerate(kids):
+                j = bisect_right(kid_ends[ci], E) - 1
+                if j >= 0:
+                    picks.append(k[j])  # latest end <= E == max start
+            if len(picks) < msm:
+                continue
+            picks.sort(key=lambda iv: -iv[0])
+            chosen = picks[:msm]
+            cands.append((chosen[-1][0], max(e for _, e in chosen)))
+        return _minimalize(cands)
+    if isinstance(src, IBefore):
+        ivs = eval_source(src.source, pos)
+        refs = eval_source(src.reference, pos)
+        if not refs:
+            return []
+        max_ref_start = refs[-1][0]  # sorted by start
+        return [(s, e) for s, e in ivs if e < max_ref_start]
+    if isinstance(src, IAfter):
+        ivs = eval_source(src.source, pos)
+        refs = eval_source(src.reference, pos)
+        if not refs:
+            return []
+        min_ref_end = refs[0][1]  # containment-free: ends ascend with starts
+        return [(s, e) for s, e in ivs if s > min_ref_end]
+    if isinstance(src, IOverlapping):
+        ivs = eval_source(src.source, pos)
+        refs = eval_source(src.reference, pos)
+        if not refs:
+            return []
+        starts = [s for s, _ in refs]
+        ends = [e for _, e in refs]
+        out = []
+        for s, e in ivs:
+            # overlap iff some ref has start <= e and end >= s
+            j = bisect_right(starts, e) - 1
+            if j >= 0 and ends[j] >= s:
+                out.append((s, e))
+        return out
     raise TypeError(type(src))  # pragma: no cover
 
 
@@ -522,7 +795,9 @@ def scored_interval_source(searcher, q, field: str):
     reader = searcher.reader
     if not reader._manifests[reader._builds[0]].get("positions"):
         raise ValueError("IntervalSourceQuery needs an index built with positions=True")
-    src = q.source
+    # multiterm leaves (prefix/wildcard/regexp/range/fuzzy) expand against
+    # the dictionary first — a no-op for plain trees
+    src = expand_multiterms(q.source, reader, field)
     specs = leaf_specs(src)
     # per-field stats resolution (key -> (df, ttf))
     by_field: dict[str | None, list[tuple[str, str]]] = {}

@@ -114,19 +114,28 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from lucene_spark.search.intervals import (
+    IAfter,
+    IAtLeast,
+    IBefore,
+    IBlock,
     IContainedBy,
     IContaining,
+    IExtend,
     IFirst,
     INonOverlapping,
     INotContainedBy,
     INotContaining,
     IOr,
     IOrdered,
+    IOverlapping,
     ITerm,
     IUnordered,
+    at_least,
     eval_source,
     min_extent,
+    not_within,
     source_freq,
+    within,
 )
 
 
@@ -182,6 +191,43 @@ def _brute(src, pos):
         return [k for k in keep if not any(d[0] <= k[1] and d[1] >= k[0] for d in drop)]
     if isinstance(src, IFirst):
         return [k for k in _brute(src.source, pos) if k[1] < src.end]
+    if isinstance(src, IExtend):
+        return _bmin(
+            (max(0, s - src.before), e + src.after)
+            for s, e in _brute(src.source, pos)
+        )
+    if isinstance(src, IBlock):
+        kids = [_brute(s, pos) for s in src.sources]
+        if any(not k for k in kids):
+            return []
+        cands = []
+        for combo in itertools.product(*kids):
+            if any(combo[i][1] + 1 != combo[i + 1][0] for i in range(len(combo) - 1)):
+                continue
+            cands.append((combo[0][0], combo[-1][1]))
+        return _bmin(cands)
+    if isinstance(src, IAtLeast):
+        msm = src.min_should_match
+        if msm <= 0 or msm > len(src.sources):
+            return []
+        kids = [_brute(s, pos) for s in src.sources]
+        cands = []
+        for subset in itertools.combinations(range(len(kids)), msm):
+            lists = [kids[i] for i in subset]
+            if any(not k for k in lists):
+                continue
+            for combo in itertools.product(*lists):
+                cands.append((min(c[0] for c in combo), max(c[1] for c in combo)))
+        return _bmin(cands)
+    if isinstance(src, IBefore):
+        ivs, refs = _brute(src.source, pos), _brute(src.reference, pos)
+        return [k for k in ivs if any(k[1] < r[0] for r in refs)]
+    if isinstance(src, IAfter):
+        ivs, refs = _brute(src.source, pos), _brute(src.reference, pos)
+        return [k for k in ivs if any(k[0] > r[1] for r in refs)]
+    if isinstance(src, IOverlapping):
+        ivs, refs = _brute(src.source, pos), _brute(src.reference, pos)
+        return [k for k in ivs if any(r[0] <= k[1] and r[1] >= k[0] for r in refs)]
     raise TypeError(type(src))
 
 
@@ -208,6 +254,17 @@ _SHAPES = [
     INonOverlapping(IOrdered((ITerm("a"), ITerm("c"))), IUnordered((ITerm("b"), ITerm("c")))),
     IFirst(IUnordered((ITerm("a"), ITerm("b"))), 10),
     IFirst(ITerm("a"), 5),
+    # round-5 combinators
+    IExtend(ITerm("a"), 1, 2),
+    IBlock((ITerm("a"), ITerm("b"))),
+    IBlock((ITerm("a"), IExtend(ITerm("b"), 0, 1), ITerm("c"))),
+    IAtLeast((ITerm("a"), ITerm("b"), ITerm("c")), 2),
+    at_least(2, IOr((ITerm("a"), ITerm("b"))), ITerm("c"), ITerm("b")),
+    IBefore(ITerm("a"), ITerm("b")),
+    IAfter(ITerm("a"), IOrdered((ITerm("b"), ITerm("c")))),
+    IOverlapping(IUnordered((ITerm("a"), ITerm("b"))), ITerm("c")),
+    within(ITerm("a"), 2, ITerm("c")),
+    not_within(ITerm("a"), 1, ITerm("b")),
 ]
 
 
@@ -337,3 +394,106 @@ def test_multi_phrase_missing_alternative_ok(spark, ivx_root):
     assert s.search(q, k=5, mode="exhaustive").count() > 0
     q2 = Q.MultiPhraseQuery("text", (("zzzmissing",), ("scan",)))
     assert s.search(q2, k=5, mode="exhaustive").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 combinators: golden vectors from the reference test corpus
+# (/root/reference/lucene/queries/src/test/org/apache/lucene/queries/
+# intervals/TestIntervals.java field1_docs/field2_docs + its
+# testExtends / testPhraseIntervals / testMinimumShouldMatch / testBefore /
+# testAfter / testWithin / testOverlapping expectations)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_F1 = [
+    "Nothing of interest to anyone here",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine "
+    "days old.  Some like it hot, some like it cold, some like it in the pot "
+    "nine days old",
+    "Pease porridge cold, pease porridge hot, pease porridge in the pot twelve "
+    "days old.  Some like it cold, some like it hot, some like it in the fraggle",
+    "Nor here, nowt hot going on in pease this one",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot nine "
+    "years old.  Some like it hot, some like it twelve",
+    "Porridge is great",
+]
+_F2 = ["", "", "", "", "", "", "the quick brown fox jumps over the lazy dog"]
+
+
+def _positions(doc):
+    pos = {}
+    for i, w in enumerate(_re.findall(r"[a-z0-9]+", doc.lower())):
+        pos.setdefault(w, []).append(i)
+    return pos
+
+
+def _flat(ivs):
+    return [x for iv in ivs for x in iv]
+
+
+def _check_vectors(src, docs, gold):
+    for d, g in zip(docs, gold):
+        assert _flat(eval_source(src, _positions(d))) == g, d[:40]
+
+
+def test_extend_reference_vector():
+    _check_vectors(IExtend(ITerm("fox"), 1, 2), _F2, [[], [], [], [], [], [], [2, 5]])
+
+
+def test_block_phrase_reference_vectors():
+    _check_vectors(
+        IBlock((ITerm("pease"), ITerm("porridge"))), _F1,
+        [[], [0, 1, 3, 4, 6, 7], [0, 1, 3, 4, 6, 7], [], [0, 1, 3, 4, 6, 7], []],
+    )
+    src = IBlock((ITerm("pease"), IExtend(ITerm("cold"), 1, 1), ITerm("porridge")))
+    _check_vectors(src, _F1, [[], [3, 7], [0, 4], [], [3, 7], []])
+    assert min_extent(src) == 5
+
+
+def test_at_least_reference_vectors():
+    src = at_least(
+        3, ITerm("porridge"), ITerm("hot"), ITerm("twelve"), ITerm("nine"),
+        ITerm("pease"),
+    )
+    _check_vectors(
+        src, _F1[:5],
+        [
+            [],
+            [0, 2, 1, 3, 2, 4, 6, 11, 7, 17],
+            [3, 5, 4, 6, 5, 7, 6, 11, 7, 21],
+            [],
+            [0, 2, 1, 3, 2, 4, 6, 11, 7, 17, 11, 21],
+        ],
+    )
+    # MinimumShouldMatchIntervalsSource.minExtent: sum of 3 smallest
+    assert min_extent(src) == 3
+    # factory rewrites (Intervals.java:567-580)
+    assert isinstance(at_least(2, ITerm("a"), ITerm("b")), IUnordered)
+    assert eval_source(at_least(4, ITerm("a"), ITerm("b")), {"a": [0], "b": [1]}) == []
+
+
+def test_before_after_within_reference_vectors():
+    _check_vectors(
+        IBefore(ITerm("cold"), ITerm("twelve")), _F1,
+        [[], [], [2, 2], [], [5, 5], []],
+    )
+    _check_vectors(
+        IAfter(ITerm("porridge"), IOrdered((ITerm("pease"), ITerm("cold")))), _F1,
+        [[], [7, 7], [4, 4, 7, 7], [], [7, 7], []],
+    )
+    _check_vectors(
+        within(ITerm("hot"), 6, IOr((ITerm("porridge"), ITerm("fraggle")))), _F1,
+        [[], [2, 2], [5, 5, 21, 21], [], [2, 2], []],
+    )
+
+
+def test_overlapping_reference_vector():
+    src = IOverlapping(
+        IUnordered((ITerm("hot"), ITerm("porridge"))),
+        IUnordered((ITerm("cold"), ITerm("pease"))),
+    )
+    _check_vectors(
+        src, _F1, [[], [2, 4, 7, 17], [5, 7, 7, 21], [], [2, 4], []]
+    )
+    assert min_extent(src) == 2
