@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multi_phrase"] = _pq_multi_phrase
     q["interval_or_near"] = _pq_interval_or_near
     q["interval_not_containing"] = _pq_interval_not_containing
+    q["interval_within"] = _pq_interval_within
+    q["interval_at_least"] = _pq_interval_at_least
+    q["interval_prefix_near"] = _pq_interval_prefix_near
     q["common_terms"] = _pq_common_terms
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
@@ -2339,6 +2342,61 @@ def _pq_interval_not_containing(spark, sf_dir):
     )
 
 
+def _pq_interval_within(spark, sf_dir):
+    """Intervals.within: occurrences of 'data' lying inside some MINIMAL
+    extend('table', 3, 3) window (Intervals.within == containedBy(source,
+    extend(reference, n, n)), queries/intervals/Intervals.java) with the
+    saturation score over the surviving width-1 intervals."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import ITerm, within
+
+    s = _searcher(spark, sf_dir)
+    q = Q.IntervalSourceQuery("text", within(ITerm("data"), 3, ITerm("table")))
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_interval_at_least(spark, sf_dir):
+    """Intervals.atLeast(2, data, table, scan): minimal spans containing
+    intervals from >= 2 DISTINCT sub-sources
+    (MinimumShouldMatchIntervalsSource)."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import ITerm, at_least
+
+    s = _searcher(spark, sf_dir)
+    src = at_least(2, ITerm("data"), ITerm("table"), ITerm("scan"))
+    q = Q.IntervalSourceQuery("text", src)
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_interval_prefix_near(spark, sf_dir):
+    """Multi-term interval leaf: ordered(prefix('s'), 'table') maxgaps=2 —
+    the prefix expands against the term dictionary into an or() of terms
+    (Intervals.prefix, capped at 128 expansions) before the ordered
+    proximity walk."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import IMultiTerm, IOrdered, ITerm
+
+    s = _searcher(spark, sf_dir)
+    src = IOrdered((IMultiTerm("prefix", "s"), ITerm("table")), max_gaps=2)
+    q = Q.IntervalSourceQuery("text", src)
+    hits = s.search(q, k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_common_terms(spark, sf_dir):
     """CommonTermsQuery('dup', 'the'): 'the' is corpus-common (df above
     20% of docs) so it demotes to SHOULD; rare 'dup' stays MUST."""
@@ -3677,6 +3735,88 @@ kept AS (
 ),
 freqs AS (
   SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f FROM kept GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # within(data, 3, table): 'data' positions inside some MINIMAL
+    # extended window [max(pos-3,0), pos+3] of 'table' (non-minimal
+    # windows — possible only via the 0-clamp — are dropped first, the
+    # engine's containedBy semantics); every survivor is width 1 so the
+    # sloppy freq is the match count
+    o["interval_within"] = f"""
+WITH tokp AS ({_TOKP}),
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'data'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'table'),
+ext AS (SELECT DISTINCT doc_id, greatest(pos - 3, 0) AS s, pos + 3 AS e FROM b),
+min_ext AS (
+  SELECT x.doc_id, x.s, x.e FROM ext x
+  WHERE NOT EXISTS (SELECT 1 FROM ext y WHERE y.doc_id = x.doc_id
+                    AND y.s >= x.s AND y.e <= x.e AND (y.s <> x.s OR y.e <> x.e))
+),
+matched AS (
+  SELECT DISTINCT a.doc_id, a.pos FROM a
+  JOIN min_ext m ON m.doc_id = a.doc_id AND a.pos BETWEEN m.s AND m.e
+),
+freqs AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS f FROM matched GROUP BY doc_id)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # atLeast(2, data, table, scan): per candidate right boundary E (any
+    # occurrence), each source's latest position <= E; the span of the 2
+    # largest is the candidate; keep the containment-free minimal set
+    o["interval_at_least"] = f"""
+WITH tokp AS ({_TOKP}),
+t3 AS (SELECT doc_id, term, pos FROM tokp WHERE term IN ('data', 'table', 'scan')),
+ends AS (SELECT DISTINCT doc_id, pos AS E FROM t3),
+latest AS (
+  SELECT e.doc_id, e.E, t.term, max(t.pos) AS m
+  FROM ends e JOIN t3 t ON t.doc_id = e.doc_id AND t.pos <= e.E
+  GROUP BY e.doc_id, e.E, t.term
+),
+ranked AS (
+  SELECT doc_id, E, m,
+         row_number() OVER (PARTITION BY doc_id, E ORDER BY m DESC) AS rn,
+         count(*) OVER (PARTITION BY doc_id, E) AS c
+  FROM latest
+),
+cand AS (
+  SELECT DISTINCT doc_id, min(m) AS s, max(m) AS e
+  FROM ranked WHERE rn <= 2 AND c >= 2
+  GROUP BY doc_id, E
+),
+minimal AS (
+  SELECT x.doc_id, x.s, x.e FROM cand x
+  WHERE NOT EXISTS (SELECT 1 FROM cand y WHERE y.doc_id = x.doc_id
+                    AND y.s >= x.s AND y.e <= x.e AND (y.s <> x.s OR y.e <> x.e))
+),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f FROM minimal GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # ordered(prefix('s'), table) maxgaps=2: the prefix leaf is the union
+    # of every dictionary term starting with 's' (scan slow small sort
+    # spark stream), then the same minimal ordered-pair machinery as
+    # interval_near
+    o["interval_prefix_near"] = f"""
+WITH tokp AS ({_TOKP}),
+a AS (SELECT doc_id, pos FROM tokp WHERE term LIKE 's%'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'table'),
+pairs AS (
+  SELECT a.doc_id, a.pos AS s,
+         (SELECT min(b.pos) FROM b WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+  FROM a
+),
+per_end AS (SELECT doc_id, max(s) AS s, e FROM pairs WHERE e IS NOT NULL GROUP BY doc_id, e),
+minimal AS (SELECT doc_id, s, min(e) AS e FROM per_end GROUP BY doc_id, s),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+  FROM minimal WHERE (e - s - 1) <= 2 GROUP BY doc_id
 )
 SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
 FROM freqs WHERE f > 0
