@@ -306,75 +306,166 @@ class IMultiTerm(ISource):
     max_expansions: int = 128
 
 
-def expand_multiterms(src: ISource, reader, field: str) -> ISource:
-    """Rewrite every IMultiTerm leaf to an IOr of ITerm via the term
-    dictionary (bucket/row-group-pruned scan, ordered take). Trees
-    without multiterm leaves return unchanged (no dictionary scans)."""
-    if isinstance(src, IMultiTerm):
-        from pyspark.sql import functions as F
+@dataclass(frozen=True)
+class IMaxWidth(ISource):
+    """Intervals of ``source`` spanning at most ``width`` positions
+    (Intervals.maxwidth -> FilteredIntervalsSource.maxWidth,
+    queries/intervals/Intervals.java:380)."""
 
-        from . import query as Q
+    source: ISource
+    width: int
 
-        if src.kind == "fuzzy":
-            terms, trunc = Q._expand_fuzzy(
-                Q.FuzzyQuery(field, src.pattern, max_edits=src.max_edits), reader
+
+@dataclass(frozen=True)
+class IMaxGaps(ISource):
+    """Intervals of ``source`` whose gap count — length minus the
+    source's minExtent, the same convention the inline ``max_gaps`` on
+    ordered/unordered uses — is at most ``gaps`` (Intervals.maxgaps ->
+    FilteredIntervalsSource.maxGaps, Intervals.java:390), applicable to
+    ANY wrapped source."""
+
+    source: ISource
+    gaps: int
+
+
+@dataclass(frozen=True)
+class IUnorderedNoOverlaps(ISource):
+    """Minimal windows containing one interval of ``a`` and one of ``b``,
+    in either order, with the two child intervals NOT overlapping
+    (Intervals.unorderedNoOverlaps, Intervals.java:446 — defined for
+    exactly two sub-sources, like the reference)."""
+
+    a: ISource
+    b: ISource
+
+
+@dataclass(frozen=True)
+class INoIntervals(ISource):
+    """Produces no intervals and matches no documents
+    (Intervals.noIntervals -> NoMatchIntervalsSource)."""
+
+    reason: str = ""
+
+
+def fix_field(field: str, src: ISource) -> ISource:
+    """Intervals.fixField (FixedFieldIntervalsSource): every primary-field
+    term leaf of ``src`` reads its positions from ``field`` instead, while
+    still composing with primary-field sources position-for-position.
+    Already-masked leaves keep their innermost field (nested fixField:
+    the innermost wins). Multi-term leaves must be expanded first."""
+
+    def leaf(s: ISource) -> ISource:
+        if isinstance(s, ITerm):
+            return ITermField(s.term, field)
+        if isinstance(s, IMultiTerm):
+            raise ValueError(
+                "fixField over multi-term leaves is unsupported: expand "
+                "against the dictionary first (expand_multiterms)"
             )
-            if trunc or len(terms) > src.max_expansions:
-                raise ValueError(
-                    f"fuzzy interval source expanded to > {src.max_expansions} terms"
-                )
-        else:
-            if src.kind == "prefix":
-                pq = Q.PrefixQuery(field, src.pattern)
-            elif src.kind == "wildcard":
-                pq = Q.WildcardQuery(field, src.pattern)
-            elif src.kind == "regexp":
-                pq = Q.RegexpQuery(field, src.pattern)
-            elif src.kind == "range":
-                pq = Q.TermRangeQuery(field, src.pattern, src.upper)
-            else:
-                raise ValueError(f"unknown multiterm kind {src.kind!r}")
-            terms, trunc = reader.expand_terms(
-                F.expr(Q._pattern_sql(pq)), field=field, limit=src.max_expansions
-            )
-            if trunc:
-                raise ValueError(
-                    f"{src.kind} interval source {src.pattern!r} expanded to "
-                    f"> {src.max_expansions} terms"
-                )
-        return IOr(tuple(ITerm(t) for t in sorted(terms)))
-    if isinstance(src, (ITerm, ITermField)):
-        return src
+        return s
+
+    return map_leaves(src, leaf)
+
+
+def analyzed_text(analyzer, text: str, max_gaps: int = 0, ordered: bool = True) -> ISource:
+    """Intervals.analyzedText (Intervals.java:618, IntervalBuilder): run
+    ``text`` through ``analyzer`` and build an ordered/unordered source
+    with ``max_gaps`` over the per-position token groups (stacked tokens
+    at one position — synonyms, stemmed stacks — become an or())."""
+    by_pos: dict[int, list[str]] = {}
+    for t in analyzer.tokens(text):
+        by_pos.setdefault(t.position, []).append(t.term)
+    if not by_pos:
+        return INoIntervals("no tokens")
+    groups: list[ISource] = []
+    for p in sorted(by_pos):
+        terms = list(dict.fromkeys(by_pos[p]))
+        groups.append(
+            ITerm(terms[0]) if len(terms) == 1 else IOr(tuple(ITerm(t) for t in terms))
+        )
+    if len(groups) == 1:
+        return groups[0]
+    cls = IOrdered if ordered else IUnordered
+    return cls(tuple(groups), max_gaps=max_gaps)
+
+
+def map_leaves(src: ISource, fn) -> ISource:
+    """Rebuild the source tree with ``fn`` applied to every leaf (ITerm /
+    ITermField / IMultiTerm / INoIntervals); inner nodes are recreated
+    around the mapped children."""
+    if isinstance(src, (ITerm, ITermField, IMultiTerm, INoIntervals)):
+        return fn(src)
     if isinstance(src, (IOr, IOrdered, IUnordered, IBlock, IAtLeast)):
-        kids = tuple(expand_multiterms(s, reader, field) for s in src.sources)
-        return replace_dc(src, sources=kids)
-    if isinstance(src, (IFirst, IExtend)):
-        return replace_dc(src, source=expand_multiterms(src.source, reader, field))
+        return replace_dc(src, sources=tuple(map_leaves(s, fn) for s in src.sources))
+    if isinstance(src, (IFirst, IExtend, IMaxWidth, IMaxGaps)):
+        return replace_dc(src, source=map_leaves(src.source, fn))
     if isinstance(src, IContaining):
         return replace_dc(
-            src,
-            big=expand_multiterms(src.big, reader, field),
-            small=expand_multiterms(src.small, reader, field),
+            src, big=map_leaves(src.big, fn), small=map_leaves(src.small, fn)
         )
     if isinstance(src, (IContainedBy, INotContainedBy)):
         return replace_dc(
-            src,
-            small=expand_multiterms(src.small, reader, field),
-            big=expand_multiterms(src.big, reader, field),
+            src, small=map_leaves(src.small, fn), big=map_leaves(src.big, fn)
         )
     if isinstance(src, (INotContaining, INonOverlapping)):
         return replace_dc(
             src,
-            minuend=expand_multiterms(src.minuend, reader, field),
-            subtrahend=expand_multiterms(src.subtrahend, reader, field),
+            minuend=map_leaves(src.minuend, fn),
+            subtrahend=map_leaves(src.subtrahend, fn),
         )
     if isinstance(src, (IBefore, IAfter, IOverlapping)):
         return replace_dc(
             src,
-            source=expand_multiterms(src.source, reader, field),
-            reference=expand_multiterms(src.reference, reader, field),
+            source=map_leaves(src.source, fn),
+            reference=map_leaves(src.reference, fn),
         )
+    if isinstance(src, IUnorderedNoOverlaps):
+        return replace_dc(src, a=map_leaves(src.a, fn), b=map_leaves(src.b, fn))
     raise TypeError(type(src))  # pragma: no cover
+
+
+def expand_multiterms(src: ISource, reader, field: str) -> ISource:
+    """Rewrite every IMultiTerm leaf to an IOr of ITerm via the term
+    dictionary (bucket/row-group-pruned scan, ordered take). Trees
+    without multiterm leaves return unchanged (no dictionary scans)."""
+
+    def leaf(s: ISource) -> ISource:
+        if not isinstance(s, IMultiTerm):
+            return s
+        from pyspark.sql import functions as F
+
+        from . import query as Q
+
+        if s.kind == "fuzzy":
+            terms, trunc = Q._expand_fuzzy(
+                Q.FuzzyQuery(field, s.pattern, max_edits=s.max_edits), reader
+            )
+            if trunc or len(terms) > s.max_expansions:
+                raise ValueError(
+                    f"fuzzy interval source expanded to > {s.max_expansions} terms"
+                )
+        else:
+            if s.kind == "prefix":
+                pq = Q.PrefixQuery(field, s.pattern)
+            elif s.kind == "wildcard":
+                pq = Q.WildcardQuery(field, s.pattern)
+            elif s.kind == "regexp":
+                pq = Q.RegexpQuery(field, s.pattern)
+            elif s.kind == "range":
+                pq = Q.TermRangeQuery(field, s.pattern, s.upper)
+            else:
+                raise ValueError(f"unknown multiterm kind {s.kind!r}")
+            terms, trunc = reader.expand_terms(
+                F.expr(Q._pattern_sql(pq)), field=field, limit=s.max_expansions
+            )
+            if trunc:
+                raise ValueError(
+                    f"{s.kind} interval source {s.pattern!r} expanded to "
+                    f"> {s.max_expansions} terms"
+                )
+        return IOr(tuple(ITerm(t) for t in sorted(terms)))
+
+    return map_leaves(src, leaf)
 
 
 def within(source: ISource, positions: int, reference: ISource) -> ISource:
@@ -408,10 +499,14 @@ def leaf_terms(src: ISource) -> list[str]:
                 if t not in out:
                     out.append(t)
         return out
-    if isinstance(src, (IFirst, IExtend)):
+    if isinstance(src, (IFirst, IExtend, IMaxWidth, IMaxGaps)):
         return leaf_terms(src.source)
+    if isinstance(src, INoIntervals):
+        return []
     if isinstance(src, (IBefore, IAfter, IOverlapping)):
         kids = [src.source, src.reference]
+    elif isinstance(src, IUnorderedNoOverlaps):
+        kids = [src.a, src.b]
     elif isinstance(src, IContaining):
         kids = [src.big, src.small]
     elif isinstance(src, IContainedBy):
@@ -450,10 +545,14 @@ def leaf_specs(src: ISource) -> list[tuple[str, str, str | None]]:
                 kids = (s.minuend, s.subtrahend)
             elif isinstance(s, INotContainedBy):
                 kids = (s.small, s.big)
-            elif isinstance(s, (IFirst, IExtend)):
+            elif isinstance(s, (IFirst, IExtend, IMaxWidth, IMaxGaps)):
                 kids = (s.source,)
             elif isinstance(s, (IBefore, IAfter, IOverlapping)):
                 kids = (s.source, s.reference)
+            elif isinstance(s, IUnorderedNoOverlaps):
+                kids = (s.a, s.b)
+            elif isinstance(s, INoIntervals):
+                kids = ()
             else:  # pragma: no cover
                 raise TypeError(type(s))
             for k in kids:
@@ -495,11 +594,15 @@ def required_terms(src: ISource) -> list[list[str]]:
         return required_terms(src.minuend)
     if isinstance(src, INotContainedBy):
         return required_terms(src.small)
-    if isinstance(src, (IFirst, IExtend)):
+    if isinstance(src, (IFirst, IExtend, IMaxWidth, IMaxGaps)):
         return required_terms(src.source)
     if isinstance(src, (IBefore, IAfter, IOverlapping)):
         # both sides required: an absent reference yields no intervals
         return required_terms(src.source) + required_terms(src.reference)
+    if isinstance(src, IUnorderedNoOverlaps):
+        return required_terms(src.a) + required_terms(src.b)
+    if isinstance(src, INoIntervals):
+        return [[]]  # matches no documents
     raise TypeError(type(src))  # pragma: no cover
 
 
@@ -525,8 +628,13 @@ def min_extent(src: ISource) -> int:
         return min_extent(src.small)
     if isinstance(src, (INotContaining, INonOverlapping)):
         return min_extent(src.minuend)
-    if isinstance(src, (IFirst, IBefore, IAfter, IOverlapping)):
+    if isinstance(src, (IFirst, IBefore, IAfter, IOverlapping, IMaxWidth, IMaxGaps)):
+        # FilteredIntervalsSource delegates minExtent to the inner source
         return min_extent(src.source)
+    if isinstance(src, IUnorderedNoOverlaps):
+        return min_extent(src.a) + min_extent(src.b)
+    if isinstance(src, INoIntervals):
+        return 0  # NoMatchIntervalsSource.minExtent
     raise TypeError(type(src))  # pragma: no cover
 
 
@@ -758,6 +866,38 @@ def eval_source(src: ISource, pos: dict[str, list]) -> list[tuple[int, int]]:
             if j >= 0 and ends[j] >= s:
                 out.append((s, e))
         return out
+    if isinstance(src, IMaxWidth):
+        return [(s, e) for s, e in eval_source(src.source, pos) if e - s + 1 <= src.width]
+    if isinstance(src, IMaxGaps):
+        me = min_extent(src.source)
+        return [
+            (s, e)
+            for s, e in eval_source(src.source, pos)
+            if (e - s + 1) - me <= src.gaps
+        ]
+    if isinstance(src, IUnorderedNoOverlaps):
+        ka = eval_source(src.a, pos)
+        kb = eval_source(src.b, pos)
+        if not ka or not kb:
+            return []
+        b_starts = [s for s, _ in kb]
+        b_ends = [e for _, e in kb]
+        cands = []
+        # per a-interval the only candidates that can be minimal: the
+        # closest b entirely to its LEFT (largest start with end < s_a —
+        # in a containment-free list starts and ends co-ascend) and the
+        # closest b entirely to its RIGHT (smallest end with start > e_a);
+        # every other pairing yields a containing hull
+        for s_a, e_a in ka:
+            j = bisect_left(b_ends, s_a) - 1
+            if j >= 0:
+                cands.append((b_starts[j], e_a))
+            j = bisect_right(b_starts, e_a)
+            if j < len(kb):
+                cands.append((s_a, b_ends[j]))
+        return _minimalize(cands)
+    if isinstance(src, INoIntervals):
+        return []
     raise TypeError(type(src))  # pragma: no cover
 
 

@@ -122,6 +122,9 @@ from lucene_spark.search.intervals import (
     IContaining,
     IExtend,
     IFirst,
+    IMaxGaps,
+    IMaxWidth,
+    INoIntervals,
     INonOverlapping,
     INotContainedBy,
     INotContaining,
@@ -129,9 +132,13 @@ from lucene_spark.search.intervals import (
     IOrdered,
     IOverlapping,
     ITerm,
+    ITermField,
     IUnordered,
+    IUnorderedNoOverlaps,
+    analyzed_text,
     at_least,
     eval_source,
+    fix_field,
     min_extent,
     not_within,
     source_freq,
@@ -228,6 +235,22 @@ def _brute(src, pos):
     if isinstance(src, IOverlapping):
         ivs, refs = _brute(src.source, pos), _brute(src.reference, pos)
         return [k for k in ivs if any(r[0] <= k[1] and r[1] >= k[0] for r in refs)]
+    if isinstance(src, IMaxWidth):
+        return [k for k in _brute(src.source, pos) if k[1] - k[0] + 1 <= src.width]
+    if isinstance(src, IMaxGaps):
+        me = min_extent(src.source)
+        return [k for k in _brute(src.source, pos) if (k[1] - k[0] + 1) - me <= src.gaps]
+    if isinstance(src, IUnorderedNoOverlaps):
+        ka, kb = _brute(src.a, pos), _brute(src.b, pos)
+        cands = [
+            (min(a[0], b[0]), max(a[1], b[1]))
+            for a in ka
+            for b in kb
+            if not (b[0] <= a[1] and b[1] >= a[0])  # no overlap
+        ]
+        return _bmin(cands)
+    if isinstance(src, INoIntervals):
+        return []
     raise TypeError(type(src))
 
 
@@ -265,6 +288,15 @@ _SHAPES = [
     IOverlapping(IUnordered((ITerm("a"), ITerm("b"))), ITerm("c")),
     within(ITerm("a"), 2, ITerm("c")),
     not_within(ITerm("a"), 1, ITerm("b")),
+    # filtered / no-overlap / no-match combinators
+    IMaxWidth(IUnordered((ITerm("a"), ITerm("b"))), 4),
+    IMaxGaps(IUnordered((ITerm("a"), ITerm("b"), ITerm("c"))), 2),
+    IMaxGaps(IBlock((ITerm("a"), ITerm("b"))), 0),
+    IUnorderedNoOverlaps(ITerm("a"), ITerm("b")),
+    IUnorderedNoOverlaps(IOrdered((ITerm("a"), ITerm("b"))), ITerm("c")),
+    IUnorderedNoOverlaps(IUnordered((ITerm("a"), ITerm("b"))), IOr((ITerm("c"), ITerm("a")))),
+    IOr((INoIntervals("x"), ITerm("a"))),
+    IContainedBy(ITerm("a"), INoIntervals("y")),
 ]
 
 
@@ -497,3 +529,84 @@ def test_overlapping_reference_vector():
         src, _F1, [[], [2, 4, 7, 17], [5, 7, 7, 21], [], [2, 4], []]
     )
     assert min_extent(src) == 2
+
+
+def test_unordered_no_overlaps_reference_vectors():
+    # reference TestIntervals.testUnorderedDistinct (field1 golden vectors)
+    _check_vectors(
+        IUnorderedNoOverlaps(ITerm("pease"), ITerm("pease")), _F1,
+        [[], [0, 3, 3, 6], [0, 3, 3, 6], [], [0, 3, 3, 6], []],
+    )
+    _check_vectors(
+        IUnorderedNoOverlaps(
+            IUnordered((ITerm("pease"), ITerm("porridge"), ITerm("hot"))),
+            ITerm("porridge"),
+        ),
+        _F1,
+        [[], [1, 4, 2, 7, 4, 17], [1, 5, 4, 7], [], [1, 4, 2, 7, 4, 17], []],
+    )
+    _check_vectors(
+        IUnorderedNoOverlaps(
+            ITerm("porridge"), IUnordered((ITerm("pease"), ITerm("porridge")))
+        ),
+        _F1,
+        [[], [1, 4, 4, 7], [1, 4, 4, 7], [], [1, 4, 4, 7], []],
+    )
+
+
+def test_maxgaps_with_only_repeats_reference_vector():
+    # reference TestIntervals.testMaxGapsWithOnlyRepeats
+    src = IMaxGaps(
+        IOrdered((
+            IOr((ITerm("pease"), ITerm("hot"))),
+            IOr((ITerm("pease"), ITerm("hot"))),
+        )),
+        1,
+    )
+    _check_vectors(
+        src, _F1, [[], [0, 2, 2, 3], [3, 5, 5, 6], [], [0, 2, 2, 3], []]
+    )
+    assert min_extent(src) == 2
+
+
+def test_maxwidth_filters_spans():
+    src = IMaxWidth(IUnordered((ITerm("pease"), ITerm("cold"))), 3)
+    pos = {"pease": [0, 10], "cold": [2, 20]}
+    assert eval_source(src, pos) == [(0, 2)]  # (10,20) span of 11 dropped
+
+
+def test_fix_field_rewrites_leaves():
+    from lucene_spark.search.intervals import leaf_terms
+
+    src = IOrdered((ITerm("a"), ITermField("b", "other"), IOr((ITerm("c"),))))
+    fixed = fix_field("title", src)
+    assert fixed == IOrdered(
+        (ITermField("a", "title"), ITermField("b", "other"),
+         IOr((ITermField("c", "title"),)))
+    )
+    # leaf keys namespace into the masked field
+    assert leaf_terms(fixed) == ["title\x1fa", "other\x1fb", "title\x1fc"]
+
+
+def test_no_intervals_source():
+    assert eval_source(INoIntervals("why"), {"a": [1]}) == []
+    # as an OR branch it is inert; as a required side it kills the match
+    assert eval_source(IOr((INoIntervals(), ITerm("a"))), {"a": [1]}) == [(1, 1)]
+    assert eval_source(IContainedBy(ITerm("a"), INoIntervals()), {"a": [1]}) == []
+
+
+def test_analyzed_text_factory():
+    from lucene_spark.analysis.analyzer import STANDARD, analyzer_for
+
+    src = analyzed_text(STANDARD, "Pease porridge HOT", max_gaps=1, ordered=True)
+    assert src == IOrdered(
+        (ITerm("pease"), ITerm("porridge"), ITerm("hot")), max_gaps=1
+    )
+    # single token collapses to the bare term; empty text matches nothing
+    assert analyzed_text(STANDARD, "Porridge!") == ITerm("porridge")
+    assert analyzed_text(STANDARD, "...") == INoIntervals("no tokens")
+    # stacked tokens (synonyms at one position) become an or() group
+    syn = analyzer_for("standard+syn:hot=scalding")
+    s2 = analyzed_text(syn, "pease hot", ordered=False)
+    assert isinstance(s2, IUnordered)
+    assert isinstance(s2.sources[1], (IOr, ITerm))
