@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["interval_within"] = _pq_interval_within
     q["interval_at_least"] = _pq_interval_at_least
     q["interval_prefix_near"] = _pq_interval_prefix_near
+    q["interval_maxgaps"] = _pq_interval_maxgaps
+    q["interval_max_width"] = _pq_interval_max_width
+    q["interval_no_overlaps"] = _pq_interval_no_overlaps
     q["common_terms"] = _pq_common_terms
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
     q["suggest_weighted"] = _pq_suggest_weighted
@@ -2397,6 +2400,63 @@ def _pq_interval_prefix_near(spark, sf_dir):
     )
 
 
+def _pq_interval_maxgaps(spark, sf_dir):
+    """Intervals.maxgaps as a WRAPPER over any source (reference
+    queries/intervals/Intervals.java maxgaps -> FilteredIntervalsSource.
+    maxGaps): minimal unordered windows over three terms whose gap count
+    (width minus the source's minExtent 3) is at most 6 — unlike the
+    inline max_gaps, the filter applies to the already-minimal interval
+    stream of the wrapped source."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import IMaxGaps, ITerm, IUnordered
+
+    s = _searcher(spark, sf_dir)
+    src = IMaxGaps(IUnordered((ITerm("data"), ITerm("table"), ITerm("scan"))), 6)
+    hits = s.search(Q.IntervalSourceQuery("text", src), k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_interval_max_width(spark, sf_dir):
+    """Intervals.maxwidth (FilteredIntervalsSource.maxWidth): unordered
+    'data'/'query' windows spanning at most 5 positions; wider minimal
+    windows are dropped AFTER minimalization, so a doc whose only
+    co-occurrence is wide scores zero."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import IMaxWidth, ITerm, IUnordered
+
+    s = _searcher(spark, sf_dir)
+    src = IMaxWidth(IUnordered((ITerm("data"), ITerm("query"))), 5)
+    hits = s.search(Q.IntervalSourceQuery("text", src), k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_interval_no_overlaps(spark, sf_dir):
+    """Intervals.unorderedNoOverlaps(data, data) (reference Intervals.java
+    unorderedNoOverlaps): minimal windows holding TWO DISTINCT
+    occurrences of 'data' — with a repeated term the minimal
+    non-overlapping set is exactly the consecutive occurrence pairs,
+    which the oracle reproduces with one LEAD window."""
+    from lucene_spark.pages import doc_id_for_url_col
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import ITerm, IUnorderedNoOverlaps
+
+    s = _searcher(spark, sf_dir)
+    src = IUnorderedNoOverlaps(ITerm("data"), ITerm("data"))
+    hits = s.search(Q.IntervalSourceQuery("text", src), k=K, mode="exhaustive")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
 def _pq_common_terms(spark, sf_dir):
     """CommonTermsQuery('dup', 'the'): 'the' is corpus-common (df above
     20% of docs) so it demotes to SHOULD; rare 'dup' stays MUST."""
@@ -3817,6 +3877,85 @@ minimal AS (SELECT doc_id, s, min(e) AS e FROM per_end GROUP BY doc_id, s),
 freqs AS (
   SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
   FROM minimal WHERE (e - s - 1) <= 2 GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # maxgaps(unordered(data, table, scan), 6): per candidate right edge E
+    # the per-term latest occurrence <= E spans the tightest window ending
+    # by E; containment-minimalize, THEN filter width-3 <= 6 (the wrapper
+    # filters the minimal stream); weight 1/max(width-minExtent+1,1) with
+    # minExtent 3 = 1/max(e-s-1,1)
+    o["interval_maxgaps"] = f"""
+WITH tokp AS ({_TOKP}),
+t3 AS (SELECT doc_id, term, pos FROM tokp WHERE term IN ('data', 'table', 'scan')),
+ends AS (SELECT DISTINCT doc_id, pos AS E FROM t3),
+latest AS (
+  SELECT e.doc_id, e.E, t.term, max(t.pos) AS m
+  FROM ends e JOIN t3 t ON t.doc_id = e.doc_id AND t.pos <= e.E
+  GROUP BY e.doc_id, e.E, t.term
+),
+cand AS (
+  SELECT DISTINCT doc_id, min(m) AS s, max(m) AS e
+  FROM latest GROUP BY doc_id, E HAVING count(*) >= 3
+),
+minimal AS (
+  SELECT x.doc_id, x.s, x.e FROM cand x
+  WHERE NOT EXISTS (SELECT 1 FROM cand y WHERE y.doc_id = x.doc_id
+                    AND y.s >= x.s AND y.e <= x.e AND (y.s <> x.s OR y.e <> x.e))
+),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s - 1, 1)) AS f
+  FROM minimal WHERE (e - s + 1) - 3 <= 6 GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # maxwidth(unordered(data, query), 5): same minimal-window machinery
+    # over two terms, then keep spans of width <= 5; weight 1/max(e-s,1)
+    # (minExtent 2)
+    o["interval_max_width"] = f"""
+WITH tokp AS ({_TOKP}),
+t2 AS (SELECT doc_id, term, pos FROM tokp WHERE term IN ('data', 'query')),
+ends AS (SELECT DISTINCT doc_id, pos AS E FROM t2),
+latest AS (
+  SELECT e.doc_id, e.E, t.term, max(t.pos) AS m
+  FROM ends e JOIN t2 t ON t.doc_id = e.doc_id AND t.pos <= e.E
+  GROUP BY e.doc_id, e.E, t.term
+),
+cand AS (
+  SELECT DISTINCT doc_id, min(m) AS s, max(m) AS e
+  FROM latest GROUP BY doc_id, E HAVING count(*) >= 2
+),
+minimal AS (
+  SELECT x.doc_id, x.s, x.e FROM cand x
+  WHERE NOT EXISTS (SELECT 1 FROM cand y WHERE y.doc_id = x.doc_id
+                    AND y.s >= x.s AND y.e <= x.e AND (y.s <> x.s OR y.e <> x.e))
+),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+  FROM minimal WHERE (e - s + 1) <= 5 GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
+FROM freqs WHERE f > 0
+ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # unorderedNoOverlaps(data, data): two DISTINCT occurrences with
+    # non-overlapping (width-1) children — the minimal set is exactly the
+    # consecutive occurrence pairs; weight 1/max(e-s,1) (minExtent 1+1)
+    o["interval_no_overlaps"] = f"""
+WITH tokp AS ({_TOKP}),
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'data'),
+pairs AS (
+  SELECT doc_id, pos AS s,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS e
+  FROM a
+),
+freqs AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+  FROM pairs WHERE e IS NOT NULL GROUP BY doc_id
 )
 SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
 FROM freqs WHERE f > 0
