@@ -120,6 +120,12 @@ _POSTING_COLS = [
     "doc_payload", "freq_payload", "norm_payload", "imp_freqs", "imp_norms",
 ]
 
+# block columns the positions kernels (phrase / interval serving) decode
+_POSITIONS_COLS = [
+    "term", "first_doc", "last_doc", "num_docs", "enc",
+    "doc_payload", "freq_payload", "norm_payload", "pos_payload",
+]
+
 
 class LocalSearcher:
     def __init__(self, index_root: str, snapshot_id: int | None = None, dtype=np.float32,
@@ -313,6 +319,10 @@ class LocalSearcher:
             return self._search_docvalues_only([q.query], k, score=float(q.boost))
         if isinstance(q, Q.PhraseQuery):
             return self._search_phrase(q, k, field)
+        if isinstance(q, Q.IntervalQuery):
+            return self._search_intervals_flat(q, k, q.field or field)
+        if isinstance(q, Q.IntervalSourceQuery):
+            return self._search_interval_source(q, k, q.field or field)
         if isinstance(q, Q.SynonymQuery):
             # score against the query's OWN field, not the default
             return self._search_synonym(q, k, q.field or field)
@@ -693,11 +703,13 @@ class LocalSearcher:
         kernel = build_positions_kernel(
             uniq_terms, rarest, score_doc, batch_score=batch_score
         )
-        pdf = self._blocks(
-            uniq_terms, field,
-            columns=["term", "first_doc", "last_doc", "num_docs", "enc",
-                     "doc_payload", "freq_payload", "norm_payload", "pos_payload"],
-        )
+        pdf = self._blocks(uniq_terms, field, columns=_POSITIONS_COLS)
+        return self._run_positions_kernel(kernel, pdf, k)
+
+    def _run_positions_kernel(self, kernel, pdf: pd.DataFrame, k: int):
+        """Drive a host-agnostic positions kernel per segment over already-
+        fetched postings blocks, apply tombstones, and merge the global
+        top-k — the shared tail of the phrase and interval serve paths."""
         per_seg = []
         for seg, g in pdf.groupby("seg", sort=True):
             out = kernel((seg,), g)
@@ -717,6 +729,95 @@ class LocalSearcher:
         gdoc_to_segdoc = {g: (seg, d) for part in per_seg for s, g, seg, d in part}
         urls = self._urls([gdoc_to_segdoc[g] for _, g in merged])
         return [(urls[gdoc_to_segdoc[g]], s, g) for s, g in merged]
+
+    def _require_positions(self, what: str):
+        if not all(m.get("positions") for m in self._manifests.values()):
+            raise NotImplementedError(
+                f"{what} serving needs a positions-indexed build "
+                "(build_index(positions=True)); use the Spark IndexSearcher"
+            )
+
+    def _search_intervals_flat(self, q, k: int, field: str):
+        """Flat IntervalQuery (ordered/unordered terms + inline maxgaps) on
+        the serving path: the SAME interval_freq + saturation scoring the
+        Spark path runs (intervals.scored_intervals), driven per segment
+        over pyarrow block reads."""
+        from .search.intervals import interval_freq
+        from .search.phrase import build_positions_kernel
+
+        self._require_positions("interval")
+        uniq = list(dict.fromkeys(q.terms))
+        stats = self.term_stats(uniq, field)
+        if any(t not in stats for t in uniq):
+            return []
+        ordered, max_gaps = q.ordered, q.max_gaps
+        pivot, boost = float(q.pivot), float(q.boost)
+
+        def score_doc(pos_by_uniq, norm_byte):
+            freq = interval_freq(pos_by_uniq, ordered, max_gaps)
+            if freq <= 0.0:
+                return None
+            return boost * (1.0 - pivot / (pivot + freq))
+
+        rarest = sorted(uniq, key=lambda t: stats[t][0])
+        kernel = build_positions_kernel(uniq, rarest, score_doc)
+        pdf = self._blocks(uniq, field, columns=_POSITIONS_COLS)
+        return self._run_positions_kernel(kernel, pdf, k)
+
+    def _search_interval_source(self, q, k: int, field: str):
+        """Nested IntervalSourceQuery on the serving path — the same
+        eval_source/source_freq algebra as the Spark path
+        (intervals.scored_interval_source), including field-masked
+        leaves (postings fetched from the masked field and unioned under
+        the collision-free ``field\\x1fterm`` key). Multi-term leaves
+        (prefix/wildcard/regexp/range/fuzzy) need a dictionary expansion
+        and stay on the Spark path."""
+        from .search import intervals as IV
+        from .search.phrase import build_positions_kernel
+
+        self._require_positions("interval")
+        src = q.source
+        try:
+            specs = IV.leaf_specs(src)
+        except TypeError:
+            raise NotImplementedError(
+                "LocalSearcher does not expand multi-term interval leaves; "
+                "rewrite with expand_multiterms on the Spark path first"
+            )
+        by_field: dict = {}
+        for key, term, mf in specs:
+            by_field.setdefault(mf, []).append((key, term))
+        stats: dict = {}
+        for mf, pairs in by_field.items():
+            fstats = self.term_stats([t for _, t in pairs], mf or field)
+            for key, term in pairs:
+                if term in fstats:
+                    stats[key] = fstats[term]
+        groups = [[t for t in g if t in stats] for g in IV.required_terms(src)]
+        if any(not g for g in groups):
+            return []
+        uniq = [key for key, _, _ in specs]
+        pivot, boost = float(q.pivot), float(q.boost)
+
+        def score_doc(pos_by_uniq, norm_byte):
+            pos = dict(zip(uniq, pos_by_uniq))
+            freq = IV.source_freq(src, pos)
+            if freq <= 0.0:
+                return None
+            return boost * (1.0 - pivot / (pivot + freq))
+
+        groups = sorted(groups, key=lambda g: sum(stats[t][0] for t in g))
+        kernel = build_positions_kernel(
+            uniq, [t for g in groups for t in g], score_doc, term_groups=groups
+        )
+        parts = []
+        for mf, pairs in by_field.items():
+            p = self._blocks([t for _, t in pairs], mf or field, columns=_POSITIONS_COLS)
+            if mf is not None:
+                p = p.assign(term=mf + "\x1f" + p["term"])
+            parts.append(p)
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        return self._run_positions_kernel(kernel, pdf, k)
 
     def highlight(self, q, k: int = 10, field: str = "text",
                   max_passage_chars: int = 160, pre: str = "<b>", post: str = "</b>"):

@@ -43,3 +43,71 @@ def test_serve_phrase_requires_positions(spark, index_root):
 
 def test_serve_phrase_missing_term(spark, pos_root):
     assert LocalSearcher(pos_root).search('"table zzznosuchterm"', k=5) == []
+
+
+# -- interval serving: same positions kernel + interval algebra as Spark --
+
+def _interval_cases():
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import (
+        IMaxGaps, IMaxWidth, IOr, IOrdered, ITerm, IUnordered,
+        IUnorderedNoOverlaps,
+    )
+
+    return [
+        Q.IntervalQuery("text", ("table", "scan"), ordered=True, max_gaps=2),
+        Q.IntervalQuery("text", ("table", "scan", "key"), ordered=False),
+        Q.IntervalSourceQuery(
+            "text", IOrdered((ITerm("table"), IOr((ITerm("scan"), ITerm("key")))))
+        ),
+        Q.IntervalSourceQuery(
+            "text", IMaxGaps(IUnordered((ITerm("table"), ITerm("scan"))), 4)
+        ),
+        Q.IntervalSourceQuery(
+            "text", IMaxWidth(IUnordered((ITerm("table"), ITerm("key"))), 6)
+        ),
+        Q.IntervalSourceQuery(
+            "text", IUnorderedNoOverlaps(ITerm("table"), ITerm("table"))
+        ),
+    ]
+
+
+@pytest.mark.parametrize("iq", _interval_cases())
+def test_serve_intervals_match_spark_path(spark, pos_root, iq):
+    s = IndexSearcher(IndexReader(spark, pos_root))
+    want = [
+        (r["url"], float(np.float32(r["score"])))
+        for r in s.search(iq, k=10, mode="exhaustive")
+        .select("url", "score").collect()
+    ]
+    ls = LocalSearcher(pos_root)
+    got = [(u, float(np.float32(sc))) for u, sc, _ in ls.search(iq, k=10)]
+    assert got == want
+
+
+def test_serve_interval_multiterm_leaf_rejected(spark, pos_root):
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.intervals import IMultiTerm, IOrdered, ITerm
+
+    ls = LocalSearcher(pos_root)
+    q = Q.IntervalSourceQuery(
+        "text", IOrdered((IMultiTerm("prefix", "tab"), ITerm("scan")))
+    )
+    with pytest.raises(NotImplementedError):
+        ls.search(q, k=5)
+
+
+def test_serve_interval_requires_positions(spark, index_root):
+    from lucene_spark.search import query as Q
+
+    ls = LocalSearcher(index_root)  # session index: positions=False
+    with pytest.raises(NotImplementedError):
+        ls.search(Q.IntervalQuery("text", ("table", "scan")), k=5)
+
+
+def test_serve_interval_missing_term(spark, pos_root):
+    from lucene_spark.search import query as Q
+
+    assert LocalSearcher(pos_root).search(
+        Q.IntervalQuery("text", ("table", "zzznosuchterm")), k=5
+    ) == []
