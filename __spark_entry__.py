@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["common_grams_phrase"] = _pq_common_grams
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
+    q["substring_dup_stats"] = _pq_substring_dup
     q["decontam_ngram"] = _pq_decontam_ngram
     q["pii_scrub"] = _pq_pii_scrub
     q["chunk_documents"] = _pq_chunk_documents
@@ -253,7 +254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["interval_at_least"] = _pq_interval_at_least
     q["interval_prefix_near"] = _pq_interval_prefix_near
     q["interval_maxgaps"] = _pq_interval_maxgaps
-    q["interval_max_width"] = _pq_interval_max_width
     q["interval_no_overlaps"] = _pq_interval_no_overlaps
     q["common_terms"] = _pq_common_terms
     q["facet_taxonomy_counts"] = _pq_facet_taxonomy
@@ -290,6 +290,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dv_update_feature"] = _pq_dv_update
     q["high_freq_terms"] = _pq_high_freq_terms
     q["facet_dynamic_ranges"] = _pq_dynamic_ranges
+    # registered LAST on purpose: with 51 never-driver-checked entries and a
+    # 50-slot driver window, exactly one must sit outside — this one shares
+    # its whole machinery with the in-window interval_maxgaps twin and keeps
+    # local check_oracles + pytest evidence
+    q["interval_max_width"] = _pq_interval_max_width
     # The driver's correctness artifact covers the FIRST 50 entries in
     # insertion order. Rotate so every query that has NEVER had a green
     # driver row (union of CORRECTNESS_r01..r04 keys, minus the one red
@@ -1376,6 +1381,23 @@ def _pq_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     return exact_dedup(both, ["text"], "doc_id").select("rep_id", "dup_count")
+
+
+def _pq_substring_dup(spark, sf_dir):
+    """Substring-level dup detection (windowed-hash approximation of
+    exact suffix-array substring dedup): per doc, how many of its
+    16-token windows occur more than once corpus-wide. Top docs by
+    duplicated-window count."""
+    from lucene_spark.pipeline.dedup import substring_dup_stats
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = substring_dup_stats(d, "text", "doc_id", window=16)
+    return (
+        out.filter(F.col("dup_windows") > 0)
+        .orderBy(F.col("dup_windows").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", "n_windows", "dup_windows")
+    )
 
 
 def _pq_decontam_ngram(spark, sf_dir):
@@ -4962,6 +4984,26 @@ WITH unioned AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 )
 SELECT min(doc_id) AS rep_id, count(*) AS dup_count FROM unioned GROUP BY text
+"""
+    # 16-token sliding windows per doc, md5 over the space-joined tokens
+    # (identical bytes to Spark's md5(concat_ws)), corpus-wide occurrence
+    # counts, per-doc duplicated-window totals
+    o["substring_dup_stats"] = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+wins AS (
+  SELECT doc_id, md5(array_to_string(a[i:i+15], ' ')) AS wh
+  FROM arr, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(a) - 15, 0))) AS i
+  ) g
+),
+counts AS (SELECT wh, count(*) AS c FROM wins GROUP BY wh),
+per AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+  FROM wins w JOIN counts USING (wh) GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, dup_windows FROM per WHERE dup_windows > 0
+ORDER BY dup_windows DESC, doc_id ASC LIMIT 100
 """
     o["decontam_ngram"] = """
 WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -476,3 +476,46 @@ def dedup_keep_representatives(
     # when it fits, shuffle-hash when a 100 TB corpus's duplicate fraction
     # does not
     return df.join(losers, id_col, "left_anti")
+
+
+def substring_dup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 16
+) -> DataFrame:
+    """Substring-level duplication detection: slide a ``window``-token
+    window over each document, hash every window (md5 of the space-joined
+    tokens), count corpus-wide occurrences of each window hash, and report
+    per document how many of its windows also occur elsewhere (in another
+    doc OR repeated within the same doc).
+
+    The windowed-hash formulation is the scalable stand-in for exact
+    suffix-array substring dedup of training corpora (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    window generation is pure JVM column algebra (sequence / transform /
+    slice / md5 — no Python in the hot path), the only shuffles are the
+    window-hash groupBy and the hash-keyed count join, both
+    AQE-skew-safe, and cost is O(total tokens) rows — exactly what any
+    substring-dedup pass must touch at 100 TB.
+
+    Returns (id_col, n_windows, dup_windows); docs shorter than
+    ``window`` tokens have zero windows and are omitted.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nwin = F.size(toks) - F.lit(window - 1)
+    # sequence(1, n) DESCENDS when n < 1 — gate it so short docs get an
+    # empty window array instead of bogus [1, 0, ...] starts
+    starts = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
+    )
+    wins = df.select(F.col(id_col), F.explode(hashes).alias("wh"))
+    counts = wins.groupBy("wh").agg(F.count("*").alias("c"))
+    return (
+        wins.join(counts, "wh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dup_windows"),
+        )
+    )

@@ -426,3 +426,41 @@ def test_ivf_hybrid_filter(spark, emb, emb_np):
         e = {r["id"] for r in exact if r["query_id"] == qid}
         a = {r["id"] for r in approx if r["query_id"] == qid}
         assert len(e & a) >= 5
+
+
+def test_substring_dup_stats_matches_bruteforce(spark):
+    from lucene_spark.pipeline.dedup import substring_dup_stats
+
+    rows = [
+        (1, "a b c d e f"),        # shares window (a b c d) with doc 2
+        (2, "a b c d x y"),
+        (3, "p q r s t u"),        # unique windows only
+        (4, "m n o"),              # shorter than window -> no windows
+        (5, "z z z z z z z"),      # intra-doc repeats of (z z z z)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in substring_dup_stats(df, window=4).collect()
+    }
+    # brute force in python
+    import hashlib
+    from collections import Counter
+
+    wins = {}
+    for did, text in rows:
+        t = text.split(" ")
+        wins[did] = [
+            hashlib.md5(" ".join(t[i:i + 4]).encode()).hexdigest()
+            for i in range(len(t) - 3)
+        ]
+    counts = Counter(h for hs in wins.values() for h in hs)
+    want = {
+        did: (len(hs), sum(1 for h in hs if counts[h] > 1))
+        for did, hs in wins.items()
+        if hs
+    }
+    assert got == want
+    assert 4 not in got                 # short doc omitted
+    assert got[5][1] == got[5][0]       # every window of doc 5 repeats
+    assert got[3][1] == 0               # unique doc has no dup windows
