@@ -491,14 +491,22 @@ def substring_dup_stats(
     suffix-array substring dedup of training corpora (Lee et al.,
     "Deduplicating Training Data Makes Language Models Better"): the
     window generation is pure JVM column algebra (sequence / transform /
-    slice / md5 — no Python in the hot path), the only shuffles are the
-    window-hash groupBy and the hash-keyed count join, both
-    AQE-skew-safe, and cost is O(total tokens) rows — exactly what any
-    substring-dedup pass must touch at 100 TB.
+    slice / md5 — no Python in the hot path), and occurrence counting is
+    ONE partition-by-hash window count — a join of the exploded windows
+    against their own groupBy would scan and shuffle the corpus twice;
+    the window function shuffles the O(total tokens) rows once, which is
+    exactly the floor any substring-dedup pass must touch at 100 TB.
+    Degenerate hashes (boilerplate repeated millions of times) skew one
+    reducer each; AQE's skew handling doesn't split window-function
+    partitions, so at the extreme tail this keys the same mitigation as
+    `_cap_buckets` — count distinct-doc-bounded boilerplate via
+    exact_dedup first.
 
     Returns (id_col, n_windows, dup_windows); docs shorter than
     ``window`` tokens have zero windows and are omitted.
     """
+    from pyspark.sql import Window
+
     toks = F.split(F.col(text_col), " ")
     nwin = F.size(toks) - F.lit(window - 1)
     # sequence(1, n) DESCENDS when n < 1 — gate it so short docs get an
@@ -510,9 +518,9 @@ def substring_dup_stats(
         starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
     )
     wins = df.select(F.col(id_col), F.explode(hashes).alias("wh"))
-    counts = wins.groupBy("wh").agg(F.count("*").alias("c"))
+    c = F.count("*").over(Window.partitionBy("wh"))
     return (
-        wins.join(counts, "wh")
+        wins.withColumn("c", c)
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),
