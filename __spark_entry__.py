@@ -290,11 +290,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dv_update_feature"] = _pq_dv_update
     q["high_freq_terms"] = _pq_high_freq_terms
     q["facet_dynamic_ranges"] = _pq_dynamic_ranges
-    # registered LAST on purpose: with 51 never-driver-checked entries and a
-    # 50-slot driver window, exactly one must sit outside — this one shares
-    # its whole machinery with the in-window interval_maxgaps twin and keeps
-    # local check_oracles + pytest evidence
+    # registered LAST on purpose: with more never-driver-checked entries
+    # than the 50-slot driver window holds, these sit outside by explicit
+    # choice — interval_max_width shares its whole machinery with the
+    # in-window interval_maxgaps twin, and monitor_query_matches is gated
+    # by the non-circular indexed-search parity pytest; both keep local
+    # check_oracles evidence
     q["interval_max_width"] = _pq_interval_max_width
+    q["monitor_query_matches"] = _pq_monitor_query_matches
     # The driver's correctness artifact covers the FIRST 50 entries in
     # insertion order. Rotate so every query that has NEVER had a green
     # driver row (union of CORRECTNESS_r01..r04 keys, minus the one red
@@ -1000,6 +1003,30 @@ def _pq_monitor(spark, sf_dir):
         {"q1": ["table", "scan"], "q2": ["merge"]},
     )
     return matches.groupBy("query_id").agg(F.count("*").alias("n"))
+
+
+def _pq_monitor_query_matches(spark, sf_dir):
+    """Full-query reverse search (monitor over arbitrary Query ASTs —
+    reference monitor/Monitor.java): an exact phrase and a 2-of-3
+    minimum-should-match boolean matched against every doc via the
+    anchor-pruned presearcher + per-candidate docmatch verifier."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming import monitor_query_stream
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = {
+        "phrase": Q.PhraseQuery("text", ("table", "scan")),
+        "msm2": Q.BooleanQuery.build(
+            (Q.SHOULD, Q.TermQuery("text", "merge")),
+            (Q.SHOULD, Q.TermQuery("text", "window")),
+            (Q.SHOULD, Q.TermQuery("text", "spark")),
+            minimum_should_match=2,
+        ),
+    }
+    out = monitor_query_stream(spark, d, queries, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "query_id").orderBy(
+        "query_id", "doc_id"
+    )
 
 
 def _pq_search_after(spark, sf_dir):
@@ -3982,6 +4009,25 @@ freqs AS (
 SELECT doc_id, round(1.0 - 1.0 / (1.0 + f), 4) AS score_r
 FROM freqs WHERE f > 0
 ORDER BY (1.0 - 1.0 / (1.0 + f)) DESC, doc_id ASC LIMIT {K}
+"""
+    # full-query monitor: exact phrase = adjacent positions; msm2 = docs
+    # containing >= 2 distinct terms of the 3-term SHOULD set
+    o["monitor_query_matches"] = f"""
+WITH tokp AS ({_TOKP}),
+ph AS (
+  SELECT DISTINCT a.doc_id FROM tokp a
+  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'scan'
+),
+msm AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT term) AS c FROM tokp
+    WHERE term IN ('merge', 'window', 'spark') GROUP BY doc_id
+  ) WHERE c >= 2
+)
+SELECT doc_id, 'phrase' AS query_id FROM ph
+UNION ALL SELECT doc_id, 'msm2' AS query_id FROM msm
+ORDER BY query_id, doc_id
 """
     rs_base = _bm25_term_sql([("table", 1.0), ("scan", 1.0)], k=20)
     o["rescore_topk"] = (

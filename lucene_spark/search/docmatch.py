@@ -1,0 +1,224 @@
+"""Per-document query matching — the Monitor's candidate verifier.
+
+Given ONE analyzed document (term -> sorted positions) and a Query AST,
+decide whether the query matches that document, with the same semantics
+the index-backed searcher produces (reference monitor/CandidateMatcher.java
+runs each candidate query against a one-doc MemoryIndex; here the analyzed
+token map IS that one-doc index). Used candidate-bounded: the monitor's
+presearcher join prunes (doc, query) pairs first, so this never sees the
+full doc x query cross product.
+
+Scale notes: everything here is per-candidate CPU with no data movement;
+the heavy lifting (tokenizing, anchor pruning) stays JVM/Arrow-side in
+streaming/ingest.py. Phrase slop reuses the faithful SloppyPhraseMatcher
+port and intervals reuse eval_source, so a monitor match agrees exactly
+with what the equivalent indexed query would return.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import query as Q
+
+
+def _wildcard_regex(pattern: str) -> "re.Pattern":
+    """Reference WildcardQuery syntax: * = any run, ? = one char, backslash
+    escapes (core/search/WildcardQuery.java:35-60)."""
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out), re.DOTALL)
+
+
+def _in_range(t: str, q: "Q.TermRangeQuery") -> bool:
+    if q.lower is not None:
+        if t < q.lower or (t == q.lower and not q.include_lower):
+            return False
+    if q.upper is not None:
+        if t > q.upper or (t == q.upper and not q.include_upper):
+            return False
+    return True
+
+
+def validate_matchable(q) -> None:
+    """Raise ValueError for query shapes matches_doc cannot evaluate —
+    called at monitor registration time so unsupported queries fail fast,
+    not per candidate."""
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return validate_matchable(q.query)
+    if isinstance(q, Q.BooleanQuery):
+        for c in q.clauses:
+            validate_matchable(c.query)
+        return
+    if isinstance(q, Q.IntervalSourceQuery):
+        from . import intervals as IV
+
+        try:
+            specs = IV.leaf_specs(q.source)
+        except TypeError:
+            raise ValueError(
+                "monitor interval queries cannot hold multi-term leaves "
+                "(no dictionary to expand against); expand first"
+            )
+        if any(mf is not None for _, _, mf in specs):
+            raise ValueError("monitor matches a single text field; "
+                             "field-masked interval leaves are unsupported")
+        return
+    if isinstance(
+        q,
+        (
+            Q.TermQuery, Q.SynonymQuery, Q.TermInSetQuery, Q.PrefixQuery,
+            Q.WildcardQuery, Q.TermRangeQuery, Q.FuzzyQuery, Q.PhraseQuery,
+            Q.MultiPhraseQuery, Q.IntervalQuery, Q.MatchAllDocsQuery,
+            Q.MatchNoDocsQuery,
+        ),
+    ):
+        return
+    raise ValueError(f"monitor cannot match {type(q).__name__} per-document")
+
+
+def matches_doc(q, pos_map: dict[str, list]) -> bool:
+    """True iff ``q`` matches the document whose analyzed tokens are
+    ``pos_map`` (term -> ascending position list)."""
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return matches_doc(q.query, pos_map)
+    if isinstance(q, Q.MatchAllDocsQuery):
+        return True
+    if isinstance(q, Q.MatchNoDocsQuery):
+        return False
+    if isinstance(q, Q.TermQuery):
+        return q.term in pos_map
+    if isinstance(q, (Q.SynonymQuery, Q.TermInSetQuery)):
+        return any(t in pos_map for t in q.terms)
+    if isinstance(q, Q.PrefixQuery):
+        return any(t.startswith(q.prefix) for t in pos_map)
+    if isinstance(q, Q.WildcardQuery):
+        rx = _wildcard_regex(q.pattern)
+        return any(rx.fullmatch(t) for t in pos_map)
+    if isinstance(q, Q.TermRangeQuery):
+        return any(_in_range(t, q) for t in pos_map)
+    if isinstance(q, Q.FuzzyQuery):
+        from .query import _edit_distance_le
+
+        pl = q.prefix_length
+        return any(
+            t[:pl] == q.term[:pl]
+            and _edit_distance_le(q.term, t, q.max_edits, q.transpositions)
+            for t in pos_map
+        )
+    if isinstance(q, Q.PhraseQuery):
+        pls = [pos_map.get(t) for t in q.terms]
+        if any(p is None for p in pls):
+            return False
+        from .phrase import _phrase_freq_sloppy
+
+        return _phrase_freq_sloppy(pls, q.slop, terms=list(q.terms)) > 0.0
+    if isinstance(q, Q.MultiPhraseQuery):
+        from .phrase import _phrase_freq_sloppy
+
+        slot_pls, slot_terms = [], []
+        for slot in q.slots:
+            present = sorted({p for t in slot if t in pos_map for p in pos_map[t]})
+            if not present:
+                return False
+            slot_pls.append(present)
+            slot_terms.append(tuple(slot))
+        return _phrase_freq_sloppy(slot_pls, q.slop, terms=slot_terms) > 0.0
+    if isinstance(q, Q.IntervalQuery):
+        from .intervals import interval_freq
+
+        uniq = list(dict.fromkeys(q.terms))
+        pls = [pos_map.get(t) for t in uniq]
+        if any(p is None for p in pls):
+            return False
+        return interval_freq(pls, q.ordered, q.max_gaps) > 0.0
+    if isinstance(q, Q.IntervalSourceQuery):
+        from .intervals import eval_source, leaf_specs
+
+        pos = {key: pos_map.get(term, []) for key, term, _ in leaf_specs(q.source)}
+        return len(eval_source(q.source, pos)) > 0
+    if isinstance(q, Q.BooleanQuery):
+        musts = [c.query for c in q.clauses if c.occur in (Q.MUST, Q.FILTER)]
+        nots = [c.query for c in q.clauses if c.occur == Q.MUST_NOT]
+        shoulds = [c.query for c in q.clauses if c.occur == Q.SHOULD]
+        for m in musts:
+            if not matches_doc(m, pos_map):
+                return False
+        for n in nots:
+            if matches_doc(n, pos_map):
+                return False
+        need = q.minimum_should_match
+        if shoulds and not musts and need == 0:
+            need = 1  # pure disjunction needs >= 1 SHOULD (BooleanWeight)
+        if need == 0:
+            return True
+        return sum(1 for s in shoulds if matches_doc(s, pos_map)) >= need
+    raise ValueError(f"monitor cannot match {type(q).__name__} per-document")
+
+
+def anchor_terms(q) -> list[str] | None:
+    """Presearcher anchor group for ``q``: a term set such that EVERY
+    matching document must contain at least one of its members
+    (TermFilteredPresearcher's required-term extraction,
+    monitor/TermFilteredPresearcher.java:62-120). Returns None when no
+    such finite set exists (wildcard/prefix/range/match-all shapes — the
+    MatchAllPresearcher path), and [] when the query can match nothing."""
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return anchor_terms(q.query)
+    if isinstance(q, Q.MatchNoDocsQuery):
+        return []
+    if isinstance(q, Q.TermQuery):
+        return [q.term]
+    if isinstance(q, (Q.SynonymQuery, Q.TermInSetQuery)):
+        return list(q.terms)
+    if isinstance(q, (Q.PhraseQuery, Q.IntervalQuery)):
+        if not q.terms:
+            return []
+        # every slot/term is required: anchor on the longest (rarity proxy)
+        return [max(q.terms, key=lambda t: (len(t), t))]
+    if isinstance(q, Q.MultiPhraseQuery):
+        if not q.slots:
+            return []
+        # every slot required: anchor on the smallest alternative set
+        return list(min(q.slots, key=len))
+    if isinstance(q, Q.IntervalSourceQuery):
+        from .intervals import required_terms
+
+        groups = required_terms(q.source)
+        if any(not g for g in groups):
+            return []  # a required side with no terms can never match
+        return list(min(groups, key=len))
+    if isinstance(q, Q.BooleanQuery):
+        must_groups = [
+            a
+            for c in q.clauses
+            if c.occur in (Q.MUST, Q.FILTER)
+            for a in [anchor_terms(c.query)]
+            if a is not None
+        ]
+        if any(a == [] for a in must_groups):
+            return []  # an unmatchable MUST kills the query
+        if must_groups:
+            return min(must_groups, key=len)
+        shoulds = [c.query for c in q.clauses if c.occur == Q.SHOULD]
+        has_must = any(c.occur in (Q.MUST, Q.FILTER) for c in q.clauses)
+        if shoulds and (q.minimum_should_match >= 1 or not has_must):
+            # >=1 SHOULD must match: the union of per-SHOULD anchors is a
+            # valid anchor set — but only if EVERY should is anchorable
+            per = [anchor_terms(s) for s in shoulds]
+            if all(a is not None for a in per):
+                return sorted({t for a in per for t in a})
+        return None
+    return None  # unanchorable: evaluated against every doc

@@ -1,4 +1,4 @@
-from .ingest import monitor_stream, start_index_stream
+from .ingest import monitor_query_stream, monitor_stream, start_index_stream
 from .dedup import dedup_docs_stream, dedup_stream, with_content_hash
 from .windows import windowed_event_counts
 
@@ -6,6 +6,7 @@ __all__ = [
     "dedup_docs_stream",
     "dedup_stream",
     "monitor_stream",
+    "monitor_query_stream",
     "start_index_stream",
     "windowed_event_counts",
     "with_content_hash",

@@ -19,6 +19,7 @@ Lucene analogues:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -139,3 +140,109 @@ def monitor_stream(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def monitor_query_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    queries: dict,
+    text_col: str = "text",
+    id_col: str = "url",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Full-query reverse search: match incoming docs against registered
+    Query ASTs (or query strings) of ANY supported shape — boolean with
+    msm/MUST_NOT, phrase (exact + sloppy, via the faithful
+    SloppyPhraseMatcher port), multi-phrase, intervals (flat + nested
+    sources), multi-term (prefix/wildcard/fuzzy/range/set) — not just term
+    conjunctions (reference monitor/Monitor.java + CandidateMatcher.java;
+    the per-candidate verifier is search/docmatch.py, the one-doc
+    MemoryIndex analogue).
+
+    Presearcher: each query contributes an anchor-term set (a set such
+    that every matching doc must contain >= 1 member —
+    TermFilteredPresearcher semantics, including OR-group unions for
+    SHOULD-only booleans). Candidates = docs whose token set overlaps the
+    anchor set, pruned JVM-side with one broadcast ``arrays_overlap``
+    join before ANY Python verification; unanchorable queries
+    (wildcard/prefix/range/match-all) fall back to the MatchAllPresearcher
+    path. The join is stateless (no dropDuplicates / aggregation), so the
+    SAME plan runs on a micro-batch or a batch DataFrame.
+
+    Returns (id, query_id) matches.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..search.docmatch import anchor_terms, matches_doc, validate_matchable
+    from ..search.parser import parse
+
+    parsed = {}
+    for qid, q in queries.items():
+        qq = parse(q) if isinstance(q, str) else q
+        validate_matchable(qq)
+        parsed[qid] = qq
+
+    anchored, match_all = [], []
+    for qid, q in parsed.items():
+        a = anchor_terms(q)
+        if a is None:
+            match_all.append(qid)
+        elif a:
+            anchored.append((qid, a))
+        # a == [] -> provably unmatchable, drop at registration
+
+    @pandas_udf("terms array<string>, positions array<int>")
+    def tokens_udf(texts: pd.Series) -> pd.DataFrame:
+        from ..analysis.analyzer import analyzer_for
+
+        an = analyzer_for(analyzer)
+        terms, positions = [], []
+        for t in texts:
+            toks = an.tokens(t or "")
+            terms.append([tk.term for tk in toks])
+            positions.append([tk.position for tk in toks])
+        return pd.DataFrame({"terms": terms, "positions": positions})
+
+    analyzed = stream_df.select(
+        F.col(id_col).alias("id"), tokens_udf(F.col(text_col)).alias("tk")
+    ).select("id", F.col("tk.terms").alias("terms"), F.col("tk.positions").alias("positions"))
+
+    @pandas_udf("boolean")
+    def verify_udf(qids: pd.Series, terms: pd.Series, positions: pd.Series) -> pd.Series:
+        out = []
+        for qid, ts, ps in zip(qids, terms, positions):
+            pm: dict = {}
+            for t, p in zip(ts, ps):
+                pm.setdefault(t, []).append(int(p))
+            out.append(matches_doc(parsed[qid], pm))
+        return pd.Series(out, dtype=bool)
+
+    parts = []
+    if anchored:
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [(qid, list(a)) for qid, a in anchored],
+                "query_id string, anchors array<string>",
+            )
+        )
+        parts.append(
+            analyzed.join(qdf, F.arrays_overlap("terms", "anchors")).select(
+                "id", "terms", "positions", "query_id"
+            )
+        )
+    if match_all:
+        edf = F.broadcast(
+            spark.createDataFrame([(qid,) for qid in match_all], "query_id string")
+        )
+        parts.append(analyzed.crossJoin(edf))
+    if not parts:
+        return analyzed.select(
+            "id", F.lit(None).cast("string").alias("query_id")
+        ).filter(F.lit(False))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    return cand.filter(
+        verify_udf(F.col("query_id"), F.col("terms"), F.col("positions"))
+    ).select("id", "query_id")

@@ -1,0 +1,172 @@
+"""Full-query monitor (reverse search over arbitrary Query ASTs):
+docmatch unit vectors, presearcher completeness (anchor pruning loses no
+match), and non-circular parity against the indexed searcher."""
+
+import pytest
+
+from conftest import TESTDATA
+from lucene_spark.analysis.analyzer import STANDARD
+from lucene_spark.pages import pages_from_documents
+from lucene_spark.search import query as Q
+from lucene_spark.search.docmatch import anchor_terms, matches_doc, validate_matchable
+from lucene_spark.search.intervals import IMaxGaps, ITerm, IUnordered
+from lucene_spark.streaming import monitor_query_stream
+
+
+def _pm(text):
+    pm = {}
+    for t in STANDARD.tokens(text):
+        pm.setdefault(t.term, []).append(t.position)
+    return pm
+
+
+# -- docmatch unit vectors ------------------------------------------------
+
+def test_matches_doc_shapes():
+    pm = _pm("The quick brown fox jumps over the lazy dog quick")
+    assert matches_doc(Q.TermQuery("text", "quick"), pm)
+    assert not matches_doc(Q.TermQuery("text", "cat"), pm)
+    assert matches_doc(Q.PhraseQuery("text", ("quick", "brown", "fox")), pm)
+    assert not matches_doc(Q.PhraseQuery("text", ("brown", "quick")), pm)
+    assert matches_doc(Q.PhraseQuery("text", ("quick", "fox"), slop=1), pm)
+    assert matches_doc(Q.PrefixQuery("text", "qui"), pm)
+    assert matches_doc(Q.WildcardQuery("text", "l*zy"), pm)
+    assert not matches_doc(Q.WildcardQuery("text", "l?zy?"), pm)
+    assert matches_doc(Q.FuzzyQuery("text", "quik", max_edits=1), pm)
+    assert not matches_doc(Q.FuzzyQuery("text", "quik", max_edits=1,
+                                        prefix_length=4), pm)
+    assert matches_doc(Q.TermRangeQuery("text", "dog", "fox"), pm)
+    assert not matches_doc(
+        Q.TermRangeQuery("text", "dog", "fox", include_lower=False,
+                         include_upper=False),
+        _pm("dog fox"),
+    )
+    assert matches_doc(Q.IntervalQuery("text", ("fox", "lazy"), ordered=True,
+                                       max_gaps=3), pm)
+    assert not matches_doc(Q.IntervalQuery("text", ("fox", "lazy"),
+                                           ordered=True, max_gaps=1), pm)
+    assert matches_doc(
+        Q.IntervalSourceQuery(
+            "text", IMaxGaps(IUnordered((ITerm("fox"), ITerm("dog"))), 6)
+        ),
+        pm,
+    )
+
+
+def test_matches_doc_boolean_semantics():
+    pm = _pm("alpha beta gamma")
+    b = Q.BooleanQuery.build
+    assert matches_doc(b((Q.MUST, Q.TermQuery("text", "alpha")),
+                         (Q.MUST_NOT, Q.TermQuery("text", "delta"))), pm)
+    assert not matches_doc(b((Q.MUST, Q.TermQuery("text", "alpha")),
+                             (Q.MUST_NOT, Q.TermQuery("text", "beta"))), pm)
+    # pure disjunction needs >= 1 SHOULD even with msm=0
+    assert not matches_doc(b((Q.SHOULD, Q.TermQuery("text", "delta")),
+                             (Q.SHOULD, Q.TermQuery("text", "epsilon"))), pm)
+    # msm=2 of 3
+    two_of3 = Q.BooleanQuery.build(
+        (Q.SHOULD, Q.TermQuery("text", "alpha")),
+        (Q.SHOULD, Q.TermQuery("text", "beta")),
+        (Q.SHOULD, Q.TermQuery("text", "delta")),
+        minimum_should_match=2,
+    )
+    assert matches_doc(two_of3, pm)
+    assert not matches_doc(two_of3, _pm("alpha zeta"))
+    # MUST present -> SHOULD optional at msm=0
+    assert matches_doc(b((Q.MUST, Q.TermQuery("text", "alpha")),
+                         (Q.SHOULD, Q.TermQuery("text", "delta"))), pm)
+
+
+def test_anchor_terms_shapes():
+    assert anchor_terms(Q.TermQuery("text", "a")) == ["a"]
+    assert anchor_terms(Q.PhraseQuery("text", ("aa", "bbb"))) == ["bbb"]
+    assert anchor_terms(Q.WildcardQuery("text", "a*")) is None
+    assert anchor_terms(Q.MatchNoDocsQuery()) == []
+    # MUST anchors beat SHOULD unions; unanchorable SHOULD poisons the union
+    b = Q.BooleanQuery.build
+    assert anchor_terms(b((Q.MUST, Q.TermQuery("text", "m")),
+                          (Q.SHOULD, Q.WildcardQuery("text", "x*")))) == ["m"]
+    assert anchor_terms(b((Q.SHOULD, Q.TermQuery("text", "a")),
+                          (Q.SHOULD, Q.TermInSetQuery("text", ("b", "c"))))) \
+        == ["a", "b", "c"]
+    assert anchor_terms(b((Q.SHOULD, Q.TermQuery("text", "a")),
+                          (Q.SHOULD, Q.WildcardQuery("text", "x*")))) is None
+    # unmatchable MUST kills the query
+    assert anchor_terms(b((Q.MUST, Q.MatchNoDocsQuery()),
+                          (Q.MUST, Q.TermQuery("text", "a")))) == []
+
+
+def test_validate_rejects_unsupported():
+    with pytest.raises(ValueError):
+        validate_matchable(Q.KnnQuery("embedding", (0.0,) * 4, k=3))
+    from lucene_spark.search.intervals import IMultiTerm, IOrdered
+
+    with pytest.raises(ValueError):
+        validate_matchable(
+            Q.IntervalSourceQuery("text", IOrdered((IMultiTerm("prefix", "a"),
+                                                    ITerm("b"))))
+        )
+
+
+# -- end-to-end: presearcher completeness + searcher parity ---------------
+
+QUERIES = {
+    "phrase": Q.PhraseQuery("text", ("table", "scan")),
+    "sloppy": Q.PhraseQuery("text", ("table", "scan"), slop=2),
+    "bool_msm": Q.BooleanQuery.build(
+        (Q.SHOULD, Q.TermQuery("text", "merge")),
+        (Q.SHOULD, Q.TermQuery("text", "window")),
+        (Q.SHOULD, Q.TermQuery("text", "spark")),
+        minimum_should_match=2,
+    ),
+    "must_not": Q.BooleanQuery.build(
+        (Q.MUST, Q.TermQuery("text", "table")),
+        (Q.MUST_NOT, Q.TermQuery("text", "merge")),
+    ),
+    "interval": Q.IntervalSourceQuery(
+        "text", IMaxGaps(IUnordered((ITerm("data"), ITerm("query"))), 4)
+    ),
+    "prefix_unanchored": Q.PrefixQuery("text", "tabl"),
+    "parsed_string": '"key order"~1',
+}
+
+
+def test_monitor_query_stream_matches_per_doc_truth(spark):
+    pages = pages_from_documents(spark, TESTDATA).select("url", "text")
+    got = {
+        (r["id"], r["query_id"])
+        for r in monitor_query_stream(spark, pages, QUERIES).collect()
+    }
+    from lucene_spark.search.parser import parse
+
+    want = set()
+    for row in pages.collect():
+        pm = _pm(row["text"])
+        for qid, q in QUERIES.items():
+            qq = parse(q) if isinstance(q, str) else q
+            if matches_doc(qq, pm):
+                want.add((row["url"], qid))
+    assert got == want
+    assert len(got) > 0
+    # every query shape must fire at least once on this corpus
+    assert {q for _, q in got} == set(QUERIES)
+
+
+def test_monitor_agrees_with_indexed_search(spark, reader):
+    """Non-circular gate: the monitor's match set for a query equals the
+    match set of the SAME query run against the built index."""
+    from lucene_spark.search import IndexSearcher
+
+    pages = pages_from_documents(spark, TESTDATA).select("url", "text")
+    s = IndexSearcher(reader)
+    for qid in ("phrase", "sloppy", "bool_msm", "must_not"):
+        q = QUERIES[qid]
+        indexed = {
+            r["url"]
+            for r in s.search(q, k=100_000, mode="exhaustive").collect()
+        }
+        monitored = {
+            r["id"]
+            for r in monitor_query_stream(spark, pages, {qid: q}).collect()
+        }
+        assert monitored == indexed, qid
