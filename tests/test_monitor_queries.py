@@ -170,3 +170,53 @@ def test_monitor_agrees_with_indexed_search(spark, reader):
             for r in monitor_query_stream(spark, pages, {qid: q}).collect()
         }
         assert monitored == indexed, qid
+
+
+def test_monitor_query_stream_on_real_stream(spark, tmp_path):
+    """The stateless claim, substantiated: the SAME monitor plan runs as a
+    Structured Streaming micro-batch job (stream-static broadcast joins,
+    no state store), and the streamed matches equal the batch matches."""
+    src = str(tmp_path / "mon_src")
+    schema = "url string, text string"
+    b1 = [("u1", "the quick table scan runs"), ("u2", "merge then window then spark")]
+    b2 = [("u3", "table without the other word"), ("u4", "table scan again plus merge")]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    queries = {
+        "phrase": Q.PhraseQuery("text", ("table", "scan")),
+        "msm2": Q.BooleanQuery.build(
+            (Q.SHOULD, Q.TermQuery("text", "merge")),
+            (Q.SHOULD, Q.TermQuery("text", "window")),
+            (Q.SHOULD, Q.TermQuery("text", "spark")),
+            minimum_should_match=2,
+        ),
+        "wild": Q.WildcardQuery("text", "wi*ow"),
+    }
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = monitor_query_stream(spark, stream, queries)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("monitor_q_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["id"], r["query_id"])
+            for r in spark.sql("SELECT * FROM monitor_q_stream_t").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.parquet(src)
+    want = {
+        (r["id"], r["query_id"])
+        for r in monitor_query_stream(spark, batch, queries).collect()
+    }
+    assert got == want
+    assert ("u1", "phrase") in got and ("u4", "phrase") in got
+    assert ("u2", "msm2") in got and ("u4", "msm2") not in got
+    assert ("u2", "wild") in got  # unanchorable shape rides the stream too
