@@ -382,6 +382,13 @@ def main():
         t0 = time.time()
         exact_dedup(pages_q, ["text"], "url").count()
         t_dedup = min(t_dedup, time.time() - t0)
+    from lucene_spark.pipeline.dedup import substring_dup_stats
+
+    t_sdup = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        substring_dup_stats(pages_q, "text", "url", window=16).count()
+        t_sdup = min(t_sdup, time.time() - t0)
     result["pipeline_ops"] = {
         "n_vectors": n_emb * vreps,
         "ivf_nlist": nlist,
@@ -402,6 +409,8 @@ def main():
         "dedup_docs": n_docs,
         "dedup_exact_sec": round(t_dedup, 2),
         "dedup_docs_per_sec": round(n_docs / t_dedup, 1),
+        "substring_dup_sec": round(t_sdup, 2),
+        "substring_dup_docs_per_sec": round(n_docs / t_sdup, 1),
     }
 
     # serving-path latency: same index + kernels, driver-local pyarrow
