@@ -220,3 +220,52 @@ def test_monitor_query_stream_on_real_stream(spark, tmp_path):
     assert ("u1", "phrase") in got and ("u4", "phrase") in got
     assert ("u2", "msm2") in got and ("u4", "msm2") not in got
     assert ("u2", "wild") in got  # unanchorable shape rides the stream too
+
+
+def test_docmatch_vs_indexed_search_random_trees(spark, reader):
+    """Cross-implementation fuzz: for seeded random query trees (terms,
+    phrases, nested booleans with random occurs + msm), the per-doc
+    matcher's match set equals the indexed searcher's — two independent
+    code paths (token-map evaluation vs postings kernels) must agree on
+    every doc."""
+    import random
+
+    from lucene_spark.search import IndexSearcher
+
+    pages = pages_from_documents(spark, TESTDATA).select("url", "text").collect()
+    pms = {r["url"]: _pm(r["text"]) for r in pages}
+    vocab = ["table", "scan", "merge", "window", "spark", "data", "query",
+             "key", "order", "zzznope"]
+    rng = random.Random(42)
+
+    def rand_leaf():
+        if rng.random() < 0.7:
+            return Q.TermQuery("text", rng.choice(vocab))
+        n = rng.randint(2, 3)
+        return Q.PhraseQuery(
+            "text", tuple(rng.choice(vocab) for _ in range(n)),
+            slop=rng.choice([0, 1, 2]),
+        )
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rand_leaf()
+        n = rng.randint(2, 4)
+        occurs = [rng.choice([Q.MUST, Q.SHOULD, Q.SHOULD, Q.FILTER, Q.MUST_NOT])
+                  for _ in range(n)]
+        if not any(o != Q.MUST_NOT for o in occurs):
+            occurs[0] = Q.MUST  # keep at least one positive clause
+        clauses = [(o, rand_tree(depth - 1)) for o in occurs]
+        n_should = sum(1 for o, _ in clauses if o == Q.SHOULD)
+        msm = rng.randint(0, n_should) if n_should else 0
+        return Q.BooleanQuery.build(*clauses, minimum_should_match=msm)
+
+    s = IndexSearcher(reader)
+    checked = 0
+    for _ in range(30):
+        q = rand_tree(2)
+        want = {u for u, pm in pms.items() if matches_doc(q, pm)}
+        got = {r["url"] for r in s.search(q, k=100_000, mode="exhaustive").collect()}
+        assert got == want, q
+        checked += 1 if want else 0
+    assert checked >= 10  # enough non-empty match sets to mean something
