@@ -970,6 +970,45 @@ NORWEGIAN_MINIMAL = _make_light("norwegian", "stem_norwegian_minimal")
 LATVIAN = _make_light("latvian", "stem_latvian")
 
 
+def _make_danish():
+    # DanishAnalyzer chain (analysis/common/.../da/DanishAnalyzer.java):
+    # lowercase -> snowball stop list -> SnowballFilter(DanishStemmer).
+    # The stemmer is a from-algorithm Python reimplementation gated by
+    # 3,339 golden vectors generated from the reference's own stemmer
+    # (tests/data/snowball_danish.tsv).
+    from . import stop_sets
+    from .snowball_stemmers import stem_danish
+
+    return Analyzer(stopwords=stop_sets.DANISH_STOP_WORDS, stemmer=stem_danish)
+
+
+DANISH = _make_danish()
+
+
+def _make_dutch():
+    # DutchAnalyzer chain (analysis/common/.../nl/DutchAnalyzer.java):
+    # lowercase -> snowball stop list -> StemmerOverrideFilter (the
+    # 4-entry DEFAULT_STEM_DICT keeps fiets/bromfiets whole and maps
+    # ei->eier, kind->kinder) -> SnowballFilter(DutchStemmer). The
+    # stemmer is a from-algorithm Python reimplementation gated by 1,704
+    # golden vectors from the reference's own stemmer
+    # (tests/data/snowball_dutch.tsv).
+    from . import stop_sets
+    from .snowball_stemmers import stem_dutch
+
+    overrides = {"fiets": "fiets", "bromfiets": "bromfiets",
+                 "ei": "eier", "kind": "kinder"}
+
+    def _stem(term: str) -> str:
+        o = overrides.get(term)
+        return o if o is not None else stem_dutch(term)
+
+    return Analyzer(stopwords=stop_sets.DUTCH_STOP_WORDS, stemmer=_stem)
+
+
+DUTCH = _make_dutch()
+
+
 def _persian_normalize(term: str) -> str:
     # PersianAnalyzer: ArabicNormalizationFilter then
     # PersianNormalizationFilter, BEFORE the (normalized) stop list
@@ -1185,6 +1224,8 @@ _BASE_ANALYZERS = {
     "galician_minimal": GALICIAN_MINIMAL,
     "portuguese_rslp": PORTUGUESE_RSLP,
     "telugu": TELUGU,
+    "danish": DANISH,
+    "dutch": DUTCH,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

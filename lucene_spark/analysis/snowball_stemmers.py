@@ -1,0 +1,666 @@
+"""Snowball stemmers re-implemented in Python (idiomatic, not generated).
+
+Semantics follow the published Snowball algorithms as compiled into the
+reference's generated stemmers (analysis/common/src/java/org/tartarus/
+snowball/ext/*.java — studied for behavior, re-derived here); every
+implementation is gated by thousands of golden vectors produced by
+RUNNING the reference stemmer over stop lists + synthetic
+root x suffix crosses (scripts/gen_snowball_vectors.py →
+tests/data/snowball_*.tsv).
+
+Danish (DanishStemmer.java, danish.sbl): R1 region (first non-vowel
+after a vowel, floored at position 3), longest-suffix deletion with the
+valid-s-ending gate, consonant-pair shortening, the ig/lig/elig/els +
+løst other-suffix step, and final undoubling.
+"""
+
+from __future__ import annotations
+
+_DA_VOWELS = frozenset("aeiouyåæø")
+# chars allowed immediately before a deletable final 's'
+_DA_S_ENDING = frozenset("abcdfghjklmnoprtvyzå")
+# consonant grouping for the undouble step (b..z minus vowels minus y)
+_DA_UNDOUBLE = frozenset("bcdfghjklmnpqrstvwxz")
+
+# a_0: main suffixes; every entry deletes, 's' additionally requires a
+# valid s-ending before it. Longest match within R1 wins.
+_DA_MAIN = sorted(
+    [
+        "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+        "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "s",
+        "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+        "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+    ],
+    key=len,
+    reverse=True,
+)
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+_DA_OTHER = sorted(["ig", "lig", "elig", "els", "løst"], key=len, reverse=True)
+
+
+def _danish_p1(w: str) -> int:
+    """R1 start: after the first non-vowel that follows a vowel, floored
+    at 3 (mark_regions' x = cursor+3); len(w) when no region exists."""
+    n = len(w)
+    if n < 3:
+        return n
+    i = 0
+    while i < n and w[i] not in _DA_VOWELS:
+        i += 1
+    while i < n and w[i] in _DA_VOWELS:
+        i += 1
+    if i >= n:
+        return n
+    return max(i + 1, 3)
+
+
+def _da_longest_in_r1(w: str, p1: int, suffixes) -> str | None:
+    for s in suffixes:
+        if w.endswith(s) and len(w) - len(s) >= p1:
+            return s
+    return None
+
+
+def _da_consonant_pair(w: str, p1: int) -> str:
+    if _da_longest_in_r1(w, p1, _DA_PAIRS):
+        return w[:-1]
+    return w
+
+
+def stem_danish(w: str) -> str:
+    p1 = _danish_p1(w)
+    # step 1: main suffix (longest in R1; 's' gated on a valid s-ending)
+    s = _da_longest_in_r1(w, p1, _DA_MAIN)
+    if s is not None:
+        if s != "s":
+            w = w[: -len(s)]
+        elif len(w) >= 2 and w[-2] in _DA_S_ENDING:
+            w = w[:-1]
+    # step 2: consonant pair -> drop the final letter
+    w = _da_consonant_pair(w, p1)
+    # step 3: 'igst' loses 'st' unconditionally (outside R1 too), then
+    # ig/lig/elig/els delete in R1 (re-running step 2), løst -> løs
+    if w.endswith("igst"):
+        w = w[:-2]
+    s = _da_longest_in_r1(w, p1, _DA_OTHER)
+    if s == "løst":
+        w = w[:-1]
+    elif s is not None:
+        w = w[: -len(s)]
+        w = _da_consonant_pair(w, p1)
+    # step 4: undouble — final consonant in R1 preceded by itself
+    if (
+        len(w) - 1 >= p1
+        and w[-1] in _DA_UNDOUBLE
+        and len(w) >= 2
+        and w[-2] == w[-1]
+    ):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Dutch (DutchStemmer.java, Snowball 3.0 dutch.sbl — the Kraaij-Pohlmann-
+# style algorithm the reference DutchAnalyzer chains): suffix steps 1-4
+# with vowel lengthening, ge- prefix/infix removal with re-measure,
+# post-GE d/t cleanup, ft/kt/pt shortening, and final undoubling.
+# Gated by golden vectors in tests/data/snowball_dutch.tsv.
+
+_NL_V = frozenset("aeiouyàáâäèéêëìíîïòóôöùúûü")
+_NL_V_WX = _NL_V | frozenset("wx")
+_NL_AEIOU = _NL_V - frozenset("y")
+_NL_AIOU = _NL_AEIOU - frozenset("eèéêë")
+_NL_E = frozenset("eèéêë")
+_NL_LENGTHEN_AIOU = frozenset("aouàáâäòóôöùúûü")  # a_0 case-1 singles
+_NL_LENGTHEN_E = frozenset("eèéê")                 # a_0 case-2 singles
+
+
+class _NL:
+    """Word + regions; suffix helpers mirror the backward-mode snowball
+    primitives (positions are indexes into the CURRENT word; p1/p2 are
+    recomputed only where the reference calls r_measure)."""
+
+    def __init__(self, w: str):
+        self.w = w
+        self.measure()
+
+    # -- measure (forward; 'ij' counts as one vowel unit, no floor) --
+    def measure(self) -> None:
+        w, n = self.w, len(self.w)
+        self.p1 = self.p2 = n
+
+        def vowel_run(i):
+            # consume >= 1 vowel-or-ij units; return new i or None
+            count = 0
+            while i < n:
+                if w.startswith("ij", i):
+                    i += 2
+                elif w[i] in _NL_V:
+                    i += 1
+                else:
+                    break
+                count += 1
+            return i if count else None
+
+        i = 0
+        while i < n and not (w[i] in _NL_V or w.startswith("ij", i)):
+            i += 1
+        i = vowel_run(i)
+        if i is None or i >= n:
+            return
+        i += 1  # the non-vowel
+        self.p1 = i
+        i = vowel_run(i)
+        if i is None or i >= n:
+            return
+        if self.w[i] in _NL_V:
+            return
+        self.p2 = i + 1
+
+    # -- lookbehind predicates at position i (start of a suffix) --
+    def r1(self, i: int) -> bool:
+        return i >= self.p1
+
+    def r2(self, i: int) -> bool:
+        return i >= self.p2
+
+    def V(self, i: int) -> bool:
+        w = self.w
+        return (i >= 1 and w[i - 1] in _NL_V) or (i >= 2 and w[i - 2 : i] == "ij")
+
+    def VX(self, i: int) -> bool:
+        return i >= 1 and self.V(i - 1)
+
+    def C(self, i: int) -> bool:
+        w = self.w
+        if i >= 2 and w[i - 2 : i] == "ij":
+            return False
+        return i >= 1 and w[i - 1] not in _NL_V
+
+    # -- lengthen_V at cursor position i (mirrors r_lengthen_V; for the
+    # reference's slice_del+insert call sites, i must be AFTER the
+    # inserted text — SnowballProgram.replace_s advances the cursor) --
+    def lengthen_V(self, i: int) -> None:
+        w = self.w
+        # a consonant (not w/x/vowel) must precede i
+        if i < 1 or w[i - 1] in _NL_V_WX:
+            return
+        j = i - 1  # cursor after the consonant; a_0 suffixes end here
+        if j >= 2 and w[j - 2 : j] == "eë":
+            self.w = w[: j - 2] + "eëe" + w[j:]
+            return
+        if j >= 2 and w[j - 2 : j] == "ië":
+            self.w = w[: j - 2] + "iee" + w[j:]
+            return
+        if j < 1:
+            return
+        p = j - 1  # position of the candidate single vowel
+        ch = w[p]
+        if ch in _NL_LENGTHEN_AIOU:
+            # double unless an AEIOU vowel precedes (word start doubles)
+            if p >= 1 and w[p - 1] in _NL_AEIOU:
+                return
+            self.w = w[:p] + ch + ch + w[p + 1 :]
+            return
+        if ch in _NL_LENGTHEN_E:
+            # guard a: the char before the e must be absent (word start)
+            # or non-AEIOU; the cursor then sits BEFORE that char, and
+            # guards b/c continue from there (snowball cursor continuity)
+            if p == 0:
+                cur = 0
+            elif w[p - 1] not in _NL_AEIOU:
+                cur = p - 1
+            else:
+                return
+            # guard b: AIOU just before the cursor, or a word-initial
+            # E-vowel there -> no doubling
+            if cur >= 1:
+                if w[cur - 1] in _NL_AIOU:
+                    return
+                if w[cur - 1] in _NL_E and cur - 1 == 0:
+                    return
+            # guard c: skip one char, then AIOU, then non-AEIOU -> none
+            if cur >= 1:
+                c2 = cur - 1
+                if c2 >= 1 and w[c2 - 1] in _NL_AIOU:
+                    c3 = c2 - 1
+                    if c3 >= 1 and w[c3 - 1] not in _NL_AEIOU:
+                        return
+            self.w = w[:p] + ch + ch + w[p + 1 :]
+            return
+
+
+def _nl_find_b(w: str, end: int, suffixes) -> str | None:
+    """Longest suffix of w[:end] among `suffixes`."""
+    best = None
+    for s in suffixes:
+        if w.endswith(s, 0, end) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def _nl_step1(st: _NL) -> bool:
+    w = st.w
+    n = len(w)
+    s = _nl_find_b(w, n, ("nde", "en", "s", "'s", "es", "ies", "aus", "és"))
+    if s is None:
+        return False
+    i = n - len(s)  # suffix start
+    if s == "nde":
+        st.w = w[:i] + "nd"
+        return True
+    if s == "'s":
+        st.w = w[:i]
+        return True
+    if s == "ies":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "ie"
+        return True
+    if s == "aus":
+        if not (st.r1(i) and st.V(i)):
+            return False
+        st.w = w[:i] + "au"
+        return True
+    if s == "és":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "é"
+        return True
+    if s == "s":
+        if not st.r1(i):
+            return False
+        if i >= 1 and w[i - 1] == "t" and st.r1(i - 1):
+            return False
+        if not st.C(i):
+            return False
+        st.w = w[:i]
+        return True
+    if s == "es":
+        if w.endswith("ar", 0, i) and st.r1(i - 2) and st.C(i - 2):
+            st.w = w[:i]
+            st.lengthen_V(i)
+            return True
+        if w.endswith("er", 0, i) and st.r1(i - 2) and st.C(i - 2):
+            st.w = w[:i]
+            return True
+        if not (st.r1(i) and st.C(i)):
+            return False
+        st.w = w[:i] + "e"
+        return True
+    # s == "en"
+    if w.endswith("hed", 0, i) and st.r1(i - 3):
+        st.w = w[: i - 3] + "heid"
+        return True
+    if w.endswith("nd", 0, i):
+        st.w = w[:i]
+        return True
+    if w.endswith("d", 0, i) and st.r1(i - 1) and st.C(i - 1):
+        st.w = w[: i - 1]
+        return True
+    if (w.endswith("i", 0, i) or w.endswith("j", 0, i)) and st.V(i - 1):
+        st.w = w[:i]
+        return True
+    if not (st.r1(i) and st.C(i)):
+        return False
+    st.w = w[:i]
+    st.lengthen_V(i)
+    return True
+
+
+def _nl_step2(st: _NL) -> bool:
+    w = st.w
+    n = len(w)
+    s = _nl_find_b(
+        w, n, ("de", "ge", "ische", "je", "lijke", "le", "ene", "re", "se",
+               "te", "ieve")
+    )
+    if s is None:
+        return False
+    i = n - len(s)
+    if s == "je":
+        if w.endswith("'t", 0, i):
+            st.w = w[: i - 2]
+            return True
+        if w.endswith("et", 0, i) and st.r1(i - 2) and st.C(i - 2):
+            st.w = w[: i - 2]
+            return True
+        if w.endswith("rnt", 0, i):
+            st.w = w[: i - 3] + "rn"
+            return True
+        if w.endswith("t", 0, i) and st.r1(i - 1) and st.VX(i - 1):
+            st.w = w[: i - 1]
+            return True
+        if w.endswith("ink", 0, i):
+            st.w = w[: i - 3] + "ing"
+            return True
+        if w.endswith("mp", 0, i):
+            st.w = w[: i - 2] + "m"
+            return True
+        if w.endswith("'", 0, i) and st.r1(i - 1):
+            st.w = w[: i - 1]
+            return True
+        if not (st.r1(i) and st.C(i)):
+            return False
+        st.w = w[:i]
+        return True
+    if s == "ge":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "g"
+        return True
+    if s == "lijke":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "lijk"
+        return True
+    if s == "ische":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "isch"
+        return True
+    if s == "de":
+        if not (st.r1(i) and st.C(i)):
+            return False
+        st.w = w[:i]
+        return True
+    if s == "te":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "t"
+        return True
+    if s == "se":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "s"
+        return True
+    if s == "re":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "r"
+        return True
+    if s == "le":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "l"
+        st.lengthen_V(i + 1)
+        return True
+    if s == "ene":
+        if not (st.r1(i) and st.C(i)):
+            return False
+        st.w = w[:i] + "en"
+        st.lengthen_V(i + 2)
+        return True
+    # s == "ieve"
+    if not (st.r1(i) and st.C(i)):
+        return False
+    st.w = w[:i] + "ief"
+    return True
+
+
+def _nl_step3(st: _NL) -> bool:
+    w = st.w
+    n = len(w)
+    s = _nl_find_b(
+        w, n, ("heid", "fie", "gie", "atie", "isme", "ing", "arij", "erij",
+               "sel", "rder", "ster", "iteit", "dst", "tst")
+    )
+    if s is None:
+        return False
+    i = n - len(s)
+    if s == "heid":
+        if not st.r1(i):
+            return False
+        st.w = w[:i]
+        return True
+    if s == "fie":
+        if not st.r2(i):
+            return False
+        st.w = w[:i] + "f"
+        st.lengthen_V(i + 1)
+        return True
+    if s == "gie":
+        if not st.r2(i):
+            return False
+        st.w = w[:i] + "g"
+        st.lengthen_V(i + 1)
+        return True
+    if s == "atie":
+        if not st.r1(i):
+            return False
+        st.w = w[:i] + "eer"
+        return True
+    if s in ("isme", "erij"):
+        if not st.r1(i):
+            return False
+        st.w = w[:i]
+        st.lengthen_V(i)
+        return True
+    if s == "ing":
+        if w.endswith("ild", 0, i):
+            st.w = w[:i] + "er"
+            return True
+        if not st.r1(i):
+            return False
+        st.w = w[:i]
+        st.lengthen_V(i)
+        return True
+    if s == "arij":
+        if not (st.r1(i) and st.C(i)):
+            return False
+        st.w = w[:i] + "aar"
+        return True
+    if s in ("sel", "ster"):
+        if not st.r1(i):
+            return False
+        st.w = w[:i]
+        return True
+    if s == "rder":
+        st.w = w[:i] + "r"
+        return True
+    if s == "iteit":
+        if not st.r1(i):
+            return False
+        st.w = w[:i]
+        st.lengthen_V(i)
+        return True
+    if s == "dst":
+        if not (st.r1(i) and st.C(i)):
+            return False
+        st.w = w[:i] + "d"
+        return True
+    # s == "tst"
+    if not (st.r1(i) and st.C(i)):
+        return False
+    st.w = w[:i] + "t"
+    return True
+
+
+_NL_STEP4A = {
+    "end": 9, "atief": 2, "erig": 9, "achtig": 3, "ioneel": 1, "baar": 3,
+    "laar": 5, "naar": 4, "raar": 6, "eriger": 9, "achtiger": 3,
+    "lijker": 8, "tant": 7, "erigst": 9, "achtigst": 3, "lijkst": 8,
+}
+
+
+def _nl_step4(st: _NL) -> bool:
+    w = st.w
+    n = len(w)
+    s = _nl_find_b(w, n, tuple(_NL_STEP4A))
+    if s is not None:
+        i = n - len(s)
+        var = _NL_STEP4A[s]
+        ok = True
+        if var == 1 and st.r1(i):
+            st.w = w[:i] + "ie"
+        elif var == 2 and st.r1(i):
+            st.w = w[:i] + "eer"
+        elif var == 3 and st.r1(i):
+            st.w = w[:i]
+        elif var == 4 and st.r1(i) and st.V(i):
+            st.w = w[:i] + "n"
+        elif var == 5 and st.r1(i) and st.V(i):
+            st.w = w[:i] + "l"
+        elif var == 6 and st.r1(i) and st.V(i):
+            st.w = w[:i] + "r"
+        elif var == 7 and st.r1(i):
+            st.w = w[:i] + "teer"
+        elif var == 8 and st.r1(i):
+            st.w = w[:i] + "lijk"
+        elif var == 9 and st.r1(i) and st.C(i):
+            st.w = w[:i]
+            st.lengthen_V(i)
+        else:
+            ok = False
+        if ok:
+            return True
+        # fall through to the ig/iger/igst alternative on guard failure
+        w = st.w
+    s = _nl_find_b(w, n, ("ig", "iger", "igst"))
+    if s is None:
+        return False
+    i = n - len(s)
+    if not st.r1(i):
+        return False
+    if w.endswith("inn", 0, i) and i - 3 == 0:
+        return False
+    if not st.C(i):
+        return False
+    st.w = w[:i]
+    st.lengthen_V(i)
+    return True
+
+
+def _nl_step7(st: _NL) -> bool:
+    w = st.w
+    for suf, rep in (("kt", "k"), ("ft", "f"), ("pt", "p")):
+        if w.endswith(suf):
+            st.w = w[: -2] + rep
+            return True
+    return False
+
+
+def _nl_step6(st: _NL) -> bool:
+    w = st.w
+    n = len(w)
+    # doubles -> singles; final v->f, z->s (vv->v, zz->z)
+    for suf in ("vv", "zz", "bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk",
+                "ll", "mm", "nn", "pp", "qq", "rr", "ss", "tt", "ww", "xx"):
+        if w.endswith(suf):
+            if suf == "nn" and w == "inn":
+                return False
+            if suf == "vv":
+                st.w = w[:-2] + "v"
+            elif suf == "zz":
+                st.w = w[:-2] + "z"
+            else:
+                st.w = w[:-1]
+            return True
+    if w.endswith("v"):
+        st.w = w[:-1] + "f"
+        return True
+    if w.endswith("z"):
+        st.w = w[:-1] + "s"
+        return True
+    return False
+
+
+def _nl_step1c(st: _NL) -> bool:
+    w = st.w
+    n = len(w)
+    s = _nl_find_b(w, n, ("d", "t"))
+    if s is None:
+        return False
+    i = n - 1
+    if not (st.r1(i) and st.C(i)):
+        return False
+    if s == "d":
+        if w.endswith("n", 0, i) and st.r1(i - 1):
+            return False
+        if w.endswith("in", 0, i) and i - 2 == 0:
+            st.w = w[:i] + "n"
+            return True
+        st.w = w[:i]
+        return True
+    # s == "t"
+    if w.endswith("h", 0, i) and st.r1(i - 1):
+        return False
+    if w.endswith("en", 0, i) and i - 2 == 0:
+        return False
+    st.w = w[:i]
+    return True
+
+
+def _nl_vowel_or_ij_scan(w: str, i: int) -> int | None:
+    """From i: find the first vowel-or-ij, consume the whole run; return
+    the position after the run, or None if no vowel found."""
+    n = len(w)
+    while i < n and not (w.startswith("ij", i) or w[i] in _NL_V):
+        i += 1
+    if i >= n:
+        return None
+    while i < n and (w.startswith("ij", i) or w[i] in _NL_V):
+        i += 2 if w.startswith("ij", i) else 1
+    return i
+
+
+def _nl_lose_prefix(st: _NL) -> bool:
+    w = st.w
+    if not w.startswith("ge") or len(w) < 2 + 3:
+        return False
+    end = _nl_vowel_or_ij_scan(w, 2)
+    if end is None or end >= len(w):
+        return False
+    rest = w[2:]
+    # a_9 gate: forward prefixes of the remainder that block stripping
+    for block in ("eft", "vaa", "val", "vare"):
+        if rest.startswith(block) and not rest.startswith("vali"):
+            return False
+    # de-diaeresis the first char after removal
+    if rest.startswith("ë"):
+        rest = "e" + rest[1:]
+    elif rest.startswith("ï"):
+        rest = "i" + rest[1:]
+    st.w = rest
+    return True
+
+
+def _nl_lose_infix(st: _NL) -> bool:
+    w = st.w
+    j = w.find("ge", 1)
+    if j < 0:
+        return False
+    after = j + 2
+    if after + 3 > len(w):
+        return False
+    end = _nl_vowel_or_ij_scan(w, after)
+    if end is None or end >= len(w):
+        return False
+    rest = w[after:]
+    if rest.startswith("ë"):
+        rest = "e" + rest[1:]
+    elif rest.startswith("ï"):
+        rest = "i" + rest[1:]
+    st.w = w[:j] + rest
+    return True
+
+
+def stem_dutch(w: str) -> str:
+    st = _NL(w)
+    stemmed = False
+    stemmed |= _nl_step1(st)
+    stemmed |= _nl_step2(st)
+    stemmed |= _nl_step3(st)
+    stemmed |= _nl_step4(st)
+    if _nl_lose_prefix(st):
+        st.measure()
+        stemmed = True
+        _nl_step1c(st)
+    if _nl_lose_infix(st):
+        st.measure()
+        stemmed = True
+        _nl_step1c(st)
+    stemmed |= _nl_step7(st)
+    if stemmed:
+        _nl_step6(st)
+    return st.w

@@ -347,3 +347,24 @@ TELUGU_STOP_WORDS = frozenset(
     ఎక్కడైనా వేరుగా కనిపిస్తాయి మెచ్చుకో తగిన ఉన్నారు కాదు చుట్టూ గా
     ఒక ప్రక్కన అడగండి అడగడం సంబంధం వద్ద అందుబాటులో దూరంగా""".split()
 )
+
+DANISH_STOP_WORDS = frozenset(
+    """og i jeg det at en den til er som på de med han af for ikke der
+    var mig sig men et har om vi min havde ham hun nu over da fra du
+    ud sin dem os op man hans hvor eller hvad skal selv her alle vil
+    blev kunne ind når være dog noget ville jo deres efter ned
+    skulle denne end dette mit også under have dig anden hende mine
+    alt meget sit sine vor mod disse hvis din nogle hos blive mange
+    ad bliver hendes været thi jer sådan""".split()
+)
+
+DUTCH_STOP_WORDS = frozenset(
+    """de en van ik te dat die in een hij het niet zijn is was op aan
+    met als voor had er maar om hem dan zou of wat mijn men dit zo
+    door over ze zich bij ook tot je mij uit der daar haar naar heb
+    hoe heeft hebben deze u want nog zal me zij nu ge geen omdat
+    iets worden toch al waren veel meer doen toen moet ben zonder
+    kan hun dus alles onder ja eens hier wie werd altijd doch wordt
+    wezen kunnen ons zelf tegen na reeds wil kon niets uw iemand
+    geweest andere""".split()
+)

@@ -1,0 +1,90 @@
+"""Generate Snowball golden vectors by driving the REFERENCE's own
+generated stemmers (compiled from /root/reference org/tartarus/snowball)
+over a deterministic word list: the language stop list, the reference
+analyzer test words, and a synthetic root x suffix cross that exercises
+every suffix-strip path. Output: tests/data/snowball_<lang>.tsv.
+
+Usage: python scripts/gen_snowball_vectors.py /tmp/snowball_gen
+(the dir must hold the compiled StemTool — see the class comment there).
+"""
+
+import itertools
+import subprocess
+import sys
+
+REF_STOP = "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis/snowball"
+
+DANISH_SUFFIXES = [
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+    "ere", "en", "heden", "eren", "er", "heder", "erer", "s", "heds", "es",
+    "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+    "ers", "ets", "erets", "et", "eret", "st", "igst", "ig", "lig", "elig",
+    "els", "løst", "løs", "igt", "gd", "dt", "gt", "kt",
+]
+DUTCH_SUFFIXES = [
+    "heden", "heid", "en", "ene", "s", "se", "e", "end", "end", "ig",
+    "ing", "lijk", "baar", "bar", "den", "den", "ten", "enheden", "tje",
+    "je", "ster", "ster", "eerd", "eerde", "eert",
+]
+DANISH_ROOTS = [
+    "indtag", "understøt", "frisk", "barnløs", "køb", "spis", "læs", "bo",
+    "bygg", "hus", "land", "vand", "spørg", "høj", "lav", "stor", "grøn",
+    "venlig", "hjælp", "arbejd", "løb", "kør", "tænk", "følg", "søg",
+    "ønsk", "ung", "gammel", "smuk", "hurtig", "trygg", "bekvemm", "sælg",
+    "betal", "billig", "overtag", "plan", "skole", "bøn", "måned", "år",
+    "dag", "nat", "by", "vej", "dør", "bil", "båd", "træ", "blomst",
+]
+DUTCH_ROOTS = [
+    "licham", "ophef", "fiets", "kind", "werk", "loop", "spreek", "huis",
+    "land", "water", "vraag", "hoog", "laag", "groot", "groen", "vriend",
+    "help", "arbeid", "denk", "volg", "zoek", "wens", "jong", "oud",
+    "mooi", "snel", "veilig", "gemakkelijk", "verkoop", "betaal",
+    "goedkoop", "overnam", "plan", "school", "gebed", "maand", "jaar",
+    "dag", "nacht", "stad", "weg", "deur", "auto", "boot", "boom",
+    "bloem", "lichamelijk", "koninklijk", "mogelijk", "aardig",
+]
+DANISH_TEST = ["undersøg", "undersøgelse", "indtagelse", "understøttelse"]
+DUTCH_TEST = [
+    "lichamelijk", "lichamelijke", "lichamelijkheden", "lichamen",
+    "lichame", "fietsen", "fiets", "opheffen", "opheffende", "opheffing",
+]
+
+
+def words_for(lang):
+    stop_file = f"{REF_STOP}/{lang}_stop.txt"
+    stops = []
+    for line in open(stop_file, encoding="utf-8"):
+        line = line.split("|")[0].strip()
+        if line:
+            stops.append(line)
+    if lang == "danish":
+        roots, sufs, extra = DANISH_ROOTS, DANISH_SUFFIXES, DANISH_TEST
+    else:
+        roots, sufs, extra = DUTCH_ROOTS, DUTCH_SUFFIXES, DUTCH_TEST
+    out = list(dict.fromkeys(
+        stops + extra + roots
+        + [r + s for r, s in itertools.product(roots, sufs)]
+        # double consonant + suffix (undoubling paths) and bare suffixes
+        + [r + r[-1] + s for r, s in itertools.product(roots[:20], sufs)]
+        + sufs
+    ))
+    return out
+
+
+def main():
+    tooldir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/snowball_gen"
+    for lang, cls in (("danish", "Danish"), ("dutch", "Dutch")):
+        ws = words_for(lang)
+        p = subprocess.run(
+            ["java", "-cp", tooldir, "StemTool", cls],
+            input="\n".join(ws).encode("utf-8"),
+            capture_output=True, check=True,
+        )
+        path = f"tests/data/snowball_{lang}.tsv"
+        with open(path, "wb") as f:
+            f.write(p.stdout)
+        print(path, len(p.stdout.decode('utf-8').strip().splitlines()), "pairs")
+
+
+if __name__ == "__main__":
+    main()

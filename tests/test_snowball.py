@@ -1,0 +1,71 @@
+"""Snowball stemmer packs (Danish, Dutch): the Python reimplementations
+must be EXACT on every golden vector generated from the reference's own
+generated stemmers (scripts/gen_snowball_vectors.py -> tests/data/
+snowball_*.tsv: stop lists + reference test words + root x suffix
+crosses), and the analyzer chains must mirror DanishAnalyzer /
+DutchAnalyzer (lowercase -> stop -> [override ->] stem)."""
+
+import os
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.snowball_stemmers import stem_danish, stem_dutch
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _check(tsv, fn, min_pairs):
+    n = bad = 0
+    for line in open(os.path.join(_DATA, tsv), encoding="utf-8"):
+        w, want = line.rstrip("\n").split("\t")
+        n += 1
+        if fn(w) != want:
+            bad += 1
+    assert n >= min_pairs
+    assert bad == 0
+
+
+def test_danish_exact_on_all_golden_vectors():
+    _check("snowball_danish.tsv", stem_danish, 3000)
+
+
+def test_dutch_exact_on_all_golden_vectors():
+    _check("snowball_dutch.tsv", stem_dutch, 1500)
+
+
+def test_danish_analyzer_chain():
+    an = analyzer_for("danish")
+    toks = [t.term for t in an.tokens("Undersøgelse på undersøg")]
+    assert toks == ["undersøg", "undersøg"]
+    pos = [t.position for t in an.tokens("undersøgelse på undersøg")]
+    assert pos == [0, 2]  # stop word 'på' accumulates posIncr
+
+
+def test_dutch_analyzer_chain():
+    an = analyzer_for("dutch")
+    # reference TestDutchAnalyzer.testBasics: lichamelijk-family conflation
+    toks = [t.term for t in an.tokens("lichamelijk lichamelijkheden het lichamen")]
+    assert toks == ["lichamelijk", "lichamelijk", "lichaam"]
+    # DEFAULT_STEM_DICT overrides (testStemOverrides/testExclusionTable)
+    assert [t.term for t in an.tokens("fiets fietsen bromfiets ei kind")] == [
+        "fiets", "fiets", "bromfiets", "eier", "kinder"
+    ]
+
+
+def test_dutch_stemmer_edges():
+    # reference outputs (run live against the generated DutchStemmer):
+    # en-suffix + undouble, ge- prefix removal with re-measure + Step_1c,
+    # ge- infix removal, and the a_9 'geluid' style non-strip
+    assert stem_dutch("opheffen") == "ophef"
+    assert stem_dutch("gevonden") == "von"
+    assert stem_dutch("gegaan") == "gaan"
+    assert stem_dutch("gegeven") == "geef"
+    assert stem_dutch("geluid") == "luid"
+    assert stem_dutch("uitgevoerd") == "uitvoer"
+
+
+def test_danish_stemmer_edges():
+    assert stem_danish("og") == "og"  # short word: no region
+    assert stem_danish("huses") == "hus"
+    assert stem_danish("friskt") == "frisk"  # kt consonant pair drops t
+    assert stem_danish("barnløshed") == "barnløs"
+    assert stem_danish("indtagelse") == "indtag"
