@@ -1009,6 +1009,23 @@ def _make_dutch():
 DUTCH = _make_dutch()
 
 
+def _make_snowball(stop_name: str, stem_name: str):
+    # ArmenianAnalyzer / LithuanianAnalyzer chains (analysis/common/
+    # .../{hy,lt}/): lowercase -> stop list -> SnowballFilter; stemmers
+    # are from-algorithm Python reimplementations gated by generated
+    # golden vectors (tests/data/snowball_*.tsv).
+    from . import snowball_stemmers, stop_sets
+
+    return Analyzer(
+        stopwords=getattr(stop_sets, stop_name),
+        stemmer=getattr(snowball_stemmers, stem_name),
+    )
+
+
+ARMENIAN = _make_snowball("ARMENIAN_STOP_WORDS", "stem_armenian")
+LITHUANIAN = _make_snowball("LITHUANIAN_STOP_WORDS", "stem_lithuanian")
+
+
 def _persian_normalize(term: str) -> str:
     # PersianAnalyzer: ArabicNormalizationFilter then
     # PersianNormalizationFilter, BEFORE the (normalized) stop list
@@ -1226,6 +1243,8 @@ _BASE_ANALYZERS = {
     "telugu": TELUGU,
     "danish": DANISH,
     "dutch": DUTCH,
+    "armenian": ARMENIAN,
+    "lithuanian": LITHUANIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

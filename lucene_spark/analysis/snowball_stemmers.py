@@ -664,3 +664,136 @@ def stem_dutch(w: str) -> str:
     if stemmed:
         _nl_step6(st)
     return st.w
+
+
+# ---------------------------------------------------------------------------
+# Armenian (ArmenianStemmer.java, armenian.sbl): pV = after the first
+# vowel, p2 = standard second region; four pure-deletion suffix classes
+# applied in order (ending gated on R2, the rest on pV), longest match
+# wins per class with no fallback. Among tables extracted to
+# snowball_data.py. Gated by tests/data/snowball_armenian.tsv.
+
+_HY_V = frozenset(chr(c) for c in (1377, 1381, 1383, 1384, 1387, 1400, 1410, 1413))
+
+
+def _hy_regions(w: str):
+    n = len(w)
+    pV = p2 = n
+    i = 0
+    while i < n and w[i] not in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    pV = i
+    while i < n and w[i] in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    while i < n and w[i] not in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    i += 1
+    while i < n and w[i] in _HY_V:
+        i += 1
+    if i >= n:
+        return pV, p2
+    p2 = i + 1
+    return pV, p2
+
+
+def _longest_from(w: str, suffixes, min_start: int) -> str | None:
+    """Longest suffix whose start index is >= min_start (find_among_b
+    bounded by limit_backward = min_start)."""
+    best = None
+    for s in suffixes:
+        if (
+            w.endswith(s)
+            and len(w) - len(s) >= min_start
+            and (best is None or len(s) > len(best))
+        ):
+            best = s
+    return best
+
+
+def stem_armenian(w: str) -> str:
+    from .snowball_data import HY_ADJECTIVE, HY_ENDING, HY_NOUN, HY_VERB
+
+    pV, p2 = _hy_regions(w)
+    # ending: longest pV-bounded match must ALSO start in R2 (no fallback)
+    s = _longest_from(w, HY_ENDING, pV)
+    if s is not None and len(w) - len(s) >= p2:
+        w = w[: -len(s)]
+    for table in (HY_VERB, HY_ADJECTIVE, HY_NOUN):
+        s = _longest_from(w, table, pV)
+        if s is not None:
+            w = w[: -len(s)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Lithuanian (LithuanianStemmer.java, lithuanian.sbl): p1 region (long
+# a-initial words start region scan at position 1), a conflict-fixing
+# replacement table, one nominal-suffix deletion, č/dž normalization, a
+# REPEATED verb-suffix deletion loop, and the final gd -> g fix.
+# Gated by tests/data/snowball_lithuanian.tsv.
+
+_LT_V = frozenset("aeiouyąęėįųū")
+_LT_CONFLICT_REPL = {
+    1: "aitė", 2: "uotė", 3: "ėjimas", 4: "esys", 5: "asys", 6: "avimas",
+    7: "ojimas", 8: "okatė",
+}
+
+
+def _lt_p1(w: str) -> int:
+    n = len(w)
+    i = 1 if (w.startswith("a") and n > 6) else 0
+    while i < n and w[i] not in _LT_V:
+        i += 1
+    if i >= n:
+        return n
+    i += 1
+    while i < n and w[i] in _LT_V:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def _lt_fix_chdz(w: str) -> str:
+    if w.endswith("dž"):
+        return w[:-2] + "d"
+    if w.endswith("č"):
+        return w[:-1] + "t"
+    return w
+
+
+def stem_lithuanian(w: str) -> str:
+    from .snowball_data import LT_CONFLICTS, LT_STEP1, LT_STEP2
+
+    p1 = _lt_p1(w)
+    # fix_conflicts: longest replacement suffix, unbounded by the region
+    best = None
+    for s, var in LT_CONFLICTS:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, var)
+    if best is not None:
+        w = w[: -len(best[0])] + _LT_CONFLICT_REPL[best[1]]
+    # step1: one nominal suffix in R1
+    if len(w) >= p1:
+        s = _longest_from(w, LT_STEP1, p1)
+        if s is not None:
+            w = w[: -len(s)]
+    w = _lt_fix_chdz(w)
+    # step2: repeated verb-suffix deletion in R1
+    while len(w) >= p1:
+        s = _longest_from(w, LT_STEP2, p1)
+        if s is None:
+            break
+        w = w[: -len(s)]
+    w = _lt_fix_chdz(w)
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w

@@ -1,0 +1,58 @@
+"""Extract Snowball among tables from the reference's generated stemmers
+into lucene_spark/analysis/snowball_data.py (suffix data only — the
+step LOGIC is re-implemented by hand in snowball_stemmers.py). Same
+programmatic-extraction convention as the Bengali/RSLP packs."""
+
+import re
+
+REF = "/root/reference/lucene/analysis/common/src/java/org/tartarus/snowball/ext"
+_AMONG = re.compile(r'new Among\("((?:[^"\\]|\\.)*)",\s*(-?\d+),\s*(-?\d+)\)')
+
+
+def tables(path):
+    src = open(path, encoding="utf-8").read()
+    out = {}
+    for m in re.finditer(
+        r"Among\[\] (a_\d+) = \{(.*?)\};", src, re.DOTALL
+    ):
+        name, body = m.group(1), m.group(2)
+        entries = []
+        for e in _AMONG.finditer(body):
+            s = e.group(1).encode().decode("unicode_escape")
+            entries.append((s, int(e.group(3))))
+        out[name] = entries
+    return out
+
+
+def fmt(entries, with_var=False):
+    if with_var:
+        items = ", ".join(f"({s!r}, {v})" for s, v in entries)
+    else:
+        items = ", ".join(repr(s) for s, _ in entries)
+    return f"({items})"
+
+
+def main():
+    hy = tables(f"{REF}/ArmenianStemmer.java")
+    lt = tables(f"{REF}/LithuanianStemmer.java")
+    with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
+        f.write(
+            '"""Snowball among tables extracted programmatically from the '
+            "reference's\ngenerated stemmers (scripts/extract_among.py; "
+            "tartarus/snowball/ext/\n{Armenian,Lithuanian}Stemmer.java). "
+            'Data only — logic lives in\nsnowball_stemmers.py."""\n\n'
+        )
+        f.write(f"HY_ADJECTIVE = {fmt(hy['a_0'])}\n\n")
+        f.write(f"HY_VERB = {fmt(hy['a_1'])}\n\n")
+        f.write(f"HY_NOUN = {fmt(hy['a_2'])}\n\n")
+        f.write(f"HY_ENDING = {fmt(hy['a_3'])}\n\n")
+        f.write(f"LT_STEP1 = {fmt(lt['a_0'])}\n\n")
+        f.write(f"LT_STEP2 = {fmt(lt['a_1'])}\n\n")
+        f.write(f"LT_CONFLICTS = {fmt(lt['a_2'], with_var=True)}\n")
+    for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
+                 **{f"lt {n}": len(e) for n, e in lt.items()}}.items():
+        print(k, v)
+
+
+if __name__ == "__main__":
+    main()

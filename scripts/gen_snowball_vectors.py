@@ -71,8 +71,51 @@ def words_for(lang):
     return out
 
 
+def words_generic(lang, stop_path, suffix_tables):
+    """Stop words + stopword-root x suffix crosses over the language's own
+    among tables (exercises every suffix path + region gating), plus
+    double-suffix stacks for step interactions."""
+    stops = []
+    for line in open(stop_path, encoding="utf-8"):
+        line = line.split("|")[0].strip()
+        if line:
+            stops.append(line)
+    sufs = sorted({s for t in suffix_tables for s in t})
+    roots = list(dict.fromkeys(stops + [s[:5] for s in stops if len(s) > 5]))
+    out = list(dict.fromkeys(
+        stops
+        + [r + s for r in roots for s in sufs]
+        + [roots[i % len(roots)] + sufs[i] + sufs[(i * 7) % len(sufs)]
+           for i in range(len(sufs))]
+    ))
+    return out
+
+
+REF_LANG = "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis"
+
+
 def main():
     tooldir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/snowball_gen"
+    sys.path.insert(0, ".")
+    from lucene_spark.analysis import snowball_data as D
+
+    generic = (
+        ("armenian", "Armenian", f"{REF_LANG}/hy/stopwords.txt",
+         (D.HY_ADJECTIVE, D.HY_VERB, D.HY_NOUN, D.HY_ENDING)),
+        ("lithuanian", "Lithuanian", f"{REF_LANG}/lt/stopwords.txt",
+         (D.LT_STEP1, D.LT_STEP2, tuple(s for s, _ in D.LT_CONFLICTS))),
+    )
+    for lang, cls, stop_path, tables in generic:
+        ws = words_generic(lang, stop_path, tables)
+        p = subprocess.run(
+            ["java", "-cp", tooldir, "StemTool", cls],
+            input="\n".join(ws).encode("utf-8"),
+            capture_output=True, check=True,
+        )
+        path = f"tests/data/snowball_{lang}.tsv"
+        with open(path, "wb") as f:
+            f.write(p.stdout)
+        print(path, len(p.stdout.decode("utf-8").strip().splitlines()), "pairs")
     for lang, cls in (("danish", "Danish"), ("dutch", "Dutch")):
         ws = words_for(lang)
         p = subprocess.run(

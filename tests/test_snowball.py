@@ -69,3 +69,26 @@ def test_danish_stemmer_edges():
     assert stem_danish("friskt") == "frisk"  # kt consonant pair drops t
     assert stem_danish("barnløshed") == "barnløs"
     assert stem_danish("indtagelse") == "indtag"
+
+
+def test_armenian_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_armenian
+
+    _check("snowball_armenian.tsv", stem_armenian, 8000)
+
+
+def test_lithuanian_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_lithuanian
+
+    _check("snowball_lithuanian.tsv", stem_lithuanian, 30000)
+
+
+def test_armenian_lithuanian_analyzer_chains():
+    hy = analyzer_for("armenian")
+    # 'եմ' is a stop word; suffixed forms conflate with the root
+    toks = [t.term for t in hy.tokens("Արմենիայի եմ")]
+    assert len(toks) == 1  # stop word removed, one stemmed token left
+    lt = analyzer_for("lithuanian")
+    toks = [t.term for t in lt.tokens("Lietuvos ir lietuviškas")]
+    assert "ir" not in toks  # stop word
+    assert len(toks) == 2
