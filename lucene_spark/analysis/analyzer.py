@@ -1024,6 +1024,7 @@ def _make_snowball(stop_name: str, stem_name: str):
 
 ARMENIAN = _make_snowball("ARMENIAN_STOP_WORDS", "stem_armenian")
 LITHUANIAN = _make_snowball("LITHUANIAN_STOP_WORDS", "stem_lithuanian")
+ROMANIAN = _make_snowball("ROMANIAN_STOP_WORDS", "stem_romanian")
 
 
 def _persian_normalize(term: str) -> str:
@@ -1245,6 +1246,7 @@ _BASE_ANALYZERS = {
     "dutch": DUTCH,
     "armenian": ARMENIAN,
     "lithuanian": LITHUANIAN,
+    "romanian": ROMANIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -797,3 +797,175 @@ def stem_lithuanian(w: str) -> str:
     if w.endswith("gd"):
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Romanian (RomanianStemmer.java, romanian.sbl): cedilla -> comma-below
+# normalization, intervocalic u/i marking, Spanish-style RV + R1/R2
+# regions, step_0 plurals, a REPEATED combo-suffix reduction feeding the
+# R2 standard-suffix step, verb suffixes in RV (only when no standard
+# suffix was removed), final vowel strip, and the I/U postlude.
+# Gated by tests/data/snowball_romanian.tsv.
+
+_RO_V = frozenset("aeiouâîă")
+
+
+def _ro_regions(w: str):
+    n = len(w)
+    pV = p1 = p2 = n
+    # RV (the lab0 block of r_mark_regions)
+    if n >= 2:
+        if w[0] in _RO_V:
+            if w[1] not in _RO_V:
+                # vowel + consonant: after the next vowel
+                j = 2
+                while j < n and w[j] not in _RO_V:
+                    j += 1
+                if j < n:
+                    pV = j + 1
+            else:
+                # vowel + vowel: after the next consonant
+                j = 2
+                while j < n and w[j] in _RO_V:
+                    j += 1
+                if j < n:
+                    pV = j + 1
+        else:
+            if w[1] not in _RO_V:
+                # consonant + consonant: after the next vowel
+                j = 2
+                while j < n and w[j] not in _RO_V:
+                    j += 1
+                if j < n:
+                    pV = j + 1
+            elif n > 2:
+                # consonant + vowel: after the third letter
+                pV = 3
+    # p1/p2 (standard)
+    i = 0
+    while i < n and w[i] not in _RO_V:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in _RO_V:
+            i += 1
+        if i < n:
+            p1 = i + 1
+            i += 1
+            while i < n and w[i] not in _RO_V:
+                i += 1
+            if i < n:
+                i += 1
+                while i < n and w[i] in _RO_V:
+                    i += 1
+                if i < n:
+                    p2 = i + 1
+    return pV, p1, p2
+
+
+def _ro_longest_var(w: str, table, min_start: int = 0):
+    best = None
+    for s, var in table:
+        if (
+            w.endswith(s)
+            and len(w) - len(s) >= min_start
+            and (best is None or len(s) > len(best[0]))
+        ):
+            best = (s, var)
+    return best
+
+
+def stem_romanian(w: str) -> str:
+    from .snowball_data import RO_COMBO, RO_STANDARD, RO_STEP0, RO_VERB
+
+    w = w.replace("ş", "ș").replace("ţ", "ț")  # norm
+    # prelude: intervocalic u/i -> U/I, as a LEFT-TO-RIGHT scan — a
+    # replaced capital is no longer a vowel for the next candidate
+    # (r_prelude resumes from the leading vowel after each slice)
+    out = list(w)
+    n = len(out)
+    i = 0
+    while i + 2 < n + 1 and i < n:
+        if (
+            i + 2 < n
+            and out[i] in _RO_V
+            and out[i + 1] in ("u", "i")
+            and out[i + 2] in _RO_V
+        ):
+            out[i + 1] = out[i + 1].upper()
+            i += 1
+        else:
+            i += 1
+    w = "".join(out)
+    pV, p1, p2 = _ro_regions(w)
+
+    # step_0 (R1 at the suffix start; longest match, no fallback)
+    m = _ro_longest_var(w, RO_STEP0)
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if i >= p1:
+            if var == 1:
+                w = w[:i]
+            elif var == 2:
+                w = w[:i] + "a"
+            elif var == 3:
+                w = w[:i] + "e"
+            elif var == 4:
+                w = w[:i] + "i"
+            elif var == 5:
+                if not w.endswith("ab", 0, i):
+                    w = w[:i] + "i"
+            elif var == 6:
+                w = w[:i] + "at"
+            elif var == 7:
+                w = w[:i] + "ați"
+
+    # standard suffixes: repeat combo reductions (R1), then one R2 step
+    removed = False
+    _combo_repl = {1: "abil", 2: "ibil", 3: "iv", 4: "ic", 5: "at", 6: "it"}
+    while True:
+        m = _ro_longest_var(w, RO_COMBO)
+        if m is None or len(w) - len(m[0]) < p1:
+            break
+        s, var = m
+        w = w[: -len(s)] + _combo_repl[var]
+        removed = True
+    m = _ro_longest_var(w, RO_STANDARD)
+    if m is not None and len(w) - len(m[0]) >= p2:
+        s, var = m
+        i = len(w) - len(s)
+        if var == 1:
+            w = w[:i]
+            removed = True
+        elif var == 2:
+            if w.endswith("ț", 0, i):
+                w = w[: i - 1] + "t"
+                removed = True
+        elif var == 3:
+            w = w[:i] + "ist"
+            removed = True
+
+    # verb suffixes (RV-bounded) only when no standard suffix was removed
+    if not removed:
+        m = _ro_longest_var(w, RO_VERB, pV)
+        if m is not None:
+            s, var = m
+            i = len(w) - len(s)
+            if var == 2:
+                w = w[:i]
+            elif var == 1 and (
+                (i > pV and w[i - 1] not in _RO_V)
+                or (i - 1 >= pV and i >= 1 and w[i - 1] == "u")
+            ):
+                w = w[:i]
+
+    # final vowel strip in RV: LONGEST matching suffix, then one RV
+    # check — no fallback to a shorter vowel when it fails
+    for s in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(s):
+            if len(w) - len(s) >= pV:
+                w = w[: -len(s)]
+            break
+
+    return w.replace("I", "i").replace("U", "u")  # postlude

@@ -387,3 +387,28 @@ LITHUANIAN_STOP_WORDS = frozenset(
     save savęs savimi savo savyje su tačiau tada tai taip tas tau
     tave tavęs tavimi tavyje ten to todėl tu tuo už visi yra""".split()
 )
+
+ROMANIAN_STOP_WORDS = frozenset(
+    """acea aceasta această aceea acei aceia acel acela acele acelea
+    acest acesta aceste acestea acești aceşti aceștia aceştia acolo
+    acum ai aia aibă aici al ăla ale alea ălea altceva altcineva am
+    ar are aș aş așadar aşadar asemenea asta ăsta astăzi astea ăstea
+    ăștia ăştia asupra ați aţi au avea avem aveți aveţi azi bine
+    bucur bună ca că căci când care cărei căror cărui cât câte câți
+    câţi către câtva ce cel ceva chiar cînd cine cineva cît cîte
+    cîți cîţi cîtva contra cu cum cumva curând curînd da dă dacă dar
+    datorită de deci deja deoarece departe deși deşi din dinaintea
+    dintr dintre drept după ea ei el ele eram este ești eşti eu face
+    fără fi fie fiecare fii fim fiți fiţi iar ieri îi îl îmi
+    împotriva în înainte înaintea încât încît încotro între întrucât
+    întrucît îți îţi la lângă le li lîngă lor lui mă mâine mea mei
+    mele mereu meu mi mine mult multă mulți mulţi ne nicăieri nici
+    nimeni niște nişte noastră noastre noi noștri noştri nostru nu
+    ori oricând oricare oricât orice oricînd oricine oricît oricum
+    oriunde până pe pentru peste pînă poate pot prea prima primul
+    prin printr sa să săi sale sau său se și şi sînt sîntem sînteți
+    sînteţi spre sub sunt suntem sunteți sunteţi ta tăi tale tău te
+    ți ţi ție ţie tine toată toate tot toți toţi totuși totuşi tu un
+    una unde undeva unei unele uneori unor vă vi voastră voastre voi
+    voștri voştri vostru vouă vreo vreun""".split()
+)

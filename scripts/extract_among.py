@@ -35,6 +35,7 @@ def fmt(entries, with_var=False):
 def main():
     hy = tables(f"{REF}/ArmenianStemmer.java")
     lt = tables(f"{REF}/LithuanianStemmer.java")
+    ro = tables(f"{REF}/RomanianStemmer.java")
     with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
         f.write(
             '"""Snowball among tables extracted programmatically from the '
@@ -48,9 +49,14 @@ def main():
         f.write(f"HY_ENDING = {fmt(hy['a_3'])}\n\n")
         f.write(f"LT_STEP1 = {fmt(lt['a_0'])}\n\n")
         f.write(f"LT_STEP2 = {fmt(lt['a_1'])}\n\n")
-        f.write(f"LT_CONFLICTS = {fmt(lt['a_2'], with_var=True)}\n")
+        f.write(f"LT_CONFLICTS = {fmt(lt['a_2'], with_var=True)}\n\n")
+        f.write(f"RO_STEP0 = {fmt(ro['a_2'], with_var=True)}\n\n")
+        f.write(f"RO_COMBO = {fmt(ro['a_3'], with_var=True)}\n\n")
+        f.write(f"RO_STANDARD = {fmt(ro['a_4'], with_var=True)}\n\n")
+        f.write(f"RO_VERB = {fmt(ro['a_5'], with_var=True)}\n")
     for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
-                 **{f"lt {n}": len(e) for n, e in lt.items()}}.items():
+                 **{f"lt {n}": len(e) for n, e in lt.items()},
+                 **{f"ro {n}": len(e) for n, e in ro.items()}}.items():
         print(k, v)
 
 

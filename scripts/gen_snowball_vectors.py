@@ -100,6 +100,10 @@ def main():
     from lucene_spark.analysis import snowball_data as D
 
     generic = (
+        ("romanian", "Romanian", f"{REF_LANG}/ro/stopwords.txt",
+         (tuple(s for s, _ in D.RO_STEP0), tuple(s for s, _ in D.RO_COMBO),
+          tuple(s for s, _ in D.RO_STANDARD), tuple(s for s, _ in D.RO_VERB),
+          ("a", "e", "ie", "i", "ă"))),
         ("armenian", "Armenian", f"{REF_LANG}/hy/stopwords.txt",
          (D.HY_ADJECTIVE, D.HY_VERB, D.HY_NOUN, D.HY_ENDING)),
         ("lithuanian", "Lithuanian", f"{REF_LANG}/lt/stopwords.txt",

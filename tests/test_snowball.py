@@ -92,3 +92,20 @@ def test_armenian_lithuanian_analyzer_chains():
     toks = [t.term for t in lt.tokens("Lietuvos ir lietuviškas")]
     assert "ir" not in toks  # stop word
     assert len(toks) == 2
+
+
+def test_romanian_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_romanian
+
+    _check("snowball_romanian.tsv", stem_romanian, 60000)
+
+
+def test_romanian_analyzer_chain():
+    from lucene_spark.analysis.snowball_stemmers import stem_romanian
+
+    an = analyzer_for("romanian")
+    toks = [t.term for t in an.tokens("Orașele din orașul")]
+    assert "din" not in toks  # stop word
+    assert toks[0] == toks[1] == stem_romanian("orașele")  # conflation
+    # cedilla -> comma-below norm inside the stemmer
+    assert stem_romanian("acţiune") == stem_romanian("acțiune")
