@@ -1009,22 +1009,28 @@ def _make_dutch():
 DUTCH = _make_dutch()
 
 
-def _make_snowball(stop_name: str, stem_name: str):
-    # ArmenianAnalyzer / LithuanianAnalyzer chains (analysis/common/
-    # .../{hy,lt}/): lowercase -> stop list -> SnowballFilter; stemmers
-    # are from-algorithm Python reimplementations gated by generated
-    # golden vectors (tests/data/snowball_*.tsv).
+def _make_snowball(stop_name: str, stem_name: str, elision=frozenset()):
+    # Armenian/Lithuanian/Romanian/CatalanAnalyzer chains (analysis/
+    # common/.../{hy,lt,ro,ca}/): [elision ->] lowercase -> stop list ->
+    # SnowballFilter; stemmers are from-algorithm Python
+    # reimplementations gated by generated golden vectors
+    # (tests/data/snowball_*.tsv).
     from . import snowball_stemmers, stop_sets
 
     return Analyzer(
         stopwords=getattr(stop_sets, stop_name),
         stemmer=getattr(snowball_stemmers, stem_name),
+        elision=elision,
     )
 
 
 ARMENIAN = _make_snowball("ARMENIAN_STOP_WORDS", "stem_armenian")
 LITHUANIAN = _make_snowball("LITHUANIAN_STOP_WORDS", "stem_lithuanian")
 ROMANIAN = _make_snowball("ROMANIAN_STOP_WORDS", "stem_romanian")
+# CatalanAnalyzer adds ElisionFilter with articles d/l/m/n/s/t
+CATALAN = _make_snowball(
+    "CATALAN_STOP_WORDS", "stem_catalan", frozenset("dlmnst")
+)
 
 
 def _persian_normalize(term: str) -> str:
@@ -1247,6 +1253,7 @@ _BASE_ANALYZERS = {
     "armenian": ARMENIAN,
     "lithuanian": LITHUANIAN,
     "romanian": ROMANIAN,
+    "catalan": CATALAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -969,3 +969,71 @@ def stem_romanian(w: str) -> str:
             break
 
     return w.replace("I", "i").replace("U", "u")  # postlude
+
+
+# ---------------------------------------------------------------------------
+# Catalan (CatalanStemmer.java, catalan.sbl): standard p1/p2 regions;
+# attached-pronoun strip (R1), standard suffixes (R1/R2 with log/ic/c
+# replacements) OR verb suffixes, residual suffixes, and a final
+# diacritic-cleaning pass. Among tables extracted to snowball_data.py.
+# Gated by tests/data/snowball_catalan.tsv.
+
+_CA_V = frozenset("aeiouàáèéíïòóúü")
+_CA_CLEAN = str.maketrans({
+    "à": "a", "á": "a", "è": "e", "é": "e", "ì": "i", "í": "i", "ï": "i",
+    "ò": "o", "ó": "o", "ú": "u", "ü": "u", "·": ".",
+})
+
+
+def _ca_regions(w: str):
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _CA_V:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in _CA_V:
+            i += 1
+        if i < n:
+            p1 = i + 1
+            i += 1
+            while i < n and w[i] not in _CA_V:
+                i += 1
+            if i < n:
+                i += 1
+                while i < n and w[i] in _CA_V:
+                    i += 1
+                if i < n:
+                    p2 = i + 1
+    return p1, p2
+
+
+def stem_catalan(w: str) -> str:
+    from .snowball_data import CA_PRONOUN, CA_RESIDUAL, CA_STANDARD, CA_VERB
+
+    p1, p2 = _ca_regions(w)
+
+    def apply(table, actions) -> bool:
+        nonlocal w
+        m = _ro_longest_var(w, table)
+        if m is None:
+            return False
+        s, var = m
+        i = len(w) - len(s)
+        gate, repl = actions[var]
+        if (gate == 1 and i >= p1) or (gate == 2 and i >= p2):
+            w = w[:i] + repl
+            return True
+        return False
+
+    apply(CA_PRONOUN, {1: (1, "")})
+    # standard suffix, else verb suffix (the reference's or-chain)
+    did = apply(
+        CA_STANDARD,
+        {1: (1, ""), 2: (2, ""), 3: (2, "log"), 4: (2, "ic"), 5: (1, "c")},
+    )
+    if not did:
+        apply(CA_VERB, {1: (1, ""), 2: (2, "")})
+    apply(CA_RESIDUAL, {1: (1, ""), 2: (1, "ic")})
+    return w.translate(_CA_CLEAN)

@@ -36,6 +36,7 @@ def main():
     hy = tables(f"{REF}/ArmenianStemmer.java")
     lt = tables(f"{REF}/LithuanianStemmer.java")
     ro = tables(f"{REF}/RomanianStemmer.java")
+    ca = tables(f"{REF}/CatalanStemmer.java")
     with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
         f.write(
             '"""Snowball among tables extracted programmatically from the '
@@ -53,10 +54,15 @@ def main():
         f.write(f"RO_STEP0 = {fmt(ro['a_2'], with_var=True)}\n\n")
         f.write(f"RO_COMBO = {fmt(ro['a_3'], with_var=True)}\n\n")
         f.write(f"RO_STANDARD = {fmt(ro['a_4'], with_var=True)}\n\n")
-        f.write(f"RO_VERB = {fmt(ro['a_5'], with_var=True)}\n")
+        f.write(f"RO_VERB = {fmt(ro['a_5'], with_var=True)}\n\n")
+        f.write(f"CA_PRONOUN = {fmt(ca['a_1'], with_var=True)}\n\n")
+        f.write(f"CA_STANDARD = {fmt(ca['a_2'], with_var=True)}\n\n")
+        f.write(f"CA_VERB = {fmt(ca['a_3'], with_var=True)}\n\n")
+        f.write(f"CA_RESIDUAL = {fmt(ca['a_4'], with_var=True)}\n")
     for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
                  **{f"lt {n}": len(e) for n, e in lt.items()},
-                 **{f"ro {n}": len(e) for n, e in ro.items()}}.items():
+                 **{f"ro {n}": len(e) for n, e in ro.items()},
+                 **{f"ca {n}": len(e) for n, e in ca.items()}}.items():
         print(k, v)
 
 

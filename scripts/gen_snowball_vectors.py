@@ -82,6 +82,12 @@ def words_generic(lang, stop_path, suffix_tables):
             stops.append(line)
     sufs = sorted({s for t in suffix_tables for s in t})
     roots = list(dict.fromkeys(stops + [s[:5] for s in stops if len(s) > 5]))
+    # keep the cross bounded for suffix-rich languages (deterministic
+    # stride keeps root diversity while capping file size)
+    max_cross = 40_000
+    if len(roots) * len(sufs) > max_cross:
+        stride = (len(roots) * len(sufs)) // max_cross + 1
+        roots = roots[::stride] or roots[:1]
     out = list(dict.fromkeys(
         stops
         + [r + s for r in roots for s in sufs]
@@ -100,6 +106,9 @@ def main():
     from lucene_spark.analysis import snowball_data as D
 
     generic = (
+        ("catalan", "Catalan", f"{REF_LANG}/ca/stopwords.txt",
+         (tuple(s for s, _ in D.CA_PRONOUN), tuple(s for s, _ in D.CA_STANDARD),
+          tuple(s for s, _ in D.CA_VERB), tuple(s for s, _ in D.CA_RESIDUAL))),
         ("romanian", "Romanian", f"{REF_LANG}/ro/stopwords.txt",
          (tuple(s for s, _ in D.RO_STEP0), tuple(s for s, _ in D.RO_COMBO),
           tuple(s for s, _ in D.RO_STANDARD), tuple(s for s, _ in D.RO_VERB),
