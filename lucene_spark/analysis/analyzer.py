@@ -1024,6 +1024,33 @@ def _make_snowball(stop_name: str, stem_name: str, elision=frozenset()):
     )
 
 
+def _nepali_normalize(term: str) -> str:
+    # NepaliAnalyzer: DecimalDigitFilter before the stop list; the
+    # IndicNormalizationFilter slot is scoped out (documented, like the
+    # Hindi/Bengali packs)
+    from .light_stemmers import fold_decimal_digits
+
+    return fold_decimal_digits(term)
+
+
+def _make_indic_snowball(stop_name: str, stem_name: str):
+    # Nepali/TamilAnalyzer chains (analysis/common/.../{ne,ta}/): lowercase
+    # -> DecimalDigitFilter -> [IndicNormalization: scoped out] -> stop ->
+    # SnowballFilter; stemmers are from-algorithm Python reimplementations
+    # gated by generated golden vectors (tests/data/snowball_*.tsv).
+    from . import snowball_stemmers, stop_sets
+
+    return Analyzer(
+        stopwords=getattr(stop_sets, stop_name),
+        stemmer=getattr(snowball_stemmers, stem_name),
+        normalizer=_nepali_normalize,
+    )
+
+
+NEPALI = _make_indic_snowball("NEPALI_STOP_WORDS", "stem_nepali")
+# BasqueAnalyzer (analysis/common/.../eu/BasqueAnalyzer.java): lowercase
+# -> stop -> SnowballFilter(BasqueStemmer)
+BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
 ARMENIAN = _make_snowball("ARMENIAN_STOP_WORDS", "stem_armenian")
 LITHUANIAN = _make_snowball("LITHUANIAN_STOP_WORDS", "stem_lithuanian")
 ROMANIAN = _make_snowball("ROMANIAN_STOP_WORDS", "stem_romanian")
@@ -1254,6 +1281,8 @@ _BASE_ANALYZERS = {
     "lithuanian": LITHUANIAN,
     "romanian": ROMANIAN,
     "catalan": CATALAN,
+    "nepali": NEPALI,
+    "basque": BASQUE,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

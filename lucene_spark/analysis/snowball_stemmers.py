@@ -1037,3 +1037,145 @@ def stem_catalan(w: str) -> str:
         apply(CA_VERB, {1: (1, ""), 2: (2, "")})
     apply(CA_RESIDUAL, {1: (1, ""), 2: (1, "ic")})
     return w.translate(_CA_CLEAN)
+
+
+# ---------------------------------------------------------------------------
+# Nepali (NepaliStemmer.java, nepali.sbl): one case-marker strip (the
+# का/कि/की/कै/को class kept when preceded by ए or े), then a loop that
+# optionally strips a category-2 mark (ँ/ं after यौ/छौ/नौ/थे, ै after
+# त्र) and repeats while a category-3 verbal suffix strips. No regions.
+# Among tables extracted to snowball_data.py. Gated by
+# tests/data/snowball_nepali.tsv.
+
+
+def stem_nepali(w: str) -> str:
+    from .snowball_data import NE_CAT1, NE_CAT2, NE_CAT3
+
+    # remove_category_1: longest match, var 2 keeps the suffix when the
+    # stem ends in ए or े (eq_s_b guards BEFORE the delete)
+    m = _ro_longest_var(w, NE_CAT1)
+    if m is not None:
+        s, var = m
+        stem = w[: -len(s)]
+        if var == 1 or not (stem.endswith("ए") or stem.endswith("े")):
+            w = stem
+    while True:
+        # remove_category_2 runs unconditionally; its slice persists even
+        # when category_3 then fails (only the cursor is restored)
+        m = _ro_longest_var(w, NE_CAT2)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            if var == 1:
+                if stem.endswith(("यौ", "छौ", "नौ", "थे")):
+                    w = stem
+            elif stem.endswith("त्र"):
+                w = stem
+        s3 = _longest_from(w, NE_CAT3, 0)
+        if s3 is None:
+            break
+        w = w[: -len(s3)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Basque (BasqueStemmer.java, basque.sbl): Spanish-style pV + standard
+# p1/p2 regions over aeiou; repeated verb-suffix strip (aditzak),
+# repeated noun-suffix strip (izenak, with jok/tra/minutu replacements),
+# one adjective strip (adjetiboak). All deletions region-gated with no
+# fallback to shorter matches. Among tables extracted to
+# snowball_data.py. Gated by tests/data/snowball_basque.tsv.
+
+_EU_V = frozenset("aeiou")
+
+
+def _eu_regions(w: str):
+    n = len(w)
+    pV = p1 = p2 = n
+    if n >= 2:
+        if w[0] in _EU_V:
+            if w[1] not in _EU_V:
+                j = 2
+                while j < n and w[j] not in _EU_V:
+                    j += 1
+                if j < n:
+                    pV = j + 1
+            else:
+                j = 2
+                while j < n and w[j] in _EU_V:
+                    j += 1
+                if j < n:
+                    pV = j + 1
+        else:
+            if w[1] not in _EU_V:
+                j = 2
+                while j < n and w[j] not in _EU_V:
+                    j += 1
+                if j < n:
+                    pV = j + 1
+            elif n > 2:
+                pV = 3
+    i = 0
+    while i < n and w[i] not in _EU_V:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in _EU_V:
+            i += 1
+        if i < n:
+            p1 = i + 1
+            i += 1
+            while i < n and w[i] not in _EU_V:
+                i += 1
+            if i < n:
+                i += 1
+                while i < n and w[i] in _EU_V:
+                    i += 1
+                if i < n:
+                    p2 = i + 1
+    return pV, p1, p2
+
+
+def stem_basque(w: str) -> str:
+    from .snowball_data import EU_ADJ_NOUN, EU_APPENDICES, EU_VERB
+
+    pV, p1, p2 = _eu_regions(w)
+    regions = {"V": pV, "1": p1, "2": p2}
+    # Snowball cursor model: each `repeat rule` iteration matches suffixes
+    # of w[:cur] (on success the generated code does NOT restore the
+    # cursor, so matching peels INWARD past kept/-1 entries); every edit
+    # acts on [match_start, cur) and moves cur to match_start, so text
+    # left of cur is always the original word and edits accumulate into a
+    # tail. Result = w[:cur] + tail.
+    cur = len(w)
+    tail = ""
+
+    def step(table, actions) -> bool:
+        nonlocal cur, tail
+        best = None
+        for s, var in table:
+            if w.endswith(s, 0, cur) and len(s) <= cur and (
+                best is None or len(s) > len(best[0])
+            ):
+                best = (s, var)
+        if best is None:
+            return False
+        s, var = best
+        gate, repl = actions.get(var, (None, s))  # -1: keep, succeed
+        i = cur - len(s)
+        if gate is not None and i < regions[gate]:
+            return False
+        cur = i
+        tail = repl + tail
+        return True
+
+    while step(EU_APPENDICES, {1: ("V", ""), 2: ("2", "")}):
+        pass
+    while step(
+        EU_ADJ_NOUN,
+        {1: ("V", ""), 2: ("2", ""), 3: (None, "jok"), 4: ("1", ""),
+         5: (None, "tra"), 6: (None, "minutu")},
+    ):
+        pass
+    step(EU_VERB, {1: ("V", ""), 2: (None, "z")})
+    return w[:cur] + tail

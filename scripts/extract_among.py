@@ -37,6 +37,8 @@ def main():
     lt = tables(f"{REF}/LithuanianStemmer.java")
     ro = tables(f"{REF}/RomanianStemmer.java")
     ca = tables(f"{REF}/CatalanStemmer.java")
+    ne = tables(f"{REF}/NepaliStemmer.java")
+    eu = tables(f"{REF}/BasqueStemmer.java")
     with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
         f.write(
             '"""Snowball among tables extracted programmatically from the '
@@ -58,11 +60,19 @@ def main():
         f.write(f"CA_PRONOUN = {fmt(ca['a_1'], with_var=True)}\n\n")
         f.write(f"CA_STANDARD = {fmt(ca['a_2'], with_var=True)}\n\n")
         f.write(f"CA_VERB = {fmt(ca['a_3'], with_var=True)}\n\n")
-        f.write(f"CA_RESIDUAL = {fmt(ca['a_4'], with_var=True)}\n")
+        f.write(f"CA_RESIDUAL = {fmt(ca['a_4'], with_var=True)}\n\n")
+        f.write(f"NE_CAT1 = {fmt(ne['a_0'], with_var=True)}\n\n")
+        f.write(f"NE_CAT2 = {fmt(ne['a_1'], with_var=True)}\n\n")
+        f.write(f"NE_CAT3 = {fmt(ne['a_2'])}\n\n")
+        f.write(f"EU_APPENDICES = {fmt(eu['a_0'], with_var=True)}\n\n")
+        f.write(f"EU_ADJ_NOUN = {fmt(eu['a_1'], with_var=True)}\n\n")
+        f.write(f"EU_VERB = {fmt(eu['a_2'], with_var=True)}\n")
     for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
                  **{f"lt {n}": len(e) for n, e in lt.items()},
                  **{f"ro {n}": len(e) for n, e in ro.items()},
-                 **{f"ca {n}": len(e) for n, e in ca.items()}}.items():
+                 **{f"ca {n}": len(e) for n, e in ca.items()},
+                 **{f"ne {n}": len(e) for n, e in ne.items()},
+                 **{f"eu {n}": len(e) for n, e in eu.items()}}.items():
         print(k, v)
 
 

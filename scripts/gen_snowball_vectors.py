@@ -117,6 +117,13 @@ def main():
          (D.HY_ADJECTIVE, D.HY_VERB, D.HY_NOUN, D.HY_ENDING)),
         ("lithuanian", "Lithuanian", f"{REF_LANG}/lt/stopwords.txt",
          (D.LT_STEP1, D.LT_STEP2, tuple(s for s, _ in D.LT_CONFLICTS))),
+        ("nepali", "Nepali", f"{REF_LANG}/ne/stopwords.txt",
+         (tuple(s for s, _ in D.NE_CAT1), tuple(s for s, _ in D.NE_CAT2),
+          D.NE_CAT3)),
+        ("basque", "Basque", f"{REF_LANG}/eu/stopwords.txt",
+         (tuple(s for s, _ in D.EU_APPENDICES),
+          tuple(s for s, _ in D.EU_ADJ_NOUN),
+          tuple(s for s, _ in D.EU_VERB))),
     )
     for lang, cls, stop_path, tables in generic:
         ws = words_generic(lang, stop_path, tables)

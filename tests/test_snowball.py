@@ -126,3 +126,37 @@ def test_catalan_analyzer_chain():
     # diacritic cleaning runs last (à -> a etc.)
     assert stem_catalan("però") == stem_catalan("pero") or True
     assert all(c not in "àáèéíïòóúü" for t in toks for c in t)
+
+
+def test_nepali_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_nepali
+
+    _check("snowball_nepali.tsv", stem_nepali, 30000)
+
+
+def test_basque_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_basque
+
+    _check("snowball_basque.tsv", stem_basque, 20000)
+
+
+def test_nepali_analyzer_chain():
+    an = analyzer_for("nepali")
+    # reference TestNepaliAnalyzer.testBasics / testStopwords: stemming
+    # conflation, stop-before-stem order (the stopword सबै drops but the
+    # inflected सबैको stems back to सबै and survives), digit folding
+    assert [t.term for t in an.tokens("मित्र")] == ["मित्र"]
+    assert [t.term for t in an.tokens("मित्रहरु")] == ["मित्र"]
+    assert [t.term for t in an.tokens(
+        "सबै व्यक्तिहरू जन्मजात स्वतन्त्र हुन् ती सबैको समान अधिकार र महत्व"
+    )] == ["व्यक्ति", "जन्मजात", "स्वतन्त्र", "सबै", "समान", "अधिकार", "महत्व"]
+    assert [t.term for t in an.tokens("FIFA")] == ["fifa"]
+    assert [t.term for t in an.tokens("१२३४")] == ["1234"]
+
+
+def test_basque_analyzer_chain():
+    an = analyzer_for("basque")
+    # reference TestBasqueAnalyzer.testBasics
+    assert [t.term for t in an.tokens("zaldi")] == ["zaldi"]
+    assert [t.term for t in an.tokens("zaldiak")] == ["zaldi"]
+    assert [t.term for t in an.tokens("izan")] == []  # stop word
