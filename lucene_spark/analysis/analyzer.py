@@ -1051,6 +1051,9 @@ NEPALI = _make_indic_snowball("NEPALI_STOP_WORDS", "stem_nepali")
 # BasqueAnalyzer (analysis/common/.../eu/BasqueAnalyzer.java): lowercase
 # -> stop -> SnowballFilter(BasqueStemmer)
 BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
+# EstonianAnalyzer (analysis/common/.../et/EstonianAnalyzer.java):
+# lowercase -> stop -> SnowballFilter(EstonianStemmer)
+ESTONIAN = _make_snowball("ESTONIAN_STOP_WORDS", "stem_estonian")
 ARMENIAN = _make_snowball("ARMENIAN_STOP_WORDS", "stem_armenian")
 LITHUANIAN = _make_snowball("LITHUANIAN_STOP_WORDS", "stem_lithuanian")
 ROMANIAN = _make_snowball("ROMANIAN_STOP_WORDS", "stem_romanian")
@@ -1283,6 +1286,7 @@ _BASE_ANALYZERS = {
     "catalan": CATALAN,
     "nepali": NEPALI,
     "basque": BASQUE,
+    "estonian": ESTONIAN,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -1179,3 +1179,150 @@ def stem_basque(w: str) -> str:
         pass
     step(EU_VERB, {1: ("V", ""), 2: (None, "z")})
     return w[:cur] + tail
+
+
+# ---------------------------------------------------------------------------
+# Estonian (EstonianStemmer.java, estonian.sbl): whole-word verb
+# exception map, R1 region over the 9-vowel set, emphasis strip (gi/ki
+# with consonant-class + long-vowel guards), verb suffixes OR the
+# substantive pipeline (special nouns, case endings, plurals, degrees,
+# i-plural, nu), and final kpt undoubling before a final vowel. Every
+# rule matches at the end of the current word (cursor is save/restored
+# around each). Among tables extracted to snowball_data.py. Gated by
+# tests/data/snowball_estonian.tsv.
+
+_ET_V1 = frozenset("aeiouäõöü")
+_ET_RV = frozenset("aeiou")
+_ET_GI = frozenset("aceijlmnoqruvwxäõöü")
+_ET_KI = frozenset("bdfghkpstzšž")
+_ET_LONGV = ("aa", "ee", "ii", "oo", "uu", "ää", "õõ", "öö", "üü")
+_ET_EXC_REPL = {
+    1: "joo", 2: "saa", 3: "viima", 4: "keesi", 5: "löö", 6: "lõi",
+    7: "loo", 8: "käisi", 9: "söö", 10: "too", 11: "võisi", 12: "jääma",
+    13: "müüsi", 14: "luge", 15: "põde", 16: "ladu", 17: "tegi",
+    18: "nägi",
+}
+_ET_EXC = None  # built lazily from the extracted table
+
+
+def _et_p1(w: str) -> int:
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _ET_V1:
+        i += 1
+    if i >= n:
+        return n
+    i += 1
+    while i < n and w[i] in _ET_V1:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def stem_estonian(w: str) -> str:
+    from . import snowball_data as D
+
+    global _ET_EXC
+    if _ET_EXC is None:
+        _ET_EXC = {s: _ET_EXC_REPL[v] for s, v in D.ET_VERB_EXCEPTIONS}
+    exc = _ET_EXC.get(w)
+    if exc is not None:
+        return exc
+    p1 = _et_p1(w)
+
+    def longv(s: str) -> bool:
+        return s.endswith(_ET_LONGV)
+
+    # emphasis: gi after a GI char (not a long vowel), ki after a KI
+    # char; the suffix must sit in R1 with >= 4 chars before it
+    m = _ro_longest_var(w, D.ET_EMPHASIS, p1)
+    if m is not None:
+        s, var = m
+        stem = w[: -len(s)]
+        if len(stem) >= 4 and stem:
+            if var == 1:
+                if stem[-1] in _ET_GI and not longv(stem):
+                    w = stem
+            elif stem[-1] in _ET_KI:
+                w = stem
+
+    # verb suffixes, else the substantive pipeline
+    verbed = False
+    m = _ro_longest_var(w, D.ET_VERB, p1)
+    if m is not None:
+        s, var = m
+        stem = w[: -len(s)]
+        if var == 1:
+            w, verbed = stem, True
+        elif var == 2:
+            w, verbed = stem + "a", True
+        elif stem and stem[-1] in _ET_V1:
+            w, verbed = stem, True
+    if not verbed:
+        # special noun endings (lane/line/mine families -> genitive)
+        m = _ro_longest_var(w, D.ET_SPECIAL_NOUN, p1)
+        if m is not None:
+            s, var = m
+            w = w[: -len(s)] + {1: "lase", 2: "mise", 3: "lise"}[var]
+        # case endings: short cases need a preceding RV vowel or long
+        # vowel; bare 't' needs >= 4 chars before it
+        m = _ro_longest_var(w, D.ET_CASE, p1)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            if var == 1:
+                if stem and (stem[-1] in _ET_RV or longv(stem)):
+                    w = stem
+            elif len(stem) >= 4:
+                w = stem
+        # plural + the three first cases
+        m = _ro_longest_var(w, D.ET_PLURAL, p1)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            if var == 1:
+                w = stem + "iku"
+            elif var == 2:
+                if not longv(stem):
+                    w = stem
+            elif var == 3:
+                if len(stem) >= 4:
+                    # classify what precedes 'te': las/lis/mis -> 'e',
+                    # bare 't' -> keep, anything else -> delete
+                    pm = _ro_longest_var(stem, D.ET_PRE_TE)
+                    pv = pm[1] if pm is not None else 2
+                    if pv == 1:
+                        w = stem + "e"
+                    elif pv == 2:
+                        w = stem
+                else:
+                    w = stem + "t"
+            elif stem and (stem[-1] in _ET_RV or longv(stem)):
+                w = stem
+        # degrees (ma/mai/m)
+        m = _ro_longest_var(w, D.ET_DEGREES, p1)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            if var == 2:
+                w = stem
+            elif stem and stem[-1] in _ET_RV:
+                w = stem
+        # i-plural
+        if w.endswith("i") and len(w) - 1 >= p1:
+            stem = w[:-1]
+            if stem and stem[-1] in _ET_RV:
+                w = stem
+        # nu/du/tu/va participles
+        s = _longest_from(w, D.ET_NU, p1)
+        if s is not None:
+            w = w[: -len(s)]
+
+    # undouble kk/pp/tt before a final vowel (the vowel's position must
+    # be at or past R1)
+    if len(w) >= 3 and w[-1] in _ET_V1 and p1 <= len(w) - 1:
+        pair = w[-3:-1]
+        if pair in ("kk", "pp", "tt"):
+            w = w[:-2] + w[-1]
+    return w

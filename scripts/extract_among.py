@@ -39,6 +39,7 @@ def main():
     ca = tables(f"{REF}/CatalanStemmer.java")
     ne = tables(f"{REF}/NepaliStemmer.java")
     eu = tables(f"{REF}/BasqueStemmer.java")
+    et = tables(f"{REF}/EstonianStemmer.java")
     with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
         f.write(
             '"""Snowball among tables extracted programmatically from the '
@@ -66,13 +67,25 @@ def main():
         f.write(f"NE_CAT3 = {fmt(ne['a_2'])}\n\n")
         f.write(f"EU_APPENDICES = {fmt(eu['a_0'], with_var=True)}\n\n")
         f.write(f"EU_ADJ_NOUN = {fmt(eu['a_1'], with_var=True)}\n\n")
-        f.write(f"EU_VERB = {fmt(eu['a_2'], with_var=True)}\n")
+        f.write(f"EU_VERB = {fmt(eu['a_2'], with_var=True)}\n\n")
+        f.write(f"ET_EMPHASIS = {fmt(et['a_0'], with_var=True)}\n\n")
+        f.write(f"ET_VERB = {fmt(et['a_1'], with_var=True)}\n\n")
+        f.write(f"ET_LONGV = {fmt(et['a_2'])}\n\n")
+        f.write(f"ET_SPECIAL_NOUN = {fmt(et['a_3'], with_var=True)}\n\n")
+        f.write(f"ET_CASE = {fmt(et['a_4'], with_var=True)}\n\n")
+        f.write(f"ET_PRE_TE = {fmt(et['a_5'], with_var=True)}\n\n")
+        f.write(f"ET_PLURAL = {fmt(et['a_6'], with_var=True)}\n\n")
+        f.write(f"ET_NU = {fmt(et['a_7'])}\n\n")
+        f.write(f"ET_KPT = {fmt(et['a_8'], with_var=True)}\n\n")
+        f.write(f"ET_DEGREES = {fmt(et['a_9'], with_var=True)}\n\n")
+        f.write(f"ET_VERB_EXCEPTIONS = {fmt(et['a_10'], with_var=True)}\n")
     for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
                  **{f"lt {n}": len(e) for n, e in lt.items()},
                  **{f"ro {n}": len(e) for n, e in ro.items()},
                  **{f"ca {n}": len(e) for n, e in ca.items()},
                  **{f"ne {n}": len(e) for n, e in ne.items()},
-                 **{f"eu {n}": len(e) for n, e in eu.items()}}.items():
+                 **{f"eu {n}": len(e) for n, e in eu.items()},
+                 **{f"et {n}": len(e) for n, e in et.items()}}.items():
         print(k, v)
 
 

@@ -71,7 +71,7 @@ def words_for(lang):
     return out
 
 
-def words_generic(lang, stop_path, suffix_tables):
+def words_generic(lang, stop_path, suffix_tables, extra_words=()):
     """Stop words + stopword-root x suffix crosses over the language's own
     among tables (exercises every suffix path + region gating), plus
     double-suffix stacks for step interactions."""
@@ -90,6 +90,7 @@ def words_generic(lang, stop_path, suffix_tables):
         roots = roots[::stride] or roots[:1]
     out = list(dict.fromkeys(
         stops
+        + list(extra_words)
         + [r + s for r in roots for s in sufs]
         + [roots[i % len(roots)] + sufs[i] + sufs[(i * 7) % len(sufs)]
            for i in range(len(sufs))]
@@ -124,9 +125,23 @@ def main():
          (tuple(s for s, _ in D.EU_APPENDICES),
           tuple(s for s, _ in D.EU_ADJ_NOUN),
           tuple(s for s, _ in D.EU_VERB))),
+        ("estonian", "Estonian", f"{REF_LANG}/et/stopwords.txt",
+         (tuple(s for s, _ in D.ET_VERB),
+          tuple(s for s, _ in D.ET_SPECIAL_NOUN),
+          tuple(s for s, _ in D.ET_CASE),
+          tuple(s for s, _ in D.ET_PLURAL),
+          D.ET_NU,
+          tuple(s for s, _ in D.ET_DEGREES),
+          tuple(s for s, _ in D.ET_EMPHASIS),
+          ("i", "gi", "ki", "kki", "ppi", "tti", "kka", "tte", "laste",
+           "liste", "miste")),
+         # the whole-word verb exception map, verbatim + inflected
+         [s for s, _ in D.ET_VERB_EXCEPTIONS]
+         + [s + suf for s, _ in D.ET_VERB_EXCEPTIONS[:40]
+            for suf in ("d", "te")]),
     )
-    for lang, cls, stop_path, tables in generic:
-        ws = words_generic(lang, stop_path, tables)
+    for lang, cls, stop_path, tables, *extra in generic:
+        ws = words_generic(lang, stop_path, tables, *extra)
         p = subprocess.run(
             ["java", "-cp", tooldir, "StemTool", cls],
             input="\n".join(ws).encode("utf-8"),

@@ -160,3 +160,21 @@ def test_basque_analyzer_chain():
     assert [t.term for t in an.tokens("zaldi")] == ["zaldi"]
     assert [t.term for t in an.tokens("zaldiak")] == ["zaldi"]
     assert [t.term for t in an.tokens("izan")] == []  # stop word
+
+
+def test_estonian_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_estonian
+
+    _check("snowball_estonian.tsv", stem_estonian, 30000)
+
+
+def test_estonian_analyzer_chain():
+    an = analyzer_for("estonian")
+    # reference TestEstonianAnalyzer.testBasics: case-ending conflation
+    for word in ("teadaolevalt", "teadaolevaid", "teadaolevatest",
+                 "teadaolevatele", "teadaolevateks", "teadaolevate"):
+        assert [t.term for t in an.tokens(word)] == ["teadaole"], word
+    # whole-word verb exception map
+    assert [t.term for t in an.tokens("jääksime")] == ["jääma"]
+    # stop word
+    assert [t.term for t in an.tokens("ja")] == []
