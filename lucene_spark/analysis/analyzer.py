@@ -1048,6 +1048,7 @@ def _make_indic_snowball(stop_name: str, stem_name: str):
 
 
 NEPALI = _make_indic_snowball("NEPALI_STOP_WORDS", "stem_nepali")
+TAMIL = _make_indic_snowball("TAMIL_STOP_WORDS", "stem_tamil")
 # BasqueAnalyzer (analysis/common/.../eu/BasqueAnalyzer.java): lowercase
 # -> stop -> SnowballFilter(BasqueStemmer)
 BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
@@ -1287,6 +1288,7 @@ _BASE_ANALYZERS = {
     "nepali": NEPALI,
     "basque": BASQUE,
     "estonian": ESTONIAN,
+    "tamil": TAMIL,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

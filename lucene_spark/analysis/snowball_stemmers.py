@@ -1326,3 +1326,221 @@ def stem_estonian(w: str) -> str:
         if pair in ("kk", "pp", "tt"):
             w = w[:-2] + w[-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Tamil (TamilStemmer.java, tamil.sbl): question/pronoun prefix strip
+# with va-start vowel repair, then nine end-of-word rule families
+# (question/um/common-endings/vetrumai case markers/plural/command/tense)
+# each followed by the shared fix-ending cleanup loop; the vetrumai flag
+# feeds fix-ending's த்த் -> ம் case. All rules act at the END of the
+# current word (cursor save/restored around each). Multi-char suffix
+# tables extracted to snowball_data.py; single-char classes inlined
+# below. Gated by tests/data/snowball_tamil.tsv.
+
+_TA_HARD = frozenset("கசடதபற")          # a_6/a_7/a_12/a_21/a_22
+_TA_SOFT = frozenset("ஞணநனமயரலளழவ")    # a_8
+_TA_CONS10 = frozenset("கஙசஞதநபமயவ")   # a_1/a_11
+_TA_VS8 = frozenset("ாிீுூெேை")         # a_3/a_16/a_18/a_19/a_24
+_TA_VS9 = _TA_VS8 | {"்"}                # a_9
+_TA_IYAI = frozenset("ிீை")              # a_2
+_TA_AIU = frozenset("அஇஉ")              # a_10
+_TA_INDV = frozenset("அஆஇஈஉஊஎஏஐஒஓஔ")  # a_23
+_TA_VA_START = (("வோ", "ஓ"), ("வொ", "ஒ"), ("வு", "உ"), ("வூ", "ஊ"))
+
+
+def _ta_va_start(w: str) -> str:
+    for pre, rep in _TA_VA_START:
+        if w.startswith(pre):
+            return rep + w[2:]
+    return w
+
+
+def stem_tamil(w: str) -> str:
+    from .snowball_data import (
+        TA_COMMON, TA_FIXEND, TA_PLURAL, TA_TENSE1, TA_TENSE2, TA_VETRUMAI,
+    )
+
+    found_vetrumai = False
+
+    def fix_ending(w: str):
+        if len(w) <= 3:
+            return w, False
+        m = _ro_longest_var(w, TA_FIXEND)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            if var == 1:
+                return stem, True
+            if var == 2:
+                if stem and stem[-1] in _TA_IYAI:
+                    return stem, True
+            elif var == 3:
+                return stem + "ள்", True
+            elif var == 4:
+                return stem + "ல்", True
+            elif var == 5:
+                return stem + "டு", True
+            elif var == 6:
+                if found_vetrumai and not stem.endswith("ை"):
+                    return stem + "ம்", True
+            elif var == 7:
+                return stem + "்", True
+            elif var == 8:
+                if not (stem and stem[-1] in _TA_VS8):
+                    return stem, True
+            else:  # 9: ங் deletes after ை/், otherwise becomes ம்
+                if stem.endswith(("ை", "்")):
+                    return stem, True
+                return stem + "ம்", True
+            # a guard above fell through -> the final-் branch below
+        if not w.endswith("்"):
+            return w, False
+        body = w[:-1]
+        if body and body[-1] in _TA_HARD:
+            b2 = body[:-1]
+            if b2.endswith("்") and len(b2) >= 2 and b2[-2] in _TA_HARD:
+                return b2[:-2], True  # ்+cons twice
+            return b2, True
+        if body and body[-1] in _TA_SOFT and len(body) >= 2 and body[-2] == "்":
+            return body[:-1], True
+        if body and body[-1] in _TA_VS9:
+            return body, True
+        return w, False
+
+    def fix_endings(w: str) -> str:
+        changed = True
+        while changed:
+            w, changed = fix_ending(w)
+        return w
+
+    # stem() body: one fix_ending on the raw word, then the >4 gate
+    w, _ = fix_ending(w)
+    if len(w) <= 4:
+        return w
+
+    # question / pronoun prefixes (எ|அ|இ|உ + consonant + ்), va repair
+    if len(w) >= 3 and w[0] == "எ" and w[1] in _TA_CONS10 and w[2] == "்":
+        w = _ta_va_start(w[3:])
+    if len(w) >= 3 and w[0] in _TA_AIU and w[1] in _TA_CONS10 and w[2] == "்":
+        w = _ta_va_start(w[3:])
+
+    # question suffixes (ா/ே/ோ -> ்), fix_endings runs either way
+    if len(w) > 4:
+        if w and w[-1] in ("ா", "ே", "ோ"):
+            w = w[:-1] + "்"
+        w = fix_endings(w)
+
+    # ும் -> ், one fix_ending
+    if len(w) > 4 and w.endswith("ும்"):
+        w = w[:-3] + "்"
+        w, _ = fix_ending(w)
+
+    # common word endings
+    if len(w) > 4:
+        m = _ro_longest_var(w, TA_COMMON)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            ok = True
+            if var == 1:
+                w = stem + "்"
+            elif var == 2:
+                # ல்ல fails outright after a vowel sign (no fix_endings)
+                if stem and stem[-1] in _TA_VS8:
+                    ok = False
+                else:
+                    w = stem + "்"
+            else:
+                w = stem
+            if ok:
+                w = fix_endings(w)
+
+    # vetrumai urupukal (case markers); sets the flag fix_ending reads
+    if len(w) > 4:
+        acted = False
+        m = _ro_longest_var(w, TA_VETRUMAI)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            if var == 1:
+                w, acted = stem, True
+            elif var == 2:
+                w, acted = stem + "்", True
+            elif var == 3:
+                if not stem.endswith("ம"):
+                    w, acted = stem + "்", True
+            elif var == 4:
+                if len(w) >= 7:
+                    w, acted = stem + "்", True
+            elif var == 5:
+                if not (stem and stem[-1] in _TA_VS8):
+                    w, acted = stem + "்", True
+            elif var == 6:
+                if not (stem and stem[-1] in _TA_VS8):
+                    w, acted = stem, True
+            else:  # 7: ீ -> ி
+                w, acted = stem + "ி", True
+        done = acted
+        if not acted and w.endswith("ை"):
+            body = w[:-1]
+            if (not (body and body[-1] in _TA_HARD)) or (
+                len(body) >= 2 and body[-2] == "்"
+            ):
+                w, done = body + "்", True
+        if done:
+            found_vetrumai = True
+            if w.endswith("ின்"):
+                w = w[:-3] + "்"
+            w = fix_endings(w)
+
+    # plural suffixes (no minimum-length gate in the reference)
+    m = _ro_longest_var(w, TA_PLURAL)
+    if m is not None:
+        s, var = m
+        stem = w[: -len(s)]
+        if var == 1:
+            w = stem + ("ுங்" if stem and stem[-1] in _TA_HARD else "்")
+        elif var == 2:
+            w = stem + "ல்"
+        elif var == 3:
+            w = stem + "ள்"
+        else:
+            w = stem
+
+    # command suffixes (பி/வி)
+    if len(w) > 4 and w.endswith(("பி", "வி")):
+        w = w[:-2]
+
+    # tense suffixes: repeat until no part matches
+    while True:
+        if len(w) <= 4:
+            break
+        found = False
+        m = _ro_longest_var(w, TA_TENSE1)
+        if m is not None:
+            s, var = m
+            stem = w[: -len(s)]
+            if var == 1:
+                w, found = stem, True
+            elif var == 2:
+                if not (stem and stem[-1] in _TA_INDV):
+                    w, found = stem, True
+            elif var == 3:
+                if not (stem and stem[-1] in _TA_VS8):
+                    w, found = stem, True
+            elif var == 4:
+                if not stem.endswith("ச"):
+                    w, found = stem + "்", True
+            elif var == 5:
+                w, found = stem + "்", True
+            else:  # 6: கு deletes only after ்
+                if stem.endswith("்"):
+                    w, found = stem, True
+        s2 = _longest_from(w, TA_TENSE2, 0)
+        if s2 is not None:
+            w, found = w[: -len(s2)], True
+        w = fix_endings(w)
+        if not found:
+            break
+    return w

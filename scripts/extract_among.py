@@ -40,6 +40,7 @@ def main():
     ne = tables(f"{REF}/NepaliStemmer.java")
     eu = tables(f"{REF}/BasqueStemmer.java")
     et = tables(f"{REF}/EstonianStemmer.java")
+    ta = tables(f"{REF}/TamilStemmer.java")
     with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
         f.write(
             '"""Snowball among tables extracted programmatically from the '
@@ -78,14 +79,21 @@ def main():
         f.write(f"ET_NU = {fmt(et['a_7'])}\n\n")
         f.write(f"ET_KPT = {fmt(et['a_8'], with_var=True)}\n\n")
         f.write(f"ET_DEGREES = {fmt(et['a_9'], with_var=True)}\n\n")
-        f.write(f"ET_VERB_EXCEPTIONS = {fmt(et['a_10'], with_var=True)}\n")
+        f.write(f"ET_VERB_EXCEPTIONS = {fmt(et['a_10'], with_var=True)}\n\n")
+        f.write(f"TA_FIXEND = {fmt(ta['a_5'], with_var=True)}\n\n")
+        f.write(f"TA_PLURAL = {fmt(ta['a_13'], with_var=True)}\n\n")
+        f.write(f"TA_COMMON = {fmt(ta['a_17'], with_var=True)}\n\n")
+        f.write(f"TA_VETRUMAI = {fmt(ta['a_20'], with_var=True)}\n\n")
+        f.write(f"TA_TENSE1 = {fmt(ta['a_25'], with_var=True)}\n\n")
+        f.write(f"TA_TENSE2 = {fmt(ta['a_26'])}\n")
     for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
                  **{f"lt {n}": len(e) for n, e in lt.items()},
                  **{f"ro {n}": len(e) for n, e in ro.items()},
                  **{f"ca {n}": len(e) for n, e in ca.items()},
                  **{f"ne {n}": len(e) for n, e in ne.items()},
                  **{f"eu {n}": len(e) for n, e in eu.items()},
-                 **{f"et {n}": len(e) for n, e in et.items()}}.items():
+                 **{f"et {n}": len(e) for n, e in et.items()},
+                 **{f"ta {n}": len(e) for n, e in ta.items()}}.items():
         print(k, v)
 
 

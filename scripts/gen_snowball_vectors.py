@@ -139,6 +139,17 @@ def main():
          [s for s, _ in D.ET_VERB_EXCEPTIONS]
          + [s + suf for s, _ in D.ET_VERB_EXCEPTIONS[:40]
             for suf in ("d", "te")]),
+        ("tamil", "Tamil", f"{REF_LANG}/ta/stopwords.txt",
+         (tuple(s for s, _ in D.TA_FIXEND),
+          tuple(s for s, _ in D.TA_PLURAL),
+          tuple(s for s, _ in D.TA_COMMON),
+          tuple(s for s, _ in D.TA_VETRUMAI),
+          tuple(s for s, _ in D.TA_TENSE1),
+          D.TA_TENSE2,
+          ("ா", "ே", "ோ", "ும்", "பி", "வி", "ை", "ின்", "ீ")),
+         # prefix shapes (question எC் / pronoun அC்இC்உC் + va-start)
+         [p + c + "்" + w for p in "எஅஇஉ" for c in "கசதப"
+          for w in ("வுலகம்", "வொழுகு", "படியது", "காலம்", "நிலை")]),
     )
     for lang, cls, stop_path, tables, *extra in generic:
         ws = words_generic(lang, stop_path, tables, *extra)

@@ -178,3 +178,21 @@ def test_estonian_analyzer_chain():
     assert [t.term for t in an.tokens("jääksime")] == ["jääma"]
     # stop word
     assert [t.term for t in an.tokens("ja")] == []
+
+
+def test_tamil_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_tamil
+
+    _check("snowball_tamil.tsv", stem_tamil, 18000)
+
+
+def test_tamil_analyzer_chain():
+    an = analyzer_for("tamil")
+    # reference TestTamilAnalyzer.testBasics: singular and plural conflate
+    assert [t.term for t in an.tokens("நண்பன்")] == ["நண்"]
+    assert [t.term for t in an.tokens("நண்பர்கள்")] == ["நண்"]
+    # Tamil digits fold to ASCII
+    assert [t.term for t in an.tokens("௧௨௩௪")] == ["1234"]
+    assert [t.term for t in an.tokens("FIFA")] == ["fifa"]
+    # stop word
+    assert [t.term for t in an.tokens("ஒரு")] == []
