@@ -36,6 +36,57 @@ from .tokenizer import MAX_TOKEN_LENGTH, Token, tokenize
 _SIMPLE_LOWER_OVERRIDES = {"İ": "i"}  # LATIN CAPITAL LETTER I WITH DOT ABOVE
 
 
+def turkish_lowercase(term: str) -> str:
+    """TurkishLowerCaseFilter (reference analysis/common/.../tr/
+    TurkishLowerCaseFilter.java): I followed (through other combining
+    marks) by U+0307 lowers to 'i' and the dot is removed; bare I lowers
+    to dotless ı; everything else takes the simple lowercase."""
+    out = []
+    i_or_after = False
+    n = len(term)
+    i = 0
+    while i < n:
+        ch = term[i]
+        i_or_after = ch == "I" or (
+            i_or_after and unicodedata.category(ch) == "Mn"
+        )
+        if i_or_after:
+            if ch == "̇":
+                i += 1  # combining dot above absorbed by the i
+                continue
+            if ch == "I":
+                j = i + 1
+                before_dot = False
+                while j < n and unicodedata.category(term[j]) == "Mn":
+                    if term[j] == "̇":
+                        before_dot = True
+                        break
+                    j += 1
+                out.append("i" if before_dot else "ı")
+                if not before_dot:
+                    i_or_after = False
+                i += 1
+                continue
+        low = _SIMPLE_LOWER_OVERRIDES.get(ch)
+        if low is None:
+            low = ch.lower()
+            if len(low) != 1:
+                low = ch
+        out.append(low)
+        i += 1
+    return "".join(out)
+
+
+def _strip_apostrophe(term: str) -> str:
+    """ApostropheFilter (reference analysis/common/.../tr/
+    ApostropheFilter.java): keep only the part before the first
+    apostrophe (zero-width for U+2019 too)."""
+    for i, ch in enumerate(term):
+        if ch == "'" or ch == "’":
+            return term[:i]
+    return term
+
+
 def lowercase(term: str) -> str:
     """Per-codepoint simple lowercase, mirroring Java Character.toLowerCase."""
     if term.isascii():
@@ -404,6 +455,14 @@ class Analyzer:
     # where the icu fold sits — for chains whose stop list is normalized
     # (the reference Persian/Hindi analyzers normalize BEFORE StopFilter)
     normalizer: object = None
+    # ApostropheFilter (reference analysis/common/.../tr/
+    # ApostropheFilter.java): truncate each token at its first ' or ’,
+    # BEFORE lowercasing — TurkishAnalyzer's first filter
+    apostrophe: bool = False
+    # LowerCaseFilter replacement (callable term -> term) for chains
+    # whose lowercase is language-specific (TurkishLowerCaseFilter's
+    # I/ı/İ/i handling); None = the standard simple lowercase
+    lowercase_fn: object = None
     # HTMLStripCharFilter analogue (reference analysis/common/charfilter/
     # HTMLStripCharFilter.jflex): strip markup + decode entities BEFORE
     # the tokenizer, like Analyzer.initReader char filters. Token offsets
@@ -519,7 +578,9 @@ class Analyzer:
                 term = _elide(term, self.elision)
             if self.possessive:
                 term = strip_possessive(term)
-            term = lowercase(term)
+            if self.apostrophe:
+                term = _strip_apostrophe(term)
+            term = (self.lowercase_fn or lowercase)(term)
             if self.icu_fold:
                 term = nfkc_cf(term)
             if self.normalizer is not None:
@@ -666,7 +727,9 @@ class Analyzer:
                 term = _elide(term, self.elision)
             if self.possessive:
                 term = strip_possessive(term)
-            term = lowercase(term)
+            if self.apostrophe:
+                term = _strip_apostrophe(term)
+            term = (self.lowercase_fn or lowercase)(term)
             if self.icu_fold:
                 term = nfkc_cf(term)
             if self.normalizer is not None:
@@ -735,7 +798,9 @@ class Analyzer:
                 term = _elide(term, self.elision)
             if self.possessive:
                 term = strip_possessive(term)
-            term = lowercase(term)
+            if self.apostrophe:
+                term = _strip_apostrophe(term)
+            term = (self.lowercase_fn or lowercase)(term)
             if self.icu_fold:
                 term = nfkc_cf(term)
             if self.normalizer is not None:
@@ -1055,6 +1120,25 @@ BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
 # EstonianAnalyzer (analysis/common/.../et/EstonianAnalyzer.java):
 # lowercase -> stop -> SnowballFilter(EstonianStemmer)
 ESTONIAN = _make_snowball("ESTONIAN_STOP_WORDS", "stem_estonian")
+
+
+def _make_turkish():
+    # TurkishAnalyzer chain (analysis/common/.../tr/TurkishAnalyzer.java):
+    # ApostropheFilter -> TurkishLowerCaseFilter -> stop ->
+    # SnowballFilter(TurkishStemmer). The stop list is pre-lowercased
+    # with the Turkish rules, so membership tests line up.
+    from . import stop_sets
+    from .snowball_stemmers import stem_turkish
+
+    return Analyzer(
+        stopwords=stop_sets.TURKISH_STOP_WORDS,
+        stemmer=stem_turkish,
+        apostrophe=True,
+        lowercase_fn=turkish_lowercase,
+    )
+
+
+TURKISH = _make_turkish()
 ARMENIAN = _make_snowball("ARMENIAN_STOP_WORDS", "stem_armenian")
 LITHUANIAN = _make_snowball("LITHUANIAN_STOP_WORDS", "stem_lithuanian")
 ROMANIAN = _make_snowball("ROMANIAN_STOP_WORDS", "stem_romanian")
@@ -1289,6 +1373,7 @@ _BASE_ANALYZERS = {
     "basque": BASQUE,
     "estonian": ESTONIAN,
     "tamil": TAMIL,
+    "turkish": TURKISH,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -1544,3 +1544,583 @@ def stem_tamil(w: str) -> str:
         if not found:
             break
     return w
+
+
+# ---------------------------------------------------------------------------
+# Turkish (TurkishStemmer.java, turkish.sbl): apostrophe proper-noun
+# strip, >= 2-syllable gate, nominal-verb suffix cascade, noun-suffix
+# cascade with the recursive ki-chain, then the postlude (reserved
+# ad/soyad, U-append after d/g, final-consonant devoicing). Marks
+# consume backwards and slices delete [mark, ket-at-entry); failed
+# continuations only restore the cursor, so earlier slices persist —
+# mirrored here by mutating the head string. Vowel harmony is checked
+# over the region INCLUDING the candidate suffix. Suffix tables inlined
+# (a_0..a_22); gated by tests/data/snowball_turkish.tsv.
+
+_TR_V = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+_TR_HARM = {
+    "a": frozenset("aıou"), "e": frozenset("eiöü"), "ı": frozenset("aı"),
+    "i": frozenset("ei"), "o": frozenset("ou"), "ö": frozenset("öü"),
+    "u": frozenset("ou"), "ü": frozenset("öü"),
+}
+_TR_POSS = ("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz", "mız", "nız")
+_TR_LARI = ("leri", "ları")
+_TR_NU = ("ni", "nu", "nü", "nı")
+_TR_NUN = ("in", "un", "ün", "ın")
+_TR_YA = ("a", "e")
+_TR_NA = ("na", "ne")
+_TR_DA = ("da", "ta", "de", "te")
+_TR_NDA = ("nda", "nde")
+_TR_DAN = ("dan", "tan", "den", "ten")
+_TR_NDAN = ("ndan", "nden")
+_TR_YLA = ("la", "le")
+_TR_NCA = ("ca", "ce")
+_TR_YUM = ("im", "um", "üm", "ım")
+_TR_SUN = ("sin", "sun", "sün", "sın")
+_TR_YUZ = ("iz", "uz", "üz", "ız")
+_TR_SUNUZ = ("siniz", "sunuz", "sünüz", "sınız")
+_TR_LAR = ("lar", "ler")
+_TR_NUZ = ("niz", "nuz", "nüz", "nız")
+_TR_DUR = ("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")
+_TR_CASINA = ("casına", "cesine")
+_TR_YDU = (
+    "di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+    "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım", "din", "tin",
+    "dun", "tun", "dün", "tün", "dın", "tın", "du", "tu", "dü", "tü",
+    "dı", "tı",
+)
+_TR_YSA = ("sa", "se", "sak", "sek", "sam", "sem", "san", "sen")
+_TR_YMUS = ("miş", "muş", "müş", "mış")
+
+
+def _tr_suffix(w, pos, table):
+    """Longest table suffix of w[:pos]; returns the match start or None."""
+    best = -1
+    for s in table:
+        if len(s) > best and len(s) <= pos and w.endswith(s, 0, pos):
+            best = len(s)
+    return pos - best if best >= 0 else None
+
+
+def _tr_harmony(w, pos):
+    """check_vowel_harmony at pos: the last vowel of w[:pos] needs an
+    earlier vowel from its harmony class (any non-class chars between
+    are skipped, like go_out_grouping_b)."""
+    for j in range(pos - 1, -1, -1):
+        if w[j] in _TR_V:
+            allowed = _TR_HARM[w[j]]
+            return any(w[k] in allowed for k in range(j))
+    return False
+
+
+def _tr_opt(w, pos, is_marker, pre_ok):
+    """mark_suffix_with_optional_*: consume the marker char when the
+    char before it passes pre_ok; with no marker, pre_ok must hold for
+    the char one deeper (a marker WITHOUT a passing pre char fails)."""
+    if pos >= 1 and is_marker(w[pos - 1]):
+        if pos >= 2 and pre_ok(w[pos - 2]):
+            return pos - 1
+        return None
+    if pos >= 2 and pre_ok(w[pos - 2]):
+        return pos
+    return None
+
+
+def _tr_opt_n(w, pos):
+    return _tr_opt(w, pos, lambda c: c == "n", lambda c: c in _TR_V)
+
+
+def _tr_opt_s(w, pos):
+    return _tr_opt(w, pos, lambda c: c == "s", lambda c: c in _TR_V)
+
+
+def _tr_opt_y(w, pos):
+    return _tr_opt(w, pos, lambda c: c == "y", lambda c: c in _TR_V)
+
+
+def _tr_opt_U(w, pos):
+    return _tr_opt(w, pos, lambda c: c in _TR_U, lambda c: c not in _TR_V)
+
+
+def _tr_mark_possessives(w, pos):
+    p = _tr_suffix(w, pos, _TR_POSS)
+    return None if p is None else _tr_opt_U(w, p)
+
+
+def _tr_mark_sU(w, pos):
+    if not _tr_harmony(w, pos):
+        return None
+    if pos >= 1 and w[pos - 1] in _TR_U:
+        return _tr_opt_s(w, pos - 1)
+    return None
+
+
+def _tr_mark_lArI(w, pos):
+    return _tr_suffix(w, pos, _TR_LARI)
+
+
+def _tr_mark_yU(w, pos):
+    if not _tr_harmony(w, pos):
+        return None
+    if pos >= 1 and w[pos - 1] in _TR_U:
+        return _tr_opt_y(w, pos - 1)
+    return None
+
+
+def _tr_harm_suffix(w, pos, table):
+    if not _tr_harmony(w, pos):
+        return None
+    return _tr_suffix(w, pos, table)
+
+
+def _tr_harm_suffix_opt(w, pos, table, opt):
+    p = _tr_harm_suffix(w, pos, table)
+    return None if p is None else opt(w, p)
+
+
+def _tr_mark_nU(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_NU)
+
+
+def _tr_mark_nUn(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_NUN, _tr_opt_n)
+
+
+def _tr_mark_yA(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_YA, _tr_opt_y)
+
+
+def _tr_mark_nA(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_NA)
+
+
+def _tr_mark_DA(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_DA)
+
+
+def _tr_mark_ndA(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_NDA)
+
+
+def _tr_mark_DAn(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_DAN)
+
+
+def _tr_mark_ndAn(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_NDAN)
+
+
+def _tr_mark_ylA(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_YLA, _tr_opt_y)
+
+
+def _tr_mark_ki(w, pos):
+    return pos - 2 if w.endswith("ki", 0, pos) and pos >= 2 else None
+
+
+def _tr_mark_ncA(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_NCA, _tr_opt_n)
+
+
+def _tr_mark_yUm(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_YUM, _tr_opt_y)
+
+
+def _tr_mark_sUn(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_SUN)
+
+
+def _tr_mark_yUz(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_YUZ, _tr_opt_y)
+
+
+def _tr_mark_sUnUz(w, pos):
+    return _tr_suffix(w, pos, _TR_SUNUZ)
+
+
+def _tr_mark_lAr(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_LAR)
+
+
+def _tr_mark_nUz(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_NUZ)
+
+
+def _tr_mark_DUr(w, pos):
+    return _tr_harm_suffix(w, pos, _TR_DUR)
+
+
+def _tr_mark_cAsInA(w, pos):
+    return _tr_suffix(w, pos, _TR_CASINA)
+
+
+def _tr_mark_yDU(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_YDU, _tr_opt_y)
+
+
+def _tr_mark_ysA(w, pos):
+    p = _tr_suffix(w, pos, _TR_YSA)
+    return None if p is None else _tr_opt_y(w, p)
+
+
+def _tr_mark_ymUs(w, pos):
+    return _tr_harm_suffix_opt(w, pos, _TR_YMUS, _tr_opt_y)
+
+
+def _tr_mark_yken(w, pos):
+    if w.endswith("ken", 0, pos) and pos >= 3:
+        return _tr_opt_y(w, pos - 3)
+    return None
+
+
+def _tr_nominal_verb(w):
+    """r_stem_nominal_verb_suffixes: returns (word, continue_flag)."""
+    n = len(w)
+    # (ymUs_ | yDU | ysA | yken) -> delete to end
+    for mark in (_tr_mark_ymUs, _tr_mark_yDU, _tr_mark_ysA, _tr_mark_yken):
+        p = mark(w, n)
+        if p is not None:
+            return w[:p], True
+    # cAsInA (sUnUz|lAr|yUm|sUn|yUz)? ymUs_ -> delete to end
+    p = _tr_mark_cAsInA(w, n)
+    if p is not None:
+        p2 = p
+        for mark in (_tr_mark_sUnUz, _tr_mark_lAr, _tr_mark_yUm,
+                     _tr_mark_sUn, _tr_mark_yUz):
+            q = mark(w, p)
+            if q is not None:
+                p2 = q
+                break
+        q = _tr_mark_ymUs(w, p2)
+        if q is not None:
+            return w[:q], True
+    # lAr -> delete, then optionally (DUr|yDU|ysA|ymUs_) -> delete;
+    # stops all further noun-suffix stemming
+    p = _tr_mark_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        for mark in (_tr_mark_DUr, _tr_mark_yDU, _tr_mark_ysA,
+                     _tr_mark_ymUs):
+            q = mark(w, p)
+            if q is not None:
+                w = w[:q]
+                break
+        return w, False
+    # nUz (yDU|ysA) -> delete to end
+    p = _tr_mark_nUz(w, n)
+    if p is not None:
+        for mark in (_tr_mark_yDU, _tr_mark_ysA):
+            q = mark(w, p)
+            if q is not None:
+                return w[:q], True
+    # (sUnUz|yUz|sUn|yUm) -> delete, then optional ymUs_ -> delete
+    for mark in (_tr_mark_sUnUz, _tr_mark_yUz, _tr_mark_sUn, _tr_mark_yUm):
+        p = mark(w, n)
+        if p is not None:
+            w = w[:p]
+            q = _tr_mark_ymUs(w, p)
+            if q is not None:
+                w = w[:q]
+            return w, True
+    # DUr -> delete, then optional ((sUnUz|lAr|yUm|sUn|yUz)? ymUs_)
+    # (the group is kept only when ymUs_ follows it)
+    p = _tr_mark_DUr(w, n)
+    if p is not None:
+        w = w[:p]
+        p2 = p
+        for mark in (_tr_mark_sUnUz, _tr_mark_lAr, _tr_mark_yUm,
+                     _tr_mark_sUn, _tr_mark_yUz):
+            q = mark(w, p)
+            if q is not None:
+                p2 = q
+                break
+        q = _tr_mark_ymUs(w, p2)
+        if q is not None:
+            w = w[:q]
+    return w, True
+
+
+def _tr_chain_ki(w):
+    """r_stem_suffix_chain_before_ki: returns (word, matched). Slices
+    already made persist even when a continuation fails."""
+    n = len(w)
+    p = _tr_mark_ki(w, n)
+    if p is None:
+        return w, False
+    # DA branch: slice DA+ki, then lAr/possessive continuations
+    q = _tr_mark_DA(w, p)
+    if q is not None:
+        w = w[:q]
+        r = _tr_mark_lAr(w, q)
+        if r is not None:
+            w = w[:r]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                w = w2
+        else:
+            r = _tr_mark_possessives(w, q)
+            if r is not None:
+                w = w[:r]
+                s = _tr_mark_lAr(w, r)
+                if s is not None:
+                    w = w[:s]
+                    w2, ok = _tr_chain_ki(w)
+                    if ok:
+                        w = w2
+        return w, True
+    # nUn branch: slice nUn+ki, then lArI / (possessives|sU) / chain
+    q = _tr_mark_nUn(w, p)
+    if q is not None:
+        w = w[:q]
+        r = _tr_mark_lArI(w, q)
+        if r is not None:
+            return w[:r], True
+        for mark in (_tr_mark_possessives, _tr_mark_sU):
+            r = mark(w, q)
+            if r is not None:
+                w = w[:r]
+                s = _tr_mark_lAr(w, r)
+                if s is not None:
+                    w = w[:s]
+                    w2, ok = _tr_chain_ki(w)
+                    if ok:
+                        w = w2
+                return w, True
+        w2, ok = _tr_chain_ki(w)
+        if ok:
+            w = w2
+        return w, True
+    # ndA branch: nothing sliced yet — deletions reach back to the
+    # original end; the bare recursion keeps the ndA+ki tail
+    q = _tr_mark_ndA(w, p)
+    if q is not None:
+        r = _tr_mark_lArI(w, q)
+        if r is not None:
+            return w[:r], True
+        r = _tr_mark_sU(w, q)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w, True
+        head, ok = _tr_chain_ki(w[:q])
+        if ok:
+            return head + w[q:], True
+    return w, False
+
+
+def _tr_noun_suffixes(w):
+    n = len(w)
+    # lAr -> delete, optional ki-chain
+    p = _tr_mark_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        w2, ok = _tr_chain_ki(w)
+        return w2 if ok else w
+    # ncA -> delete, then lArI / (possessives|sU) [lAr ki-chain] / lAr
+    p = _tr_mark_ncA(w, n)
+    if p is not None:
+        w = w[:p]
+        r = _tr_mark_lArI(w, p)
+        if r is not None:
+            return w[:r]
+        for mark in (_tr_mark_possessives, _tr_mark_sU):
+            r = mark(w, p)
+            if r is not None:
+                w = w[:r]
+                s = _tr_mark_lAr(w, r)
+                if s is not None:
+                    w = w[:s]
+                    w2, ok = _tr_chain_ki(w)
+                    if ok:
+                        w = w2
+                return w
+        r = _tr_mark_lAr(w, p)
+        if r is not None:
+            w = w[:r]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                w = w2
+        return w
+    # (ndA|nA): no slice yet — continuations delete back to the end
+    for first in (_tr_mark_ndA, _tr_mark_nA):
+        q = first(w, n)
+        if q is None:
+            continue
+        r = _tr_mark_lArI(w, q)
+        if r is not None:
+            return w[:r]
+        r = _tr_mark_sU(w, q)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w
+        head, ok = _tr_chain_ki(w[:q])
+        if ok:
+            return head + w[q:]
+        break  # matched ndA/nA but no continuation: try next family
+    # (ndAn|nU): same delayed-slice pattern
+    for first in (_tr_mark_ndAn, _tr_mark_nU):
+        q = first(w, n)
+        if q is None:
+            continue
+        r = _tr_mark_sU(w, q)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w
+        r = _tr_mark_lArI(w, q)
+        if r is not None:
+            return w[:r]
+        break
+    # DAn -> delete, then possessives/lAr/ki-chain continuations
+    p = _tr_mark_DAn(w, n)
+    if p is not None:
+        w = w[:p]
+        r = _tr_mark_possessives(w, p)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w
+        r = _tr_mark_lAr(w, p)
+        if r is not None:
+            w = w[:r]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                w = w2
+            return w
+        w2, ok = _tr_chain_ki(w)
+        return w2 if ok else w
+    # (nUn|ylA) -> delete, then [lAr + REQUIRED ki-chain] (the lAr
+    # slice persists when the chain fails) / (possessives|sU) [...]
+    for first in (_tr_mark_nUn, _tr_mark_ylA):
+        p = first(w, n)
+        if p is None:
+            continue
+        w = w[:p]
+        r = _tr_mark_lAr(w, p)
+        if r is not None:
+            w = w[:r]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                return w2
+            p = r  # continue on the lAr-sliced word
+        for mark in (_tr_mark_possessives, _tr_mark_sU):
+            r = mark(w, len(w))
+            if r is not None:
+                w = w[:r]
+                s = _tr_mark_lAr(w, r)
+                if s is not None:
+                    w = w[:s]
+                    w2, ok = _tr_chain_ki(w)
+                    if ok:
+                        w = w2
+                return w
+        w2, ok = _tr_chain_ki(w)
+        if ok:
+            w = w2
+        return w
+    # lArI -> delete
+    p = _tr_mark_lArI(w, n)
+    if p is not None:
+        return w[:p]
+    # bare ki-chain
+    w2, ok = _tr_chain_ki(w)
+    if ok:
+        return w2
+    # (DA|yU|yA) -> delete, then [possessives [lAr]] | lAr, + ki-chain
+    for first in (_tr_mark_DA, _tr_mark_yU, _tr_mark_yA):
+        p = first(w, n)
+        if p is None:
+            continue
+        w = w[:p]
+        r = _tr_mark_possessives(w, p)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                w = w2
+            return w
+        r = _tr_mark_lAr(w, p)
+        if r is not None:
+            w = w[:r]
+            w2, ok = _tr_chain_ki(w)
+            if ok:
+                w = w2
+        return w
+    # (possessives|sU) -> delete, optional lAr + ki-chain
+    for mark in (_tr_mark_possessives, _tr_mark_sU):
+        p = mark(w, n)
+        if p is not None:
+            w = w[:p]
+            r = _tr_mark_lAr(w, p)
+            if r is not None:
+                w = w[:r]
+                w2, ok = _tr_chain_ki(w)
+                if ok:
+                    w = w2
+            return w
+    return w
+
+
+def stem_turkish(w: str) -> str:
+    # remove_proper_noun_suffix: strip leading apostrophes (when a
+    # non-apostrophe exists), then truncate at an apostrophe at index>=2
+    i = 0
+    while i < len(w) and w[i] == "'":
+        i += 1
+    if i < len(w):
+        w = w[i:]
+    if len(w) >= 2:
+        j = w.find("'", 2)
+        if j != -1:
+            w = w[:j]
+    # more_than_one_syllable_word gate
+    if sum(1 for c in w if c in _TR_V) < 2:
+        return w
+    w, cont = _tr_nominal_verb(w)
+    if not cont:
+        return w
+    w = _tr_noun_suffixes(w)
+    # postlude: reserved words, U-append after d/g, final devoicing
+    if w in ("ad", "soyad"):
+        return w
+    if w.endswith(("d", "g")):
+        for c in reversed(w):
+            if c in _TR_V:
+                if c in "aı":
+                    w += "ı"
+                elif c in "ei":
+                    w += "i"
+                elif c in "ou":
+                    w += "u"
+                else:
+                    w += "ü"
+                break
+    last = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}.get(w[-1:])
+    if last is not None:
+        w = w[:-1] + last
+    return w

@@ -101,6 +101,21 @@ def words_generic(lang, stop_path, suffix_tables, extra_words=()):
 REF_LANG = "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis"
 
 
+def _turkish_tables():
+    from lucene_spark.analysis import snowball_stemmers as S
+
+    return (
+        S._TR_POSS, S._TR_LARI, S._TR_NU, S._TR_NUN, S._TR_YA, S._TR_NA,
+        S._TR_DA, S._TR_NDA, S._TR_DAN, S._TR_NDAN, S._TR_YLA, S._TR_NCA,
+        S._TR_YUM, S._TR_SUN, S._TR_YUZ, S._TR_SUNUZ, S._TR_LAR,
+        S._TR_NUZ, S._TR_DUR, S._TR_CASINA, S._TR_YDU, S._TR_YSA,
+        S._TR_YMUS,
+        ("ki", "ken", "yken", "ydi", "yse", "ymiş", "ydı", "deki", "teki",
+         "ndaki", "indeki", "lerinin", "larının", "sı", "si", "su", "sü",
+         "yı", "yi", "yu", "yü"),
+    )
+
+
 def main():
     tooldir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/snowball_gen"
     sys.path.insert(0, ".")
@@ -139,6 +154,18 @@ def main():
          [s for s, _ in D.ET_VERB_EXCEPTIONS]
          + [s + suf for s, _ in D.ET_VERB_EXCEPTIONS[:40]
             for suf in ("d", "te")]),
+        ("turkish", "Turkish", f"{REF_LANG}/tr/stopwords.txt",
+         _turkish_tables(),
+         ["'istanbul'da", "türkiye'nin", "ankara'nın", "''cift", "ad",
+          "soyad", "kitabd", "senaryod", "katalog", "sag", "program",
+          "evdekiler", "evdekilerin", "çantasındakiler", "kitaplarındaki",
+          "bankasındakilerin", "ondaki", "sendeki", "evindekindeki",
+          "ağaçtakilerdeki", "odalardakilerinki", "evlerindekilerden",
+          "sokaktakinin", "bahçedekilerle", "masadakilerinkiler",
+          "üstündekiler", "altındakilere", "içindekiler", "aralarındaki",
+          "yanındakilerin", "karşısındakilerle", "önündekindekiler"]
+         + [w + "'" + s for w in ("ankara", "izmir")
+            for s in ("da", "nın", "ya")]),
         ("tamil", "Tamil", f"{REF_LANG}/ta/stopwords.txt",
          (tuple(s for s, _ in D.TA_FIXEND),
           tuple(s for s, _ in D.TA_PLURAL),

@@ -196,3 +196,38 @@ def test_tamil_analyzer_chain():
     assert [t.term for t in an.tokens("FIFA")] == ["fifa"]
     # stop word
     assert [t.term for t in an.tokens("ஒரு")] == []
+
+
+def test_turkish_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_turkish
+
+    _check("snowball_turkish.tsv", stem_turkish, 30000)
+
+
+def test_turkish_lowercase_filter():
+    from lucene_spark.analysis.analyzer import turkish_lowercase
+
+    # reference TestTurkishLowerCaseFilter: composed, decomposed, and
+    # accent-interleaved forms
+    assert turkish_lowercase("\u0130STANBUL") == "istanbul"  # composed
+    assert turkish_lowercase("\u0130ZM\u0130R") == "izmir"
+    assert turkish_lowercase("ISPARTA") == "\u0131sparta"
+    # decomposed I + combining dot above (testDecomposed)
+    assert turkish_lowercase("I\u0307STANBUL") == "istanbul"
+    assert turkish_lowercase("I\u0307ZMI\u0307R") == "izmir"
+    # other combining marks between I and the dot (testDecomposed2)
+    assert turkish_lowercase("I\u0316\u0307STANBUL") == "i\u0316stanbul"
+    assert turkish_lowercase("I\u0316SPARTA") == "\u0131\u0316sparta"
+    assert turkish_lowercase("I\u0307") == "i"  # testDecomposed3
+    assert turkish_lowercase("") == ""
+
+
+def test_turkish_analyzer_chain():
+    an = analyzer_for("turkish")
+    # reference TestTurkishAnalyzer.testBasics: stemming, stopword,
+    # apostrophe handling
+    assert [t.term for t in an.tokens("ağacı")] == ["ağaç"]
+    assert [t.term for t in an.tokens("ağaç")] == ["ağaç"]
+    assert [t.term for t in an.tokens("dolayı")] == []  # stop word
+    assert [t.term for t in an.tokens("Kıbrıs'ta")] == ["kıbrıs"]
+    assert [t.term for t in an.tokens("Van Gölü'ne")] == ["van", "göl"]
