@@ -77,6 +77,23 @@ def turkish_lowercase(term: str) -> str:
     return "".join(out)
 
 
+_GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+
+
+def irish_lowercase(term: str) -> str:
+    """IrishLowerCaseFilter (reference analysis/common/.../ga/
+    IrishLowerCaseFilter.java): n/t before an uppercase vowel gains a
+    hyphen (nAthair -> n-athair) so mutated forms normalize; then the
+    simple lowercase."""
+    if (
+        len(term) > 1
+        and term[0] in ("n", "t")
+        and term[1] in _GA_UPPER_VOWELS
+    ):
+        term = term[0] + "-" + term[1:]
+    return lowercase(term)
+
+
 def _strip_apostrophe(term: str) -> str:
     """ApostropheFilter (reference analysis/common/.../tr/
     ApostropheFilter.java): keep only the part before the first
@@ -459,6 +476,10 @@ class Analyzer:
     # ApostropheFilter.java): truncate each token at its first ' or ’,
     # BEFORE lowercasing — TurkishAnalyzer's first filter
     apostrophe: bool = False
+    # pre-lowercase case-insensitive stop set (IrishAnalyzer's
+    # HYPHENATIONS {h,n,t}: drop the orphan prefixes StandardTokenizer
+    # splits off t-athair/n-athair BEFORE elision and lowercasing)
+    pre_stop: frozenset = frozenset()
     # LowerCaseFilter replacement (callable term -> term) for chains
     # whose lowercase is language-specific (TurkishLowerCaseFilter's
     # I/ı/İ/i handling); None = the standard simple lowercase
@@ -574,6 +595,9 @@ class Analyzer:
         syn = self._syn
         for term, start, end, incr in self._raw_stream(text):
             term, payload = self._split_payload(term)
+            if self.pre_stop and term.lower() in self.pre_stop:
+                acc += incr  # pre-lowercase stop (Irish hyphenations)
+                continue
             if self.elision:
                 term = _elide(term, self.elision)
             if self.possessive:
@@ -723,6 +747,8 @@ class Analyzer:
         syn = self._syn
         for term, _start, _end, incr in self._raw_stream(text):
             term, _ = self._split_payload(term)
+            if self.pre_stop and term.lower() in self.pre_stop:
+                continue  # pre-lowercase stop (Irish hyphenations)
             if self.elision:
                 term = _elide(term, self.elision)
             if self.possessive:
@@ -794,6 +820,9 @@ class Analyzer:
         syn = self._syn
         for term, _start, _end, incr in self._raw_stream(text):
             term, _ = self._split_payload(term)
+            if self.pre_stop and term.lower() in self.pre_stop:
+                acc += incr  # pre-lowercase stop (Irish hyphenations)
+                continue
             if self.elision:
                 term = _elide(term, self.elision)
             if self.possessive:
@@ -1139,6 +1168,26 @@ def _make_turkish():
 
 
 TURKISH = _make_turkish()
+
+
+def _make_irish():
+    # IrishAnalyzer chain (analysis/common/.../ga/IrishAnalyzer.java):
+    # StopFilter(HYPHENATIONS h/n/t, pre-lowercase) -> ElisionFilter
+    # (d/m/b articles) -> IrishLowerCaseFilter -> stop ->
+    # SnowballFilter(IrishStemmer)
+    from . import stop_sets
+    from .snowball_stemmers import stem_irish
+
+    return Analyzer(
+        stopwords=stop_sets.IRISH_STOP_WORDS,
+        stemmer=stem_irish,
+        pre_stop=frozenset("hnt"),
+        elision=frozenset("dmb"),
+        lowercase_fn=irish_lowercase,
+    )
+
+
+IRISH = _make_irish()
 ARMENIAN = _make_snowball("ARMENIAN_STOP_WORDS", "stem_armenian")
 LITHUANIAN = _make_snowball("LITHUANIAN_STOP_WORDS", "stem_lithuanian")
 ROMANIAN = _make_snowball("ROMANIAN_STOP_WORDS", "stem_romanian")
@@ -1374,6 +1423,7 @@ _BASE_ANALYZERS = {
     "estonian": ESTONIAN,
     "tamil": TAMIL,
     "turkish": TURKISH,
+    "irish": IRISH,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

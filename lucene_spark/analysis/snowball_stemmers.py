@@ -2124,3 +2124,86 @@ def stem_turkish(w: str) -> str:
     if last is not None:
         w = w[:-1] + last
     return w
+
+
+# ---------------------------------------------------------------------------
+# Irish (IrishStemmer.java, irish.sbl): initial-mutation prefix repair
+# (longest prefix from the eclipsis/lenition table), pV/p1/p2 regions
+# marked AFTER the repair (pV = after the first vowel), then one noun
+# suffix (R1/R2), one derivational suffix (R2 + replacements), one verb
+# suffix (RV/R1). Among tables extracted to snowball_data.py. Gated by
+# tests/data/snowball_irish.tsv.
+
+_GA_V = frozenset("aeiouáéíóú")
+_GA_INITIAL_REPL = {
+    1: "", 2: "f", 3: "s", 4: "b", 5: "c", 6: "d", 7: "g", 8: "p",
+    9: "t", 10: "m",
+}
+
+
+def _ga_regions(w: str):
+    n = len(w)
+    pV = p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _GA_V:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    i += 1
+    pV = i
+    while i < n and w[i] in _GA_V:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    i += 1
+    p1 = i
+    while i < n and w[i] not in _GA_V:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    i += 1
+    while i < n and w[i] in _GA_V:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    p2 = i + 1
+    return pV, p1, p2
+
+
+def stem_irish(w: str) -> str:
+    from .snowball_data import GA_DERIV, GA_INITIAL, GA_NOUN, GA_VERB
+
+    # initial_morph: longest matching prefix
+    best = None
+    for s, var in GA_INITIAL:
+        if w.startswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, var)
+    if best is not None:
+        w = _GA_INITIAL_REPL[best[1]] + w[len(best[0]):]
+    pV, p1, p2 = _ga_regions(w)
+    # noun_sfx: var 1 in R1, var 2 in R2
+    m = _ro_longest_var(w, GA_NOUN)
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if i >= (p1 if var == 1 else p2):
+            w = w[:i]
+    # deriv: var 1 deletes in R2, others replace unconditionally
+    m = _ro_longest_var(w, GA_DERIV)
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if var == 1:
+            if i >= p2:
+                w = w[:i]
+        else:
+            w = w[:i] + {2: "arc", 3: "gin", 4: "graf", 5: "paite",
+                         6: "óid"}[var]
+    # verb_sfx: var 1 in RV, var 2 in R1
+    m = _ro_longest_var(w, GA_VERB)
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if i >= (pV if var == 1 else p1):
+            w = w[:i]
+    return w

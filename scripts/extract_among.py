@@ -41,6 +41,7 @@ def main():
     eu = tables(f"{REF}/BasqueStemmer.java")
     et = tables(f"{REF}/EstonianStemmer.java")
     ta = tables(f"{REF}/TamilStemmer.java")
+    ga = tables(f"{REF}/IrishStemmer.java")
     with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
         f.write(
             '"""Snowball among tables extracted programmatically from the '
@@ -85,7 +86,11 @@ def main():
         f.write(f"TA_COMMON = {fmt(ta['a_17'], with_var=True)}\n\n")
         f.write(f"TA_VETRUMAI = {fmt(ta['a_20'], with_var=True)}\n\n")
         f.write(f"TA_TENSE1 = {fmt(ta['a_25'], with_var=True)}\n\n")
-        f.write(f"TA_TENSE2 = {fmt(ta['a_26'])}\n")
+        f.write(f"TA_TENSE2 = {fmt(ta['a_26'])}\n\n")
+        f.write(f"GA_INITIAL = {fmt(ga['a_0'], with_var=True)}\n\n")
+        f.write(f"GA_NOUN = {fmt(ga['a_1'], with_var=True)}\n\n")
+        f.write(f"GA_DERIV = {fmt(ga['a_2'], with_var=True)}\n\n")
+        f.write(f"GA_VERB = {fmt(ga['a_3'], with_var=True)}\n")
     for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
                  **{f"lt {n}": len(e) for n, e in lt.items()},
                  **{f"ro {n}": len(e) for n, e in ro.items()},
@@ -93,7 +98,8 @@ def main():
                  **{f"ne {n}": len(e) for n, e in ne.items()},
                  **{f"eu {n}": len(e) for n, e in eu.items()},
                  **{f"et {n}": len(e) for n, e in et.items()},
-                 **{f"ta {n}": len(e) for n, e in ta.items()}}.items():
+                 **{f"ta {n}": len(e) for n, e in ta.items()},
+                 **{f"ga {n}": len(e) for n, e in ga.items()}}.items():
         print(k, v)
 
 

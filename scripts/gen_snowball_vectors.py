@@ -101,6 +101,23 @@ def words_generic(lang, stop_path, suffix_tables, extra_words=()):
 REF_LANG = "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis"
 
 
+def _irish_tables():
+    from lucene_spark.analysis import snowball_data as D
+
+    return (
+        tuple(s for s, _ in D.GA_NOUN),
+        tuple(s for s, _ in D.GA_DERIV),
+        tuple(s for s, _ in D.GA_VERB),
+    )
+
+
+def _irish_extra():
+    from lucene_spark.analysis import snowball_data as D
+
+    return [p + s for p, _ in D.GA_INITIAL for s in
+            ("athair", "uisce", "focal", "obair", "éan", "imir", "ceol")]
+
+
 def _turkish_tables():
     from lucene_spark.analysis import snowball_stemmers as S
 
@@ -154,6 +171,9 @@ def main():
          [s for s, _ in D.ET_VERB_EXCEPTIONS]
          + [s + suf for s, _ in D.ET_VERB_EXCEPTIONS[:40]
             for suf in ("d", "te")]),
+        ("irish", "Irish", f"{REF_STOP}/irish_stop.txt",
+         _irish_tables(),
+         _irish_extra()),
         ("turkish", "Turkish", f"{REF_LANG}/tr/stopwords.txt",
          _turkish_tables(),
          ["'istanbul'da", "türkiye'nin", "ankara'nın", "''cift", "ad",

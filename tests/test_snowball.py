@@ -231,3 +231,32 @@ def test_turkish_analyzer_chain():
     assert [t.term for t in an.tokens("dolayı")] == []  # stop word
     assert [t.term for t in an.tokens("Kıbrıs'ta")] == ["kıbrıs"]
     assert [t.term for t in an.tokens("Van Gölü'ne")] == ["van", "göl"]
+
+
+def test_irish_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_irish
+
+    _check("snowball_irish.tsv", stem_irish, 6000)
+
+
+def test_irish_lowercase_filter():
+    from lucene_spark.analysis.analyzer import irish_lowercase
+
+    # reference TestIrishLowerCaseFilter: mutated prefixes gain a hyphen
+    assert irish_lowercase("nAthair") == "n-athair"
+    assert irish_lowercase("tUISCE") == "t-uisce"
+    assert irish_lowercase("hARD") == "hard"
+    assert irish_lowercase("") == ""
+
+
+def test_irish_analyzer_chain():
+    an = analyzer_for("irish")
+    # reference TestIrishAnalyzer: stemming, stopword, elision,
+    # hyphenation-stop position accumulation
+    assert [t.term for t in an.tokens("siopadóireacht")] == ["siopadóir"]
+    assert [t.term for t in an.tokens("síceapatacha")] == ["síceapaite"]
+    assert [t.term for t in an.tokens("le")] == []  # stop word
+    assert [t.term for t in an.tokens("b'fhearr m'athair")] == ["fearr", "athair"]
+    toks = an.tokens("n-athair")
+    assert [t.term for t in toks] == ["athair"]
+    assert toks[0].position == 1  # posIncr 2 (the dropped 'n' accumulates)
