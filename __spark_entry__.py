@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_transposed"] = _q("tabel~1", mode="exhaustive")
     q["fuzzy_like_this"] = _pq_fuzzy_like_this
     q["spell_suggest_topk"] = _pq_spell_suggest
+    q["word_break_suggest"] = _pq_word_breaks
+    q["word_combine_suggest"] = _pq_word_combine
     q["multi_phrase"] = _pq_multi_phrase
     q["interval_or_near"] = _pq_interval_or_near
     q["interval_not_containing"] = _pq_interval_not_containing
@@ -2341,6 +2343,48 @@ def _pq_spell_suggest(spark, sf_dir):
     reader = _get_index(spark, sf_dir)
     return spell_suggest_frame(reader, "tabel", k=5, max_edits=2).select(
         "term", "df", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _pq_word_breaks(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks (reference suggest/.../
+    spell/WordBreakSpellChecker.java): split run-together words into
+    dictionary words — every candidate substring's doc freq comes from
+    ONE pushed term-IN-set dictionary lookup, the recursion runs on the
+    resulting tiny freq map. Three inputs, max_changes=2."""
+    from lucene_spark.search.wordbreak import WordBreakSpellChecker
+
+    reader = _get_index(spark, sf_dir)
+    wbsp = WordBreakSpellChecker(max_changes=2)
+    rows = []
+    for inp in ("tablescan", "hashjoin", "sortmergejoin"):
+        for rank, words in enumerate(
+            wbsp.suggest_word_breaks(reader, inp, 3), start=1
+        ):
+            for wi, (word, df) in enumerate(words, start=1):
+                rows.append((inp, rank, wi, word, df))
+    return spark.createDataFrame(
+        rows, "input string, sugg_rank long, word_idx long, word string, df long"
+    )
+
+
+def _pq_word_combine(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordCombinations: glue adjacent
+    broken fragments back into dictionary words (ta+ble -> table); one
+    dictionary lookup for originals + all admissible concatenations."""
+    from lucene_spark.search.wordbreak import WordBreakSpellChecker
+
+    reader = _get_index(spark, sf_dir)
+    wbsp = WordBreakSpellChecker(max_changes=2)
+    rows = []
+    for rank, (idxs, combined, df) in enumerate(
+        wbsp.suggest_word_combinations(reader, ["ta", "ble", "scan"], 5),
+        start=1,
+    ):
+        for oi in idxs:
+            rows.append((rank, oi, combined, df))
+    return spark.createDataFrame(
+        rows, "sugg_rank long, orig_idx long, combined string, df long"
     )
 
 
@@ -4692,6 +4736,64 @@ c AS (
 )
 SELECT term, df, dist FROM c WHERE dist <= 2
 ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+"""
+    # WordBreakSpellChecker break suggestions: single- and double-break
+    # splits whose parts are all dictionary terms, ranked fewest-breaks-
+    # first then max component df desc (NUM_CHANGES_THEN_MAX_FREQUENCY),
+    # exploded one row per component word
+    o["word_break_suggest"] = f"""
+WITH tok AS ({_TOK}),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+inputs(input) AS (VALUES ('tablescan'), ('hashjoin'), ('sortmergejoin')),
+pos AS (SELECT i FROM generate_series(1, 30) t(i)),
+s1 AS (SELECT input, substr(input, 1, i) AS w1, substr(input, i + 1) AS w2
+       FROM inputs, pos WHERE i < length(input)),
+b1 AS (SELECT s.input, s.w1, d1.df AS df1, s.w2, d2.df AS df2,
+              CAST(NULL AS VARCHAR) AS w3, CAST(NULL AS BIGINT) AS df3,
+              2 AS nwords, greatest(d1.df, d2.df) AS maxf
+       FROM s1 s JOIN d d1 ON d1.term = s.w1 JOIN d d2 ON d2.term = s.w2),
+s2 AS (SELECT s.input, s.w1, d1.df AS df1, substr(s.w2, 1, p2.i) AS w2,
+              substr(s.w2, p2.i + 1) AS w3
+       FROM s1 s JOIN d d1 ON d1.term = s.w1, pos p2
+       WHERE p2.i < length(s.w2)),
+b2 AS (SELECT s.input, s.w1, s.df1, s.w2, d2.df AS df2, s.w3, d3.df AS df3,
+              3 AS nwords, greatest(s.df1, d2.df, d3.df) AS maxf
+       FROM s2 s JOIN d d2 ON d2.term = s.w2 JOIN d d3 ON d3.term = s.w3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY input
+                               ORDER BY nwords ASC, maxf DESC) AS sugg_rank
+  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+)
+SELECT input, sugg_rank, word_idx, word, df FROM (
+  SELECT input, sugg_rank, 1 AS word_idx, w1 AS word, df1 AS df FROM ranked
+  UNION ALL
+  SELECT input, sugg_rank, 2, w2, df2 FROM ranked
+  UNION ALL
+  SELECT input, sugg_rank, 3, w3, df3 FROM ranked WHERE w3 IS NOT NULL
+) WHERE sugg_rank <= 3
+"""
+    # WordBreakSpellChecker combine suggestions over the fixed fragment
+    # run (ta, ble, scan): adjacent concatenations that ARE dictionary
+    # terms while >= 1 fragment is not (SUGGEST_WHEN_NOT_IN_INDEX), one
+    # row per original index
+    o["word_combine_suggest"] = f"""
+WITH tok AS ({_TOK}),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+frags(idx, frag) AS (VALUES (0, 'ta'), (1, 'ble'), (2, 'scan')),
+runs(lo, hi, combined) AS (VALUES
+  (0, 1, 'table'), (1, 2, 'blescan'), (0, 2, 'tablescan')),
+gated AS (
+  SELECT r.lo, r.hi, r.combined, dc.df,
+         row_number() OVER (ORDER BY (r.hi - r.lo) ASC, dc.df DESC)
+           AS sugg_rank
+  FROM runs r JOIN d dc ON dc.term = r.combined
+  WHERE (SELECT min(coalesce(df0.df, 0)) FROM frags f
+         LEFT JOIN d df0 ON df0.term = f.frag
+         WHERE f.idx BETWEEN r.lo AND r.hi) = 0
+        AND dc.df >= 1
+)
+SELECT g.sugg_rank, f.idx AS orig_idx, g.combined, g.df
+FROM gated g JOIN frags f ON f.idx BETWEEN g.lo AND g.hi
 """
     # MultiPhraseQuery "(table|merge) scan": slot-union phrase freq, idf
     # summed over ALL terms (table + merge + scan)

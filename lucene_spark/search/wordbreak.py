@@ -1,0 +1,219 @@
+"""WordBreakSpellChecker analogue: split run-together words and combine
+accidentally-broken ones using the index's own term dictionary.
+
+Reference /root/reference/lucene/suggest/src/java/org/apache/lucene/
+search/spell/WordBreakSpellChecker.java — the recursion, evaluation
+budget, sort orders, and suggest-mode gates are mirrored. Spark-first
+shape: every doc-freq the recursion could possibly probe (all >=min-
+length substrings of the input for breaks; the adjacent-run
+concatenations for combines) is fetched in ONE ``reader.term_stats``
+call — a pushed term-IN-set dictionary lookup whose cost is independent
+of corpus size — and the reference's control flow then runs driver-side
+against that small freq map (<= ~L^2/2 strings for a length-L word).
+"""
+
+from __future__ import annotations
+
+# SuggestMode (reference search/spell/SuggestMode.java)
+SUGGEST_WHEN_NOT_IN_INDEX = "not_in_index"
+SUGGEST_MORE_POPULAR = "more_popular"
+SUGGEST_ALWAYS = "always"
+
+#: Sentinel term prohibiting adjacent terms from combining across it
+SEPARATOR_TERM = ""
+
+
+class WordBreakSpellChecker:
+    """Mirrors the reference's tunables (same defaults)."""
+
+    def __init__(
+        self,
+        min_suggestion_frequency: int = 1,
+        min_break_word_length: int = 1,
+        max_combine_word_length: int = 20,
+        max_changes: int = 1,
+        max_evaluations: int = 1000,
+    ):
+        self.min_suggestion_frequency = min_suggestion_frequency
+        self.min_break_word_length = min_break_word_length
+        self.max_combine_word_length = max_combine_word_length
+        self.max_changes = max_changes
+        self.max_evaluations = max_evaluations
+
+    # -- word breaks -------------------------------------------------------
+
+    def suggest_word_breaks(
+        self,
+        reader,
+        term: str,
+        max_suggestions: int = 5,
+        field: str = "text",
+        suggest_mode: str = SUGGEST_WHEN_NOT_IN_INDEX,
+        sort_by_sum: bool = False,
+    ) -> list[list[tuple[str, int]]]:
+        """Suggestions for breaking ``term`` into existing dictionary
+        words: a list of word lists (each word paired with its doc freq),
+        fewest breaks first, then highest max (or summed) frequency —
+        BreakSuggestionSortMethod.NUM_CHANGES_THEN_{MAX,SUMMED}_FREQUENCY.
+        """
+        if max_suggestions < 1:
+            return []
+        minlen = max(1, self.min_break_word_length)
+        # one pushed dictionary lookup for every substring the recursion
+        # could probe (plus the original term)
+        cands = {term}
+        n = len(term)
+        for a in range(n):
+            for b in range(a + minlen, n + 1):
+                cands.add(term[a:b])
+        stats = reader.term_stats(sorted(cands), field=field)
+        freq = {t: df for t, (df, _ttf) in stats.items()}
+
+        orig_freq = freq.get(term, 0)
+        if orig_freq > 0 and suggest_mode == SUGGEST_WHEN_NOT_IN_INDEX:
+            return []
+        use_min_freq = self.min_suggestion_frequency
+        if suggest_mode == SUGGEST_MORE_POPULAR:
+            use_min_freq = 1 if orig_freq == 0 else orig_freq
+
+        # min-heap of (sort_key, tiebreak, words); sort_key orders WORST
+        # first exactly like the reference comparators
+        suggestions: list[tuple[tuple, int, list]] = []
+        state = {"evals": 0, "seq": 0}
+
+        def key_of(words):
+            freqs = [f for _w, f in words]
+            metric = sum(freqs) if sort_by_sum else max(freqs)
+            # heap pops smallest; worst = MORE words, LOWER freq
+            return (-len(words), metric)
+
+        def offer(words):
+            import heapq
+
+            state["seq"] += 1
+            heapq.heappush(suggestions, (key_of(words), state["seq"], words))
+            if len(suggestions) > max_suggestions:
+                heapq.heappop(suggestions)
+
+        def recurse(text: str, number_breaks: int, prefix: list) -> None:
+            # generateBreakUpSuggestions (reference :260-320)
+            tlen = len(text)
+            max_split = tlen - minlen
+            valid_lefts = []
+            for i in range(minlen, max_split + 1):
+                if state["evals"] >= self.max_evaluations:
+                    return
+                state["evals"] += 1
+                left, right = text[:i], text[i:]
+                lf = freq.get(left, 0)
+                if lf >= use_min_freq:
+                    valid_lefts.append(i)
+                    rf = freq.get(right, 0)
+                    if rf >= use_min_freq:
+                        offer(prefix + [(left, lf), (right, rf)])
+            new_breaks = number_breaks + 1
+            if (
+                state["evals"] >= self.max_evaluations
+                or new_breaks > self.max_changes
+                or len(suggestions) >= max_suggestions
+            ):
+                return
+            for i in valid_lefts:
+                left, right = text[:i], text[i:]
+                recurse(right, new_breaks, prefix + [(left, freq.get(left, 0))])
+                if state["evals"] >= self.max_evaluations:
+                    break
+
+        recurse(term, 1, [])
+        # heap pops worst-first; reverse for best-first (fewest words,
+        # then highest freq metric)
+        import heapq
+
+        out = []
+        while suggestions:
+            out.append(heapq.heappop(suggestions)[2])
+        out.reverse()
+        return out
+
+    # -- word combinations -------------------------------------------------
+
+    def suggest_word_combinations(
+        self,
+        reader,
+        terms: list[str],
+        max_suggestions: int = 5,
+        field: str = "text",
+        suggest_mode: str = SUGGEST_WHEN_NOT_IN_INDEX,
+    ) -> list[tuple[list[int], str, int]]:
+        """Suggestions for combining adjacent ``terms`` into one existing
+        dictionary word: (original indexes, combined word, doc freq),
+        fewest combinations first then highest freq. ``SEPARATOR_TERM``
+        entries block combining across them."""
+        if max_suggestions < 1:
+            return []
+        # candidate set: every original term + every admissible adjacent
+        # concatenation — ONE dictionary lookup for all of them
+        cands = set(t for t in terms if t != SEPARATOR_TERM)
+        for i in range(len(terms) - 1):
+            if terms[i] == SEPARATOR_TERM:
+                continue
+            combined = terms[i]
+            if len(combined) > self.max_combine_word_length:
+                continue
+            for j in range(i + 1, min(len(terms), i + 1 + self.max_changes)):
+                if terms[j] == SEPARATOR_TERM:
+                    break
+                combined += terms[j]
+                if len(combined) > self.max_combine_word_length:
+                    break
+                cands.add(combined)
+        stats = reader.term_stats(sorted(cands), field=field)
+        freq = {t: df for t, (df, _ttf) in stats.items()}
+
+        orig_freqs = None
+        if suggest_mode != SUGGEST_ALWAYS:
+            orig_freqs = [freq.get(t, 0) for t in terms]
+
+        import heapq
+
+        heap: list[tuple[tuple, int, tuple]] = []
+        seq = 0
+        for i in range(len(terms) - 1):
+            if terms[i] == SEPARATOR_TERM:
+                continue
+            left = terms[i]
+            if len(left) > self.max_combine_word_length:
+                continue
+            max_freq = min_freq = orig_freqs[i] if orig_freqs else 0
+            if orig_freqs is None:
+                min_freq = float("inf")
+            combined = left
+            for j in range(i + 1, len(terms)):
+                if j - i > self.max_changes:
+                    break
+                if terms[j] == SEPARATOR_TERM:
+                    break
+                combined += terms[j]
+                if len(combined) > self.max_combine_word_length:
+                    break
+                if orig_freqs is not None:
+                    max_freq = max(max_freq, orig_freqs[j])
+                    min_freq = min(min_freq, orig_freqs[j])
+                cf = freq.get(combined, 0)
+                if suggest_mode != SUGGEST_MORE_POPULAR or cf >= max_freq:
+                    if suggest_mode != SUGGEST_WHEN_NOT_IN_INDEX or min_freq == 0:
+                        if cf >= self.min_suggestion_frequency:
+                            idxs = list(range(i, j + 1))
+                            ncomb = j - i
+                            seq += 1
+                            # heap pops worst: more combinations, lower freq
+                            heapq.heappush(
+                                heap, ((-ncomb, cf), seq, (idxs, combined, cf))
+                            )
+                            if len(heap) > max_suggestions:
+                                heapq.heappop(heap)
+        out = []
+        while heap:
+            out.append(heapq.heappop(heap)[2])
+        out.reverse()
+        return out

@@ -1,0 +1,152 @@
+"""WordBreakSpellChecker parity tests (reference suggest/src/test/.../
+spell/TestWordBreakSpellChecker.java) over the same synthetic corpus:
+English number words for 900..1111 plus the extra docs, via a fake
+reader exposing the ``term_stats`` contract (the real IndexReader path
+is one pushed term-IN-set dictionary scan; algorithm identical)."""
+
+from collections import defaultdict
+
+from lucene_spark.search.wordbreak import (
+    SEPARATOR_TERM,
+    SUGGEST_ALWAYS,
+    SUGGEST_WHEN_NOT_IN_INDEX,
+    WordBreakSpellChecker,
+)
+
+_ONES = (
+    "zero one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+).split()
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
+
+
+def int_to_english(n: int) -> str:
+    parts = []
+    if n >= 1000:
+        parts += [_ONES[n // 1000], "thousand"]
+        n %= 1000
+    if n >= 100:
+        parts += [_ONES[n // 100], "hundred"]
+        n %= 100
+    if n >= 20:
+        parts.append(_TENS[n // 10])
+        if n % 10:
+            parts.append(_ONES[n % 10])
+    elif n:
+        parts.append(_ONES[n])
+    return " ".join(parts)
+
+
+class FakeReader:
+    def __init__(self, docs):
+        self._df = defaultdict(lambda: defaultdict(int))
+        for field, text in docs:
+            for t in set(text.lower().split()):
+                self._df[field][t] += 1
+
+    def term_stats(self, terms, field="text"):
+        out = {}
+        for t in terms:
+            df = self._df[field].get(t, 0)
+            if df:
+                out[t] = (df, df)
+        return out
+
+
+def _reader():
+    docs = [("numbers", int_to_english(i)) for i in range(900, 1112)]
+    docs.append(("abba", "A B AB ABA BAB"))
+    docs.append(("numbers", "thou hast sand betwixt thy toes"))
+    docs.append(("numbers", "hundredeight eightyeight yeight"))
+    docs.append(("numbers", "tres y cinco"))
+    return FakeReader(docs)
+
+
+def test_breaking_words_basic():
+    ir = _reader()
+    wbsp = WordBreakSpellChecker(max_changes=1, min_break_word_length=1,
+                                 min_suggestion_frequency=1)
+    sw = wbsp.suggest_word_breaks(ir, "ninetynine", 5, field="numbers")
+    assert len(sw) == 1
+    assert [w for w, _f in sw[0]] == ["ninety", "nine"]
+
+
+def test_breaking_words_two_changes_and_ranking():
+    ir = _reader()
+    wbsp = WordBreakSpellChecker(max_changes=2, min_break_word_length=1,
+                                 min_suggestion_frequency=1)
+    sw = wbsp.suggest_word_breaks(ir, "onethousand", 2, field="numbers")
+    # fewest breaks first, then the 3-way split through 'thou'+'sand'
+    assert len(sw) == 2
+    assert [w for w, _f in sw[0]] == ["one", "thousand"]
+    assert sw[0][1][1] > 1          # thousand freq
+    assert sw[0][0][1] > sw[0][1][1]  # one outranks thousand
+    assert [w for w, _f in sw[1]] == ["one", "thou", "sand"]
+    assert sw[1][1][1] == 1 and sw[1][2][1] == 1
+    # min frequency 2 kills the thou/sand split
+    wbsp2 = WordBreakSpellChecker(max_changes=2, min_suggestion_frequency=2)
+    sw = wbsp2.suggest_word_breaks(ir, "onethousand", 2, field="numbers")
+    assert len(sw) == 1
+    assert [w for w, _f in sw[0]] == ["one", "thousand"]
+
+
+def test_breaking_words_depth_gated_by_max_changes():
+    ir = _reader()
+    term = "onethousandonehundredeleven"
+    for changes, expect in ((3, 0), (4, 1), (5, 2)):
+        wbsp = WordBreakSpellChecker(max_changes=changes,
+                                     min_break_word_length=1,
+                                     min_suggestion_frequency=1)
+        sw = wbsp.suggest_word_breaks(ir, term, 5, field="numbers")
+        assert len(sw) == expect, (changes, sw)
+    wbsp = WordBreakSpellChecker(max_changes=4)
+    sw = wbsp.suggest_word_breaks(ir, term, 5, field="numbers")
+    assert [w for w, _f in sw[0]] == ["one", "thousand", "one", "hundred",
+                                      "eleven"]
+
+
+def test_in_index_terms_not_suggested():
+    ir = _reader()
+    wbsp = WordBreakSpellChecker()
+    # 'hundredeight' IS in the index: not-in-index mode returns nothing
+    assert wbsp.suggest_word_breaks(ir, "hundredeight", 5,
+                                    field="numbers") == []
+
+
+def test_max_evaluations_bounds_work():
+    ir = _reader()
+    wbsp = WordBreakSpellChecker(max_changes=20, max_evaluations=100,
+                                 min_break_word_length=1,
+                                 min_suggestion_frequency=1)
+    sw = wbsp.suggest_word_breaks(ir, "ab" * 5, 200, field="abba")
+    assert 0 < len(sw) < 100
+
+
+def test_combining_words():
+    ir = _reader()
+    terms = ["one", "hun", "dred", "eight", "y", "eight"]
+    wbsp = WordBreakSpellChecker(max_changes=3, max_combine_word_length=20,
+                                 min_suggestion_frequency=1)
+    cs = wbsp.suggest_word_combinations(ir, terms, 10, field="numbers",
+                                        suggest_mode=SUGGEST_ALWAYS)
+    assert len(cs) == 5
+    assert (cs[0][0], cs[0][1]) == ([1, 2], "hundred")
+    assert (cs[1][0], cs[1][1]) == ([3, 4], "eighty")
+    assert (cs[2][0], cs[2][1]) == ([4, 5], "yeight")
+    three_term = {(tuple(c[0]), c[1]) for c in cs[3:]}
+    assert three_term == {((1, 2, 3), "hundredeight"),
+                          ((3, 4, 5), "eightyeight")}
+    # not-in-index mode: only combos containing an absent component
+    cs = wbsp.suggest_word_combinations(ir, terms, 5, field="numbers",
+                                        suggest_mode=SUGGEST_WHEN_NOT_IN_INDEX)
+    assert [(c[0], c[1]) for c in cs] == [([1, 2], "hundred"),
+                                          ([1, 2, 3], "hundredeight")]
+
+
+def test_combining_respects_separator():
+    ir = _reader()
+    terms = ["hun", SEPARATOR_TERM, "dred"]
+    wbsp = WordBreakSpellChecker(max_changes=3)
+    assert wbsp.suggest_word_combinations(ir, terms, 5, field="numbers",
+                                          suggest_mode=SUGGEST_ALWAYS) == []
