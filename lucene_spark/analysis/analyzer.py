@@ -77,6 +77,13 @@ def turkish_lowercase(term: str) -> str:
     return "".join(out)
 
 
+def _chain_norm(prev, fn):
+    """Compose a per-term transform onto an existing normalizer hook."""
+    if prev is None:
+        return fn
+    return lambda t, _p=prev, _f=fn: _f(_p(t))
+
+
 _GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
 
 
@@ -484,6 +491,20 @@ class Analyzer:
     # whose lowercase is language-specific (TurkishLowerCaseFilter's
     # I/ı/İ/i handling); None = the standard simple lowercase
     lowercase_fn: object = None
+    # KeepWordFilter (reference analysis/common/.../miscellaneous/
+    # KeepWordFilter.java): inverse stop list applied to the FINAL terms
+    # — everything not in the set drops; absolute positions are
+    # preserved, which IS FilteringTokenFilter's posIncr accumulation
+    keep_words: frozenset = frozenset()
+    # LimitTokenCountFilter (consumeAllTokens=false): emit only the
+    # first N stream tokens — caps runaway documents at index time
+    limit_tokens: int = 0
+    # FingerprintFilter (reference miscellaneous/FingerprintFilter.java):
+    # collapse the whole stream into ONE token — unique terms, sorted,
+    # joined by this separator (set to e.g. " "); terms beyond
+    # fingerprint_max total chars are skipped like the reference
+    fingerprint_sep: str = ""
+    fingerprint_max: int = 1024
     # HTMLStripCharFilter analogue (reference analysis/common/charfilter/
     # HTMLStripCharFilter.jflex): strip markup + decode entities BEFORE
     # the tokenizer, like Analyzer.initReader char filters. Token offsets
@@ -658,6 +679,27 @@ class Analyzer:
             out = self._weave_shingles(out)
         if self.common_grams:
             out = self._weave_common_grams(out)
+        if self.keep_words:
+            # dropping by absolute position keeps the survivors' positions,
+            # exactly FilteringTokenFilter's accumulated posIncr
+            out = [t for t in out if t.term in self.keep_words]
+        if self.limit_tokens:
+            out = out[: self.limit_tokens]
+        if self.fingerprint_sep and out:
+            seen = []
+            size = 0
+            for t in out:
+                if size > self.fingerprint_max:
+                    break
+                if t.term not in seen:
+                    if seen:
+                        size += 1  # separator char
+                    seen.append(t.term)
+                    size += len(t.term)
+            joined = self.fingerprint_sep.join(
+                sorted(seen)
+            )
+            out = [Token(joined, 0, out[0].start, out[-1].end)]
         return out
 
     def _weave_common_grams(self, toks: list[Token]) -> list[Token]:
@@ -732,7 +774,10 @@ class Analyzer:
         computeNorm encodes (length - numOverlap, discountOverlaps=true,
         Similarity.java:153-163); ``len(terms)`` is the field length that
         feeds sumTotalTermFreq."""
-        if self.shingle > 1 or self.common_grams:
+        if (
+            self.shingle > 1 or self.common_grams or self.keep_words
+            or self.limit_tokens or self.fingerprint_sep
+        ):
             terms2: list[str] = []
             norm2 = 0
             last = -1
@@ -806,8 +851,11 @@ class Analyzer:
         increments accumulate over stopwords) but skips Token object
         construction, which dominates per-doc analysis cost when only a
         few terms matter."""
-        if self.shingle > 1:
-            # shingle terms need the woven stream; positions still matter
+        if (
+            self.shingle > 1 or self.common_grams or self.keep_words
+            or self.limit_tokens or self.fingerprint_sep
+        ):
+            # stream-rewriting filters need the full woven stream
             outs: dict[str, list] = {t: [] for t in wanted}
             for t in self.tokens(text):
                 hit = outs.get(t.term)
@@ -1470,6 +1518,15 @@ def analyzer_for(name) -> Analyzer:
       - ``+phonetic`` — PhoneticFilter with the Soundex encoder,
         inject=true (code stacked at the token's position);
         ``+phonetic:replace`` substitutes the code instead
+      - ``+minimalstem`` — EnglishMinimalStemFilter (plural-only)
+      - ``+trim`` / ``+truncate:N`` — TrimFilter / TruncateTokenFilter
+      - ``+patreplace:pat=repl`` — PatternReplaceFilter (replaceAll per
+        token; patterns containing ``+`` need a programmatic Analyzer —
+        the name grammar reserves ``+`` for modifiers)
+      - ``+keep:w1|w2`` — KeepWordFilter (inverse stop list)
+      - ``+limit:N`` — LimitTokenCountFilter (first N tokens)
+      - ``+fingerprint[:sep]`` — FingerprintFilter (whole stream to one
+        sorted-unique joined token; the dedup-normalization primitive)
 
     e.g. ``"standard+folding+syn:fast=quick|rapid"``. An ``Analyzer``
     instance passes through unchanged (for programmatic chains; note a
@@ -1608,6 +1665,59 @@ def analyzer_for(name) -> Analyzer:
             fn = (normalize_serbian if prev is None
                   else (lambda t, _p=prev: normalize_serbian(_p(t))))
             a = replace(a, normalizer=fn)
+        elif mod == "minimalstem":
+            # EnglishMinimalStemFilter (reference analysis/common/.../en/
+            # EnglishMinimalStemmer.java): plural-only stemming
+            from .light_stemmers import stem_english_minimal
+
+            if a.stemmer is not None:
+                raise ValueError(
+                    f"minimalstem needs a stemmer-less base in {name!r}"
+                )
+            a = replace(a, stemmer=stem_english_minimal)
+        elif mod == "trim":
+            # TrimFilter: strip leading/trailing whitespace per token
+            # (matters with the whitespace/keyword-style bases)
+            a = replace(a, normalizer=_chain_norm(a.normalizer, str.strip))
+        elif mod.startswith("truncate:"):
+            # TruncateTokenFilter: hard-cap each token at N chars
+            n = int(mod[9:])
+            if n < 1:
+                raise ValueError(f"truncate length must be >= 1 in {name!r}")
+            a = replace(
+                a, normalizer=_chain_norm(a.normalizer, lambda t, _n=n: t[:_n])
+            )
+        elif mod.startswith("patreplace:"):
+            # PatternReplaceFilter: regex rewrite per token (replaceAll),
+            # encoded pattern=replacement
+            import re as _re
+
+            pat, eq, repl = mod[11:].partition("=")
+            if not pat or not eq:
+                raise ValueError(f"bad patreplace rule in {name!r}")
+            rx = _re.compile(pat)
+            a = replace(
+                a,
+                normalizer=_chain_norm(
+                    a.normalizer, lambda t, _rx=rx, _r=repl: _rx.sub(_r, t)
+                ),
+            )
+        elif mod.startswith("keep:"):
+            # KeepWordFilter: inverse stop list over the final terms
+            words = frozenset(w for w in mod[5:].split("|") if w)
+            if not words:
+                raise ValueError(f"empty keep set in {name!r}")
+            a = replace(a, keep_words=words)
+        elif mod.startswith("limit:"):
+            # LimitTokenCountFilter (consumeAllTokens=false)
+            n = int(mod[6:])
+            if n < 1:
+                raise ValueError(f"limit must be >= 1 in {name!r}")
+            a = replace(a, limit_tokens=n)
+        elif mod == "fingerprint" or mod.startswith("fingerprint:"):
+            # FingerprintFilter: whole stream -> one sorted-unique token
+            sep = mod[12:] if ":" in mod else " "
+            a = replace(a, fingerprint_sep=sep or " ")
         else:
             raise KeyError(f"unknown analyzer modifier {mod!r} in {name!r}")
     _ANALYZER_CACHE[name] = a

@@ -1351,3 +1351,23 @@ def telugu_chain(term: str) -> str:
     Telugu script is caseless, so the engine's standard lowercase step
     upstream is an identity on it)."""
     return normalize_telugu(fold_decimal_digits(term))
+
+
+def stem_english_minimal(term: str) -> str:
+    """EnglishMinimalStemmer (reference analysis/common/.../en/
+    EnglishMinimalStemmer.java): plural-only stemming — strip a final
+    's' except after u/s, map 'ies' -> 'y' (unless a/e precede the i),
+    keep ies/aes/oes/ees-family endings whole."""
+    n = len(term)
+    if n < 3 or term[-1] != "s":
+        return term
+    c = term[-2]
+    if c in ("u", "s"):
+        return term
+    if c == "e":
+        if n > 3 and term[-3] == "i" and term[-4] not in ("a", "e"):
+            return term[:-3] + "y"
+        if term[-3] in ("i", "a", "o", "e"):
+            return term
+        return term[:-1]
+    return term[:-1]

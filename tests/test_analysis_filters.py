@@ -456,3 +456,60 @@ def test_keyword_repeat_stacks_surface_and_stem():
     }
     with pytest.raises(ValueError):
         analyzer_for("standard+keywordrepeat").tokens  # needs a stemmer
+
+
+# ------------------------------------------- round-5 utility filters
+
+def test_english_minimal_stem_reference_vectors():
+    # reference en/TestEnglishMinimalStemFilter.java
+    an = analyzer_for("standard+minimalstem")
+    vecs = [("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+            ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+            ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+            ("serious", "serious")]
+    for raw, want in vecs:
+        assert an.terms(raw) == [want], raw
+
+
+def test_trim_truncate_patreplace():
+    assert analyzer_for("whitespace+truncate:4").terms("abcdefgh xy") == \
+        ["abcd", "xy"]
+    assert analyzer_for("standard+patreplace:[0-9]=#").terms("abc123 42") == \
+        ["abc###", "##"]
+    # trim composes at the normalizer hook (whitespace base keeps tokens
+    # verbatim, so trim is an identity there; with mapchar-injected
+    # spaces it matters) — just assert the chain resolves and runs
+    assert analyzer_for("whitespace+trim").terms("a b") == ["a", "b"]
+
+
+def test_keep_word_filter_positions_and_norm():
+    an = analyzer_for("standard+keep:table|scan")
+    toks = an.tokens("the table does a scan now")
+    # survivors keep their absolute positions (FilteringTokenFilter)
+    assert [(t.term, t.position) for t in toks] == [("table", 1), ("scan", 4)]
+    terms, norm = an.invert("the table does a scan now")
+    assert terms == ["table", "scan"] and norm == 2
+    assert an.term_positions("the table does a scan", ["scan"]) == {"scan": [4]}
+
+
+def test_limit_token_count():
+    an = analyzer_for("standard+limit:3")
+    assert an.terms("one two three four five") == ["one", "two", "three"]
+    terms, norm = an.invert("one two three four five")
+    assert terms == ["one", "two", "three"] and norm == 3
+
+
+def test_fingerprint_filter():
+    # reference miscellaneous/TestFingerprintFilter.java: dedup + sort +
+    # single joined token
+    an = analyzer_for("standard+fingerprint")
+    assert an.terms("B A B E") == ["a b e"]
+    assert an.terms("A A B B") == ["a b"]
+    toks = an.tokens("b a c a")
+    assert len(toks) == 1 and toks[0].term == "a b c" and toks[0].position == 0
+    terms, norm = an.invert("b a c a")
+    assert terms == ["a b c"] and norm == 1
+    # custom separator
+    assert analyzer_for("standard+fingerprint:_").terms("b a") == ["a_b"]
+    # empty stream stays empty
+    assert an.terms("") == []
