@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["common_grams_phrase"] = _pq_common_grams
     # -- training-data pipeline operators (dedup / similarity / text / mm) --
     q["dedup_exact"] = _pq_dedup_exact
+    q["fingerprint_dedup"] = _pq_fingerprint_dedup
     q["substring_dup_stats"] = _pq_substring_dup
     q["decontam_ngram"] = _pq_decontam_ngram
     q["pii_scrub"] = _pq_pii_scrub
@@ -1410,6 +1411,22 @@ def _pq_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     return exact_dedup(both, ["text"], "doc_id").select("rep_id", "dup_count")
+
+
+def _pq_fingerprint_dedup(spark, sf_dir):
+    """Fingerprint clustering (FingerprintFilter key: sorted unique
+    tokens): docs paired with a token-REVERSED variant cluster together
+    even though exact dedup can't see them — one codegen hash-agg."""
+    from lucene_spark.pipeline.dedup import fingerprint_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+    )
+    return fingerprint_dedup(
+        d.unionByName(variant), "text", "doc_id"
+    ).select("rep_id", "dup_count")
 
 
 def _pq_substring_dup(spark, sf_dir):
@@ -5132,6 +5149,23 @@ WITH unioned AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 )
 SELECT min(doc_id) AS rep_id, count(*) AS dup_count FROM unioned GROUP BY text
+"""
+    # Fingerprint clustering: sorted-unique-token key; the reversed
+    # variants land in their source doc's cluster
+    o["fingerprint_dedup"] = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
+  FROM unioned
+)
+SELECT min(doc_id) AS rep_id, count(*) AS dup_count FROM fp GROUP BY fp
 """
     # 16-token sliding windows per doc, md5 over the space-joined tokens
     # (identical bytes to Spark's md5(concat_ws)), corpus-wide occurrence

@@ -67,6 +67,25 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def fingerprint_key(col) -> "F.Column":
+    """FingerprintFilter's key as a native column expression (reference
+    analysis/common/.../miscellaneous/FingerprintFilter.java: unique
+    terms, sorted, space-joined): token-order- and multiplicity-
+    insensitive dedup key. Codegen-only — no Python in the hot path."""
+    return F.array_join(F.array_sort(F.array_distinct(F.split(col, " "))), " ")
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """OpenRefine-style fingerprint clustering: one representative per
+    fingerprint key (same token SET regardless of order/repeats). One
+    hash-aggregate, same 100 TB shape as exact_dedup."""
+    return (
+        df.withColumn("fp", fingerprint_key(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("dup_count"))
+    )
+
+
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)

@@ -513,3 +513,20 @@ def test_fingerprint_filter():
     assert analyzer_for("standard+fingerprint:_").terms("b a") == ["a_b"]
     # empty stream stays empty
     assert an.terms("") == []
+
+
+def test_fingerprint_pipeline_op_matches_filter(spark):
+    # the native-column fingerprint key equals the analyzer filter's
+    # single-token output on the same text
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.dedup import fingerprint_key
+
+    texts = ["b a c a", "the quick brown fox the lazy fox", "x", ""]
+    an = analyzer_for("whitespace+fingerprint")
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in df.select(fingerprint_key(F.col("text"))).collect()]
+    for t, g in zip(texts, got):
+        toks = an.terms(t)
+        expect = toks[0] if toks else ""
+        assert g == expect, (t, g, expect)
