@@ -321,6 +321,32 @@ def _wd_parts(term: str, flags: int) -> list[tuple[str, int]]:
     return parts
 
 
+def _hyphen_join_stream(stream):
+    """HyphenatedWordsFilter: merge '-'-terminated tokens with their
+    successors; the merged token keeps the FIRST part's position
+    increment and start offset and spans to the last part's end. An
+    unfinished trailing run re-appends its hyphen (reference
+    HyphenatedWordsFilter.java incrementToken/unhyphenate)."""
+    out = []
+    acc = None  # [joined_text, start, incr]
+    last_end = 0
+    for term, start, end, incr in stream:
+        last_end = end
+        if term.endswith("-"):
+            if acc is None:
+                acc = [term[:-1], start, incr]
+            else:
+                acc[0] += term[:-1]
+        elif acc is None:
+            out.append((term, start, end, incr))
+        else:
+            out.append((acc[0] + term, acc[1], end, acc[2]))
+            acc = None
+    if acc is not None:
+        out.append((acc[0] + "-", acc[1], last_end, acc[2]))
+    return out
+
+
 def _word_delim_stream(toks: list[tuple], flags: int) -> list[tuple]:
     """Flattened WordDelimiterGraphFilter over (term, start, end, incr)
     tuples: parts advance positions (the first takes the accumulated
@@ -505,6 +531,12 @@ class Analyzer:
     # fingerprint_max total chars are skipped like the reference
     fingerprint_sep: str = ""
     fingerprint_max: int = 1024
+    # HyphenatedWordsFilter (reference miscellaneous/
+    # HyphenatedWordsFilter.java): tokens ending in '-' merge with the
+    # following token(s) (OCR/line-break repair); a trailing unfinished
+    # run gets its hyphen back. Use with the whitespace tokenizer — the
+    # UAX#29 scanner never emits trailing hyphens.
+    hyphen_join: bool = False
     # HTMLStripCharFilter analogue (reference analysis/common/charfilter/
     # HTMLStripCharFilter.jflex): strip markup + decode entities BEFORE
     # the tokenizer, like Analyzer.initReader char filters. Token offsets
@@ -605,6 +637,8 @@ class Analyzer:
             stream = _cjk_stream(toks, self.cjk_flags, self.cjk_unigrams)
         else:
             stream = [(t.term, t.start, t.end, 1) for t in toks]
+        if self.hyphen_join:
+            stream = _hyphen_join_stream(stream)
         if self.word_delimiter:
             stream = _word_delim_stream(stream, self.word_delimiter)
         return stream
@@ -1665,6 +1699,9 @@ def analyzer_for(name) -> Analyzer:
             fn = (normalize_serbian if prev is None
                   else (lambda t, _p=prev: normalize_serbian(_p(t))))
             a = replace(a, normalizer=fn)
+        elif mod == "hyphenjoin":
+            # HyphenatedWordsFilter: rejoin line-break-hyphenated words
+            a = replace(a, hyphen_join=True)
         elif mod == "minimalstem":
             # EnglishMinimalStemFilter (reference analysis/common/.../en/
             # EnglishMinimalStemmer.java): plural-only stemming

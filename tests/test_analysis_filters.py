@@ -530,3 +530,15 @@ def test_fingerprint_pipeline_op_matches_filter(spark):
         toks = an.terms(t)
         expect = toks[0] if toks else ""
         assert g == expect, (t, g, expect)
+
+
+def test_hyphenated_words_filter():
+    # reference miscellaneous/TestHyphenatedWordsFilter.java
+    an = analyzer_for("whitespace+hyphenjoin")
+    assert an.terms("ecologi- cal devel- op comput-") == \
+        ["ecological", "develop", "comput-"]  # trailing hyphen restored
+    toks = an.tokens("hy- phen- ation works")
+    assert [(t.term, t.position) for t in toks] == [("hyphenation", 0),
+                                                    ("works", 1)]
+    # merged token spans from the first part's start to the last's end
+    assert toks[0].start == 0 and toks[0].end == len("hy- phen- ation")
