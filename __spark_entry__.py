@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["edgengram_search"] = _pq_edgengram_search
     q["german_search"] = _pq_german_search
     q["spanish_search"] = _pq_spanish_search
+    q["multilingual_search"] = _pq_multilingual_search
     q["shingle_bigram_search"] = _pq_shingle_search
     q["multi_field_dismax"] = _pq_multi_field
     q["dv_update_feature"] = _pq_dv_update
@@ -563,6 +564,35 @@ def _pq_german_search(spark, sf_dir):
     )
     s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
     hits = s.search(parse("tables", analyzer="german"), k=K, mode="maxscore")
+    return hits.select(
+        doc_id_for_url_col().alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score_r"),
+    )
+
+
+def _pq_multilingual_search(spark, sf_dir):
+    """Language-routed single index (build_index lang_analyzers: per-DOC
+    analyzer chosen by the lang column — the production multilingual-web
+    pattern): de docs analyze through the GermanAnalyzer chain, es docs
+    through SpanishAnalyzer, the rest standard; BM25 stats span the
+    merged field. Query term 'tabl' = what both 'tables' (de) and
+    'tablas' (es) stem to."""
+    import numpy as np
+
+    from lucene_spark.index import IndexReader, build_index
+    from lucene_spark.pages import doc_id_for_url_col, pages_from_documents
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search import query as Q
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/lucene_spark_ml_{_INDEX_VERSION}_{tag}"
+    pages = pages_from_documents(spark, sf_dir).select("url", "text", "lang")
+    build_index(
+        spark, pages, root, build_id="b0000", num_segments=3, num_buckets=4,
+        lang_analyzers={"de": "german", "es": "spanish"},
+    )
+    s = IndexSearcher(IndexReader(spark, root), dtype=np.float64)
+    hits = s.search(Q.TermQuery("text", "tabl"), k=K, mode="maxscore")
     return hits.select(
         doc_id_for_url_col().alias("doc_id"),
         F.round(F.col("score"), 4).alias("score_r"),
@@ -4390,6 +4420,84 @@ tf AS (SELECT doc_id, count(*) AS freq FROM stems WHERE stem = 'tabl' GROUP BY d
 w AS (
   SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
   FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM stems WHERE stem = 'tabl') n
+)
+SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
+FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w
+ORDER BY (w.w - w.w / (1.0 + tf.freq * inv.norm_inv)) DESC, tf.doc_id ASC LIMIT {K}
+"""
+    # Language-routed index (build_index lang_analyzers): de docs run the
+    # full GermanAnalyzer chain, es docs the SpanishAnalyzer chain,
+    # everything else the standard chain — ONE index, BM25 stats span all
+    # three analysis branches. The SQL unions the per-language analyzed
+    # streams (the german/spanish stem CTEs above, lang-filtered) and
+    # scores 'tabl' over the merged field.
+    ml_qlen = _qlen("dl.len")
+    o["multilingual_search"] = f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+de_kept AS (SELECT doc_id, term FROM tok
+            WHERE lang = 'de' AND term NOT IN ({_de_stop_list})),
+de_norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(term,
+           'ae', 'a', 'g'), 'oe', 'o', 'g'),
+           '(^|[^aeiouqy])ue', '\\1u', 'g') AS t
+  FROM de_kept
+),
+de_s1 AS (
+  SELECT doc_id, CASE
+    WHEN length(t) > 5 AND right(t, 3) = 'ern' THEN left(t, length(t) - 3)
+    WHEN length(t) > 4 AND substr(t, length(t) - 1, 1) = 'e'
+         AND right(t, 1) IN ('m', 'n', 'r', 's') THEN left(t, length(t) - 2)
+    WHEN length(t) > 3 AND right(t, 1) = 'e' THEN left(t, length(t) - 1)
+    WHEN length(t) > 3 AND right(t, 1) = 's'
+         AND substr(t, length(t) - 1, 1) IN {_de_st} THEN left(t, length(t) - 1)
+    ELSE t END AS t
+  FROM de_norm
+),
+de_stems AS (
+  SELECT doc_id, CASE
+    WHEN length(t) > 5 AND right(t, 3) = 'est' THEN left(t, length(t) - 3)
+    WHEN length(t) > 4 AND right(t, 2) IN ('er', 'en') THEN left(t, length(t) - 2)
+    WHEN length(t) > 4 AND right(t, 2) = 'st'
+         AND substr(t, length(t) - 2, 1) IN {_de_st} THEN left(t, length(t) - 2)
+    ELSE t END AS stem
+  FROM de_s1
+),
+es_kept AS (SELECT doc_id, term FROM tok
+            WHERE lang = 'es' AND term NOT IN ({_es_stop_list})),
+es_stems AS (
+  SELECT doc_id, CASE
+    WHEN length(term) < 5 THEN term
+    WHEN right(term, 1) IN ('o', 'a', 'e') THEN left(term, length(term) - 1)
+    WHEN right(term, 1) = 's' AND substr(term, length(term) - 1, 1) = 'e'
+         AND substr(term, length(term) - 2, 1) = 's'
+         AND substr(term, length(term) - 3, 1) = 'e'
+      THEN left(term, length(term) - 2)
+    WHEN right(term, 1) = 's' AND substr(term, length(term) - 1, 1) = 'e'
+         AND substr(term, length(term) - 2, 1) = 'c'
+      THEN left(term, length(term) - 3) || 'z'
+    WHEN right(term, 1) = 's'
+         AND substr(term, length(term) - 1, 1) IN ('o', 'a', 'e')
+      THEN left(term, length(term) - 2)
+    ELSE term END AS stem
+  FROM es_kept
+),
+allst AS (
+  SELECT doc_id, stem FROM de_stems
+  UNION ALL SELECT doc_id, stem FROM es_stems
+  UNION ALL SELECT doc_id, term AS stem FROM tok WHERE lang NOT IN ('de', 'es')
+),
+dl AS (SELECT doc_id, count(*) AS len FROM allst GROUP BY doc_id),
+stats AS (SELECT count(*) AS doc_count, sum(len) AS sum_ttf FROM dl WHERE len > 0),
+inv AS (
+  SELECT dl.doc_id,
+         1.0 / (1.2 * ((1.0 - 0.75) + 0.75 * ({ml_qlen}) / (stats.sum_ttf / CAST(stats.doc_count AS DOUBLE)))) AS norm_inv
+  FROM dl, stats
+),
+tf AS (SELECT doc_id, count(*) AS freq FROM allst WHERE stem = 'tabl' GROUP BY doc_id),
+w AS (
+  SELECT ln(1 + (stats.doc_count - n.df + 0.5) / (n.df + 0.5)) AS w
+  FROM stats, (SELECT count(DISTINCT doc_id) AS df FROM allst WHERE stem = 'tabl') n
 )
 SELECT tf.doc_id, round(w.w - w.w / (1.0 + tf.freq * inv.norm_inv), 4) AS score_r
 FROM tf JOIN inv ON inv.doc_id = tf.doc_id CROSS JOIN w

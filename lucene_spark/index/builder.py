@@ -155,7 +155,8 @@ def term_bucket(term: str, num_buckets: int) -> int:
 
 
 def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols, out_schema,
-                        positions=False, text_fields=None):
+                        positions=False, text_fields=None,
+                        lang_analyzers=None, lang_col="lang"):
     """mapInPandas factory: per input partition, assign dense url-ordered doc
     IDs and run the analysis chain (tokenize -> lowercase -> stop) producing
     per-doc term/freq arrays + the SmallFloat norm byte.
@@ -177,6 +178,14 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
             fname: analyzer_for(spec[1]) if isinstance(spec, (tuple, list)) else analyzer
             for fname, spec in (text_fields or {}).items()
         }
+        # per-DOCUMENT language routing (the production multilingual-web
+        # pattern): each doc's MAIN field runs through its language's
+        # analyzer chain, everything else through the default. Resolved
+        # inside the executor from names, like the per-field wrappers.
+        lang_map = {
+            lv: analyzer_for(an_name)
+            for lv, an_name in (lang_analyzers or {}).items()
+        }
         pid = TaskContext.get().partitionId()
         seg = f"{build_id}-{pid:05d}"
         next_doc = 0
@@ -191,14 +200,20 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
             # computeNorm with discountOverlaps=true, Similarity.java:153-163)
             norm_toks = np.zeros(n, dtype=np.int64)
             texts = pdf[text_field].tolist()
+            doc_langs = (
+                pdf[lang_col].tolist() if lang_map and lang_col in pdf else None
+            )
             for i, txt in enumerate(texts):
                 txt = txt if isinstance(txt, str) else ""
+                doc_an = analyzer
+                if doc_langs is not None:
+                    doc_an = lang_map.get(doc_langs[i], analyzer)
                 if positions:
                     by_term: dict[str, list[int]] = {}
                     count = 0
                     advancing = 0
                     last_pos = -1
-                    for tok in analyzer.tokens(txt):
+                    for tok in doc_an.tokens(txt):
                         by_term.setdefault(tok.term, []).append(tok.position)
                         count += 1
                         if tok.position != last_pos:
@@ -210,7 +225,7 @@ def _analyze_partitions(build_id, text_field, field, analyzer_name, stored_cols,
                     lengths[i] = count
                     norm_toks[i] = advancing
                 else:
-                    toks, norm_cnt = analyzer.invert(txt)
+                    toks, norm_cnt = doc_an.invert(txt)
                     c = Counter(toks)
                     terms_col.append(list(c.keys()))
                     freqs_col.append([int(v) for v in c.values()])
@@ -406,6 +421,8 @@ def build_index(
     analyzer: str = "standard",
     stored_cols: tuple[str, ...] = (),
     langs: tuple[str, ...] | None = None,
+    lang_analyzers: dict[str, str] | None = None,
+    lang_col: str = "lang",
     shuffle_partitions: int | None = None,
     docs_per_inversion_task: int | None = None,
     positions: bool = False,
@@ -484,6 +501,7 @@ def build_index(
     # stored passthroughs only (html etc. stay behind in the source scan)
     needed = (
         ["url", text_col]
+        + ([lang_col] if lang_analyzers else [])
         + [c for c in stored_cols if c != text_col]
         + list(keyword_fields)
         + [
@@ -533,7 +551,8 @@ def build_index(
     inverted = part.mapInPandas(
         _analyze_partitions(build_id, text_col, field, analyzer,
                             tuple(dict.fromkeys(tuple(stored_cols) + tuple(keyword_fields))),
-                            doc_schema, positions=positions, text_fields=text_fields),
+                            doc_schema, positions=positions, text_fields=text_fields,
+                            lang_analyzers=lang_analyzers, lang_col=lang_col),
         doc_schema,
     )
     docs_path = os.path.join(bdir, "docs")
@@ -707,6 +726,7 @@ def build_index(
             "num_segments": num_segments,
             "num_buckets": num_buckets,
             "analyzer": analyzer,
+            "lang_analyzers": dict(lang_analyzers) if lang_analyzers else {},
             "positions": positions,
             "index_sort": list(index_sort) if index_sort else None,
             "text_fields": sorted(text_fields) if text_fields else [],

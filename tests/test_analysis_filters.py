@@ -542,3 +542,32 @@ def test_hyphenated_words_filter():
                                                     ("works", 1)]
     # merged token spans from the first part's start to the last's end
     assert toks[0].start == 0 and toks[0].end == len("hy- phen- ation")
+
+
+def test_language_routed_build(spark, tmp_path):
+    # build_index(lang_analyzers=...): each doc's text runs through its
+    # language's chain — one index, per-doc routing
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.index.reader import IndexReader
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+
+    rows = [("u001", "die tables hier", "de"),
+            ("u002", "the tables here", "en"),
+            ("u003", "las tablas aqui", "es")]
+    df = spark.createDataFrame(rows, ["url", "text", "lang"])
+    root = str(tmp_path / "lr")
+    build_index(spark, df, root, num_segments=2, num_buckets=2,
+                lang_analyzers={"de": "german", "es": "spanish"})
+    s = IndexSearcher(IndexReader(spark, root))
+    hit = lambda t: {r["url"] for r in
+                     s.search(Q.TermQuery("text", t), k=10).collect()}
+    assert hit("tabl") == {"u001", "u003"}   # both stem to tabl
+    assert hit("tables") == {"u002"}          # standard keeps verbatim
+    assert hit("die") == set()                # german stop word dropped
+    # routing recorded in the manifest for query-side resolution
+    reader = IndexReader(spark, root)
+    assert any(
+        m.get("lang_analyzers") == {"de": "german", "es": "spanish"}
+        for m in reader._manifests.values()
+    )
