@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_split_counts"] = _pq_dataset_split
     q["points_box"] = _pq_points_box
     q["points_multi_box"] = _pq_points_multi_box
+    q["points_in_set"] = _pq_points_in_set
+    q["vector_similarity_threshold"] = _pq_vector_similarity_threshold
     q["geo_box"] = _pq_geo_box
     q["shape_box_intersects"] = _pq_shape_box_intersects
     q["shape_box_contains"] = _pq_shape_box_contains
@@ -2128,6 +2130,41 @@ def _pq_points_box(spark, sf_dir):
     pts = PointsIndex(spark, root)
     out = pts.box_search({"n_chars": (100, 300), "ymod": (32, 96)})
     return out.select("doc_id", "n_chars", "ymod").orderBy("doc_id")
+
+
+def _pq_points_in_set(spark, sf_dir):
+    """PointInSetQuery (reference core/search/PointInSetQuery.java):
+    exact-match lookup of N (n_chars, ymod) points in ONE scan — each
+    point a degenerate box in the merged pushed Z-cover, exact re-check
+    keeps exact coordinates only."""
+    from lucene_spark.index.points import DimSpec, PointsIndex
+
+    root = _index_root(sf_dir) + "_points"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ymod", F.col("doc_id") % 256
+    )
+    PointsIndex.build(
+        spark, docs, root,
+        [DimSpec("n_chars", 0, 4096), DimSpec("ymod", 0, 255)],
+        bits=10, build_id="p0",
+    )
+    pts = PointsIndex(spark, root)
+    out = pts.in_set_search([
+        {"n_chars": 87, "ymod": 57}, {"n_chars": 164, "ymod": 239},
+        {"n_chars": 171, "ymod": 25}, {"n_chars": 419, "ymod": 188},
+    ])
+    return out.select("doc_id", "n_chars", "ymod").orderBy("doc_id")
+
+
+def _pq_vector_similarity_threshold(spark, sf_dir):
+    """FloatVectorSimilarityQuery analogue: every vector with cosine >=
+    0.2 against each of 3 query vectors — a similarity-gated match set
+    (no top-k), one shuffle-free Arrow matmul scan."""
+    from lucene_spark.pipeline.similarity import similarity_threshold
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity_threshold(e, _query_vectors(spark, sf_dir), min_cosine=0.2)
+    return out.select("query_id", "id", F.round("cosine", 4).alias("cosine_r"))
 
 
 def _pq_points_multi_box(spark, sf_dir):
@@ -5641,6 +5678,13 @@ FROM documents
 WHERE n_chars BETWEEN 100 AND 300 AND (doc_id % 256) BETWEEN 32 AND 96
 ORDER BY doc_id
 """
+    # PointInSetQuery: exact (n_chars, ymod) coordinate membership
+    o["points_in_set"] = """
+SELECT doc_id, n_chars, doc_id % 256 AS ymod
+FROM documents
+WHERE (n_chars, doc_id % 256) IN ((87, 57), (164, 239), (171, 25), (419, 188))
+ORDER BY doc_id
+"""
     o["points_multi_box"] = """
 SELECT doc_id, n_chars, doc_id % 256 AS ymod
 FROM documents
@@ -5981,6 +6025,19 @@ SELECT query_id, id, round(c, 4) AS cosine_r FROM (
     # cosines — at oversample=4 the shortlist provably contained the true
     # top-k on this corpus, so the brute-force SQL is the oracle
     o["ann_quantized_topk"] = o["ann_brute_topk"]
+    # FloatVectorSimilarityQuery: similarity-gated match set, no top-k
+    o["vector_similarity_threshold"] = f"""
+WITH u AS ({_VEC}),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM u GROUP BY 1),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3),
+q AS (SELECT vec_id AS qid, i, x FROM u WHERE vec_id IN (SELECT vec_id FROM qids)),
+d AS (SELECT q.qid, u.vec_id AS id, sum(q.x * u.x) AS dot FROM q JOIN u ON u.i = q.i GROUP BY 1, 2),
+cos AS (
+  SELECT qid AS query_id, id, dot / (nq.nv * ni.nv) AS c
+  FROM d JOIN nrm nq ON nq.vec_id = qid JOIN nrm ni ON ni.vec_id = id
+)
+SELECT query_id, id, round(c, 4) AS cosine_r FROM cos WHERE c >= 0.2
+"""
     # append + probe-all is exhaustive over base+append => exact oracle
     o["ann_ivf_append"] = o["ann_brute_topk"]
     # delete + probe-all: brute force over the live set

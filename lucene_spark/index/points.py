@@ -250,6 +250,16 @@ class PointsIndex:
         cover (``max_ranges``) still bounds the coarsening input."""
         return self.multi_box_search([ranges], max_ranges, max_push_ranges)
 
+    def in_set_search(self, points: list[dict[str, float]]) -> DataFrame:
+        """PointInSetQuery (reference core/src/java/org/apache/lucene/
+        search/PointInSetQuery.java): exact-match lookup of N points in
+        ONE scan — each point is a degenerate box (lo == hi), the merged
+        coarsened Z-cover prunes row groups, and the exact per-dim
+        re-check keeps only exact coordinate matches."""
+        return self.multi_box_search(
+            [{c: (v, v) for c, v in p.items()} for p in points]
+        )
+
     def multi_box_search(
         self,
         boxes: list[dict[str, tuple[float, float]]],

@@ -82,6 +82,45 @@ def brute_force_topk(
     )
 
 
+def similarity_threshold(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    min_cosine: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    where: str | None = None,
+) -> DataFrame:
+    """All vectors with cosine >= ``min_cosine`` per query — the
+    FloatVectorSimilarityQuery contract (reference core/search/
+    AbstractVectorSimilarityQuery.java: a similarity-gated MATCH SET,
+    not top-k). Shape for 100 TB: one Arrow-batched matmul scan emitting
+    only above-threshold rows — no shuffle at all (there is no top-k
+    heap to merge), so cost is scan + selectivity."""
+    if where:
+        df = df.filter(F.expr(where))
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+
+    def score(iterator):
+        for pdf in iterator:
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = m @ qm.T  # (n, q)
+            outs = []
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                keep = col >= min_cosine
+                if keep.any():
+                    outs.append(pd.DataFrame({
+                        "query_id": qids[qi], "id": ids[keep],
+                        "cosine": col[keep],
+                    }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+
+
 def kmeans_centroids(
     df: DataFrame,
     nlist: int = 16,
