@@ -33,6 +33,19 @@ class IndexReader:
             self._manifests[self._builds[0]]["num_buckets"] if self._builds else 8
         )
 
+    def analyzer_name_for_lang(self, lang: str | None = None) -> str:
+        """Query-side half of language-routed indexing: the analyzer name
+        a query in ``lang`` must analyze with, resolved from the build
+        manifest (``lang_analyzers`` routing map, falling back to the
+        default analyzer) — pass the result to ``parse(..., analyzer=)``
+        so query analysis matches how that language's docs were indexed."""
+        m = self._manifests[self._builds[0]] if self._builds else {}
+        routed = m.get("lang_analyzers") or {}
+        default = m.get("analyzer", "standard")
+        if lang is None:
+            return default
+        return routed.get(lang, default)
+
     # -- raw tables --------------------------------------------------------
 
     def _read(self, table: str) -> DataFrame:

@@ -571,3 +571,12 @@ def test_language_routed_build(spark, tmp_path):
         m.get("lang_analyzers") == {"de": "german", "es": "spanish"}
         for m in reader._manifests.values()
     )
+    # query-side resolution: parse a query the way its language indexed
+    assert reader.analyzer_name_for_lang("de") == "german"
+    assert reader.analyzer_name_for_lang("es") == "spanish"
+    assert reader.analyzer_name_for_lang("en") == "standard"
+    assert reader.analyzer_name_for_lang() == "standard"
+    from lucene_spark.search.parser import parse
+    q = parse("tables", default_field="text",
+              analyzer=reader.analyzer_name_for_lang("de"))
+    assert hit("tabl") == {r["url"] for r in s.search(q, k=10).collect()}
