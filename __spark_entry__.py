@@ -317,8 +317,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the window's spare slots and get re-proven first. All entries
     # keep full oracles either way — this only chooses which 50 the
     # artifact re-proves.
-    unchecked = {k: v for k, v in q.items() if k not in _DRIVER_PROVEN}
-    return {**unchecked, **{k: q[k] for k in _DRIVER_PROVEN if k in q}}
+    # 60 entries have no driver-green row yet but the window holds 50.
+    # These ten are EXPLICITLY deferred behind the rest: the four
+    # filtered-interval variants share their whole machinery with the
+    # in-window interval_maxgaps twin, sweetspot/bm25_nb are similarity/
+    # classifier registry twins of driver-proven siblings, the ann_ivf_*
+    # entries are declared rows-only by design, and interval_max_width/
+    # monitor_query_matches keep their documented local-evidence status.
+    # All retain full oracles + check_oracles runs either way.
+    defer = [
+        "interval_within", "interval_at_least", "interval_prefix_near",
+        "interval_no_overlaps", "sweetspot_disjunction", "bm25_nb_classify",
+        "ann_ivf_topk", "ann_ivf_quantized", "interval_max_width",
+        "monitor_query_matches",
+    ]
+    unchecked = {
+        k: v for k, v in q.items()
+        if k not in _DRIVER_PROVEN and k not in defer
+    }
+    deferred = {k: q[k] for k in defer if k in q}
+    return {
+        **unchecked, **deferred,
+        **{k: q[k] for k in _DRIVER_PROVEN if k in q},
+    }
 
 
 # Every key with a green row in some CORRECTNESS_r01..r04.json artifact
