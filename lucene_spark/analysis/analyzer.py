@@ -1225,6 +1225,25 @@ def _make_indic_snowball(stop_name: str, stem_name: str):
 
 NEPALI = _make_indic_snowball("NEPALI_STOP_WORDS", "stem_nepali")
 TAMIL = _make_indic_snowball("TAMIL_STOP_WORDS", "stem_tamil")
+
+
+def _make_thai():
+    # ThaiAnalyzer's POST-tokenizer chain (analysis/common/.../th/
+    # ThaiAnalyzer.java: LowerCaseFilter -> DecimalDigitFilter ->
+    # StopFilter). Tokenization happens BEFORE indexing via
+    # analysis/thai.py thai_segment_col (Spark sentences() drives the
+    # same JRE BreakIterator the reference ThaiTokenizer uses), so this
+    # analyzer runs the whitespace base over pre-segmented text.
+    from . import stop_sets
+
+    return Analyzer(
+        stopwords=stop_sets.THAI_STOP_WORDS,
+        normalizer=_nepali_normalize,  # DecimalDigitFilter (shared hook)
+        whitespace=True,
+    )
+
+
+THAI = _make_thai()
 # BasqueAnalyzer (analysis/common/.../eu/BasqueAnalyzer.java): lowercase
 # -> stop -> SnowballFilter(BasqueStemmer)
 BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
@@ -1506,6 +1525,7 @@ _BASE_ANALYZERS = {
     "tamil": TAMIL,
     "turkish": TURKISH,
     "irish": IRISH,
+    "thai": THAI,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

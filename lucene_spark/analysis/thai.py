@@ -1,0 +1,39 @@
+"""ThaiAnalyzer support (reference analysis/common/src/java/org/apache/
+lucene/analysis/th/{ThaiAnalyzer,ThaiTokenizer}.java).
+
+The reference's ThaiTokenizer segments with ``java.text.BreakIterator``
+(the JRE's bundled Thai dictionary). Spark's ``sentences()`` SQL
+function drives the SAME JRE BreakIterator JVM-side, so segmentation
+parity is by construction — and it runs inside whole-stage codegen, no
+Python in the loop. The Thai pipeline is therefore two explicit stages:
+
+1. ``thai_segment_col``: a native column expression turning raw Thai
+   text into space-joined dictionary-segmented tokens (apply it to the
+   text column BEFORE ``build_index``). At 100 TB this is a pure
+   codegen projection inside the existing source scan — no extra job.
+2. the ``"thai"`` analyzer (whitespace base + lowercase + decimal-digit
+   fold + the bundled th stop list) over the pre-segmented text —
+   mirroring ThaiAnalyzer's LowerCaseFilter -> DecimalDigitFilter ->
+   StopFilter chain after its tokenizer.
+
+Query side: ``segment_thai_text`` runs one driver-side literal select
+through the same function so queries segment exactly like documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def thai_segment_col(col):
+    """Raw Thai text column -> space-joined BreakIterator word tokens
+    (JVM-side, codegen). ``sentences()`` drops punctuation and keeps
+    token order; offsets downstream refer to the segmented text."""
+    return F.array_join(F.flatten(F.sentences(col, F.lit("th"), F.lit("TH"))), " ")
+
+
+def segment_thai_text(spark, text: str) -> str:
+    """Segment one query string with the same JVM BreakIterator (one
+    driver-side literal projection; no table scan)."""
+    row = spark.range(1).select(thai_segment_col(F.lit(text)).alias("s")).head()
+    return row["s"]

@@ -1,0 +1,46 @@
+"""ThaiAnalyzer parity (reference analysis/common/src/test/.../th/
+TestThaiAnalyzer.java): segmentation through Spark's sentences() — the
+SAME JRE BreakIterator the reference ThaiTokenizer drives — then the
+whitespace+lowercase+digit-fold+stop chain."""
+
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis.analyzer import analyzer_for
+from lucene_spark.analysis.thai import segment_thai_text, thai_segment_col
+
+
+def _analyze(spark, text, analyzer="thai"):
+    seg = segment_thai_text(spark, text)
+    return [t.term for t in analyzer_for(analyzer).tokens(seg)]
+
+
+def test_thai_segmentation_reference_vectors(spark):
+    # testOffsets: dictionary word boundaries
+    assert segment_thai_text(spark, "การที่ได้ต้องแสดงว่างานดี").split(" ") == \
+        ["การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"]
+    # testReusableTokenStream: punctuation dropped, demo.com kept whole
+    assert _analyze(spark, "บริษัทชื่อ XY&Z - คุยกับ xyz@demo.com",
+                    analyzer="whitespace") == \
+        ["บริษัท", "ชื่อ", "xy", "z", "คุย", "กับ", "xyz", "demo.com"]
+
+
+def test_thai_analyzer_chain(spark):
+    # testStopWords: ว่า/การ/ที่/ได้/ต้อง are stop words; positions jump
+    seg = segment_thai_text(spark, "การที่ได้ต้องแสดงว่างานดี")
+    toks = analyzer_for("thai").tokens(seg)
+    assert [t.term for t in toks] == ["แสดง", "งาน", "ดี"]
+    assert [t.position for t in toks] == [4, 6, 7]  # posIncr 5, 2, 1
+    # Thai digits fold to ASCII (DecimalDigitFilter)
+    assert _analyze(spark, "๑๒๓๔") == ["1234"]
+    # adjacent latin stopword splits off (testPositionIncrements shape)
+    assert _analyze(spark, "การที่ได้ต้องthe แสดงว่างานดี") == \
+        ["the", "แสดง", "งาน", "ดี"]
+
+
+def test_thai_segment_col_is_codegen_projection(spark):
+    # the segmentation is a native column expression — no Python UDF
+    df = spark.createDataFrame([("แสดงว่างานดี",)], ["text"])
+    out = df.select(thai_segment_col(F.col("text")).alias("s")).head()["s"]
+    assert out == "แสดง ว่า งาน ดี"
+    explained = df.select(thai_segment_col(F.col("text")))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in explained and "ArrowEvalPython" not in explained
