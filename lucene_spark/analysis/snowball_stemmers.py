@@ -2024,7 +2024,8 @@ def _tr_noun_suffixes(w):
             w2, ok = _tr_chain_ki(w)
             if ok:
                 return w2
-            p = r  # continue on the lAr-sliced word
+            # chain failed: the lAr slice persists, alternatives continue
+            # on the sliced word (cursor-restore only, reference :1465)
         for mark in (_tr_mark_possessives, _tr_mark_sU):
             r = mark(w, len(w))
             if r is not None:
