@@ -1244,6 +1244,21 @@ def _make_thai():
 
 
 THAI = _make_thai()
+
+
+def _esperanto_stem(term: str) -> str:
+    from .snowball_stemmers import stem_esperanto
+
+    return stem_esperanto(term)
+
+
+# The reference ships the generated EsperantoStemmer for SnowballFilter
+# use without an analyzer class; this base mirrors the common
+# SnowballPorterFilterFactory(language=Esperanto) chain (tokenize ->
+# lowercase -> stem, no stop list). The stemmer's apostrophe repairs
+# need the whitespace base ("whitespace+esperanto-style chains keep
+# kant' intact"); the UAX#29 scanner strips trailing apostrophes first.
+ESPERANTO = Analyzer(stemmer=_esperanto_stem)
 # BasqueAnalyzer (analysis/common/.../eu/BasqueAnalyzer.java): lowercase
 # -> stop -> SnowballFilter(BasqueStemmer)
 BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
@@ -1526,6 +1541,7 @@ _BASE_ANALYZERS = {
     "turkish": TURKISH,
     "irish": IRISH,
     "thai": THAI,
+    "esperanto": ESPERANTO,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -2208,3 +2208,166 @@ def stem_irish(w: str) -> str:
         if i >= (pV if var == 1 else p1):
             w = w[:i]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Esperanto (EsperantoStemmer.java, esperanto.sbl — Snowball 3.0; the
+# reference ships the generated stemmer for SnowballFilter use, no
+# analyzer class): x-convention + accented-vowel canonicalization with
+# the foreign-word flag, apostrophe repairs ('st-, l', un', adverb-aŭ,
+# o-elision), protected word classes (pronouns with accusative-n strip,
+# correlatives normalized to the bare i-form, uninflected particles,
+# merged numerals, aliu/unu+jn), the two-vowel/hyphen/digit long-word
+# gate, then one standard-ending strip. Gated by
+# tests/data/snowball_esperanto.tsv.
+
+_EO_X = {"cx": "ĉ", "gx": "ĝ", "hx": "ĥ", "jx": "ĵ", "sx": "ŝ", "ux": "ŭ"}
+_EO_ACC = {"á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u"}
+_EO_VERB_ENDS = ("as", "is", "os", "us", "i", "u")  # a_1
+_EO_PRONOUNS = (  # a_2
+    "ci", "gi", "hi", "li", "ili", "ŝli", "mi", "ni", "oni", "ri", "si",
+    "vi", "ivi", "ĝi", "ŝi", "iŝi", "malŝi",
+)
+_EO_ADVERBS = (  # a_3 (roots completed with -aŭ)
+    "amb", "bald", "malbald", "morg", "postmorg", "adi", "hodi", "ank",
+    "ĉirk", "tutĉirk", "presk", "almen", "apen", "hier", "antaŭhier",
+    "malgr", "ankor", "kontr", "anstat", "kvaz",
+)
+_EO_ALIU_UNU = ("aliu", "unu")  # a_4
+_EO_UNINFLECTED = (  # a_5
+    "aha", "haha", "haleluja", "hola", "hosana", "maltra", "hura",
+    "ĥaĥa", "ekde", "elde", "disde", "ehe", "maltre", "dirlididi",
+    "malpli", "malĉi", "malkaj", "amen", "tamen", "oho", "maltro",
+    "minus", "uhu", "muu",
+)
+_EO_NUM_TAIL = ("tri", "du", "unu")  # a_6
+_EO_NUM_HEAD = ("dek", "cent")  # a_7
+_EO_CORREL_PRE = ("k", "kelk", "nen", "t", "mult", "samt", "ĉ")  # a_8
+# a_9: var 1 entries (bare j/n/jn need a '-' or digit before)
+_EO_SUFFIXES = (
+    ("ajn", 0), ("ojn", 0), ("aj", 0), ("oj", 0), ("an", 0), ("en", 0),
+    ("on", 0), ("as", 0), ("is", 0), ("os", 0), ("us", 0), ("jn", 1),
+    ("a", 0), ("e", 0), ("i", 0), ("o", 0), ("u", 0), ("j", 1), ("n", 1),
+)
+_EO_V = frozenset("aeiou")
+
+
+def _eo_canonical(w: str):
+    out = []
+    foreign = False
+    i = 0
+    n = len(w)
+    while i < n:
+        two = w[i:i + 2]
+        c = w[i]
+        if two in _EO_X:
+            out.append(_EO_X[two])
+            i += 2
+        elif c in _EO_ACC:
+            out.append(_EO_ACC[c])
+            foreign = True
+            i += 1
+        elif c in ("q", "w", "x", "y"):
+            out.append(c)
+            foreign = True
+            i += 1
+        else:
+            if c == "-":
+                foreign = False  # hyphen resets the foreign flag
+            out.append(c)
+            i += 1
+    return "".join(out), foreign
+
+
+def _eo_at_start_or_hyphen(w: str, i: int) -> bool:
+    """cursor == limit_backward, or the char before is '-'."""
+    return i == 0 or w[i - 1] == "-"
+
+
+def stem_esperanto(w: str) -> str:
+    w, foreign = _eo_canonical(w)
+    if foreign:
+        return w
+    # initial apostrophe: 'st + verb ending as a whole word -> e...
+    if w.startswith("'st") and w[3:] in _EO_VERB_ENDS:
+        w = "e" + w[1:]
+    # pronoun (protected; only the accusative -n strips)
+    body = w[:-1] if w.endswith("n") else w
+    p = _longest_from(body, _EO_PRONOUNS, 0)
+    if p is not None and _eo_at_start_or_hyphen(body, len(body) - len(p)):
+        return body
+    # final apostrophe repairs
+    if w.endswith("'"):
+        if w == "l'":
+            w = "la"
+        elif w == "un'":
+            w = "unu"
+        else:
+            s = _longest_from(w[:-1], _EO_ADVERBS, 0)
+            if s is not None and _eo_at_start_or_hyphen(
+                w, len(w) - 1 - len(s)
+            ):
+                w = w[:-1] + "aŭ"
+            else:
+                w = w[:-1] + "o"
+    # correlative (protected; only the chars after bra — the optional
+    # n for the e-form, the optional n/j for the a/o/u form — strip)
+    cw = w
+    bra = j = None
+    i = len(cw)
+    if i and cw[i - 1] == "n":
+        i -= 1
+    if i and cw[i - 1] == "e":
+        bra, j = i, i - 1  # e-form: bra after the optional n
+    else:
+        i2 = len(cw)
+        if i2 and cw[i2 - 1] == "n":
+            i2 -= 1
+        if i2 and cw[i2 - 1] == "j":
+            i2 -= 1
+        if i2 and cw[i2 - 1] in ("a", "o", "u"):
+            bra, j = i2, i2 - 1  # aou-form: bra after optional n/j
+    if bra is not None and j and cw[j - 1] == "i":
+        j -= 1
+        pre = _longest_from(cw[:j], _EO_CORREL_PRE, 0)
+        start = j - (len(pre) if pre else 0)
+        if _eo_at_start_or_hyphen(cw, start):
+            return cw[:bra]
+    # uninflected particles (protected)
+    s = _longest_from(w, _EO_UNINFLECTED, 0)
+    if s is not None and _eo_at_start_or_hyphen(w, len(w) - len(s)):
+        return w
+    # merged numerals (protected): ...dek|cent + tri|du|unu
+    t = _longest_from(w, _EO_NUM_TAIL, 0)
+    if t is not None and _longest_from(w[: -len(t)], _EO_NUM_HEAD, 0):
+        return w
+    # aliu/unu + j/n (protected; the j/n strips)
+    body = w
+    cut = len(body)
+    if cut and body[cut - 1] == "n":
+        cut -= 1
+    if cut and body[cut - 1] == "j":
+        cut -= 1
+    s = _longest_from(body[:cut], _EO_ALIU_UNU, 0)
+    if s is not None and _eo_at_start_or_hyphen(body, cut - len(s)):
+        return body[:cut]
+    # long-word gate: >= 2 vowels, a '-' at index >= 1, or a digit
+    vowels = sum(1 for c in w if c in _EO_V)
+    if not (
+        vowels >= 2
+        or w.find("-") >= 1
+        or any(c.isdigit() and c.isascii() for c in w)
+    ):
+        return w
+    # standard ending (longest); bare j/n/jn need '-' or a digit before
+    for s, var in sorted(_EO_SUFFIXES, key=lambda e: -len(e[0])):
+        if w.endswith(s):
+            i = len(w) - len(s)
+            if var == 1 and not (
+                i and (w[i - 1] == "-" or (w[i - 1].isdigit() and w[i - 1].isascii()))
+            ):
+                return w  # among matched; condition failed -> no strip
+            if i and w[i - 1] == "-":
+                i -= 1  # the hyphen joins the deletion
+            return w[:i]
+    return w

@@ -118,6 +118,44 @@ def _irish_extra():
             ("athair", "uisce", "focal", "obair", "éan", "imir", "ceol")]
 
 
+def _esperanto_words():
+    from lucene_spark.analysis import snowball_stemmers as S
+
+    roots = ["kant", "hund", "grand", "bel", "parol", "labor", "lern",
+             "dom", "tag", "jar", "amik", "libr", "urb", "land", "akv",
+             "fajr", "flor", "arb", "best", "bird", "san", "jun", "nov",
+             "long", "varm", "kelkmult", "skrib", "leg", "kur", "flug",
+             "pens"]
+    sufs = [s for s, _ in S._EO_SUFFIXES]
+    pronouns = list(S._EO_PRONOUNS)
+    correl = [p + "i" + e + tail
+              for p in ("k", "t", "nen", "ĉi", "ĉ", "kelk", "mult",
+                        "samt", "")
+              for e in ("a", "o", "u", "e", "am", "el", "om")
+              for tail in ("", "n", "j", "jn")]
+    return list(dict.fromkeys(
+        roots
+        + [r + s for r in roots for s in sufs]
+        + [r + s1 + s2 for r in roots[:10] for s1 in ("a", "o", "in", "ad")
+           for s2 in sufs]
+        + [r + s + "'" for r in roots[:8] for s in ("", "o")]
+        + pronouns + [p + "n" for p in pronouns] + [p + "a" for p in pronouns]
+        + list(S._EO_UNINFLECTED) + [u + "n" for u in S._EO_UNINFLECTED]
+        + [a + "'" for a in S._EO_ADVERBS] + [a + "aŭ" for a in S._EO_ADVERBS]
+        + correl
+        + ["aliu", "aliuj", "aliujn", "unu", "unuj", "unujn", "l'", "un'",
+           "'stas", "'stis", "'stos", "'stus", "'stu", "'sti",
+           "dekdu", "dektri", "dekunu", "centdu", "centtri", "sescent",
+           "cxirkaux", "sxajnas", "gxis", "jxus", "hxoro", "uxo",
+           "kvazaŭ", "ankaŭ", "adiaŭ", "hieraŭ",
+           "márto", "café", "quiz", "weekend", "xy", "yoyo",
+           "mal-bela", "ĉiu-tage", "3-a", "3-an", "125-oj", "w-formo",
+           "a", "e", "i", "o", "u", "aj", "oj", "jn", "n",
+           "ses7", "7j", "7jn", "7n", "kaj", "la", "de", "en", "po",
+           "krt", "ps", "-a", "b-a", "mal-", "7-ajn", "x-oj"]
+    ))
+
+
 def _turkish_tables():
     from lucene_spark.analysis import snowball_stemmers as S
 
@@ -198,6 +236,18 @@ def main():
          [p + c + "்" + w for p in "எஅஇஉ" for c in "கசதப"
           for w in ("வுலகம்", "வொழுகு", "படியது", "காலம்", "நிலை")]),
     )
+    # Esperanto has no stop list in the reference; its word list comes
+    # from the stemmer's own protected-word tables + root x suffix
+    # crosses + canonical-form / apostrophe / hyphen / digit shapes
+    ws = _esperanto_words()
+    p = subprocess.run(
+        ["java", "-cp", tooldir, "StemTool", "Esperanto"],
+        input="\n".join(ws).encode("utf-8"), capture_output=True, check=True,
+    )
+    with open("tests/data/snowball_esperanto.tsv", "wb") as f:
+        f.write(p.stdout)
+    print("tests/data/snowball_esperanto.tsv",
+          len(p.stdout.decode("utf-8").strip().splitlines()), "pairs")
     for lang, cls, stop_path, tables, *extra in generic:
         ws = words_generic(lang, stop_path, tables, *extra)
         p = subprocess.run(

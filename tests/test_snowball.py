@@ -260,3 +260,26 @@ def test_irish_analyzer_chain():
     toks = an.tokens("n-athair")
     assert [t.term for t in toks] == ["athair"]
     assert toks[0].position == 1  # posIncr 2 (the dropped 'n' accumulates)
+
+
+def test_esperanto_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_esperanto
+
+    _check("snowball_esperanto.tsv", stem_esperanto, 1500)
+
+
+def test_esperanto_stemmer_edges():
+    from lucene_spark.analysis.snowball_stemmers import stem_esperanto as st
+
+    assert st("kantas") == st("kantis") == st("kantoj") == "kant"
+    assert st("sxajnas") == st("ŝajnas")          # x-convention
+    assert st("kion") == st("kioj") == "kio"      # correlative normalizes
+    assert st("min") == "mi" and st("ili") == "ili"  # pronouns protected
+    assert st("morg'") == "morgaŭ" and st("l'") == "la"  # apostrophes
+    assert st("dekdu") == "dekdu"                 # merged numeral kept
+    assert st("quiz") == "quiz"                   # foreign word untouched
+
+
+def test_esperanto_analyzer_chain():
+    an = analyzer_for("esperanto")
+    assert [t.term for t in an.tokens("Kantas hundojn")] == ["kant", "hund"]
