@@ -1259,6 +1259,20 @@ def _esperanto_stem(term: str) -> str:
 # need the whitespace base ("whitespace+esperanto-style chains keep
 # kant' intact"); the UAX#29 scanner strips trailing apostrophes first.
 ESPERANTO = Analyzer(stemmer=_esperanto_stem)
+
+
+def _porter2_stem(term: str) -> str:
+    from .snowball_stemmers import stem_porter2
+
+    return stem_porter2(term)
+
+
+# SnowballFilter("English") — Porter2, the modern alternative to the
+# PorterStemFilter our "english" base mirrors (EnglishAnalyzer default).
+# Same possessive strip + English stop list, Porter2 in the stem slot.
+ENGLISH_PORTER2 = Analyzer(
+    stopwords=ENGLISH.stopwords, possessive=True, stemmer=_porter2_stem
+)
 # BasqueAnalyzer (analysis/common/.../eu/BasqueAnalyzer.java): lowercase
 # -> stop -> SnowballFilter(BasqueStemmer)
 BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
@@ -1542,6 +1556,7 @@ _BASE_ANALYZERS = {
     "irish": IRISH,
     "thai": THAI,
     "esperanto": ESPERANTO,
+    "english_porter2": ENGLISH_PORTER2,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -2371,3 +2371,229 @@ def stem_esperanto(w: str) -> str:
                 i -= 1  # the hyphen joins the deletion
             return w[:i]
     return w
+
+
+# ---------------------------------------------------------------------------
+# English Porter2 (EnglishStemmer.java, english.sbl — Snowball 3.0; the
+# SnowballFilter "English" stemmer, the modern alternative to the
+# PorterStemFilter the reference EnglishAnalyzer defaults to): whole-word
+# exception map, y/Y prelude, a_0 prefix-exception region marking,
+# steps 1a-5 with the short-word e-restore and undoubling, Y postlude.
+# Gated by tests/data/snowball_porter2.tsv.
+
+_P2_V = frozenset("aeiouy")
+_P2_WXY = frozenset("wxY") | _P2_V  # g_v_WXY (Y uppercase, y via _P2_V)
+_P2_AEO = frozenset("aeo")
+_P2_LI = frozenset("cdeghkmnrt")
+_P2_PREFIX_R1 = ("arsen", "commun", "emerg", "gener", "inter", "later",
+                 "organ", "past", "univers")
+_P2_EXC = {
+    "skis": "ski", "skies": "sky", "idly": "idl", "gently": "gentl",
+    "ugly": "ugli", "early": "earli", "only": "onli", "singly": "singl",
+    "andes": "andes", "atlas": "atlas", "bias": "bias", "cosmos": "cosmos",
+    "howe": "howe", "news": "news", "sky": "sky",
+}
+_P2_STEP2 = (
+    ("ational", "ate"), ("ization", "ize"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("lessli", "less"),
+    ("biliti", "ble"), ("tional", "tion"), ("fulli", "ful"),
+    ("ousli", "ous"), ("entli", "ent"), ("aliti", "al"), ("iviti", "ive"),
+    ("alism", "al"), ("ation", "ate"), ("abli", "able"), ("alli", "al"),
+    ("ogist", "og"), ("anci", "ance"), ("enci", "ence"), ("izer", "ize"),
+    ("ator", "ate"), ("bli", "ble"), ("ogi", None), ("li", None),
+)
+_P2_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", ""), ("ical", "ic"),
+    ("ness", ""), ("ful", ""),
+)
+_P2_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent", "ism",
+    "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+)
+
+
+def _p2_regions(w: str):
+    n = len(w)
+    p1 = p2 = n
+    pre = None
+    for s in _P2_PREFIX_R1:
+        if w.startswith(s) and (pre is None or len(s) > len(pre)):
+            pre = s
+    if pre is not None:
+        i = len(pre)
+    else:
+        i = 0
+        while i < n and w[i] not in _P2_V:
+            i += 1
+        if i >= n:
+            return p1, p2
+        i += 1
+        while i < n and w[i] in _P2_V:
+            i += 1
+        if i >= n:
+            return p1, p2
+        i += 1
+    p1 = i
+    while i < n and w[i] not in _P2_V:
+        i += 1
+    if i >= n:
+        return p1, p2
+    i += 1
+    while i < n and w[i] in _P2_V:
+        i += 1
+    if i >= n:
+        return p1, p2
+    p2 = i + 1
+    return p1, p2
+
+
+def _p2_shortv(w: str, pos: int) -> bool:
+    if (
+        pos >= 2
+        and w[pos - 1] not in _P2_WXY
+        and w[pos - 2] in _P2_V
+        and (pos == 2 or (pos >= 3 and w[pos - 3] not in _P2_V))
+    ):
+        # alt1 needs a non-vowel before the vowel; alt2 needs the vowel
+        # at the word start
+        if pos == 2:
+            return True
+        return w[pos - 3] not in _P2_V
+    return w.endswith("past", 0, pos)
+
+
+def stem_porter2(w: str) -> str:
+    exc = _P2_EXC.get(w)
+    if exc is not None:
+        return exc
+    if len(w) < 3:
+        return w
+    # prelude: leading apostrophe, y -> Y at start / after a vowel
+    if w.startswith("'"):
+        w = w[1:]
+    chars = list(w)
+    y_found = False
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+        y_found = True
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _P2_V:
+            chars[i] = "Y"
+            y_found = True
+    w = "".join(chars)
+    p1, p2 = _p2_regions(w)
+
+    # Step 1a: possessive strip, then plural handling
+    for s in ("'s'", "'s", "'"):
+        if w.endswith(s):
+            w = w[: -len(s)]
+            break
+    m = _ro_longest_var(
+        w, (("ied", 2), ("sses", 1), ("ies", 2), ("ss", -1), ("us", -1),
+            ("s", 3)))
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if var == 1:
+            w = w[:i] + "ss"
+        elif var == 2:
+            w = w[:i] + ("i" if i >= 2 else "ie")
+        elif var == 3:
+            # delete only when a vowel exists before the char preceding s
+            if i >= 1 and any(c in _P2_V for c in w[: i - 1]):
+                w = w[:i]
+
+    # Step 1b
+    m = _ro_longest_var(
+        w, (("eedly", 1), ("ingly", 2), ("edly", 2), ("eed", 1),
+            ("ing", 3), ("ed", 2)))
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if var == 1:
+            # eed/eedly -> ee in R1 unless the stem is succ/proc/exc
+            if i >= p1 and not (w[:i] in ("succ", "proc", "exc")):
+                w = w[:i] + "ee"
+        else:
+            special = False
+            if var == 3:
+                stem = w[:i]
+                if (
+                    stem.endswith("y") and len(stem) >= 2
+                    and stem[-2] not in _P2_V and len(stem) == 2
+                ):
+                    w = stem[:-1] + "ie"  # dying -> die
+                    special = True
+                elif stem in ("even", "cann", "inn", "earr", "herr", "out"):
+                    special = True  # evening/inning/... protected
+            if not special:
+                stem = w[:i]
+                if any(c in _P2_V for c in stem):
+                    w = stem
+                    if w.endswith(("bl", "at", "iz")):
+                        w = w + "e"
+                    elif w.endswith(("bb", "dd", "ff", "gg", "mm", "nn",
+                                     "pp", "rr", "tt")):
+                        # undouble unless aeo + double is the whole word
+                        if not (len(w) == 3 and w[0] in _P2_AEO):
+                            w = w[:-1]
+                    elif len(w) == p1 and _p2_shortv(w, len(w)):
+                        w = w + "e"
+
+    # Step 1c: y/Y -> i after a non-vowel that is not word-initial
+    if (
+        len(w) >= 3
+        and w[-1] in ("y", "Y")
+        and w[-2] not in _P2_V
+    ):
+        w = w[:-1] + "i"
+
+    # Step 2 (R1)
+    for s, repl in _P2_STEP2:
+        if w.endswith(s):
+            i = len(w) - len(s)
+            if i >= p1:
+                if s == "ogi":
+                    if i >= 1 and w[i - 1] == "l":
+                        w = w[:i] + "og"
+                elif s == "li":
+                    if i >= 1 and w[i - 1] in _P2_LI:
+                        w = w[:i]
+                else:
+                    w = w[:i] + repl
+            break
+
+    # Step 3 (R1; ative needs R2)
+    for s, repl in _P2_STEP3:
+        if w.endswith(s):
+            i = len(w) - len(s)
+            if i >= p1:
+                if s == "ative":
+                    if i >= p2:
+                        w = w[:i]
+                else:
+                    w = w[:i] + repl
+            break
+
+    # Step 4 (R2; ion needs s/t before)
+    for s in _P2_STEP4:
+        if w.endswith(s):
+            i = len(w) - len(s)
+            if i >= p2:
+                if s == "ion":
+                    if i >= 1 and w[i - 1] in ("s", "t"):
+                        w = w[:i]
+                else:
+                    w = w[:i]
+            break
+
+    # Step 5
+    if w.endswith("e"):
+        i = len(w) - 1
+        if i >= p2 or (i >= p1 and not _p2_shortv(w, i)):
+            w = w[:i]
+    elif w.endswith("ll") and len(w) - 1 >= p2:
+        w = w[:-1]
+
+    return w.replace("Y", "y") if y_found else w

@@ -283,3 +283,27 @@ def test_esperanto_stemmer_edges():
 def test_esperanto_analyzer_chain():
     an = analyzer_for("esperanto")
     assert [t.term for t in an.tokens("Kantas hundojn")] == ["kant", "hund"]
+
+
+def test_porter2_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_porter2
+
+    _check("snowball_porter2.tsv", stem_porter2, 7000)
+
+
+def test_porter2_edges():
+    from lucene_spark.analysis.snowball_stemmers import stem_porter2 as st
+
+    assert st("generate") == "generat"     # gener prefix-R1 exception
+    assert st("dying") == "die" and st("lying") == "lie"
+    assert st("hoping") == "hope" and st("hopping") == "hop"
+    assert st("skies") == "sky" and st("news") == "news"  # exceptions
+    assert st("agreed") == "agre" and st("succeed") == "succeed"
+    assert st("evening") == "evening"      # protected ing-word
+    assert st("conditional") == "condit"
+
+
+def test_porter2_analyzer_chain():
+    an = analyzer_for("english_porter2")
+    assert an.terms("the controlling generously dying hopes") == \
+        ["control", "generous", "die", "hope"]
