@@ -118,6 +118,50 @@ def _irish_extra():
             ("athair", "uisce", "focal", "obair", "éan", "imir", "ceol")]
 
 
+def _porter2_words():
+    import duckdb
+
+    from lucene_spark.analysis import snowball_stemmers as S
+
+    con = duckdb.connect()
+    corpus = [r[0] for r in con.execute(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) t FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY 1"
+    ).fetchall()]
+    corpus = [w for w in corpus if w and w.isascii()]
+    roots = ["hop", "hope", "tie", "cry", "die", "gener", "rate",
+             "relate", "conflate", "connect", "bat", "control", "roll",
+             "free", "agree", "happy", "deny", "supply", "vary", "marry",
+             "study", "enjoy", "play", "betray", "disturb", "commit",
+             "succeed", "proceed", "exceed", "misdeal", "sky", "out",
+             "inn", "even", "cann", "earr"]
+    sufs = ["", "s", "es", "ies", "ied", "ed", "ing", "ings", "edly",
+            "ingly", "eed", "eedly", "ation", "ational", "ization",
+            "izer", "ator", "iveness", "fulness", "ousness", "aliti",
+            "iviti", "biliti", "tional", "ance", "ence", "able", "ible",
+            "ement", "ment", "ion", "ism", "ate", "iti", "ous", "ive",
+            "ize", "al", "er", "ic", "ly", "li", "e", "y", "ical",
+            "icate", "ful", "ness", "ative", "alize", "iciti", "'s",
+            "'s'", "'"]
+    cvc = [c1 + v + c2 + tail
+           for c1 in "bcdfghjklmnpqrstvwxyz" for v in "aeiouy"
+           for c2 in "bcdfghjklmnpqrstvwxyz" for tail in ("ed", "ing")]
+    return list(dict.fromkeys(
+        corpus
+        + [r + s for r in roots for s in sufs]
+        + list(S._P2_EXC)
+        + ["'twas", "yellow", "yes", "say", "saying", "boy", "boys",
+           "beyond", "kyoto", "vying", "by", "my", "ay", "toy",
+           "oystery", "pasted", "paste", "past", "universe", "universal",
+           "communism", "lateral", "interring", "organized", "emerged",
+           "arsenic", "paste", "repaste", "outpaste", "pasting",
+           "repasted", "outpasting", "typed", "taxed", "vowed", "boxed",
+           "mixing", "flowing", "yelled", "yoyoed", "employed",
+           "enjoyed", "surveyed", "obeyed", "prayed", "stayed"]
+        + cvc
+    ))
+
+
 def _esperanto_words():
     from lucene_spark.analysis import snowball_stemmers as S
 
@@ -236,6 +280,17 @@ def main():
          [p + c + "்" + w for p in "எஅஇஉ" for c in "கசதப"
           for w in ("வுலகம்", "வொழுகு", "படியது", "காலம்", "நிலை")]),
     )
+    # Porter2 (SnowballFilter "English"): corpus vocabulary + root x
+    # suffix crosses + a full CVC-ending edge sweep
+    ws = _porter2_words()
+    p = subprocess.run(
+        ["java", "-cp", tooldir, "StemTool", "English"],
+        input="\n".join(ws).encode("utf-8"), capture_output=True, check=True,
+    )
+    with open("tests/data/snowball_porter2.tsv", "wb") as f:
+        f.write(p.stdout)
+    print("tests/data/snowball_porter2.tsv",
+          len(p.stdout.decode("utf-8").strip().splitlines()), "pairs")
     # Esperanto has no stop list in the reference; its word list comes
     # from the stemmer's own protected-word tables + root x suffix
     # crosses + canonical-form / apostrophe / hyphen / digit shapes
