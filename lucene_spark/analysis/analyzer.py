@@ -1273,6 +1273,18 @@ def _porter2_stem(term: str) -> str:
 ENGLISH_PORTER2 = Analyzer(
     stopwords=ENGLISH.stopwords, possessive=True, stemmer=_porter2_stem
 )
+
+
+def _yiddish_stem(term: str) -> str:
+    from .snowball_stemmers import stem_yiddish
+
+    return stem_yiddish(term)
+
+
+# SnowballFilter("Yiddish") — generated-stemmer-only in the reference
+# (no analyzer class); tokenize -> lowercase(identity for Hebrew
+# script) -> stem
+YIDDISH = Analyzer(stemmer=_yiddish_stem)
 # BasqueAnalyzer (analysis/common/.../eu/BasqueAnalyzer.java): lowercase
 # -> stop -> SnowballFilter(BasqueStemmer)
 BASQUE = _make_snowball("BASQUE_STOP_WORDS", "stem_basque")
@@ -1557,6 +1569,7 @@ _BASE_ANALYZERS = {
     "thai": THAI,
     "esperanto": ESPERANTO,
     "english_porter2": ENGLISH_PORTER2,
+    "yiddish": YIDDISH,
 }
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 

@@ -2597,3 +2597,188 @@ def stem_porter2(w: str) -> str:
         w = w[:-1]
 
     return w.replace("Y", "y") if y_found else w
+
+
+# ---------------------------------------------------------------------------
+# Yiddish (YiddishStemmer.java, yiddish.sbl): digraph/final-form prelude
+# with diacritic lookahead + niked strip, GE/TSU prefix marking with the
+# separable-prefix table, the p1 region (3-consonant shortcut, cluster
+# skip, x-floor), one a_4 pass (irregular participle-root restoration,
+# gebracht->breng), the a_5/a_6 derivational passes, and the GE/TSU
+# marker sweep. Among tables + case replacement maps extracted to
+# snowball_data.py. Gated by tests/data/snowball_yiddish.tsv.
+
+_YI_PRELUDE_REPL = {1: "װ", 2: "ױ", 3: "ײ", 4: "כ", 5: "מ", 6: "נ",
+                    7: "פ", 8: "צ"}
+_YI_PRELUDE_GUARD = {1: "ּ", 2: "ִ", 3: "ִ"}
+_YI_NIKED = frozenset(
+    [chr(c) for c in range(0x05B0, 0x05B8)]
+    + ["ָ", "ֹ", "ֻ", "ּ", "ֿ", "ׁ", "ׂ"]
+)
+_YI_V = frozenset("אועיױײ")
+_YI_C = frozenset("בגדהזחטךכלםמןנסףפץצקרשתװ")
+
+
+def _yi_prelude(w: str) -> str:
+    from .snowball_data import YI_PRELUDE
+
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        hit = None
+        for s, var in YI_PRELUDE:
+            if w.startswith(s, i) and (hit is None or len(s) > len(hit[0])):
+                hit = (s, var)
+        if hit is not None:
+            s, var = hit
+            guard = _YI_PRELUDE_GUARD.get(var)
+            if guard is not None and w.startswith(guard, i + len(s)):
+                out.append(w[i])
+                i += 1  # diacritic marks the pair as genuine: skip
+                continue
+            out.append(_YI_PRELUDE_REPL[var])
+            i += len(s)
+            continue
+        out.append(w[i])
+        i += 1
+    return "".join(c for c in out if c not in _YI_NIKED)
+
+
+def _yi_mark(w: str):
+    """Prefix marking + p1; returns (marked word, p1)."""
+    from .snowball_data import YI_CLUSTERS, YI_PREFIXES
+
+    # גע -> GE marker, EXCEPT before לט / בנ (געלט, געבנ words) or when
+    # the word is exactly גע
+    if w.startswith("גע") and not (
+        w.startswith("לט", 2) or w.startswith("בנ", 2) or len(w) == 2
+    ):
+        w = "GE" + w[2:]
+        cur = 2
+    else:
+        cur = 0
+    pre = None
+    for s in YI_PREFIXES:
+        if w.startswith(s, cur) and (pre is None or len(s) > len(pre)):
+            pre = s
+    if pre is not None:
+        p = cur + len(pre)
+        rest = w[p:]
+        if rest in ("צוגנ", "צוקט", "צוקנ"):
+            cur = p  # whole-word forms: prefix consumed, no marker
+        elif rest.startswith("געבנ"):
+            cur = p
+        elif rest.startswith("גע"):
+            w = w[:p] + "GE" + w[p + 2:]
+            cur = p + 2
+        elif rest.startswith("צו"):
+            w = w[:p] + "TSU" + w[p + 2:]
+            cur = p + 3
+        # else: roll back — the prefix is not consumed at all
+    n = len(w)
+    p1 = n
+    if cur + 3 > n:
+        return w, p1
+    x = cur + 3
+    i = cur
+    for s in YI_CLUSTERS:
+        if w.startswith(s, i):
+            i += len(s)
+            break
+    # three consonants straight away: p1 right after them
+    if i + 3 <= n and all(c in _YI_C for c in w[i:i + 3]):
+        return w, i + 3
+    while i < n and w[i] not in _YI_V:
+        i += 1
+    if i >= n:
+        return w, p1
+    i += 1
+    while i < n and w[i] in _YI_V:
+        i += 1
+    if i >= n:
+        return w, p1
+    p1 = max(i, x)
+    return w, p1
+
+
+def stem_yiddish(w: str) -> str:
+    from .snowball_data import (
+        YI_A3_REPL, YI_A4_REPL, YI_PARTICIPLE_ROOTS, YI_SUFFIX_A4,
+        YI_SUFFIX_A5, YI_SUFFIX_A6,
+    )
+
+    w = _yi_prelude(w)
+    w, p1 = _yi_mark(w)
+
+    # part A: one a_4 suffix
+    m = _ro_longest_var(w, YI_SUFFIX_A4)
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if var == 1:
+            if i >= p1:
+                w = w[:i]
+        elif var == 2:
+            if i >= p1:
+                w = w[:i] + "יע"
+        elif var == 3:
+            if i >= p1:
+                w = w[:i]
+                r = _ro_longest_var(w, YI_PARTICIPLE_ROOTS)
+                if r is not None:
+                    w = w[: len(w) - len(r[0])] + YI_A3_REPL[r[1]]
+        elif var == 4:
+            if i >= p1:
+                w = w[:i]
+            else:
+                w = w[:i] + "ט"
+            # (GE)בראכ before the cut restores to ברענג
+            if w.endswith("GEבראכ"):
+                w = w[:-6] + "ברענג"
+            elif w.endswith("בראכ"):
+                w = w[:-4] + "ברענג"
+        elif var == 32:
+            if i >= p1:
+                w = w[:i] + "ה"
+        elif var == 33:
+            if i >= 1 and w[i - 1] in ("ג", "ש"):
+                if p1 <= i + 3:  # R1plus3 at the match start
+                    w = w[:i] + "יס"
+            elif i >= p1:
+                w = w[:i]
+        elif var != -1:  # 5..31: fixed irregular-root replacement
+            w = w[:i] + YI_A4_REPL[var]
+        # var -1 (יע): match with no action
+
+    # part B: a_5 (derivational; ל needs a consonant before)
+    m = _ro_longest_var(w, YI_SUFFIX_A5)
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if i >= p1:
+            if var == 1:
+                w = w[:i]
+            elif i >= 1 and w[i - 1] in _YI_C:
+                w = w[:i]
+
+    # part C: a_6 (יג/יק/…; בליק/גליק protected via var -1)
+    m = _ro_longest_var(w, YI_SUFFIX_A6)
+    if m is not None:
+        s, var = m
+        i = len(w) - len(s)
+        if var == 1 and i >= p1:
+            w = w[:i]
+
+    # part D: sweep the GE/TSU prefix markers, right to left
+    i = len(w)
+    while i > 0:
+        if w.endswith("GE", 0, i):
+            w = w[: i - 2] + w[i:]
+            i -= 2
+        elif w.endswith("TSU", 0, i):
+            w = w[: i - 3] + w[i:]
+            i -= 3
+        else:
+            i -= 1
+    return w

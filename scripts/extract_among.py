@@ -32,6 +32,20 @@ def fmt(entries, with_var=False):
     return f"({items})"
 
 
+
+def yiddish_maps():
+    """case -> slice_from replacement maps from the two standard_suffix
+    switch bodies (participle roots; a_4 fixed replacements 5..31)."""
+    s = open(f"{REF}/YiddishStemmer.java", encoding="utf-8").read()
+    inner = s[s.index("among_var = find_among_b(a_3);"):s.index("case 4:\n          lab1:")]
+    d3 = {int(n): t.encode().decode("unicode_escape") for n, t in
+          re.findall(r'case (\d+):\s*slice_from\("((?:[^"\\]|\\.)*)"\);', inner)}
+    outer = s[s.index("case 5:\n          slice_from"):s.index("case 32:")]
+    d4 = {int(n): t.encode().decode("unicode_escape") for n, t in
+          re.findall(r'case (\d+):\s*slice_from\("((?:[^"\\]|\\.)*)"\);', outer)}
+    return d3, d4
+
+
 def main():
     hy = tables(f"{REF}/ArmenianStemmer.java")
     lt = tables(f"{REF}/LithuanianStemmer.java")
@@ -42,6 +56,7 @@ def main():
     et = tables(f"{REF}/EstonianStemmer.java")
     ta = tables(f"{REF}/TamilStemmer.java")
     ga = tables(f"{REF}/IrishStemmer.java")
+    yi = tables(f"{REF}/YiddishStemmer.java")
     with open("lucene_spark/analysis/snowball_data.py", "w", encoding="utf-8") as f:
         f.write(
             '"""Snowball among tables extracted programmatically from the '
@@ -90,7 +105,17 @@ def main():
         f.write(f"GA_INITIAL = {fmt(ga['a_0'], with_var=True)}\n\n")
         f.write(f"GA_NOUN = {fmt(ga['a_1'], with_var=True)}\n\n")
         f.write(f"GA_DERIV = {fmt(ga['a_2'], with_var=True)}\n\n")
-        f.write(f"GA_VERB = {fmt(ga['a_3'], with_var=True)}\n")
+        f.write(f"GA_VERB = {fmt(ga['a_3'], with_var=True)}\n\n")
+        f.write(f"YI_PRELUDE = {fmt(yi['a_0'], with_var=True)}\n\n")
+        f.write(f"YI_PREFIXES = {fmt(yi['a_1'])}\n\n")
+        f.write(f"YI_CLUSTERS = {fmt(yi['a_2'])}\n\n")
+        f.write(f"YI_PARTICIPLE_ROOTS = {fmt(yi['a_3'], with_var=True)}\n\n")
+        f.write(f"YI_SUFFIX_A4 = {fmt(yi['a_4'], with_var=True)}\n\n")
+        f.write(f"YI_SUFFIX_A5 = {fmt(yi['a_5'], with_var=True)}\n\n")
+        f.write(f"YI_SUFFIX_A6 = {fmt(yi['a_6'], with_var=True)}\n\n")
+        d3, d4 = yiddish_maps()
+        f.write(f"YI_A3_REPL = {d3!r}\n\n")
+        f.write(f"YI_A4_REPL = {d4!r}\n")
     for k, v in {**{f"hy {n}": len(e) for n, e in hy.items()},
                  **{f"lt {n}": len(e) for n, e in lt.items()},
                  **{f"ro {n}": len(e) for n, e in ro.items()},
@@ -99,7 +124,8 @@ def main():
                  **{f"eu {n}": len(e) for n, e in eu.items()},
                  **{f"et {n}": len(e) for n, e in et.items()},
                  **{f"ta {n}": len(e) for n, e in ta.items()},
-                 **{f"ga {n}": len(e) for n, e in ga.items()}}.items():
+                 **{f"ga {n}": len(e) for n, e in ga.items()},
+                 **{f"yi {n}": len(e) for n, e in yi.items()}}.items():
         print(k, v)
 
 

@@ -162,6 +162,57 @@ def _porter2_words():
     ))
 
 
+def _yiddish_words():
+    from lucene_spark.analysis import snowball_data as D
+
+    roots = ["קינד", "גאנג", "זינג", "שרײב", "בינד", "טרינק", "הײב",
+             "לער", "שפיל", "זאג", "מאכ", "גײ", "שטײ", "קוק", "רעד",
+             "פרעג", "ארבעט", "לעב", "קויפ", "טאנצ", "העלפ", "ברענג",
+             "בראכ", "טראג", "עס", "שלאפ", "לויפ", "זע", "הער", "גיב"]
+    sufs = sorted({s for s, _ in D.YI_SUFFIX_A4}
+                  | {s for s, _ in D.YI_SUFFIX_A5}
+                  | {s for s, _ in D.YI_SUFFIX_A6})
+    pref = list(D.YI_PREFIXES)
+    parts = [s for s, _ in D.YI_PARTICIPLE_ROOTS]
+    return list(dict.fromkeys(
+        roots
+        + [r + s for r in roots for s in sufs]
+        + ["גע" + r + s for r in roots[:15] for s in ("ן", "ט", "ען", "")]
+        + [p + r + s for p in pref for r in ("גײ", "קוק", "זאג")
+           for s in ("ן", "ט", "")]
+        + [p + "גע" + r + s for p in pref[:12] for r in ("גאנג", "קוק")
+           for s in ("ען", "ט")]
+        + [p + "צו" + r for p in pref[:12] for r in ("גײן", "קוקן")]
+        + ["גע" + t + "ן" for t in parts]
+        + ["גע" + t + "ענע" for t in parts] + [t + "ן" for t in parts]
+        + [p + "צו" + r for p in pref for r in ("זאגן", "קוקט", "שטײן")]
+        + [st + mid + s for st in ("שטר", "שטש", "שפר", "דזש", "גרונט",
+                                   "שפרינג")
+           for mid in ("אם", "")
+           for s in ("", "ן", "ען", "ער", "סט", "ונג", "יג", "עכץ")]
+        + [r + s for r in ("זינגער", "לערער", "קינדער")
+           for s in ("ונג", "שאפט", "הייט", "קייט", "יקייט", "יג", "יק",
+                     "דיק", "נדיק", "ענדיק", "ניק", "יש", "בליק", "גליק")]
+        + [p + "געזאגט" for p in pref]
+        + [p + "געבנדיק" for p in pref[:10]]
+        + ["וואס", "ווייס", "וּוו", "ייִדיש", "וויסן", "שרייבן", "הויז",
+           "קיין", "זיין", "גוט", "גרויס", "קליין", "שיין", "בוך",
+           "לאַנד", "פֿון", "אויף", "איך", "זיך", "נאָך", "געלט",
+           "געלטן", "גע", "געבנדיק", "צוגנ", "פארצוגנ", "אפצוקט",
+           "מיטצוקנ", "געבן", "אָנגעקומען", "אַוועקגעגאנגען", "בליק",
+           "גליק", "בליקן", "פריילעך", "שטעטל", "מיידל", "פייגעלע",
+           "ברודערשאפט", "קראנקהייט", "שיינקייט", "זינגערין", "לערערס",
+           "חבֿרים", "שבת", "טובֿות", "מצוות", "חלומות", "וווּ",
+           "וויִ", "ייִד", "וִוי", "שרייַבּן", "טובֿ", "בּוך",
+           "פּלאַץ", "שָלום", "כׇל", "וואוו", "וויי", "ויו", "יי",
+           "וו", "וי", "צוזאגן", "צוגײן", "צוזאמען", "צוקוקן", "צוריק",
+           "גיסט", "שיסט", "זאגיסט", "וואשיסט", "ביסט", "קריסט",
+           "פארגיסט", "שריסט", "גרויסיסט", "מצות", "שבתות", "טעותות",
+           "חיות", "סודות", "דורות", "פויגל", "גאפל", "טישל", "שיסל",
+           "מויל", "טייל", "פיל", "שול"]
+    ))
+
+
 def _esperanto_words():
     from lucene_spark.analysis import snowball_stemmers as S
 
@@ -290,6 +341,18 @@ def main():
     with open("tests/data/snowball_porter2.tsv", "wb") as f:
         f.write(p.stdout)
     print("tests/data/snowball_porter2.tsv",
+          len(p.stdout.decode("utf-8").strip().splitlines()), "pairs")
+    # Yiddish (SnowballFilter-only, no analyzer class): roots x suffix
+    # crosses over the extracted tables + protected-class and
+    # prelude/cluster/TSU edge shapes
+    ws = _yiddish_words()
+    p = subprocess.run(
+        ["java", "-cp", tooldir, "StemTool", "Yiddish"],
+        input="\n".join(ws).encode("utf-8"), capture_output=True, check=True,
+    )
+    with open("tests/data/snowball_yiddish.tsv", "wb") as f:
+        f.write(p.stdout)
+    print("tests/data/snowball_yiddish.tsv",
           len(p.stdout.decode("utf-8").strip().splitlines()), "pairs")
     # Esperanto has no stop list in the reference; its word list comes
     # from the stemmer's own protected-word tables + root x suffix

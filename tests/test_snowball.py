@@ -307,3 +307,26 @@ def test_porter2_analyzer_chain():
     an = analyzer_for("english_porter2")
     assert an.terms("the controlling generously dying hopes") == \
         ["control", "generous", "die", "hope"]
+
+
+def test_yiddish_exact_on_all_golden_vectors():
+    from lucene_spark.analysis.snowball_stemmers import stem_yiddish
+
+    _check("snowball_yiddish.tsv", stem_yiddish, 3000)
+
+
+def test_yiddish_edges():
+    from lucene_spark.analysis.snowball_stemmers import stem_yiddish as st
+
+    assert st("קינדער") == "קינד"            # plural strip
+    assert st("געגאנגען") == "גײ"            # GE marker + participle root
+    assert st("געזאגט") == "זאג"             # GE + ט
+    assert st("זינגען") == "זינג"
+    assert st("געלט") == "געל"               # גע kept (no GE marker), ט strips
+    assert st("וואס") == st("װאס")           # digraph prelude normalizes
+    assert st("בליק") == "בליק"              # protected a_6 -1 entry
+
+
+def test_yiddish_analyzer_chain():
+    an = analyzer_for("yiddish")
+    assert [t.term for t in an.tokens("קינדער זינגען")] == ["קינד", "זינג"]
