@@ -1,0 +1,63 @@
+"""Crash-safety + determinism fuzz over EVERY registered analyzer base:
+arbitrary unicode through the full chain must never raise and must be
+deterministic (same input -> same tokens). Mirrors the parser fuzz
+convention (seeded, no hypothesis shrink churn in CI)."""
+
+import random
+
+from lucene_spark.analysis.analyzer import _BASE_ANALYZERS, analyzer_for
+
+_ALPHABETS = [
+    "abcdefghijklmnopqrstuvwxyz'- ",
+    "abcĉĝĥĵŝŭáéíóúqwxy'- ",
+    "çğıöşüâîû' ",
+    "αβγδεζηθικλμνξοπρστυφχψω ς",
+    "абвгдежзийклмнопрстуфхцчшщъыьэюя ",
+    "אבגדהוזחטיךכלםמןנסעףפץצקרשת ִַָּ װױײ",
+    "ابتثجحخدذرزسشصضطظعغفقكلمنهوي ",
+    "กขคงจฉชซญฎฏฐฑณดตถทธนบปผฝพฟภมยรลวศษสหฬอฮะัาิีึืุูเแโใไ",
+    "अआइईउऊएऐओऔकखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसह ािीुूृेैोौ्ंःँ",
+    "அஆஇஈউஊஎஏஐஒஓகஙசஞடணதநபமயரலவழளறனாிீுூெேைொோௌ்",
+    "一二三四五六七八九十日月火水木金土 ",
+    "aeiouäöüõšž ",
+    "0123456789.,!?@#$%^&*()[]{}<>/\\\"'`~ \t\n",
+    "".join(chr(c) for c in range(0x20, 0x80)),
+]
+
+
+def test_every_base_analyzer_survives_fuzz():
+    rng = random.Random(20260821)
+    for name in sorted(_BASE_ANALYZERS):
+        an = analyzer_for(name)
+        for trial in range(40):
+            alpha = _ALPHABETS[rng.randrange(len(_ALPHABETS))]
+            n = rng.randrange(0, 60)
+            text = "".join(rng.choice(alpha) for _ in range(n))
+            toks1 = [(t.term, t.position) for t in an.tokens(text)]
+            toks2 = [(t.term, t.position) for t in an.tokens(text)]
+            assert toks1 == toks2, (name, text)
+            terms, norm = an.invert(text)
+            assert len(terms) >= norm >= 0, (name, text)
+            # positions are monotone non-decreasing
+            pos = [p for _t, p in toks1]
+            assert pos == sorted(pos), (name, text)
+
+
+def test_modifier_chains_survive_fuzz():
+    rng = random.Random(7)
+    chains = [
+        "standard+folding", "standard+minimalstem", "whitespace+hyphenjoin",
+        "standard+keep:table|scan", "standard+limit:3",
+        "standard+fingerprint", "standard+patreplace:[0-9]=#",
+        "whitespace+truncate:4", "standard+icu", "english+keywordrepeat",
+        "english_porter2", "standard+shingle:3",
+    ]
+    for name in chains:
+        an = analyzer_for(name)
+        for trial in range(25):
+            alpha = _ALPHABETS[rng.randrange(len(_ALPHABETS))]
+            text = "".join(
+                rng.choice(alpha) for _ in range(rng.randrange(0, 50))
+            )
+            assert [t.term for t in an.tokens(text)] == \
+                [t.term for t in an.tokens(text)], (name, text)
